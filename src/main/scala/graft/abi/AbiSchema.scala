@@ -1,0 +1,98 @@
+package graft.abi
+
+import org.apache.spark.sql.types._
+import scala.collection.mutable
+
+/** ABI → relational schema derivation.
+  *
+  * Reproduces the reference's table universe (SURVEY.md §1.1/§2.2):
+  *  - functions with `stateMutability != "view"` → `<contract>_call_<fn>`;
+  *    events with `anonymous != true` → `<contract>_evt_<event>`
+  *    (filter at classes.py:39/60, functions.py:88/104, eth-contract.py:100/121)
+  *  - lower-cased names; overloads disambiguated by a per-name counter that
+  *    starts at the *second* occurrence: bare, then 0, 1, …
+  *    (functions.py:96-114, increment-after-use)
+  *  - unnamed ABI inputs become v0, v1, … by position (classes.py:67-72)
+  *  - 6 common columns on every table (classes.py:95,136)
+  *
+  * Type mapping is the Spark-native column (SURVEY.md §1.2): binary for
+  * address/bytes*, Decimal(38,0) for 64..256-bit ints (Maker wad/ray values
+  * fit; rad-scale consumers use the wad/ray/rad rescaling expressions
+  * before arithmetic), narrow integrals for small ints. The reference's PG
+  * `string→bytea` and `uint256[]→numeric` quirks (classes.py:137) are
+  * deliberately NOT reproduced.
+  */
+object AbiSchema {
+
+  val commonFields: Seq[StructField] = Seq(
+    StructField("block_number", LongType),
+    StructField("block_hash", BinaryType),
+    StructField("address", BinaryType),
+    StructField("log_index", IntegerType),
+    StructField("transaction_index", IntegerType),
+    StructField("transaction_hash", BinaryType))
+
+  private val IntPat = raw"(u?)int(\d*)".r
+  private val FixedArrayPat = raw"(.+)\[(\d+)\]".r
+
+  /** Spark type for one ABI type string. */
+  def sparkType(abiType: String): DataType = abiType match {
+    case t if t.endsWith("[]") => ArrayType(sparkType(t.dropRight(2)))
+    case FixedArrayPat(elem, _) => ArrayType(sparkType(elem))
+    case "address" => BinaryType
+    case "bool" => BooleanType
+    case "string" => StringType
+    case t if t.startsWith("bytes") => BinaryType // bytes, bytes1..bytes32
+    case IntPat(_, bitsStr) =>
+      val bits = if (bitsStr.isEmpty) 256 else bitsStr.toInt
+      if (bits <= 8) ShortType
+      else if (bits <= 16) IntegerType
+      else if (bits <= 56) LongType
+      else DecimalType(38, 0)
+    case "tuple" => StringType // not present in the corpus; JSON-ish fallback
+    case other => throw new IllegalArgumentException(s"unsupported ABI type: $other")
+  }
+
+  /** Column name for input `i` at position `pos` (v0,v1,… when unnamed). */
+  def columnName(p: AbiJson.Param, pos: Int): String =
+    if (p.name == null || p.name.isEmpty) s"v$pos" else p.name.toLowerCase
+
+  /** One produced table: name, source ABI entry, full Spark schema. */
+  final case class TableDef(table: String, entry: AbiJson.Entry, schema: StructType,
+                            isEvent: Boolean) {
+    /** Dispatch key: topic0 (events) or 4-byte selector (functions). */
+    lazy val dispatchKey: Seq[Byte] = {
+      val h = Keccak.hash256(entry.signature)
+      if (isEvent) h.toSeq else h.take(4).toSeq
+    }
+  }
+
+  /** Whether an ABI entry produces a table (the reference's filter). */
+  def producesTable(e: AbiJson.Entry): Boolean =
+    (e.entryType == "function" && e.stateMutability != "view" &&
+      e.stateMutability != "pure") ||
+      (e.entryType == "event" && !e.anonymous)
+
+  /** Derive every table for one contract ABI, with overload suffixing. */
+  def tables(contract: String, abi: Seq[AbiJson.Entry]): Seq[TableDef] = {
+    val seen = mutable.Map.empty[String, Int] // lowercased name → occurrences so far
+    abi.filter(producesTable).map { e =>
+      val kind = if (e.entryType == "event") "evt" else "call"
+      val base = s"${contract.toLowerCase}_${kind}_${e.name.toLowerCase}"
+      val n = seen.getOrElse(base, 0)
+      seen(base) = n + 1
+      // reference rule: first occurrence bare, then suffix 0, 1, …
+      val table = if (n == 0) base else s"$base${n - 1}"
+      val cols = e.inputs.zipWithIndex.map { case (p, i) =>
+        StructField(columnName(p, i), sparkType(p.abiType))
+      }
+      TableDef(table, e, StructType(commonFields ++ cols), kind == "evt")
+    }
+  }
+
+  /** Dispatch index for a contract: key bytes → TableDef.
+    * Event keys are 32-byte topic0; function keys are 4-byte selectors.
+    * Broadcast this map to executors for the decode pass (S7). */
+  def dispatchIndex(defs: Seq[TableDef]): Map[Seq[Byte], TableDef] =
+    defs.map(d => d.dispatchKey -> d).toMap
+}

@@ -1,0 +1,141 @@
+package graft.codec
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.abi.{AbiJson, AbiSchema, Keccak}
+
+/** Static helpers callable from generated Java code. */
+object CodecRuntime {
+  def bytesToAscii(b: Array[Byte]): UTF8String =
+    UTF8String.fromBytes(b.filter(_ != 0))
+}
+
+/** keccak256(binary) → 32-byte binary. Whole-stage-codegen friendly
+  * (emits a static call — no interpreter fallback on the hot path).
+  * Reference: dispatch-key computation functions.py:90-93,105. */
+case class Keccak256(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override protected def nullSafeEval(input: Any): Any =
+    Keccak.hash256(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.abi.Keccak.hash256($c)")
+  override protected def withNewChildInternal(newChild: Expression): Keccak256 =
+    copy(child = newChild)
+  override def prettyName: String = "keccak256"
+}
+
+/** bytes32 → ASCII with NUL bytes stripped — the Spark-native form of PG's
+  * `replace(encode(ilk, 'escape'), '\000', '')`
+  * (assets_per_type.sql:51, SURVEY Q15). */
+case class Bytes32ToAscii(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    CodecRuntime.bytesToAscii(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.codec.CodecRuntime.bytesToAscii($c)")
+  override protected def withNewChildInternal(newChild: Expression): Bytes32ToAscii =
+    copy(child = newChild)
+  override def prettyName: String = "bytes32_to_ascii"
+}
+
+/** Maker fixed-point rescaler: decimal token quantity → double at
+  * 10^-digits. wad=18, ray=27, rad=45 (SURVEY §1.2). Computed exactly as
+  * SQL `CAST(x AS DOUBLE)/1eN` would be (two IEEE roundings) so results
+  * stay bit-identical with warehouse SQL ports. */
+case class RescaleToDouble(child: Expression, digits: Int)
+  extends UnaryExpression {
+  require(digits >= 0 && digits <= 45)
+  private val divisor: Double = math.pow(10, digits)
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(input: Any): Any =
+    input.asInstanceOf[Decimal].toDouble / divisor
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$c.toDouble() / ${divisor}D")
+  override protected def withNewChildInternal(newChild: Expression): RescaleToDouble =
+    copy(child = newChild)
+  override def prettyName: String = s"rescale_e$digits"
+}
+
+private[codec] object CatalystConv {
+  def toCatalyst(v: Any): Any = v match {
+    case null => null
+    case b: Array[Byte] => b
+    case d: java.math.BigDecimal => Decimal(d)
+    case s: String => UTF8String.fromString(s)
+    case xs: Seq[_] => new GenericArrayData(xs.map(toCatalyst).toArray)
+    case other => other // Boolean / Short / Int / Long pass through
+  }
+}
+
+/** abi_decode_event(topics, data) → struct of the event's params.
+  * The ABI entry rides along as a JSON literal so the expression is
+  * serializable to executors; parsed once per task (lazy).
+  * Reference semantics: eth_event.decode_log (eth-contract.py:122, S9). */
+case class DecodeEvent(entryJson: String, topics: Expression, data: Expression)
+  extends BinaryExpression with CodegenFallback {
+  @transient private lazy val entry: AbiJson.Entry = AbiJson.parse(s"[$entryJson]").head
+
+  override def left: Expression = topics
+  override def right: Expression = data
+  override def dataType: DataType = StructType(
+    entry.inputs.zipWithIndex.map { case (p, i) =>
+      StructField(AbiSchema.columnName(p, i), AbiSchema.sparkType(p.abiType))
+    })
+
+  override protected def nullSafeEval(topicsVal: Any, dataVal: Any): Any = {
+    val topicArr = topicsVal.asInstanceOf[ArrayData]
+    val topicBytes = (0 until topicArr.numElements()).map(topicArr.getBinary)
+    val values = graft.codec.AbiDecoder.decodeEvent(
+      entry, topicBytes, dataVal.asInstanceOf[Array[Byte]])
+    InternalRow.fromSeq(values.map(CatalystConv.toCatalyst))
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DecodeEvent =
+    copy(topics = newLeft, data = newRight)
+  override def prettyName: String = "abi_decode_event"
+}
+
+/** abi_decode_calldata(data) → struct of the function's params. `data` is
+  * the full calldata; the selector is verified then stripped, scanning
+  * word-aligned for proxy-wrapped payloads (S10, functions.py:119-149).
+  * Returns null when the selector never matches. */
+case class DecodeCalldata(entryJson: String, data: Expression)
+  extends UnaryExpression with CodegenFallback {
+  @transient private lazy val entry: AbiJson.Entry = AbiJson.parse(s"[$entryJson]").head
+  @transient private lazy val selector: Seq[Byte] =
+    Keccak.hash256(entry.signature).take(4).toSeq
+
+  override def child: Expression = data
+  override def dataType: DataType = StructType(
+    entry.inputs.zipWithIndex.map { case (p, i) =>
+      StructField(AbiSchema.columnName(p, i), AbiSchema.sparkType(p.abiType))
+    })
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(dataVal: Any): Any = {
+    val bytes = dataVal.asInstanceOf[Array[Byte]]
+    // direct selector or word-aligned scan (proxy unwrap)
+    var off = 0
+    var found = -1
+    while (found < 0 && off + 4 <= bytes.length && off <= 64 * 4) {
+      if (bytes.slice(off, off + 4).toSeq == selector) found = off
+      else off += 4
+    }
+    if (found < 0) null
+    else {
+      try {
+        val values = AbiDecoder.decodeCall(entry, bytes.drop(found + 4))
+        InternalRow.fromSeq(values.map(CatalystConv.toCatalyst))
+      } catch { case _: Exception => null }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DecodeCalldata =
+    copy(data = newChild)
+  override def prettyName: String = "abi_decode_calldata"
+}

@@ -1,0 +1,43 @@
+package graft.codec
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.graftshim.Shim
+
+/** Column-level API + SQL registration for the graft expressions.
+  *
+  * `register(spark)` makes `keccak256`, `bytes32_to_ascii`, `wad`, `ray`,
+  * `rad` available to `spark.sql` text; the Column helpers serve the
+  * DataFrame DSL. Register via config with
+  * `spark.sql.extensions=graft.codec.GraftExtensions` or call
+  * `GraftFunctions.register` explicitly.
+  */
+object GraftFunctions {
+
+  def keccak256(c: Column): Column = Shim.column(Keccak256(Shim.expression(c)))
+
+  def bytes32ToAscii(c: Column): Column = Shim.column(Bytes32ToAscii(Shim.expression(c)))
+
+  /** wad: token quantity at 10^-18 (SURVEY §1.2; assets_per_type.sql:44). */
+  def wad(c: Column): Column = Shim.column(RescaleToDouble(Shim.expression(c), 18))
+
+  /** ray: rate at 10^-27 (assets_per_type.sql:31,43). */
+  def ray(c: Column): Column = Shim.column(RescaleToDouble(Shim.expression(c), 27))
+
+  /** rad: debt at 10^-45. */
+  def rad(c: Column): Column = Shim.column(RescaleToDouble(Shim.expression(c), 45))
+
+  def decodeEvent(entryJson: String, topics: Column, data: Column): Column =
+    Shim.column(DecodeEvent(entryJson, Shim.expression(topics), Shim.expression(data)))
+
+  def decodeCalldata(entryJson: String, data: Column): Column =
+    Shim.column(DecodeCalldata(entryJson, Shim.expression(data)))
+
+  def register(spark: SparkSession): Unit = {
+    val reg = Shim.registry(spark)
+    reg.createOrReplaceTempFunction("keccak256", es => Keccak256(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("bytes32_to_ascii", es => Bytes32ToAscii(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("wad", es => RescaleToDouble(es.head, 18), "scala_udf")
+    reg.createOrReplaceTempFunction("ray", es => RescaleToDouble(es.head, 27), "scala_udf")
+    reg.createOrReplaceTempFunction("rad", es => RescaleToDouble(es.head, 45), "scala_udf")
+  }
+}

@@ -1,0 +1,148 @@
+package graft.fixtures
+
+import java.math.{BigDecimal => JBigDecimal, BigInteger}
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import graft.abi.{AbiJson, AbiSchema}
+import graft.codec.AbiDecoder
+import graft.ingest.Demux
+
+/** Deterministic reference-shaped fixtures (FIXTURES.md §B/§C, seed 42).
+  *
+  * Generates, once, under /root/repo/fixtures:
+  *   truth/<table>.parquet — ground-truth decoded tables (written directly
+  *     from the generated values; never touches the decoder), and
+  *   raw_logs.parquet — the same rows ABI-encoded into raw logs (events:
+  *     topics+data; calls: Maker LogNote-style topic0=padded selector,
+  *     calldata in data, ~20% proxy-wrapped to exercise the offset scan).
+  *
+  * The correctness gate then decodes raw_logs with the engine and checks
+  * query results against DuckDB reading the truth tables — covering
+  * S7-S10 end-to-end (SURVEY §2.1).
+  */
+object MakerFixtures {
+
+  val dir = "/root/repo/fixtures"
+  val rawLogsPath = s"$dir/raw_logs.parquet"
+  def truthPath(table: String) = s"$dir/truth/$table.parquet"
+
+  // ABI entries come from the reference's own ABI files.
+  private lazy val vatAbi = AbiJson.parseFile("/root/reference/conf/makermcd/vat.abi")
+  private lazy val jugAbi = AbiJson.parseFile("/root/reference/conf/makermcd/jug.abi")
+  private lazy val psmAbi = AbiJson.parseFile("/root/reference/conf/makermcd/psm.abi")
+
+  lazy val vatTables: Seq[AbiSchema.TableDef] = AbiSchema.tables("vat", vatAbi)
+  lazy val jugTables: Seq[AbiSchema.TableDef] = AbiSchema.tables("jug", jugAbi)
+  lazy val psmTables: Seq[AbiSchema.TableDef] = AbiSchema.tables("psm", psmAbi)
+
+  def tableDef(name: String): AbiSchema.TableDef =
+    (vatTables ++ jugTables ++ psmTables).find(_.table == name)
+      .getOrElse(throw new NoSuchElementException(name))
+
+  /** The six tables the fixture corpus populates. */
+  lazy val fixtureDefs: Seq[AbiSchema.TableDef] = Seq(
+    tableDef("vat_call_frob"), tableDef("vat_call_grab"), tableDef("vat_call_fold"),
+    tableDef("jug_call_file"), tableDef("psm_evt_buygem"), tableDef("psm_evt_sellgem"))
+
+  private val ilks = Seq("ETH-A", "ETH-B", "WBTC-A", "PSM-USDC-A", "USDC-A",
+    "RWA001-A", "UNIV2DAIETH-A")
+
+  def ensure(spark: SparkSession): Unit = synchronized {
+    val marker = new java.io.File(s"$dir/_GENERATED")
+    if (marker.exists()) return
+    generate(spark)
+    marker.getParentFile.mkdirs()
+    java.nio.file.Files.writeString(marker.toPath, "ok")
+  }
+
+  // ------------------------------------------------------------------ gen
+
+  private def bytes32(s: String): Array[Byte] =
+    java.util.Arrays.copyOf(s.getBytes("US-ASCII"), 32)
+
+  private final class Gen(seed: Long) {
+    val rnd = new scala.util.Random(seed)
+    def bytes(n: Int): Array[Byte] = { val b = new Array[Byte](n); rnd.nextBytes(b); b }
+    def addr(): Array[Byte] = bytes(20)
+    def ilk(): Array[Byte] = bytes32(ilks(rnd.nextInt(ilks.length)))
+    /** signed wad/ray-scale decimal, `zeroPct`% exact zeros */
+    def fix(scaleDigits: Int, zeroPct: Int): JBigDecimal =
+      if (rnd.nextInt(100) < zeroPct) JBigDecimal.ZERO
+      else {
+        val mag = new BigInteger(s"1${"0" * scaleDigits}") // 10^scale
+        val units = BigInteger.valueOf(rnd.between(1L, 99999L))
+        val v = mag.multiply(units).divide(BigInteger.valueOf(10)) // 0.1..1e4 units
+        new JBigDecimal(if (rnd.nextBoolean()) v else v.negate())
+      }
+  }
+
+  private def generate(spark: SparkSession): Unit = {
+    val gen = new Gen(42)
+    import gen._
+
+    // per-table value rows (ABI param values, in declaration order)
+    def frobRow(): Seq[Any] = Seq(ilk(), addr(), addr(), addr(), fix(18, 10), fix(18, 30))
+    def grabRow(): Seq[Any] = Seq(ilk(), addr(), addr(), addr(), fix(18, 10), fix(18, 30))
+    def foldRow(): Seq[Any] = Seq(ilk(), addr(), fix(24, 20))
+    def fileRow(): Seq[Any] = Seq(ilk(), bytes32("duty"),
+      // duty: ray-scale per-second rate 1.0 .. ~1.0000000085 → APR 0..~30%
+      new JBigDecimal(new BigInteger("1000000000000000000000000000")
+        .add(BigInteger.valueOf(rnd.between(0L, 8_500_000_000L)))))
+    def gemRow(): Seq[Any] = Seq(addr(), new JBigDecimal(rnd.between(1_000_000L, 10_000_000_000_000L)),
+      new JBigDecimal(rnd.between(100L, 10_000_000L)))
+
+    val plan: Seq[(String, Int, () => Seq[Any])] = Seq(
+      ("vat_call_frob", 800, frobRow _),
+      ("vat_call_grab", 150, grabRow _),
+      ("vat_call_fold", 400, foldRow _),
+      ("jug_call_file", 80, fileRow _),
+      ("psm_evt_buygem", 50, gemRow _),
+      ("psm_evt_sellgem", 50, gemRow _))
+
+    val contractAddr: Map[String, Array[Byte]] =
+      Seq("vat", "jug", "psm").map(c => c -> addr()).toMap
+
+    val rawRows = ArrayBuffer.empty[Row]
+    var blockNo = 8_928_160L
+    var txIndex = 0
+
+    plan.foreach { case (table, n, mk) =>
+      val d = tableDef(table)
+      val truthRows = ArrayBuffer.empty[Row]
+      (0 until n).foreach { i =>
+        blockNo += 1 + rnd.nextInt(4000) // strictly increasing, gappy
+        txIndex += 1
+        val values = mk()
+        val common = Seq[Any](blockNo, bytes(32), contractAddr(table.split('_').head),
+          i % 500, txIndex, bytes(32))
+        truthRows += Row.fromSeq(common ++ values)
+
+        // encode into a raw log
+        val (topics, data) =
+          if (d.isEvent) AbiDecoder.encodeEvent(d.entry, values)
+          else {
+            val calldata = AbiDecoder.encodeCall(d.entry, values)
+            val wrapped =
+              if (rnd.nextInt(100) < 20) // proxy-style wrap: junk selector + head word
+                Array[Byte](0x0e, 0x1f, 0x2a, 0x3b) ++ new Array[Byte](32) ++ calldata
+              else calldata
+            (Seq(java.util.Arrays.copyOf(d.dispatchKey.toArray, 32)), wrapped)
+          }
+        rawRows += Row.fromSeq(Seq[Any](
+          common(2), topics, data, common(0), common(1), common(3), common(4), common(5)))
+      }
+      spark.createDataFrame(truthRows.asJava, d.schema)
+        .coalesce(1).write.mode("overwrite").parquet(truthPath(table))
+    }
+
+    spark.createDataFrame(rawRows.asJava, Demux.rawLogSchema)
+      .coalesce(1).write.mode("overwrite").parquet(rawLogsPath)
+  }
+
+  /** Raw logs DataFrame (generating fixtures on first use). */
+  def rawLogs(spark: SparkSession): DataFrame = {
+    ensure(spark)
+    spark.read.parquet(rawLogsPath)
+  }
+}

@@ -1,0 +1,84 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.abi.{AbiJson, AbiSchema}
+import graft.codec.GraftFunctions
+
+/** Topic dispatch (S8): route raw logs to per-table decoded DataFrames.
+  *
+  * Raw log schema (FIXTURES.md §C):
+  *   address binary, topics array<binary>, data binary, block_number long,
+  *   block_hash binary, log_index int, transaction_index int,
+  *   transaction_hash binary
+  *
+  * Dispatch keys follow the reference (functions.py:86-115): events match
+  * on topics[0] == keccak(signature); function calls are Maker LogNote
+  * style — topics[0] == 4-byte selector right-padded with 28 zero bytes,
+  * calldata embedded in `data`. Unknown topics are dropped explicitly (the
+  * reference's stale-`j` fallthrough at eth-contract.py:96-97 is a bug we
+  * do not reproduce).
+  *
+  * Scale design (SURVEY §7.4): `tagged` adds a table_name column in ONE
+  * pass over the raw logs (no shuffle — a narrow CASE chain on topics[0]);
+  * `writeDemuxed` persists it partitioned by table_name so per-table reads
+  * are partition-pruned. 412 output tables cost one scan, not 412.
+  */
+object Demux {
+
+  val rawLogSchema: StructType = StructType(Seq(
+    StructField("address", BinaryType),
+    StructField("topics", ArrayType(BinaryType)),
+    StructField("data", BinaryType),
+    StructField("block_number", LongType),
+    StructField("block_hash", BinaryType),
+    StructField("log_index", IntegerType),
+    StructField("transaction_index", IntegerType),
+    StructField("transaction_hash", BinaryType)))
+
+  private val commonCols = Seq("block_number", "block_hash", "address",
+    "log_index", "transaction_index", "transaction_hash")
+
+  /** topics[0] value that selects logs for `d` (padded selector for calls). */
+  def topic0Key(d: AbiSchema.TableDef): Array[Byte] =
+    if (d.isEvent) d.dispatchKey.toArray
+    else java.util.Arrays.copyOf(d.dispatchKey.toArray, 32)
+
+  /** One decoded table from raw logs. */
+  def table(raw: DataFrame, d: AbiSchema.TableDef): DataFrame = {
+    val entryJson = AbiJson.render(d.entry)
+    val matched = raw.filter(element_at(col("topics"), 1) === lit(topic0Key(d)))
+    val decoded =
+      if (d.isEvent)
+        GraftFunctions.decodeEvent(entryJson, col("topics"), col("data"))
+      else
+        GraftFunctions.decodeCalldata(entryJson, col("data"))
+    matched
+      .withColumn("_params", decoded)
+      .filter(col("_params").isNotNull) // undecodable wrapped calldata → drop
+      .select(commonCols.map(col) :+ col("_params.*"): _*)
+  }
+
+  /** Tag each raw log with its destination table (null → unknown topic). */
+  def tagged(raw: DataFrame, defs: Seq[AbiSchema.TableDef]): DataFrame = {
+    val topic0 = element_at(col("topics"), 1)
+    val tableName = defs.foldLeft(lit(null).cast("string")) { (acc, d) =>
+      when(topic0 === lit(topic0Key(d)), lit(d.table)).otherwise(acc)
+    }
+    raw.withColumn("table_name", tableName)
+  }
+
+  /** One-pass demux write: raw+tag partitioned by table_name. */
+  def writeDemuxed(raw: DataFrame, defs: Seq[AbiSchema.TableDef], path: String): Unit =
+    tagged(raw, defs)
+      .filter(col("table_name").isNotNull)
+      .write.mode("append")
+      .partitionBy("table_name")
+      .parquet(path)
+
+  /** Decoded table from a demuxed store (partition-pruned read). */
+  def readTable(spark: SparkSession, path: String, d: AbiSchema.TableDef): DataFrame =
+    table(spark.read.parquet(path).filter(col("table_name") === d.table)
+      .drop("table_name"), d)
+}

@@ -1,0 +1,265 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.codec.GraftFunctions
+import graft.fixtures.MakerFixtures
+import graft.ingest.Demux
+
+/** The reference's own query surface, end-to-end through the engine:
+  * raw ABI-encoded logs → keccak dispatch → decode expressions → decoded
+  * tables → assets_per_type (queries/makerdao/assets_per_type.sql:1-79,
+  * ported per SURVEY §7.3's documented dialect rewrites).
+  *
+  * Oracles read the GROUND-TRUTH tables (written by the generator, never
+  * touched by the decoder), so a hash-match proves the decode pipeline
+  * (S7-S10) and the query semantics (Q1-Q19) simultaneously.
+  */
+object MakerDw {
+
+  private def decoded(s: SparkSession, table: String): DataFrame =
+    Demux.table(MakerFixtures.rawLogs(s), MakerFixtures.tableDef(table))
+
+  private def truthGlob(table: String): String =
+    s"${MakerFixtures.truthPath(table)}/*.parquet"
+
+  /** Decoded function-call table — vat.frob (static tuple + wrapped scan).
+    * uint256/int256 columns go out as exact digit STRINGs: pandas/duckdb
+    * degrade wide decimals to float64, which would corrupt the compare. */
+  def decodeFrob(s: SparkSession, dir: String): DataFrame =
+    decoded(s, "vat_call_frob")
+      .withColumn("dink", col("dink").cast("string"))
+      .withColumn("dart", col("dart").cast("string"))
+      .orderBy(col("block_number"))
+
+  /** Decoded event table — psm.BuyGem (indexed topic + data params). */
+  def decodeBuyGem(s: SparkSession, dir: String): DataFrame =
+    decoded(s, "psm_evt_buygem")
+      .withColumn("value", col("value").cast("string"))
+      .withColumn("fee", col("fee").cast("string"))
+      .orderBy(col("block_number"))
+
+  /** One-pass demux: logs per destination table (S8). */
+  def demuxCounts(s: SparkSession, dir: String): DataFrame =
+    Demux.tagged(MakerFixtures.rawLogs(s), MakerFixtures.fixtureDefs)
+      .filter(col("table_name").isNotNull)
+      .groupBy("table_name").agg(count(lit(1)).as("n"))
+      .orderBy("table_name")
+
+  /** wad rescaling + bytes32→ascii expressions vs their SQL equivalents. */
+  def wadRay(s: SparkSession, dir: String): DataFrame =
+    decoded(s, "vat_call_frob").select(
+      col("block_number"), col("transaction_index"),
+      GraftFunctions.wad(col("dart")).as("dart_wad"),
+      GraftFunctions.wad(col("dink")).as("dink_wad"),
+      GraftFunctions.bytes32ToAscii(col("i")).as("ilk_name"))
+      .orderBy(col("block_number"), col("transaction_index"))
+
+  /** The ported production query. Dialect rewrites (SURVEY §7.3):
+    * generate_series→explode(sequence), `^`→power, `::int` + truncating
+    * division→div+cast, `null::numeric`→typed CAST, encode(..,'escape')→
+    * bytes32_to_ascii. pow() is rounded to 9dp on both sides (libm/JVM
+    * last-ulp divergence). */
+  def assetsPerType(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    Seq("vat_call_frob", "vat_call_grab", "vat_call_fold", "jug_call_file")
+      .foreach(t => decoded(s, t).createOrReplaceTempView(t))
+    s.sql("""
+      WITH lending_assets_1 AS (
+        SELECT i AS ilk, block_number, dart, CAST(NULL AS DECIMAL(38,0)) AS rate
+        FROM vat_call_frob WHERE dart <> 0
+        UNION ALL
+        SELECT i, block_number, dart, CAST(0 AS DECIMAL(38,0)) FROM vat_call_grab
+        WHERE dart <> 0
+        UNION ALL
+        SELECT i, block_number, CAST(NULL AS DECIMAL(38,0)), rate FROM vat_call_fold
+        WHERE rate <> 0
+      ),
+      ilks AS (
+        SELECT ilk, MIN(block_number) AS starting_use, MAX(block_number) AS end_use
+        FROM lending_assets_1 GROUP BY ilk
+      ),
+      ilks_2 AS (
+        SELECT ilk, starting_use, MAX(end_use) OVER () AS end_use FROM ilks
+      ),
+      noop_filling AS (
+        SELECT ilk, d AS block_number, CAST(NULL AS DECIMAL(38,0)) AS dart,
+               CAST(NULL AS DECIMAL(38,0)) AS rate, CAST(NULL AS DOUBLE) AS sf
+        FROM ilks_2
+        LATERAL VIEW explode(sequence(starting_use, end_use, 1000)) g AS d
+      ),
+      rates AS (
+        SELECT block_number, ilk,
+          ROUND(POWER(CAST(data AS DOUBLE)/1e27, 31536000), 9) - 1 AS sf
+        FROM jug_call_file
+      ),
+      with_filling AS (
+        SELECT ilk, block_number, dart, rate, CAST(NULL AS DOUBLE) AS sf
+        FROM lending_assets_1
+        UNION ALL
+        SELECT ilk, block_number, dart, rate, sf FROM noop_filling
+        UNION ALL
+        SELECT ilk, block_number, CAST(NULL AS DECIMAL(38,0)),
+               CAST(NULL AS DECIMAL(38,0)), sf
+        FROM rates
+      ),
+      lending_assets_2 AS (
+        SELECT ilk, block_number,
+          COALESCE(1 + CAST(SUM(rate) OVER w AS DOUBLE)/1e27, 1) AS rate,
+          CAST(SUM(dart) OVER w AS DOUBLE)/1e18 AS dart,
+          SUM(CASE WHEN sf IS NOT NULL THEN 1 ELSE 0 END) OVER w AS sf_grp,
+          sf
+        FROM with_filling
+        WINDOW w AS (PARTITION BY ilk ORDER BY block_number ASC)
+      ),
+      with_rk AS (
+        SELECT CAST(block_number div 10000 AS INT) AS dt,
+          bytes32_to_ascii(ilk) AS collateral,
+          dart*rate AS debt,
+          MAX(sf) OVER (PARTITION BY ilk, sf_grp) AS sf,
+          ROW_NUMBER() OVER (PARTITION BY ilk, block_number div 10000
+                             ORDER BY block_number DESC) AS rk
+        FROM lending_assets_2
+      ),
+      group_by AS (
+        SELECT dt, collateral, debt, sf, debt*sf AS annual_revenues
+        FROM with_rk WHERE rk = 1 AND debt <> 0.0
+      ),
+      group_by_cat AS (
+        SELECT dt,
+          CASE WHEN collateral LIKE 'PSM%' THEN 'Stablecoins'
+               WHEN collateral IN ('USDC-A','USDC-B','USDT-A','TUSD-A','GUSD-A','PAXUSD-A') THEN 'Stablecoins'
+               WHEN collateral LIKE 'ETH-%' THEN 'ETH'
+               WHEN collateral LIKE 'WBTC-%' THEN 'WBTC'
+               WHEN collateral LIKE 'UNIV2%' THEN 'Liquidity Pools'
+               WHEN collateral LIKE 'RWA%' THEN 'RWA'
+               ELSE 'Others' END AS collateral,
+          debt AS asset, annual_revenues
+        FROM group_by
+      )
+      SELECT dt, collateral,
+        CAST(SUM(CAST(ROUND(asset, 3) AS DECIMAL(30,3))) AS DOUBLE) AS asset,
+        CAST(SUM(CAST(ROUND(annual_revenues, 3) AS DECIMAL(30,3))) AS DOUBLE) AS annual_revenues,
+        CAST(SUM(CAST(ROUND(annual_revenues, 3) AS DECIMAL(30,3))) AS DOUBLE)
+          / CAST(SUM(CAST(ROUND(asset, 3) AS DECIMAL(30,3))) AS DOUBLE) AS blended_rate
+      FROM group_by_cat
+      GROUP BY 1, 2
+      ORDER BY 1 DESC, 2
+    """)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "abi_decode_frob" -> (decodeFrob _),
+    "abi_decode_buygem" -> (decodeBuyGem _),
+    "abi_demux_counts" -> (demuxCounts _),
+    "maker_wad_ray" -> (wadRay _),
+    "assets_per_type" -> (assetsPerType _))
+
+  private def truthFrom(table: String): String =
+    s"read_parquet('${truthGlob(table)}')"
+
+  val oracle: Map[String, String] = Map(
+    "abi_decode_frob" ->
+      s"""SELECT block_number, block_hash, address, log_index, transaction_index,
+        transaction_hash, i, u, v, w,
+        CAST(dink AS VARCHAR) AS dink, CAST(dart AS VARCHAR) AS dart
+      FROM ${truthFrom("vat_call_frob")} ORDER BY block_number""",
+    "abi_decode_buygem" ->
+      s"""SELECT block_number, block_hash, address, log_index, transaction_index,
+        transaction_hash, owner,
+        CAST(value AS VARCHAR) AS value, CAST(fee AS VARCHAR) AS fee
+      FROM ${truthFrom("psm_evt_buygem")} ORDER BY block_number""",
+    "abi_demux_counts" -> Seq(
+      "vat_call_frob", "vat_call_grab", "vat_call_fold",
+      "jug_call_file", "psm_evt_buygem", "psm_evt_sellgem")
+      .map(t => s"SELECT '$t' AS table_name, COUNT(*) AS n FROM ${truthFrom(t)}")
+      .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY table_name"),
+    "maker_wad_ray" -> s"""
+      SELECT block_number, transaction_index,
+        CAST(dart AS DOUBLE)/1e18 AS dart_wad,
+        CAST(dink AS DOUBLE)/1e18 AS dink_wad,
+        replace(decode(i), chr(0), '') AS ilk_name
+      FROM ${truthFrom("vat_call_frob")}
+      ORDER BY block_number, transaction_index""",
+    "assets_per_type" -> s"""
+      WITH lending_assets_1 AS (
+        SELECT i AS ilk, block_number, dart, CAST(NULL AS DECIMAL(38,0)) AS rate
+        FROM ${truthFrom("vat_call_frob")} WHERE dart <> 0
+        UNION ALL
+        SELECT i, block_number, dart, CAST(0 AS DECIMAL(38,0)) FROM ${truthFrom("vat_call_grab")}
+        WHERE dart <> 0
+        UNION ALL
+        SELECT i, block_number, CAST(NULL AS DECIMAL(38,0)), rate FROM ${truthFrom("vat_call_fold")}
+        WHERE rate <> 0
+      ),
+      ilks AS (
+        SELECT ilk, MIN(block_number) AS starting_use, MAX(block_number) AS end_use
+        FROM lending_assets_1 GROUP BY ilk
+      ),
+      ilks_2 AS (
+        SELECT ilk, starting_use, MAX(end_use) OVER () AS end_use FROM ilks
+      ),
+      noop_filling AS (
+        SELECT ilk, unnest(generate_series(starting_use, end_use, 1000)) AS block_number,
+               CAST(NULL AS DECIMAL(38,0)) AS dart, CAST(NULL AS DECIMAL(38,0)) AS rate,
+               CAST(NULL AS DOUBLE) AS sf
+        FROM ilks_2
+      ),
+      rates AS (
+        SELECT block_number, ilk,
+          ROUND(POWER(CAST(data AS DOUBLE)/1e27, 31536000), 9) - 1 AS sf
+        FROM ${truthFrom("jug_call_file")}
+      ),
+      with_filling AS (
+        SELECT ilk, block_number, dart, rate, CAST(NULL AS DOUBLE) AS sf
+        FROM lending_assets_1
+        UNION ALL
+        SELECT ilk, block_number, dart, rate, sf FROM noop_filling
+        UNION ALL
+        SELECT ilk, block_number, CAST(NULL AS DECIMAL(38,0)),
+               CAST(NULL AS DECIMAL(38,0)), sf
+        FROM rates
+      ),
+      lending_assets_2 AS (
+        SELECT ilk, block_number,
+          COALESCE(1 + CAST(SUM(rate) OVER w AS DOUBLE)/1e27, 1) AS rate,
+          CAST(SUM(dart) OVER w AS DOUBLE)/1e18 AS dart,
+          SUM(CASE WHEN sf IS NOT NULL THEN 1 ELSE 0 END) OVER w AS sf_grp,
+          sf
+        FROM with_filling
+        WINDOW w AS (PARTITION BY ilk ORDER BY block_number ASC)
+      ),
+      with_rk AS (
+        SELECT CAST(block_number // 10000 AS INT) AS dt,
+          replace(decode(ilk), chr(0), '') AS collateral,
+          dart*rate AS debt,
+          MAX(sf) OVER (PARTITION BY ilk, sf_grp) AS sf,
+          ROW_NUMBER() OVER (PARTITION BY ilk, block_number // 10000
+                             ORDER BY block_number DESC) AS rk
+        FROM lending_assets_2
+      ),
+      group_by AS (
+        SELECT dt, collateral, debt, sf, debt*sf AS annual_revenues
+        FROM with_rk WHERE rk = 1 AND debt <> 0.0
+      ),
+      group_by_cat AS (
+        SELECT dt,
+          CASE WHEN collateral LIKE 'PSM%' THEN 'Stablecoins'
+               WHEN collateral IN ('USDC-A','USDC-B','USDT-A','TUSD-A','GUSD-A','PAXUSD-A') THEN 'Stablecoins'
+               WHEN collateral LIKE 'ETH-%' THEN 'ETH'
+               WHEN collateral LIKE 'WBTC-%' THEN 'WBTC'
+               WHEN collateral LIKE 'UNIV2%' THEN 'Liquidity Pools'
+               WHEN collateral LIKE 'RWA%' THEN 'RWA'
+               ELSE 'Others' END AS collateral,
+          debt AS asset, annual_revenues
+        FROM group_by
+      )
+      SELECT dt, collateral,
+        CAST(SUM(CAST(ROUND(asset, 3) AS DECIMAL(30,3))) AS DOUBLE) AS asset,
+        CAST(SUM(CAST(ROUND(annual_revenues, 3) AS DECIMAL(30,3))) AS DOUBLE) AS annual_revenues,
+        CAST(SUM(CAST(ROUND(annual_revenues, 3) AS DECIMAL(30,3))) AS DOUBLE)
+          / CAST(SUM(CAST(ROUND(asset, 3) AS DECIMAL(30,3))) AS DOUBLE) AS blended_rate
+      FROM group_by_cat
+      GROUP BY 1, 2
+      ORDER BY 1 DESC, 2""")
+}

@@ -332,10 +332,10 @@ object Relational {
         FROM group_by
       )
       SELECT dt, collateral,
-        CAST(SUM(CAST(asset AS DECIMAL(28,8))) AS DOUBLE) AS asset,
-        CAST(SUM(CAST(annual_revenues AS DECIMAL(28,8))) AS DOUBLE) AS annual_revenues,
-        CAST(SUM(CAST(annual_revenues AS DECIMAL(28,8))) AS DOUBLE)
-          / CAST(SUM(CAST(asset AS DECIMAL(28,8))) AS DOUBLE) AS blended_rate
+        CAST(SUM(CAST(ROUND(asset, 3) AS DECIMAL(30,3))) AS DOUBLE) AS asset,
+        CAST(SUM(CAST(ROUND(annual_revenues, 3) AS DECIMAL(30,3))) AS DOUBLE) AS annual_revenues,
+        CAST(SUM(CAST(ROUND(annual_revenues, 3) AS DECIMAL(30,3))) AS DOUBLE)
+          / CAST(SUM(CAST(ROUND(asset, 3) AS DECIMAL(30,3))) AS DOUBLE) AS blended_rate
       FROM group_by_cat
       GROUP BY 1, 2
       ORDER BY 1 DESC, 2
@@ -539,10 +539,10 @@ object Relational {
         FROM group_by
       )
       SELECT dt, collateral,
-        CAST(SUM(CAST(asset AS DECIMAL(28,8))) AS DOUBLE) AS asset,
-        CAST(SUM(CAST(annual_revenues AS DECIMAL(28,8))) AS DOUBLE) AS annual_revenues,
-        CAST(SUM(CAST(annual_revenues AS DECIMAL(28,8))) AS DOUBLE)
-          / CAST(SUM(CAST(asset AS DECIMAL(28,8))) AS DOUBLE) AS blended_rate
+        CAST(SUM(CAST(ROUND(asset, 3) AS DECIMAL(30,3))) AS DOUBLE) AS asset,
+        CAST(SUM(CAST(ROUND(annual_revenues, 3) AS DECIMAL(30,3))) AS DOUBLE) AS annual_revenues,
+        CAST(SUM(CAST(ROUND(annual_revenues, 3) AS DECIMAL(30,3))) AS DOUBLE)
+          / CAST(SUM(CAST(ROUND(asset, 3) AS DECIMAL(30,3))) AS DOUBLE) AS blended_rate
       FROM group_by_cat
       GROUP BY 1, 2
       ORDER BY 1 DESC, 2""",

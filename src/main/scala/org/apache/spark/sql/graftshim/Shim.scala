@@ -1,0 +1,20 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into Spark internals that are `private[sql]` in Spark 4.x
+  * (Column↔Expression and the session FunctionRegistry). Lives under the
+  * org.apache.spark.sql package for access; contains no logic. */
+object Shim {
+  def column(e: Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  def expression(c: Column): Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  def registry(spark: org.apache.spark.sql.SparkSession): FunctionRegistry =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+}

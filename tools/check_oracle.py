@@ -20,6 +20,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: bytes(v) if isinstance(v, (bytearray, memoryview)) else v)
     if len(df):
         df = df.sort_values(by=list(df.columns), ignore_index=True,
                             na_position="first")
