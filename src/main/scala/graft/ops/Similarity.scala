@@ -1,0 +1,163 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (SURVEY §7.5).
+  *
+  * Determinism contract with the DuckDB oracle: float→double casts are
+  * exact, float×float products are exact in double, and both engines sum
+  * with a sequential left fold (`aggregate(zip_with…)` here, `list_sum`
+  * there) — so cosines are bit-identical; they are rounded to 6 dp before
+  * any threshold/rank so comparisons can never straddle an ulp.
+  *
+  * Scale notes: brute-force all-pairs is the O(n²) baseline, bounded to a
+  * deterministic slice. The LSH variant (random-hyperplane buckets) is
+  * the 100 TB path: one shuffle on the bucket key, candidates only within
+  * buckets.
+  */
+object Similarity {
+
+  /** Embeddings with exact double vectors + precomputed norm. */
+  def vecs(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("label"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+      .withColumn("nrm", expr("sqrt(aggregate(e, 0D, (acc, x) -> acc + x*x))"))
+
+  private val dotExpr =
+    "aggregate(zip_with(ea, eb, (x, y) -> x * y), 0D, (acc, p) -> acc + p)"
+
+  /** All-pairs cosine on (a × b), rounded to 6 dp. */
+  def cosinePairs(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("vec_id").as("ia"), col("e").as("ea"), col("nrm").as("na"))
+      .join(b.select(col("vec_id").as("ib"), col("e").as("eb"), col("nrm").as("nb")),
+        col("ia") < col("ib"))
+      .withColumn("cosine", round(expr(dotExpr) / (col("na") * col("nb")), 6))
+      .select(col("ia").as("i"), col("ib").as("j"), col("cosine"))
+
+  /** Embedding near-duplicate pairs: a deterministic slice of the corpus
+    * plus perturbed copies (first coordinate +0.5, id+100000) so the
+    * high-cosine regime is populated; pairs with cosine ≥ 0.9. */
+  def nearDup(s: SparkSession, dir: String): DataFrame = {
+    val base = vecs(Tables.load(s, dir, "embeddings")).filter(col("vec_id") < 500)
+    val perturbed = base.select(
+      (col("vec_id") + 100000).as("vec_id"), col("label"),
+      expr("concat(array(element_at(e, 1) + 0.5D), slice(e, 2, 63))").as("e"))
+      .withColumn("nrm", expr("sqrt(aggregate(e, 0D, (acc, x) -> acc + x*x))"))
+    val all = base.select("vec_id", "e", "nrm")
+      .unionByName(perturbed.select("vec_id", "e", "nrm"))
+    cosinePairs(all, all)
+      .filter(col("cosine") >= 0.9)
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** Brute-force cosine top-k: queries are vec_id < 10, k = 10 neighbors
+    * over the full corpus, ranked by (cosine desc, vec_id). */
+  def topK(s: SparkSession, dir: String): DataFrame = {
+    val v = vecs(Tables.load(s, dir, "embeddings"))
+    val q = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("e").as("ea"), col("nrm").as("na"))
+    val n = v.select(col("vec_id").as("nid"), col("e").as("eb"), col("nrm").as("nb"))
+    val scored = q.join(n, col("qid") =!= col("nid"))
+      .withColumn("cosine", round(expr(dotExpr) / (col("na") * col("nb")), 6))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  // ------------------------------------------------- LSH (the scale path)
+
+  /** Deterministic random hyperplanes for one LSH table. */
+  private def planes(dim: Int, numPlanes: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Multi-table hyperplane LSH: (vec_id, tbl, bucket) — one row per
+    * table; bucket = sign bits of that table's hyperplane projections.
+    * Candidates are pairs sharing a bucket in ANY table, which keeps
+    * per-bucket occupancy high enough for recall while the join stays
+    * bucket-local (the 100 TB shuffle key is (tbl, bucket)). */
+  def bucketed(v: DataFrame, dim: Int = 64, numPlanes: Int = 6,
+               numTables: Int = 4): DataFrame = {
+    val tableExprs = (0 until numTables).map { t =>
+      val ps = planes(dim, numPlanes, 5678L + t)
+      val bits = (0 until numPlanes).map { p =>
+        val dot = ps(p).zipWithIndex.map { case (w, i) =>
+          s"element_at(e, ${i + 1}) * $w" }.mkString(" + ")
+        s"(CASE WHEN ($dot) >= 0 THEN ${1L << p}L ELSE 0L END)"
+      }.mkString(" + ")
+      s"struct(${t}L AS tbl, ($bits) AS bucket)"
+    }.mkString("array(", ", ", ")")
+    v.select(col("*"), explode(expr(tableExprs)).as("tb"))
+      .select(col("vec_id"), col("e"), col("nrm"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+  }
+
+  /** ANN via hyperplane-LSH: candidates share a bucket in ≥1 table; k
+    * best per query. Probabilistic recall — consistency-tested against
+    * brute force in OpsSpec, rows-only check in the driver gate. */
+  def topKLsh(s: SparkSession, dir: String): DataFrame = {
+    val v = bucketed(vecs(Tables.load(s, dir, "embeddings")))
+    val q = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("e").as("ea"), col("nrm").as("na"),
+        col("tbl"), col("bucket"))
+    val n = v.select(col("vec_id").as("nid"), col("e").as("eb"), col("nrm").as("nb"),
+      col("tbl"), col("bucket"))
+    val cand = q.join(n, Seq("tbl", "bucket")).filter(col("qid") =!= col("nid"))
+      .select("qid", "nid", "ea", "eb", "na", "nb").dropDuplicates("qid", "nid")
+    val scored = cand
+      .withColumn("cosine", round(expr(dotExpr) / (col("na") * col("nb")), 6))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_near_dup" -> (nearDup _),
+    "ann_topk_brute" -> (topK _),
+    "ann_topk_lsh" -> (topKLsh _))
+
+  /** ann_topk_lsh is probabilistic (bucket recall) → rows-only check. */
+  val oracle: Map[String, String] = Map(
+    "emb_near_dup" -> """
+      WITH base AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e
+        FROM embeddings WHERE vec_id < 500),
+      pert AS (
+        SELECT vec_id + 100000 AS vec_id, list_concat([e[1] + 0.5], e[2:]) e FROM base),
+      allv AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+      withn AS (SELECT vec_id, e,
+        sqrt(list_sum(list_transform(e, x -> x*x))) nrm FROM allv),
+      pairs AS (
+        SELECT a.vec_id i, b.vec_id j,
+          ROUND(list_sum(list_transform(generate_series(1, 64),
+            k -> a.e[k] * b.e[k])) / (a.nrm * b.nrm), 6) AS cosine
+        FROM withn a, withn b WHERE a.vec_id < b.vec_id)
+      SELECT i, j, cosine FROM pairs WHERE cosine >= 0.9 ORDER BY i, j""",
+    "ann_topk_brute" -> """
+      WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e
+        FROM embeddings),
+      withn AS (SELECT vec_id, e,
+        sqrt(list_sum(list_transform(e, x -> x*x))) nrm FROM v),
+      scored AS (
+        SELECT q.vec_id qid, n.vec_id nid,
+          ROUND(list_sum(list_transform(generate_series(1, 64),
+            k -> q.e[k] * n.e[k])) / (q.nrm * n.nrm), 6) AS cosine
+        FROM withn q, withn n WHERE q.vec_id < 10 AND q.vec_id <> n.vec_id),
+      ranked AS (
+        SELECT qid, nid, cosine,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+        FROM scored)
+      SELECT qid, rank, nid, cosine FROM ranked WHERE rank <= 10
+      ORDER BY qid, rank""")
+}

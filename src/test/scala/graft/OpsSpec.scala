@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity}
+
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}
+
+class OpsSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("simhash finds most planted jaccard near-dup pairs") {
+    val docs = Tables.load(spark, dir, "documents")
+    val truePairs = Dedup.jaccardPairs(Dedup.shingles(docs), 0.7)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truePairs.nonEmpty)
+    val simPairs = Dedup.simhashPairs(docs, 12)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truePairs.count(simPairs.contains).toDouble / truePairs.size
+    assert(recall >= 0.5, s"simhash recall $recall over ${truePairs.size} pairs")
+  }
+
+  test("minhash-LSH candidates include all high-jaccard pairs") {
+    val docs = Tables.load(spark, dir, "documents")
+    val sh = Dedup.shingles(docs)
+    val truePairs = Dedup.jaccardPairs(sh, 0.9)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cands = Dedup.lshCandidates(Dedup.minhash(sh))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truePairs.nonEmpty)
+    assert(truePairs.forall(cands.contains),
+      s"missing: ${truePairs.diff(cands).take(5)}")
+  }
+
+  test("ann LSH results are consistent with brute-force cosines") {
+    val brute = Similarity.topK(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    val lsh = Similarity.topKLsh(spark, dir).collect()
+    assert(lsh.nonEmpty)
+    // any (q, n) pair surfaced by LSH must carry the same cosine the brute
+    // path computed (when the pair is in the brute top-10)
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      brute.get(key).foreach(c => assert(c == r.getDouble(3)))
+    }
+  }
+
+  test("resume watermark: max(block_number)+1 across tables, else creationBlock") {
+    import graft.ingest.Writer
+    val none = Writer.nextBlock(spark, Seq("/nonexistent/a", "/nonexistent/b"), 123L)
+    assert(none == 123L)
+    graft.fixtures.MakerFixtures.ensure(spark)
+    val p = graft.fixtures.MakerFixtures.truthPath("vat_call_frob")
+    val next = Writer.nextBlock(spark, Seq(p), 0L)
+    val mx = spark.read.parquet(p).agg(max("block_number")).collect()(0).getLong(0)
+    assert(next == mx + 1)
+  }
+}
