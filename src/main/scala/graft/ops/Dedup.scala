@@ -20,12 +20,24 @@ import graft.Tables
   */
 object Dedup {
 
-  /** Distinct word n-gram shingles per document: (doc_id, sh). */
-  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.select(col("doc_id"),
-      explode(array_distinct(expr(
-        s"""transform(sequence(1, greatest(size(split(text, ' ')) - ${n - 1}, 0)),
-            i -> array_join(slice(split(text, ' '), i, $n), ' '))"""))).as("sh"))
+  /** Distinct word n-gram shingles per document: (doc_id, sh).
+    * Repartitions first: the source is a single small parquet file → one
+    * scan partition, which would serialize all downstream hashing onto
+    * one core (observed 4× slowdown at sf0.1). */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    import docs.sparkSession.implicits._
+    // typed flatMap, not SQL higher-order functions: the HOF formulation
+    // (transform+slice+array_join+array_distinct) evaluates its lambdas
+    // interpreted — 35 CPU-s at sf0.1 vs ~1 CPU-s compiled.
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.split(' ')
+        if (toks.length < n) Iterator.empty
+        else toks.sliding(n).map(_.mkString(" ")).toSet[String].iterator.map(sh => (id, sh))
+      }
+      .toDF("doc_id", "sh")
+  }
 
   /** Exact all-pairs Jaccard ≥ threshold via shingle self-join. */
   def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
@@ -44,39 +56,46 @@ object Dedup {
 
   // ------------------------------------------------------------- MinHash
 
-  val NumHashes = 128
-  val Bands = 32 // → 4 rows per band
-  private val MersennePrime = 2147483647L // 2^31-1
-  /** Deterministic hash-family coefficients (fixed seed). */
-  private lazy val coeffs: Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(1234)
-    Seq.fill(NumHashes)((1L + rnd.nextInt(Int.MaxValue - 1).toLong,
-      rnd.nextInt(Int.MaxValue).toLong))
-  }
+  val NumHashes = 64
+  val Bands = 16 // → 4 rows per band; P(candidate | j=0.9) ≈ 1 - 3e-8
 
-  /** Per-doc minhash signature rows: (doc_id, pos, mh). */
+  /** Per-doc minhash signature: (doc_id, mins array<long>[k]).
+    *
+    * Shape chosen for codegen economy: a 128-wide min-aggregate compiles
+    * an enormous generated class per query (Janino time dominated the
+    * sf0.1 bench), so instead the per-doc shingle hashes are gathered
+    * with collect_list (ObjectHashAggregate — no codegen blowup; shingle
+    * count per doc is bounded ~100) and the k mins fold over that array
+    * in one compact expression. */
   def minhash(sh: DataFrame): DataFrame = {
-    val coeffArray = coeffs.map { case (a, b) => s"struct(${a}L AS a, ${b}L AS b)" }
-      .mkString("array(", ",", ")")
-    sh
-      .withColumn("h0", (hash(col("sh")).cast("long") + 2147483648L)) // [0, 2^32)
-      .select(col("doc_id"),
-        posexplode(expr(s"transform($coeffArray, c -> pmod(c.a * h0 + c.b, ${MersennePrime}L))"))
-          .as(Seq("pos", "hv")))
-      .groupBy("doc_id", "pos").agg(min("hv").as("mh"))
+    import org.apache.spark.sql.graftshim.Shim
+    val agg = Shim.column(MinHashAgg(
+      Shim.expression(hash(col("sh")).cast("long")), NumHashes, 1234)
+      .toAggregateExpression())
+    sh.groupBy("doc_id").agg(agg.as("mins"))
   }
 
-  /** LSH candidate pairs: docs colliding in ≥1 band. */
+  /** LSH candidate pairs: docs colliding in ≥1 band (band key = murmur
+    * hash of that band's signature slice). Pairs come from grouping on
+    * (band, key) — no self-join; bucket occupancy is small by design.
+    * Band keying and pair expansion are typed flatMaps (compiled). */
   def lshCandidates(sig: DataFrame): DataFrame = {
-    val banded = sig
-      .withColumn("band", expr(s"pos div ${NumHashes / Bands}"))
-      .groupBy("doc_id", "band")
-      .agg(expr("hash(sort_array(collect_list(struct(pos, mh))))").as("bk"))
-    banded.as("x")
-      .join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+    import sig.sparkSession.implicits._
+    val r = NumHashes / Bands
+    val nBands = Bands
+    val banded = sig.as[(Long, Seq[Long])].flatMap { case (id, mins) =>
+      (0 until nBands).iterator.map { b =>
+        (b, scala.util.hashing.MurmurHash3.orderedHash(mins.slice(b * r, b * r + r)), id)
+      }
+    }.toDF("band", "bk", "doc_id")
+    banded.groupBy("band", "bk").agg(collect_list("doc_id").as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(col("ids")).as[Seq[Long]]
+      .flatMap { ids =>
+        val s = ids.sorted
+        for (x <- s.iterator; y <- s if x < y) yield (x, y)
+      }
+      .toDF("i", "j")
       .distinct()
   }
 
@@ -86,11 +105,16 @@ object Dedup {
     * identical with overwhelming probability, so it shares the oracle. */
   def minhashLsh(docs: DataFrame, threshold: Double): DataFrame = {
     val sh = shingles(docs).persist()
-    val cand = lshCandidates(minhash(sh))
+    val cand = lshCandidates(minhash(sh)).persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // restrict shingles to candidate docs first (broadcast semi-join) so
+    // the verification join touches only the candidate set
+    val candIds = cand.select(col("i").as("doc_id"))
+      .unionByName(cand.select(col("j").as("doc_id"))).distinct()
+    val shC = sh.join(broadcast(candIds), "doc_id").persist()
     val interC = cand
-      .join(sh.select(col("doc_id").as("i"), col("sh").as("sha")), "i")
-      .join(sh.select(col("doc_id").as("j"), col("sh").as("shb")), "j")
+      .join(shC.select(col("doc_id").as("i"), col("sh").as("sha")), "i")
+      .join(shC.select(col("doc_id").as("j"), col("sh").as("shb")), "j")
       .filter(col("sha") === col("shb"))
       .groupBy("i", "j").agg(count(lit(1)).as("c"))
     interC
@@ -109,14 +133,10 @@ object Dedup {
     * unrelated docs and unigram-simhash collapses (observed: 444
     * hamming-0 false pairs on the fixture corpus). */
   def simhash(docs: DataFrame): DataFrame = {
-    val tok = shingles(docs)
-      .withColumn("h", xxhash64(col("sh")))
-    val bitSums: Seq[Column] = (0 until 64).map(j =>
-      sum(when(expr(s"(h >> $j) & 1") === 1, 1).otherwise(-1)).as(s"b$j"))
-    val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map(j =>
-      when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_.bitwiseOR(_))
-    agg.select(col("doc_id"), sig.as("sim"))
+    import org.apache.spark.sql.graftshim.Shim
+    val agg = Shim.column(SimHashAgg(
+      Shim.expression(xxhash64(col("sh")))).toAggregateExpression())
+    shingles(docs).groupBy("doc_id").agg(agg.as("sim"))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist. */

@@ -1,0 +1,143 @@
+package graft.ops
+
+import java.nio.ByteBuffer
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Native aggregate functions for the dedup sketches.
+  *
+  * Spark's higher-order functions (transform/zip_with/array_min) evaluate
+  * their lambdas interpreted — the SQL formulation of minhash burned
+  * ~130 CPU-seconds at sf0.1 for what is ~20M long-ops. These
+  * TypedImperativeAggregates run the inner loop as compiled Scala with a
+  * primitive buffer, and are map-side combinable (partial aggregation
+  * before the shuffle), which is the property that matters at 100 TB.
+  */
+object MinHashAgg {
+  val MersennePrime = 2147483647L // 2^31-1
+
+  /** Deterministic hash-family coefficients for (k, seed). */
+  def coeffs(k: Int, seed: Int): (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(seed)
+    val as = Array.fill(k)(1L + rnd.nextInt(Int.MaxValue - 1).toLong)
+    val bs = Array.fill(k)(rnd.nextInt(Int.MaxValue).toLong)
+    (as, bs)
+  }
+}
+
+/** minhash_agg(hash64) → array<long>[k]: per-group minimum of k affine
+  * hashes of the input. Input is any long hash of the group's set
+  * elements (we use murmur3 of the shingle). */
+case class MinHashAgg(child: Expression, k: Int, seed: Int,
+                      mutableAggBufferOffset: Int = 0,
+                      inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  @transient private lazy val (as, bs) = MinHashAgg.coeffs(k, seed)
+
+  override def createAggregationBuffer(): Array[Long] = Array.fill(k)(Long.MaxValue)
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long] & 0x7fffffffL // 31 bits: a*h+b stays in Long
+      var i = 0
+      while (i < k) {
+        val x = (as(i) * h + bs(i)) % MinHashAgg.MersennePrime
+        if (x < buffer(i)) buffer(i) = x
+        i += 1
+      }
+    }
+    buffer
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < k) { if (b2(i) < b1(i)) b1(i) = b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buffer: Array[Long]): Any = new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * k)
+    buffer.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(storage: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(storage)
+    Array.fill(k)(bb.getLong)
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def withNewMutableAggBufferOffset(newOffset: Int): MinHashAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MinHashAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): MinHashAgg =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_agg"
+}
+
+/** simhash_agg(hash64) → long: 64-bit SimHash — per bit position, sign of
+  * the sum of ±1 contributions across the group's element hashes. */
+case class SimHashAgg(child: Expression,
+                      mutableAggBufferOffset: Int = 0,
+                      inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Int]] with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): Array[Int] = new Array[Int](64)
+
+  override def update(buffer: Array[Int], input: InternalRow): Array[Int] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) buffer(j) += 1 else buffer(j) -= 1
+        j += 1
+      }
+    }
+    buffer
+  }
+
+  override def merge(b1: Array[Int], b2: Array[Int]): Array[Int] = {
+    var j = 0
+    while (j < 64) { b1(j) += b2(j); j += 1 }
+    b1
+  }
+
+  override def eval(buffer: Array[Int]): Any = {
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (buffer(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
+  override def serialize(buffer: Array[Int]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 * 64)
+    buffer.foreach(bb.putInt)
+    bb.array()
+  }
+
+  override def deserialize(storage: Array[Byte]): Array[Int] = {
+    val bb = ByteBuffer.wrap(storage)
+    Array.fill(64)(bb.getInt)
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def withNewMutableAggBufferOffset(newOffset: Int): SimHashAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SimHashAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): SimHashAgg =
+    copy(child = newChild)
+  override def prettyName: String = "simhash_agg"
+}

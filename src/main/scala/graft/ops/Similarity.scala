@@ -20,9 +20,12 @@ import graft.Tables
   */
 object Similarity {
 
-  /** Embeddings with exact double vectors + precomputed norm. */
+  /** Embeddings with exact double vectors + precomputed norm. Repartitions
+    * first: one small parquet file = one scan partition, which would
+    * serialize every pairwise-cosine task onto one core. */
   def vecs(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"), col("label"),
+    emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("label"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
       .withColumn("nrm", expr("sqrt(aggregate(e, 0D, (acc, x) -> acc + x*x))"))
 
@@ -82,19 +85,24 @@ object Similarity {
     * table; bucket = sign bits of that table's hyperplane projections.
     * Candidates are pairs sharing a bucket in ANY table, which keeps
     * per-bucket occupancy high enough for recall while the join stays
-    * bucket-local (the 100 TB shuffle key is (tbl, bucket)). */
+    * bucket-local (the 100 TB shuffle key is (tbl, bucket)).
+    *
+    * The plane matrix rides as a literal array column and the projection
+    * is a compact fold — inlining 1536 scalar terms into the expression
+    * tree made Janino compilation the bottleneck (62 s at sf0.1). */
   def bucketed(v: DataFrame, dim: Int = 64, numPlanes: Int = 6,
                numTables: Int = 4): DataFrame = {
-    val tableExprs = (0 until numTables).map { t =>
-      val ps = planes(dim, numPlanes, 5678L + t)
-      val bits = (0 until numPlanes).map { p =>
-        val dot = ps(p).zipWithIndex.map { case (w, i) =>
-          s"element_at(e, ${i + 1}) * $w" }.mkString(" + ")
-        s"(CASE WHEN ($dot) >= 0 THEN ${1L << p}L ELSE 0L END)"
-      }.mkString(" + ")
-      s"struct(${t}L AS tbl, ($bits) AS bucket)"
-    }.mkString("array(", ", ", ")")
-    v.select(col("*"), explode(expr(tableExprs)).as("tb"))
+    val flat: Seq[Seq[Double]] =
+      (0 until numTables).flatMap(t => planes(dim, numPlanes, 5678L + t).map(_.toSeq))
+    v.withColumn("_pl", typedlit(flat))
+      .select(col("*"), explode(expr(
+        s"""transform(sequence(0, ${numTables - 1}), t -> struct(
+              CAST(t AS BIGINT) AS tbl,
+              aggregate(sequence(0, ${numPlanes - 1}), 0L, (acc, p) ->
+                acc + IF(aggregate(zip_with(e, element_at(_pl, t*$numPlanes + p + 1),
+                                            (x, w) -> x*w),
+                                   0D, (a, b) -> a + b) >= 0D,
+                         shiftleft(1L, p), 0L)) AS bucket))""")).as("tb"))
       .select(col("vec_id"), col("e"), col("nrm"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
   }
