@@ -20,7 +20,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++ graft.queries.MakerDw.queries ++
       graft.ops.TextAnalysis.queries ++ graft.ops.Dedup.queries ++
-      graft.ops.Similarity.queries
+      graft.ops.Similarity.queries ++ graft.ops.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -13,6 +13,23 @@ import graft.abi.{AbiJson, AbiSchema, Keccak}
 object CodecRuntime {
   def bytesToAscii(b: Array[Byte]): UTF8String =
     UTF8String.fromBytes(b.filter(_ != 0))
+
+  /** EIP-55 mixed-case checksum display form of a 20-byte address
+    * (public standard; replaces the reference's `w3.toChecksumAddress`,
+    * eth-contract.py:39 / SURVEY S14). */
+  def checksumAddress(b: Array[Byte]): UTF8String = {
+    val hex = b.map(x => f"${x & 0xff}%02x").mkString
+    val hash = Keccak.hash256(hex.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val sb = new StringBuilder("0x")
+    var i = 0
+    while (i < 40) {
+      val c = hex.charAt(i)
+      val nibble = (hash(i / 2) >> (if (i % 2 == 0) 4 else 0)) & 0xf
+      sb += (if (c.isLetter && nibble >= 8) c.toUpper else c)
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
 }
 
 /** keccak256(binary) → 32-byte binary. Whole-stage-codegen friendly
@@ -41,6 +58,18 @@ case class Bytes32ToAscii(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Bytes32ToAscii =
     copy(child = newChild)
   override def prettyName: String = "bytes32_to_ascii"
+}
+
+/** checksum_address(binary[20]) → EIP-55 mixed-case display string. */
+case class ChecksumAddress(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    CodecRuntime.checksumAddress(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.codec.CodecRuntime.checksumAddress($c)")
+  override protected def withNewChildInternal(newChild: Expression): ChecksumAddress =
+    copy(child = newChild)
+  override def prettyName: String = "checksum_address"
 }
 
 /** Maker fixed-point rescaler: decimal token quantity → double at

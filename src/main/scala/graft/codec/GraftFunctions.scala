@@ -17,6 +17,9 @@ object GraftFunctions {
 
   def bytes32ToAscii(c: Column): Column = Shim.column(Bytes32ToAscii(Shim.expression(c)))
 
+  /** EIP-55 mixed-case display form of a 20-byte address (S14). */
+  def checksumAddress(c: Column): Column = Shim.column(ChecksumAddress(Shim.expression(c)))
+
   /** wad: token quantity at 10^-18 (SURVEY §1.2; assets_per_type.sql:44). */
   def wad(c: Column): Column = Shim.column(RescaleToDouble(Shim.expression(c), 18))
 
@@ -36,6 +39,7 @@ object GraftFunctions {
     val reg = Shim.registry(spark)
     reg.createOrReplaceTempFunction("keccak256", es => Keccak256(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("bytes32_to_ascii", es => Bytes32ToAscii(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("checksum_address", es => ChecksumAddress(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("wad", es => RescaleToDouble(es.head, 18), "scala_udf")
     reg.createOrReplaceTempFunction("ray", es => RescaleToDouble(es.head, 27), "scala_udf")
     reg.createOrReplaceTempFunction("rad", es => RescaleToDouble(es.head, 45), "scala_udf")

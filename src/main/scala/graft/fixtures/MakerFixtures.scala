@@ -49,12 +49,24 @@ object MakerFixtures {
     "RWA001-A", "UNIV2DAIETH-A")
 
   def ensure(spark: SparkSession): Unit = synchronized {
-    val marker = new java.io.File(s"$dir/_GENERATED")
+    val marker = new java.io.File(s"$dir/_GENERATED_v2")
     if (marker.exists()) return
     generate(spark)
+    generateBlocks(spark)
     marker.getParentFile.mkdirs()
     java.nio.file.Files.writeString(marker.toPath, "ok")
   }
+
+  val BlockRangeStart = 46147L
+  val BlockRangeEnd = 51146L
+
+  /** Ground-truth blocks table (EP2) — same deterministic generator the
+    * BlockSource query consumes, materialized for the DuckDB oracle. */
+  private def generateBlocks(spark: SparkSession): Unit =
+    graft.ingest.BlockSource
+      .range(spark, new graft.ingest.FakeBlockRpc, BlockRangeStart, BlockRangeEnd)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(truthPath("ethereum_transactions"))
 
   // ------------------------------------------------------------------ gen
 

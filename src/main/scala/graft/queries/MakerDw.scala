@@ -148,17 +148,46 @@ object MakerDw {
     """)
   }
 
+  /** EP2 block pipeline: blocks come from the (deterministic) RPC source
+    * — NOT the truth parquet the oracle reads — so the Dataset[Block]
+    * fan-out path is what's being checked. Gas / size / difficulty
+    * rollup per 1000-block bucket. */
+  def blocksStats(s: SparkSession, dir: String): DataFrame = {
+    MakerFixtures.ensure(s)
+    import graft.ingest.{BlockSource, FakeBlockRpc}
+    BlockSource.range(s, new FakeBlockRpc,
+      MakerFixtures.BlockRangeStart, MakerFixtures.BlockRangeEnd).toDF()
+      .groupBy(expr("CAST(block_number div 1000 AS INT)").as("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("gas_used")).as("total_gas_used"),
+        max(col("difficulty")).as("max_difficulty"),
+        (sum(col("gas_used")).cast("double") / sum(col("gas_limit"))).as("utilization"),
+        sum(col("size")).as("total_size"))
+      .orderBy(col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "abi_decode_frob" -> (decodeFrob _),
     "abi_decode_buygem" -> (decodeBuyGem _),
     "abi_demux_counts" -> (demuxCounts _),
     "maker_wad_ray" -> (wadRay _),
-    "assets_per_type" -> (assetsPerType _))
+    "assets_per_type" -> (assetsPerType _),
+    "blocks_stats" -> (blocksStats _))
 
   private def truthFrom(table: String): String =
     s"read_parquet('${truthGlob(table)}')"
 
   val oracle: Map[String, String] = Map(
+    "blocks_stats" -> s"""
+      SELECT CAST(block_number // 1000 AS INT) AS bucket,
+        COUNT(*) AS n,
+        CAST(SUM(gas_used) AS BIGINT) AS total_gas_used,
+        MAX(difficulty) AS max_difficulty,
+        CAST(SUM(gas_used) AS DOUBLE) / CAST(SUM(gas_limit) AS BIGINT) AS utilization,
+        CAST(SUM(size) AS BIGINT) AS total_size
+      FROM ${truthFrom("ethereum_transactions")}
+      GROUP BY 1 ORDER BY 1""",
     "abi_decode_frob" ->
       s"""SELECT block_number, block_hash, address, log_index, transaction_index,
         transaction_hash, i, u, v, w,

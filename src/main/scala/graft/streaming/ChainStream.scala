@@ -1,0 +1,41 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.abi.AbiSchema
+import graft.ingest.Demux
+
+/** Chain-following as Structured Streaming (SURVEY §7.4.6).
+  *
+  * The reference is strictly batch polling (`while fromBlock < lastBlock`,
+  * eth-contract.py:77); the streaming extension reuses the exact batch
+  * decode path — Demux.table is narrow (filter + decode expressions), so
+  * it is legal on a streaming DataFrame unchanged. State only appears in
+  * the windowed aggregations, bounded by a watermark.
+  */
+object ChainStream {
+
+  /** Raw-log stream from a parquet landing directory (the replay shape;
+    * a live JSON-RPC source would implement the same schema). */
+  def rawLogStream(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.schema(Demux.rawLogSchema).parquet(path)
+
+  /** Decoded per-table stream — same code path as batch. */
+  def decodedTable(rawStream: DataFrame, d: AbiSchema.TableDef): DataFrame =
+    Demux.table(rawStream, d)
+
+  /** Per-window event volume with a watermark: block_number is mapped to
+    * event time via a fixed 13 s/block clock (the fixture's FakeBlockRpc
+    * clock), watermarked to bound state. */
+  def windowedVolume(decoded: DataFrame, valueCol: String,
+                     windowDuration: String = "1 hour",
+                     watermarkDelay: String = "2 hours"): DataFrame =
+    decoded
+      .withColumn("block_time",
+        timestamp_seconds(lit(1438269973L) + col("block_number") * 13))
+      .withWatermark("block_time", watermarkDelay)
+      .groupBy(window(col("block_time"), windowDuration))
+      .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("volume"))
+      .select(col("window.start").as("window_start"),
+        col("n_events"), col("volume"))
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.catalog.Contracts
+import graft.codec.CodecRuntime
+
+class CatalogSpec extends AnyFunSuite {
+
+  test("registry parses the reference config tree (config.conf includes)") {
+    val reg = Contracts.load("/root/reference/config.conf")
+    assert(reg.defaultBlocksStep == 100L)
+
+    val vat = reg("makermcd", "vat")
+    assert(vat.addresses == Seq("0x35d1b3f3d7966a1dfe207aa4514c12a259a0492b"))
+    assert(vat.creationBlock == 8928152L)
+    assert(vat.blocksStep == 10000L) // per-contract override (+ trailing comment)
+
+    val tx = reg("ethereum", "transactions")
+    assert(tx.creationBlock == 46147L)
+    assert(tx.blocksStep == 1L)
+    assert(tx.addresses.isEmpty) // [None] → no addresses
+
+    // 5 schemas present (SURVEY §1.1)
+    assert(reg.contracts.map(_.schema).distinct.toSet ==
+      Set("makermcd", "centrifuge", "aave", "aave_v2", "ethereum"))
+    // addresses normalized to lowercase (S14 ingest normalization)
+    assert(reg.contracts.flatMap(_.addresses).forall(a => a == a.toLowerCase))
+  }
+
+  test("contract without blocksStep falls back to global default") {
+    val reg = Contracts.load("/root/reference/config.conf")
+    val noOverride = reg.contracts.filter(_.blocksStep == reg.defaultBlocksStep)
+    // aave's ghst has no blocksStep in conf/aave.conf
+    assert(noOverride.nonEmpty)
+  }
+
+  test("EIP-55 checksum address — spec test vectors") {
+    def cs(hex: String): String = {
+      val b = hex.sliding(2, 2).map(Integer.parseInt(_, 16).toByte).toArray
+      CodecRuntime.checksumAddress(b).toString
+    }
+    // vectors from the public EIP-55 specification
+    assert(cs("5aaeb6053f3e94c9b9a09f33669435e7ef1beaed") ==
+      "0x5aAeb6053F3E94C9b9A09f33669435E7Ef1BeAed")
+    assert(cs("fb6916095ca1df60bb79ce92ce3ea74c37c5d359") ==
+      "0xfB6916095ca1df60bB79Ce92cE3Ea74c37c5d359")
+    assert(cs("dbf03b407c01e7cd3cbea99509d93f8dddc8c6fb") ==
+      "0xdbF03B407c01E7cD3CBea99509d93f8DDDC8C6FB")
+    assert(cs("d1220a0cf47c7b9be7a2e6ba89f429762e7b9adb") ==
+      "0xD1220A0cf47c7B9Be7A2E6BA89F429762e7b9aDb")
+  }
+}
