@@ -60,13 +60,18 @@ object Demux {
       .select(commonCols.map(col) :+ col("_params.*"): _*)
   }
 
-  /** Tag each raw log with its destination table (null → unknown topic). */
+  /** Tag each raw log with its destination table (null → unknown topic).
+    * Dispatch is a broadcast join against the (topic0 → table) map rather
+    * than a 412-branch CASE chain: constant plan depth, codegen-friendly,
+    * and the dispatch table can grow without replanning cost. */
   def tagged(raw: DataFrame, defs: Seq[AbiSchema.TableDef]): DataFrame = {
-    val topic0 = element_at(col("topics"), 1)
-    val tableName = defs.foldLeft(lit(null).cast("string")) { (acc, d) =>
-      when(topic0 === lit(topic0Key(d)), lit(d.table)).otherwise(acc)
-    }
-    raw.withColumn("table_name", tableName)
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val dispatch = defs.map(d => (topic0Key(d), d.table)).toDF("_topic0", "table_name")
+    raw
+      .join(broadcast(dispatch),
+        element_at(col("topics"), 1) === col("_topic0"), "left")
+      .drop("_topic0")
   }
 
   /** One-pass demux write: raw+tag partitioned by table_name. */
