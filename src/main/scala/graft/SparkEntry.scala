@@ -18,14 +18,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.queries ++ graft.queries.MakerDw.queries ++
+    graft.queries.Relational.queries ++ graft.queries.Relational2.queries ++
+      graft.queries.MakerDw.queries ++
       graft.ops.TextAnalysis.queries ++ graft.ops.Dedup.queries ++
       graft.ops.Similarity.queries ++ graft.ops.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracle ++ graft.queries.MakerDw.oracle ++
+    graft.queries.Relational.oracle ++ graft.queries.Relational2.oracle ++
+      graft.queries.MakerDw.oracle ++
       graft.ops.TextAnalysis.oracle ++ graft.ops.Dedup.oracle ++
       graft.ops.Similarity.oracle
 }

@@ -73,8 +73,25 @@ object AbiSchema {
       e.stateMutability != "pure") ||
       (e.entryType == "event" && !e.anonymous)
 
+  /** 64..256-bit int? (the types that need Decimal(38) or binary). */
+  private def isWideInt(abiType: String): Boolean = abiType match {
+    case IntPat(_, bitsStr) =>
+      (if (bitsStr.isEmpty) 256 else bitsStr.toInt) > 56
+    case _ => false
+  }
+
+  /** Spark type with the rad-safe option: wide ints as 32-byte binary
+    * instead of Decimal(38,0) — rad-scale uint256 values can need 78
+    * digits (SURVEY §1.2); the wad/ray/rad rescalers accept both. */
+  def sparkType(abiType: String, wideIntsAsBinary: Boolean): DataType =
+    if (wideIntsAsBinary && isWideInt(abiType)) BinaryType
+    else if (wideIntsAsBinary && abiType.endsWith("[]") && isWideInt(abiType.dropRight(2)))
+      ArrayType(BinaryType)
+    else sparkType(abiType)
+
   /** Derive every table for one contract ABI, with overload suffixing. */
-  def tables(contract: String, abi: Seq[AbiJson.Entry]): Seq[TableDef] = {
+  def tables(contract: String, abi: Seq[AbiJson.Entry],
+             wideIntsAsBinary: Boolean = false): Seq[TableDef] = {
     val seen = mutable.Map.empty[String, Int] // lowercased name → occurrences so far
     abi.filter(producesTable).map { e =>
       val kind = if (e.entryType == "event") "evt" else "call"
@@ -84,7 +101,7 @@ object AbiSchema {
       // reference rule: first occurrence bare, then suffix 0, 1, …
       val table = if (n == 0) base else s"$base${n - 1}"
       val cols = e.inputs.zipWithIndex.map { case (p, i) =>
-        StructField(columnName(p, i), sparkType(p.abiType))
+        StructField(columnName(p, i), sparkType(p.abiType, wideIntsAsBinary))
       }
       TableDef(table, e, StructType(commonFields ++ cols), kind == "evt")
     }

@@ -14,6 +14,11 @@ object CodecRuntime {
   def bytesToAscii(b: Array[Byte]): UTF8String =
     UTF8String.fromBytes(b.filter(_ != 0))
 
+  /** Big-endian unsigned integer bytes → double (correctly-rounded via
+    * BigDecimal, matching Decimal.toDouble semantics). */
+  def uintToDouble(b: Array[Byte]): Double =
+    new java.math.BigDecimal(new java.math.BigInteger(1, b)).doubleValue
+
   /** EIP-55 mixed-case checksum display form of a 20-byte address
     * (public standard; replaces the reference's `w3.toChecksumAddress`,
     * eth-contract.py:39 / SURVEY S14). */
@@ -72,19 +77,37 @@ case class ChecksumAddress(child: Expression) extends UnaryExpression {
   override def prettyName: String = "checksum_address"
 }
 
-/** Maker fixed-point rescaler: decimal token quantity → double at
-  * 10^-digits. wad=18, ray=27, rad=45 (SURVEY §1.2). Computed exactly as
-  * SQL `CAST(x AS DOUBLE)/1eN` would be (two IEEE roundings) so results
-  * stay bit-identical with warehouse SQL ports. */
+/** Maker fixed-point rescaler: token quantity → double at 10^-digits.
+  * wad=18, ray=27, rad=45 (SURVEY §1.2). Computed exactly as SQL
+  * `CAST(x AS DOUBLE)/1eN` would be (two IEEE roundings) so results stay
+  * bit-identical with warehouse SQL ports.
+  *
+  * Accepts DecimalType (the default uint256 mapping) AND BinaryType —
+  * the rad-safe representation: rad-scale values need up to 78 decimal
+  * digits, overflowing Decimal(38), so `AbiSchema.tables(wideIntsAsBinary
+  * = true)` keeps them as 32-byte big-endian and this expression rescales
+  * losslessly-to-double from either form. */
 case class RescaleToDouble(child: Expression, digits: Int)
   extends UnaryExpression {
   require(digits >= 0 && digits <= 45)
   private val divisor: Double = math.pow(10, digits)
   override def dataType: DataType = DoubleType
-  override protected def nullSafeEval(input: Any): Any =
-    input.asInstanceOf[Decimal].toDouble / divisor
+  override protected def nullSafeEval(input: Any): Any = input match {
+    case d: Decimal => d.toDouble / divisor
+    case b: Array[Byte] => CodecRuntime.uintToDouble(b) / divisor
+    case n: Long => n.toDouble / divisor
+    case n: Int => n.toDouble / divisor
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"$c.toDouble() / ${divisor}D")
+    child.dataType match {
+      case BinaryType =>
+        defineCodeGen(ctx, ev, c =>
+          s"graft.codec.CodecRuntime.uintToDouble($c) / ${divisor}D")
+      case _: DecimalType =>
+        defineCodeGen(ctx, ev, c => s"$c.toDouble() / ${divisor}D")
+      case _ =>
+        defineCodeGen(ctx, ev, c => s"(double)$c / ${divisor}D")
+    }
   override protected def withNewChildInternal(newChild: Expression): RescaleToDouble =
     copy(child = newChild)
   override def prettyName: String = s"rescale_e$digits"

@@ -19,7 +19,7 @@ object TestSpark {
 }
 
 class OpsSpec extends AnyFunSuite {
-  private def spark = TestSpark.spark
+  private val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
   test("simhash finds most planted jaccard near-dup pairs") {
@@ -56,6 +56,31 @@ class OpsSpec extends AnyFunSuite {
       val key = (r.getLong(0), r.getLong(2))
       brute.get(key).foreach(c => assert(c == r.getDouble(3)))
     }
+  }
+
+  test("wad rescaler: binary uint256 mode ≡ decimal mode (rad-safe path)") {
+    import spark.implicits._
+    import graft.codec.GraftFunctions
+    import graft.abi.AbiSchema
+    import org.apache.spark.sql.types._
+    // rad-scale value: 78 digits would overflow Decimal(38) — binary holds it
+    val big = new java.math.BigInteger("123456789012345678901234567890123456789012345")
+    val small = new java.math.BigInteger("2470300000000000000000")
+    val df = Seq(
+      (1L, small.toByteArray, small.toString),
+      (2L, big.toByteArray, null.asInstanceOf[String]))
+      .toDF("id", "bin", "dec_str")
+      .withColumn("dec", org.apache.spark.sql.functions.col("dec_str").cast(DecimalType(38, 0)))
+    val out = df.select(
+      GraftFunctions.wad(org.apache.spark.sql.functions.col("bin")).as("from_bin"),
+      GraftFunctions.wad(org.apache.spark.sql.functions.col("dec")).as("from_dec"))
+      .collect()
+    assert(out(0).getDouble(0) == out(0).getDouble(1)) // identical for in-range
+    assert(out(1).getDouble(0) == new java.math.BigDecimal(big).doubleValue / 1e18)
+    // binary-mode schema derivation
+    assert(AbiSchema.sparkType("uint256", wideIntsAsBinary = true) == BinaryType)
+    assert(AbiSchema.sparkType("uint16", wideIntsAsBinary = true) == IntegerType)
+    assert(AbiSchema.sparkType("uint256[]", wideIntsAsBinary = true) == ArrayType(BinaryType))
   }
 
   test("resume watermark: max(block_number)+1 across tables, else creationBlock") {
