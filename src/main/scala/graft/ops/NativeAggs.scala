@@ -29,6 +29,30 @@ object MinHashAgg {
   }
 }
 
+/** dot_double(a, b) → double: left-to-right fold of elementwise products
+  * over two array<double> columns. Bit-identical to
+  * `aggregate(zip_with(a, b, (x,y) -> x*y), 0D, (acc,p) -> acc+p)` and to
+  * DuckDB's sequential `list_sum`, but the loop is compiled Scala — the
+  * interpreted-HOF version cost ~8µs per element (ops/Similarity hot
+  * path). */
+case class DotDouble(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
+    val ys = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
+    var acc = 0.0
+    var i = 0
+    val n = math.min(xs.length, ys.length)
+    while (i < n) { acc += xs(i) * ys(i); i += 1 }
+    acc
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotDouble =
+    copy(left = l, right = r)
+  override def prettyName: String = "dot_double"
+}
+
 /** minhash_agg(hash64) → array<long>[k]: per-group minimum of k affine
   * hashes of the input. Input is any long hash of the group's set
   * elements (we use murmur3 of the shingle). */

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import org.apache.spark.sql.graftshim.Shim
 
 /** Similarity search over the `embeddings` table (SURVEY §7.5).
   *
@@ -27,17 +28,19 @@ object Similarity {
     emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("label"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
-      .withColumn("nrm", expr("sqrt(aggregate(e, 0D, (acc, x) -> acc + x*x))"))
+      .withColumn("nrm", sqrt(Shim.column(DotDouble(Shim.expression(col("e")), Shim.expression(col("e"))))))
 
-  private val dotExpr =
-    "aggregate(zip_with(ea, eb, (x, y) -> x * y), 0D, (acc, p) -> acc + p)"
+  /** Compiled left-to-right dot product — same bit-exact contract as the
+    * interpreted fold (see DotDouble). */
+  private def dot = Shim.column(DotDouble(
+    Shim.expression(col("ea")), Shim.expression(col("eb"))))
 
   /** All-pairs cosine on (a × b), rounded to 6 dp. */
   def cosinePairs(a: DataFrame, b: DataFrame): DataFrame =
     a.select(col("vec_id").as("ia"), col("e").as("ea"), col("nrm").as("na"))
       .join(b.select(col("vec_id").as("ib"), col("e").as("eb"), col("nrm").as("nb")),
         col("ia") < col("ib"))
-      .withColumn("cosine", round(expr(dotExpr) / (col("na") * col("nb")), 6))
+      .withColumn("cosine", round(dot / (col("na") * col("nb")), 6))
       .select(col("ia").as("i"), col("ib").as("j"), col("cosine"))
 
   /** Embedding near-duplicate pairs: a deterministic slice of the corpus
@@ -48,7 +51,7 @@ object Similarity {
     val perturbed = base.select(
       (col("vec_id") + 100000).as("vec_id"), col("label"),
       expr("concat(array(element_at(e, 1) + 0.5D), slice(e, 2, 63))").as("e"))
-      .withColumn("nrm", expr("sqrt(aggregate(e, 0D, (acc, x) -> acc + x*x))"))
+      .withColumn("nrm", sqrt(Shim.column(DotDouble(Shim.expression(col("e")), Shim.expression(col("e"))))))
     val all = base.select("vec_id", "e", "nrm")
       .unionByName(perturbed.select("vec_id", "e", "nrm"))
     cosinePairs(all, all)
@@ -64,7 +67,7 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("e").as("ea"), col("nrm").as("na"))
     val n = v.select(col("vec_id").as("nid"), col("e").as("eb"), col("nrm").as("nb"))
     val scored = q.join(n, col("qid") =!= col("nid"))
-      .withColumn("cosine", round(expr(dotExpr) / (col("na") * col("nb")), 6))
+      .withColumn("cosine", round(dot / (col("na") * col("nb")), 6))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))))
@@ -120,7 +123,7 @@ object Similarity {
     val cand = q.join(n, Seq("tbl", "bucket")).filter(col("qid") =!= col("nid"))
       .select("qid", "nid", "ea", "eb", "na", "nb").dropDuplicates("qid", "nid")
     val scored = cand
-      .withColumn("cosine", round(expr(dotExpr) / (col("na") * col("nb")), 6))
+      .withColumn("cosine", round(dot / (col("na") * col("nb")), 6))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))))

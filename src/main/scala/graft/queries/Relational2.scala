@@ -50,7 +50,18 @@ object Relational2 {
       SELECT o_custkey FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 3)
     ORDER BY c_custkey""")
 
+  def q25LagLead(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+    SELECT user_id, event_id,
+      LAG(event_id) OVER w AS prev_id,
+      LEAD(event_id) OVER w AS next_id,
+      FIRST_VALUE(event_id) OVER w AS first_id,
+      event_id - COALESCE(LAG(event_id) OVER w, event_id) AS gap
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, event_id""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_lag_lead" -> (q25LagLead _),
     "q20_rollup" -> (q20Rollup _),
     "q21_set_ops" -> (q21SetOps _),
     "q22_outer_join" -> (q22OuterJoin _),
@@ -58,6 +69,15 @@ object Relational2 {
     "q24_in_subquery_having" -> (q24InSubqueryHaving _))
 
   val oracle: Map[String, String] = Map(
+    "q25_lag_lead" -> """
+      SELECT user_id, event_id,
+        LAG(event_id) OVER w AS prev_id,
+        LEAD(event_id) OVER w AS next_id,
+        FIRST_VALUE(event_id) OVER w AS first_id,
+        event_id - COALESCE(LAG(event_id) OVER w, event_id) AS gap
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, event_id""",
     "q20_rollup" -> """
       SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
