@@ -60,8 +60,19 @@ object Relational2 {
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ORDER BY user_id, event_id""")
 
+  /** Sketch aggregates (HLL distinct, quantile) — approximate, so
+    * rows-only in the driver gate (no cross-engine oracle); accuracy vs
+    * exact is asserted in RelationalSpec. */
+  def q26Sketches(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+    SELECT l_returnflag,
+      approx_count_distinct(l_orderkey) AS approx_orders,
+      approx_percentile(l_quantity, 0.5) AS median_qty,
+      approx_percentile(l_extendedprice, array(0.25, 0.75)) AS price_iqr
+    FROM lineitem GROUP BY 1 ORDER BY 1""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_lag_lead" -> (q25LagLead _),
+    "q26_sketches" -> (q26Sketches _),
     "q20_rollup" -> (q20Rollup _),
     "q21_set_ops" -> (q21SetOps _),
     "q22_outer_join" -> (q22OuterJoin _),

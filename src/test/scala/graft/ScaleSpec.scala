@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Skew
+import graft.ingest.Writer
+
+class ScaleSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("salted join equals plain join and spreads the hot key") {
+    import spark.implicits._
+    // 50k rows, 90% on one hot key
+    val large = spark.range(0, 50000, 1, 8)
+      .select(col("id"),
+        when(col("id") % 10 < 9, 7L).otherwise(col("id") % 100).as("k"))
+    val small = (0L until 100L).map(k => (k, s"dim_$k")).toDF("k", "name")
+
+    val plain = large.join(small, "k").agg(count(lit(1)), sum("id")).collect()(0)
+    val salted = Skew.saltedJoin(large, small, "k", col("id"), 16)
+      .agg(count(lit(1)), sum("id")).collect()(0)
+    assert(plain == salted)
+
+    // the hot key's rows now hash to many distinct (k, salt) partitions
+    val spread = large.withColumn("_salt", pmod(hash(col("id")), lit(16)))
+      .filter(col("k") === 7).select("_salt").distinct().count()
+    assert(spread == 16)
+  }
+
+  test("two-phase count equals plain count") {
+    import spark.implicits._
+    val df = spark.range(0, 10000).select((col("id") % 5).as("k"), col("id"))
+    val plain = df.groupBy("k").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val two = Skew.twoPhaseCount(df, "k", col("id"), 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(plain == two)
+  }
+
+  test("overwriteRange is idempotent (re-ingesting a range adds 0 rows)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_writer").toString + "/t"
+    val batch1 = (1L to 100L).map(n => (n, s"v$n")).toDF("block_number", "v")
+    Writer.append(batch1, dir)
+    assert(spark.read.parquet(dir).count() == 100)
+    // re-ingest blocks 40..60 (simulating a re-run over an ingested range)
+    val again = (40L to 60L).map(n => (n, s"v$n")).toDF("block_number", "v")
+    Writer.overwriteRange(spark, again, dir, 40, 60)
+    val after = spark.read.parquet(dir)
+    assert(after.count() == 100)
+    assert(after.filter(col("block_number").between(40, 60)).count() == 21)
+    // and the resume watermark is unchanged
+    assert(Writer.nextBlock(spark, Seq(dir), 0) == 101)
+  }
+
+  test("sketches are close to exact (HLL + quantiles)") {
+    val sk = graft.queries.Relational2.q26Sketches(spark, "/root/testdata/sf0.001")
+      .collect()
+    val exact = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct("l_orderkey").as("exact_orders"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    sk.foreach { r =>
+      val approx = r.getLong(1)
+      val ex = exact(r.getString(0))
+      assert(math.abs(approx - ex).toDouble / ex < 0.1,
+        s"HLL ${r.getString(0)}: $approx vs $ex")
+    }
+  }
+}
