@@ -167,7 +167,87 @@ object MakerDw {
       .orderBy(col("bucket"))
   }
 
+  /** assets_per_type in pure DataFrame DSL — same semantics, same oracle
+    * as the SQL port (both must hash-match the same DuckDB result). */
+  def assetsPerTypeDsl(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val nullDec = lit(null).cast(DecimalType(38, 0))
+    val nullDbl = lit(null).cast("double")
+
+    val frob = decoded(s, "vat_call_frob")
+    val grab = decoded(s, "vat_call_grab")
+    val fold = decoded(s, "vat_call_fold")
+    val file = decoded(s, "jug_call_file")
+
+    val la1 = frob.filter(col("dart") =!= 0)
+      .select(col("i").as("ilk"), col("block_number"), col("dart"), nullDec.as("rate"))
+      .unionAll(grab.filter(col("dart") =!= 0)
+        .select(col("i"), col("block_number"), col("dart"),
+          lit(0).cast(DecimalType(38, 0))))
+      .unionAll(fold.filter(col("rate") =!= 0)
+        .select(col("i"), col("block_number"), nullDec, col("rate")))
+
+    val ilks = la1.groupBy("ilk")
+      .agg(min("block_number").as("starting_use"), max("block_number").as("end_use"))
+    val ilks2 = ilks.select(col("ilk"), col("starting_use"),
+      max("end_use").over(Window.partitionBy()).as("end_use"))
+    val noop = ilks2
+      .select(col("ilk"),
+        explode(sequence(col("starting_use"), col("end_use"), lit(1000L)))
+          .as("block_number"))
+      .select(col("ilk"), col("block_number"), nullDec.as("dart"),
+        nullDec.as("rate"), nullDbl.as("sf"))
+
+    val rates = file.select(col("block_number"), col("ilk"),
+      (round(pow(col("data").cast("double") / 1e27, 31536000), 9) - 1).as("sf"))
+
+    val filled = la1.withColumn("sf", nullDbl)
+      .unionByName(noop)
+      .unionByName(rates.select(col("ilk"), col("block_number"),
+        nullDec.as("dart"), nullDec.as("rate"), col("sf")))
+
+    val w = Window.partitionBy("ilk").orderBy("block_number")
+    val la2 = filled.select(col("ilk"), col("block_number"),
+      coalesce(lit(1) + sum(col("rate")).over(w).cast("double") / 1e27, lit(1.0))
+        .as("rate"),
+      (sum(col("dart")).over(w).cast("double") / 1e18).as("dart"),
+      sum(when(col("sf").isNotNull, 1).otherwise(0)).over(w).as("sf_grp"),
+      col("sf"))
+
+    val withRk = la2.select(
+      expr("CAST(block_number div 10000 AS INT)").as("dt"),
+      GraftFunctions.bytes32ToAscii(col("ilk")).as("collateral"),
+      (col("dart") * col("rate")).as("debt"),
+      max("sf").over(Window.partitionBy("ilk", "sf_grp")).as("sf"),
+      row_number().over(Window.partitionBy(col("ilk"), expr("block_number div 10000"))
+        .orderBy(col("block_number").desc)).as("rk"))
+
+    val grouped = withRk.filter(col("rk") === 1 && col("debt") =!= 0.0)
+      .withColumn("annual_revenues", col("debt") * col("sf"))
+
+    val cat = grouped.select(col("dt"),
+      when(col("collateral").like("PSM%"), "Stablecoins")
+        .when(col("collateral").isin("USDC-A", "USDC-B", "USDT-A", "TUSD-A",
+          "GUSD-A", "PAXUSD-A"), "Stablecoins")
+        .when(col("collateral").like("ETH-%"), "ETH")
+        .when(col("collateral").like("WBTC-%"), "WBTC")
+        .when(col("collateral").like("UNIV2%"), "Liquidity Pools")
+        .when(col("collateral").like("RWA%"), "RWA")
+        .otherwise("Others").as("collateral"),
+      col("debt").as("asset"), col("annual_revenues"))
+
+    cat.groupBy("dt", "collateral")
+      .agg(
+        sum(round(col("asset"), 3).cast(DecimalType(30, 3))).cast("double").as("asset"),
+        sum(round(col("annual_revenues"), 3).cast(DecimalType(30, 3))).cast("double")
+          .as("annual_revenues"))
+      .withColumn("blended_rate", col("annual_revenues") / col("asset"))
+      .orderBy(col("dt").desc, col("collateral"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "assets_per_type_dsl" -> (assetsPerTypeDsl _),
     "abi_decode_frob" -> (decodeFrob _),
     "abi_decode_buygem" -> (decodeBuyGem _),
     "abi_demux_counts" -> (demuxCounts _),
@@ -178,39 +258,7 @@ object MakerDw {
   private def truthFrom(table: String): String =
     s"read_parquet('${truthGlob(table)}')"
 
-  val oracle: Map[String, String] = Map(
-    "blocks_stats" -> s"""
-      SELECT CAST(block_number // 1000 AS INT) AS bucket,
-        COUNT(*) AS n,
-        CAST(SUM(gas_used) AS BIGINT) AS total_gas_used,
-        MAX(difficulty) AS max_difficulty,
-        CAST(SUM(gas_used) AS DOUBLE) / CAST(SUM(gas_limit) AS BIGINT) AS utilization,
-        CAST(SUM(size) AS BIGINT) AS total_size
-      FROM ${truthFrom("ethereum_transactions")}
-      GROUP BY 1 ORDER BY 1""",
-    "abi_decode_frob" ->
-      s"""SELECT block_number, block_hash, address, log_index, transaction_index,
-        transaction_hash, i, u, v, w,
-        CAST(dink AS VARCHAR) AS dink, CAST(dart AS VARCHAR) AS dart
-      FROM ${truthFrom("vat_call_frob")} ORDER BY block_number""",
-    "abi_decode_buygem" ->
-      s"""SELECT block_number, block_hash, address, log_index, transaction_index,
-        transaction_hash, owner,
-        CAST(value AS VARCHAR) AS value, CAST(fee AS VARCHAR) AS fee
-      FROM ${truthFrom("psm_evt_buygem")} ORDER BY block_number""",
-    "abi_demux_counts" -> Seq(
-      "vat_call_frob", "vat_call_grab", "vat_call_fold",
-      "jug_call_file", "psm_evt_buygem", "psm_evt_sellgem")
-      .map(t => s"SELECT '$t' AS table_name, COUNT(*) AS n FROM ${truthFrom(t)}")
-      .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY table_name"),
-    "maker_wad_ray" -> s"""
-      SELECT block_number, transaction_index,
-        CAST(dart AS DOUBLE)/1e18 AS dart_wad,
-        CAST(dink AS DOUBLE)/1e18 AS dink_wad,
-        replace(decode(i), chr(0), '') AS ilk_name
-      FROM ${truthFrom("vat_call_frob")}
-      ORDER BY block_number, transaction_index""",
-    "assets_per_type" -> s"""
+  private lazy val oracleAssetsSql: String = s"""
       WITH lending_assets_1 AS (
         SELECT i AS ilk, block_number, dart, CAST(NULL AS DECIMAL(38,0)) AS rate
         FROM ${truthFrom("vat_call_frob")} WHERE dart <> 0
@@ -290,5 +338,43 @@ object MakerDw {
           / CAST(SUM(CAST(ROUND(asset, 3) AS DECIMAL(30,3))) AS DOUBLE) AS blended_rate
       FROM group_by_cat
       GROUP BY 1, 2
-      ORDER BY 1 DESC, 2""")
+      ORDER BY 1 DESC, 2"""
+
+  /** the DSL port shares the SQL port's oracle verbatim */
+  private lazy val assetsOracleAlias: Map[String, String] =
+    Map("assets_per_type_dsl" -> oracleAssetsSql)
+
+  val oracle: Map[String, String] = assetsOracleAlias ++ Map(
+    "blocks_stats" -> s"""
+      SELECT CAST(block_number // 1000 AS INT) AS bucket,
+        COUNT(*) AS n,
+        CAST(SUM(gas_used) AS BIGINT) AS total_gas_used,
+        MAX(difficulty) AS max_difficulty,
+        CAST(SUM(gas_used) AS DOUBLE) / CAST(SUM(gas_limit) AS BIGINT) AS utilization,
+        CAST(SUM(size) AS BIGINT) AS total_size
+      FROM ${truthFrom("ethereum_transactions")}
+      GROUP BY 1 ORDER BY 1""",
+    "abi_decode_frob" ->
+      s"""SELECT block_number, block_hash, address, log_index, transaction_index,
+        transaction_hash, i, u, v, w,
+        CAST(dink AS VARCHAR) AS dink, CAST(dart AS VARCHAR) AS dart
+      FROM ${truthFrom("vat_call_frob")} ORDER BY block_number""",
+    "abi_decode_buygem" ->
+      s"""SELECT block_number, block_hash, address, log_index, transaction_index,
+        transaction_hash, owner,
+        CAST(value AS VARCHAR) AS value, CAST(fee AS VARCHAR) AS fee
+      FROM ${truthFrom("psm_evt_buygem")} ORDER BY block_number""",
+    "abi_demux_counts" -> Seq(
+      "vat_call_frob", "vat_call_grab", "vat_call_fold",
+      "jug_call_file", "psm_evt_buygem", "psm_evt_sellgem")
+      .map(t => s"SELECT '$t' AS table_name, COUNT(*) AS n FROM ${truthFrom(t)}")
+      .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY table_name"),
+    "maker_wad_ray" -> s"""
+      SELECT block_number, transaction_index,
+        CAST(dart AS DOUBLE)/1e18 AS dart_wad,
+        CAST(dink AS DOUBLE)/1e18 AS dink_wad,
+        replace(decode(i), chr(0), '') AS ilk_name
+      FROM ${truthFrom("vat_call_frob")}
+      ORDER BY block_number, transaction_index""",
+    "assets_per_type" -> oracleAssetsSql)
 }
