@@ -35,8 +35,24 @@ object GraftFunctions {
   def decodeCalldata(entryJson: String, data: Column): Column =
     Shim.column(DecodeCalldata(entryJson, Shim.expression(data)))
 
+  /** PG-dialect `generate_series(start, stop[, step])` as a table
+    * function (SURVEY §4.2) — resolves to Generate(Explode(Sequence)))
+    * so `SELECT * FROM generate_series(1, 10, 2)` and lateral uses run
+    * without rewriting to explode(sequence(...)). */
+  def registerGenerateSeries(spark: SparkSession): Unit =
+    Shim.tableRegistry(spark).createOrReplaceTempFunction("generate_series",
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.{Explode, Sequence}
+        import org.apache.spark.sql.catalyst.plans.logical.{Generate, OneRowRelation}
+        val step = if (exprs.size > 2) Some(exprs(2)) else None
+        Generate(Explode(new Sequence(exprs(0), exprs(1), step)),
+          unrequiredChildIndex = Nil, outer = false, qualifier = None,
+          generatorOutput = Nil, child = OneRowRelation())
+      }, "scala_udf")
+
   def register(spark: SparkSession): Unit = {
     val reg = Shim.registry(spark)
+    registerGenerateSeries(spark)
     reg.createOrReplaceTempFunction("keccak256", es => Keccak256(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("bytes32_to_ascii", es => Bytes32ToAscii(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("checksum_address", es => ChecksumAddress(es.head), "scala_udf")

@@ -83,6 +83,19 @@ class OpsSpec extends AnyFunSuite {
     assert(AbiSchema.sparkType("uint256[]", wideIntsAsBinary = true) == ArrayType(BinaryType))
   }
 
+  test("generate_series table function (PG dialect shim)") {
+    graft.codec.GraftFunctions.register(spark)
+    val rows = spark.sql("SELECT * FROM generate_series(1, 10, 2)")
+      .collect().map(_.getInt(0))
+    assert(rows.toSeq == Seq(1, 3, 5, 7, 9))
+    // lateral use mirroring the original PG query shape
+    val lateral = spark.sql("""
+      SELECT u, d FROM (SELECT 2L AS u, 7L AS mx),
+      LATERAL generate_series(u, mx, 2) AS t(d)""")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(lateral.toSeq == Seq((2L, 2L), (2L, 4L), (2L, 6L)))
+  }
+
   test("resume watermark: max(block_number)+1 across tables, else creationBlock") {
     import graft.ingest.Writer
     val none = Writer.nextBlock(spark, Seq("/nonexistent/a", "/nonexistent/b"), 123L)
