@@ -64,12 +64,28 @@ object TextAnalysis {
       .select(col("doc_id"), md5(lower(col("text"))).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** Token counting: whitespace tokens + a BPE-ish greedy subword count
+    * (≤4-letter chunks) — the cheap proxy for LLM token budgeting. */
+  def tokenCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents").select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-z]{1,4}"), lit(0)))
+        .cast("long").as("subword_tokens"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_counts" -> (tokenCounts _),
     "text_stats" -> (textStats _),
     "text_lang_id" -> (langId _),
     "text_fingerprint" -> (fingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "text_token_counts" -> """
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS BIGINT) AS subword_tokens
+      FROM documents ORDER BY doc_id""",
     "text_stats" -> """
       SELECT doc_id,
         CAST(length(text) AS BIGINT) AS len_chars,

@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, expr}
 import graft.fixtures.MakerFixtures
 import graft.ingest.Demux
 import graft.streaming.ChainStream
@@ -60,6 +61,46 @@ class StreamingSpec extends AnyFunSuite {
       Demux.table(spark.read.parquet(MakerFixtures.rawLogsPath), buyDef), "value").count()
     assert(streamRows == batchRows)
     assert(streamRows > 0)
+  }
+}
+
+class SessionizeSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("stateful streaming sessionization = batch gaps-and-islands") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.Sessionize
+
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("user_id"),
+        expr("timestamp_micros(ts div 1000)").as("ts"))
+    val batchSessions = Sessionize.sessionsBatch(events, 30).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(batchSessions.nonEmpty)
+
+    val evs = events.as[Sessionize.Ev].collect().sortBy(_.ts.getTime)
+    val stream = MemoryStream[Sessionize.Ev]
+    val q = Sessionize.sessions(stream.toDS(), 30)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    val (a, b) = (evs.take(evs.length / 2), evs.drop(evs.length / 2))
+    stream.addData(a.toIndexedSeq)
+    q.processAllAvailable()
+    stream.addData(b.toIndexedSeq)
+    q.processAllAvailable()
+    // push the watermark far forward so every open session times out
+    val last = evs.last.ts.getTime
+    stream.addData(Sessionize.Ev(-1L, new java.sql.Timestamp(last + 86400000L)))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("sessions")
+      .filter(col("user_id") >= 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(streamed == batchSessions,
+      s"stream ${streamed.size} vs batch ${batchSessions.size}; " +
+        s"missing=${batchSessions.diff(streamed).take(3)} extra=${streamed.diff(batchSessions).take(3)}")
   }
 }
 
