@@ -53,6 +53,33 @@ class ScaleSpec extends AnyFunSuite {
     assert(Writer.nextBlock(spark, Seq(dir), 0) == 101)
   }
 
+  test("bucketed co-located join plans without a shuffle") {
+    import graft.ops.Bucketing
+    val dir = "/root/testdata/sf0.001"
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    Bucketing.writeBucketed(Tables.load(spark, dir, "orders"), "b_orders",
+      "o_orderkey", 8)
+    Bucketing.writeBucketed(Tables.load(spark, dir, "lineitem"), "b_lineitem",
+      "l_orderkey", 8)
+    // disable auto-broadcast so the sort-merge path shows the property
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketing.coLocatedJoin(spark, "b_lineitem", "b_orders",
+        "l_orderkey", "o_orderkey")
+      assert(joined.count() == 6000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // contrast: the plain parquet join DOES shuffle both sides
+    val plain = Tables.load(spark, dir, "lineitem")
+      .join(Tables.load(spark, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey")).queryExecution.executedPlan.toString
+    assert(plain.contains("Exchange") || plain.contains("BroadcastHashJoin"))
+  }
+
   test("sketches are close to exact (HLL + quantiles)") {
     val sk = graft.queries.Relational2.q26Sketches(spark, "/root/testdata/sf0.001")
       .collect()
