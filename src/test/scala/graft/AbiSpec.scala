@@ -202,6 +202,58 @@ class AbiDecoderSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus-wide roundtrip: encode→decode = id for all 412 real table shapes") {
+    val rnd = new scala.util.Random(7)
+    def valueFor(t: String, indexed: Boolean): Any =
+      if (indexed && (t == "string" || t == "bytes" || t.endsWith("[]")))
+        Array.fill[Byte](32)(rnd.nextInt().toByte) // pre-hashed topic
+      else t match {
+        case "address" => Array.fill[Byte](20)(rnd.nextInt().toByte)
+        case "bool" => rnd.nextBoolean()
+        case "string" => rnd.alphanumeric.take(rnd.nextInt(40)).mkString
+        case "bytes" => Array.fill[Byte](rnd.nextInt(100))(rnd.nextInt().toByte)
+        case b if b.startsWith("bytes") =>
+          Array.fill[Byte](b.drop(5).toInt)(rnd.nextInt().toByte)
+        case "uint8" => rnd.nextInt(256).toShort
+        case "uint16" => rnd.nextInt(65536)
+        case a if a.endsWith("[]") =>
+          Seq.fill(rnd.nextInt(4))(valueFor(a.dropRight(2), indexed = false))
+        case i if i.startsWith("int") =>
+          new JBigDecimal(BigInteger.valueOf(rnd.nextLong()))
+        case u if u.startsWith("uint") =>
+          new JBigDecimal(new BigInteger(200, rnd.self))
+        case other => fail(s"no generator for ABI type $other")
+      }
+    def same(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Array[Byte], y: Array[Byte]) => x.sameElements(y)
+      case (x: Seq[_], y: Seq[_]) =>
+        x.length == y.length && x.zip(y).forall { case (p, q) => same(p, q) }
+      case (x, y) => x == y
+    }
+
+    val confDir = new java.io.File("/root/reference/conf")
+    val defs = confDir.listFiles.filter(_.isDirectory).flatMap(_.listFiles)
+      .filter(_.getName.endsWith(".abi"))
+      .flatMap(f => AbiSchema.tables(f.getName.stripSuffix(".abi"),
+        AbiJson.parseFile(f.getPath)))
+    assert(defs.length >= 400)
+    defs.foreach { d =>
+      val values = d.entry.inputs.map(p => valueFor(p.abiType, p.indexed))
+      val decoded =
+        if (d.isEvent) {
+          val (topics, data) = AbiDecoder.encodeEvent(d.entry, values)
+          AbiDecoder.decodeEvent(d.entry, topics, data)
+        } else {
+          val call = AbiDecoder.encodeCall(d.entry, values)
+          AbiDecoder.decodeCall(d.entry, call.drop(4))
+        }
+      values.zip(decoded).zipWithIndex.foreach { case ((v, dv), i) =>
+        assert(same(v, dv),
+          s"${d.table} param $i (${d.entry.inputs(i).abiType}): $v != $dv")
+      }
+    }
+  }
+
   test("full ABI corpus: every table derives a schema (28 ABIs, 412 tables)") {
     val confDir = new java.io.File("/root/reference/conf")
     val abiFiles = confDir.listFiles.filter(_.isDirectory).flatMap(_.listFiles)
