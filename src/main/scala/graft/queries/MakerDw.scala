@@ -246,7 +246,25 @@ object MakerDw {
       .orderBy(col("dt").desc, col("collateral"))
   }
 
+  /** DSv2 block source with range pushdown: the scan itself narrows to
+    * the filtered block window (SURVEY S1's idiomatic form); oracle reads
+    * the truth parquet with the same predicate. */
+  def blocksDsv2Range(s: SparkSession, dir: String): DataFrame = {
+    MakerFixtures.ensure(s)
+    s.read.format("graft.sources.BlockSourceV2")
+      .option("from", MakerFixtures.BlockRangeStart)
+      .option("to", MakerFixtures.BlockRangeEnd)
+      .load()
+      .filter(col("block_number") >= MakerFixtures.BlockRangeStart + 1000 &&
+        col("block_number") < MakerFixtures.BlockRangeStart + 3000)
+      .groupBy(expr("CAST(block_number div 500 AS INT)").as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("gas_used")).as("total_gas"),
+        max(col("size")).as("max_size"))
+      .orderBy(col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "blocks_dsv2_range" -> (blocksDsv2Range _),
     "assets_per_type_dsl" -> (assetsPerTypeDsl _),
     "abi_decode_frob" -> (decodeFrob _),
     "abi_decode_buygem" -> (decodeBuyGem _),
@@ -345,6 +363,15 @@ object MakerDw {
     Map("assets_per_type_dsl" -> oracleAssetsSql)
 
   val oracle: Map[String, String] = assetsOracleAlias ++ Map(
+    "blocks_dsv2_range" -> s"""
+      SELECT CAST(block_number // 500 AS INT) AS bucket,
+        COUNT(*) AS n,
+        CAST(SUM(gas_used) AS BIGINT) AS total_gas,
+        MAX(size) AS max_size
+      FROM ${truthFrom("ethereum_transactions")}
+      WHERE block_number >= ${MakerFixtures.BlockRangeStart + 1000}
+        AND block_number < ${MakerFixtures.BlockRangeStart + 3000}
+      GROUP BY 1 ORDER BY 1""",
     "blocks_stats" -> s"""
       SELECT CAST(block_number // 1000 AS INT) AS bucket,
         COUNT(*) AS n,
