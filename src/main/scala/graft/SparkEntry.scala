@@ -21,7 +21,7 @@ object SparkEntry {
     graft.queries.Relational.queries ++ graft.queries.Relational2.queries ++
       graft.queries.MakerDw.queries ++
       graft.ops.TextAnalysis.queries ++ graft.ops.Dedup.queries ++
-      graft.ops.Similarity.queries ++ graft.ops.Multimodal.queries
+      graft.ops.Similarity.queries ++ graft.ops.Ivf.queries ++ graft.ops.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -60,6 +60,17 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF ANN: recall vs brute force with half-space probing") {
+    val brute = Similarity.topK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = graft.ops.Ivf.topKIvf(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(ivf.nonEmpty)
+    val recall = brute.count(ivf.contains).toDouble / brute.size
+    // probing 4 of 8 clusters on weakly-clustered data → ~half-space recall
+    assert(recall >= 0.3, s"IVF recall $recall")
+  }
+
   test("wad rescaler: binary uint256 mode ≡ decimal mode (rad-safe path)") {
     import spark.implicits._
     import graft.codec.GraftFunctions
