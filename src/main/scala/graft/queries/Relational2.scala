@@ -70,7 +70,20 @@ object Relational2 {
       approx_percentile(l_extendedprice, array(0.25, 0.75)) AS price_iqr
     FROM lineitem GROUP BY 1 ORDER BY 1""")
 
+  /** Tumbling time-window aggregation (the streaming-shaped groupBy in
+    * batch). events.ts is a nanos long (Tables.load note) → converted to
+    * a timestamp; window starts leave as epoch millis (timestamps in
+    * outputs are a cross-engine hash hazard). */
+  def q27TumblingWindow(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+    SELECT unix_millis(window.start) AS win_start,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM (SELECT timestamp_micros(ts div 1000) AS t, value FROM events)
+    GROUP BY window(t, '6 hours')
+    ORDER BY win_start""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_tumbling_window" -> (q27TumblingWindow _),
     "q25_lag_lead" -> (q25LagLead _),
     "q26_sketches" -> (q26Sketches _),
     "q20_rollup" -> (q20Rollup _),
@@ -80,6 +93,12 @@ object Relational2 {
     "q24_in_subquery_having" -> (q24InSubqueryHaving _))
 
   val oracle: Map[String, String] = Map(
+    "q27_tumbling_window" -> """
+      SELECT epoch_ms(time_bucket(INTERVAL '6 hours', ts)) AS win_start,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      FROM events
+      GROUP BY 1 ORDER BY 1""",
     "q25_lag_lead" -> """
       SELECT user_id, event_id,
         LAG(event_id) OVER w AS prev_id,
