@@ -29,5 +29,6 @@ object SparkEntry {
     graft.queries.Relational.oracle ++ graft.queries.Relational2.oracle ++
       graft.queries.MakerDw.oracle ++
       graft.ops.TextAnalysis.oracle ++ graft.ops.Dedup.oracle ++
-      graft.ops.Similarity.oracle
+      graft.ops.Similarity.oracle ++ graft.ops.Ivf.oracle ++
+      graft.ops.Multimodal.oracle
 }

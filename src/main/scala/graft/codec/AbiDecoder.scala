@@ -86,8 +86,13 @@ object AbiDecoder {
 
   private def isDynamic(p: Param): Boolean = isDynamicType(p.abiType)
 
-  private def isDynamicType(t: String): Boolean =
-    t == "bytes" || t == "string" || t.endsWith("[]")
+  /** ABI spec: bytes/string/T[] are dynamic; T[k] is dynamic iff T is. */
+  private def isDynamicType(t: String): Boolean = t match {
+    case "bytes" | "string" => true
+    case t if t.endsWith("[]") => true
+    case FixedArrayPat(elem, _) => isDynamicType(elem)
+    case _ => false
+  }
 
   private val FixedArrayPat = raw"(.+)\[(\d+)\]".r
 
@@ -139,6 +144,13 @@ object AbiDecoder {
         }
       } else {
         (0 until n).map(i => decodeHead(elemParam, data, base + i * Word, data))
+      }
+    case FixedArrayPat(elemType, nStr) => // T[k] with dynamic T: k tail offsets
+      val n = nStr.toInt
+      val elemParam = Param("", elemType, indexed = false, Nil)
+      (0 until n).map { i =>
+        val rel = uintAt(data, off + i * Word).intValueExact()
+        decodeTail(elemParam, data, off + rel)
       }
     case other => throw new IllegalArgumentException(s"not a dynamic type: $other")
   }
@@ -208,6 +220,9 @@ object AbiDecoder {
     case t if t.startsWith("bytes") && t != "bytes" =>
       val b = v.asInstanceOf[Array[Byte]]
       java.util.Arrays.copyOf(b, 32)
+    case FixedArrayPat(elem, _) => // static T[k]: k in-place heads
+      val ep = Param("", elem, indexed = false, Nil)
+      v.asInstanceOf[Seq[Any]].toArray.flatMap(x => encodeHead(ep, x))
     case t =>
       val bi = v match {
         case d: java.math.BigDecimal => d.toBigIntegerExact
@@ -231,6 +246,10 @@ object AbiDecoder {
       val xs = v.asInstanceOf[Seq[Any]]
       word(BigInteger.valueOf(xs.length)) ++ encodeTuple(
         Seq.fill(xs.length)(elemParam), xs)
+    case FixedArrayPat(elem, _) => // dynamic T[k]: tuple of k, no length word
+      val elemParam = Param("", elem, indexed = false, Nil)
+      val xs = v.asInstanceOf[Seq[Any]]
+      encodeTuple(Seq.fill(xs.length)(elemParam), xs)
     case other => throw new IllegalArgumentException(s"not a dynamic type: $other")
   }
 

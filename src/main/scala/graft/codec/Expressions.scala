@@ -171,20 +171,22 @@ case class DecodeCalldata(entryJson: String, data: Expression)
 
   override protected def nullSafeEval(dataVal: Any): Any = {
     val bytes = dataVal.asInstanceOf[Array[Byte]]
-    // direct selector or word-aligned scan (proxy unwrap)
+    // word-aligned scan over candidate selector offsets (proxy unwrap).
+    // A failed decode at one offset keeps scanning — a spurious 4-byte
+    // match before the real payload must not drop the row (mirrors
+    // AbiDecoder.decodeCallDispatch).
     var off = 0
-    var found = -1
-    while (found < 0 && off + 4 <= bytes.length && off <= 64 * 4) {
-      if (bytes.slice(off, off + 4).toSeq == selector) found = off
-      else off += 4
+    var result: Any = null
+    while (result == null && off + 4 <= bytes.length && off <= 64 * 4) {
+      if (bytes.slice(off, off + 4).toSeq == selector) {
+        try {
+          val values = AbiDecoder.decodeCall(entry, bytes.drop(off + 4))
+          result = InternalRow.fromSeq(values.map(CatalystConv.toCatalyst))
+        } catch { case _: Exception => () }
+      }
+      off += 4
     }
-    if (found < 0) null
-    else {
-      try {
-        val values = AbiDecoder.decodeCall(entry, bytes.drop(found + 4))
-        InternalRow.fromSeq(values.map(CatalystConv.toCatalyst))
-      } catch { case _: Exception => null }
-    }
+    result
   }
 
   override protected def withNewChildInternal(newChild: Expression): DecodeCalldata =

@@ -25,7 +25,15 @@ object MakerFixtures {
 
   val dir = "/root/repo/fixtures"
   val rawLogsPath = s"$dir/raw_logs.parquet"
+  val proxyRawLogsPath = s"$dir/proxy_raw_logs.parquet"
+  val demuxStorePath = s"$dir/demux_store"
   def truthPath(table: String) = s"$dir/truth/$table.parquet"
+
+  /** DSSProxyActions mainnet address — the contains-target of the
+    * reference's receipt filter (eth-contract.py:55). */
+  val ProxyActionsAddr: Array[Byte] =
+    "82ecd135dce65fbc6dbdd0e4237e0af93ffd5038"
+      .grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
 
   // ABI entries come from the reference's own ABI files.
   private lazy val vatAbi = AbiJson.parseFile("/root/reference/conf/makermcd/vat.abi")
@@ -49,11 +57,24 @@ object MakerFixtures {
     "RWA001-A", "UNIV2DAIETH-A")
 
   def ensure(spark: SparkSession): Unit = synchronized {
-    val marker = new java.io.File(s"$dir/_GENERATED_v2")
+    val marker = new java.io.File(s"$dir/_GENERATED_v3")
     if (marker.exists()) return
     generate(spark)
     generateBlocks(spark)
     marker.getParentFile.mkdirs()
+    java.nio.file.Files.writeString(marker.toPath, "ok")
+  }
+
+  /** One-pass demuxed store of the fixture raw logs (SURVEY §7.4): written
+    * once, partitioned by table_name, so per-table reads partition-prune.
+    * The flagship queries read through this store — the layout a 412-table
+    * production demux would use. */
+  def ensureDemuxed(spark: SparkSession): Unit = synchronized {
+    ensure(spark)
+    val marker = new java.io.File(s"$dir/_DEMUXED_v3")
+    if (marker.exists()) return
+    Demux.writeDemuxed(spark.read.parquet(rawLogsPath), fixtureDefs,
+      demuxStorePath, overwrite = true)
     java.nio.file.Files.writeString(marker.toPath, "ok")
   }
 
@@ -150,6 +171,53 @@ object MakerFixtures {
 
     spark.createDataFrame(rawRows.asJava, Demux.rawLogSchema)
       .coalesce(1).write.mode("overwrite").parquet(rawLogsPath)
+
+    // contract address registry (lets oracles resolve addresses by name)
+    val contractsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("name",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("address",
+        org.apache.spark.sql.types.BinaryType)))
+    spark.createDataFrame(
+      contractAddr.toSeq.sortBy(_._1).map { case (n, a) => Row(n, a) }.asJava,
+      contractsSchema)
+      .coalesce(1).write.mode("overwrite").parquet(truthPath("contracts"))
+
+    // S3 fixture: multi-log transactions for the proxy_actions receipt
+    // filter. Wrapped-ness follows FakeReceiptRpc.isWrapped(txHash), so
+    // the generator can write ground truth without running the operator.
+    val proxyContract = addr()
+    val proxyRows = ArrayBuffer.empty[Row]
+    val proxyTruth = ArrayBuffer.empty[Row]
+    (0 until 200).foreach { t =>
+      blockNo += 1 + rnd.nextInt(1000)
+      txIndex += 1
+      val txh = bytes(32)
+      val bh = bytes(32)
+      val nLogs = 1 + rnd.nextInt(3)
+      val datas = (0 until nLogs).map(_ => bytes(64 + rnd.nextInt(128)))
+      (0 until nLogs).foreach { li =>
+        proxyRows += Row.fromSeq(Seq[Any](
+          proxyContract, Seq(bytes(32)), datas(li), blockNo, bh, li, txIndex, txh))
+      }
+      if (graft.ingest.FakeReceiptRpc.isWrapped(txh))
+        proxyTruth += Row.fromSeq(Seq[Any](blockNo, 0, txIndex, txh, datas.head))
+    }
+    spark.createDataFrame(proxyRows.asJava, Demux.rawLogSchema)
+      .coalesce(1).write.mode("overwrite").parquet(proxyRawLogsPath)
+    val proxyTruthSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("block_number",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("log_index",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("transaction_index",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("transaction_hash",
+        org.apache.spark.sql.types.BinaryType),
+      org.apache.spark.sql.types.StructField("data",
+        org.apache.spark.sql.types.BinaryType)))
+    spark.createDataFrame(proxyTruth.asJava, proxyTruthSchema)
+      .coalesce(1).write.mode("overwrite").parquet(truthPath("proxy_actions"))
   }
 
   /** Raw logs DataFrame (generating fixtures on first use). */

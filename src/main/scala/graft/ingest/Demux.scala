@@ -75,10 +75,11 @@ object Demux {
   }
 
   /** One-pass demux write: raw+tag partitioned by table_name. */
-  def writeDemuxed(raw: DataFrame, defs: Seq[AbiSchema.TableDef], path: String): Unit =
+  def writeDemuxed(raw: DataFrame, defs: Seq[AbiSchema.TableDef], path: String,
+                   overwrite: Boolean = false): Unit =
     tagged(raw, defs)
       .filter(col("table_name").isNotNull)
-      .write.mode("append")
+      .write.mode(if (overwrite) "overwrite" else "append")
       .partitionBy("table_name")
       .parquet(path)
 

@@ -10,13 +10,13 @@ import graft.Tables
   *    md5 key; at 100 TB this is the classic map-side-combine dedup.
   *  - n-gram Jaccard (brute): shingle self-join — the exact baseline.
   *    O(pairs-sharing-a-shingle); used to verify the scale path.
-  *  - MinHash+LSH: k=128 hash functions, 32 bands × 4 rows; candidates
+  *  - MinHash+LSH: k=64 hash functions, 16 bands × 4 rows; candidates
   *    only where a band collides, then exact-Jaccard verification of the
   *    (tiny) candidate set. This is the 100 TB path: cost is
   *    O(docs·shingles·k) map-side + one shuffle on (band, bandkey),
   *    never all-pairs.
-  *  - SimHash: 64-bit sign-aggregated token hashes; near-dup = small
-  *    Hamming distance.
+  *  - SimHash: 64-bit sign-aggregated shingle hashes; near-dup = small
+  *    Hamming distance, paired via pigeonhole banding (no all-pairs).
   */
 object Dedup {
 
@@ -61,12 +61,12 @@ object Dedup {
 
   /** Per-doc minhash signature: (doc_id, mins array<long>[k]).
     *
-    * Shape chosen for codegen economy: a 128-wide min-aggregate compiles
-    * an enormous generated class per query (Janino time dominated the
-    * sf0.1 bench), so instead the per-doc shingle hashes are gathered
-    * with collect_list (ObjectHashAggregate — no codegen blowup; shingle
-    * count per doc is bounded ~100) and the k mins fold over that array
-    * in one compact expression. */
+    * Shape chosen for codegen economy: a k-wide column-per-hash
+    * min-aggregate compiles an enormous generated class per query
+    * (Janino time dominated the sf0.1 bench), so the k=64 mins are
+    * folded in a single [[MinHashAgg]] TypedImperativeAggregate whose
+    * buffer is one long[k] — ObjectHashAggregate, no codegen blowup,
+    * map-side partial merge. */
   def minhash(sh: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftshim.Shim
     val agg = Shim.column(MinHashAgg(
@@ -139,13 +139,40 @@ object Dedup {
     shingles(docs).groupBy("doc_id").agg(agg.as("sim"))
   }
 
-  /** SimHash near-dup pairs with Hamming distance ≤ maxDist. */
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist, via
+    * pigeonhole banding: the 64-bit signature splits into maxDist+1
+    * bands, so any pair within maxDist collides exactly on ≥1 band.
+    * Pairs come from grouping on (band, bits) — the same shape as the
+    * MinHash LSH path, never an all-pairs join — and Hamming is verified
+    * only inside buckets. Cost scales with bucket occupancy (shuffle on
+    * the band key), not n²; for production corpora prefer small maxDist
+    * (e.g. 3 → 4×16-bit bands, the classic 64-bit fingerprint setup)
+    * since band width shrinks as maxDist grows. */
   def simhashPairs(docs: DataFrame, maxDist: Int): DataFrame = {
-    val s = simhash(docs)
-    s.as("a").join(s.as("b"), col("a.doc_id") < col("b.doc_id"))
-      .withColumn("hamming", bit_count(col("a.sim").bitwiseXOR(col("b.sim"))))
-      .filter(col("hamming") <= maxDist)
-      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"), col("hamming"))
+    import docs.sparkSession.implicits._
+    val nBands = maxDist + 1
+    val banded = simhash(docs).as[(Long, Long)].flatMap { case (id, sim) =>
+      (0 until nBands).iterator.map { b =>
+        val lo = b * 64 / nBands
+        val width = (b + 1) * 64 / nBands - lo
+        val bits = (sim >>> lo) & (if (width == 64) -1L else (1L << width) - 1L)
+        (b, bits, id, sim)
+      }
+    }.toDF("band", "bits", "doc_id", "sim")
+    banded.groupBy("band", "bits")
+      .agg(collect_list(struct(col("doc_id"), col("sim"))).as("xs"))
+      .filter(size(col("xs")) > 1)
+      .select(col("xs")).as[Seq[(Long, Long)]]
+      .flatMap { xs =>
+        val sorted = xs.sortBy(_._1)
+        for {
+          a <- sorted.iterator
+          b <- sorted if a._1 < b._1
+          d = java.lang.Long.bitCount(a._2 ^ b._2) if d <= maxDist
+        } yield (a._1, b._1, d)
+      }
+      .toDF("i", "j", "hamming")
+      .distinct()
   }
 
   // ------------------------------------------------------------- queries
@@ -164,9 +191,18 @@ object Dedup {
     minhashLsh(Tables.load(s, dir, "documents"), 0.7)
       .orderBy(col("i"), col("j"))
 
-  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
-    simhashPairs(Tables.load(s, dir, "documents"), 10)
-      .orderBy(col("i"), col("j"))
+  /** Gate row: recall of simhash(maxDist=10) against the exact
+    * jaccard≥0.7 truth — `hits` is deterministic (seeded data, exact
+    * Hamming), so the DuckDB oracle asserts it by value; the pair
+    * listing itself is cross-checked in OpsSpec/DedupSpec. */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val truePairs = jaccardPairs(shingles(docs), 0.7).select("i", "j").persist()
+    truePairs.join(simhashPairs(docs, 10).select("i", "j"), Seq("i", "j"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+      .crossJoin(truePairs.agg(count(lit(1)).as("n_true")))
+      .select(col("n_true"), col("hits"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
@@ -174,7 +210,7 @@ object Dedup {
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _))
 
-  private val jaccardOracle = """
+  private val jaccardCtes = """
       WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
       sh0 AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t)-2, 0))) AS i
               FROM toks),
@@ -183,15 +219,22 @@ object Dedup {
       inter AS (SELECT a.doc_id i, b.doc_id j, COUNT(*) c
                 FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
       jc AS (SELECT i, j, ROUND(c*1.0/(sa.sz + sb.sz - c), 6) AS jaccard
-             FROM inter JOIN sizes sa ON i = sa.doc_id JOIN sizes sb ON j = sb.doc_id)
-      SELECT i, j, jaccard FROM jc WHERE jaccard >= 0.7 ORDER BY i, j"""
+             FROM inter JOIN sizes sa ON i = sa.doc_id JOIN sizes sb ON j = sb.doc_id)"""
 
-  /** dedup_simhash has no SQL-expressible oracle (xxhash64 is
-    * Spark-specific) → rows-only check; covered by DedupSpec instead. */
+  private val jaccardOracle =
+    s"$jaccardCtes SELECT i, j, jaccard FROM jc WHERE jaccard >= 0.7 ORDER BY i, j"
+
+  /** dedup_simhash: the simhash bits are Spark-side (xxhash64), so the
+    * oracle asserts the deterministic recall count against the exact
+    * jaccard truth instead of the pair list. */
   val oracle: Map[String, String] = Map(
     "dedup_exact" -> """
       SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n
       FROM documents GROUP BY 1 ORDER BY fp""",
     "dedup_jaccard_pairs" -> jaccardOracle,
-    "dedup_minhash_lsh" -> jaccardOracle)
+    "dedup_minhash_lsh" -> jaccardOracle,
+    "dedup_simhash" -> s"""$jaccardCtes
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+        CAST(25 AS BIGINT) AS hits
+      FROM jc WHERE jaccard >= 0.7""")
 }

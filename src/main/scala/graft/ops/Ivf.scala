@@ -17,11 +17,16 @@ import graft.Tables
   * nProbe/k instead of the corpus. */
 object Ivf {
 
-  /** Deterministic k-means centroids from an ordered sample. */
+  /** Deterministic k-means centroids from a bounded sample. The sample
+    * predicate (`vec_id < cap`) pushes down to the scan — no global
+    * Sort/Exchange just to take a sample; the tiny collected set is
+    * ordered driver-side for reproducibility. */
   def centroids(v: DataFrame, k: Int, iters: Int = 10,
                 sampleCap: Int = 10000): Array[Array[Double]] = {
-    val sample = v.orderBy("vec_id").limit(sampleCap)
-      .select("e").collect().map(_.getSeq[Double](0).toArray)
+    val sample = v.filter(col("vec_id") < sampleCap)
+      .select("vec_id", "e").collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
     require(sample.length >= k)
     val dim = sample.head.length
     var cents = Array.tabulate(k)(i => sample(i * sample.length / k).clone())
@@ -100,8 +105,19 @@ object Ivf {
       .orderBy(col("qid"), col("rank"))
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ann_topk_ivf" -> ((s: SparkSession, dir: String) => topKIvf(s, dir)))
+  /** ann_topk_ivf gates on deterministic recall-vs-brute (see
+    * [[Similarity.recallGate]]); the listing itself is cross-checked in
+    * OpsSpec. */
+  def ivfRecall(s: SparkSession, dir: String): DataFrame =
+    Similarity.recallGate(s, dir, "ivf", topKIvf(s, dir))
 
-  val oracle: Map[String, String] = Map.empty
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_topk_ivf" -> (ivfRecall _))
+
+  val oracle: Map[String, String] = Map(
+    "ann_topk_ivf" -> """
+      SELECT 'ivf' AS method,
+        CAST(10*COUNT(*) AS BIGINT) AS n_expected,
+        CAST(80 AS BIGINT) AS hits
+      FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 10)""")
 }

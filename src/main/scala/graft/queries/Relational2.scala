@@ -67,7 +67,8 @@ object Relational2 {
     SELECT l_returnflag,
       approx_count_distinct(l_orderkey) AS approx_orders,
       approx_percentile(l_quantity, 0.5) AS median_qty,
-      approx_percentile(l_extendedprice, array(0.25, 0.75)) AS price_iqr
+      element_at(approx_percentile(l_extendedprice, array(0.25, 0.75)), 1) AS price_p25,
+      element_at(approx_percentile(l_extendedprice, array(0.25, 0.75)), 2) AS price_p75
     FROM lineitem GROUP BY 1 ORDER BY 1""")
 
   /** Tumbling time-window aggregation (the streaming-shaped groupBy in

@@ -1,0 +1,174 @@
+package graft.sources
+
+import java.util
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import graft.ingest.{Demux, LogRpc, LogSource, RawLog}
+
+/** DataSourceV2 log source (S2) with address + block-range pushdown and
+  * adaptive partition sizing (S12).
+  *
+  * `spark.read.format("graft.sources.LogSourceV2")
+  *    .option("from", a).option("to", b).load()`
+  * exposes the raw-log table ([[Demux.rawLogSchema]]). Predicates on
+  * `block_number` (range) and `address` (equality) are pushed into the
+  * scan — the DSv2 equivalent of the reference's server-side
+  * `eth_getLogs{fromBlock,toBlock,address}` windowing
+  * (eth-contract.py:61-63); [[Demux]] consumes the result unchanged.
+  *
+  * Partition planning mirrors the reference's adaptive blocksStep rules
+  * (eth-contract.py:132-143): the step halves when a chunk's estimated
+  * log count exceeds the provider limit (README.md:85's <10k logs/call),
+  * doubles after an empty chunk, and shrinks ÷1.3 after a busy one — so
+  * partition boundaries track log density and no single task fetches an
+  * unbounded chunk. Estimates come from [[LogRpc.estimateLogs]];
+  * deterministic, so plans are stable across runs.
+  *
+  * The RPC here is a deterministic replay of a raw-log parquet (option
+  * "path") — this environment is zero-egress; a JSON-RPC implementation
+  * drops in behind [[LogRpc]] without touching the planning code.
+  */
+class LogSourceV2 extends TableProvider {
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    Demux.rawLogSchema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new LogsTable(
+      properties.getOrDefault("path", "/root/repo/fixtures/raw_logs.parquet"),
+      properties.getOrDefault("from", "0").toLong,
+      properties.getOrDefault("to", "0").toLong,
+      properties.getOrDefault("blocksStep", "100000").toLong,
+      properties.getOrDefault("maxLogsPerCall", "10000").toLong)
+}
+
+private class LogsTable(path: String, from: Long, to: Long,
+                        blocksStep: Long, maxLogs: Long)
+  extends Table with SupportsRead {
+  override def name(): String = s"logs[$from,$to]"
+  override def schema(): StructType = Demux.rawLogSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new LogsScanBuilder(path, from, to, blocksStep, maxLogs)
+}
+
+private class LogsScanBuilder(path: String, from: Long, to: Long,
+                              blocksStep: Long, maxLogs: Long)
+  extends ScanBuilder with SupportsPushDownFilters {
+
+  private var lo = from
+  private var hi = to
+  private var address: Option[Array[Byte]] = None
+  private var pushed = Array.empty[Filter]
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case GreaterThanOrEqual("block_number", _: Long) => true
+      case GreaterThan("block_number", _: Long) => true
+      case LessThanOrEqual("block_number", _: Long) => true
+      case LessThan("block_number", _: Long) => true
+      case EqualTo("block_number", _: Long) => true
+      case EqualTo("address", _: Array[Byte]) => true
+      case _ => false
+    }
+    accepted.foreach {
+      case GreaterThanOrEqual("block_number", v: Long) => lo = math.max(lo, v)
+      case GreaterThan("block_number", v: Long) => lo = math.max(lo, v + 1)
+      case LessThanOrEqual("block_number", v: Long) => hi = math.min(hi, v)
+      case LessThan("block_number", v: Long) => hi = math.min(hi, v - 1)
+      case EqualTo("block_number", v: Long) => lo = math.max(lo, v); hi = math.min(hi, v)
+      case EqualTo("address", v: Array[Byte]) => address = Some(v)
+      case _ =>
+    }
+    pushed = accepted
+    rejected // Spark re-applies anything we didn't accept
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = {
+    // driver-side: materialize the replay corpus once per scan
+    val rpc = LogSource.replayFromParquet(SparkSession.active, path)
+    new LogsScan(rpc, lo, hi, address, blocksStep, maxLogs)
+  }
+}
+
+private class LogsScan(rpc: LogRpc, lo: Long, hi: Long,
+                       address: Option[Array[Byte]],
+                       blocksStep: Long, maxLogs: Long) extends Scan with Batch {
+  override def readSchema(): StructType = Demux.rawLogSchema
+  override def description(): String =
+    s"graft logs range=[$lo,$hi] address=${address.map(_ => "pushed").getOrElse("*")}"
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    LogPlanning.plan(rpc, lo, hi, address, blocksStep, maxLogs)
+      .map { case (s, e) => LogRangePartition(s, e): InputPartition }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LogsReaderFactory(rpc, address)
+}
+
+/** Adaptive chunking — the planning-time form of eth-contract.py:132-143's
+  * runtime rules: ÷2 while a chunk's estimate is over the per-call limit,
+  * ×2 after an empty chunk, ÷1.3 after a busy one. Partition boundaries
+  * thus track log density: dense eras split fine, empty eras coalesce.
+  *
+  * One deliberate divergence: the reference shrinks on >50 rows — an
+  * INSERT-batch-size concern that would drive the step to 1 in any long
+  * dense era. Planning shrinks only above maxLogs/2, so steps settle
+  * where each partition carries about half the per-call budget. */
+object LogPlanning {
+  def plan(rpc: LogRpc, lo: Long, hi: Long, address: Option[Array[Byte]],
+           blocksStep: Long, maxLogs: Long): Seq[(Long, Long)] = {
+    if (hi < lo) return Nil
+    val parts = ArrayBuffer.empty[(Long, Long)]
+    var cur = lo
+    var step = math.max(1L, blocksStep)
+    while (cur <= hi) {
+      var end = math.min(cur + step - 1, hi)
+      var est = rpc.estimateLogs(cur, end, address)
+      while (est > maxLogs && step > 1) {
+        step = math.max(1L, step / 2)
+        end = math.min(cur + step - 1, hi)
+        est = rpc.estimateLogs(cur, end, address)
+      }
+      parts += ((cur, end))
+      cur = end + 1
+      if (est == 0) step = step * 2
+      else if (est > maxLogs / 2) step = math.max(1L, (step / 1.3).toLong)
+    }
+    parts.toSeq
+  }
+}
+
+private case class LogRangePartition(start: Long, end: Long) extends InputPartition
+
+private class LogsReaderFactory(rpc: LogRpc, address: Option[Array[Byte]])
+  extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[LogRangePartition]
+    new PartitionReader[InternalRow] {
+      private val it = rpc.getLogs(part.start, part.end, address)
+      private var cur: RawLog = _
+      override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
+      override def get(): InternalRow = toRow(cur)
+      override def close(): Unit = ()
+      private def toRow(l: RawLog): InternalRow =
+        InternalRow(l.address, new GenericArrayData(l.topics.toArray[Any]),
+          l.data, l.block_number, l.block_hash, l.log_index,
+          l.transaction_index, l.transaction_hash)
+    }
+  }
+}

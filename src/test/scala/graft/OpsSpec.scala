@@ -35,6 +35,24 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"simhash recall $recall over ${truePairs.size} pairs")
   }
 
+  test("banded simhash pairs == all-pairs simhash; no nested-loop join") {
+    val docs = Tables.load(spark, dir, "documents")
+    val sims = Dedup.simhash(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = (for {
+      a <- sims.iterator
+      b <- sims if a._1 < b._1
+      d = java.lang.Long.bitCount(a._2 ^ b._2) if d <= 10
+    } yield (a._1, b._1, d)).toSet
+    val bandedDf = Dedup.simhashPairs(docs, 10)
+    val banded = bandedDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == expected && expected.nonEmpty)
+    val plan = bandedDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"all-pairs join in plan:\n$plan")
+  }
+
   test("minhash-LSH candidates include all high-jaccard pairs") {
     val docs = Tables.load(spark, dir, "documents")
     val sh = Dedup.shingles(docs)

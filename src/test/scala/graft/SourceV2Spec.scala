@@ -37,4 +37,65 @@ class SourceV2Spec extends AnyFunSuite {
     val df = blocks(0, 1000).filter(col("block_number") > 5000)
     assert(df.count() == 0)
   }
+
+  // ------------------------------------------------------------ log source
+
+  private def logs(from: Long, to: Long) = {
+    graft.fixtures.MakerFixtures.ensure(spark)
+    spark.read.format("graft.sources.LogSourceV2")
+      .option("path", graft.fixtures.MakerFixtures.rawLogsPath)
+      .option("from", from).option("to", to)
+      .option("blocksStep", 100000L)
+      .load()
+  }
+
+  test("DSv2 log source reads the configured range and matches the parquet") {
+    val lo = 8928160L
+    val hi = 20000000L
+    val df = logs(lo, hi)
+    val expected = spark.read.parquet(graft.fixtures.MakerFixtures.rawLogsPath)
+      .filter(col("block_number").between(lo, hi)).count()
+    assert(df.count() == expected && expected > 1000)
+  }
+
+  test("log source pushes block range and address equality into the scan") {
+    val vatAddr = spark.read
+      .parquet(graft.fixtures.MakerFixtures.truthPath("contracts"))
+      .filter(col("name") === "vat").head().getAs[Array[Byte]]("address")
+    val df = logs(0, 20000000L)
+      .filter(col("address") === lit(vatAddr))
+      .filter(col("block_number") >= 9000000L && col("block_number") < 9500000L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("range=[9000000,9499999]"), s"no range pushdown in:\n$plan")
+    assert(plan.contains("address=pushed"), s"no address pushdown in:\n$plan")
+    // all rows really are vat rows in range (the fake applies the pushed
+    // filters server-side; Spark re-applies them too — same result)
+    val expected = spark.read.parquet(graft.fixtures.MakerFixtures.rawLogsPath)
+      .filter(col("address") === lit(vatAddr) &&
+        col("block_number") >= 9000000L && col("block_number") < 9500000L)
+      .count()
+    assert(df.count() == expected && expected > 0)
+  }
+
+  test("adaptive partition planning responds to log density (S12)") {
+    import graft.ingest.{LogRpc, RawLog}
+    // synthetic density: blocks < 1M are dense (1 log/block), rest empty
+    class DensityRpc extends LogRpc {
+      override def getLogs(from: Long, to: Long, address: Option[Array[Byte]]) =
+        Iterator.empty
+      override def estimateLogs(from: Long, to: Long, address: Option[Array[Byte]]): Long =
+        math.max(0L, math.min(to, 999999L) - from + 1)
+    }
+    // call the planner directly (the scan class is private → go through
+    // the public planning rules by constructing partitions over the rpc)
+    val parts = graft.sources.LogPlanning.plan(new DensityRpc, 0L, 2000000L,
+      None, blocksStep = 100000L, maxLogs = 10000L)
+    val dense = parts.filter(_._1 < 1000000L)
+    val sparse = parts.filter(_._1 >= 1000000L)
+    // dense region: chunks shrink to ≤ maxLogs blocks (10k at 1 log/block)
+    assert(dense.forall { case (s, e) => e - s + 1 <= 10000 })
+    assert(dense.size > 50, s"dense region should split into many partitions, got ${dense.size}")
+    // sparse region: step doubles → few, growing partitions
+    assert(sparse.size < 10, s"sparse region should coalesce, got ${sparse.size}")
+  }
 }
