@@ -1,0 +1,41 @@
+package graft.ingest
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.abi.AbiSchema
+import graft.sources.LogPlanning
+
+/** EP1 (eth-contract.py:77-146) as one Spark job: resume watermark over
+  * the demux store → adaptive range planning → partition-parallel log
+  * fetch → one-pass demux append. The reference's single-threaded
+  * chunk-loop becomes: plan ranges once on the driver (density-adaptive,
+  * [[LogPlanning]]), fetch+decode-tag in parallel tasks, append
+  * partitioned by table_name.
+  *
+  * Incremental semantics match the reference: resume from
+  * max(block_number)+1 over what's already stored, else creationBlock
+  * (classes.py:41-46); re-running at an unchanged chain head is a no-op,
+  * so the job is idempotent at block granularity.
+  */
+object IngestJob {
+
+  /** Run one ingest pass; returns rows appended to the store. */
+  def run(spark: SparkSession, rpc: LogRpc, defs: Seq[AbiSchema.TableDef],
+          address: Option[Array[Byte]], storePath: String,
+          creationBlock: Long, chainHead: Long,
+          blocksStep: Long = 10000L, maxLogs: Long = 10000L): Long = {
+    val from = Writer.nextBlock(spark, Seq(storePath), creationBlock)
+    if (from > chainHead) return 0L
+    val ranges = LogPlanning.plan(rpc, from, chainHead, address, blocksStep, maxLogs)
+    import spark.implicits._
+    val raw = spark.createDataset(ranges)
+      .repartition(math.max(1, math.min(ranges.size,
+        spark.sparkContext.defaultParallelism)))
+      .flatMap { case (lo, hi) => rpc.getLogs(lo, hi, address) }
+      .toDF()
+      .select(Demux.rawLogSchema.fieldNames.map(col).toSeq: _*)
+    Demux.writeDemuxed(raw, defs, storePath)
+    try spark.read.parquet(storePath).filter(col("block_number") >= from).count()
+    catch { case _: Exception => 0L } // nothing tagged → store may not exist yet
+  }
+}

@@ -317,7 +317,26 @@ object MakerDw {
       .orderBy(col("block_number"))
   }
 
+  /** As-of join gate: each vat.fold event picks up the latest preceding
+    * vat.frob state of its ilk (union+window LOCF — one shuffle on ilk,
+    * no range join; ops/AsofJoin.scala). Oracle is DuckDB's native
+    * ASOF LEFT JOIN over the truth tables. */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.AsofJoin
+    val fold = decoded(s, "vat_call_fold").withColumnRenamed("i", "ilk")
+    val frobs = decoded(s, "vat_call_frob")
+      .select(col("i").as("ilk"), col("block_number"),
+        (col("dart").cast("double") / 1e18).as("dart_wad"))
+    AsofJoin.leftAsof(fold, frobs, "ilk", "block_number", Seq("dart_wad"))
+      .select(col("block_number"), col("transaction_index"),
+        GraftFunctions.bytes32ToAscii(col("ilk")).as("ilk_name"),
+        (col("rate").cast("double") / 1e27).as("rate_ray"),
+        col("asof.dart_wad").as("last_dart_wad"))
+      .orderBy(col("block_number"), col("transaction_index"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_asof_join" -> (asofJoin _),
     "logs_dsv2_range" -> (logsDsv2Range _),
     "proxy_actions_filter" -> (proxyActionsFilter _),
     "blocks_dsv2_range" -> (blocksDsv2Range _),
@@ -419,6 +438,15 @@ object MakerDw {
     Map("assets_per_type_dsl" -> oracleAssetsSql)
 
   val oracle: Map[String, String] = assetsOracleAlias ++ Map(
+    "q28_asof_join" -> s"""
+      SELECT f.block_number, f.transaction_index,
+        replace(decode(f.i), chr(0), '') AS ilk_name,
+        CAST(f.rate AS DOUBLE)/1e27 AS rate_ray,
+        CAST(b.dart AS DOUBLE)/1e18 AS last_dart_wad
+      FROM ${truthFrom("vat_call_fold")} f
+      ASOF LEFT JOIN ${truthFrom("vat_call_frob")} b
+        ON f.i = b.i AND f.block_number >= b.block_number
+      ORDER BY f.block_number, f.transaction_index""",
     "logs_dsv2_range" -> s"""
       SELECT CAST(block_number // 100000 AS INT) AS bucket,
         COUNT(*) AS n,

@@ -269,3 +269,47 @@ class AbiDecoderSpec extends AnyFunSuite {
     all.foreach(d => assert(d.dispatchKey.length == (if (d.isEvent) 32 else 4)))
   }
 }
+
+/** ABI fetch-and-cache layer (reference functions.py:20-37). */
+class AbiFetchSpec extends AnyFunSuite {
+  import graft.abi.{AbiCache, MapAbiFetcher}
+
+  private val jugText =
+    java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/root/reference/conf/makermcd/jug.abi"))
+
+  test("cache miss fetches, writes through, and parses") {
+    val tmp = java.nio.file.Files.createTempDirectory("abicache").toString
+    val fetcher = new MapAbiFetcher(Map("19c0976f590d67707e62397c87829d896dc0f1f1" -> jugText))
+    val cache = new AbiCache(tmp, fetcher)
+    val parsed = cache.abi("makermcd", "jug", "19c0976f590d67707e62397c87829d896dc0f1f1")
+    assert(parsed.nonEmpty && fetcher.calls == 1)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(tmp, "makermcd", "jug.abi")))
+  }
+
+  test("cache hit never touches the fetcher") {
+    val tmp = java.nio.file.Files.createTempDirectory("abicache").toString
+    val fetcher = new MapAbiFetcher(Map("19c0976f590d67707e62397c87829d896dc0f1f1" -> jugText))
+    val cache = new AbiCache(tmp, fetcher)
+    val a = cache.abi("makermcd", "jug", "19c0976f590d67707e62397c87829d896dc0f1f1")
+    val b = cache.abi("makermcd", "jug", "19c0976f590d67707e62397c87829d896dc0f1f1")
+    assert(fetcher.calls == 1 && a == b)
+  }
+
+  test("pre-seeded reference cache dir (python-repr dialect) reads without fetch") {
+    // the reference's own conf tree IS a cache directory in its dialect
+    val fetcher = new MapAbiFetcher(Map.empty)
+    val cache = new AbiCache("/root/reference/conf", fetcher)
+    val vat = cache.abi("makermcd", "vat", "deadbeef")
+    assert(vat.exists(_.name == "frob") && fetcher.calls == 0)
+  }
+
+  test("bad fetched text is not cached") {
+    val tmp = java.nio.file.Files.createTempDirectory("abicache").toString
+    val fetcher = new MapAbiFetcher(Map("00" -> "not json at all {"))
+    val cache = new AbiCache(tmp, fetcher)
+    intercept[Exception] { cache.abi("s", "c", "00") }
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(tmp, "s", "c.abi")))
+  }
+}

@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.AsofJoin
+
+class AsofJoinSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("picks the latest right row at or before each left time, per key") {
+    val left = Seq(("a", 5L, "l1"), ("a", 10L, "l2"), ("a", 20L, "l3"),
+      ("b", 7L, "l4"), ("c", 9L, "l5"))
+      .toDF("k", "t", "payload")
+    val right = Seq(("a", 5L, 50), ("a", 10L, 100), ("a", 15L, 150),
+      ("b", 8L, 800))
+      .toDF("k", "t", "v")
+    val out = AsofJoin.leftAsof(left, right, "k", "t", Seq("v"))
+      .select(col("payload"), col("asof.v"))
+      .collect().map(r => (r.getString(0), if (r.isNullAt(1)) -1 else r.getInt(1)))
+      .toMap
+    assert(out == Map(
+      "l1" -> 50,   // equal time is visible (<= semantics)
+      "l2" -> 100,  // latest of 50/100
+      "l3" -> 150,  // right updates after left's previous row applied
+      "l4" -> -1,   // right row exists but only after left time
+      "l5" -> -1))  // key never seen on the right
+  }
+
+  test("plan is a windowed union — no nested-loop or range join") {
+    val left = Seq(("a", 5L, 1)).toDF("k", "t", "x")
+    val right = Seq(("a", 4L, 2)).toDF("k", "t", "v")
+    val plan = AsofJoin.leftAsof(left, right, "k", "t", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct") && plan.contains("Window"))
+  }
+}
