@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -49,22 +50,23 @@ class LogSourceV2 extends TableProvider {
       properties.getOrDefault("from", "0").toLong,
       properties.getOrDefault("to", "0").toLong,
       properties.getOrDefault("blocksStep", "100000").toLong,
-      properties.getOrDefault("maxLogsPerCall", "10000").toLong)
+      properties.getOrDefault("maxLogsPerCall", "10000").toLong,
+      properties.getOrDefault("blocksPerBatch", "1000000").toLong)
 }
 
 private class LogsTable(path: String, from: Long, to: Long,
-                        blocksStep: Long, maxLogs: Long)
+                        blocksStep: Long, maxLogs: Long, blocksPerBatch: Long)
   extends Table with SupportsRead {
   override def name(): String = s"logs[$from,$to]"
   override def schema(): StructType = Demux.rawLogSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new LogsScanBuilder(path, from, to, blocksStep, maxLogs)
+    new LogsScanBuilder(path, from, to, blocksStep, maxLogs, blocksPerBatch)
 }
 
 private class LogsScanBuilder(path: String, from: Long, to: Long,
-                              blocksStep: Long, maxLogs: Long)
+                              blocksStep: Long, maxLogs: Long, blocksPerBatch: Long)
   extends ScanBuilder with SupportsPushDownFilters {
 
   private var lo = from
@@ -100,13 +102,14 @@ private class LogsScanBuilder(path: String, from: Long, to: Long,
   override def build(): Scan = {
     // driver-side: materialize the replay corpus once per scan
     val rpc = LogSource.replayFromParquet(SparkSession.active, path)
-    new LogsScan(rpc, lo, hi, address, blocksStep, maxLogs)
+    new LogsScan(rpc, lo, hi, address, blocksStep, maxLogs, blocksPerBatch)
   }
 }
 
 private class LogsScan(rpc: LogRpc, lo: Long, hi: Long,
                        address: Option[Array[Byte]],
-                       blocksStep: Long, maxLogs: Long) extends Scan with Batch {
+                       blocksStep: Long, maxLogs: Long,
+                       blocksPerBatch: Long) extends Scan with Batch {
   override def readSchema(): StructType = Demux.rawLogSchema
   override def description(): String =
     s"graft logs range=[$lo,$hi] address=${address.map(_ => "pushed").getOrElse("*")}"
@@ -118,6 +121,46 @@ private class LogsScan(rpc: LogRpc, lo: Long, hi: Long,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new LogsReaderFactory(rpc, address)
+
+  /** Chain-following: the same source streams — offsets are block
+    * numbers, each micro-batch covers at most blocksPerBatch new blocks
+    * (the streaming form of the reference's poll loop,
+    * eth-contract.py:77), and batch partitioning reuses the adaptive
+    * density planner. */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new LogsMicroBatchStream(rpc, lo, hi, address, blocksStep, maxLogs, blocksPerBatch)
+}
+
+private case class BlockOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+private class LogsMicroBatchStream(rpc: LogRpc, lo: Long, hi: Long,
+                                   address: Option[Array[Byte]],
+                                   blocksStep: Long, maxLogs: Long,
+                                   perBatch: Long) extends MicroBatchStream {
+  private var last: Long = lo - 1
+
+  override def initialOffset(): Offset = BlockOffset(lo - 1)
+
+  override def latestOffset(): Offset = {
+    last = math.min(hi, last + math.max(1L, perBatch))
+    BlockOffset(last)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[BlockOffset].n + 1
+    val e = end.asInstanceOf[BlockOffset].n
+    last = math.max(last, e) // restart safety: never re-announce old blocks
+    LogPlanning.plan(rpc, s, e, address, blocksStep, maxLogs)
+      .map { case (a, b) => LogRangePartition(a, b): InputPartition }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LogsReaderFactory(rpc, address)
+  override def deserializeOffset(json: String): Offset = BlockOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 /** Adaptive chunking — the planning-time form of eth-contract.py:132-143's

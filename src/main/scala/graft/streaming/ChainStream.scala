@@ -20,6 +20,18 @@ object ChainStream {
   def rawLogStream(spark: SparkSession, path: String): DataFrame =
     spark.readStream.schema(Demux.rawLogSchema).parquet(path)
 
+  /** Chain-following via the DSv2 log source's MicroBatchStream: offsets
+    * are block numbers, each trigger covers ≤ blocksPerBatch new blocks,
+    * partitioned by the adaptive density planner — the same source serves
+    * batch and streaming. */
+  def rawLogStreamV2(spark: SparkSession, path: String, from: Long, to: Long,
+                     blocksPerBatch: Long = 1000000L): DataFrame =
+    spark.readStream.format("graft.sources.LogSourceV2")
+      .option("path", path)
+      .option("from", from).option("to", to)
+      .option("blocksPerBatch", blocksPerBatch)
+      .load()
+
   /** Decoded per-table stream — same code path as batch. */
   def decodedTable(rawStream: DataFrame, d: AbiSchema.TableDef): DataFrame =
     Demux.table(rawStream, d)

@@ -4,14 +4,9 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions.{col, expr}
 import graft.fixtures.MakerFixtures
-import graft.ingest.Demux
+import graft.ingest.{Demux, RawLog}
 import graft.streaming.ChainStream
 import graft.ops.Multimodal
-
-final case class RawLog(address: Array[Byte], topics: Seq[Array[Byte]],
-                        data: Array[Byte], block_number: Long,
-                        block_hash: Array[Byte], log_index: Int,
-                        transaction_index: Int, transaction_hash: Array[Byte])
 
 class StreamingSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
@@ -38,6 +33,26 @@ class StreamingSpec extends AnyFunSuite {
     val batch = Demux.table(spark.read.parquet(MakerFixtures.rawLogsPath), frobDef).count()
     assert(streamed == batch)
     assert(batch == 800)
+  }
+
+  test("DSv2 log source streams the chain in block-range micro-batches") {
+    MakerFixtures.ensure(spark)
+    val frobDef = MakerFixtures.tableDef("vat_call_frob")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val stream = ChainStream.rawLogStreamV2(spark, MakerFixtures.rawLogsPath,
+      from = 8928160L, to = 20000000L, blocksPerBatch = 2000000L)
+    val q = ChainStream.decodedTable(stream, frobDef)
+      .writeStream.format("memory").queryName("frob_chain_stream")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    val streamed = spark.table("frob_chain_stream").count()
+    val batch = Demux.table(spark.read.parquet(MakerFixtures.rawLogsPath), frobDef).count()
+    assert(streamed == batch && batch == 800)
+    // the chain was really consumed incrementally, not as one batch
+    assert(batches > 1, s"expected multiple non-empty micro-batches, got $batches")
   }
 
   test("windowed volume with watermark emits bounded-state aggregates") {
