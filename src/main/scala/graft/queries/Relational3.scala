@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+
+/** Further engine-completeness operators (SURVEY §2.3 "categories NOT
+  * present" continued): grouping sets, exact interpolated percentiles,
+  * ordered string aggregation, pivot, correlated EXISTS, frame-bounded
+  * windows, and the rank family. Same determinism rules as Relational:
+  * decimal-cast sums, total ORDER BY, explicit casts to match DuckDB. */
+object Relational3 {
+
+  private def sql(s: SparkSession, dir: String, text: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(text)
+  }
+
+  def q29GroupingSets(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+    SELECT o_orderstatus, o_orderpriority,
+      CAST(grouping(o_orderstatus) AS INT) AS g_status,
+      CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                            (o_orderstatus, o_orderpriority), ())
+    ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
+             o_orderpriority NULLS FIRST""")
+
+  /** Exact linear-interpolated percentiles (vs q26's approximate sketch).
+    * Inputs go through DECIMAL(18,2) so both engines interpolate over
+    * identical doubles; result rounded to 6 dp. */
+  def q30PercentileCont(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+    SELECT o_orderstatus,
+      ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)), 6) AS p50,
+      ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)), 6) AS p90
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+
+  /** Deterministic string aggregation: distinct values, sorted, joined. */
+  def q31StringAgg(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+    SELECT o_orderstatus,
+      array_join(sort_array(collect_set(o_orderpriority)), '|') AS prios,
+      COUNT(DISTINCT o_orderpriority) AS n_prios
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+
+  /** Pivot: order counts per customer-key bucket × status. DataFrame
+    * `pivot()` with explicit values → stable column names. */
+  def q32Pivot(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.registerAll(s, dir)
+    s.table("orders")
+      .groupBy(expr("CAST(o_custkey div 100 AS INT)").as("bucket"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .select(col("bucket"),
+        coalesce(col("F"), lit(0L)).as("f_cnt"),
+        coalesce(col("O"), lit(0L)).as("o_cnt"),
+        coalesce(col("P"), lit(0L)).as("p_cnt"))
+      .orderBy(col("bucket"))
+  }
+
+  def q33ExistsSubquery(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    AND NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    ORDER BY c_custkey""")
+
+  /** Frame-bounded sliding window (ROWS BETWEEN): decimal-cast sum so
+    * DuckDB's segment-tree accumulation matches Spark's sequential one. */
+  def q34SlidingFrame(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+    SELECT user_id, event_id,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w3 AS DOUBLE) AS sliding_sum,
+      COUNT(*) OVER w3 AS frame_n
+    FROM events
+    WINDOW w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id""")
+
+  def q35RankFamily(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+    SELECT o_orderkey,
+      RANK() OVER w AS rnk,
+      DENSE_RANK() OVER w AS drnk,
+      NTILE(4) OVER w AS quartile,
+      ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+      ROUND(CUME_DIST() OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)
+    ORDER BY o_orderkey""")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_grouping_sets" -> (q29GroupingSets _),
+    "q30_percentile_cont" -> (q30PercentileCont _),
+    "q31_string_agg" -> (q31StringAgg _),
+    "q32_pivot" -> (q32Pivot _),
+    "q33_exists_subquery" -> (q33ExistsSubquery _),
+    "q34_sliding_frame" -> (q34SlidingFrame _),
+    "q35_rank_family" -> (q35RankFamily _))
+
+  val oracle: Map[String, String] = Map(
+    "q29_grouping_sets" -> """
+      SELECT o_orderstatus, o_orderpriority,
+        CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                              (o_orderstatus, o_orderpriority), ())
+      ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
+               o_orderpriority NULLS FIRST""",
+    "q30_percentile_cont" -> """
+      SELECT o_orderstatus,
+        ROUND(quantile_cont(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 0.5), 6) AS p50,
+        ROUND(quantile_cont(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 0.9), 6) AS p90
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q31_string_agg" -> """
+      SELECT o_orderstatus,
+        string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority) AS prios,
+        COUNT(DISTINCT o_orderpriority) AS n_prios
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q32_pivot" -> """
+      SELECT CAST(o_custkey // 100 AS INT) AS bucket,
+        COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+        COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+        COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
+      FROM orders GROUP BY 1 ORDER BY 1""",
+    "q33_exists_subquery" -> """
+      SELECT c_custkey, c_mktsegment FROM customer c
+      WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+      ORDER BY c_custkey""",
+    "q34_sliding_frame" -> """
+      SELECT user_id, event_id,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w3 AS DOUBLE) AS sliding_sum,
+        CAST(COUNT(*) OVER w3 AS BIGINT) AS frame_n
+      FROM events
+      WINDOW w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, event_id""",
+    "q35_rank_family" -> """
+      SELECT o_orderkey,
+        CAST(RANK() OVER w AS BIGINT) AS rnk,
+        CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+        CAST(NTILE(4) OVER w AS INT) AS quartile,
+        ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+        ROUND(CUME_DIST() OVER w, 6) AS cume
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)
+      ORDER BY o_orderkey""")
+}
