@@ -1,0 +1,40 @@
+package graft.codec
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Explode, Expression, ExpressionInfo, Sequence}
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, LogicalPlan, OneRowRelation}
+
+/** Config-driven registration (SURVEY §2's "registered via
+  * SparkSessionExtensions"): `--conf
+  * spark.sql.extensions=graft.codec.GraftExtensions` makes every graft
+  * SQL function (and the `generate_series` table function) available in
+  * all sessions of the application — no code call needed, the idiomatic
+  * deployment for a cluster-wide library. `GraftFunctions.register`
+  * remains for per-session programmatic use. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    val scalar: Seq[(String, Seq[Expression] => Expression)] = Seq(
+      "keccak256" -> (es => Keccak256(es.head)),
+      "bytes32_to_ascii" -> (es => Bytes32ToAscii(es.head)),
+      "checksum_address" -> (es => ChecksumAddress(es.head)),
+      "wad" -> (es => RescaleToDouble(es.head, 18)),
+      "ray" -> (es => RescaleToDouble(es.head, 27)),
+      "rad" -> (es => RescaleToDouble(es.head, 45)))
+    scalar.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info(name), builder))
+    }
+    val series: Seq[Expression] => LogicalPlan = { exprs =>
+      val step = if (exprs.size > 2) Some(exprs(2)) else None
+      Generate(Explode(new Sequence(exprs(0), exprs(1), step)),
+        unrequiredChildIndex = Nil, outer = false, qualifier = None,
+        generatorOutput = Nil, child = OneRowRelation())
+    }
+    ext.injectTableFunction(
+      (FunctionIdentifier("generate_series"), info("generate_series"), series))
+  }
+}

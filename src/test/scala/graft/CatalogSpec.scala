@@ -50,3 +50,36 @@ class CatalogSpec extends AnyFunSuite {
       "0xD1220A0cf47c7B9Be7A2E6BA89F429762e7b9aDb")
   }
 }
+
+/** Config-driven function registration via SparkSessionExtensions. */
+class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("spark.sql.extensions=graft.codec.GraftExtensions registers all functions") {
+    import org.apache.spark.sql.SparkSession
+    val base = TestSpark.spark // keep the shared context alive
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // the config route (spark.sql.extensions=graft.codec.GraftExtensions)
+      // only applies when the SparkContext is created; the shared test
+      // context already exists, so exercise the same injection hook via
+      // the builder
+      val s2 = SparkSession.builder().master("local[2]")
+        .withExtensions(new graft.codec.GraftExtensions())
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      val r = s2.sql("""
+        SELECT wad(CAST(1500000000000000000 AS DECIMAL(38,0))) AS w,
+               lower(hex(keccak256(CAST('' AS BINARY)))) AS h,
+               bytes32_to_ascii(CAST('ETH-A' AS BINARY)) AS ilk""").head()
+      assert(r.getDouble(0) == 1.5)
+      assert(r.getString(1).startsWith("c5d2460186f7")) // keccak256("")
+      assert(r.getString(2) == "ETH-A")
+      val series = s2.sql("SELECT * FROM generate_series(1, 9, 4)")
+        .collect().map(_.get(0).toString.toLong).toSeq
+      assert(series == Seq(1L, 5L, 9L))
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+}
