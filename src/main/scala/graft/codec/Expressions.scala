@@ -127,9 +127,14 @@ private[codec] object CatalystConv {
 /** abi_decode_event(topics, data) → struct of the event's params.
   * The ABI entry rides along as a JSON literal so the expression is
   * serializable to executors; parsed once per task (lazy).
-  * Reference semantics: eth_event.decode_log (eth-contract.py:122, S9). */
+  * Reference semantics: eth_event.decode_log (eth-contract.py:122, S9).
+  *
+  * Codegen emits a direct call into this instance (via a plan reference
+  * object) rather than falling back to interpreted evaluation — the
+  * decode stays inside whole-stage codegen, so scan+decode+project
+  * remain one generated loop. */
 case class DecodeEvent(entryJson: String, topics: Expression, data: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
   @transient private lazy val entry: AbiJson.Entry = AbiJson.parse(s"[$entryJson]").head
 
   override def left: Expression = topics
@@ -147,6 +152,15 @@ case class DecodeEvent(entryJson: String, topics: Expression, data: Expression)
     InternalRow.fromSeq(values.map(CatalystConv.toCatalyst))
   }
 
+  /** Generated-code entry point. */
+  def decode(topicsVal: ArrayData, dataVal: Array[Byte]): InternalRow =
+    nullSafeEval(topicsVal, dataVal).asInstanceOf[InternalRow]
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("decodeEvent", this, classOf[DecodeEvent].getName)
+    nullSafeCodeGen(ctx, ev, (t, d) => s"${ev.value} = $ref.decode($t, $d);")
+  }
+
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DecodeEvent =
     copy(topics = newLeft, data = newRight)
   override def prettyName: String = "abi_decode_event"
@@ -157,7 +171,7 @@ case class DecodeEvent(entryJson: String, topics: Expression, data: Expression)
   * word-aligned for proxy-wrapped payloads (S10, functions.py:119-149).
   * Returns null when the selector never matches. */
 case class DecodeCalldata(entryJson: String, data: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
   @transient private lazy val entry: AbiJson.Entry = AbiJson.parse(s"[$entryJson]").head
   @transient private lazy val selector: Seq[Byte] =
     Keccak.hash256(entry.signature).take(4).toSeq
@@ -187,6 +201,17 @@ case class DecodeCalldata(entryJson: String, data: Expression)
       off += 4
     }
     result
+  }
+
+  /** Generated-code entry point (null when no selector/decode matches). */
+  def decode(bytes: Array[Byte]): InternalRow =
+    nullSafeEval(bytes).asInstanceOf[InternalRow]
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("decodeCalldata", this, classOf[DecodeCalldata].getName)
+    nullSafeCodeGen(ctx, ev, d => s"""
+      ${ev.value} = $ref.decode($d);
+      ${ev.isNull} = (${ev.value} == null);""")
   }
 
   override protected def withNewChildInternal(newChild: Expression): DecodeCalldata =

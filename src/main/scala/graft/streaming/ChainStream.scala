@@ -36,6 +36,24 @@ object ChainStream {
   def decodedTable(rawStream: DataFrame, d: AbiSchema.TableDef): DataFrame =
     Demux.table(rawStream, d)
 
+  /** Streaming ingest: demux-tag and append each micro-batch to the
+    * partitioned store — the streaming form of IngestJob's one-pass
+    * write, closing the loop chain → store while queries read the same
+    * layout. Checkpointed offsets make delivery at-least-once per
+    * block range; ranges are disjoint across batches (block offsets), so
+    * a replayed batch can only re-append its own range — dedup on
+    * (block_number, log_index) at read or an overwriteRange on recovery
+    * restores exactly-once. */
+  def ingestStream(raw: DataFrame, defs: Seq[AbiSchema.TableDef],
+                   storePath: String, checkpoint: String)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    raw.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Demux.writeDemuxed(batch, defs, storePath)
+      }
+      .start()
+
   /** Per-window event volume with a watermark: block_number is mapped to
     * event time via a fixed 13 s/block clock (the fixture's FakeBlockRpc
     * clock), watermarked to bound state. */
