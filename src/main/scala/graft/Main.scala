@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.abi.{AbiCache, AbiSchema, MapAbiFetcher}
+import graft.catalog.Contracts
+import graft.ingest.{BlockSource, FakeBlockRpc, IngestJob, LogSource}
+
+/** CLI mirroring the reference's entry points:
+  *
+  *   graft.Main ingest <schema>.<contract> [confDir] [store] [rawLogs] [head]
+  *     ≙ `python eth-contract.py <schema>.<contract>` (eth-contract.py:12)
+  *   graft.Main blocks <from> <to> <out>
+  *     ≙ `python eth-blocks.py ethereum.transactions` (eth-blocks.py)
+  *
+  * Config and ABIs come from the same HOCON tree + ABI cache directory
+  * the reference uses (creationBlock / blocksStep respected). The fetch
+  * layer is the pluggable RPC seam: this zero-egress build wires the
+  * deterministic replay/fake RPCs; a JSON-RPC client drops in without
+  * touching this code. Dispatch is by topic0/selector (the engine's demux
+  * key) rather than per-address fetch loops, so one pass ingests every
+  * address of the contract.
+  */
+object Main {
+
+  /** Reuse a live session when embedded (tests, notebooks); own and stop
+    * one only when the CLI created it. */
+  private def session(): (SparkSession, Boolean) = {
+    val existing = SparkSession.getDefaultSession
+      .filterNot(_.sparkContext.isStopped)
+    existing match {
+      case Some(s) => (s, false)
+      case None =>
+        val s = SparkSession.builder()
+          .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+          .config("spark.sql.shuffle.partitions",
+            sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        s.sparkContext.setLogLevel("WARN")
+        (s, true)
+    }
+  }
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "ingest" :: target :: rest =>
+      val Array(schema, contract) = target.split('.')
+      val confDir = rest.headOption.getOrElse("/root/reference")
+      val store = rest.lift(1).getOrElse(s"/tmp/graft_store/$schema.$contract")
+      val rawLogs = rest.lift(2).getOrElse(graft.fixtures.MakerFixtures.rawLogsPath)
+      val (spark, owned) = session()
+      graft.fixtures.MakerFixtures.ensure(spark)
+      val registry = Contracts.load(s"$confDir/config.conf")
+      val c = registry(schema, contract)
+      val abi = new AbiCache(s"$confDir/conf", new MapAbiFetcher(Map.empty))
+        .abi(schema, contract, c.addresses.headOption.getOrElse(""))
+      val defs = AbiSchema.tables(contract, abi)
+      val rpc = LogSource.replayFromParquet(spark, rawLogs)
+      val head = rest.lift(3).map(_.toLong).getOrElse(
+        spark.read.parquet(rawLogs)
+          .agg(org.apache.spark.sql.functions.max("block_number"))
+          .head().getLong(0))
+      val n = IngestJob.run(spark, rpc, defs, None, store,
+        c.creationBlock, head, blocksStep = c.blocksStep * 1000, maxLogs = 10000)
+      println(s"ingested $n rows into $store (resume head=$head)")
+      if (owned) spark.stop()
+
+    case "blocks" :: from :: to :: out :: Nil =>
+      val (spark, owned) = session()
+      BlockSource.range(spark, new FakeBlockRpc, from.toLong, to.toLong)
+        .write.mode("append").parquet(out)
+      println(s"wrote blocks [$from,$to] to $out")
+      if (owned) spark.stop()
+
+    case other =>
+      System.err.println(
+        s"""unknown args: ${other.mkString(" ")}
+           |usage:
+           |  graft.Main ingest <schema>.<contract> [confDir] [store] [rawLogs] [head]
+           |  graft.Main blocks <from> <to> <out>""".stripMargin)
+      sys.exit(2)
+  }
+}

@@ -1,0 +1,28 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.fixtures.MakerFixtures
+
+/** CLI entry points (reference EP1/EP2 equivalents). */
+class MainSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("ingest makermcd.vat runs the reference config end-to-end") {
+    MakerFixtures.ensure(spark)
+    val store = java.nio.file.Files.createTempDirectory("graft_cli").toString + "/store"
+    Main.main(Array("ingest", "makermcd.vat", "/root/reference", store))
+    val written = spark.read.parquet(store)
+    // the fixture corpus carries 800 frob + 150 grab + 400 fold vat calls
+    val counts = written.groupBy("table_name").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("vat_call_frob") == 800)
+    assert(counts("vat_call_grab") == 150)
+    assert(counts("vat_call_fold") == 400)
+  }
+
+  test("blocks writes the requested range") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cli").toString + "/blocks"
+    Main.main(Array("blocks", "100", "299", out))
+    assert(spark.read.parquet(out).count() == 200)
+  }
+}
