@@ -335,7 +335,37 @@ object MakerDw {
       .orderBy(col("block_number"), col("transaction_index"))
   }
 
+  /** PSM flow analytics over the decoded event tables: per-bucket buy/
+    * sell volume, net flow, fees, and cumulative net — all sums in
+    * Decimal(38,0) (exact, order-independent) cast to double only at the
+    * edge. The cumulative window runs over the post-aggregation
+    * bucket-level frame (dimension-sized). */
+  def psmFlows(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val buy = decoded(s, "psm_evt_buygem")
+      .select(col("block_number"), col("value"), col("fee"), lit(1).as("dirn"))
+    val sell = decoded(s, "psm_evt_sellgem")
+      .select(col("block_number"), col("value"), col("fee"), lit(-1).as("dirn"))
+    buy.unionByName(sell)
+      .groupBy(expr("CAST(block_number div 100000 AS INT)").as("bucket"))
+      .agg(
+        sum(when(col("dirn") === 1, col("value")).otherwise(lit(0))).as("buy_vol_d"),
+        sum(when(col("dirn") === -1, col("value")).otherwise(lit(0))).as("sell_vol_d"),
+        sum(col("value") * col("dirn")).as("net_d"),
+        sum(col("fee")).as("fees_d"),
+        count(lit(1)).as("n"))
+      .select(col("bucket"),
+        col("buy_vol_d").cast("double").as("buy_vol"),
+        col("sell_vol_d").cast("double").as("sell_vol"),
+        col("net_d").cast("double").as("net"),
+        sum(col("net_d")).over(Window.orderBy("bucket")).cast("double").as("cum_net"),
+        col("fees_d").cast("double").as("fees"),
+        col("n"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "maker_psm_flows" -> (psmFlows _),
     "q28_asof_join" -> (asofJoin _),
     "logs_dsv2_range" -> (logsDsv2Range _),
     "proxy_actions_filter" -> (proxyActionsFilter _),
@@ -438,6 +468,27 @@ object MakerDw {
     Map("assets_per_type_dsl" -> oracleAssetsSql)
 
   val oracle: Map[String, String] = assetsOracleAlias ++ Map(
+    "maker_psm_flows" -> s"""
+      WITH flows AS (
+        SELECT block_number, value, fee, 1 AS dirn FROM ${truthFrom("psm_evt_buygem")}
+        UNION ALL
+        SELECT block_number, value, fee, -1 FROM ${truthFrom("psm_evt_sellgem")}),
+      agg AS (
+        SELECT CAST(block_number // 100000 AS INT) AS bucket,
+          SUM(CASE WHEN dirn = 1 THEN value ELSE 0 END) AS buy_vol_d,
+          SUM(CASE WHEN dirn = -1 THEN value ELSE 0 END) AS sell_vol_d,
+          SUM(value * dirn) AS net_d,
+          SUM(fee) AS fees_d,
+          COUNT(*) AS n
+        FROM flows GROUP BY 1)
+      SELECT bucket,
+        CAST(buy_vol_d AS DOUBLE) AS buy_vol,
+        CAST(sell_vol_d AS DOUBLE) AS sell_vol,
+        CAST(net_d AS DOUBLE) AS net,
+        CAST(SUM(net_d) OVER (ORDER BY bucket) AS DOUBLE) AS cum_net,
+        CAST(fees_d AS DOUBLE) AS fees,
+        n
+      FROM agg ORDER BY bucket""",
     "q28_asof_join" -> s"""
       SELECT f.block_number, f.transaction_index,
         replace(decode(f.i), chr(0), '') AS ilk_name,

@@ -60,16 +60,34 @@ object Relational2 {
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ORDER BY user_id, event_id""")
 
-  /** Sketch aggregates (HLL distinct, quantile) — approximate, so
-    * rows-only in the driver gate (no cross-engine oracle); accuracy vs
-    * exact is asserted in RelationalSpec. */
+  /** Sketch aggregates (HLL distinct, quantile). Sketch values can't
+    * hash-match another engine, so the gate asserts deterministic
+    * error-bound flags instead: the exact values come along, and each
+    * approximation must land within its bound (HLL ±15% = 3× its default
+    * 5% rsd, percentiles within the exact p20–p30 / p70–p80 envelope).
+    * The oracle computes the same exact values and expects every
+    * flag = 1. */
   def q26Sketches(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
-    SELECT l_returnflag,
-      approx_count_distinct(l_orderkey) AS approx_orders,
-      approx_percentile(l_quantity, 0.5) AS median_qty,
-      element_at(approx_percentile(l_extendedprice, array(0.25, 0.75)), 1) AS price_p25,
-      element_at(approx_percentile(l_extendedprice, array(0.25, 0.75)), 2) AS price_p75
-    FROM lineitem GROUP BY 1 ORDER BY 1""")
+    WITH approx AS (
+      SELECT l_returnflag,
+        approx_count_distinct(l_orderkey) AS approx_orders,
+        approx_percentile(l_extendedprice, 0.25) AS p25,
+        approx_percentile(l_extendedprice, 0.75) AS p75
+      FROM lineitem GROUP BY 1),
+    exact AS (
+      SELECT l_returnflag,
+        COUNT(DISTINCT l_orderkey) AS exact_orders,
+        percentile_cont(0.20) WITHIN GROUP (ORDER BY l_extendedprice) AS p20,
+        percentile_cont(0.30) WITHIN GROUP (ORDER BY l_extendedprice) AS p30,
+        percentile_cont(0.70) WITHIN GROUP (ORDER BY l_extendedprice) AS p70,
+        percentile_cont(0.80) WITHIN GROUP (ORDER BY l_extendedprice) AS p80
+      FROM lineitem GROUP BY 1)
+    SELECT a.l_returnflag, e.exact_orders,
+      CAST(ABS(a.approx_orders - e.exact_orders) <= 0.15 * e.exact_orders AS INT) AS hll_ok,
+      CAST(a.p25 BETWEEN e.p20 AND e.p30 AS INT) AS p25_ok,
+      CAST(a.p75 BETWEEN e.p70 AND e.p80 AS INT) AS p75_ok
+    FROM approx a JOIN exact e ON a.l_returnflag = e.l_returnflag
+    ORDER BY a.l_returnflag""")
 
   /** Tumbling time-window aggregation (the streaming-shaped groupBy in
     * batch). events.ts is a nanos long (Tables.load note) → converted to
@@ -94,6 +112,11 @@ object Relational2 {
     "q24_in_subquery_having" -> (q24InSubqueryHaving _))
 
   val oracle: Map[String, String] = Map(
+    "q26_sketches" -> """
+      SELECT l_returnflag,
+        CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        1 AS hll_ok, 1 AS p25_ok, 1 AS p75_ok
+      FROM lineitem GROUP BY 1 ORDER BY 1""",
     "q27_tumbling_window" -> """
       SELECT epoch_ms(time_bucket(INTERVAL '6 hours', ts)) AS win_start,
         COUNT(*) AS n,
