@@ -95,3 +95,59 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 }
+
+/** Volume stress for the ETL core: 100× the fixture's log count through
+  * encode → one-pass demux write → partition-pruned decode read. Every
+  * step is executor-parallel (no driver loop), so this is the shape that
+  * scales to a cluster; the assertion is end-to-end conservation. */
+class DemuxVolumeSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("150k-log one-pass demux + pruned decode conserves every row") {
+    import spark.implicits._
+    import graft.abi.Keccak
+    import graft.codec.AbiDecoder
+    import graft.fixtures.MakerFixtures
+    import graft.ingest.{Demux, RawLog}
+
+    val defs = MakerFixtures.fixtureDefs
+    val n = 150000L
+    val raw = spark.range(0L, n, 1L, 16).mapPartitions { it =>
+      val local = MakerFixtures.fixtureDefs // resolve per executor
+      it.map { id =>
+        val d = local((id % local.size).toInt)
+        val values: Seq[Any] = d.entry.inputs.map { p =>
+          p.abiType match {
+            case "bytes32" => java.util.Arrays.copyOf(s"K$id".getBytes("US-ASCII"), 32)
+            case "address" => Keccak.hash256(s"a$id${p.name}".getBytes).take(20)
+            case t if t.startsWith("int") || t.startsWith("uint") =>
+              new java.math.BigDecimal(id % 100000 + 1)
+            case other => throw new MatchError(other)
+          }
+        }
+        val (topics, data) =
+          if (d.isEvent) AbiDecoder.encodeEvent(d.entry, values)
+          else (Seq(java.util.Arrays.copyOf(d.dispatchKey.toArray, 32)),
+            AbiDecoder.encodeCall(d.entry, values))
+        RawLog(Keccak.hash256(s"c$id".getBytes).take(20), topics, data,
+          block_number = 15000000L + id, block_hash = Keccak.hash256(s"h$id".getBytes),
+          log_index = (id % 100).toInt, transaction_index = (id % 1000).toInt,
+          transaction_hash = Keccak.hash256(s"t$id".getBytes))
+      }
+    }.toDF().select(Demux.rawLogSchema.fieldNames.map(col).toSeq: _*)
+
+    val store = java.nio.file.Files.createTempDirectory("graft_vol").toString + "/store"
+    val t0 = System.nanoTime()
+    Demux.writeDemuxed(raw, defs, store)
+    val perTable = defs.map(d =>
+      d.table -> Demux.readTable(spark, store, d).count()).toMap
+    val dt = (System.nanoTime() - t0) / 1e9
+    info(f"150k logs demux+decode in $dt%.1f s (${n / dt}%.0f logs/s)")
+    // conservation: every synthetic log decodes back out of its table
+    val expectEach = n / defs.size
+    defs.foreach { d =>
+      assert(perTable(d.table) == expectEach, s"${d.table}: ${perTable(d.table)}")
+    }
+    assert(perTable.values.sum == n)
+  }
+}
