@@ -49,9 +49,33 @@ object AbiSchema {
       else if (bits <= 16) IntegerType
       else if (bits <= 56) LongType
       else DecimalType(38, 0)
-    case "tuple" => StringType // not present in the corpus; JSON-ish fallback
+    case t if t.startsWith("tuple") =>
+      throw new IllegalArgumentException(
+        s"tuple types need component info — use sparkType(p: Param): $t")
     case other => throw new IllegalArgumentException(s"unsupported ABI type: $other")
   }
+
+  /** Reference-typed params (arrays, tuples, bytes, string) are stored
+    * as their keccak hash when indexed — the topic is undecodable by
+    * design (standard Ethereum event semantics). */
+  def hashedWhenIndexed(p: AbiJson.Param): Boolean =
+    p.abiType.startsWith("tuple") || p.abiType.endsWith("]") ||
+      p.abiType == "bytes" || p.abiType == "string"
+
+  /** Param-aware Spark type: tuples map to StructType of their components
+    * (recursively), tuple arrays to ArrayType-wrapped structs; indexed
+    * reference types surface as the 32-byte topic hash. */
+  def sparkType(p: AbiJson.Param, wideIntsAsBinary: Boolean): DataType =
+    if (p.indexed && hashedWhenIndexed(p)) BinaryType
+    else if (p.abiType.startsWith("tuple")) {
+      val struct: DataType = StructType(p.components.zipWithIndex.map {
+        case (c, i) => StructField(columnName(c, i), sparkType(c, wideIntsAsBinary))
+      })
+      val arrayDepth = p.abiType.count(_ == '[')
+      (1 to arrayDepth).foldLeft(struct)((t, _) => ArrayType(t))
+    } else sparkType(p.abiType, wideIntsAsBinary)
+
+  def sparkType(p: AbiJson.Param): DataType = sparkType(p, wideIntsAsBinary = false)
 
   /** Column name for input `i` at position `pos` (v0,v1,… when unnamed). */
   def columnName(p: AbiJson.Param, pos: Int): String =
@@ -101,7 +125,7 @@ object AbiSchema {
       // reference rule: first occurrence bare, then suffix 0, 1, …
       val table = if (n == 0) base else s"$base${n - 1}"
       val cols = e.inputs.zipWithIndex.map { case (p, i) =>
-        StructField(columnName(p, i), sparkType(p.abiType, wideIntsAsBinary))
+        StructField(columnName(p, i), sparkType(p, wideIntsAsBinary))
       }
       TableDef(table, e, StructType(commonFields ++ cols), kind == "evt")
     }

@@ -21,6 +21,15 @@ object AbiDecoder {
 
   private val Word = 32
 
+  /** Decoded ABI tuple value — distinct from Seq so the Catalyst
+    * conversion can map tuples to InternalRow (struct) while plain Seq
+    * stays ArrayData (array). */
+  final case class TupleValue(values: Seq[Any])
+
+  /** Array-element param that keeps tuple component info. */
+  private def elemOf(p: Param, elemType: String): Param =
+    Param("", elemType, indexed = false, p.components)
+
   // ------------------------------------------------------------- decoding
 
   /** Decode one event log: indexed params come from topics(1..), the rest
@@ -30,7 +39,9 @@ object AbiDecoder {
     val (indexed, unindexed) = entry.inputs.partition(_.indexed)
     val topicVals = indexed.zipWithIndex.map { case (p, i) =>
       val t = topics(i + 1)
-      if (isDynamic(p)) t // hash of the value; undecodable by design
+      // reference types (arrays/tuples/bytes/string) arrive as their
+      // keccak hash; keep the raw topic (undecodable by design)
+      if (AbiSchema.hashedWhenIndexed(p)) t
       else decodeHead(p, t, 0, t)
     }
     val dataVals = decodeTuple(unindexed, data)
@@ -84,30 +95,33 @@ object AbiDecoder {
     }
   }
 
-  private def isDynamic(p: Param): Boolean = isDynamicType(p.abiType)
-
-  /** ABI spec: bytes/string/T[] are dynamic; T[k] is dynamic iff T is. */
-  private def isDynamicType(t: String): Boolean = t match {
+  /** ABI spec: bytes/string/T[] are dynamic; T[k] is dynamic iff T is;
+    * a tuple is dynamic iff any component is. */
+  private def isDynamic(p: Param): Boolean = p.abiType match {
     case "bytes" | "string" => true
     case t if t.endsWith("[]") => true
-    case FixedArrayPat(elem, _) => isDynamicType(elem)
+    case FixedArrayPat(elem, _) => isDynamic(elemOf(p, elem))
+    case "tuple" => p.components.exists(isDynamic)
     case _ => false
   }
 
   private val FixedArrayPat = raw"(.+)\[(\d+)\]".r
 
   private def headSize(p: Param): Int = p.abiType match {
-    case t if isDynamicType(t) => Word
+    case _ if isDynamic(p) => Word
     case FixedArrayPat(elem, n) => // static fixed array: n in-place elements
-      n.toInt * headSize(Param("", elem, indexed = false, Nil))
+      n.toInt * headSize(elemOf(p, elem))
+    case "tuple" => p.components.map(headSize).sum // static tuple: inline
     case _ => Word
   }
 
   /** Decode a static value whose word starts at `off`. */
   private def decodeHead(p: Param, data: Array[Byte], off: Int, full: Array[Byte]): Any =
     p.abiType match {
+      case "tuple" => // static tuple: members inline from off
+        TupleValue(decodeTuple(p.components, data.drop(off)))
       case FixedArrayPat(elem, n) =>
-        val ep = Param("", elem, indexed = false, Nil)
+        val ep = elemOf(p, elem)
         val sz = headSize(ep)
         (0 until n.toInt).map(i => decodeHead(ep, data, off + i * sz, full))
       case "address" => data.slice(off + 12, off + 32)
@@ -135,23 +149,26 @@ object AbiDecoder {
     case t if t.endsWith("[]") =>
       val elemType = t.dropRight(2)
       val n = uintAt(data, off).intValueExact()
-      val elemParam = Param("", elemType, indexed = false, Nil)
+      val elemParam = elemOf(p, elemType)
       val base = off + Word
-      if (isDynamicType(elemType)) {
+      if (isDynamic(elemParam)) {
         (0 until n).map { i =>
           val rel = uintAt(data, base + i * Word).intValueExact()
           decodeTail(elemParam, data, base + rel)
         }
       } else {
-        (0 until n).map(i => decodeHead(elemParam, data, base + i * Word, data))
+        val sz = headSize(elemParam)
+        (0 until n).map(i => decodeHead(elemParam, data, base + i * sz, data))
       }
     case FixedArrayPat(elemType, nStr) => // T[k] with dynamic T: k tail offsets
       val n = nStr.toInt
-      val elemParam = Param("", elemType, indexed = false, Nil)
+      val elemParam = elemOf(p, elemType)
       (0 until n).map { i =>
         val rel = uintAt(data, off + i * Word).intValueExact()
         decodeTail(elemParam, data, off + rel)
       }
+    case "tuple" => // dynamic tuple: member offsets relative to tuple start
+      TupleValue(decodeTuple(p.components, data.drop(off)))
     case other => throw new IllegalArgumentException(s"not a dynamic type: $other")
   }
 
@@ -199,7 +216,7 @@ object AbiDecoder {
     val dataVals = scala.collection.mutable.ArrayBuffer.empty[Any]
     entry.inputs.zip(values).foreach { case (p, v) =>
       if (p.indexed) {
-        if (isDynamic(p)) topics += v.asInstanceOf[Array[Byte]] // pre-hashed
+        if (AbiSchema.hashedWhenIndexed(p)) topics += v.asInstanceOf[Array[Byte]] // pre-hashed
         else topics += encodeHead(p, v)
       } else { dataParams += p; dataVals += v }
     }
@@ -211,6 +228,11 @@ object AbiDecoder {
     graft.abi.Keccak.hash256(entry.signature).take(4) ++
       encodeTuple(entry.inputs, values)
 
+  private def tupleValues(v: Any): Seq[Any] = v match {
+    case TupleValue(xs) => xs
+    case xs: Seq[_] => xs
+  }
+
   private def encodeHead(p: Param, v: Any): Array[Byte] = p.abiType match {
     case "address" =>
       val b = v.asInstanceOf[Array[Byte]]
@@ -220,8 +242,10 @@ object AbiDecoder {
     case t if t.startsWith("bytes") && t != "bytes" =>
       val b = v.asInstanceOf[Array[Byte]]
       java.util.Arrays.copyOf(b, 32)
+    case "tuple" => // static tuple: members inline
+      encodeTuple(p.components, tupleValues(v))
     case FixedArrayPat(elem, _) => // static T[k]: k in-place heads
-      val ep = Param("", elem, indexed = false, Nil)
+      val ep = elemOf(p, elem)
       v.asInstanceOf[Seq[Any]].toArray.flatMap(x => encodeHead(ep, x))
     case t =>
       val bi = v match {
@@ -242,14 +266,16 @@ object AbiDecoder {
       val b = v.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
       word(BigInteger.valueOf(b.length)) ++ padRight(b)
     case t if t.endsWith("[]") =>
-      val elemParam = Param("", t.dropRight(2), indexed = false, Nil)
+      val elemParam = elemOf(p, t.dropRight(2))
       val xs = v.asInstanceOf[Seq[Any]]
       word(BigInteger.valueOf(xs.length)) ++ encodeTuple(
         Seq.fill(xs.length)(elemParam), xs)
     case FixedArrayPat(elem, _) => // dynamic T[k]: tuple of k, no length word
-      val elemParam = Param("", elem, indexed = false, Nil)
+      val elemParam = elemOf(p, elem)
       val xs = v.asInstanceOf[Seq[Any]]
       encodeTuple(Seq.fill(xs.length)(elemParam), xs)
+    case "tuple" => // dynamic tuple: nested head/tail block
+      encodeTuple(p.components, tupleValues(v))
     case other => throw new IllegalArgumentException(s"not a dynamic type: $other")
   }
 

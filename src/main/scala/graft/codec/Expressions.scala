@@ -119,6 +119,7 @@ private[codec] object CatalystConv {
     case b: Array[Byte] => b
     case d: java.math.BigDecimal => Decimal(d)
     case s: String => UTF8String.fromString(s)
+    case AbiDecoder.TupleValue(xs) => InternalRow.fromSeq(xs.map(toCatalyst))
     case xs: Seq[_] => new GenericArrayData(xs.map(toCatalyst).toArray)
     case other => other // Boolean / Short / Int / Long pass through
   }
@@ -141,7 +142,7 @@ case class DecodeEvent(entryJson: String, topics: Expression, data: Expression)
   override def right: Expression = data
   override def dataType: DataType = StructType(
     entry.inputs.zipWithIndex.map { case (p, i) =>
-      StructField(AbiSchema.columnName(p, i), AbiSchema.sparkType(p.abiType))
+      StructField(AbiSchema.columnName(p, i), AbiSchema.sparkType(p))
     })
 
   override protected def nullSafeEval(topicsVal: Any, dataVal: Any): Any = {
@@ -179,7 +180,7 @@ case class DecodeCalldata(entryJson: String, data: Expression)
   override def child: Expression = data
   override def dataType: DataType = StructType(
     entry.inputs.zipWithIndex.map { case (p, i) =>
-      StructField(AbiSchema.columnName(p, i), AbiSchema.sparkType(p.abiType))
+      StructField(AbiSchema.columnName(p, i), AbiSchema.sparkType(p))
     })
   override def nullable: Boolean = true
 

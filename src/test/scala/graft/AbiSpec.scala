@@ -180,6 +180,53 @@ class AbiDecoderSpec extends AnyFunSuite {
     assert(hit.get._2(1) == new JBigDecimal("99"))
   }
 
+  test("tuples: static, dynamic, fixed arrays of dynamic, tuple arrays") {
+    import AbiDecoder.TupleValue
+    def tup(name: String, suffix: String, comps: AbiJson.Param*) =
+      AbiJson.Param(name, s"tuple$suffix", indexed = false, comps.toSeq)
+    val addr = Array.fill[Byte](20)(9)
+
+    // static tuple (uint256, address) inline
+    val staticT = tup("t", "", p("uint256", "a"), p("address", "b"))
+    val sVals: Seq[Any] = Seq(TupleValue(Seq(new JBigDecimal("77"), addr)), new JBigDecimal("5"))
+    val sParams = Seq(staticT, p("uint256", "after"))
+    val sDec = AbiDecoder.decodeTuple(sParams, AbiDecoder.encodeTuple(sParams, sVals))
+    assert(sDec(0).asInstanceOf[TupleValue].values(0) == new JBigDecimal("77"))
+    assert(sDec(1) == new JBigDecimal("5"))
+
+    // dynamic tuple (string member) offset-addressed
+    val dynT = tup("d", "", p("string", "s"), p("uint256", "n"))
+    val dVals: Seq[Any] = Seq(TupleValue(Seq("hello tuple", new JBigDecimal("3"))))
+    val dDec = AbiDecoder.decodeTuple(Seq(dynT), AbiDecoder.encodeTuple(Seq(dynT), dVals))
+    assert(dDec(0).asInstanceOf[TupleValue].values == Seq("hello tuple", new JBigDecimal("3")))
+
+    // fixed array of dynamic elements: string[2] (ADVICE: T[k] dynamic iff T is)
+    val sa = Seq(p("string[2]", "xs"), p("uint256", "z"))
+    val saVals: Seq[Any] = Seq(Seq("one", "two"), new JBigDecimal("8"))
+    val saDec = AbiDecoder.decodeTuple(sa, AbiDecoder.encodeTuple(sa, saVals))
+    assert(saDec(0).asInstanceOf[Seq[Any]] == Seq("one", "two"))
+    assert(saDec(1) == new JBigDecimal("8"))
+
+    // dynamic array of static tuples
+    val arrT = tup("ts", "[]", p("uint256", "x"), p("uint256", "y"))
+    val aVals: Seq[Any] = Seq(Seq(
+      TupleValue(Seq(new JBigDecimal("1"), new JBigDecimal("2"))),
+      TupleValue(Seq(new JBigDecimal("3"), new JBigDecimal("4")))))
+    val aDec = AbiDecoder.decodeTuple(Seq(arrT), AbiDecoder.encodeTuple(Seq(arrT), aVals))
+    assert(aDec(0).asInstanceOf[Seq[Any]].map(_.asInstanceOf[TupleValue].values) ==
+      Seq(Seq(new JBigDecimal("1"), new JBigDecimal("2")),
+        Seq(new JBigDecimal("3"), new JBigDecimal("4"))))
+
+    // schema: tuple → StructType; indexed reference type → topic hash binary
+    val struct = AbiSchema.sparkType(staticT)
+    assert(struct == StructType(Seq(StructField("a", DecimalType(38, 0)),
+      StructField("b", BinaryType))))
+    assert(AbiSchema.sparkType(
+      AbiJson.Param("ix", "tuple", indexed = true,
+        Seq(p("uint256", "a")))) == BinaryType)
+    assert(AbiSchema.sparkType(p("uint256[]", "u", indexed = true)) == BinaryType)
+  }
+
   test("roundtrip property: encode→decode = id for the §1.2 type universe") {
     val rnd = new scala.util.Random(42)
     (1 to 200).foreach { _ =>
