@@ -239,14 +239,14 @@ object AbiDecoder {
       new Array[Byte](12) ++ b
     case "bool" =>
       val w = new Array[Byte](32); if (v.asInstanceOf[Boolean]) w(31) = 1; w
-    case t if t.startsWith("bytes") && t != "bytes" =>
-      val b = v.asInstanceOf[Array[Byte]]
-      java.util.Arrays.copyOf(b, 32)
     case "tuple" => // static tuple: members inline
       encodeTuple(p.components, tupleValues(v))
     case FixedArrayPat(elem, _) => // static T[k]: k in-place heads
       val ep = elemOf(p, elem)
       v.asInstanceOf[Seq[Any]].toArray.flatMap(x => encodeHead(ep, x))
+    case t if t.startsWith("bytes") && t != "bytes" => // after T[k]: bytes32[2] is an array
+      val b = v.asInstanceOf[Array[Byte]]
+      java.util.Arrays.copyOf(b, 32)
     case t =>
       val bi = v match {
         case d: java.math.BigDecimal => d.toBigIntegerExact

@@ -249,6 +249,71 @@ class AbiDecoderSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzz roundtrip: 300 random nested ABI shapes (tuples/arrays/dynamics)") {
+    import AbiDecoder.TupleValue
+    val rnd = new scala.util.Random(4242)
+
+    def randType(depth: Int): AbiJson.Param = {
+      val leafs = Seq("uint256", "int256", "address", "bytes32", "bool",
+        "string", "bytes", "uint16", "uint8")
+      rnd.nextInt(if (depth >= 2) 6 else 10) match {
+        case n if n < 6 => AbiJson.Param(s"f$n", leafs(rnd.nextInt(leafs.size)),
+          indexed = false, Nil)
+        case 6 | 7 => // tuple of 1..3 members
+          AbiJson.Param("t", "tuple", indexed = false,
+            Seq.fill(1 + rnd.nextInt(3))(randType(depth + 1)))
+        case 8 => // dynamic array of a non-array element
+          val e = randType(depth + 1)
+          AbiJson.Param("arr", e.abiType + "[]", indexed = false, e.components)
+        case 9 => // fixed array
+          val e = randType(depth + 1)
+          AbiJson.Param("fix", e.abiType + s"[${1 + rnd.nextInt(3)}]",
+            indexed = false, e.components)
+      }
+    }
+
+    def randValue(p: AbiJson.Param): Any = p.abiType match {
+      case t if t.endsWith("[]") =>
+        val e = AbiJson.Param("", t.dropRight(2), indexed = false, p.components)
+        Seq.fill(rnd.nextInt(3))(randValue(e))
+      case t if t.matches(".+\\[\\d+\\]") =>
+        val n = t.substring(t.lastIndexOf('[') + 1, t.length - 1).toInt
+        val e = AbiJson.Param("", t.substring(0, t.lastIndexOf('[')),
+          indexed = false, p.components)
+        Seq.fill(n)(randValue(e))
+      case "tuple" => TupleValue(p.components.map(randValue))
+      case "uint256" => new JBigDecimal(new BigInteger(rnd.nextInt(256), rnd.self))
+      case "int256" => new JBigDecimal(BigInteger.valueOf(rnd.nextLong()))
+      case "uint16" => rnd.nextInt(65536)
+      case "uint8" => rnd.nextInt(256).toShort
+      case "address" => Array.fill[Byte](20)(rnd.nextInt().toByte)
+      case "bytes32" => Array.fill[Byte](32)(rnd.nextInt().toByte)
+      case "bytes" => Array.fill[Byte](rnd.nextInt(70))(rnd.nextInt().toByte)
+      case "string" => rnd.alphanumeric.take(rnd.nextInt(40)).mkString
+      case "bool" => rnd.nextBoolean()
+    }
+
+    // structural equality that treats byte arrays by content
+    def eq(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Array[Byte], y: Array[Byte]) => java.util.Arrays.equals(x, y)
+      case (TupleValue(x), TupleValue(y)) =>
+        x.size == y.size && x.zip(y).forall((eq _).tupled)
+      case (x: Seq[_], y: Seq[_]) =>
+        x.size == y.size && x.zip(y).forall((eq _).tupled)
+      case (x, y) => x == y
+    }
+
+    (1 to 300).foreach { i =>
+      val params = Seq.fill(1 + rnd.nextInt(4))(randType(0))
+      val vals = params.map(randValue)
+      val decoded = AbiDecoder.decodeTuple(params,
+        AbiDecoder.encodeTuple(params, vals))
+      vals.zip(decoded).zipWithIndex.foreach { case ((v, d), j) =>
+        assert(eq(v, d), s"iteration $i param $j (${params(j).abiType}): $v != $d")
+      }
+    }
+  }
+
   test("corpus-wide roundtrip: encode→decode = id for all 412 real table shapes") {
     val rnd = new scala.util.Random(7)
     def valueFor(t: String, indexed: Boolean): Any =
