@@ -49,7 +49,12 @@ object Main {
       val rawLogs = rest.lift(2).getOrElse(graft.fixtures.MakerFixtures.rawLogsPath)
       val (spark, owned) = session()
       graft.fixtures.MakerFixtures.ensure(spark)
-      val registry = Contracts.load(s"$confDir/config.conf")
+      // overlay config (adds the jug entry the reference config misses)
+      // when using the default tree; explicit confDir overrides it
+      val confFile =
+        if (rest.nonEmpty) s"$confDir/config.conf"
+        else "/root/repo/conf/graft.conf"
+      val registry = Contracts.load(confFile)
       val c = registry(schema, contract)
       val abi = new AbiCache(s"$confDir/conf", new MapAbiFetcher(Map.empty))
         .abi(schema, contract, c.addresses.headOption.getOrElse(""))

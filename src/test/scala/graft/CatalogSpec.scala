@@ -83,3 +83,17 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 }
+
+/** Repo overlay config: reference tree + the jug entry it is missing. */
+class OverlayConfSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("graft.conf includes the reference config and adds jug") {
+    val reg = graft.catalog.Contracts.load("/root/repo/conf/graft.conf")
+    // reference entries still present
+    val vat = reg("makermcd", "vat")
+    assert(vat.addresses.nonEmpty && vat.creationBlock > 0)
+    // the gap the reference shipped with is closed
+    val jug = reg("makermcd", "jug")
+    assert(jug.addresses == Seq("0x19c0976f590d67707e62397c87829d896dc0f1f1"))
+    assert(jug.creationBlock == 8928160L && jug.blocksStep == 10000L)
+  }
+}
