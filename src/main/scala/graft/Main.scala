@@ -42,7 +42,7 @@ object Main {
   }
 
   def main(args: Array[String]): Unit = args.toList match {
-    case "ingest" :: target :: rest =>
+    case "ingest" :: target :: rest if target.count(_ == '.') == 1 =>
       val Array(schema, contract) = target.split('.')
       val confDir = rest.headOption.getOrElse("/root/reference")
       val store = rest.lift(1).getOrElse(s"/tmp/graft_store/$schema.$contract")
@@ -65,7 +65,7 @@ object Main {
           .agg(org.apache.spark.sql.functions.max("block_number"))
           .head().getLong(0))
       val n = IngestJob.run(spark, rpc, defs, None, store,
-        c.creationBlock, head, blocksStep = c.blocksStep * 1000, maxLogs = 10000)
+        c.creationBlock, head, blocksStep = c.blocksStep, maxLogs = 10000)
       println(s"ingested $n rows into $store (resume head=$head)")
       if (owned) spark.stop()
 

@@ -35,7 +35,9 @@ object IngestJob {
       .toDF()
       .select(Demux.rawLogSchema.fieldNames.map(col).toSeq: _*)
     Demux.writeDemuxed(raw, defs, storePath)
+    // nothing tagged → the store may not exist yet; any other read
+    // failure after an append is real and must surface
     try spark.read.parquet(storePath).filter(col("block_number") >= from).count()
-    catch { case _: Exception => 0L } // nothing tagged → store may not exist yet
+    catch { case _: org.apache.spark.sql.AnalysisException => 0L }
   }
 }

@@ -30,26 +30,57 @@ trait LogRpc extends Serializable {
 
 /** Deterministic replay RPC over an in-memory corpus (the test/fixture
   * stand-in for a JSON-RPC client; a production impl holds only endpoint
-  * config, so executor-side serialization is trivial in both cases). */
+  * config, so executor-side serialization is trivial there — here the
+  * corpus rides along, which is fine at fixture scale). The corpus is
+  * kept block-sorted with a binary-searched range index so the planner's
+  * repeated estimateLogs calls are O(log n), not O(corpus) each. */
 final class ReplayLogRpc(corpus: Array[RawLog]) extends LogRpc {
-  override def getLogs(from: Long, to: Long,
-                       address: Option[Array[Byte]]): Iterator[RawLog] =
-    corpus.iterator.filter { l =>
-      l.block_number >= from && l.block_number <= to &&
-        address.forall(a => java.util.Arrays.equals(a, l.address))
+  private val sorted = corpus.sortBy(l => (l.block_number, l.log_index.toLong))
+  private val blocks = sorted.map(_.block_number)
+
+  /** First index with block_number >= x. */
+  private def lowerBound(x: Long): Int = {
+    var lo = 0
+    var hi = blocks.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (blocks(mid) < x) lo = mid + 1 else hi = mid
     }
+    lo
+  }
+
+  override def getLogs(from: Long, to: Long,
+                       address: Option[Array[Byte]]): Iterator[RawLog] = {
+    val s = lowerBound(from)
+    val e = if (to == Long.MaxValue) blocks.length else lowerBound(to + 1)
+    sorted.iterator.slice(s, e)
+      .filter(l => address.forall(a => java.util.Arrays.equals(a, l.address)))
+  }
 
   override def estimateLogs(from: Long, to: Long,
-                            address: Option[Array[Byte]]): Long =
-    getLogs(from, to, address).size.toLong
+                            address: Option[Array[Byte]]): Long = {
+    val s = lowerBound(from)
+    val e = if (to == Long.MaxValue) blocks.length else lowerBound(to + 1)
+    if (address.isEmpty) (e - s).toLong
+    else getLogs(from, to, address).size.toLong
+  }
 }
 
 object LogSource {
 
-  /** Load a raw-log parquet into a replay RPC (driver-side; fixture-sized). */
+  // one driver-side collect per path per JVM — scan builds and plan
+  // estimates reuse it instead of re-collecting the corpus
+  private val corpusCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[RawLog]]()
+
+  /** Load a raw-log parquet into a replay RPC (driver-side; fixture-sized,
+    * cached per path). */
   def replayFromParquet(spark: SparkSession, path: String): ReplayLogRpc = {
-    import spark.implicits._
-    new ReplayLogRpc(spark.read.parquet(path).as[RawLog].collect())
+    val corpus = corpusCache.computeIfAbsent(path, { p =>
+      import spark.implicits._
+      spark.read.parquet(p).as[RawLog].collect()
+    })
+    new ReplayLogRpc(corpus)
   }
 
   /** Logs for [from, to] fanned out over fixed-size block-range partitions

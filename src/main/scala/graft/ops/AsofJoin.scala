@@ -3,7 +3,6 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
 
 /** As-of join: for each left row, the latest right row with the same key
   * and `right.time <= left.time` — the event × slowly-changing-dimension
@@ -27,7 +26,6 @@ object AsofJoin {
     * (key, time) pairs should be unique — the standard as-of contract. */
   def leftAsof(left: DataFrame, right: DataFrame,
                key: String, time: String, valueCols: Seq[String]): DataFrame = {
-    val rvType = StructType(right.select(valueCols.map(col): _*).schema.fields)
     val r = right.select(col(key), col(time),
       struct(valueCols.map(col): _*).as("_rv"))
       .withColumn("_side", lit(0))

@@ -17,14 +17,19 @@ import graft.Tables
   * nProbe/k instead of the corpus. */
 object Ivf {
 
-  /** Deterministic k-means centroids from a bounded sample. The sample
-    * predicate (`vec_id < cap`) pushes down to the scan — no global
-    * Sort/Exchange just to take a sample; the tiny collected set is
-    * ordered driver-side for reproducibility. */
+  /** Deterministic k-means centroids from a bounded sample. Sampling is
+    * a value-hash filter (`hash(vec_id) % every == 0`) — distribution-
+    * independent (no dense-id assumption), narrow, and never a global
+    * sort; the tiny collected set is ordered driver-side for
+    * reproducibility. Tiny corpora fall back to the full set. */
   def centroids(v: DataFrame, k: Int, iters: Int = 10,
                 sampleCap: Int = 10000): Array[Array[Double]] = {
-    val sample = v.filter(col("vec_id") < sampleCap)
+    val n = v.count()
+    val every = math.max(1L, n / sampleCap)
+    var rows = v.filter(pmod(hash(col("vec_id")), lit(every)) === 0)
       .select("vec_id", "e").collect()
+    if (rows.length < k) rows = v.select("vec_id", "e").collect()
+    val sample = rows
       .sortBy(_.getLong(0))
       .map(_.getSeq[Double](1).toArray)
     require(sample.length >= k)

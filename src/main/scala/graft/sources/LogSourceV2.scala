@@ -158,7 +158,15 @@ private class LogsMicroBatchStream(rpc: LogRpc, lo: Long, hi: Long,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new LogsReaderFactory(rpc, address)
-  override def deserializeOffset(json: String): Offset = BlockOffset(json.toLong)
+
+  /** Restart safety: Spark replays the checkpointed offset through here
+    * before asking for a new latestOffset — advance `last` so the stream
+    * never re-announces (and re-ingests) committed block ranges. */
+  override def deserializeOffset(json: String): Offset = {
+    val n = json.toLong
+    last = math.max(last, n)
+    BlockOffset(n)
+  }
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
