@@ -1,0 +1,55 @@
+package graft.ingest
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Small-file compaction for the demux store. Incremental micro-batch
+  * appends (streaming ingest, per-chunk jobs) accumulate many small
+  * parquet files per table partition; at warehouse scale that bloats
+  * metadata and task counts. Compaction rewrites each table partition
+  * into ceil(bytes / targetBytes) files — layout-only: row content,
+  * schema, and the partition-pruned read path are unchanged.
+  *
+  * Rewrite is write-to-temp-then-swap (same pattern as
+  * [[Writer.overwriteRange]]): readers never observe a half-written
+  * store; on a transactional table format this would be a single commit.
+  */
+object Compact {
+
+  /** Compact every table_name partition of `store`; returns the number
+    * of data files after compaction. */
+  def run(spark: SparkSession, store: String,
+          targetBytes: Long = 128L * 1024 * 1024): Long = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val storePath = new Path(store)
+    val parts = fs.listStatus(storePath)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("table_name="))
+    val tmp = new Path(store + "__compact_tmp")
+    fs.delete(tmp, true)
+
+    parts.foreach { p =>
+      val bytes = fs.listStatus(p.getPath)
+        .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+      val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+      spark.read.parquet(p.getPath.toString)
+        .repartition(nFiles)
+        .write.mode("overwrite")
+        .parquet(new Path(tmp, p.getPath.getName).toString)
+    }
+    // swap each compacted partition into place
+    parts.foreach { p =>
+      fs.delete(p.getPath, true)
+      fs.rename(new Path(tmp, p.getPath.getName), p.getPath)
+    }
+    fs.delete(tmp, true)
+    countDataFiles(fs, storePath)
+  }
+
+  private[graft] def countDataFiles(fs: FileSystem, dir: Path): Long =
+    fs.listStatus(dir).map { s =>
+      if (s.isDirectory) countDataFiles(fs, s.getPath)
+      else if (s.getPath.getName.endsWith(".parquet")) 1L
+      else 0L
+    }.sum
+}

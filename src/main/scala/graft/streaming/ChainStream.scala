@@ -54,6 +54,18 @@ object ChainStream {
       }
       .start()
 
+  /** Streaming tx-hash dedup (the S13 operator on a live chain): state
+    * is bounded by the watermark — duplicates arriving within
+    * `watermarkDelay` of event time are dropped, older state is evicted.
+    * Event time derives from block_number via the fixed 13 s/block
+    * clock. */
+  def dedupStream(raw: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
+    raw
+      .withColumn("block_time",
+        timestamp_seconds(lit(1438269973L) + col("block_number") * 13))
+      .withWatermark("block_time", watermarkDelay)
+      .dropDuplicatesWithinWatermark("transaction_hash")
+
   /** Per-window event volume with a watermark: block_number is mapped to
     * event time via a fixed 13 s/block clock (the fixture's FakeBlockRpc
     * clock), watermarked to bound state. */

@@ -75,6 +75,25 @@ class StreamingSpec extends AnyFunSuite {
       Demux.table(spark.read.parquet(MakerFixtures.rawLogsPath), frobDef).count())
   }
 
+  test("streaming tx-hash dedup keeps one row per transaction") {
+    MakerFixtures.ensure(spark)
+    // the proxy fixture has multi-log transactions → real duplicates
+    val stream = ChainStream.rawLogStreamV2(spark, MakerFixtures.proxyRawLogsPath,
+      from = 8928160L, to = 20000000L, blocksPerBatch = 3000000L)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_dedup").toString
+    val q = ChainStream.dedupStream(stream)
+      .writeStream.format("memory").queryName("tx_dedup_stream")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("tx_dedup_stream")
+    val txCount = spark.read.parquet(MakerFixtures.proxyRawLogsPath)
+      .select("transaction_hash").distinct().count()
+    assert(streamed.count() == txCount)
+    assert(streamed.select("transaction_hash").distinct().count() == txCount)
+  }
+
   test("windowed volume with watermark emits bounded-state aggregates") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
