@@ -41,8 +41,14 @@ object Main {
     }
   }
 
+  /** `<schema>.<contract>` with both parts non-empty. */
+  private def isTarget(t: String): Boolean = t.split("\\.", -1) match {
+    case Array(s, c) => s.nonEmpty && c.nonEmpty
+    case _ => false
+  }
+
   def main(args: Array[String]): Unit = args.toList match {
-    case "ingest" :: target :: rest if target.count(_ == '.') == 1 =>
+    case "ingest" :: target :: rest if isTarget(target) =>
       val Array(schema, contract) = target.split('.')
       val confDir = rest.headOption.getOrElse("/root/reference")
       val store = rest.lift(1).getOrElse(s"/tmp/graft_store/$schema.$contract")

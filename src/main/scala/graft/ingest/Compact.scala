@@ -11,9 +11,14 @@ import org.apache.spark.sql.functions._
   * into ceil(bytes / targetBytes) files — layout-only: row content,
   * schema, and the partition-pruned read path are unchanged.
   *
-  * Rewrite is write-to-temp-then-swap (same pattern as
-  * [[Writer.overwriteRange]]): readers never observe a half-written
-  * store; on a transactional table format this would be a single commit.
+  * Concurrency contract: run as an exclusive maintenance job — no
+  * concurrent WRITERS (an append landing between the read and the swap
+  * would be dropped), and concurrent readers can transiently miss one
+  * partition during its delete→rename swap window. A transactional
+  * table format turns the whole swap into one atomic commit; on plain
+  * parquet this job instead guarantees crash-safety: a re-run after a
+  * crash first restores any partition whose only copy survives in the
+  * temp directory.
   */
 object Compact {
 
@@ -23,11 +28,24 @@ object Compact {
           targetBytes: Long = 128L * 1024 * 1024): Long = {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val storePath = new Path(store)
+    // sibling of the store root regardless of trailing slashes — never
+    // inside the store (would corrupt partition discovery if left over)
+    val tmp = new Path(storePath.getParent, storePath.getName + "__compact_tmp")
+
+    // crash recovery: a previous run may have deleted a store partition
+    // and died before renaming its compacted copy back — restore any
+    // tmp partition whose store copy is missing, then discard tmp
+    if (fs.exists(tmp)) {
+      fs.listStatus(tmp).filter(_.getPath.getName.startsWith("table_name="))
+        .foreach { t =>
+          val dest = new Path(storePath, t.getPath.getName)
+          if (!fs.exists(dest)) fs.rename(t.getPath, dest)
+        }
+      fs.delete(tmp, true)
+    }
+
     val parts = fs.listStatus(storePath)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("table_name="))
-    val tmp = new Path(store + "__compact_tmp")
-    fs.delete(tmp, true)
-
     parts.foreach { p =>
       val bytes = fs.listStatus(p.getPath)
         .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum

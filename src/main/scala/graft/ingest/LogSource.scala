@@ -68,17 +68,37 @@ final class ReplayLogRpc(corpus: Array[RawLog]) extends LogRpc {
 
 object LogSource {
 
-  // one driver-side collect per path per JVM — scan builds and plan
-  // estimates reuse it instead of re-collecting the corpus
+  // one driver-side collect per (path, content signature) — scan builds
+  // and plan estimates reuse it instead of re-collecting the corpus,
+  // and a path whose files changed (new logs landed) reloads instead of
+  // replaying a stale corpus
   private val corpusCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[RawLog]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Array[RawLog]]()
+
+  private def contentSignature(spark: SparkSession, path: String): Long = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(path), true)
+    var sig = 17L
+    while (it.hasNext) {
+      val f = it.next()
+      sig = sig * 31 + f.getPath.getName.hashCode
+      sig = sig * 31 + f.getLen
+      sig = sig * 31 + f.getModificationTime
+    }
+    sig
+  }
 
   /** Load a raw-log parquet into a replay RPC (driver-side; fixture-sized,
-    * cached per path). */
+    * cached per path until its files change). */
   def replayFromParquet(spark: SparkSession, path: String): ReplayLogRpc = {
-    val corpus = corpusCache.computeIfAbsent(path, { p =>
+    val sig = contentSignature(spark, path)
+    val key = (path, sig)
+    if (!corpusCache.containsKey(key)) // drop stale versions of this path
+      corpusCache.keySet.removeIf(k => k._1 == path && k._2 != sig)
+    val corpus = corpusCache.computeIfAbsent(key, { _ =>
       import spark.implicits._
-      spark.read.parquet(p).as[RawLog].collect()
+      spark.read.parquet(path).as[RawLog].collect()
     })
     new ReplayLogRpc(corpus)
   }

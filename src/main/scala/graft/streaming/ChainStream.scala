@@ -54,15 +54,18 @@ object ChainStream {
       }
       .start()
 
+  /** Event-time clock shared by the streaming operators: block_number →
+    * timestamp via the fixture's genesis epoch + 13 s/block (matches
+    * FakeBlockRpc). */
+  private def blockTime: org.apache.spark.sql.Column =
+    timestamp_seconds(lit(1438269973L) + col("block_number") * 13)
+
   /** Streaming tx-hash dedup (the S13 operator on a live chain): state
     * is bounded by the watermark — duplicates arriving within
-    * `watermarkDelay` of event time are dropped, older state is evicted.
-    * Event time derives from block_number via the fixed 13 s/block
-    * clock. */
+    * `watermarkDelay` of event time are dropped, older state is evicted. */
   def dedupStream(raw: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
     raw
-      .withColumn("block_time",
-        timestamp_seconds(lit(1438269973L) + col("block_number") * 13))
+      .withColumn("block_time", blockTime)
       .withWatermark("block_time", watermarkDelay)
       .dropDuplicatesWithinWatermark("transaction_hash")
 
@@ -73,8 +76,7 @@ object ChainStream {
                      windowDuration: String = "1 hour",
                      watermarkDelay: String = "2 hours"): DataFrame =
     decoded
-      .withColumn("block_time",
-        timestamp_seconds(lit(1438269973L) + col("block_number") * 13))
+      .withColumn("block_time", blockTime)
       .withWatermark("block_time", watermarkDelay)
       .groupBy(window(col("block_time"), windowDuration))
       .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("volume"))
