@@ -93,7 +93,31 @@ object Relational3 {
     WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)
     ORDER BY o_orderkey""")
 
+  /** Pure range join (no equi-key): 200 deterministic overlapping time
+    * intervals derived from the events span, each counting/summing the
+    * events it contains, via the banded equi-join rewrite
+    * (ops/RangeJoin — never a nested loop). Oracle: DuckDB BETWEEN join
+    * over the identically-derived intervals (epoch_ns for the nanos). */
+  def q36RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.registerAll(s, dir)
+    val ev = s.table("events").select(col("event_id"), col("ts"), col("value"))
+    val bounds = ev.agg(min("ts").as("t0"), max("ts").as("t1")).head()
+    val (t0, t1) = (bounds.getLong(0), bounds.getLong(1))
+    val span = (t1 - t0) / 200
+    val iv = s.range(0, 200).select(col("id").as("iv_id"),
+      (lit(t0) + col("id") * span).as("lo"),
+      (lit(t0) + col("id") * span + (col("id") % 7 + 1) * (span / 2)).as("hi"))
+    graft.ops.RangeJoin.pointInInterval(ev, "ts", iv, "lo", "hi",
+      bandWidth = math.max(span / 2, 1))
+      .groupBy("iv_id")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total"))
+      .orderBy("iv_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_range_join" -> (q36RangeJoin _),
     "q29_grouping_sets" -> (q29GroupingSets _),
     "q30_percentile_cont" -> (q30PercentileCont _),
     "q31_string_agg" -> (q31StringAgg _),
@@ -103,6 +127,18 @@ object Relational3 {
     "q35_rank_family" -> (q35RankFamily _))
 
   val oracle: Map[String, String] = Map(
+    "q36_range_join" -> """
+      WITH bounds AS (
+        SELECT MIN(epoch_ns(ts)) AS t0, MAX(epoch_ns(ts)) AS t1 FROM events),
+      params AS (SELECT t0, (t1 - t0) // 200 AS span FROM bounds),
+      iv AS (
+        SELECT id AS iv_id, t0 + id*span AS lo,
+               t0 + id*span + ((id % 7) + 1)*(span // 2) AS hi
+        FROM params, (SELECT unnest(generate_series(0, 199)) AS id))
+      SELECT iv_id, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+      FROM iv JOIN events e ON epoch_ns(e.ts) BETWEEN iv.lo AND iv.hi
+      GROUP BY 1 ORDER BY 1""",
     "q29_grouping_sets" -> """
       SELECT o_orderstatus, o_orderpriority,
         CAST(GROUPING(o_orderstatus) AS INT) AS g_status,

@@ -36,3 +36,32 @@ class AsofJoinSpec extends AnyFunSuite {
       !plan.contains("CartesianProduct") && plan.contains("Window"))
   }
 }
+
+/** Banded range join (ops/RangeJoin). */
+class RangeJoinSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("banded point-in-interval equals the naive inequality join") {
+    val pts = Seq((1L, 5L), (2L, 10L), (3L, 17L), (4L, 23L), (5L, 9999L))
+      .toDF("pid", "t")
+    val iv = Seq((100L, 0L, 10L), (200L, 8L, 20L), (300L, 21L, 22L))
+      .toDF("iv_id", "lo", "hi")
+    val banded = graft.ops.RangeJoin.pointInInterval(pts, "t", iv, "lo", "hi", 4L)
+      .select("pid", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = pts.join(iv, col("t") >= col("lo") && col("t") <= col("hi"))
+      .select("pid", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == naive && naive ==
+      Set((1L, 100L), (2L, 100L), (2L, 200L), (3L, 200L)))
+  }
+
+  test("plan is an equi-join on the band key — no nested loop") {
+    val pts = Seq((1L, 5L)).toDF("pid", "t")
+    val iv = Seq((100L, 0L, 10L)).toDF("iv_id", "lo", "hi")
+    val plan = graft.ops.RangeJoin.pointInInterval(pts, "t", iv, "lo", "hi", 4L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"nested loop in:\n$plan")
+  }
+}
