@@ -16,16 +16,21 @@ final case class RawLog(address: Array[Byte], topics: Seq[Array[Byte]],
                         block_hash: Array[Byte], log_index: Int,
                         transaction_index: Int, transaction_hash: Array[Byte])
 
-trait LogRpc extends Serializable {
-  /** `eth_getLogs{fromBlock,toBlock,address}`; address=None → no filter. */
-  def getLogs(from: Long, to: Long, address: Option[Array[Byte]]): Iterator[RawLog]
-
+/** Planning-time density estimator — the only thing the partition planner
+  * needs. Kept separate from [[LogRpc]] so the DSv2 scan can plan against a
+  * driver-side counts-only index while readers fetch executor-side. */
+trait LogCountEstimator extends Serializable {
   /** Cheap log-count estimate for partition planning. A production RPC
     * would derive this from provider hints or sampled trial calls; the
     * reference instead adapts at runtime on over-limit errors
     * (eth-contract.py:132-143) — planning-time estimation is the
     * deterministic Spark-side equivalent. */
   def estimateLogs(from: Long, to: Long, address: Option[Array[Byte]]): Long
+}
+
+trait LogRpc extends LogCountEstimator {
+  /** `eth_getLogs{fromBlock,toBlock,address}`; address=None → no filter. */
+  def getLogs(from: Long, to: Long, address: Option[Array[Byte]]): Iterator[RawLog]
 }
 
 /** Deterministic replay RPC over an in-memory corpus (the test/fixture
@@ -66,16 +71,209 @@ final class ReplayLogRpc(corpus: Array[RawLog]) extends LogRpc {
   }
 }
 
+/** Executor-side replay RPC: holds only parquet file paths (listed once,
+  * driver-side) and reads its own `[from, to]` block slice lazily inside
+  * the task that calls [[getLogs]], using parquet-hadoop's record reader
+  * with a `FilterApi` predicate on `block_number` (plus `address` when
+  * pushed) — row groups outside the range are skipped on statistics and
+  * surviving records are filtered at record level, so a task never
+  * materializes more than its own slice. This is the scan-side analogue of
+  * the reference's server-side `eth_getLogs` window (eth-contract.py:61-63):
+  * the "server" is the parquet footer statistics instead of the RPC node.
+  *
+  * No SparkSession is needed (tasks have none); a plain Hadoop
+  * configuration is enough for the local/DFS file systems Spark supports.
+  */
+final class ParquetLogRpc(files: Seq[String]) extends LogRpc {
+  import org.apache.parquet.filter2.compat.FilterCompat
+  import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+  import org.apache.parquet.hadoop.ParquetReader
+  import org.apache.parquet.hadoop.example.GroupReadSupport
+  import org.apache.parquet.example.data.Group
+  import org.apache.parquet.io.api.Binary
+
+  override def getLogs(from: Long, to: Long,
+                       address: Option[Array[Byte]]): Iterator[RawLog] =
+    files.iterator.flatMap(readSlice(_, from, to, address))
+      // parquet record-level filtering already applied the predicate; this
+      // re-check is defensive (and covers readers without record filtering)
+      .filter(l => l.block_number >= from &&
+        (to == Long.MaxValue || l.block_number <= to) &&
+        address.forall(a => java.util.Arrays.equals(a, l.address)))
+
+  /** Exact count by slice-scan — planners should prefer the counts-only
+    * [[BlockCountIndex]]; this exists so the trait contract holds if a
+    * caller plans directly against the reader RPC. */
+  override def estimateLogs(from: Long, to: Long,
+                            address: Option[Array[Byte]]): Long =
+    getLogs(from, to, address).size.toLong
+
+  private def readSlice(file: String, from: Long, to: Long,
+                        address: Option[Array[Byte]]): Iterator[RawLog] = {
+    val block = FilterApi.longColumn("block_number")
+    var pred: FilterPredicate = FilterApi.gtEq(block, java.lang.Long.valueOf(from))
+    if (to != Long.MaxValue)
+      pred = FilterApi.and(pred, FilterApi.ltEq(block, java.lang.Long.valueOf(to)))
+    address.foreach { a =>
+      pred = FilterApi.and(pred, FilterApi.eq(
+        FilterApi.binaryColumn("address"), Binary.fromConstantByteArray(a)))
+    }
+    val reader = ParquetReader
+      .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(file))
+      .withConf(new org.apache.hadoop.conf.Configuration())
+      .withFilter(FilterCompat.get(pred))
+      .build()
+    new Iterator[RawLog] {
+      private var nextGroup: Group = advance()
+      private def advance(): Group = {
+        val g = reader.read()
+        if (g == null) reader.close()
+        g
+      }
+      override def hasNext: Boolean = nextGroup != null
+      override def next(): RawLog = {
+        val g = nextGroup; nextGroup = advance(); toRawLog(g)
+      }
+    }
+  }
+
+  private def bin(g: Group, field: String): Array[Byte] =
+    if (g.getFieldRepetitionCount(field) == 0) null
+    else g.getBinary(field, 0).getBytes
+
+  private def topicsOf(g: Group): Seq[Array[Byte]] = {
+    if (g.getFieldRepetitionCount("topics") == 0) return Seq.empty
+    val lst = g.getGroup("topics", 0) // 3-level parquet LIST encoding
+    (0 until lst.getFieldRepetitionCount("list")).map { i =>
+      val el = lst.getGroup("list", i)
+      if (el.getFieldRepetitionCount("element") == 0) null
+      else el.getBinary("element", 0).getBytes
+    }
+  }
+
+  private def toRawLog(g: Group): RawLog =
+    RawLog(bin(g, "address"), topicsOf(g), bin(g, "data"),
+      g.getLong("block_number", 0), bin(g, "block_hash"),
+      g.getInteger("log_index", 0), g.getInteger("transaction_index", 0),
+      bin(g, "transaction_hash"))
+}
+
+/** Driver-side density index for partition planning: per-bucket log counts
+  * (buckets of [[BlockCountIndex.BucketBlocks]] consecutive blocks), built
+  * by a distributed `groupBy(bucket).count()` — the driver holds counts
+  * only, never rows, so the index stays a few KB per million blocks no
+  * matter the corpus size. Estimates interpolate uniformly inside partial
+  * edge buckets, which is exactly as precise as planning needs (the
+  * adaptive planner re-splits over-estimated chunks anyway). When an
+  * address was pushed, the index is built over the address-filtered scan,
+  * so estimates are address-aware without an (address × block) blowup. */
+final class BlockCountIndex(buckets: Array[Long], counts: Array[Long])
+  extends LogCountEstimator {
+  import BlockCountIndex.BucketBlocks
+  // cum(i) = logs in buckets [0, i)
+  private val cum: Array[Long] = counts.scanLeft(0L)(_ + _)
+
+  /** First index with bucket id >= x. */
+  private def lowerBound(x: Long): Int = {
+    var lo = 0
+    var hi = buckets.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (buckets(mid) < x) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  override def estimateLogs(from: Long, to: Long,
+                            address: Option[Array[Byte]]): Long = {
+    if (to < from) return 0L
+    val bLo = Math.floorDiv(from, BucketBlocks)
+    val bHi = if (to == Long.MaxValue) Long.MaxValue
+              else Math.floorDiv(to, BucketBlocks)
+    val s = lowerBound(bLo)
+    val e = if (bHi == Long.MaxValue) buckets.length else lowerBound(bHi + 1)
+    if (s >= e) return 0L
+    var est = (cum(e) - cum(s)).toDouble
+    // shave the uncovered fractions of the edge buckets (uniform assumption)
+    if (buckets(s) == bLo) {
+      val uncovered = from - bLo * BucketBlocks
+      est -= counts(s).toDouble * uncovered / BucketBlocks
+    }
+    if (bHi != Long.MaxValue && e > s && buckets(e - 1) == bHi) {
+      val uncovered = (bHi + 1) * BucketBlocks - 1 - to
+      est -= counts(e - 1).toDouble * uncovered / BucketBlocks
+    }
+    math.max(0L, math.round(est))
+  }
+}
+
+object BlockCountIndex {
+  /** Bucket width: coarse enough that a 20M-block chain is a ~5k-entry
+    * index, fine enough that adaptive planning still tracks density. */
+  val BucketBlocks: Long = 4096L
+
+  // (path, content signature, pushed-address hex) → index; tiny entries,
+  // so caching every address variant is safe
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, String), BlockCountIndex]()
+
+  def forPath(spark: SparkSession, path: String,
+              address: Option[Array[Byte]]): BlockCountIndex = {
+    import org.apache.spark.sql.functions._
+    val sig = LogSource.contentSignature(spark, path)
+    val addrKey = address.map(a => a.map("%02x".format(_)).mkString).getOrElse("*")
+    val key = (path, sig, addrKey)
+    if (!cache.containsKey(key)) // drop stale versions of this path
+      cache.keySet.removeIf(k => k._1 == path && k._2 != sig)
+    cache.computeIfAbsent(key, { _ =>
+      var df = spark.read.parquet(path)
+      address.foreach(a => df = df.filter(col("address") === lit(a)))
+      val rows = df
+        .groupBy((col("block_number") / lit(BucketBlocks)).cast("long").as("bucket"))
+        .count()
+        .collect() // counts only — O(chain length / 4096) driver memory
+      val sorted = rows.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      new BlockCountIndex(sorted.map(_._1), sorted.map(_._2))
+    })
+  }
+
+  private[graft] def cacheSize: Int = cache.size
+}
+
 object LogSource {
 
   // one driver-side collect per (path, content signature) — scan builds
   // and plan estimates reuse it instead of re-collecting the corpus,
   // and a path whose files changed (new logs landed) reloads instead of
-  // replaying a stale corpus
+  // replaying a stale corpus. NOTE: the DSv2 source no longer uses this —
+  // it plans on BlockCountIndex and reads via ParquetLogRpc; this remains
+  // for tests and the CLI's direct typed-Dataset path.
   private val corpusCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), Array[RawLog]]()
 
-  private def contentSignature(spark: SparkSession, path: String): Long = {
+  /** Test hook: number of driver-materialized replay corpora currently
+    * cached. SourceV2Spec asserts this stays 0 across DSv2 scans. */
+  private[graft] def replayCacheSize: Int = corpusCache.size
+  private[graft] def clearReplayCache(): Unit = corpusCache.clear()
+
+  /** All parquet data files under a path, driver-side (cheap listing; no
+    * rows are read). Shipped into [[ParquetLogRpc]] so executors need no
+    * file-system listing of their own. */
+  def listParquetFiles(spark: SparkSession, path: String): Seq[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(path), true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+        out += f.getPath.toString
+    }
+    out.toSeq
+  }
+
+  private[graft] def contentSignature(spark: SparkSession, path: String): Long = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val it = fs.listFiles(new org.apache.hadoop.fs.Path(path), true)

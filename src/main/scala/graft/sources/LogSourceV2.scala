@@ -13,7 +13,7 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
-import graft.ingest.{Demux, LogRpc, LogSource, RawLog}
+import graft.ingest.{BlockCountIndex, Demux, LogCountEstimator, LogRpc, LogSource, ParquetLogRpc, RawLog}
 
 /** DataSourceV2 log source (S2) with address + block-range pushdown and
   * adaptive partition sizing (S12).
@@ -34,9 +34,14 @@ import graft.ingest.{Demux, LogRpc, LogSource, RawLog}
   * unbounded chunk. Estimates come from [[LogRpc.estimateLogs]];
   * deterministic, so plans are stable across runs.
   *
-  * The RPC here is a deterministic replay of a raw-log parquet (option
-  * "path") — this environment is zero-egress; a JSON-RPC implementation
-  * drops in behind [[LogRpc]] without touching the planning code.
+  * The fetch here replays a raw-log parquet (option "path") — this
+  * environment is zero-egress; a JSON-RPC implementation drops in behind
+  * [[LogRpc]] without touching the planning code. Scale shape: the driver
+  * plans on a counts-only [[graft.ingest.BlockCountIndex]] (a distributed
+  * aggregation; O(blocks/4096) driver memory) and each task reads only its
+  * own `[start,end]` slice via [[graft.ingest.ParquetLogRpc]] with the
+  * range/address predicate pushed to parquet row-group statistics — no
+  * corpus is ever materialized on the driver or shipped to tasks.
   */
 class LogSourceV2 extends TableProvider {
 
@@ -100,13 +105,17 @@ private class LogsScanBuilder(path: String, from: Long, to: Long,
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan = {
-    // driver-side: materialize the replay corpus once per scan
-    val rpc = LogSource.replayFromParquet(SparkSession.active, path)
-    new LogsScan(rpc, lo, hi, address, blocksStep, maxLogs, blocksPerBatch)
+    // Driver-side: counts-only density index (distributed aggregation; the
+    // driver never holds rows) + a file-path-only reader RPC. Each task
+    // then reads its own predicate-pushed block slice executor-side.
+    val spark = SparkSession.active
+    val est = BlockCountIndex.forPath(spark, path, address)
+    val rpc = new ParquetLogRpc(LogSource.listParquetFiles(spark, path))
+    new LogsScan(est, rpc, lo, hi, address, blocksStep, maxLogs, blocksPerBatch)
   }
 }
 
-private class LogsScan(rpc: LogRpc, lo: Long, hi: Long,
+private class LogsScan(est: LogCountEstimator, rpc: LogRpc, lo: Long, hi: Long,
                        address: Option[Array[Byte]],
                        blocksStep: Long, maxLogs: Long,
                        blocksPerBatch: Long) extends Scan with Batch {
@@ -116,7 +125,7 @@ private class LogsScan(rpc: LogRpc, lo: Long, hi: Long,
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] =
-    LogPlanning.plan(rpc, lo, hi, address, blocksStep, maxLogs)
+    LogPlanning.plan(est, lo, hi, address, blocksStep, maxLogs)
       .map { case (s, e) => LogRangePartition(s, e): InputPartition }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -128,14 +137,15 @@ private class LogsScan(rpc: LogRpc, lo: Long, hi: Long,
     * eth-contract.py:77), and batch partitioning reuses the adaptive
     * density planner. */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new LogsMicroBatchStream(rpc, lo, hi, address, blocksStep, maxLogs, blocksPerBatch)
+    new LogsMicroBatchStream(est, rpc, lo, hi, address, blocksStep, maxLogs, blocksPerBatch)
 }
 
 private case class BlockOffset(n: Long) extends Offset {
   override def json(): String = n.toString
 }
 
-private class LogsMicroBatchStream(rpc: LogRpc, lo: Long, hi: Long,
+private class LogsMicroBatchStream(est: LogCountEstimator, rpc: LogRpc,
+                                   lo: Long, hi: Long,
                                    address: Option[Array[Byte]],
                                    blocksStep: Long, maxLogs: Long,
                                    perBatch: Long) extends MicroBatchStream {
@@ -152,7 +162,7 @@ private class LogsMicroBatchStream(rpc: LogRpc, lo: Long, hi: Long,
     val s = start.asInstanceOf[BlockOffset].n + 1
     val e = end.asInstanceOf[BlockOffset].n
     last = math.max(last, e) // restart safety: never re-announce old blocks
-    LogPlanning.plan(rpc, s, e, address, blocksStep, maxLogs)
+    LogPlanning.plan(est, s, e, address, blocksStep, maxLogs)
       .map { case (a, b) => LogRangePartition(a, b): InputPartition }.toArray
   }
 
@@ -181,7 +191,7 @@ private class LogsMicroBatchStream(rpc: LogRpc, lo: Long, hi: Long,
   * dense era. Planning shrinks only above maxLogs/2, so steps settle
   * where each partition carries about half the per-call budget. */
 object LogPlanning {
-  def plan(rpc: LogRpc, lo: Long, hi: Long, address: Option[Array[Byte]],
+  def plan(rpc: LogCountEstimator, lo: Long, hi: Long, address: Option[Array[Byte]],
            blocksStep: Long, maxLogs: Long): Seq[(Long, Long)] = {
     if (hi < lo) return Nil
     val parts = ArrayBuffer.empty[(Long, Long)]

@@ -77,6 +77,34 @@ class SourceV2Spec extends AnyFunSuite {
     assert(df.count() == expected && expected > 0)
   }
 
+  test("DSv2 log scan never materializes the corpus on the driver") {
+    graft.ingest.LogSource.clearReplayCache()
+    val df = logs(8928160L, 20000000L)
+    assert(df.count() > 1000)
+    // the scan planned on the counts-only index and read executor-side —
+    // the driver-side replay corpus cache must stay empty
+    assert(graft.ingest.LogSource.replayCacheSize == 0,
+      "DSv2 scan populated the driver-side replay corpus cache")
+    assert(graft.ingest.BlockCountIndex.cacheSize > 0,
+      "DSv2 scan should have built the counts-only planning index")
+  }
+
+  test("executor-side slice read matches the driver replay corpus exactly") {
+    graft.fixtures.MakerFixtures.ensure(spark)
+    val path = graft.fixtures.MakerFixtures.rawLogsPath
+    val rpc = new graft.ingest.ParquetLogRpc(
+      graft.ingest.LogSource.listParquetFiles(spark, path))
+    val replay = graft.ingest.LogSource.replayFromParquet(spark, path)
+    val lo = 9000000L
+    val hi = 9500000L
+    def key(l: graft.ingest.RawLog) =
+      (l.block_number, l.log_index, l.transaction_index)
+    val got = rpc.getLogs(lo, hi, None).map(key).toVector.sorted
+    val want = replay.getLogs(lo, hi, None).map(key).toVector.sorted
+    assert(got.nonEmpty && got == want)
+    graft.ingest.LogSource.clearReplayCache() // don't leak into other tests
+  }
+
   test("adaptive partition planning responds to log density (S12)") {
     import graft.ingest.{LogRpc, RawLog}
     // synthetic density: blocks < 1M are dense (1 log/block), rest empty
