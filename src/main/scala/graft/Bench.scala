@@ -1,9 +1,28 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Java processes on this host other than our own JVM (and our parent
+    * sbt, which is idle while runMain executes). Bench numbers inflate
+    * 2-10x when another local[N] Spark JVM runs concurrently — record the
+    * evidence in the output so a contaminated run is self-evident. */
+  private def otherJvmCount(): Int = {
+    val self = ProcessHandle.current()
+    val parents = Iterator.iterate(Option(self))(_.flatMap(h =>
+      if (h.parent().isPresent) Some(h.parent().get()) else None))
+      .takeWhile(_.isDefined).take(8).flatten.map(_.pid()).toSet
+    ProcessHandle.allProcesses().filter { h =>
+      val cmd = h.info().command()
+      cmd.isPresent && cmd.get().endsWith("java") && !parents.contains(h.pid())
+    }.count().toInt
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val jvmsBefore = otherJvmCount()
+    val loadBefore = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -26,7 +45,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val loadAfter = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val env = s""""env":{"other_jvms":$jvmsBefore,"load_avg_before":$loadBefore,""" +
+      s""""load_avg_after":$loadAfter,"cpus":$cpus,"contaminated":${jvmsBefore > 0}}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$env}"""
+    if (jvmsBefore > 0)
+      System.err.println(s"[bench] WARNING: $jvmsBefore other JVM(s) alive " +
+        "during the run - wall times are likely inflated by CPU contention")
     // sbt prefixes stdout with [info], which broke the driver's parse in
     // round 1 — persist the metric line to a file as the canonical copy.
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
