@@ -79,15 +79,33 @@ object MakerDw {
     GraftFunctions.register(s)
     Seq("vat_call_frob", "vat_call_grab", "vat_call_fold", "jug_call_file")
       .foreach(t => decoded(s, t).createOrReplaceTempView(t))
-    s.sql("""
+    s.sql(assetsSqlText(identity))
+  }
+
+  /** The same production query against schema-qualified warehouse tables
+    * (`makermcd.vat_call_frob` ...), resolved through the session catalog
+    * — the reference's `CREATE DATABASE makermcd` namespace (README.md:73,
+    * classes.py:56) rather than bare temp views. Shares the SQL oracle
+    * with assets_per_type: both must hash-match the same DuckDB result. */
+  def assetsPerTypeCatalog(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    MakerFixtures.ensureDemuxed(s)
+    graft.catalog.Warehouse.materialize(s, MakerFixtures.demuxStorePath,
+      MakerFixtures.fixtureDefs)
+    s.sql(assetsSqlText(t => s"makermcd.$t"))
+  }
+
+  /** assets_per_type SQL text, parameterized over how table names resolve
+    * (bare temp views vs catalog-qualified `makermcd.*`). */
+  private def assetsSqlText(t: String => String): String = s"""
       WITH lending_assets_1 AS (
         SELECT i AS ilk, block_number, dart, CAST(NULL AS DECIMAL(38,0)) AS rate
-        FROM vat_call_frob WHERE dart <> 0
+        FROM ${t("vat_call_frob")} WHERE dart <> 0
         UNION ALL
-        SELECT i, block_number, dart, CAST(0 AS DECIMAL(38,0)) FROM vat_call_grab
+        SELECT i, block_number, dart, CAST(0 AS DECIMAL(38,0)) FROM ${t("vat_call_grab")}
         WHERE dart <> 0
         UNION ALL
-        SELECT i, block_number, CAST(NULL AS DECIMAL(38,0)), rate FROM vat_call_fold
+        SELECT i, block_number, CAST(NULL AS DECIMAL(38,0)), rate FROM ${t("vat_call_fold")}
         WHERE rate <> 0
       ),
       ilks AS (
@@ -106,7 +124,7 @@ object MakerDw {
       rates AS (
         SELECT block_number, ilk,
           ROUND(POWER(CAST(data AS DOUBLE)/1e27, 31536000), 9) - 1 AS sf
-        FROM jug_call_file
+        FROM ${t("jug_call_file")}
       ),
       with_filling AS (
         SELECT ilk, block_number, dart, rate, CAST(NULL AS DOUBLE) AS sf
@@ -160,8 +178,7 @@ object MakerDw {
       FROM group_by_cat
       GROUP BY 1, 2
       ORDER BY 1 DESC, 2
-    """)
-  }
+    """
 
   /** EP2 block pipeline: blocks come from the (deterministic) RPC source
     * — NOT the truth parquet the oracle reads — so the Dataset[Block]
@@ -371,6 +388,7 @@ object MakerDw {
     "proxy_actions_filter" -> (proxyActionsFilter _),
     "blocks_dsv2_range" -> (blocksDsv2Range _),
     "assets_per_type_dsl" -> (assetsPerTypeDsl _),
+    "assets_per_type_catalog" -> (assetsPerTypeCatalog _),
     "abi_decode_frob" -> (decodeFrob _),
     "abi_decode_buygem" -> (decodeBuyGem _),
     "abi_demux_counts" -> (demuxCounts _),
@@ -463,9 +481,11 @@ object MakerDw {
       GROUP BY 1, 2
       ORDER BY 1 DESC, 2"""
 
-  /** the DSL port shares the SQL port's oracle verbatim */
+  /** the DSL and catalog-qualified ports share the SQL port's oracle
+    * verbatim — all three must hash-match the same DuckDB result */
   private lazy val assetsOracleAlias: Map[String, String] =
-    Map("assets_per_type_dsl" -> oracleAssetsSql)
+    Map("assets_per_type_dsl" -> oracleAssetsSql,
+        "assets_per_type_catalog" -> oracleAssetsSql)
 
   val oracle: Map[String, String] = assetsOracleAlias ++ Map(
     "maker_psm_flows" -> s"""
