@@ -75,28 +75,64 @@ object Dedup {
     sh.groupBy("doc_id").agg(agg.as("mins"))
   }
 
+  /** Buckets above this occupancy are dropped, not expanded: a band key
+    * collecting ≫ the expected handful of docs is degenerate (an all-zero
+    * simhash band over near-empty docs, a hot LSH key on clustered data)
+    * and its O(occupancy²) pair expansion would both blow up one task and
+    * flood the output with false candidates. Dropping the whole bucket —
+    * rather than truncating it — is standard LSH practice: the pairs a
+    * degenerate key vouches for carry no signal, and genuinely similar
+    * docs still collide on their other, non-degenerate bands. */
+  val MaxBucketOccupancy = 1000
+
   /** LSH candidate pairs: docs colliding in ≥1 band (band key = murmur
     * hash of that band's signature slice). Pairs come from grouping on
-    * (band, key) — no self-join; bucket occupancy is small by design.
-    * Band keying and pair expansion are typed flatMaps (compiled). */
-  def lshCandidates(sig: DataFrame): DataFrame = {
+    * (band, key) — no self-join — and expansion is iterator-based
+    * (`flatMapGroups`): a bucket buffers at most `maxBucket` ids, so a
+    * degenerate hot key can neither OOM a task nor emit O(occ²) pairs;
+    * over-cap buckets are dropped and logged (count in the
+    * `graft.lsh.dropped_buckets` accumulator, visible in the UI). */
+  def lshCandidates(sig: DataFrame, maxBucket: Int = MaxBucketOccupancy): DataFrame = {
     import sig.sparkSession.implicits._
     val r = NumHashes / Bands
     val nBands = Bands
+    val dropped = sig.sparkSession.sparkContext
+      .longAccumulator("graft.lsh.dropped_buckets")
     val banded = sig.as[(Long, Seq[Long])].flatMap { case (id, mins) =>
       (0 until nBands).iterator.map { b =>
         (b, scala.util.hashing.MurmurHash3.orderedHash(mins.slice(b * r, b * r + r)), id)
       }
-    }.toDF("band", "bk", "doc_id")
-    banded.groupBy("band", "bk").agg(collect_list("doc_id").as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(col("ids")).as[Seq[Long]]
-      .flatMap { ids =>
-        val s = ids.sorted
-        for (x <- s.iterator; y <- s if x < y) yield (x, y)
+    }
+    banded.groupByKey { case (b, bk, _) => (b, bk) }
+      .flatMapGroups { (key: (Int, Int), it: Iterator[(Int, Int, Long)]) =>
+        bufferBucket(it.map(_._3), maxBucket) match {
+          case Right(ids) =>
+            val s = ids.sorted
+            for (x <- s.iterator; y <- s if x < y) yield (x, y)
+          case Left(true) =>
+            dropped.add(1)
+            org.slf4j.LoggerFactory.getLogger("graft.Dedup").warn(
+              s"dropping hot LSH bucket band=${key._1} key=${key._2} " +
+                s"(occupancy > $maxBucket)")
+            Iterator.empty
+          case Left(false) => Iterator.empty
+        }
       }
       .toDF("i", "j")
       .distinct()
+  }
+
+  /** Buffer up to `maxBucket` elements from a bucket iterator. Right(ids)
+    * when expandable; Left(true) when it overflowed (hot bucket — caller
+    * drops and logs); Left(false) when under 2 elements (nothing to
+    * pair). Never holds more than maxBucket+1 elements in memory. */
+  private def bufferBucket[T](it: Iterator[T], maxBucket: Int): Either[Boolean, Seq[T]] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[T]
+    while (it.hasNext) {
+      buf += it.next()
+      if (buf.length > maxBucket) return Left(true)
+    }
+    if (buf.length < 2) Left(false) else Right(buf.toSeq)
   }
 
   /** MinHash-LSH near-dup: candidates verified by exact Jaccard. Same
@@ -148,9 +184,12 @@ object Dedup {
     * the band key), not n²; for production corpora prefer small maxDist
     * (e.g. 3 → 4×16-bit bands, the classic 64-bit fingerprint setup)
     * since band width shrinks as maxDist grows. */
-  def simhashPairs(docs: DataFrame, maxDist: Int): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxDist: Int,
+                   maxBucket: Int = MaxBucketOccupancy): DataFrame = {
     import docs.sparkSession.implicits._
     val nBands = maxDist + 1
+    val dropped = docs.sparkSession.sparkContext
+      .longAccumulator("graft.simhash.dropped_buckets")
     val banded = simhash(docs).as[(Long, Long)].flatMap { case (id, sim) =>
       (0 until nBands).iterator.map { b =>
         val lo = b * 64 / nBands
@@ -158,18 +197,25 @@ object Dedup {
         val bits = (sim >>> lo) & (if (width == 64) -1L else (1L << width) - 1L)
         (b, bits, id, sim)
       }
-    }.toDF("band", "bits", "doc_id", "sim")
-    banded.groupBy("band", "bits")
-      .agg(collect_list(struct(col("doc_id"), col("sim"))).as("xs"))
-      .filter(size(col("xs")) > 1)
-      .select(col("xs")).as[Seq[(Long, Long)]]
-      .flatMap { xs =>
-        val sorted = xs.sortBy(_._1)
-        for {
-          a <- sorted.iterator
-          b <- sorted if a._1 < b._1
-          d = java.lang.Long.bitCount(a._2 ^ b._2) if d <= maxDist
-        } yield (a._1, b._1, d)
+    }
+    banded.groupByKey { case (b, bits, _, _) => (b, bits) }
+      .flatMapGroups { (key: (Int, Long), it: Iterator[(Int, Long, Long, Long)]) =>
+        bufferBucket(it.map(x => (x._3, x._4)), maxBucket) match {
+          case Right(xs) =>
+            val sorted = xs.sortBy(_._1)
+            for {
+              a <- sorted.iterator
+              b2 <- sorted if a._1 < b2._1
+              d = java.lang.Long.bitCount(a._2 ^ b2._2) if d <= maxDist
+            } yield (a._1, b2._1, d)
+          case Left(true) =>
+            dropped.add(1)
+            org.slf4j.LoggerFactory.getLogger("graft.Dedup").warn(
+              s"dropping hot SimHash bucket band=${key._1} bits=${key._2} " +
+                s"(occupancy > $maxBucket)")
+            Iterator.empty
+          case Left(false) => Iterator.empty
+        }
       }
       .toDF("i", "j", "hamming")
       .distinct()
@@ -192,16 +238,19 @@ object Dedup {
       .orderBy(col("i"), col("j"))
 
   /** Gate row: recall of simhash(maxDist=10) against the exact
-    * jaccard≥0.7 truth — `hits` is deterministic (seeded data, exact
-    * Hamming), so the DuckDB oracle asserts it by value; the pair
-    * listing itself is cross-checked in OpsSpec/DedupSpec. */
+    * jaccard≥0.7 truth, asserted as a derived BOUND (hits ≥
+    * ceil(0.8·n_true), integer arithmetic) so the gate survives fixture
+    * regeneration and a recall collapse reads as `recall_ok=false`, not a
+    * hash mismatch. The pair listing itself is cross-checked in OpsSpec. */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
     val truePairs = jaccardPairs(shingles(docs), 0.7).select("i", "j").persist()
     truePairs.join(simhashPairs(docs, 10).select("i", "j"), Seq("i", "j"), "left_semi")
       .agg(count(lit(1)).as("hits"))
       .crossJoin(truePairs.agg(count(lit(1)).as("n_true")))
-      .select(col("n_true"), col("hits"))
+      .select(col("n_true"),
+        expr("(n_true*8 + 9) DIV 10").as("min_hits"), // = ceil(0.8·n)
+        (col("hits") >= expr("(n_true*8 + 9) DIV 10")).as("recall_ok"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -225,8 +274,8 @@ object Dedup {
     s"$jaccardCtes SELECT i, j, jaccard FROM jc WHERE jaccard >= 0.7 ORDER BY i, j"
 
   /** dedup_simhash: the simhash bits are Spark-side (xxhash64), so the
-    * oracle asserts the deterministic recall count against the exact
-    * jaccard truth instead of the pair list. */
+    * oracle asserts a recall bound derived from the exact jaccard truth
+    * instead of the pair list (or a hard-coded count). */
   val oracle: Map[String, String] = Map(
     "dedup_exact" -> """
       SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n
@@ -235,6 +284,7 @@ object Dedup {
     "dedup_minhash_lsh" -> jaccardOracle,
     "dedup_simhash" -> s"""$jaccardCtes
       SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
-        CAST(25 AS BIGINT) AS hits
+        CAST((COUNT(*)*8 + 9)//10 AS BIGINT) AS min_hits,
+        TRUE AS recall_ok
       FROM jc WHERE jaccard >= 0.7""")
 }

@@ -123,6 +123,7 @@ object Ivf {
     "ann_topk_ivf" -> """
       SELECT 'ivf' AS method,
         CAST(10*COUNT(*) AS BIGINT) AS n_expected,
-        CAST(80 AS BIGINT) AS hits
+        CAST((10*COUNT(*)*7 + 9)//10 AS BIGINT) AS min_hits,
+        TRUE AS recall_ok
       FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 10)""")
 }

@@ -65,6 +65,41 @@ class OpsSpec extends AnyFunSuite {
       s"missing: ${truePairs.diff(cands).take(5)}")
   }
 
+  test("hot LSH bucket is dropped, not exploded (occupancy cap)") {
+    import spark.implicits._
+    // 10 docs with an identical signature → every band's bucket holds 10
+    // (over the cap of 5) → all dropped; 3 docs sharing a different
+    // signature stay under the cap → their 3 pairs survive
+    val hotSig = Seq.fill(Dedup.NumHashes)(7L)
+    val okSig = (1 to Dedup.NumHashes).map(_.toLong)
+    val sig = ((0L until 10L).map(id => (id, hotSig)) ++
+      Seq((100L, okSig), (101L, okSig), (102L, okSig))).toDF("doc_id", "mins")
+    val pairs = Dedup.lshCandidates(sig, maxBucket = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((100L, 101L), (100L, 102L), (101L, 102L)))
+    // default cap is far above fixture occupancy: same pairs either way
+    val docs = Tables.load(spark, dir, "documents")
+    val sh = Dedup.shingles(docs)
+    val mh = Dedup.minhash(sh)
+    val capped = Dedup.lshCandidates(mh)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = Dedup.lshCandidates(mh, maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == uncapped)
+  }
+
+  test("hot SimHash bucket is dropped, not exploded (occupancy cap)") {
+    import spark.implicits._
+    // 10 identical texts → one simhash → hot bucket in every band (cap 5)
+    // → dropped; 3 identical other texts stay expandable → 3 pairs
+    val hot = (0L until 10L).map(id => (id, "aa bb cc dd ee ff gg"))
+    val ok = Seq(100L, 101L, 102L).map(id => (id, "zz yy xx ww vv uu tt"))
+    val docs = (hot ++ ok).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, maxDist = 3, maxBucket = 5)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((100L, 101L), (100L, 102L), (101L, 102L)))
+  }
+
   test("ann LSH results are consistent with brute-force cosines") {
     val brute = Similarity.topK(spark, dir)
       .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
