@@ -30,7 +30,18 @@ object Warehouse {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
     defs.foreach { d =>
       val fq = s"$db.${d.table}"
-      if (overwrite || !spark.catalog.tableExists(fq))
+      if (!spark.catalog.tableExists(fq)) {
+        // the in-memory catalog starts empty each session, but a previous
+        // session's managed-table directory can survive in the warehouse
+        // dir — CREATE refuses an existing location, so clear the orphan
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        fs.delete(new org.apache.hadoop.fs.Path(
+          warehouse, s"$db.db/${d.table}"), true)
+        Demux.readTable(spark, storePath, d)
+          .write.mode("overwrite").format("parquet").saveAsTable(fq)
+      } else if (overwrite)
         Demux.readTable(spark, storePath, d)
           .write.mode("overwrite").format("parquet").saveAsTable(fq)
     }

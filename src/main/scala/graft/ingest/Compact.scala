@@ -14,11 +14,12 @@ import org.apache.spark.sql.functions._
   * Concurrency contract: run as an exclusive maintenance job — no
   * concurrent WRITERS (an append landing between the read and the swap
   * would be dropped), and concurrent readers can transiently miss one
-  * partition during its delete→rename swap window. A transactional
-  * table format turns the whole swap into one atomic commit; on plain
-  * parquet this job instead guarantees crash-safety: a re-run after a
-  * crash first restores any partition whose only copy survives in the
-  * temp directory.
+  * partition during its delete→rename swap window. On plain parquet this
+  * job instead guarantees crash-safety: a re-run after a crash first
+  * restores any partition whose only copy survives in the temp
+  * directory. For full snapshot isolation — readers never observing the
+  * swap — use [[ManifestStore.compact]], which flips the whole file set
+  * in one atomic manifest commit.
   */
 object Compact {
 

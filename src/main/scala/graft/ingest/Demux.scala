@@ -74,11 +74,14 @@ object Demux {
       .drop("_topic0")
   }
 
+  /** Tagged rows with unknown topics dropped — the demux-store row set. */
+  def taggedKnown(raw: DataFrame, defs: Seq[AbiSchema.TableDef]): DataFrame =
+    tagged(raw, defs).filter(col("table_name").isNotNull)
+
   /** One-pass demux write: raw+tag partitioned by table_name. */
   def writeDemuxed(raw: DataFrame, defs: Seq[AbiSchema.TableDef], path: String,
                    overwrite: Boolean = false): Unit =
-    tagged(raw, defs)
-      .filter(col("table_name").isNotNull)
+    taggedKnown(raw, defs)
       .write.mode(if (overwrite) "overwrite" else "append")
       .partitionBy("table_name")
       .parquet(path)

@@ -18,7 +18,11 @@ object Writer {
     df.write.mode("append").parquet(path)
 
   /** Overwrite-by-range idempotent write: drop rows in [from, to] then
-    * append the new batch (all other data untouched). */
+    * append the new batch (all other data untouched). Crash-safe but not
+    * atomic for readers — a reader landing inside the delete→rename swap
+    * can transiently miss the path; [[ManifestStore.overwriteRange]] is
+    * the snapshot-isolated form (readers resolve complete manifests
+    * only). */
   def overwriteRange(spark: SparkSession, df: DataFrame, path: String,
                      from: Long, to: Long): Unit = {
     val existing =
