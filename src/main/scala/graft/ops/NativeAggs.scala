@@ -32,22 +32,40 @@ object MinHashAgg {
 /** dot_double(a, b) → double: left-to-right fold of elementwise products
   * over two array<double> columns. Bit-identical to
   * `aggregate(zip_with(a, b, (x,y) -> x*y), 0D, (acc,p) -> acc+p)` and to
-  * DuckDB's sequential `list_sum`, but the loop is compiled Scala — the
-  * interpreted-HOF version cost ~8µs per element (ops/Similarity hot
-  * path). */
+  * DuckDB's sequential `list_sum`, but the loop is compiled — interpreted
+  * via a primitive Scala loop, and codegen'd via `nullSafeCodeGen` (the
+  * generated for-loop reads `ArrayData.getDouble` in place, no boxing, no
+  * array copy), so the similarity hot path stays inside whole-stage
+  * codegen end to end. */
 case class DotDouble(left: Expression, right: Expression)
-  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = DoubleType
   override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val xs = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
-    val ys = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
+    val xs = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val ys = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     var acc = 0.0
     var i = 0
-    val n = math.min(xs.length, ys.length)
-    while (i < n) { acc += xs(i) * ys(i); i += 1 }
+    val n = math.min(xs.numElements(), ys.numElements())
+    while (i < n) { acc += xs.getDouble(i) * ys.getDouble(i); i += 1 }
     acc
   }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+  : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotDouble =
     copy(left = l, right = r)
   override def prettyName: String = "dot_double"
