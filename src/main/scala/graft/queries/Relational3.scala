@@ -116,7 +116,37 @@ object Relational3 {
       .orderBy("iv_id")
   }
 
+  /** Salted skew join (SURVEY "salting for skew", proven in a plan): the
+    * derived key puts ~90% of lineitem rows on one HOT key — the single
+    * hot key that swamps one task when a shuffle join co-locates on it.
+    * [[graft.ops.Skew.saltedJoin]] spreads the hot key over 16
+    * (key, salt) shuffle partitions and replicates the 2-row dimension
+    * 16×; the result is provably identical to the plain join (the DuckDB
+    * oracle). The merge hint forces the shuffle-join shape salting
+    * targets — at warehouse scale the dimension side is often
+    * broadcast-ineligible, which is exactly when AQE cannot help a
+    * hash-partitioned hot key. */
+  def q37SkewJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    import s.implicits._
+    Tables.registerAll(s, dir)
+    val large = s.table("lineitem").select(
+      when(pmod(col("l_orderkey"), lit(10)) < 9, lit("HOT"))
+        .otherwise(lit("k9")).as("k"),
+      col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    val dim = Seq(("HOT", 3), ("k9", 9)).toDF("k", "w")
+    graft.ops.Skew.saltedJoin(large, dim.hint("merge"), "k",
+      col("l_orderkey") * lit(8) + col("l_linenumber"), 16)
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 2)) * col("w"))
+          .cast("double").as("weighted"))
+      .orderBy("k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_skew_join" -> (q37SkewJoin _),
     "q36_range_join" -> (q36RangeJoin _),
     "q29_grouping_sets" -> (q29GroupingSets _),
     "q30_percentile_cont" -> (q30PercentileCont _),
@@ -127,6 +157,16 @@ object Relational3 {
     "q35_rank_family" -> (q35RankFamily _))
 
   val oracle: Map[String, String] = Map(
+    "q37_skew_join" -> """
+      WITH large AS (
+        SELECT CASE WHEN l_orderkey % 10 < 9 THEN 'HOT' ELSE 'k9' END AS k,
+               l_quantity
+        FROM lineitem),
+      dim AS (SELECT 'HOT' AS k, 3 AS w UNION ALL SELECT 'k9', 9)
+      SELECT k, COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * w) AS DOUBLE) AS weighted
+      FROM large JOIN dim USING (k)
+      GROUP BY k ORDER BY k""",
     "q36_range_join" -> """
       WITH bounds AS (
         SELECT MIN(epoch_ns(ts)) AS t0, MAX(epoch_ns(ts)) AS t1 FROM events),
