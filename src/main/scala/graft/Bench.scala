@@ -45,14 +45,20 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // re-sample after the run: a competing JVM that starts mid-benchmark
+    // is exactly the contamination this flag exists to expose
+    val jvmsAfter = otherJvmCount()
+    val contaminated = jvmsBefore > 0 || jvmsAfter > 0
     val loadAfter = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    val env = s""""env":{"other_jvms":$jvmsBefore,"load_avg_before":$loadBefore,""" +
-      s""""load_avg_after":$loadAfter,"cpus":$cpus,"contaminated":${jvmsBefore > 0}}"""
+    val env = s""""env":{"other_jvms":$jvmsBefore,"other_jvms_after":$jvmsAfter,""" +
+      s""""load_avg_before":$loadBefore,"load_avg_after":$loadAfter,""" +
+      s""""cpus":$cpus,"contaminated":$contaminated}"""
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$env}"""
-    if (jvmsBefore > 0)
-      System.err.println(s"[bench] WARNING: $jvmsBefore other JVM(s) alive " +
-        "during the run - wall times are likely inflated by CPU contention")
+    if (contaminated)
+      System.err.println(s"[bench] WARNING: other JVM(s) alive during the " +
+        s"run (before=$jvmsBefore, after=$jvmsAfter) - wall times are " +
+        "likely inflated by CPU contention")
     // sbt prefixes stdout with [info], which broke the driver's parse in
     // round 1 — persist the metric line to a file as the canonical copy.
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),

@@ -30,7 +30,8 @@ object Warehouse {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
     defs.foreach { d =>
       val fq = s"$db.${d.table}"
-      if (!spark.catalog.tableExists(fq)) {
+      val exists = spark.catalog.tableExists(fq)
+      if (!exists) {
         // the in-memory catalog starts empty each session, but a previous
         // session's managed-table directory can survive in the warehouse
         // dir — CREATE refuses an existing location, so clear the orphan
@@ -39,9 +40,8 @@ object Warehouse {
         val warehouse = spark.conf.get("spark.sql.warehouse.dir")
         fs.delete(new org.apache.hadoop.fs.Path(
           warehouse, s"$db.db/${d.table}"), true)
-        Demux.readTable(spark, storePath, d)
-          .write.mode("overwrite").format("parquet").saveAsTable(fq)
-      } else if (overwrite)
+      }
+      if (!exists || overwrite)
         Demux.readTable(spark, storePath, d)
           .write.mode("overwrite").format("parquet").saveAsTable(fq)
     }

@@ -92,14 +92,14 @@ final class ParquetLogRpc(files: Seq[String]) extends LogRpc {
   import org.apache.parquet.example.data.Group
   import org.apache.parquet.io.api.Binary
 
+  /** The returned iterator also implements AutoCloseable: a consumer that
+    * stops early (limit, task kill, downstream exception) must close() it
+    * or the in-flight ParquetReader's file handle leaks — the DSv2
+    * PartitionReader.close() does exactly that. Fully-drained iterators
+    * close every reader themselves. */
   override def getLogs(from: Long, to: Long,
                        address: Option[Array[Byte]]): Iterator[RawLog] =
-    files.iterator.flatMap(readSlice(_, from, to, address))
-      // parquet record-level filtering already applied the predicate; this
-      // re-check is defensive (and covers readers without record filtering)
-      .filter(l => l.block_number >= from &&
-        (to == Long.MaxValue || l.block_number <= to) &&
-        address.forall(a => java.util.Arrays.equals(a, l.address)))
+    new SliceIterator(from, to, address)
 
   /** Exact count by slice-scan — planners should prefer the counts-only
     * [[BlockCountIndex]]; this exists so the trait contract holds if a
@@ -108,32 +108,61 @@ final class ParquetLogRpc(files: Seq[String]) extends LogRpc {
                             address: Option[Array[Byte]]): Long =
     getLogs(from, to, address).size.toLong
 
-  private def readSlice(file: String, from: Long, to: Long,
-                        address: Option[Array[Byte]]): Iterator[RawLog] = {
-    val block = FilterApi.longColumn("block_number")
-    var pred: FilterPredicate = FilterApi.gtEq(block, java.lang.Long.valueOf(from))
-    if (to != Long.MaxValue)
-      pred = FilterApi.and(pred, FilterApi.ltEq(block, java.lang.Long.valueOf(to)))
-    address.foreach { a =>
-      pred = FilterApi.and(pred, FilterApi.eq(
-        FilterApi.binaryColumn("address"), Binary.fromConstantByteArray(a)))
+  /** Lazily walks the files, keeping at most one ParquetReader open;
+    * applies the defensive re-check of the pushed predicate inline (the
+    * parquet record-level filter already applied it — this also covers
+    * readers without record filtering). */
+  private final class SliceIterator(from: Long, to: Long,
+                                    address: Option[Array[Byte]])
+    extends Iterator[RawLog] with AutoCloseable {
+
+    private val remaining = files.iterator
+    private var reader: ParquetReader[Group] = _
+    private var nextLog: RawLog = advance()
+
+    private def matches(l: RawLog): Boolean =
+      l.block_number >= from &&
+        (to == Long.MaxValue || l.block_number <= to) &&
+        address.forall(a => java.util.Arrays.equals(a, l.address))
+
+    private def open(file: String): ParquetReader[Group] = {
+      val block = FilterApi.longColumn("block_number")
+      var pred: FilterPredicate = FilterApi.gtEq(block, java.lang.Long.valueOf(from))
+      if (to != Long.MaxValue)
+        pred = FilterApi.and(pred, FilterApi.ltEq(block, java.lang.Long.valueOf(to)))
+      address.foreach { a =>
+        pred = FilterApi.and(pred, FilterApi.eq(
+          FilterApi.binaryColumn("address"), Binary.fromConstantByteArray(a)))
+      }
+      ParquetReader
+        .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(file))
+        .withConf(new org.apache.hadoop.conf.Configuration())
+        .withFilter(FilterCompat.get(pred))
+        .build()
     }
-    val reader = ParquetReader
-      .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(file))
-      .withConf(new org.apache.hadoop.conf.Configuration())
-      .withFilter(FilterCompat.get(pred))
-      .build()
-    new Iterator[RawLog] {
-      private var nextGroup: Group = advance()
-      private def advance(): Group = {
+
+    @scala.annotation.tailrec
+    private def advance(): RawLog = {
+      if (reader == null) {
+        if (!remaining.hasNext) null
+        else { reader = open(remaining.next()); advance() }
+      } else {
         val g = reader.read()
-        if (g == null) reader.close()
-        g
+        if (g == null) { reader.close(); reader = null; advance() }
+        else {
+          val l = toRawLog(g)
+          if (matches(l)) l else advance()
+        }
       }
-      override def hasNext: Boolean = nextGroup != null
-      override def next(): RawLog = {
-        val g = nextGroup; nextGroup = advance(); toRawLog(g)
-      }
+    }
+
+    override def hasNext: Boolean = nextLog != null
+    override def next(): RawLog = {
+      val l = nextLog; nextLog = advance(); l
+    }
+    override def close(): Unit = {
+      if (reader != null) { reader.close(); reader = null }
+      nextLog = null
     }
   }
 
@@ -167,7 +196,8 @@ final class ParquetLogRpc(files: Seq[String]) extends LogRpc {
   * adaptive planner re-splits over-estimated chunks anyway). When an
   * address was pushed, the index is built over the address-filtered scan,
   * so estimates are address-aware without an (address × block) blowup. */
-final class BlockCountIndex(buckets: Array[Long], counts: Array[Long])
+final class BlockCountIndex(buckets: Array[Long], counts: Array[Long],
+                            addrKey: String)
   extends LogCountEstimator {
   import BlockCountIndex.BucketBlocks
   // cum(i) = logs in buckets [0, i)
@@ -186,6 +216,12 @@ final class BlockCountIndex(buckets: Array[Long], counts: Array[Long])
 
   override def estimateLogs(from: Long, to: Long,
                             address: Option[Array[Byte]]): Long = {
+    // the address filter is baked in at build time (forPath) — estimating
+    // for a different address with this index would silently mis-size
+    // partitions, so fail loud on the mismatch instead
+    require(BlockCountIndex.addrKeyOf(address) == addrKey,
+      s"BlockCountIndex built for address=$addrKey asked to estimate " +
+        s"address=${BlockCountIndex.addrKeyOf(address)} — build a new index" )
     if (to < from) return 0L
     val bLo = Math.floorDiv(from, BucketBlocks)
     val bHi = if (to == Long.MaxValue) Long.MaxValue
@@ -217,11 +253,14 @@ object BlockCountIndex {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, String), BlockCountIndex]()
 
+  private[graft] def addrKeyOf(address: Option[Array[Byte]]): String =
+    address.map(a => a.map("%02x".format(_)).mkString).getOrElse("*")
+
   def forPath(spark: SparkSession, path: String,
               address: Option[Array[Byte]]): BlockCountIndex = {
     import org.apache.spark.sql.functions._
     val sig = LogSource.contentSignature(spark, path)
-    val addrKey = address.map(a => a.map("%02x".format(_)).mkString).getOrElse("*")
+    val addrKey = addrKeyOf(address)
     val key = (path, sig, addrKey)
     if (!cache.containsKey(key)) // drop stale versions of this path
       cache.keySet.removeIf(k => k._1 == path && k._2 != sig)
@@ -233,7 +272,7 @@ object BlockCountIndex {
         .count()
         .collect() // counts only — O(chain length / 4096) driver memory
       val sorted = rows.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-      new BlockCountIndex(sorted.map(_._1), sorted.map(_._2))
+      new BlockCountIndex(sorted.map(_._1), sorted.map(_._2), addrKey)
     })
   }
 

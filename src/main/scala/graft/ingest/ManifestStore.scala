@@ -12,19 +12,22 @@ import org.apache.spark.sql.functions._
   *
   * Layout:
   * {{{
-  *   <root>/_manifests/v00000001.manifest   // one line per data file
+  *   <root>/_manifests/v00000001.manifest   // header lines + one line per file
+  *   <root>/_manifests/keys.history         // commit keys of vacuumed manifests
   *   <root>/data/<commit-uuid>/...          // immutable data files
   * }}}
   *
   * Protocol: writers put data files into a fresh `data/<uuid>/` directory
-  * (invisible to readers), then publish by renaming a temp manifest to
-  * `v{N+1}.manifest` — a single atomic rename on local/HDFS file systems,
-  * with exists-check retry as optimistic concurrency (first committer of
-  * a version wins, the loser re-reads and retries on the next version).
-  * Readers resolve the highest complete manifest and load exactly the
-  * files it lists: they never observe a half-written commit, a swap
-  * window, or a compaction in progress. Old files stay on disk until
-  * [[vacuum]], so in-flight readers of older snapshots stay consistent.
+  * (invisible to readers), then publish by CREATING `v{N+1}.manifest`
+  * exclusively — `O_CREAT|O_EXCL` on local file systems (via NIO
+  * CREATE_NEW; POSIX guarantees exactly one winner), namenode-atomic
+  * `create(overwrite=false)` on HDFS. A manifest is complete only when it
+  * ends with the `#end` terminator; readers skip unterminated manifests
+  * (a crashed writer burns its version number, nothing else). Readers
+  * resolve the highest complete manifest and load exactly the files it
+  * lists: they never observe a half-written commit, a swap window, or a
+  * compaction in progress. Old files stay on disk until [[vacuum]], so
+  * in-flight readers of older snapshots stay consistent.
   *
   * Exactly-once: [[overwriteRange]] commits a block window atomically,
   * replacing exactly the files the window overlaps (per-file min/max
@@ -34,12 +37,15 @@ import org.apache.spark.sql.functions._
   * (ChainStream.ingestStreamAtomic). Commits can additionally carry an
   * idempotence key (`commitKey`): re-committing a key some manifest
   * already records is a no-op — the cheap short-circuit for exact
-  * replays of job-level runs.
+  * replays of job-level runs. Keys of vacuumed manifests are preserved in
+  * `keys.history`, so idempotence outlives retention.
   *
   * Object-store caveat (documented contract, same as Delta's): the
-  * version-rename commit assumes rename-without-overwrite is atomic —
-  * true on local FS and HDFS; S3-style stores need a coordination service
-  * in front of the manifest directory.
+  * exclusive-create commit needs a consistent create-if-absent — true on
+  * local FS and HDFS; S3-style stores need a coordination service in
+  * front of the manifest directory. Writer concurrency within one JVM is
+  * additionally serialized per store instance (`synchronized`); vacuum
+  * must run as the only writer of `keys.history`.
   */
 final class ManifestStore(val root: String) extends Serializable {
 
@@ -48,20 +54,25 @@ final class ManifestStore(val root: String) extends Serializable {
 
   private def manifestsDir = new Path(root, "_manifests")
   private def dataDir = new Path(root, "data")
+  private def keysHistoryPath = new Path(manifestsDir, "keys.history")
+
+  private val Terminator = "#end"
 
   private def versionOf(name: String): Option[Long] =
     if (name.startsWith("v") && name.endsWith(".manifest"))
       name.stripPrefix("v").stripSuffix(".manifest").toLongOption
     else None
 
-  /** Highest committed version, 0 if none. Incomplete temp manifests are
-    * invisible (they don't match the v*.manifest pattern). */
-  def currentVersion(spark: SparkSession): Long = {
-    val f = fs(spark)
-    if (!f.exists(manifestsDir)) 0L
+  private def sortedVersions(f: FileSystem): Seq[Long] =
+    if (!f.exists(manifestsDir)) Nil
     else f.listStatus(manifestsDir)
-      .flatMap(s => versionOf(s.getPath.getName)).maxOption.getOrElse(0L)
-  }
+      .flatMap(s => versionOf(s.getPath.getName)).sorted.toSeq
+
+  /** Highest claimed version (complete or not), 0 if none — the next
+    * commit claims this + 1. Readers use [[snapshot]], which skips
+    * unterminated (crashed) manifests. */
+  def currentVersion(spark: SparkSession): Long =
+    sortedVersions(fs(spark)).lastOption.getOrElse(0L)
 
   /** One data file of a snapshot, with optional min/max stats on the
     * range column (Delta-style file statistics): overwriteRange uses them
@@ -84,9 +95,11 @@ final class ManifestStore(val root: String) extends Serializable {
   }
 
   private case class Snapshot(version: Long, key: Option[String],
-                              files: Seq[FileEntry])
+                              rangeCol: Option[String], files: Seq[FileEntry])
 
-  private def readManifest(f: FileSystem, v: Long): Snapshot = {
+  /** None when the manifest is unterminated (crashed writer) — the
+    * version is burned and readers fall back to the previous one. */
+  private def readManifest(f: FileSystem, v: Long): Option[Snapshot] = {
     val p = new Path(manifestsDir, f"v$v%08d.manifest")
     val in = f.open(p)
     val text = try new String(
@@ -94,56 +107,109 @@ final class ManifestStore(val root: String) extends Serializable {
       StandardCharsets.UTF_8)
     finally in.close()
     val lines = text.split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
-    val (meta, files) = lines.partition(_.startsWith("#"))
+    if (!lines.lastOption.contains(Terminator)) return None
+    val (meta, files) = lines.dropRight(1).partition(_.startsWith("#"))
     val key = meta.collectFirst { case m if m.startsWith("#key:") =>
       m.stripPrefix("#key:") }
-    Snapshot(v, key, files.map(FileEntry.parse))
+    val rangeCol = meta.collectFirst { case m if m.startsWith("#rangeCol:") =>
+      m.stripPrefix("#rangeCol:") }
+    Some(Snapshot(v, key, rangeCol, files.map(FileEntry.parse)))
   }
 
+  /** Highest COMPLETE snapshot, walking past crashed (unterminated)
+    * versions. */
   private def snapshot(spark: SparkSession): Option[Snapshot] = {
-    val v = currentVersion(spark)
-    if (v == 0L) None else Some(readManifest(fs(spark), v))
+    val f = fs(spark)
+    sortedVersions(f).reverseIterator
+      .flatMap(v => readManifest(f, v)).nextOption()
   }
+
+  /** Test hook: (rel path, min, max) stat entries of the current snapshot. */
+  private[graft] def currentStatEntries(spark: SparkSession)
+  : Seq[(String, Option[Long], Option[Long])] =
+    snapshot(spark).map(_.files.map(e => (e.rel, e.min, e.max))).getOrElse(Nil)
 
   /** All data files of the current snapshot as absolute paths. */
   def currentFiles(spark: SparkSession): Seq[String] =
     snapshot(spark).map(_.files.map(e => new Path(root, e.rel).toString))
       .getOrElse(Nil)
 
-  /** True if any committed manifest carries `key` (idempotent-append
-    * check; scans manifest headers only). */
-  def hasCommitKey(spark: SparkSession, key: String): Boolean = {
+  // commit keys already scanned (per instance, incremental: keys are only
+  // ever added, so a version scanned once never needs re-reading)
+  @transient private lazy val keysSeen =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  @transient private var keysScannedThrough = 0L
+
+  /** True if any committed manifest (or the vacuum key history) carries
+    * `key`. Incremental: each manifest version is read at most once per
+    * store instance, so a keyed commit is O(new versions), not
+    * O(all versions). */
+  def hasCommitKey(spark: SparkSession, key: String): Boolean = synchronized {
     val f = fs(spark)
-    if (!f.exists(manifestsDir)) return false
-    f.listStatus(manifestsDir)
-      .flatMap(s => versionOf(s.getPath.getName))
-      .exists(v => readManifest(f, v).key.contains(key))
+    sortedVersions(f).filter(_ > keysScannedThrough).foreach { v =>
+      readManifest(f, v).flatMap(_.key).foreach(keysSeen.add)
+      keysScannedThrough = math.max(keysScannedThrough, v)
+    }
+    if (keysSeen.contains(key)) return true
+    // vacuumed keys live in the history file (small; only read on miss)
+    f.exists(keysHistoryPath) && {
+      val in = f.open(keysHistoryPath)
+      val text = try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        StandardCharsets.UTF_8)
+      finally in.close()
+      text.linesIterator.foreach(k => if (k.nonEmpty) keysSeen.add(k))
+      keysSeen.contains(key)
+    }
   }
 
+  /** Create `dest` exclusively with `body`: NIO CREATE_NEW (O_EXCL) on
+    * local file systems, namenode-atomic create(overwrite=false) on DFS.
+    * False = another committer won this version. */
+  private def createExclusive(f: FileSystem, dest: Path,
+                              body: Array[Byte]): Boolean =
+    try {
+      if (f.getScheme == "file") {
+        val p = java.nio.file.Paths.get(dest.toUri.getPath)
+        val out = java.nio.file.Files.newOutputStream(p,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        try out.write(body) finally out.close()
+      } else {
+        val out = f.create(dest, false)
+        try out.write(body) finally out.close()
+      }
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+    }
+
   /** Publish a manifest listing `files` (root-relative). Retries on
-    * version collision with a concurrent committer. */
+    * version collision with a concurrent committer — exactly one create
+    * of each version file can succeed. */
   private def commit(spark: SparkSession, files: Seq[FileEntry],
-                     key: Option[String]): Long = {
+                     key: Option[String], rangeCol: Option[String]): Long = {
     val f = fs(spark)
     f.mkdirs(manifestsDir)
-    val body = (key.map("#key:" + _).toSeq ++ files.map(_.serialized))
-      .mkString("", "\n", "\n")
+    val body = (key.map("#key:" + _).toSeq ++
+      rangeCol.map("#rangeCol:" + _).toSeq ++
+      files.map(_.serialized) ++ Seq(Terminator))
+      .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)
     var attempts = 0
     while (attempts < 100) {
       val v = currentVersion(spark) + 1
-      val tmp = new Path(manifestsDir, s".tmp-${java.util.UUID.randomUUID()}")
-      val out = f.create(tmp, false)
-      try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
       val dest = new Path(manifestsDir, f"v$v%08d.manifest")
-      // rename-without-overwrite is the atomic publish; false = lost the
-      // race for this version, retry on the next
-      if (!f.exists(dest) && f.rename(tmp, dest)) return v
-      f.delete(tmp, false)
+      if (createExclusive(f, dest, body)) return v
       attempts += 1
     }
     throw new IllegalStateException(
       s"ManifestStore($root): could not commit after $attempts attempts")
   }
+
+  /** Root-relative path of an absolute file URI path. */
+  private def relOf(rootUriPath: String, uriPath: String): String =
+    uriPath.stripPrefix(rootUriPath).stripPrefix("/")
 
   /** Write `df` into a fresh commit directory; returns entries with
     * per-file min/max stats on `rangeCol` (when set — one small
@@ -158,38 +224,43 @@ final class ManifestStore(val root: String) extends Serializable {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(dir.toString)
     val f = fs(spark)
+    val rootUriPath =
+      new Path(root).makeQualified(f.getUri, f.getWorkingDirectory).toUri.getPath
     val rels = scala.collection.mutable.ArrayBuffer.empty[String]
     val it = f.listFiles(dir, true)
-    val rootUri = new Path(root).makeQualified(f.getUri, f.getWorkingDirectory).toUri
     while (it.hasNext) {
       val file = it.next()
       val name = file.getPath.getName
       if (name.endsWith(".parquet") && !name.startsWith("_") && !name.startsWith("."))
-        rels += rootUri.relativize(file.getPath.toUri).getPath
+        rels += relOf(rootUriPath, file.getPath.toUri.getPath)
     }
+    // per-file min/max, keyed by the FULL root-relative path — basenames
+    // repeat across partition directories (the same task id writes
+    // table_name=a/part-00000-... and table_name=b/part-00000-...), so a
+    // name-keyed map would attach one partition's stats to another's file
     val stats: Map[String, (Long, Long)] = rangeCol match {
       case Some(rc) if rels.nonEmpty =>
-        // per-file min/max; keyed by file name (unique within the commit)
         spark.read.option("basePath", dir.toString)
           .parquet(rels.map(r => new Path(root, r).toString).toSeq: _*)
           .groupBy(input_file_name().as("_f"))
           .agg(min(col(rc)).as("_lo"), max(col(rc)).as("_hi"))
           .collect()
-          .map(r => (new Path(new java.net.URI(r.getString(0)).getPath).getName,
+          .map(r => (relOf(rootUriPath, new java.net.URI(r.getString(0)).getPath),
             (r.getLong(1), r.getLong(2)))).toMap
       case _ => Map.empty
     }
     rels.toSeq.map { rel =>
-      val st = stats.get(new Path(rel).getName)
+      val st = stats.get(rel)
       FileEntry(rel, st.map(_._1), st.map(_._2))
     }
   }
 
-  /** Read specific snapshot entries. Files are grouped by commit
-    * directory and each group reads with its commit dir as `basePath`, so
-    * partition columns (`table_name=...` layout) are recovered per commit
-    * and pruning works as on a plain partitioned store; groups union by
-    * name. Compaction collapses the groups back to one. */
+  /** Read specific snapshot entries (must be non-empty). Files are
+    * grouped by commit directory and each group reads with its commit dir
+    * as `basePath`, so partition columns (`table_name=...` layout) are
+    * recovered per commit and pruning works as on a plain partitioned
+    * store; groups union by name. Compaction collapses the groups back to
+    * one. */
   private def readFiles(spark: SparkSession, files: Seq[FileEntry]): DataFrame = {
     // rel path shape: data/<commit-uuid>/[partition dirs/]file.parquet
     val byCommit = files.groupBy(_.rel.split('/').take(2).mkString("/"))
@@ -200,9 +271,12 @@ final class ManifestStore(val root: String) extends Serializable {
     }.reduce(_.unionByName(_))
   }
 
-  /** Read the current snapshot. None = store is empty (no commits yet). */
+  /** Read the current snapshot. None = store is empty (no commits yet, or
+    * the latest snapshot lists zero files — e.g. an append of an empty
+    * DataFrame). */
   def read(spark: SparkSession): Option[DataFrame] =
-    snapshot(spark).map(s => readFiles(spark, s.files))
+    snapshot(spark).filter(_.files.nonEmpty)
+      .map(s => readFiles(spark, s.files))
 
   /** Atomic append: new files + previous snapshot in one commit. A
     * `commitKey` already present in any manifest makes this a no-op
@@ -213,9 +287,10 @@ final class ManifestStore(val root: String) extends Serializable {
              commitKey: Option[String] = None,
              rangeCol: Option[String] = None): Unit = synchronized {
     if (commitKey.exists(hasCommitKey(spark, _))) return
+    val prev = snapshot(spark)
     val newFiles = writeData(spark, df, partitionCols, rangeCol)
-    val prev = snapshot(spark).map(_.files).getOrElse(Nil)
-    commit(spark, prev ++ newFiles, commitKey)
+    commit(spark, prev.map(_.files).getOrElse(Nil) ++ newFiles, commitKey,
+      rangeCol.orElse(prev.flatMap(_.rangeCol)))
   }
 
   /** Atomic overwrite-by-range (the manifest form of
@@ -241,7 +316,7 @@ final class ManifestStore(val root: String) extends Serializable {
         .filter(col(rangeCol) < from || col(rangeCol) > to)
         .unionByName(df)
     val newFiles = writeData(spark, merged, partitionCols, Some(rangeCol))
-    commit(spark, kept ++ newFiles, commitKey)
+    commit(spark, kept ++ newFiles, commitKey, Some(rangeCol))
   }
 
   /** Atomic compaction: rewrite the current snapshot into
@@ -251,49 +326,71 @@ final class ManifestStore(val root: String) extends Serializable {
     * until the instant the new one lands — no missing-partition window,
     * unlike directory-swap compaction on a plain store. Safe under crash
     * at any point: an unpublished commit directory is invisible and
-    * vacuumable. */
+    * vacuumable. Per-file range stats are recomputed using the snapshot's
+    * recorded range column (or `rangeCol` when given), so compaction
+    * never silently downgrades overwriteRange pruning to full rewrites. */
   def compact(spark: SparkSession, targetBytes: Long = 128L * 1024 * 1024,
               partitionCols: Seq[String] = Nil,
               rangeCol: Option[String] = None): Unit = synchronized {
-    snapshot(spark).foreach { s =>
+    snapshot(spark).filter(_.files.nonEmpty).foreach { s =>
+      val rc = rangeCol.orElse(s.rangeCol)
       val f = fs(spark)
       val totalBytes = s.files.map(e =>
         f.getFileStatus(new Path(root, e.rel)).getLen).sum
       val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-      val df = read(spark).get
+      val df = readFiles(spark, s.files)
       val compacted =
         if (partitionCols.isEmpty) df.repartition(nFiles)
         else df.repartition(nFiles, partitionCols.map(col): _*)
-      val newFiles = writeData(spark, compacted, partitionCols, rangeCol)
-      commit(spark, newFiles, None)
+      val newFiles = writeData(spark, compacted, partitionCols, rc)
+      commit(spark, newFiles, None, rc)
     }
   }
 
   /** Drop data files referenced by no recent manifest and manifests older
     * than `keepVersions`. Run when no reader can still hold a snapshot
-    * older than the retained window (Delta-style retention contract). */
+    * older than the retained window (Delta-style retention contract), and
+    * as the only writer of the key history. Commit keys of deleted
+    * manifests are appended to `keys.history` first, so keyed-commit
+    * idempotence survives retention. */
   def vacuum(spark: SparkSession, keepVersions: Int = 2): Unit = synchronized {
     val f = fs(spark)
-    val latest = currentVersion(spark)
-    if (latest == 0L) return
-    val keepFrom = math.max(1L, latest - keepVersions + 1)
-    val versions = f.listStatus(manifestsDir)
-      .flatMap(s => versionOf(s.getPath.getName)).sorted
-    val live: Set[String] = versions.filter(_ >= keepFrom)
-      .flatMap(v => readManifest(f, v).files.map(_.rel)).toSet
+    val versions = sortedVersions(f)
+    if (versions.isEmpty) return
+    val keepFrom = math.max(1L, versions.last - keepVersions + 1)
+    val (old, recent) = versions.partition(_ < keepFrom)
+    // preserve idempotence keys of the manifests about to be deleted
+    val oldKeys = old.flatMap(v => readManifest(f, v).flatMap(_.key))
+    if (oldKeys.nonEmpty) {
+      val existing =
+        if (f.exists(keysHistoryPath)) {
+          val in = f.open(keysHistoryPath)
+          try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+            StandardCharsets.UTF_8)
+          finally in.close()
+        } else ""
+      val out = f.create(keysHistoryPath, true)
+      try out.write((existing + oldKeys.mkString("", "\n", "\n"))
+        .getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    val live: Set[String] = recent
+      .flatMap(v => readManifest(f, v).map(_.files.map(_.rel)).getOrElse(Nil))
+      .toSet
     if (f.exists(dataDir)) {
+      val rootUriPath =
+        new Path(root).makeQualified(f.getUri, f.getWorkingDirectory).toUri.getPath
       val it = f.listFiles(dataDir, true)
-      val rootUri = new Path(root).makeQualified(f.getUri, f.getWorkingDirectory).toUri
       val dead = scala.collection.mutable.ArrayBuffer.empty[Path]
       while (it.hasNext) {
         val file = it.next()
-        val rel = rootUri.relativize(file.getPath.toUri).getPath
+        val rel = relOf(rootUriPath, file.getPath.toUri.getPath)
         if (file.getPath.getName.endsWith(".parquet") && !live.contains(rel))
           dead += file.getPath
       }
       dead.foreach(f.delete(_, false))
     }
-    versions.filter(_ < keepFrom).foreach { v =>
+    old.foreach { v =>
       f.delete(new Path(manifestsDir, f"v$v%08d.manifest"), false)
     }
   }

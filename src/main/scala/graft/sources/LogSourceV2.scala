@@ -225,7 +225,12 @@ private class LogsReaderFactory(rpc: LogRpc, address: Option[Array[Byte]])
       private var cur: RawLog = _
       override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
       override def get(): InternalRow = toRow(cur)
-      override def close(): Unit = ()
+      // executor-side parquet slices hold an open file handle until fully
+      // drained — an early-terminated scan (limit, task kill) must close
+      override def close(): Unit = it match {
+        case c: AutoCloseable => c.close()
+        case _ => ()
+      }
       private def toRow(l: RawLog): InternalRow =
         InternalRow(l.address, new GenericArrayData(l.topics.toArray[Any]),
           l.data, l.block_number, l.block_hash, l.log_index,

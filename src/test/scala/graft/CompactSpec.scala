@@ -89,13 +89,85 @@ class CompactSpec extends AnyFunSuite {
     store.vacuum(spark, keepVersions = 1)
     assert(store.read(spark).get.count() == expected)
 
-    // crash simulation: a leftover temp manifest is invisible to readers
+    // crash simulation: an unterminated manifest (no #end — writer died
+    // mid-commit) burns its version but is invisible to readers
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(root + "/_manifests/.tmp-crashed")
-    val out = fs.create(tmp, false)
+    val crashed = new org.apache.hadoop.fs.Path(
+      root + "/_manifests/v00000099.manifest")
+    val out = fs.create(crashed, false)
     out.write("data/garbage/nonexistent.parquet\n".getBytes("UTF-8")); out.close()
     assert(store.read(spark).get.count() == expected)
+    // and the next commit claims a version past the burned one
+    store.append(spark, Seq((5000L, "post-crash")).toDF("block_number", "v"))
+    assert(store.currentVersion(spark) == 100L)
+    assert(store.read(spark).get.count() == expected + 1)
+  }
+
+  test("manifest store: stats keyed by full path — one task, many partitions") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_mstats").toString + "/store"
+    val store = new ManifestStore(root)
+    // coalesce(1): a single task writes BOTH partition dirs, so the part
+    // files share a basename — stats must key on the full relative path
+    val a = (0L until 100L).map(n => (n, "a"))
+    val b = (500L until 600L).map(n => (n, "b"))
+    store.append(spark, (a ++ b).toDF("block_number", "table_name").coalesce(1),
+      partitionCols = Seq("table_name"), rangeCol = Some("block_number"))
+    val stats = store.currentStatEntries(spark)
+    assert(stats.size == 2 && stats.forall(e => e._2.isDefined))
+    // each file's stats must match its own partition's range
+    assert(stats.exists(e => e._1.contains("table_name=a") &&
+      e._2.contains(0L) && e._3.contains(99L)))
+    assert(stats.exists(e => e._1.contains("table_name=b") &&
+      e._2.contains(500L) && e._3.contains(599L)))
+    // re-deliver partition a's window: the old copy is replaced, b kept —
+    // with name-keyed stats file a would carry b's range and duplicate
+    store.overwriteRange(spark,
+      (0L until 100L).map(n => (n, "a")).toDF("block_number", "table_name"),
+      0L, 99L, "block_number", Seq("table_name"))
+    val snap = store.read(spark).get
+    assert(snap.count() == 200)
+    assert(snap.filter(col("block_number") <= 99).count() == 100)
+  }
+
+  test("manifest store: empty append is readable, keys survive vacuum, compact keeps stats") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_mmisc").toString + "/store"
+    val store = new ManifestStore(root)
+    // empty append → zero-row store (Spark may or may not emit an empty
+    // part file; both read as empty, never crash)
+    store.append(spark, Seq.empty[(Long, String)].toDF("block_number", "v"))
+    assert(store.read(spark).forall(_.count() == 0))
+    // a manifest listing zero files (no part file emitted) reads as None
+    val emptyRoot = java.nio.file.Files.createTempDirectory("graft_m0").toString + "/s"
+    val fs0 = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs0.mkdirs(new org.apache.hadoop.fs.Path(emptyRoot + "/_manifests"))
+    val o0 = fs0.create(new org.apache.hadoop.fs.Path(
+      emptyRoot + "/_manifests/v00000001.manifest"), false)
+    o0.write("#end\n".getBytes("UTF-8")); o0.close()
+    assert(new ManifestStore(emptyRoot).read(spark).isEmpty)
+
+    store.append(spark, Seq((1L, "x")).toDF("block_number", "v"),
+      commitKey = Some("job-42"), rangeCol = Some("block_number"))
+    (0 until 3).foreach { i =>
+      store.append(spark, Seq((10L + i, "y")).toDF("block_number", "v"),
+        rangeCol = Some("block_number"))
+    }
+    val before = store.read(spark).get.count()
+    store.vacuum(spark, keepVersions = 1)
+    // the keyed commit's manifest is gone, but its key survives in history
+    store.append(spark, Seq((1L, "x")).toDF("block_number", "v"),
+      commitKey = Some("job-42"), rangeCol = Some("block_number"))
+    assert(store.read(spark).get.count() == before)
+
+    // compact without an explicit rangeCol keeps per-file stats (header
+    // records the store's range column) so pruning never degrades
+    store.compact(spark, targetBytes = 1L << 30)
+    val stats = store.currentStatEntries(spark)
+    assert(stats.nonEmpty && stats.forall(_._2.isDefined),
+      s"compact dropped range stats: $stats")
   }
 
   test("manifest store: partitioned demux layout keeps partition pruning") {
