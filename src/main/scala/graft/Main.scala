@@ -82,12 +82,36 @@ object Main {
       println(s"wrote blocks [$from,$to] to $out")
       if (owned) spark.stop()
 
+    // maintenance: small-file compaction of a demux store (exclusive job;
+    // use a ManifestStore root for snapshot-isolated compaction instead)
+    case "compact" :: store :: rest =>
+      val targetBytes = rest.headOption.map(_.toLong).getOrElse(128L * 1024 * 1024)
+      val (spark, owned) = session()
+      val nFiles = graft.ingest.Compact.run(spark, store, targetBytes)
+      println(s"compacted $store to $nFiles data files (target $targetBytes B)")
+      if (owned) spark.stop()
+
+    // register the demux store's decoded tables as <db>.<table> in the
+    // session catalog warehouse (reference README.md:73's CREATE DATABASE)
+    case "warehouse" :: rest =>
+      val store = rest.headOption.getOrElse(graft.fixtures.MakerFixtures.demuxStorePath)
+      val db = rest.lift(1).getOrElse("makermcd")
+      val (spark, owned) = session()
+      graft.fixtures.MakerFixtures.ensureDemuxed(spark)
+      graft.catalog.Warehouse.materialize(spark, store,
+        graft.fixtures.MakerFixtures.fixtureDefs, db, overwrite = true)
+      val tables = spark.sql(s"SHOW TABLES IN $db").collect().map(_.getString(1))
+      println(s"materialized ${tables.length} tables in $db: ${tables.sorted.mkString(", ")}")
+      if (owned) spark.stop()
+
     case other =>
       System.err.println(
         s"""unknown args: ${other.mkString(" ")}
            |usage:
            |  graft.Main ingest <schema>.<contract> [confDir] [store] [rawLogs] [head]
-           |  graft.Main blocks <from> <to> <out>""".stripMargin)
+           |  graft.Main blocks <from> <to> <out>
+           |  graft.Main compact <storePath> [targetBytes]
+           |  graft.Main warehouse [storePath] [db]""".stripMargin)
       sys.exit(2)
   }
 }

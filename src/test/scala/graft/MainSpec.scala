@@ -25,4 +25,19 @@ class MainSpec extends AnyFunSuite {
     Main.main(Array("blocks", "100", "299", out))
     assert(spark.read.parquet(out).count() == 200)
   }
+
+  test("compact CLI shrinks a store's file count, content preserved") {
+    MakerFixtures.ensure(spark)
+    val store = java.nio.file.Files.createTempDirectory("graft_cli").toString + "/store"
+    Main.main(Array("ingest", "makermcd.vat", "/root/reference", store))
+    val before = spark.read.parquet(store).count()
+    Main.main(Array("compact", store))
+    assert(spark.read.parquet(store).count() == before)
+  }
+
+  test("warehouse CLI materializes qualified tables") {
+    Main.main(Array("warehouse"))
+    assert(spark.sql("SELECT COUNT(*) FROM makermcd.vat_call_frob")
+      .head().getLong(0) == 800)
+  }
 }
