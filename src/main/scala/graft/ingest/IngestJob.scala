@@ -40,4 +40,37 @@ object IngestJob {
     try spark.read.parquet(storePath).filter(col("block_number") >= from).count()
     catch { case _: org.apache.spark.sql.AnalysisException => 0L }
   }
+
+  /** The atomic form of [[run]]: the whole catch-up delta commits as one
+    * range overwrite of [resume, chainHead] in a [[ManifestStore]] — the
+    * reference's per-chunk transaction (classes.py:24-26) scaled up to
+    * one transaction per job run. Readers see the store before or after
+    * the catch-up, never mid-append; a crashed run leaves an unpublished
+    * commit directory (vacuumable) and the next run redoes the same range
+    * idempotently. Resume comes from the store's own snapshot watermark. */
+  def runAtomic(spark: SparkSession, rpc: LogRpc, defs: Seq[AbiSchema.TableDef],
+                address: Option[Array[Byte]], store: ManifestStore,
+                creationBlock: Long, chainHead: Long,
+                blocksStep: Long = 10000L, maxLogs: Long = 10000L): Long = {
+    val from = store.read(spark) match {
+      case Some(df) => df.agg(max("block_number")).head() match {
+        case r if r.isNullAt(0) => creationBlock
+        case r => r.getLong(0) + 1
+      }
+      case None => creationBlock
+    }
+    if (from > chainHead) return 0L
+    val ranges = LogPlanning.plan(rpc, from, chainHead, address, blocksStep, maxLogs)
+    import spark.implicits._
+    val raw = spark.createDataset(ranges)
+      .repartition(math.max(1, math.min(ranges.size,
+        spark.sparkContext.defaultParallelism)))
+      .flatMap { case (lo, hi) => rpc.getLogs(lo, hi, address) }
+      .toDF()
+      .select(Demux.rawLogSchema.fieldNames.map(col).toSeq: _*)
+    store.overwriteRange(spark, Demux.taggedKnown(raw, defs), from, chainHead,
+      "block_number", Seq("table_name"))
+    store.read(spark).map(_.filter(col("block_number") >= from).count())
+      .getOrElse(0L)
+  }
 }

@@ -44,4 +44,34 @@ class IngestJobSpec extends AnyFunSuite {
       MakerFixtures.tableDef("vat_call_frob")).count()
     assert(viaStore == direct && direct > 0)
   }
+
+  test("atomic ingest: catch-up, idempotent re-run, resume (manifest commits)") {
+    MakerFixtures.ensure(spark)
+    val rpc = LogSource.replayFromParquet(spark, MakerFixtures.rawLogsPath)
+    val root = java.nio.file.Files.createTempDirectory("graft_aingest").toString + "/store"
+    val store = new graft.ingest.ManifestStore(root)
+    val defs = MakerFixtures.fixtureDefs
+    val corpus = spark.read.parquet(MakerFixtures.rawLogsPath)
+    val creation = 8928160L
+    val head1 = 10500000L
+
+    val n1 = IngestJob.runAtomic(spark, rpc, defs, None, store, creation, head1)
+    val expected1 = Demux.taggedKnown(
+      corpus.filter(col("block_number") <= head1), defs).count()
+    assert(n1 == expected1 && n1 > 0)
+
+    // same head: resume watermark says nothing new
+    assert(IngestJob.runAtomic(spark, rpc, defs, None, store, creation, head1) == 0L)
+    assert(store.read(spark).get.count() == n1)
+
+    // chain advance → delta only; total equals the full tagged corpus
+    val n3 = IngestJob.runAtomic(spark, rpc, defs, None, store, creation, 20000000L)
+    val taggedAll = Demux.taggedKnown(corpus, defs).count()
+    assert(n1 + n3 == taggedAll)
+    assert(store.read(spark).get.count() == taggedAll)
+    // no duplicate (block, log) keys after the two commits
+    assert(store.read(spark).get
+      .groupBy("block_number", "log_index", "transaction_hash").count()
+      .filter(col("count") > 1).count() == 0)
+  }
 }
