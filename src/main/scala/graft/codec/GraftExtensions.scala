@@ -24,7 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "checksum_address" -> (es => ChecksumAddress(es.head)),
       "wad" -> (es => RescaleToDouble(es.head, 18)),
       "ray" -> (es => RescaleToDouble(es.head, 27)),
-      "rad" -> (es => RescaleToDouble(es.head, 45)))
+      "rad" -> (es => RescaleToDouble(es.head, 45)),
+      "dot_double" -> (es => graft.ops.DotDouble(es(0), es(1))),
+      "minhash_agg" -> (es => graft.ops.MinHashAgg(es.head, 64, 1234).toAggregateExpression()),
+      "simhash_agg" -> (es => graft.ops.SimHashAgg(es.head).toAggregateExpression()))
     scalar.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info(name), builder))
     }

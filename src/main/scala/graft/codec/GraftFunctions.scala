@@ -59,5 +59,13 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("wad", es => RescaleToDouble(es.head, 18), "scala_udf")
     reg.createOrReplaceTempFunction("ray", es => RescaleToDouble(es.head, 27), "scala_udf")
     reg.createOrReplaceTempFunction("rad", es => RescaleToDouble(es.head, 45), "scala_udf")
+    // similarity/sketch surface (ops package): codegen'd dot product and
+    // the map-side-combinable sketch aggregates
+    reg.createOrReplaceTempFunction("dot_double",
+      es => graft.ops.DotDouble(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_agg",
+      es => graft.ops.MinHashAgg(es.head, 64, 1234).toAggregateExpression(), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash_agg",
+      es => graft.ops.SimHashAgg(es.head).toAggregateExpression(), "scala_udf")
   }
 }

@@ -105,6 +105,13 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
       val series = s2.sql("SELECT * FROM generate_series(1, 9, 4)")
         .collect().map(_.get(0).toString.toLong).toSeq
       assert(series == Seq(1L, 5L, 9L))
+      // similarity surface is SQL-reachable too
+      val sim = s2.sql("""
+        SELECT dot_double(array(1D, 2D, 3D), array(4D, 5D, 6D)) AS dp,
+               (SELECT simhash_agg(h) FROM VALUES (CAST(5 AS BIGINT)),
+                (CAST(5 AS BIGINT)) AS t(h)) AS sh""").head()
+      assert(sim.getDouble(0) == 32.0)
+      assert(sim.getLong(1) == 5L)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
