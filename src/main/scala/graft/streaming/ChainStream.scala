@@ -87,8 +87,34 @@ object ChainStream {
   /** Event-time clock shared by the streaming operators: block_number →
     * timestamp via the fixture's genesis epoch + 13 s/block (matches
     * FakeBlockRpc). */
+  private def blockTimeOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    timestamp_seconds(lit(1438269973L) + c * 13)
   private def blockTime: org.apache.spark.sql.Column =
-    timestamp_seconds(lit(1438269973L) + col("block_number") * 13)
+    blockTimeOf(col("block_number"))
+
+  /** Watermarked stream-stream interval join: each left event pairs with
+    * right events of the same key whose event time falls in
+    * [left - window, left] — e.g. "every fold with the frobs of its ilk
+    * in the preceding window", the streaming form of the banded range
+    * join. Both sides carry watermarks and the join condition bounds the
+    * time difference, so Spark can expire join state instead of buffering
+    * both streams forever (the state-cleanup contract of streaming
+    * joins). Right-side columns come back suffixed `_r`; both inputs must
+    * carry `block_number` (the chain clock). */
+  def intervalJoinStreams(left: DataFrame, right: DataFrame, key: String,
+                          window: String = "1 hour",
+                          watermarkDelay: String = "2 hours"): DataFrame = {
+    val l = left
+      .withColumn("l_time", blockTime)
+      .withWatermark("l_time", watermarkDelay)
+    val r = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, c + "_r"))
+      .withColumn("r_time", blockTimeOf(col("block_number_r")))
+      .withWatermark("r_time", watermarkDelay)
+    l.join(r,
+      col(key) === col(key + "_r") &&
+        col("r_time") >= col("l_time") - expr(s"INTERVAL $window") &&
+        col("r_time") <= col("l_time"))
+  }
 
   /** Streaming tx-hash dedup (the S13 operator on a live chain): state
     * is bounded by the watermark — duplicates arriving within

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, count, expr, input_file_name, lit, max, min, regexp_extract}
+import org.apache.spark.sql.functions.{col, count, expr, hex, input_file_name, lit, lower, max, min, regexp_extract}
 import graft.fixtures.MakerFixtures
 import graft.ingest.{Demux, RawLog}
 import graft.streaming.ChainStream
@@ -115,6 +115,50 @@ class StreamingSpec extends AnyFunSuite {
         .drop("table_name"), frobDef)
     assert(decodedFromStore.count() ==
       Demux.table(spark.read.parquet(MakerFixtures.rawLogsPath), frobDef).count())
+  }
+
+  test("stream-stream interval join matches the batch interval join") {
+    MakerFixtures.ensure(spark)
+    val frobDef = MakerFixtures.tableDef("vat_call_frob")
+    val foldDef = MakerFixtures.tableDef("vat_call_fold")
+    def streamOf(d: graft.abi.AbiSchema.TableDef) =
+      ChainStream.decodedTable(
+        ChainStream.rawLogStreamV2(spark, MakerFixtures.rawLogsPath,
+          from = 8928160L, to = 20000000L, blocksPerBatch = 3000000L), d)
+    // 4000 hours ≈ 1.1M blocks: the fixture's folds (10.82M+) trail its
+    // frobs (≤10.52M) by ~300k blocks, so this window crosses the gap —
+    // wide but still a bounded state window
+    val joined = ChainStream.intervalJoinStreams(
+      streamOf(foldDef).select(col("i"), col("block_number"), col("rate")),
+      streamOf(frobDef).select(col("i"), col("block_number"), col("dart")),
+      "i", window = "4000 hours", watermarkDelay = "8000 hours")
+      .select(col("block_number"), col("block_number_r"),
+        lower(hex(col("i"))).as("ilk_hex"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ssjoin").toString
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ss_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+
+    // identical expressions on the batch decode path
+    val corpus = spark.read.parquet(MakerFixtures.rawLogsPath)
+    val foldB = Demux.table(corpus, foldDef)
+      .select(col("i"), col("block_number"), col("rate"))
+    val frobB = Demux.table(corpus, frobDef)
+      .select(col("i").as("i_r"), col("block_number").as("block_number_r"))
+    // 4000 hours = 14_400_000 s; times are genesis + 13·block, so the
+    // interval condition reduces to 13·(bl - br) ∈ [0, 14_400_000]
+    val batch = foldB.join(frobB,
+      col("i") === col("i_r") &&
+        (col("block_number_r") * 13 >= col("block_number") * 13 - lit(14400000L)) &&
+        (col("block_number_r") <= col("block_number")))
+      .select(col("block_number"), col("block_number_r"),
+        lower(hex(col("i"))).as("ilk_hex"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streamed=${streamed.size} batch=${batch.size}")
   }
 
   test("streaming tx-hash dedup keeps one row per transaction") {
