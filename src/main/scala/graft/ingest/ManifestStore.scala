@@ -185,19 +185,25 @@ final class ManifestStore(val root: String) extends Serializable {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
     }
 
-  /** Publish a manifest listing `files` (root-relative). Retries on
-    * version collision with a concurrent committer — exactly one create
-    * of each version file can succeed. */
-  private def commit(spark: SparkSession, files: Seq[FileEntry],
-                     key: Option[String], rangeCol: Option[String]): Long = {
+  /** Publish a manifest whose file list is REBUILT from the then-current
+    * snapshot on every attempt (`build`), so losing a version race to a
+    * concurrent committer never publishes a stale list that drops the
+    * winner's files — the optimistic-concurrency loop re-reads and
+    * re-merges, exactly one create of each version file succeeds. */
+  private def commitWith(spark: SparkSession, key: Option[String],
+                         rangeCol: Option[String])
+                        (build: Option[Snapshot] => Seq[FileEntry]): Long = {
     val f = fs(spark)
     f.mkdirs(manifestsDir)
-    val body = (key.map("#key:" + _).toSeq ++
-      rangeCol.map("#rangeCol:" + _).toSeq ++
-      files.map(_.serialized) ++ Seq(Terminator))
-      .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)
     var attempts = 0
     while (attempts < 100) {
+      val snap = snapshot(spark)
+      val files = build(snap)
+      val rc = rangeCol.orElse(snap.flatMap(_.rangeCol))
+      val body = (key.map("#key:" + _).toSeq ++
+        rc.map("#rangeCol:" + _).toSeq ++
+        files.map(_.serialized) ++ Seq(Terminator))
+        .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)
       val v = currentVersion(spark) + 1
       val dest = new Path(manifestsDir, f"v$v%08d.manifest")
       if (createExclusive(f, dest, body)) return v
@@ -287,10 +293,12 @@ final class ManifestStore(val root: String) extends Serializable {
              commitKey: Option[String] = None,
              rangeCol: Option[String] = None): Unit = synchronized {
     if (commitKey.exists(hasCommitKey(spark, _))) return
-    val prev = snapshot(spark)
+    // data files are immutable — safe to reuse across commit attempts;
+    // the file LIST re-merges against the then-current snapshot each try
     val newFiles = writeData(spark, df, partitionCols, rangeCol)
-    commit(spark, prev.map(_.files).getOrElse(Nil) ++ newFiles, commitKey,
-      rangeCol.orElse(prev.flatMap(_.rangeCol)))
+    commitWith(spark, commitKey, rangeCol) { prev =>
+      prev.map(_.files).getOrElse(Nil) ++ newFiles
+    }
   }
 
   /** Atomic overwrite-by-range (the manifest form of
@@ -308,15 +316,19 @@ final class ManifestStore(val root: String) extends Serializable {
                      partitionCols: Seq[String] = Nil,
                      commitKey: Option[String] = None): Unit = synchronized {
     if (commitKey.exists(hasCommitKey(spark, _))) return
-    val prev = snapshot(spark).map(_.files).getOrElse(Nil)
-    val (hit, kept) = prev.partition(_.overlaps(from, to))
-    val merged =
-      if (hit.isEmpty) df
-      else readFiles(spark, hit)
-        .filter(col(rangeCol) < from || col(rangeCol) > to)
-        .unionByName(df)
-    val newFiles = writeData(spark, merged, partitionCols, Some(rangeCol))
-    commit(spark, kept ++ newFiles, commitKey, Some(rangeCol))
+    // the rewritten data depends on which files the window hits, so the
+    // whole merge re-runs against the then-current snapshot on each
+    // attempt (an abandoned attempt's data dir is unpublished, vacuumable)
+    commitWith(spark, commitKey, Some(rangeCol)) { prev =>
+      val prevFiles = prev.map(_.files).getOrElse(Nil)
+      val (hit, kept) = prevFiles.partition(_.overlaps(from, to))
+      val merged =
+        if (hit.isEmpty) df
+        else readFiles(spark, hit)
+          .filter(col(rangeCol) < from || col(rangeCol) > to)
+          .unionByName(df)
+      kept ++ writeData(spark, merged, partitionCols, Some(rangeCol))
+    }
   }
 
   /** Atomic compaction: rewrite the current snapshot into
@@ -332,18 +344,22 @@ final class ManifestStore(val root: String) extends Serializable {
   def compact(spark: SparkSession, targetBytes: Long = 128L * 1024 * 1024,
               partitionCols: Seq[String] = Nil,
               rangeCol: Option[String] = None): Unit = synchronized {
-    snapshot(spark).filter(_.files.nonEmpty).foreach { s =>
-      val rc = rangeCol.orElse(s.rangeCol)
-      val f = fs(spark)
-      val totalBytes = s.files.map(e =>
-        f.getFileStatus(new Path(root, e.rel)).getLen).sum
-      val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-      val df = readFiles(spark, s.files)
-      val compacted =
-        if (partitionCols.isEmpty) df.repartition(nFiles)
-        else df.repartition(nFiles, partitionCols.map(col): _*)
-      val newFiles = writeData(spark, compacted, partitionCols, rc)
-      commit(spark, newFiles, None, rc)
+    if (snapshot(spark).forall(_.files.isEmpty)) return
+    commitWith(spark, None, rangeCol) { prev =>
+      prev.map(_.files).getOrElse(Nil) match {
+        case Nil => Nil
+        case files =>
+          val rc = rangeCol.orElse(prev.flatMap(_.rangeCol))
+          val f = fs(spark)
+          val totalBytes = files.map(e =>
+            f.getFileStatus(new Path(root, e.rel)).getLen).sum
+          val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+          val df = readFiles(spark, files)
+          val compacted =
+            if (partitionCols.isEmpty) df.repartition(nFiles)
+            else df.repartition(nFiles, partitionCols.map(col): _*)
+          writeData(spark, compacted, partitionCols, rc)
+      }
     }
   }
 
