@@ -244,20 +244,28 @@ final class ManifestStore(val root: String) extends Serializable {
     // repeat across partition directories (the same task id writes
     // table_name=a/part-00000-... and table_name=b/part-00000-...), so a
     // name-keyed map would attach one partition's stats to another's file
-    val stats: Map[String, (Long, Long)] = rangeCol match {
+    rangeCol match {
       case Some(rc) if rels.nonEmpty =>
-        spark.read.option("basePath", dir.toString)
+        val rows = spark.read.option("basePath", dir.toString)
           .parquet(rels.map(r => new Path(root, r).toString).toSeq: _*)
           .groupBy(input_file_name().as("_f"))
           .agg(min(col(rc)).as("_lo"), max(col(rc)).as("_hi"))
           .collect()
-          .map(r => (relOf(rootUriPath, new java.net.URI(r.getString(0)).getPath),
-            (r.getLong(1), r.getLong(2)))).toMap
-      case _ => Map.empty
-    }
-    rels.toSeq.map { rel =>
-      val st = stats.get(rel)
-      FileEntry(rel, st.map(_._1), st.map(_._2))
+          .map(r => (relOf(rootUriPath, new java.net.URI(r.getString(0)).getPath), r))
+          .toMap
+        rels.toSeq.flatMap { rel =>
+          rows.get(rel) match {
+            // no stats row = the part file holds zero rows (Spark emits
+            // empty part files) — drop it from the manifest entirely: no
+            // data to lose, and a statless entry would defeat pruning
+            case None => None
+            case Some(r) if r.isNullAt(1) || r.isNullAt(2) =>
+              Some(FileEntry(rel, None, None)) // all-null range: conservative
+            case Some(r) =>
+              Some(FileEntry(rel, Some(r.getLong(1)), Some(r.getLong(2))))
+          }
+        }
+      case _ => rels.toSeq.map(FileEntry(_, None, None))
     }
   }
 
@@ -283,6 +291,33 @@ final class ManifestStore(val root: String) extends Serializable {
   def read(spark: SparkSession): Option[DataFrame] =
     snapshot(spark).filter(_.files.nonEmpty)
       .map(s => readFiles(spark, s.files))
+
+  /** Time travel: read the store exactly as of `version` — training-data
+    * reproducibility ("the corpus a model was trained on") for free,
+    * since data files are immutable and retained until [[vacuum]]. None
+    * when the version doesn't exist, was vacuumed, is incomplete, or
+    * lists no files. */
+  def readVersion(spark: SparkSession, version: Long): Option[DataFrame] = {
+    val f = fs(spark)
+    if (!f.exists(new Path(manifestsDir, f"v$version%08d.manifest"))) None
+    else readManifest(f, version).filter(_.files.nonEmpty)
+      .map(s => readFiles(spark, s.files))
+  }
+
+  /** Data skipping: rows of the current snapshot with the range column in
+    * [from, to], reading ONLY the files whose manifest stats overlap the
+    * window — at warehouse scale a narrow block-range query opens a
+    * handful of files instead of listing the store. Files without stats
+    * are conservatively read. The exact predicate is re-applied on top,
+    * so results equal `read(...).filter(...)` exactly. */
+  def readRange(spark: SparkSession, from: Long, to: Long): Option[DataFrame] =
+    snapshot(spark).flatMap { s =>
+      val rc = s.rangeCol.getOrElse("block_number")
+      val overlapping = s.files.filter(_.overlaps(from, to))
+      if (overlapping.isEmpty) None
+      else Some(readFiles(spark, overlapping)
+        .filter(col(rc) >= from && col(rc) <= to))
+    }
 
   /** Atomic append: new files + previous snapshot in one commit. A
     * `commitKey` already present in any manifest makes this a no-op

@@ -131,6 +131,34 @@ class CompactSpec extends AnyFunSuite {
     assert(snap.filter(col("block_number") <= 99).count() == 100)
   }
 
+  test("manifest store: time travel and stat-pruned range reads") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_mtt").toString + "/store"
+    val store = new ManifestStore(root)
+    // three disjoint range commits → three stat-bounded file sets
+    Seq((0L, 99L), (1000L, 1099L), (2000L, 2099L)).foreach { case (lo, hi) =>
+      store.overwriteRange(spark,
+        (lo to hi).map(n => (n, s"v$n")).toDF("block_number", "v"), lo, hi)
+    }
+    val v2 = store.readVersion(spark, 2L).get
+    assert(v2.count() == 200) // as of version 2: first two commits only
+    assert(store.readVersion(spark, 99L).isEmpty)
+
+    // replace the middle range; time travel still sees the old content
+    store.overwriteRange(spark,
+      Seq((1050L, "replaced")).toDF("block_number", "v"), 1000L, 1099L)
+    assert(store.read(spark).get.count() == 201)
+    assert(store.readVersion(spark, 3L).get.count() == 300)
+
+    // range read equals the full-scan filter but opens only the
+    // overlapping files (data skipping on manifest stats)
+    val ranged = store.readRange(spark, 2000L, 2099L).get
+    assert(ranged.count() == 100)
+    val full = store.read(spark).get
+    assert(ranged.inputFiles.length < full.inputFiles.length)
+    assert(store.readRange(spark, 500L, 600L).isEmpty) // nothing overlaps
+  }
+
   test("manifest store: empty append is readable, keys survive vacuum, compact keeps stats") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_mmisc").toString + "/store"
