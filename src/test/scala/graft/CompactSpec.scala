@@ -131,6 +131,29 @@ class CompactSpec extends AnyFunSuite {
     assert(snap.filter(col("block_number") <= 99).count() == 100)
   }
 
+  test("manifest store: concurrent committers on separate instances lose no updates") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_mrace").toString + "/store"
+    // two INSTANCES: no shared JVM lock — the cross-process simulation;
+    // correctness rests on exclusive version create + retry re-merge
+    val s1 = new ManifestStore(root)
+    val s2 = new ManifestStore(root)
+    val perWriter = 6
+    @volatile var failure: Option[Throwable] = None
+    def writer(s: ManifestStore, base: Long) = new Thread(() =>
+      try (0 until perWriter).foreach { i =>
+        s.append(spark, Seq((base + i, s"w$base-$i")).toDF("block_number", "v"),
+          rangeCol = Some("block_number"))
+      } catch { case t: Throwable => failure = Some(t) })
+    val t1 = writer(s1, 0L)
+    val t2 = writer(s2, 100L)
+    t1.start(); t2.start(); t1.join(120000); t2.join(120000)
+    assert(failure.isEmpty, failure.map(_.toString).getOrElse(""))
+    val rows = s1.read(spark).get.select("v").collect().map(_.getString(0)).toSet
+    // every append from both writers survived — no lost updates
+    assert(rows.size == 2 * perWriter, s"lost updates: ${rows.size} of ${2 * perWriter}")
+  }
+
   test("manifest store: time travel and stat-pruned range reads") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_mtt").toString + "/store"
