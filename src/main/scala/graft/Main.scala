@@ -84,22 +84,38 @@ object Main {
 
     // maintenance: small-file compaction of a demux store (exclusive job;
     // use a ManifestStore root for snapshot-isolated compaction instead)
-    case "compact" :: store :: rest =>
-      val targetBytes = rest.headOption.map(_.toLong).getOrElse(128L * 1024 * 1024)
+    case "compact" :: store :: rest
+        if rest.headOption.forall(_.toLongOption.isDefined) =>
+      val targetBytes = rest.headOption.flatMap(_.toLongOption)
+        .getOrElse(128L * 1024 * 1024)
       val (spark, owned) = session()
       val nFiles = graft.ingest.Compact.run(spark, store, targetBytes)
       println(s"compacted $store to $nFiles data files (target $targetBytes B)")
       if (owned) spark.stop()
 
-    // register the demux store's decoded tables as <db>.<table> in the
-    // session catalog warehouse (reference README.md:73's CREATE DATABASE)
-    case "warehouse" :: rest =>
-      val store = rest.headOption.getOrElse(graft.fixtures.MakerFixtures.demuxStorePath)
-      val db = rest.lift(1).getOrElse("makermcd")
+    // register a demux store's decoded tables as <db>.<table> in the
+    // session catalog warehouse (reference README.md:73's CREATE DATABASE).
+    // With an explicit <schema>.<contract>, table defs come from the same
+    // config + ABI tree the ingest command uses; the no-arg form serves
+    // the built-in fixture store.
+    case "warehouse" :: rest if rest.lift(2).forall(isTarget) =>
       val (spark, owned) = session()
-      graft.fixtures.MakerFixtures.ensureDemuxed(spark)
-      graft.catalog.Warehouse.materialize(spark, store,
-        graft.fixtures.MakerFixtures.fixtureDefs, db, overwrite = true)
+      val db = rest.lift(1).getOrElse("makermcd")
+      val (store, defs) = rest match {
+        case storeArg :: _ if rest.lift(2).isDefined =>
+          val Array(schema, contract) = rest(2).split('.')
+          val registry = Contracts.load("/root/repo/conf/graft.conf")
+          val c = registry(schema, contract)
+          val abi = new AbiCache("/root/reference/conf", new MapAbiFetcher(Map.empty))
+            .abi(schema, contract, c.addresses.headOption.getOrElse(""))
+          (storeArg, AbiSchema.tables(contract, abi))
+        case storeArg :: _ => (storeArg, graft.fixtures.MakerFixtures.fixtureDefs)
+        case Nil =>
+          graft.fixtures.MakerFixtures.ensureDemuxed(spark)
+          (graft.fixtures.MakerFixtures.demuxStorePath,
+            graft.fixtures.MakerFixtures.fixtureDefs)
+      }
+      graft.catalog.Warehouse.materialize(spark, store, defs, db, overwrite = true)
       val tables = spark.sql(s"SHOW TABLES IN $db").collect().map(_.getString(1))
       println(s"materialized ${tables.length} tables in $db: ${tables.sorted.mkString(", ")}")
       if (owned) spark.stop()
@@ -111,7 +127,7 @@ object Main {
            |  graft.Main ingest <schema>.<contract> [confDir] [store] [rawLogs] [head]
            |  graft.Main blocks <from> <to> <out>
            |  graft.Main compact <storePath> [targetBytes]
-           |  graft.Main warehouse [storePath] [db]""".stripMargin)
+           |  graft.Main warehouse [storePath] [db] [<schema>.<contract>]""".stripMargin)
       sys.exit(2)
   }
 }

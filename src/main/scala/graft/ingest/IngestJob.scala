@@ -26,14 +26,7 @@ object IngestJob {
           blocksStep: Long = 10000L, maxLogs: Long = 10000L): Long = {
     val from = Writer.nextBlock(spark, Seq(storePath), creationBlock)
     if (from > chainHead) return 0L
-    val ranges = LogPlanning.plan(rpc, from, chainHead, address, blocksStep, maxLogs)
-    import spark.implicits._
-    val raw = spark.createDataset(ranges)
-      .repartition(math.max(1, math.min(ranges.size,
-        spark.sparkContext.defaultParallelism)))
-      .flatMap { case (lo, hi) => rpc.getLogs(lo, hi, address) }
-      .toDF()
-      .select(Demux.rawLogSchema.fieldNames.map(col).toSeq: _*)
+    val raw = fetchRaw(spark, rpc, from, chainHead, address, blocksStep, maxLogs)
     Demux.writeDemuxed(raw, defs, storePath)
     // nothing tagged → the store may not exist yet; any other read
     // failure after an append is real and must surface
@@ -52,25 +45,38 @@ object IngestJob {
                 address: Option[Array[Byte]], store: ManifestStore,
                 creationBlock: Long, chainHead: Long,
                 blocksStep: Long = 10000L, maxLogs: Long = 10000L): Long = {
-    val from = store.read(spark) match {
-      case Some(df) => df.agg(max("block_number")).head() match {
-        case r if r.isNullAt(0) => creationBlock
-        case r => r.getLong(0) + 1
+    // resume from the manifest's per-file stats when complete (no scan —
+    // the common "nothing new" run opens zero data files); fall back to a
+    // max-scan only when some file is statless
+    val from = store.statsMax(spark).map(_ + 1).getOrElse {
+      store.read(spark) match {
+        case Some(df) => df.agg(max("block_number")).head() match {
+          case r if r.isNullAt(0) => creationBlock
+          case r => r.getLong(0) + 1
+        }
+        case None => creationBlock
       }
-      case None => creationBlock
     }
     if (from > chainHead) return 0L
-    val ranges = LogPlanning.plan(rpc, from, chainHead, address, blocksStep, maxLogs)
+    val raw = fetchRaw(spark, rpc, from, chainHead, address, blocksStep, maxLogs)
+    store.overwriteRange(spark, Demux.taggedKnown(raw, defs), from, chainHead,
+      "block_number", Seq("table_name"))
+    // stat-pruned count of the just-committed window
+    store.readRange(spark, from, chainHead).map(_.count()).getOrElse(0L)
+  }
+
+  /** Shared fetch pipeline: adaptive range planning on the driver, then
+    * partition-parallel `eth_getLogs` with the raw-log column order. */
+  private def fetchRaw(spark: SparkSession, rpc: LogRpc, from: Long, to: Long,
+                       address: Option[Array[Byte]], blocksStep: Long,
+                       maxLogs: Long): org.apache.spark.sql.DataFrame = {
+    val ranges = LogPlanning.plan(rpc, from, to, address, blocksStep, maxLogs)
     import spark.implicits._
-    val raw = spark.createDataset(ranges)
+    spark.createDataset(ranges)
       .repartition(math.max(1, math.min(ranges.size,
         spark.sparkContext.defaultParallelism)))
       .flatMap { case (lo, hi) => rpc.getLogs(lo, hi, address) }
       .toDF()
       .select(Demux.rawLogSchema.fieldNames.map(col).toSeq: _*)
-    store.overwriteRange(spark, Demux.taggedKnown(raw, defs), from, chainHead,
-      "block_number", Seq("table_name"))
-    store.read(spark).map(_.filter(col("block_number") >= from).count())
-      .getOrElse(0L)
   }
 }

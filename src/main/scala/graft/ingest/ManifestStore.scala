@@ -188,8 +188,14 @@ final class ManifestStore(val root: String) extends Serializable {
   /** Publish a manifest whose file list is REBUILT from the then-current
     * snapshot on every attempt (`build`), so losing a version race to a
     * concurrent committer never publishes a stale list that drops the
-    * winner's files — the optimistic-concurrency loop re-reads and
-    * re-merges, exactly one create of each version file succeeds. */
+    * winner's files. The snapshot AND the claimed version come from the
+    * SAME directory listing — a commit that lands while `build` runs
+    * (which can take a while for range rewrites) raised the version we
+    * claim, so our exclusive create collides and the loop re-merges; a
+    * second listing after `build` would let us skip past it and publish a
+    * stale list. The commit key is re-checked per attempt: two hosts
+    * replaying the same keyed commit concurrently resolve to exactly one
+    * publish. */
   private def commitWith(spark: SparkSession, key: Option[String],
                          rangeCol: Option[String])
                         (build: Option[Snapshot] => Seq[FileEntry]): Long = {
@@ -197,14 +203,18 @@ final class ManifestStore(val root: String) extends Serializable {
     f.mkdirs(manifestsDir)
     var attempts = 0
     while (attempts < 100) {
-      val snap = snapshot(spark)
+      if (key.exists(hasCommitKey(spark, _)))
+        return currentVersion(spark) // concurrent replay already published
+      val versions = sortedVersions(f) // ONE listing: snapshot + claim
+      val snap = versions.reverseIterator
+        .flatMap(v => readManifest(f, v)).nextOption()
       val files = build(snap)
       val rc = rangeCol.orElse(snap.flatMap(_.rangeCol))
       val body = (key.map("#key:" + _).toSeq ++
         rc.map("#rangeCol:" + _).toSeq ++
         files.map(_.serialized) ++ Seq(Terminator))
         .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)
-      val v = currentVersion(spark) + 1
+      val v = versions.lastOption.getOrElse(0L) + 1
       val dest = new Path(manifestsDir, f"v$v%08d.manifest")
       if (createExclusive(f, dest, body)) return v
       attempts += 1
@@ -240,33 +250,56 @@ final class ManifestStore(val root: String) extends Serializable {
       if (name.endsWith(".parquet") && !name.startsWith("_") && !name.startsWith("."))
         rels += relOf(rootUriPath, file.getPath.toUri.getPath)
     }
-    // per-file min/max, keyed by the FULL root-relative path — basenames
-    // repeat across partition directories (the same task id writes
-    // table_name=a/part-00000-... and table_name=b/part-00000-...), so a
-    // name-keyed map would attach one partition's stats to another's file
+    // Per-file row counts and min/max come straight from each file's own
+    // parquet FOOTER (driver-side; a handful of new files per commit) —
+    // no path-string matching between listFiles and input_file_name
+    // results, which Hive-escaping / URI-encoding can make disagree and
+    // silently misattribute. Zero-row part files (Spark emits them) are
+    // dropped from the manifest: no data, and a statless entry would
+    // defeat range pruning. Missing/unknown footer statistics degrade to
+    // a conservative statless entry, never to a drop.
     rangeCol match {
       case Some(rc) if rels.nonEmpty =>
-        val rows = spark.read.option("basePath", dir.toString)
-          .parquet(rels.map(r => new Path(root, r).toString).toSeq: _*)
-          .groupBy(input_file_name().as("_f"))
-          .agg(min(col(rc)).as("_lo"), max(col(rc)).as("_hi"))
-          .collect()
-          .map(r => (relOf(rootUriPath, new java.net.URI(r.getString(0)).getPath), r))
-          .toMap
+        val conf = spark.sparkContext.hadoopConfiguration
         rels.toSeq.flatMap { rel =>
-          rows.get(rel) match {
-            // no stats row = the part file holds zero rows (Spark emits
-            // empty part files) — drop it from the manifest entirely: no
-            // data to lose, and a statless entry would defeat pruning
-            case None => None
-            case Some(r) if r.isNullAt(1) || r.isNullAt(2) =>
-              Some(FileEntry(rel, None, None)) // all-null range: conservative
-            case Some(r) =>
-              Some(FileEntry(rel, Some(r.getLong(1)), Some(r.getLong(2))))
-          }
+          val (rows, stats) = footerStats(new Path(root, rel), rc, conf)
+          if (rows == 0L) None
+          else Some(FileEntry(rel, stats.map(_._1), stats.map(_._2)))
         }
       case _ => rels.toSeq.map(FileEntry(_, None, None))
     }
+  }
+
+  /** (row count, optional (min, max) of `rangeCol`) from a parquet file's
+    * footer metadata. Stats are None when the column is absent, not
+    * INT64, or its statistics are unavailable in any row group. */
+  private def footerStats(p: Path, rangeCol: String,
+                          conf: org.apache.hadoop.conf.Configuration)
+  : (Long, Option[(Long, Long)]) = {
+    import scala.jdk.CollectionConverters._
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala
+      val rows = blocks.map(_.getRowCount).sum
+      var lo = Long.MaxValue
+      var hi = Long.MinValue
+      var ok = rows > 0
+      blocks.foreach { b =>
+        b.getColumns.asScala.find(_.getPath.toDotString == rangeCol) match {
+          case Some(c) =>
+            c.getStatistics match {
+              case s: org.apache.parquet.column.statistics.LongStatistics
+                if !s.isEmpty && s.hasNonNullValue =>
+                lo = math.min(lo, s.genericGetMin)
+                hi = math.max(hi, s.genericGetMax)
+              case _ => ok = false
+            }
+          case None => ok = false
+        }
+      }
+      (rows, if (ok) Some((lo, hi)) else None)
+    } finally reader.close()
   }
 
   /** Read specific snapshot entries (must be non-empty). Files are
@@ -291,6 +324,16 @@ final class ManifestStore(val root: String) extends Serializable {
   def read(spark: SparkSession): Option[DataFrame] =
     snapshot(spark).filter(_.files.nonEmpty)
       .map(s => readFiles(spark, s.files))
+
+  /** Resume watermark without a scan: the max range-column value recorded
+    * in the current snapshot's file stats, when every file carries stats.
+    * None when the store is empty or any file is statless (callers fall
+    * back to a scan). */
+  def statsMax(spark: SparkSession): Option[Long] =
+    snapshot(spark).filter(_.files.nonEmpty).flatMap { s =>
+      if (s.files.forall(_.max.isDefined)) Some(s.files.flatMap(_.max).max)
+      else None
+    }
 
   /** Time travel: read the store exactly as of `version` — training-data
     * reproducibility ("the corpus a model was trained on") for free,
