@@ -90,4 +90,16 @@ object Demux {
   def readTable(spark: SparkSession, path: String, d: AbiSchema.TableDef): DataFrame =
     table(spark.read.parquet(path).filter(col("table_name") === d.table)
       .drop("table_name"), d)
+
+  /** Decoded table from a manifest-committed store's current snapshot —
+    * the same partition-pruned decode over the snapshot-isolated read
+    * path. Throws on an empty store (no snapshot to decode). */
+  def readTable(spark: SparkSession, store: ManifestStore,
+                d: AbiSchema.TableDef): DataFrame =
+    store.read(spark) match {
+      case Some(snap) =>
+        table(snap.filter(col("table_name") === d.table).drop("table_name"), d)
+      case None => throw new IllegalStateException(
+        s"ManifestStore(${store.root}) is empty — nothing to decode")
+    }
 }

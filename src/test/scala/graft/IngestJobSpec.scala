@@ -73,5 +73,9 @@ class IngestJobSpec extends AnyFunSuite {
     assert(store.read(spark).get
       .groupBy("block_number", "log_index", "transaction_hash").count()
       .filter(col("count") > 1).count() == 0)
+    // decoded read straight off the manifest store matches direct decode
+    assert(Demux.readTable(spark, store,
+      MakerFixtures.tableDef("vat_call_frob")).count() ==
+      Demux.table(corpus, MakerFixtures.tableDef("vat_call_frob")).count())
   }
 }
