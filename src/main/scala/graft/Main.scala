@@ -47,8 +47,22 @@ object Main {
     case _ => false
   }
 
+  /** Contract config + ABI-derived table defs, shared by ingest and
+    * warehouse. `confFile` is the HOCON tree root, `abiDir` the reference
+    * ABI cache directory. */
+  private def defsFor(confFile: String, abiDir: String, schema: String,
+                      contract: String)
+  : (Contracts.Contract, Seq[AbiSchema.TableDef]) = {
+    val registry = Contracts.load(confFile)
+    val c = registry(schema, contract)
+    val abi = new AbiCache(abiDir, new MapAbiFetcher(Map.empty))
+      .abi(schema, contract, c.addresses.headOption.getOrElse(""))
+    (c, AbiSchema.tables(contract, abi))
+  }
+
   def main(args: Array[String]): Unit = args.toList match {
-    case "ingest" :: target :: rest if isTarget(target) =>
+    case "ingest" :: target :: rest if isTarget(target) &&
+        rest.lift(3).forall(_.toLongOption.isDefined) =>
       val Array(schema, contract) = target.split('.')
       val confDir = rest.headOption.getOrElse("/root/reference")
       val store = rest.lift(1).getOrElse(s"/tmp/graft_store/$schema.$contract")
@@ -60,13 +74,9 @@ object Main {
       val confFile =
         if (rest.nonEmpty) s"$confDir/config.conf"
         else "/root/repo/conf/graft.conf"
-      val registry = Contracts.load(confFile)
-      val c = registry(schema, contract)
-      val abi = new AbiCache(s"$confDir/conf", new MapAbiFetcher(Map.empty))
-        .abi(schema, contract, c.addresses.headOption.getOrElse(""))
-      val defs = AbiSchema.tables(contract, abi)
+      val (c, defs) = defsFor(confFile, s"$confDir/conf", schema, contract)
       val rpc = LogSource.replayFromParquet(spark, rawLogs)
-      val head = rest.lift(3).map(_.toLong).getOrElse(
+      val head = rest.lift(3).flatMap(_.toLongOption).getOrElse(
         spark.read.parquet(rawLogs)
           .agg(org.apache.spark.sql.functions.max("block_number"))
           .head().getLong(0))
@@ -75,7 +85,8 @@ object Main {
       println(s"ingested $n rows into $store (resume head=$head)")
       if (owned) spark.stop()
 
-    case "blocks" :: from :: to :: out :: Nil =>
+    case "blocks" :: from :: to :: out :: Nil
+        if from.toLongOption.isDefined && to.toLongOption.isDefined =>
       val (spark, owned) = session()
       BlockSource.range(spark, new FakeBlockRpc, from.toLong, to.toLong)
         .write.mode("append").parquet(out)
@@ -85,7 +96,7 @@ object Main {
     // maintenance: small-file compaction of a demux store (exclusive job;
     // use a ManifestStore root for snapshot-isolated compaction instead)
     case "compact" :: store :: rest
-        if rest.headOption.forall(_.toLongOption.isDefined) =>
+        if rest.headOption.forall(_.toLongOption.exists(_ > 0)) =>
       val targetBytes = rest.headOption.flatMap(_.toLongOption)
         .getOrElse(128L * 1024 * 1024)
       val (spark, owned) = session()
@@ -97,18 +108,17 @@ object Main {
     // session catalog warehouse (reference README.md:73's CREATE DATABASE).
     // With an explicit <schema>.<contract>, table defs come from the same
     // config + ABI tree the ingest command uses; the no-arg form serves
-    // the built-in fixture store.
-    case "warehouse" :: rest if rest.lift(2).forall(isTarget) =>
+    // the built-in fixture store. The db must be a simple (undotted)
+    // name — a target in the db position falls through to usage.
+    case "warehouse" :: rest if rest.lift(2).forall(isTarget) &&
+        rest.lift(1).forall(db => db.nonEmpty && !db.contains('.')) =>
       val (spark, owned) = session()
       val db = rest.lift(1).getOrElse("makermcd")
       val (store, defs) = rest match {
         case storeArg :: _ if rest.lift(2).isDefined =>
           val Array(schema, contract) = rest(2).split('.')
-          val registry = Contracts.load("/root/repo/conf/graft.conf")
-          val c = registry(schema, contract)
-          val abi = new AbiCache("/root/reference/conf", new MapAbiFetcher(Map.empty))
-            .abi(schema, contract, c.addresses.headOption.getOrElse(""))
-          (storeArg, AbiSchema.tables(contract, abi))
+          (storeArg, defsFor("/root/repo/conf/graft.conf",
+            "/root/reference/conf", schema, contract)._2)
         case storeArg :: _ => (storeArg, graft.fixtures.MakerFixtures.fixtureDefs)
         case Nil =>
           graft.fixtures.MakerFixtures.ensureDemuxed(spark)

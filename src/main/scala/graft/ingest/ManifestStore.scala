@@ -63,6 +63,9 @@ final class ManifestStore(val root: String) extends Serializable {
       name.stripPrefix("v").stripSuffix(".manifest").toLongOption
     else None
 
+  private def manifestPath(v: Long): Path =
+    new Path(manifestsDir, f"v$v%08d.manifest")
+
   private def sortedVersions(f: FileSystem): Seq[Long] =
     if (!f.exists(manifestsDir)) Nil
     else f.listStatus(manifestsDir)
@@ -70,7 +73,7 @@ final class ManifestStore(val root: String) extends Serializable {
 
   /** Highest claimed version (complete or not), 0 if none — the next
     * commit claims this + 1. Readers use [[snapshot]], which skips
-    * unterminated (crashed) manifests. */
+    * versions without a complete manifest. */
   def currentVersion(spark: SparkSession): Long =
     sortedVersions(fs(spark)).lastOption.getOrElse(0L)
 
@@ -97,15 +100,20 @@ final class ManifestStore(val root: String) extends Serializable {
   private case class Snapshot(version: Long, key: Option[String],
                               rangeCol: Option[String], files: Seq[FileEntry])
 
-  /** None when the manifest is unterminated (crashed writer) — the
-    * version is burned and readers fall back to the previous one. */
+  /** None when the version has no complete manifest: either the manifest
+    * file is missing (the claim's writer crashed before publishing, or is
+    * still writing) or it lacks the `#end` terminator — the version is
+    * skipped and readers fall back to the previous one. */
   private def readManifest(f: FileSystem, v: Long): Option[Snapshot] = {
     val p = new Path(manifestsDir, f"v$v%08d.manifest")
-    val in = f.open(p)
-    val text = try new String(
-      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-      StandardCharsets.UTF_8)
-    finally in.close()
+    val text =
+      try {
+        val in = f.open(p)
+        try new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          StandardCharsets.UTF_8)
+        finally in.close()
+      } catch { case _: java.io.FileNotFoundException => return None }
     val lines = text.split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
     if (!lines.lastOption.contains(Terminator)) return None
     val (meta, files) = lines.dropRight(1).partition(_.startsWith("#"))
@@ -116,12 +124,14 @@ final class ManifestStore(val root: String) extends Serializable {
     Some(Snapshot(v, key, rangeCol, files.map(FileEntry.parse)))
   }
 
-  /** Highest COMPLETE snapshot, walking past crashed (unterminated)
-    * versions. */
+  /** Highest complete snapshot within `versions`, walking past claimed-
+    * but-unpublished versions. */
+  private def snapshotFrom(f: FileSystem, versions: Seq[Long]): Option[Snapshot] =
+    versions.reverseIterator.flatMap(v => readManifest(f, v)).nextOption()
+
   private def snapshot(spark: SparkSession): Option[Snapshot] = {
     val f = fs(spark)
-    sortedVersions(f).reverseIterator
-      .flatMap(v => readManifest(f, v)).nextOption()
+    snapshotFrom(f, sortedVersions(f))
   }
 
   /** Test hook: (rel path, min, max) stat entries of the current snapshot. */
@@ -140,15 +150,22 @@ final class ManifestStore(val root: String) extends Serializable {
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   @transient private var keysScannedThrough = 0L
 
-  /** True if any committed manifest (or the vacuum key history) carries
-    * `key`. Incremental: each manifest version is read at most once per
-    * store instance, so a keyed commit is O(new versions), not
-    * O(all versions). */
-  def hasCommitKey(spark: SparkSession, key: String): Boolean = synchronized {
-    val f = fs(spark)
-    sortedVersions(f).filter(_ > keysScannedThrough).foreach { v =>
-      readManifest(f, v).flatMap(_.key).foreach(keysSeen.add)
-      keysScannedThrough = math.max(keysScannedThrough, v)
+  /** Key check against a GIVEN version listing (so callers can order it
+    * after the listing they allocate versions from). Incremental: each
+    * manifest version is read at most once per store instance. */
+  private def hasCommitKeyIn(f: FileSystem, versions: Seq[Long],
+                             key: String): Boolean = {
+    // the scan cursor only advances past COMPLETE manifests: an in-flight
+    // one may gain its key after completing, and skipping it would hide
+    // that key forever (burned versions pin the cursor — rare and cheap)
+    var advancing = true
+    versions.filter(_ > keysScannedThrough).foreach { v =>
+      readManifest(f, v) match {
+        case Some(s) =>
+          s.key.foreach(keysSeen.add)
+          if (advancing) keysScannedThrough = v
+        case None => advancing = false
+      }
     }
     if (keysSeen.contains(key)) return true
     // vacuumed keys live in the history file (small; only read on miss)
@@ -163,15 +180,23 @@ final class ManifestStore(val root: String) extends Serializable {
     }
   }
 
-  /** Create `dest` exclusively with `body`: NIO CREATE_NEW (O_EXCL) on
-    * local file systems, namenode-atomic create(overwrite=false) on DFS.
-    * False = another committer won this version. */
+  /** True if any committed manifest (or the vacuum key history) carries
+    * `key` — the idempotent-replay check. */
+  def hasCommitKey(spark: SparkSession, key: String): Boolean = synchronized {
+    val f = fs(spark)
+    hasCommitKeyIn(f, sortedVersions(f), key)
+  }
+
+  /** Create `dest` exclusively with `body`: NIO CREATE_NEW (O_EXCL —
+    * POSIX guarantees exactly one winner) on local file systems,
+    * namenode-atomic create(overwrite=false) on DFS. False = another
+    * committer won this version. */
   private def createExclusive(f: FileSystem, dest: Path,
                               body: Array[Byte]): Boolean =
     try {
       if (f.getScheme == "file") {
-        val p = java.nio.file.Paths.get(dest.toUri.getPath)
-        val out = java.nio.file.Files.newOutputStream(p,
+        val out = java.nio.file.Files.newOutputStream(
+          java.nio.file.Paths.get(dest.toUri.getPath),
           java.nio.file.StandardOpenOption.CREATE_NEW,
           java.nio.file.StandardOpenOption.WRITE)
         try out.write(body) finally out.close()
@@ -185,17 +210,30 @@ final class ManifestStore(val root: String) extends Serializable {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
     }
 
+  /** An incomplete latest manifest is almost always a commit mid-publish
+    * (the exclusive create wins the version first; the small body write
+    * takes milliseconds) — wait briefly for its terminator before
+    * treating it as crashed, else a committer could build a next version
+    * that omits a LIVE commit's files. After the deadline the version is
+    * genuinely burned (its writer died mid-write and never returned
+    * success) and the snapshot walk skips it. */
+  private def awaitInFlight(f: FileSystem, v: Long): Unit = {
+    val deadline = System.nanoTime() + 15_000_000_000L
+    while (readManifest(f, v).isEmpty && f.exists(manifestPath(v)) &&
+      System.nanoTime() < deadline) Thread.sleep(50)
+  }
+
   /** Publish a manifest whose file list is REBUILT from the then-current
     * snapshot on every attempt (`build`), so losing a version race to a
     * concurrent committer never publishes a stale list that drops the
-    * winner's files. The snapshot AND the claimed version come from the
-    * SAME directory listing — a commit that lands while `build` runs
-    * (which can take a while for range rewrites) raised the version we
-    * claim, so our exclusive create collides and the loop re-merges; a
-    * second listing after `build` would let us skip past it and publish a
-    * stale list. The commit key is re-checked per attempt: two hosts
-    * replaying the same keyed commit concurrently resolve to exactly one
-    * publish. */
+    * winner's files.
+    *
+    * Ordering per attempt: ONE listing feeds the in-flight wait, the
+    * commit-key re-check, the snapshot, and version allocation — a commit
+    * landing after the listing collides on the exclusive create and
+    * forces a retry; one landing before it is in the snapshot we merge
+    * with, and its key is visible to the check. Exactly one create of
+    * each version file can succeed (O_EXCL / namenode-atomic). */
   private def commitWith(spark: SparkSession, key: Option[String],
                          rangeCol: Option[String])
                         (build: Option[Snapshot] => Seq[FileEntry]): Long = {
@@ -203,11 +241,11 @@ final class ManifestStore(val root: String) extends Serializable {
     f.mkdirs(manifestsDir)
     var attempts = 0
     while (attempts < 100) {
-      if (key.exists(hasCommitKey(spark, _)))
-        return currentVersion(spark) // concurrent replay already published
-      val versions = sortedVersions(f) // ONE listing: snapshot + claim
-      val snap = versions.reverseIterator
-        .flatMap(v => readManifest(f, v)).nextOption()
+      val versions = sortedVersions(f) // ONE listing per attempt
+      versions.lastOption.foreach(awaitInFlight(f, _))
+      if (key.exists(hasCommitKeyIn(f, versions, _)))
+        return versions.lastOption.getOrElse(0L) // replay already published
+      val snap = snapshotFrom(f, versions)
       val files = build(snap)
       val rc = rangeCol.orElse(snap.flatMap(_.rangeCol))
       val body = (key.map("#key:" + _).toSeq ++
@@ -215,8 +253,7 @@ final class ManifestStore(val root: String) extends Serializable {
         files.map(_.serialized) ++ Seq(Terminator))
         .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)
       val v = versions.lastOption.getOrElse(0L) + 1
-      val dest = new Path(manifestsDir, f"v$v%08d.manifest")
-      if (createExclusive(f, dest, body)) return v
+      if (createExclusive(f, manifestPath(v), body)) return v
       attempts += 1
     }
     throw new IllegalStateException(
@@ -259,6 +296,19 @@ final class ManifestStore(val root: String) extends Serializable {
     // defeat range pruning. Missing/unknown footer statistics degrade to
     // a conservative statless entry, never to a drop.
     rangeCol match {
+      case Some(rc) if rels.nonEmpty && partitionCols.contains(rc) =>
+        // the range column is a PARTITION column: its value lives in the
+        // directory name, not the file footer — constant per file, so
+        // min = max = the parsed path segment (footers can't see it)
+        val conf = spark.sparkContext.hadoopConfiguration
+        rels.toSeq.flatMap { rel =>
+          val v = rel.split('/').collectFirst {
+            case seg if seg.startsWith(rc + "=") =>
+              seg.stripPrefix(rc + "=").toLongOption
+          }.flatten
+          val (rows, _) = footerStats(new Path(root, rel), rc, conf)
+          if (rows == 0L) None else Some(FileEntry(rel, v, v))
+        }
       case Some(rc) if rels.nonEmpty =>
         val conf = spark.sparkContext.hadoopConfiguration
         rels.toSeq.flatMap { rel =>
