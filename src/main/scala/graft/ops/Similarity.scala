@@ -159,12 +159,53 @@ object Similarity {
   def lshRecall(s: SparkSession, dir: String): DataFrame =
     recallGate(s, dir, "lsh", topKLsh(s, dir))
 
+  /** Symmetric int8 quantization scale: a power of two, so `x / Scale`
+    * and `q * Scale` are EXACT in IEEE doubles and both engines agree
+    * bit-for-bit; `FLOOR(x + 0.5)` pins the rounding mode (half toward
+    * +inf) identically in Spark and DuckDB. */
+  val QuantScale = 0.25
+
+  /** Int8 embedding quantization (SURVEY §7.5's storage-reduction step:
+    * 4 bytes/dim → 1 at 100 TB): q = clamp(round(x/scale), ±127), checked
+    * per vector by the quantized sum (exact integer) and the max
+    * reconstruction error |x − q·scale| (bounded by scale/2 = 0.125 for
+    * in-range values — asserted in OpsSpec). Element math runs through
+    * codegen'd higher-order functions on a bounded slice. */
+  def embQuantize(s: SparkSession, dir: String): DataFrame = {
+    val sc = QuantScale
+    Tables.load(s, dir, "embeddings").filter(col("vec_id") < 100)
+      .select(col("vec_id"),
+        expr(s"""transform(embedding, x ->
+          CAST(GREATEST(-127D, LEAST(127D,
+            FLOOR(CAST(x AS DOUBLE) / $sc + 0.5D))) AS BIGINT))""").as("q"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+      .select(col("vec_id"),
+        expr("aggregate(q, 0L, (a, b) -> a + b)").as("qsum"),
+        expr(s"""ROUND(aggregate(zip_with(e, q, (x, qq) ->
+          ABS(x - qq * $sc)), 0D, (a, b) -> GREATEST(a, b)), 9)""").as("max_err"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_near_dup" -> (nearDup _),
     "ann_topk_brute" -> (topK _),
-    "ann_topk_lsh" -> (lshRecall _))
+    "ann_topk_lsh" -> (lshRecall _),
+    "emb_quantize" -> (embQuantize _))
 
   val oracle: Map[String, String] = Map(
+    "emb_quantize" -> s"""
+      WITH q AS (
+        SELECT vec_id,
+          list_transform(embedding, x ->
+            CAST(GREATEST(-127, LEAST(127,
+              FLOOR(CAST(x AS DOUBLE) / $QuantScale + 0.5))) AS BIGINT)) AS qs,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings WHERE vec_id < 100)
+      SELECT vec_id,
+        CAST(list_sum(qs) AS BIGINT) AS qsum,
+        ROUND(list_max(list_transform(generate_series(1, len(e)),
+          i -> ABS(e[i] - qs[i] * $QuantScale))), 9) AS max_err
+      FROM q ORDER BY vec_id""",
     "ann_topk_lsh" -> """
       SELECT 'lsh' AS method,
         CAST(10*COUNT(*) AS BIGINT) AS n_expected,

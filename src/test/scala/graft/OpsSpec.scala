@@ -100,6 +100,15 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs == Set((100L, 101L), (100L, 102L), (101L, 102L)))
   }
 
+  test("int8 quantization: reconstruction error bounded by scale/2") {
+    val rows = Similarity.embQuantize(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) <= Similarity.QuantScale / 2 + 1e-9,
+        s"vec ${r.getLong(0)}: max_err ${r.getDouble(2)}")
+    }
+  }
+
   test("ann LSH results are consistent with brute-force cosines") {
     val brute = Similarity.topK(spark, dir)
       .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
