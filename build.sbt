@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output goes RAW to stdout (no "[info] " prefix) and sbt's
+// "[success] Total time" trailer is suppressed, so the last stdout line
+// of `runMain graft.Bench` is the bare metric JSON — parseable by any
+// harness that reads the tail.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

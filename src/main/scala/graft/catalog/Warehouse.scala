@@ -23,27 +23,56 @@ object Warehouse {
 
   /** Create `db` if needed and materialize each decoded table from the
     * demux store. Idempotent: existing tables are kept unless `overwrite`
-    * (the reference's autocreate-then-append shape, classes.py:56). */
+    * (the reference's autocreate-then-append shape, classes.py:56).
+    *
+    * Orphan-directory handling: a previous SESSION's managed-table
+    * directory can survive in the warehouse dir while the in-memory
+    * catalog starts empty — CREATE refuses an existing location, so such
+    * a directory must be cleared. But the derived path might equally hold
+    * user data this job never wrote, so deletion happens only immediately
+    * before the write, and only when the directory's contents look like a
+    * prior Spark table materialization (part files, `col=...` partition
+    * dirs, and `_`/`.`-prefixed bookkeeping); anything else aborts loudly
+    * instead of being destroyed. */
   def materialize(spark: SparkSession, storePath: String,
                   defs: Seq[AbiSchema.TableDef], db: String = "makermcd",
                   overwrite: Boolean = false): Unit = synchronized {
-    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    require(db.matches("[A-Za-z0-9_]+"), s"invalid database name: '$db'")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
     defs.foreach { d =>
       val fq = s"$db.${d.table}"
       val exists = spark.catalog.tableExists(fq)
-      if (!exists) {
-        // the in-memory catalog starts empty each session, but a previous
-        // session's managed-table directory can survive in the warehouse
-        // dir — CREATE refuses an existing location, so clear the orphan
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-        val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-        fs.delete(new org.apache.hadoop.fs.Path(
-          warehouse, s"$db.db/${d.table}"), true)
-      }
-      if (!exists || overwrite)
+      if (!exists || overwrite) {
+        if (!exists) clearOrphanTableDir(spark, db, d.table)
         Demux.readTable(spark, storePath, d)
           .write.mode("overwrite").format("parquet").saveAsTable(fq)
+      }
+    }
+  }
+
+  /** Names Spark writes into a managed parquet table directory. */
+  private def looksLikeMaterialization(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Boolean =
+    fs.listStatus(p).forall { st =>
+      val n = st.getPath.getName
+      n.startsWith("part-") || n.startsWith("_") || n.startsWith(".") ||
+        (st.isDirectory && n.contains("="))
+    }
+
+  private def clearOrphanTableDir(spark: SparkSession, db: String,
+                                  table: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), s"$db.db/$table")
+    if (fs.exists(dir)) {
+      if (!looksLikeMaterialization(fs, dir))
+        throw new IllegalStateException(
+          s"refusing to clear $dir: directory is not registered in the " +
+            "catalog but does not look like a prior table materialization " +
+            "— remove or relocate it manually")
+      fs.delete(dir, true)
     }
   }
 }

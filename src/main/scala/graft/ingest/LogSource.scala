@@ -71,6 +71,23 @@ final class ReplayLogRpc(corpus: Array[RawLog]) extends LogRpc {
   }
 }
 
+/** Hadoop `Configuration` is not Java-serializable; this wrapper ships
+  * the SESSION configuration (non-default FS settings included) into
+  * task-side readers via Hadoop's own Writable round-trip. */
+final class SerializableHadoopConf(
+    @transient var value: org.apache.hadoop.conf.Configuration)
+  extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
+}
+
 /** Executor-side replay RPC: holds only parquet file paths (listed once,
   * driver-side) and reads its own `[from, to]` block slice lazily inside
   * the task that calls [[getLogs]], using parquet-hadoop's record reader
@@ -81,10 +98,16 @@ final class ReplayLogRpc(corpus: Array[RawLog]) extends LogRpc {
   * the reference's server-side `eth_getLogs` window (eth-contract.py:61-63):
   * the "server" is the parquet footer statistics instead of the RPC node.
   *
-  * No SparkSession is needed (tasks have none); a plain Hadoop
-  * configuration is enough for the local/DFS file systems Spark supports.
+  * No SparkSession is needed (tasks have none); the session's Hadoop
+  * configuration rides along ([[SerializableHadoopConf]]) so non-default
+  * FS settings reach the task-side readers.
   */
-final class ParquetLogRpc(files: Seq[String]) extends LogRpc {
+final class ParquetLogRpc(files: Seq[String], sconf: SerializableHadoopConf)
+  extends LogRpc {
+
+  def this(files: Seq[String]) =
+    this(files, new SerializableHadoopConf(
+      new org.apache.hadoop.conf.Configuration()))
   import org.apache.parquet.filter2.compat.FilterCompat
   import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
   import org.apache.parquet.hadoop.ParquetReader
@@ -101,12 +124,56 @@ final class ParquetLogRpc(files: Seq[String]) extends LogRpc {
                        address: Option[Array[Byte]]): Iterator[RawLog] =
     new SliceIterator(from, to, address)
 
-  /** Exact count by slice-scan — planners should prefer the counts-only
-    * [[BlockCountIndex]]; this exists so the trait contract holds if a
-    * caller plans directly against the reader RPC. */
+  /** Per-row-group (min block, max block, rows) summaries from the files'
+    * parquet FOOTERS — one metadata-only pass per instance, no records
+    * read; a planner probing [[estimateLogs]] repeatedly (LogPlanning
+    * re-splits over-budget chunks) then costs arithmetic per probe, not a
+    * corpus drain. Driver-side only (planning); tasks never touch it. */
+  @transient private lazy val rowGroupStats: Array[(Long, Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    files.toArray.flatMap { file =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(file), sconf.value))
+      try reader.getFooter.getBlocks.asScala.toSeq.flatMap { b =>
+        if (b.getRowCount == 0L) None
+        else {
+          val stats = b.getColumns.asScala
+            .find(_.getPath.toDotString == "block_number")
+            .map(_.getStatistics).collect {
+              case s: org.apache.parquet.column.statistics.LongStatistics
+                if !s.isEmpty && s.hasNonNullValue =>
+                (s.genericGetMin.longValue(), s.genericGetMax.longValue())
+            }
+          // stats unavailable → conservatively assume the group spans
+          // everything (planner over-splits, which is the safe direction)
+          val (lo, hi) = stats.getOrElse((Long.MinValue, Long.MaxValue))
+          Some((lo, hi, b.getRowCount))
+        }
+      } finally reader.close()
+    }
+  }
+
+  /** Planning estimate from footer metadata only: row-group counts scaled
+    * by block-range overlap (uniform-density assumption inside a group).
+    * The pushed address filter is ignored — an upper bound, which makes
+    * the planner split finer than needed, never coarser; address-aware
+    * planning uses [[BlockCountIndex]] built over the filtered scan. */
   override def estimateLogs(from: Long, to: Long,
-                            address: Option[Array[Byte]]): Long =
-    getLogs(from, to, address).size.toLong
+                            address: Option[Array[Byte]]): Long = {
+    var est = 0.0
+    rowGroupStats.foreach { case (lo, hi, rows) =>
+      if (hi >= from && lo <= to) {
+        if (lo == Long.MinValue || hi == Long.MaxValue) est += rows.toDouble
+        else {
+          val span = (hi - lo + 1).toDouble
+          val overlap = (math.min(hi, to) - math.max(lo, from) + 1).toDouble
+          est += rows * (overlap / span)
+        }
+      }
+    }
+    math.round(est)
+  }
 
   /** Lazily walks the files, keeping at most one ParquetReader open;
     * applies the defensive re-check of the pushed predicate inline (the
@@ -136,7 +203,7 @@ final class ParquetLogRpc(files: Seq[String]) extends LogRpc {
       }
       ParquetReader
         .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(file))
-        .withConf(new org.apache.hadoop.conf.Configuration())
+        .withConf(sconf.value)
         .withFilter(FilterCompat.get(pred))
         .build()
     }

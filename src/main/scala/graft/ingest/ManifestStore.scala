@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * Layout:
   * {{{
   *   <root>/_manifests/v00000001.manifest   // header lines + one line per file
-  *   <root>/_manifests/keys.history         // commit keys of vacuumed manifests
+  *   <root>/_manifests/keys.<uuid>.history  // commit keys of vacuumed manifests
   *   <root>/data/<commit-uuid>/...          // immutable data files
   * }}}
   *
@@ -38,14 +38,17 @@ import org.apache.spark.sql.functions._
   * idempotence key (`commitKey`): re-committing a key some manifest
   * already records is a no-op — the cheap short-circuit for exact
   * replays of job-level runs. Keys of vacuumed manifests are preserved in
-  * `keys.history`, so idempotence outlives retention.
+  * append-only `keys.<uuid>.history` segment files, so idempotence
+  * outlives retention: each vacuum writes its segment (exclusive-create,
+  * `#end`-terminated, never rewritten) BEFORE deleting the manifests it
+  * covers — a crash at any point loses nothing, because an incomplete
+  * segment means its manifests still exist.
   *
   * Object-store caveat (documented contract, same as Delta's): the
   * exclusive-create commit needs a consistent create-if-absent — true on
   * local FS and HDFS; S3-style stores need a coordination service in
   * front of the manifest directory. Writer concurrency within one JVM is
-  * additionally serialized per store instance (`synchronized`); vacuum
-  * must run as the only writer of `keys.history`.
+  * additionally serialized per store instance (`synchronized`).
   */
 final class ManifestStore(val root: String) extends Serializable {
 
@@ -54,7 +57,9 @@ final class ManifestStore(val root: String) extends Serializable {
 
   private def manifestsDir = new Path(root, "_manifests")
   private def dataDir = new Path(root, "data")
-  private def keysHistoryPath = new Path(manifestsDir, "keys.history")
+  private def isKeysSegment(name: String): Boolean =
+    name.startsWith("keys.") && name.endsWith(".history") &&
+      name != "keys.history"
 
   private val Terminator = "#end"
 
@@ -168,16 +173,37 @@ final class ManifestStore(val root: String) extends Serializable {
       }
     }
     if (keysSeen.contains(key)) return true
-    // vacuumed keys live in the history file (small; only read on miss)
-    f.exists(keysHistoryPath) && {
-      val in = f.open(keysHistoryPath)
-      val text = try new String(
-        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-        StandardCharsets.UTF_8)
-      finally in.close()
-      text.linesIterator.foreach(k => if (k.nonEmpty) keysSeen.add(k))
-      keysSeen.contains(key)
+    // vacuumed keys live in history files (small; only read on miss):
+    // append-only keys.<uuid>.history segments plus the legacy
+    // keys.history. An unterminated segment (vacuum crashed mid-write) is
+    // skipped — its manifests were not deleted, so nothing is lost.
+    readHistoryKeys(f).foreach(keysSeen.add)
+    keysSeen.contains(key)
+  }
+
+  private def readText(f: FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+      StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  /** Union of all persisted vacuum-key history: complete (`#end`-
+    * terminated) segment files plus the legacy unterminated file. */
+  private def readHistoryKeys(f: FileSystem): Seq[String] = {
+    if (!f.exists(manifestsDir)) return Nil
+    val keys = scala.collection.mutable.ArrayBuffer.empty[String]
+    f.listStatus(manifestsDir).foreach { st =>
+      val name = st.getPath.getName
+      if (isKeysSegment(name)) {
+        val lines = readText(f, st.getPath).linesIterator.toSeq
+        if (lines.lastOption.map(_.trim).contains(Terminator))
+          keys ++= lines.dropRight(1).filter(_.nonEmpty)
+      } else if (name == "keys.history") {
+        keys ++= readText(f, st.getPath).linesIterator.filter(_.nonEmpty)
+      }
     }
+    keys.toSeq
   }
 
   /** True if any committed manifest (or the vacuum key history) carries
@@ -491,45 +517,70 @@ final class ManifestStore(val root: String) extends Serializable {
     }
   }
 
-  /** Drop data files referenced by no recent manifest and manifests older
-    * than `keepVersions`. Run when no reader can still hold a snapshot
-    * older than the retained window (Delta-style retention contract), and
-    * as the only writer of the key history. Commit keys of deleted
-    * manifests are appended to `keys.history` first, so keyed-commit
-    * idempotence survives retention. */
-  def vacuum(spark: SparkSession, keepVersions: Int = 2): Unit = synchronized {
+  /** Default [[vacuum]] data-file age floor: long enough that any commit
+    * whose writeData finished this far back has either published its
+    * manifest (making its files live) or died. */
+  val DefaultVacuumMinAgeMs: Long = 30L * 60 * 1000
+
+  /** Drop data files referenced by no retained manifest and manifests
+    * below the retained window. Run when no reader can still hold a
+    * snapshot older than the retained window (Delta-style retention
+    * contract).
+    *
+    * Retention is computed over COMPLETE manifests only: the newest
+    * `keepVersions` complete snapshots (always at least the newest one)
+    * are retained, no matter how many claimed-but-burned versions sit
+    * above them — a burned head can never cause the live snapshot to be
+    * reclaimed. The head version is first given the usual in-flight grace
+    * ([[awaitInFlight]]).
+    *
+    * `minDataAgeMs` protects concurrent committers: an unreferenced data
+    * file younger than the floor may belong to a commit that wrote its
+    * data but has not yet published its manifest, so it is skipped and
+    * reclaimed by a later vacuum. Set 0 only when provably the sole
+    * writer.
+    *
+    * Commit keys of deleted manifests are persisted FIRST, into a fresh
+    * exclusive-create `keys.<uuid>.history` segment ending in `#end` —
+    * never by rewriting an existing file — so a crash anywhere in vacuum
+    * loses no idempotence keys: either the segment is complete, or the
+    * manifests it would have covered still exist. */
+  def vacuum(spark: SparkSession, keepVersions: Int = 2,
+             minDataAgeMs: Long = DefaultVacuumMinAgeMs): Unit = synchronized {
     val f = fs(spark)
     val versions = sortedVersions(f)
     if (versions.isEmpty) return
-    val keepFrom = math.max(1L, versions.last - keepVersions + 1)
-    val (old, recent) = versions.partition(_ < keepFrom)
-    // preserve idempotence keys of the manifests about to be deleted
+    versions.lastOption.foreach(awaitInFlight(f, _))
+    val complete = versions.filter(v => readManifest(f, v).isDefined)
+    if (complete.isEmpty) return // nothing resolvable — refuse to reclaim
+    val keepFrom = complete.takeRight(math.max(1, keepVersions)).head
+    val old = versions.filter(_ < keepFrom)
+    // preserve idempotence keys of the manifests about to be deleted —
+    // write-new-then-delete ordering makes this crash-safe
     val oldKeys = old.flatMap(v => readManifest(f, v).flatMap(_.key))
     if (oldKeys.nonEmpty) {
-      val existing =
-        if (f.exists(keysHistoryPath)) {
-          val in = f.open(keysHistoryPath)
-          try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-            StandardCharsets.UTF_8)
-          finally in.close()
-        } else ""
-      val out = f.create(keysHistoryPath, true)
-      try out.write((existing + oldKeys.mkString("", "\n", "\n"))
-        .getBytes(StandardCharsets.UTF_8))
-      finally out.close()
+      val seg = new Path(manifestsDir,
+        s"keys.${java.util.UUID.randomUUID()}.history")
+      val body = (oldKeys ++ Seq(Terminator)).mkString("", "\n", "\n")
+        .getBytes(StandardCharsets.UTF_8)
+      if (!createExclusive(f, seg, body))
+        throw new IllegalStateException(
+          s"ManifestStore($root): key-history segment collision at $seg")
     }
-    val live: Set[String] = recent
+    val live: Set[String] = versions.filter(_ >= keepFrom)
       .flatMap(v => readManifest(f, v).map(_.files.map(_.rel)).getOrElse(Nil))
       .toSet
     if (f.exists(dataDir)) {
       val rootUriPath =
         new Path(root).makeQualified(f.getUri, f.getWorkingDirectory).toUri.getPath
+      val ageFloor = System.currentTimeMillis() - minDataAgeMs
       val it = f.listFiles(dataDir, true)
       val dead = scala.collection.mutable.ArrayBuffer.empty[Path]
       while (it.hasNext) {
         val file = it.next()
         val rel = relOf(rootUriPath, file.getPath.toUri.getPath)
-        if (file.getPath.getName.endsWith(".parquet") && !live.contains(rel))
+        if (file.getPath.getName.endsWith(".parquet") && !live.contains(rel) &&
+          file.getModificationTime <= ageFloor)
           dead += file.getPath
       }
       dead.foreach(f.delete(_, false))

@@ -110,7 +110,9 @@ private class LogsScanBuilder(path: String, from: Long, to: Long,
     // then reads its own predicate-pushed block slice executor-side.
     val spark = SparkSession.active
     val est = BlockCountIndex.forPath(spark, path, address)
-    val rpc = new ParquetLogRpc(LogSource.listParquetFiles(spark, path))
+    val rpc = new ParquetLogRpc(LogSource.listParquetFiles(spark, path),
+      new graft.ingest.SerializableHadoopConf(
+        spark.sparkContext.hadoopConfiguration))
     new LogsScan(est, rpc, lo, hi, address, blocksStep, maxLogs, blocksPerBatch)
   }
 }

@@ -77,6 +77,38 @@ class WarehouseSpec extends org.scalatest.funsuite.AnyFunSuite {
       graft.fixtures.MakerFixtures.fixtureDefs)
     assert(spark.table("makermcd.vat_call_frob").count() == direct.count())
   }
+
+  test("materialize refuses foreign data at an orphan table path and bad db names") {
+    val spark = TestSpark.spark
+    graft.fixtures.MakerFixtures.ensureDemuxed(spark)
+    val defs = graft.fixtures.MakerFixtures.fixtureDefs.take(1)
+    // SQL-injection-shaped / invalid identifiers are rejected up front
+    intercept[IllegalArgumentException] {
+      graft.catalog.Warehouse.materialize(spark,
+        graft.fixtures.MakerFixtures.demuxStorePath, defs, db = "x; DROP TABLE y")
+    }
+    // a directory at the derived managed-table path that does NOT look
+    // like a prior materialization is user data — refuse to delete it
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      s"orphandb.db/${defs.head.table}")
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, "precious.csv"), false)
+    out.write("do not delete\n".getBytes("UTF-8")); out.close()
+    try {
+      val e = intercept[IllegalStateException] {
+        graft.catalog.Warehouse.materialize(spark,
+          graft.fixtures.MakerFixtures.demuxStorePath, defs, db = "orphandb")
+      }
+      assert(e.getMessage.contains("refusing to clear"))
+      assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "precious.csv")),
+        "foreign file must survive the refused materialization")
+    } finally {
+      fs.delete(dir.getParent, true)
+      spark.sql("DROP DATABASE IF EXISTS orphandb CASCADE")
+    }
+  }
 }
 
 /** Config-driven function registration via SparkSessionExtensions. */

@@ -221,6 +221,84 @@ class CompactSpec extends AnyFunSuite {
       s"compact dropped range stats: $stats")
   }
 
+  test("vacuum: burned head versions never cause live-snapshot loss") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_mvac1").toString + "/store"
+    val store = new ManifestStore(root)
+    store.append(spark, (0L until 50L).map(n => (n, s"r$n")).toDF("block_number", "v"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    // two consecutive burned claims ABOVE the only complete snapshot —
+    // the old retention math (versions.last - keep + 1) would put the
+    // whole window on the burned heads, empty the live set, and delete
+    // every data file
+    Seq(2L, 3L).foreach { v =>
+      val out = fs.create(new org.apache.hadoop.fs.Path(
+        root + f"/_manifests/v$v%08d.manifest"), false)
+      out.write("data/crashed/part-x.parquet\n".getBytes("UTF-8")); out.close()
+    }
+    store.vacuum(spark, keepVersions = 1, minDataAgeMs = 0L)
+    assert(store.read(spark).get.count() == 50,
+      "vacuum with burned head versions must retain the newest COMPLETE snapshot")
+  }
+
+  test("vacuum: reclaims dead files, spares young unreferenced ones, keys crash-safe") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_mvac2").toString + "/store"
+    val store = new ManifestStore(root)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def dataFiles(): Set[String] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(root + "/data"), true)
+      val out = scala.collection.mutable.Set.empty[String]
+      while (it.hasNext) {
+        val p = it.next().getPath
+        if (p.getName.endsWith(".parquet")) out += p.toString
+      }
+      out.toSet
+    }
+    store.overwriteRange(spark,
+      (0L until 50L).map(n => (n, "old")).toDF("block_number", "v"), 0L, 49L,
+      commitKey = Some("k-old"))
+    val firstCommitFiles = dataFiles()
+    // replace the same range: the first commit's files become unreferenced
+    store.overwriteRange(spark,
+      (0L until 50L).map(n => (n, "new")).toDF("block_number", "v"), 0L, 49L)
+    // a young unreferenced file is an in-flight committer's data: spared
+    // by the age floor, reclaimed once old enough
+    store.vacuum(spark, keepVersions = 1, minDataAgeMs = 60L * 60 * 1000)
+    assert(firstCommitFiles.subsetOf(dataFiles()),
+      "age floor must spare recently-written unreferenced files")
+    store.vacuum(spark, keepVersions = 1, minDataAgeMs = 0L)
+    val after = dataFiles()
+    assert(firstCommitFiles.forall(!after.contains(_)),
+      "an aged-out unreferenced file must be reclaimed")
+    assert(store.read(spark).get.filter(col("v") === "new").count() == 50)
+    // the vacuumed keyed commit survives via the append-only key segment
+    val segs = fs.listStatus(new org.apache.hadoop.fs.Path(root + "/_manifests"))
+      .map(_.getPath.getName).filter(n => n.startsWith("keys.") && n != "keys.history")
+    assert(segs.nonEmpty, "vacuum of a keyed manifest must write a key segment")
+    // fresh instance: the key must come from the persisted segment, not
+    // this instance's warm in-memory key cache
+    val replayer = new ManifestStore(root)
+    replayer.overwriteRange(spark,
+      (0L until 50L).map(n => (n, "replay")).toDF("block_number", "v"), 0L, 49L,
+      commitKey = Some("k-old"))
+    assert(store.read(spark).get.filter(col("v") === "replay").count() == 0,
+      "idempotence key must outlive retention")
+    // an UNTERMINATED segment (vacuum crashed mid-write) is ignored, and
+    // a legacy single-file keys.history is still honored
+    val crashed = fs.create(new org.apache.hadoop.fs.Path(
+      root + "/_manifests/keys.deadbeef.history"), false)
+    crashed.write("ghost-key\n".getBytes("UTF-8")); crashed.close() // no #end
+    val legacy = fs.create(new org.apache.hadoop.fs.Path(
+      root + "/_manifests/keys.history"), false)
+    legacy.write("legacy-key\n".getBytes("UTF-8")); legacy.close()
+    val fresh = new ManifestStore(root) // fresh instance: no warm key cache
+    assert(!fresh.hasCommitKey(spark, "ghost-key"))
+    assert(fresh.hasCommitKey(spark, "legacy-key"))
+  }
+
   test("manifest store: partitioned demux layout keeps partition pruning") {
     MakerFixtures.ensure(spark)
     val root = java.nio.file.Files.createTempDirectory("graft_mstore_p").toString + "/store"
