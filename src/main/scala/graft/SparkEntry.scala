@@ -22,6 +22,7 @@ object SparkEntry {
       graft.queries.Relational3.queries ++
       graft.queries.MakerDw.queries ++
       graft.ops.TextAnalysis.queries ++ graft.ops.Dedup.queries ++
+      graft.ops.Components.queries ++ graft.ops.Sampling.queries ++
       graft.ops.Similarity.queries ++ graft.ops.Ivf.queries ++ graft.ops.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -31,6 +32,7 @@ object SparkEntry {
       graft.queries.Relational3.oracle ++
       graft.queries.MakerDw.oracle ++
       graft.ops.TextAnalysis.oracle ++ graft.ops.Dedup.oracle ++
+      graft.ops.Components.oracle ++ graft.ops.Sampling.oracle ++
       graft.ops.Similarity.oracle ++ graft.ops.Ivf.oracle ++
       graft.ops.Multimodal.oracle
 }

@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Connected components over near-duplicate pair edges — the step that
+  * turns pairwise dedup output into dedup GROUPS with one canonical
+  * survivor per group (reference behavior: dedup keeps the first row per
+  * key, eth-contract.py's per-tx dedup; here generalized to transitive
+  * near-dup clusters for the LLM-pipeline path, SURVEY §7.5).
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SOCC'14) — the
+  * standard O(log n)-round, all-shuffle-local formulation:
+  *
+  *  - large-star: every node points its LARGER neighbors at the minimum
+  *    of its neighborhood (including itself);
+  *  - small-star: every node points its smaller-or-equal neighbors (in
+  *    the max→min directed view) at that minimum.
+  *
+  * Both rounds are a `groupBy(node)` aggregation plus a re-emit — the
+  * shuffle key is the node id, never an all-pairs product, and each
+  * round's output is at most the input edge count, so a 100 TB edge set
+  * converges in ~log(n) bounded shuffles. Compare label propagation,
+  * whose round count is the graph DIAMETER — unbounded on chain-shaped
+  * dup graphs. Convergence is detected by an edge-set checksum
+  * (count + order-independent hash sum), one tiny aggregate per round.
+  */
+object Components {
+
+  /** (node, component) for every node appearing in `edges` (columns i, j);
+    * component = the smallest node id reachable from the node. */
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 30): DataFrame = {
+    val spark = edges.sparkSession
+    // undirected view, self-loops dropped. Each round is localCheckpointed:
+    // iterated self-referential plans otherwise grow exponentially (every
+    // round embeds the previous round's full plan twice) — lineage
+    // truncation per round is the standard Spark iterative-graph pattern
+    // (a production run on unreliable executors would use reliable
+    // checkpoint() to a DFS dir instead).
+    var e = edges.select(col("i").cast("long").as("u"), col("j").cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    e = e.union(e.select(col("v").as("u"), col("u").as("v"))).distinct()
+      .localCheckpoint(true)
+
+    def checksum(d: DataFrame): (Long, String) = {
+      // decimal sum: xxhash64 spans the full long range and an ANSI-mode
+      // long sum overflows
+      val r = d.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toString)
+    }
+
+    def largeStar(in: DataFrame): DataFrame = {
+      // m(u) = min over Γ(u) ∪ {u}; LARGER neighbors link to m(u)
+      val m = in.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      in.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+
+    def smallStar(in: DataFrame): DataFrame = {
+      // direct every edge max→min, then all of u's (smaller) neighbors
+      // and u itself link to the minimum of that neighborhood
+      val d = in.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v")).distinct()
+      val m = d.groupBy("u").agg(min(col("v")).as("m"))
+      d.join(m, "u")
+        .select(explode(array(
+          struct(col("v").as("u"), col("m").as("v")),
+          struct(col("u"), col("m").as("v")))).as("e"))
+        .select(col("e.u"), col("e.v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+
+    var sig = checksum(e)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val next = smallStar(largeStar(e))
+        // symmetrize back so large-star sees full neighborhoods next round
+        .select(explode(array(struct(col("u"), col("v")),
+          struct(col("v").as("u"), col("u").as("v")))).as("e"))
+        .select(col("e.u"), col("e.v")).distinct()
+        .localCheckpoint(true)
+      val nextSig = checksum(next)
+      e.unpersist()
+      e = next
+      converged = nextSig == sig
+      sig = nextSig
+      rounds += 1
+    }
+    // fixed point: every edge links a node to its component minimum —
+    // min(v) per u is the component; the minima themselves are their own
+    val comp = e.groupBy("u").agg(min(col("v")).as("c"))
+      .select(col("u").as("node"),
+        least(col("c"), col("u")).as("component"))
+    comp
+  }
+
+  /** Dedup groups over the documents table: every doc labeled with its
+    * near-dup component (min doc_id of the transitive cluster over exact
+    * jaccard ≥ 0.7 pairs) and a keep flag for the canonical survivor.
+    * Docs in no pair are their own singleton component. */
+  def dedupComponents(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val pairs = Dedup.jaccardPairs(Dedup.shingles(docs), 0.7).select("i", "j")
+    val comp = connectedComponents(pairs)
+    docs.select(col("doc_id"))
+      .join(comp, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+      .withColumn("keep", col("doc_id") === col("component"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_components" -> (dedupComponents _))
+
+  /** Oracle: transitive closure over the same jaccard≥0.7 edges via a
+    * recursive CTE (terminates on cycles because UNION deduplicates),
+    * component = min reachable node. */
+  val oracle: Map[String, String] = Map(
+    "dedup_components" -> s"""${Dedup.jaccardCtes.replaceFirst("WITH", "WITH RECURSIVE")},
+      edges AS (SELECT i, j FROM jc WHERE jaccard >= 0.7),
+      sym AS (SELECT i AS u, j AS v FROM edges
+              UNION SELECT j, i FROM edges),
+      reach(src, node) AS (
+        SELECT u, u FROM sym
+        UNION
+        SELECT r.src, s.v FROM reach r JOIN sym s ON r.node = s.u),
+      comp AS (SELECT src AS node, MIN(node) AS component
+               FROM reach GROUP BY src)
+      SELECT d.doc_id,
+        COALESCE(c.component, d.doc_id) AS component,
+        (COALESCE(c.component, d.doc_id) = d.doc_id) AS keep
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+      ORDER BY d.doc_id""")
+}

@@ -259,7 +259,7 @@ object Dedup {
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _))
 
-  private val jaccardCtes = """
+  private[ops] val jaccardCtes = """
       WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
       sh0 AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t)-2, 0))) AS i
               FROM toks),

@@ -116,14 +116,166 @@ object Ivf {
   def ivfRecall(s: SparkSession, dir: String): DataFrame =
     Similarity.recallGate(s, dir, "ivf", topKIvf(s, dir))
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ann_topk_ivf" -> (ivfRecall _))
+  // ---------------------------------------------------- IVF-PQ (ADC)
 
-  val oracle: Map[String, String] = Map(
-    "ann_topk_ivf" -> """
-      SELECT 'ivf' AS method,
+  /** Product-quantization codebooks over coarse-quantizer RESIDUALS:
+    * `m` subspaces × `codes` centroids each, trained with the same
+    * deterministic driver-side Lloyd's on the same hash-sampled set as
+    * [[centroids]] (codebooks are a few KB at any corpus size).
+    * Returns cb(sub)(code) = subvector centroid. */
+  def pqCodebooks(v: DataFrame, cents: Array[Array[Double]],
+                  m: Int, codes: Int, iters: Int = 10,
+                  sampleCap: Int = 10000): Array[Array[Array[Double]]] = {
+    val n = v.count()
+    val every = math.max(1L, n / sampleCap)
+    var rows = v.filter(pmod(hash(col("vec_id")), lit(every)) === 0)
+      .select("vec_id", "e").collect()
+    if (rows.length < codes) rows = v.select("vec_id", "e").collect()
+    val sample = rows.sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val residuals = sample.map { x =>
+      val c = cents(nearest(cents, x))
+      Array.tabulate(dim)(j => x(j) - c(j))
+    }
+    Array.tabulate(m) { s =>
+      val slice = residuals.map(r => java.util.Arrays.copyOfRange(r, s * sub, (s + 1) * sub))
+      var cb = Array.tabulate(codes)(i => slice(i * slice.length / codes).clone())
+      (1 to iters).foreach { _ =>
+        val sums = Array.fill(codes)(new Array[Double](sub))
+        val counts = new Array[Long](codes)
+        slice.foreach { x =>
+          val c = nearest(cb, x)
+          var j = 0
+          while (j < sub) { sums(c)(j) += x(j); j += 1 }
+          counts(c) += 1
+        }
+        cb = Array.tabulate(codes)(c =>
+          if (counts(c) == 0) cb(c) else sums(c).map(_ / counts(c)))
+      }
+      cb
+    }
+  }
+
+  /** PQ-encode assigned vectors: (vec_id, cluster, codes array<int>, nrm).
+    * Storage contract at 100 TB: m bytes per vector (plus the coarse id)
+    * instead of 4·dim — the inverted lists fit in memory where raw
+    * vectors cannot. The exact norm is retained (8 bytes) so re-ranking
+    * cosine denominators stay exact. */
+  def pqEncode(assigned: DataFrame, cents: Array[Array[Double]],
+               cb: Array[Array[Array[Double]]]): DataFrame = {
+    import assigned.sparkSession.implicits._
+    val m = cb.length
+    assigned.select("vec_id", "e", "nrm", "cluster")
+      .as[(Long, Seq[Double], Double, Int)]
+      .map { case (id, e, nrm, c) =>
+        val cent = cents(c)
+        val dim = e.length
+        val sub = dim / m
+        val codesArr = Array.tabulate(m) { s =>
+          val r = Array.tabulate(sub)(j => e(s * sub + j) - cent(s * sub + j))
+          nearest(cb(s), r)
+        }
+        (id, c, codesArr.toSeq, nrm)
+      }
+      .toDF("nid", "cluster", "codes", "nb")
+  }
+
+  /** IVF-PQ top-k with asymmetric distance computation (ADC): queries
+    * probe `nProbe` clusters; candidates are scored from their PQ codes
+    * against a per-(query, cluster) lookup table — dot(q, x̂) where
+    * x̂ = centroid + Σ codebook entries, O(m) per candidate after an
+    * O(codes·dim) LUT built once per (query, cluster) per partition —
+    * then the ADC top-`shortlist` are re-ranked with exact vectors.
+    * Shuffle key is the cluster id (same as IVF); the exact re-rank
+    * touches only shortlist·queries vectors. */
+  def topKIvfPq(s: SparkSession, dir: String, k: Int = 8, nProbe: Int = 4,
+                m: Int = 16, codes: Int = 16, shortlist: Int = 50): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.graftshim.Shim
+    val v = Similarity.vecs(Tables.load(s, dir, "embeddings")).persist()
+    val cents = centroids(v, k)
+    val cb = pqCodebooks(v, cents, m, codes)
+    val encoded = pqEncode(assign(v, cents), cents, cb)
+    val probes = v.filter(col("vec_id") < 10)
+      .select("vec_id", "e", "nrm").as[(Long, Seq[Double], Double)]
+      .flatMap { case (id, e, nrm) =>
+        nearestN(cents, e.toArray, nProbe).map(c => (id, e, c)) }
+      .toDF("qid", "ea", "cluster")
+    val joined = probes.join(encoded, Seq("cluster"))
+      .filter(col("qid") =!= col("nid"))
+      .select("qid", "ea", "cluster", "nid", "codes")
+      .as[(Long, Seq[Double], Int, Long, Seq[Int])]
+    val bCents = s.sparkContext.broadcast(cents)
+    val bCb = s.sparkContext.broadcast(cb)
+    val approx = joined.mapPartitions { it =>
+      val cents = bCents.value
+      val cb = bCb.value
+      val nSub = cb.length
+      // ADC lookup tables, one per (query, cluster) seen in this partition
+      val luts = scala.collection.mutable.HashMap
+        .empty[(Long, Int), (Double, Array[Array[Double]])]
+      it.map { case (qid, ea, cluster, nid, codesSeq) =>
+        val (qDotC, lut) = luts.getOrElseUpdate((qid, cluster), {
+          val q = ea.toArray
+          val cent = cents(cluster)
+          var qc = 0.0
+          var j = 0
+          while (j < q.length) { qc += q(j) * cent(j); j += 1 }
+          val sub = q.length / nSub
+          val t = Array.tabulate(nSub) { sIdx =>
+            val entries = cb(sIdx)
+            Array.tabulate(entries.length) { code =>
+              var d = 0.0
+              var jj = 0
+              while (jj < sub) { d += q(sIdx * sub + jj) * entries(code)(jj); jj += 1 }
+              d
+            }
+          }
+          (qc, t)
+        })
+        var est = qDotC
+        var sIdx = 0
+        while (sIdx < nSub) { est += lut(sIdx)(codesSeq(sIdx)); sIdx += 1 }
+        (qid, nid, est)
+      }
+    }.toDF("qid", "nid", "approx")
+    val short = approx
+      .withColumn("arank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("approx").desc, col("nid"))))
+      .filter(col("arank") <= shortlist)
+      .select("qid", "nid")
+    // exact re-rank of the shortlist (broadcast-sized: queries × shortlist)
+    val q = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("e").as("ea"), col("nrm").as("na"))
+    val nb = v.select(col("vec_id").as("nid"), col("e").as("eb"), col("nrm").as("nb"))
+    val dot = Shim.column(DotDouble(Shim.expression(col("ea")), Shim.expression(col("eb"))))
+    short.join(q, "qid").join(nb, "nid")
+      .withColumn("cosine", round(dot / (col("na") * col("nb")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** ann_topk_ivfpq gates on deterministic recall-vs-brute, like IVF. */
+  def ivfPqRecall(s: SparkSession, dir: String): DataFrame =
+    Similarity.recallGate(s, dir, "ivfpq", topKIvfPq(s, dir))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_topk_ivf" -> (ivfRecall _),
+    "ann_topk_ivfpq" -> (ivfPqRecall _))
+
+  private def recallOracle(method: String): String = s"""
+      SELECT '$method' AS method,
         CAST(10*COUNT(*) AS BIGINT) AS n_expected,
         CAST((10*COUNT(*)*7 + 9)//10 AS BIGINT) AS min_hits,
         TRUE AS recall_ok
-      FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 10)""")
+      FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 10)"""
+
+  val oracle: Map[String, String] = Map(
+    "ann_topk_ivf" -> recallOracle("ivf"),
+    "ann_topk_ivfpq" -> recallOracle("ivfpq"))
 }

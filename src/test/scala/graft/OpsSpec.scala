@@ -133,6 +133,58 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF recall $recall")
   }
 
+  test("IVF-PQ ANN: ADC shortlist + exact re-rank tracks brute force") {
+    val brute = Similarity.topK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = graft.ops.Ivf.topKIvfPq(spark, dir).collect()
+    assert(pq.nonEmpty && pq.groupBy(_.getLong(0)).forall(_._2.length <= 10))
+    val pqSet = pq.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = brute.count(pqSet.contains).toDouble / brute.size
+    // PQ adds quantization loss on top of IVF's probe loss
+    assert(recall >= 0.3, s"IVF-PQ recall $recall")
+  }
+
+  test("connected components: chains, cliques, and isolated nodes") {
+    import spark.implicits._
+    // adversarial for label propagation (diameter = n), trivial for
+    // alternating stars (log n rounds): a 60-node path, plus a 5-clique
+    // and one 2-cycle island
+    val path = (0L until 59L).map(i => (i, i + 1))
+    val clique = for (a <- 100L to 104L; b <- 100L to 104L if a < b) yield (a, b)
+    val island = Seq((200L, 201L))
+    val edges = (path ++ clique ++ island).toDF("i", "j")
+    val comp = graft.ops.Components.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 60L).foreach(n => assert(comp(n) == 0L, s"path node $n -> ${comp(n)}"))
+    (100L to 104L).foreach(n => assert(comp(n) == 100L))
+    assert(comp(200L) == 200L && comp(201L) == 200L)
+    assert(comp.size == 67)
+  }
+
+  test("dedup components match a union-find ground truth on the fixture") {
+    val pairs = Dedup.jaccardPairs(Dedup.shingles(
+      Tables.load(spark, dir, "documents")), 0.7)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // tiny driver-side union-find as independent ground truth
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = parent.keys.map(x => x -> find(x)).toMap
+    val got = graft.ops.Components.dedupComponents(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    truth.foreach { case (n, c) =>
+      assert(got(n) == c, s"node $n: got ${got(n)}, want $c")
+    }
+    // docs in no pair are their own singleton
+    got.foreach { case (n, c) => if (!truth.contains(n)) assert(c == n) }
+  }
+
   test("wad rescaler: binary uint256 mode ≡ decimal mode (rad-safe path)") {
     import spark.implicits._
     import graft.codec.GraftFunctions
