@@ -29,6 +29,31 @@ import graft.Tables
   */
 object Components {
 
+  /** One large-star round: every node points its LARGER neighbors at the
+    * minimum of its neighborhood (incl. itself). One groupBy + one join
+    * on the node id — the shuffle key is never a pair. */
+  private[graft] def largeStar(in: DataFrame): DataFrame = {
+    val m = in.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+    in.join(m, "u").filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+  }
+
+  /** One small-star round: edges directed max→min; all of a node's
+    * (smaller) neighbors and the node itself link to the neighborhood
+    * minimum. Same shuffle shape as large-star. */
+  private[graft] def smallStar(in: DataFrame): DataFrame = {
+    val d = in.select(greatest(col("u"), col("v")).as("u"),
+      least(col("u"), col("v")).as("v")).distinct()
+    val m = d.groupBy("u").agg(min(col("v")).as("m"))
+    d.join(m, "u")
+      .select(explode(array(
+        struct(col("v").as("u"), col("m").as("v")),
+        struct(col("u"), col("m").as("v")))).as("e"))
+      .select(col("e.u"), col("e.v"))
+      .filter(col("u") =!= col("v")).distinct()
+  }
+
   /** (node, component) for every node appearing in `edges` (columns i, j);
     * component = the smallest node id reachable from the node. */
   def connectedComponents(edges: DataFrame, maxRounds: Int = 30): DataFrame = {
@@ -50,28 +75,6 @@ object Components {
       val r = d.agg(count(lit(1)),
         sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
       (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toString)
-    }
-
-    def largeStar(in: DataFrame): DataFrame = {
-      // m(u) = min over Γ(u) ∪ {u}; LARGER neighbors link to m(u)
-      val m = in.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
-      in.join(m, "u").filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v")).distinct()
-    }
-
-    def smallStar(in: DataFrame): DataFrame = {
-      // direct every edge max→min, then all of u's (smaller) neighbors
-      // and u itself link to the minimum of that neighborhood
-      val d = in.select(greatest(col("u"), col("v")).as("u"),
-        least(col("u"), col("v")).as("v")).distinct()
-      val m = d.groupBy("u").agg(min(col("v")).as("m"))
-      d.join(m, "u")
-        .select(explode(array(
-          struct(col("v").as("u"), col("m").as("v")),
-          struct(col("u"), col("m").as("v")))).as("e"))
-        .select(col("e.u"), col("e.v"))
-        .filter(col("u") =!= col("v")).distinct()
     }
 
     var sig = checksum(e)
