@@ -104,6 +104,32 @@ object Main {
       println(s"compacted $store to $nFiles data files (target $targetBytes B)")
       if (owned) spark.stop()
 
+    // maintenance on a manifest-committed store: snapshot-isolated
+    // compaction and retention vacuum (complete-manifest retention,
+    // age-gated data reclaim — see ManifestStore.vacuum's contract)
+    case "mstore-compact" :: root :: rest
+        if rest.headOption.forall(_.toLongOption.exists(_ > 0)) =>
+      val targetBytes = rest.headOption.flatMap(_.toLongOption)
+        .getOrElse(128L * 1024 * 1024)
+      val (spark, owned) = session()
+      val store = new graft.ingest.ManifestStore(root)
+      store.compact(spark, targetBytes)
+      println(s"compacted $root at version ${store.currentVersion(spark)}")
+      if (owned) spark.stop()
+
+    case "mstore-vacuum" :: root :: rest
+        if rest.forall(_.toLongOption.exists(_ >= 0)) && rest.length <= 2 =>
+      val keep = rest.headOption.flatMap(_.toLongOption).getOrElse(2L).toInt
+      val minAgeMs = rest.lift(1).flatMap(_.toLongOption)
+        .map(_ * 60 * 1000)
+        .getOrElse(graft.ingest.ManifestStore.DefaultVacuumMinAgeMs)
+      val (spark, owned) = session()
+      val store = new graft.ingest.ManifestStore(root)
+      store.vacuum(spark, keepVersions = keep, minDataAgeMs = minAgeMs)
+      println(s"vacuumed $root (keep=$keep, minAge=${minAgeMs / 60000} min); " +
+        s"current version ${store.currentVersion(spark)}")
+      if (owned) spark.stop()
+
     // register a demux store's decoded tables as <db>.<table> in the
     // session catalog warehouse (reference README.md:73's CREATE DATABASE).
     // With an explicit <schema>.<contract>, table defs come from the same
@@ -137,6 +163,8 @@ object Main {
            |  graft.Main ingest <schema>.<contract> [confDir] [store] [rawLogs] [head]
            |  graft.Main blocks <from> <to> <out>
            |  graft.Main compact <storePath> [targetBytes]
+           |  graft.Main mstore-compact <manifestRoot> [targetBytes]
+           |  graft.Main mstore-vacuum <manifestRoot> [keepVersions] [minAgeMinutes]
            |  graft.Main warehouse [storePath] [db] [<schema>.<contract>]""".stripMargin)
       sys.exit(2)
   }

@@ -50,6 +50,13 @@ import org.apache.spark.sql.functions._
   * front of the manifest directory. Writer concurrency within one JVM is
   * additionally serialized per store instance (`synchronized`).
   */
+object ManifestStore {
+  /** Default [[ManifestStore.vacuum]] data-file age floor: long enough
+    * that any commit whose writeData finished this far back has either
+    * published its manifest (making its files live) or died. */
+  val DefaultVacuumMinAgeMs: Long = 30L * 60 * 1000
+}
+
 final class ManifestStore(val root: String) extends Serializable {
 
   private def fs(spark: SparkSession): FileSystem =
@@ -382,8 +389,11 @@ final class ManifestStore(val root: String) extends Serializable {
     * grouped by commit directory and each group reads with its commit dir
     * as `basePath`, so partition columns (`table_name=...` layout) are
     * recovered per commit and pruning works as on a plain partitioned
-    * store; groups union by name. Compaction collapses the groups back to
-    * one. */
+    * store; groups union by name with missing columns null-filled —
+    * SCHEMA EVOLUTION: a commit that adds columns coexists with older
+    * snapshots' files, old rows reading the new columns as null
+    * (Delta-style mergeSchema semantics). Compaction collapses the
+    * groups — and the schemas — back to one. */
   private def readFiles(spark: SparkSession, files: Seq[FileEntry]): DataFrame = {
     // rel path shape: data/<commit-uuid>/[partition dirs/]file.parquet
     val byCommit = files.groupBy(_.rel.split('/').take(2).mkString("/"))
@@ -391,7 +401,7 @@ final class ManifestStore(val root: String) extends Serializable {
       val abs = entries.map(e => new Path(root, e.rel).toString)
       spark.read.option("basePath", new Path(root, commitDir).toString)
         .parquet(abs: _*)
-    }.reduce(_.unionByName(_))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Read the current snapshot. None = store is empty (no commits yet, or
@@ -480,7 +490,9 @@ final class ManifestStore(val root: String) extends Serializable {
         if (hit.isEmpty) df
         else readFiles(spark, hit)
           .filter(col(rangeCol) < from || col(rangeCol) > to)
-          .unionByName(df)
+          // schema evolution: an overwrite may add columns; surviving
+          // old rows read them as null
+          .unionByName(df, allowMissingColumns = true)
       kept ++ writeData(spark, merged, partitionCols, Some(rangeCol))
     }
   }
@@ -517,10 +529,7 @@ final class ManifestStore(val root: String) extends Serializable {
     }
   }
 
-  /** Default [[vacuum]] data-file age floor: long enough that any commit
-    * whose writeData finished this far back has either published its
-    * manifest (making its files live) or died. */
-  val DefaultVacuumMinAgeMs: Long = 30L * 60 * 1000
+  import ManifestStore.DefaultVacuumMinAgeMs
 
   /** Drop data files referenced by no retained manifest and manifests
     * below the retained window. Run when no reader can still hold a

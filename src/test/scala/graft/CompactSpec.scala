@@ -299,6 +299,37 @@ class CompactSpec extends AnyFunSuite {
     assert(fresh.hasCommitKey(spark, "legacy-key"))
   }
 
+  test("manifest store: schema evolution across commits (added columns null-fill)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_mevo").toString + "/store"
+    val store = new ManifestStore(root)
+    store.append(spark, Seq((1L, "a")).toDF("block_number", "v"),
+      rangeCol = Some("block_number"))
+    // later commit adds a column: older rows must read it as null
+    store.append(spark, Seq((2L, "b", 7.5)).toDF("block_number", "v", "score"),
+      rangeCol = Some("block_number"))
+    val snap = store.read(spark).get
+    assert(snap.columns.toSet == Set("block_number", "v", "score"))
+    assert(snap.filter(col("block_number") === 1L).head().isNullAt(
+      snap.columns.indexOf("score")))
+    assert(snap.filter(col("score") === 7.5).count() == 1)
+    // overwrite that adds yet another column: kept rows null-fill too
+    store.overwriteRange(spark,
+      Seq((2L, "b2", 8.0, "x")).toDF("block_number", "v", "score", "tag"),
+      2L, 2L)
+    val snap2 = store.read(spark).get
+    assert(snap2.columns.toSet == Set("block_number", "v", "score", "tag"))
+    assert(snap2.count() == 2)
+    assert(snap2.filter(col("v") === "b2").head().getAs[String]("tag") == "x")
+    assert(snap2.filter(col("block_number") === 1L).head().isNullAt(
+      snap2.columns.indexOf("tag")))
+    // compaction collapses the mixed schemas into one uniform file set
+    store.compact(spark, targetBytes = 1L << 30)
+    assert(store.read(spark).get.columns.toSet ==
+      Set("block_number", "v", "score", "tag"))
+    assert(store.read(spark).get.count() == 2)
+  }
+
   test("manifest store: partitioned demux layout keeps partition pruning") {
     MakerFixtures.ensure(spark)
     val root = java.nio.file.Files.createTempDirectory("graft_mstore_p").toString + "/store"

@@ -40,4 +40,20 @@ class MainSpec extends AnyFunSuite {
     assert(spark.sql("SELECT COUNT(*) FROM makermcd.vat_call_frob")
       .head().getLong(0) == 800)
   }
+
+  test("mstore CLI: compact and vacuum a manifest-committed store") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_cli").toString + "/mstore"
+    val store = new graft.ingest.ManifestStore(root)
+    (0 until 3).foreach { i =>
+      store.append(spark, Seq((i.toLong, s"r$i")).toDF("block_number", "v"),
+        rangeCol = Some("block_number"))
+    }
+    Main.main(Array("mstore-compact", root))
+    assert(store.read(spark).get.count() == 3)
+    Main.main(Array("mstore-vacuum", root, "1", "0"))
+    assert(store.read(spark).get.count() == 3)
+    // below the retained window the manifests are gone
+    assert(store.readVersion(spark, 1L).isEmpty)
+  }
 }
