@@ -96,7 +96,8 @@ object Main {
     // maintenance: small-file compaction of a demux store (exclusive job;
     // use a ManifestStore root for snapshot-isolated compaction instead)
     case "compact" :: store :: rest
-        if rest.headOption.forall(_.toLongOption.exists(_ > 0)) =>
+        if rest.length <= 1 &&
+          rest.headOption.forall(_.toLongOption.exists(_ > 0)) =>
       val targetBytes = rest.headOption.flatMap(_.toLongOption)
         .getOrElse(128L * 1024 * 1024)
       val (spark, owned) = session()
@@ -108,7 +109,8 @@ object Main {
     // compaction and retention vacuum (complete-manifest retention,
     // age-gated data reclaim — see ManifestStore.vacuum's contract)
     case "mstore-compact" :: root :: rest
-        if rest.headOption.forall(_.toLongOption.exists(_ > 0)) =>
+        if rest.length <= 1 &&
+          rest.headOption.forall(_.toLongOption.exists(_ > 0)) =>
       val targetBytes = rest.headOption.flatMap(_.toLongOption)
         .getOrElse(128L * 1024 * 1024)
       val (spark, owned) = session()
@@ -118,7 +120,9 @@ object Main {
       if (owned) spark.stop()
 
     case "mstore-vacuum" :: root :: rest
-        if rest.forall(_.toLongOption.exists(_ >= 0)) && rest.length <= 2 =>
+        if rest.length <= 2 &&
+          rest.headOption.forall(_.toLongOption.exists(_ >= 1)) &&
+          rest.lift(1).forall(_.toLongOption.exists(_ >= 0)) =>
       val keep = rest.headOption.flatMap(_.toLongOption).getOrElse(2L).toInt
       val minAgeMs = rest.lift(1).flatMap(_.toLongOption)
         .map(_ * 60 * 1000)

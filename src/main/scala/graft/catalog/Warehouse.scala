@@ -50,15 +50,30 @@ object Warehouse {
     }
   }
 
-  /** Names Spark writes into a managed parquet table directory. */
+  /** True iff EVERY file under `p` (recursively) is something Spark
+    * writes into a managed parquet table — part files or `_`/`.`
+    * bookkeeping — and every intermediate directory is a `col=value`
+    * partition dir. A single foreign file at any depth fails the check
+    * (empty stray directories are tolerated: deleting them loses
+    * nothing). */
   private def looksLikeMaterialization(
       fs: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path): Boolean =
-    fs.listStatus(p).forall { st =>
+      p: org.apache.hadoop.fs.Path): Boolean = {
+    val base = p.toUri.getPath.stripSuffix("/")
+    val it = fs.listFiles(p, true)
+    var ok = true
+    while (ok && it.hasNext) {
+      val st = it.next()
       val n = st.getPath.getName
-      n.startsWith("part-") || n.startsWith("_") || n.startsWith(".") ||
-        (st.isDirectory && n.contains("="))
+      val fileOk = n.startsWith("part-") || n.startsWith("_") || n.startsWith(".")
+      // every directory segment between the table root and the file must
+      // be a partition dir
+      val rel = st.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/")
+      val dirsOk = rel.split('/').dropRight(1).forall(_.contains("="))
+      ok = fileOk && dirsOk
     }
+    ok
+  }
 
   private def clearOrphanTableDir(spark: SparkSession, db: String,
                                   table: String): Unit = {

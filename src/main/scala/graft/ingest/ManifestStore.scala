@@ -181,7 +181,7 @@ final class ManifestStore(val root: String) extends Serializable {
     }
     if (keysSeen.contains(key)) return true
     // vacuumed keys live in history files (small; only read on miss):
-    // append-only keys.<uuid>.history segments plus the legacy
+    // write-once keys.<uuid>.history segments plus the legacy
     // keys.history. An unterminated segment (vacuum crashed mid-write) is
     // skipped — its manifests were not deleted, so nothing is lost.
     readHistoryKeys(f).foreach(keysSeen.add)
@@ -195,19 +195,32 @@ final class ManifestStore(val root: String) extends Serializable {
     finally in.close()
   }
 
-  /** Union of all persisted vacuum-key history: complete (`#end`-
-    * terminated) segment files plus the legacy unterminated file. */
+  // history files this instance has fully ingested into keysSeen —
+  // segments are write-once, so each needs reading at most once per
+  // instance even though misses keep re-probing the history
+  @transient private lazy val historyFilesRead =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Union of not-yet-ingested persisted vacuum-key history: complete
+    * (`#end`-terminated) segment files plus the legacy file. Incomplete
+    * segments are not marked read — a concurrent vacuum may still be
+    * writing them. */
   private def readHistoryKeys(f: FileSystem): Seq[String] = {
     if (!f.exists(manifestsDir)) return Nil
     val keys = scala.collection.mutable.ArrayBuffer.empty[String]
     f.listStatus(manifestsDir).foreach { st =>
       val name = st.getPath.getName
-      if (isKeysSegment(name)) {
-        val lines = readText(f, st.getPath).linesIterator.toSeq
-        if (lines.lastOption.map(_.trim).contains(Terminator))
-          keys ++= lines.dropRight(1).filter(_.nonEmpty)
-      } else if (name == "keys.history") {
-        keys ++= readText(f, st.getPath).linesIterator.filter(_.nonEmpty)
+      if (!historyFilesRead.contains(name)) {
+        if (isKeysSegment(name)) {
+          val lines = readText(f, st.getPath).linesIterator.toSeq
+          if (lines.lastOption.map(_.trim).contains(Terminator)) {
+            keys ++= lines.dropRight(1).filter(_.nonEmpty)
+            historyFilesRead.add(name)
+          }
+        } else if (name == "keys.history") {
+          keys ++= readText(f, st.getPath).linesIterator.filter(_.nonEmpty)
+          historyFilesRead.add(name)
+        }
       }
     }
     keys.toSeq
@@ -564,17 +577,42 @@ final class ManifestStore(val root: String) extends Serializable {
     if (complete.isEmpty) return // nothing resolvable — refuse to reclaim
     val keepFrom = complete.takeRight(math.max(1, keepVersions)).head
     val old = versions.filter(_ < keepFrom)
-    // preserve idempotence keys of the manifests about to be deleted —
-    // write-new-then-delete ordering makes this crash-safe
+    // Preserve idempotence keys of the manifests about to be deleted,
+    // MERGED with all previously persisted history, as one fresh segment
+    // — so segments collapse instead of accumulating across vacuums.
+    // Write-new-then-delete ordering keeps every crash window safe, and
+    // only segments that were COMPLETE when read are deleted (an
+    // incomplete one may be a concurrent vacuum mid-write; deleting it
+    // after it completes could lose its keys — leaving it costs one
+    // skipped file until the next merge).
     val oldKeys = old.flatMap(v => readManifest(f, v).flatMap(_.key))
-    if (oldKeys.nonEmpty) {
-      val seg = new Path(manifestsDir,
-        s"keys.${java.util.UUID.randomUUID()}.history")
-      val body = (oldKeys ++ Seq(Terminator)).mkString("", "\n", "\n")
-        .getBytes(StandardCharsets.UTF_8)
-      if (!createExclusive(f, seg, body))
-        throw new IllegalStateException(
-          s"ManifestStore($root): key-history segment collision at $seg")
+    val priorComplete: Seq[(String, Seq[String])] =
+      f.listStatus(manifestsDir).toSeq.map(_.getPath.getName).flatMap { name =>
+        if (isKeysSegment(name)) {
+          val lines = readText(f, new Path(manifestsDir, name))
+            .linesIterator.toSeq
+          if (lines.lastOption.map(_.trim).contains(Terminator))
+            Some(name -> lines.dropRight(1).filter(_.nonEmpty))
+          else None
+        } else if (name == "keys.history") {
+          Some(name -> readText(f, new Path(manifestsDir, name))
+            .linesIterator.filter(_.nonEmpty).toSeq)
+        } else None
+      }
+    if (oldKeys.nonEmpty || priorComplete.size > 1) {
+      val merged = (priorComplete.flatMap(_._2) ++ oldKeys).distinct
+      if (merged.nonEmpty) {
+        val seg = new Path(manifestsDir,
+          s"keys.${java.util.UUID.randomUUID()}.history")
+        val body = (merged ++ Seq(Terminator)).mkString("", "\n", "\n")
+          .getBytes(StandardCharsets.UTF_8)
+        if (!createExclusive(f, seg, body))
+          throw new IllegalStateException(
+            s"ManifestStore($root): key-history segment collision at $seg")
+      }
+      priorComplete.foreach { case (name, _) =>
+        f.delete(new Path(manifestsDir, name), false)
+      }
     }
     val live: Set[String] = versions.filter(_ >= keepFrom)
       .flatMap(v => readManifest(f, v).map(_.files.map(_.rel)).getOrElse(Nil))

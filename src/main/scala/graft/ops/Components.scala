@@ -94,6 +94,11 @@ object Components {
       sig = nextSig
       rounds += 1
     }
+    // never emit labels from a non-fixed-point edge set: nodes of one
+    // cluster could silently land in different components
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxRounds rounds " +
+        s"(${sig._1} edges at last round) — raise maxRounds")
     // fixed point: every edge links a node to its component minimum —
     // min(v) per u is the component; the minima themselves are their own
     val comp = e.groupBy("u").agg(min(col("v")).as("c"))

@@ -17,21 +17,31 @@ import graft.Tables
   * nProbe/k instead of the corpus. */
 object Ivf {
 
-  /** Deterministic k-means centroids from a bounded sample. Sampling is
-    * a value-hash filter (`hash(vec_id) % every == 0`) — distribution-
-    * independent (no dense-id assumption), narrow, and never a global
-    * sort; the tiny collected set is ordered driver-side for
-    * reproducibility. Tiny corpora fall back to the full set. */
-  def centroids(v: DataFrame, k: Int, iters: Int = 10,
-                sampleCap: Int = 10000): Array[Array[Double]] = {
+  /** Deterministic bounded training sample, shared by the coarse
+    * quantizer and the PQ codebooks. Sampling is a value-hash filter
+    * (`hash(vec_id) % every == 0`) — distribution-independent (no
+    * dense-id assumption), narrow, and never a global sort; the tiny
+    * collected set is ordered driver-side for reproducibility. Corpora
+    * smaller than `minRows` fall back to the full set. */
+  private[ops] def sampledVectors(v: DataFrame, minRows: Int,
+                                  sampleCap: Int = 10000): Array[Array[Double]] = {
     val n = v.count()
     val every = math.max(1L, n / sampleCap)
     var rows = v.filter(pmod(hash(col("vec_id")), lit(every)) === 0)
       .select("vec_id", "e").collect()
-    if (rows.length < k) rows = v.select("vec_id", "e").collect()
-    val sample = rows
-      .sortBy(_.getLong(0))
-      .map(_.getSeq[Double](1).toArray)
+    if (rows.length < minRows) rows = v.select("vec_id", "e").collect()
+    rows.sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+  }
+
+  /** Deterministic k-means centroids from a bounded sample (see
+    * [[sampledVectors]] for the sampling contract). */
+  def centroids(v: DataFrame, k: Int, iters: Int = 10,
+                sampleCap: Int = 10000): Array[Array[Double]] =
+    centroidsFrom(sampledVectors(v, k, sampleCap), k, iters)
+
+  /** Driver-side Lloyd's on an already-collected sample. */
+  private[ops] def centroidsFrom(sample: Array[Array[Double]], k: Int,
+                                 iters: Int = 10): Array[Array[Double]] = {
     require(sample.length >= k)
     val dim = sample.head.length
     var cents = Array.tabulate(k)(i => sample(i * sample.length / k).clone())
@@ -125,13 +135,14 @@ object Ivf {
     * Returns cb(sub)(code) = subvector centroid. */
   def pqCodebooks(v: DataFrame, cents: Array[Array[Double]],
                   m: Int, codes: Int, iters: Int = 10,
-                  sampleCap: Int = 10000): Array[Array[Array[Double]]] = {
-    val n = v.count()
-    val every = math.max(1L, n / sampleCap)
-    var rows = v.filter(pmod(hash(col("vec_id")), lit(every)) === 0)
-      .select("vec_id", "e").collect()
-    if (rows.length < codes) rows = v.select("vec_id", "e").collect()
-    val sample = rows.sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+                  sampleCap: Int = 10000): Array[Array[Array[Double]]] =
+    pqCodebooksFrom(sampledVectors(v, codes, sampleCap), cents, m, codes, iters)
+
+  /** PQ codebook training on an already-collected sample. */
+  private[ops] def pqCodebooksFrom(sample: Array[Array[Double]],
+                                   cents: Array[Array[Double]],
+                                   m: Int, codes: Int,
+                                   iters: Int = 10): Array[Array[Array[Double]]] = {
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
@@ -195,8 +206,11 @@ object Ivf {
     import s.implicits._
     import org.apache.spark.sql.graftshim.Shim
     val v = Similarity.vecs(Tables.load(s, dir, "embeddings")).persist()
-    val cents = centroids(v, k)
-    val cb = pqCodebooks(v, cents, m, codes)
+    // one sampling pass feeds BOTH the coarse quantizer and the PQ
+    // codebooks — they must train on the same sample anyway
+    val sample = sampledVectors(v, math.max(k, codes))
+    val cents = centroidsFrom(sample, k)
+    val cb = pqCodebooksFrom(sample, cents, m, codes)
     val encoded = pqEncode(assign(v, cents), cents, cb)
     val probes = v.filter(col("vec_id") < 10)
       .select("vec_id", "e", "nrm").as[(Long, Seq[Double], Double)]
@@ -205,8 +219,8 @@ object Ivf {
       .toDF("qid", "ea", "cluster")
     val joined = probes.join(encoded, Seq("cluster"))
       .filter(col("qid") =!= col("nid"))
-      .select("qid", "ea", "cluster", "nid", "codes")
-      .as[(Long, Seq[Double], Int, Long, Seq[Int])]
+      .select("qid", "ea", "cluster", "nid", "codes", "nb")
+      .as[(Long, Seq[Double], Int, Long, Seq[Int], Double)]
     val bCents = s.sparkContext.broadcast(cents)
     val bCb = s.sparkContext.broadcast(cb)
     val approx = joined.mapPartitions { it =>
@@ -216,7 +230,7 @@ object Ivf {
       // ADC lookup tables, one per (query, cluster) seen in this partition
       val luts = scala.collection.mutable.HashMap
         .empty[(Long, Int), (Double, Array[Array[Double]])]
-      it.map { case (qid, ea, cluster, nid, codesSeq) =>
+      it.map { case (qid, ea, cluster, nid, codesSeq, nb) =>
         val (qDotC, lut) = luts.getOrElseUpdate((qid, cluster), {
           val q = ea.toArray
           val cent = cents(cluster)
@@ -238,7 +252,10 @@ object Ivf {
         var est = qDotC
         var sIdx = 0
         while (sIdx < nSub) { est += lut(sIdx)(codesSeq(sIdx)); sIdx += 1 }
-        (qid, nid, est)
+        // the ranking metric is COSINE: divide by the candidate's exact
+        // stored norm (the query norm is constant per ranking group) —
+        // otherwise a high-norm low-cosine vector crowds the shortlist
+        (qid, nid, est / nb)
       }
     }.toDF("qid", "nid", "approx")
     val short = approx

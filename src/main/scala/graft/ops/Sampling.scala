@@ -23,9 +23,14 @@ import graft.Tables
   * would swap in xxhash64 with the same contract. */
 object Sampling {
 
-  /** Knuth multiplicative hash of doc_id in [0, 100): the percent draw. */
-  private val DrawSql = "pmod(doc_id * 2654435761, 4294967296) % 100"
-  private val DrawDuck = "((doc_id * 2654435761) % 4294967296) % 100"
+  /** Knuth multiplicative hash of doc_id in [0, 100): the percent draw.
+    * doc_id is reduced mod 2^31 BEFORE the multiply so the product stays
+    * below 2^63 for any BIGINT id — no ANSI-mode overflow at corpus
+    * scale, and DuckDB computes the identical value. */
+  private val DrawSql =
+    "pmod(pmod(doc_id, 2147483648) * 2654435761, 4294967296) % 100"
+  private val DrawDuck =
+    "(((doc_id % 2147483648) * 2654435761) % 4294967296) % 100"
 
   /** Per-language keep rates (percent): the shape of a quality-weighted
     * training mix over the fixture corpus's language strata. */

@@ -286,6 +286,20 @@ class CompactSpec extends AnyFunSuite {
       commitKey = Some("k-old"))
     assert(store.read(spark).get.filter(col("v") === "replay").count() == 0,
       "idempotence key must outlive retention")
+    // further keyed vacuums COLLAPSE history into one segment instead of
+    // accumulating segment files
+    store.append(spark, (100L until 110L).map(n => (n, "k2")).toDF("block_number", "v"),
+      rangeCol = Some("block_number"), commitKey = Some("k-new"))
+    store.append(spark, (110L until 120L).map(n => (n, "k3")).toDF("block_number", "v"),
+      rangeCol = Some("block_number"))
+    store.vacuum(spark, keepVersions = 1, minDataAgeMs = 0L)
+    val segsAfter = fs.listStatus(new org.apache.hadoop.fs.Path(root + "/_manifests"))
+      .map(_.getPath.getName).filter(n => n.startsWith("keys.") && n != "keys.history")
+    assert(segsAfter.length == 1,
+      s"vacuum must merge key segments, found: ${segsAfter.mkString(", ")}")
+    val reader2 = new ManifestStore(root)
+    assert(reader2.hasCommitKey(spark, "k-old") && reader2.hasCommitKey(spark, "k-new"))
+
     // an UNTERMINATED segment (vacuum crashed mid-write) is ignored, and
     // a legacy single-file keys.history is still honored
     val crashed = fs.create(new org.apache.hadoop.fs.Path(
