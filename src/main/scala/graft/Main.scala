@@ -119,10 +119,14 @@ object Main {
       println(s"compacted $root at version ${store.currentVersion(spark)}")
       if (owned) spark.stop()
 
+    // bounds keep Int/arithmetic exact: keep survives toInt, and
+    // minutes*60000 cannot overflow into a negative (future) age floor
     case "mstore-vacuum" :: root :: rest
         if rest.length <= 2 &&
-          rest.headOption.forall(_.toLongOption.exists(_ >= 1)) &&
-          rest.lift(1).forall(_.toLongOption.exists(_ >= 0)) =>
+          rest.headOption.forall(_.toLongOption.exists(v =>
+            v >= 1 && v <= 1000000)) &&
+          rest.lift(1).forall(_.toLongOption.exists(v =>
+            v >= 0 && v <= 1000000)) =>
       val keep = rest.headOption.flatMap(_.toLongOption).getOrElse(2L).toInt
       val minAgeMs = rest.lift(1).flatMap(_.toLongOption)
         .map(_ * 60 * 1000)

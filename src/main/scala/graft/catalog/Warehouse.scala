@@ -51,11 +51,13 @@ object Warehouse {
   }
 
   /** True iff EVERY file under `p` (recursively) is something Spark
-    * writes into a managed parquet table — part files or `_`/`.`
-    * bookkeeping — and every intermediate directory is a `col=value`
-    * partition dir. A single foreign file at any depth fails the check
-    * (empty stray directories are tolerated: deleting them loses
-    * nothing). */
+    * writes into a managed parquet table: part files or `_`/`.`
+    * bookkeeping at the top, `col=value` partition dirs in between — and
+    * anything nested under a `_`/`.`-prefixed directory (crashed
+    * `_temporary/…/task_…` staging, `.hive-staging_…`) counts as
+    * bookkeeping wholesale, whatever its inner names. A single foreign
+    * file at any depth fails the check (empty stray directories are
+    * tolerated: deleting them loses nothing). */
   private def looksLikeMaterialization(
       fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Boolean = {
@@ -65,12 +67,12 @@ object Warehouse {
     while (ok && it.hasNext) {
       val st = it.next()
       val n = st.getPath.getName
-      val fileOk = n.startsWith("part-") || n.startsWith("_") || n.startsWith(".")
-      // every directory segment between the table root and the file must
-      // be a partition dir
       val rel = st.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/")
-      val dirsOk = rel.split('/').dropRight(1).forall(_.contains("="))
-      ok = fileOk && dirsOk
+      val dirSegs = rel.split('/').dropRight(1)
+      val underBookkeeping =
+        dirSegs.exists(s => s.startsWith("_") || s.startsWith("."))
+      val fileOk = n.startsWith("part-") || n.startsWith("_") || n.startsWith(".")
+      ok = underBookkeeping || (fileOk && dirSegs.forall(_.contains("=")))
     }
     ok
   }

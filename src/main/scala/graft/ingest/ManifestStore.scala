@@ -201,8 +201,25 @@ final class ManifestStore(val root: String) extends Serializable {
   @transient private lazy val historyFilesRead =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** Union of not-yet-ingested persisted vacuum-key history: complete
-    * (`#end`-terminated) segment files plus the legacy file. Incomplete
+  /** Keys of one history file, shared by reads and vacuum's merge. None
+    * when the name is not a history file, the segment lacks its
+    * terminator (a vacuum mid-write or crashed), or the file vanished
+    * between list and read (a concurrent vacuum merged it away — its
+    * keys live on in that vacuum's merged segment). */
+  private def parseHistoryFile(f: FileSystem, name: String): Option[Seq[String]] =
+    try {
+      if (isKeysSegment(name)) {
+        val lines = readText(f, new Path(manifestsDir, name)).linesIterator.toSeq
+        if (lines.lastOption.map(_.trim).contains(Terminator))
+          Some(lines.dropRight(1).filter(_.nonEmpty))
+        else None
+      } else if (name == "keys.history")
+        Some(readText(f, new Path(manifestsDir, name))
+          .linesIterator.filter(_.nonEmpty).toSeq)
+      else None
+    } catch { case _: java.io.FileNotFoundException => None }
+
+  /** Union of not-yet-ingested persisted vacuum-key history. Incomplete
     * segments are not marked read — a concurrent vacuum may still be
     * writing them. */
   private def readHistoryKeys(f: FileSystem): Seq[String] = {
@@ -211,14 +228,8 @@ final class ManifestStore(val root: String) extends Serializable {
     f.listStatus(manifestsDir).foreach { st =>
       val name = st.getPath.getName
       if (!historyFilesRead.contains(name)) {
-        if (isKeysSegment(name)) {
-          val lines = readText(f, st.getPath).linesIterator.toSeq
-          if (lines.lastOption.map(_.trim).contains(Terminator)) {
-            keys ++= lines.dropRight(1).filter(_.nonEmpty)
-            historyFilesRead.add(name)
-          }
-        } else if (name == "keys.history") {
-          keys ++= readText(f, st.getPath).linesIterator.filter(_.nonEmpty)
+        parseHistoryFile(f, name).foreach { ks =>
+          keys ++= ks
           historyFilesRead.add(name)
         }
       }
@@ -587,18 +598,8 @@ final class ManifestStore(val root: String) extends Serializable {
     // skipped file until the next merge).
     val oldKeys = old.flatMap(v => readManifest(f, v).flatMap(_.key))
     val priorComplete: Seq[(String, Seq[String])] =
-      f.listStatus(manifestsDir).toSeq.map(_.getPath.getName).flatMap { name =>
-        if (isKeysSegment(name)) {
-          val lines = readText(f, new Path(manifestsDir, name))
-            .linesIterator.toSeq
-          if (lines.lastOption.map(_.trim).contains(Terminator))
-            Some(name -> lines.dropRight(1).filter(_.nonEmpty))
-          else None
-        } else if (name == "keys.history") {
-          Some(name -> readText(f, new Path(manifestsDir, name))
-            .linesIterator.filter(_.nonEmpty).toSeq)
-        } else None
-      }
+      f.listStatus(manifestsDir).toSeq.map(_.getPath.getName)
+        .flatMap(name => parseHistoryFile(f, name).map(name -> _))
     if (oldKeys.nonEmpty || priorComplete.size > 1) {
       val merged = (priorComplete.flatMap(_._2) ++ oldKeys).distinct
       if (merged.nonEmpty) {

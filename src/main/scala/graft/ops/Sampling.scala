@@ -24,13 +24,17 @@ import graft.Tables
 object Sampling {
 
   /** Knuth multiplicative hash of doc_id in [0, 100): the percent draw.
-    * doc_id is reduced mod 2^31 BEFORE the multiply so the product stays
-    * below 2^63 for any BIGINT id — no ANSI-mode overflow at corpus
-    * scale, and DuckDB computes the identical value. */
+    * doc_id is reduced to a NON-NEGATIVE value mod 2^31 before the
+    * multiply, so the product stays below 2^63 for any BIGINT id (no
+    * ANSI-mode overflow) and every later `%` operates on non-negative
+    * operands — where Spark's `pmod` and DuckDB's sign-following `%`
+    * agree exactly. DuckDB spells the non-negative reduction as
+    * ((x % m) + m) % m. */
   private val DrawSql =
     "pmod(pmod(doc_id, 2147483648) * 2654435761, 4294967296) % 100"
   private val DrawDuck =
-    "(((doc_id % 2147483648) * 2654435761) % 4294967296) % 100"
+    "(((((doc_id % 2147483648) + 2147483648) % 2147483648) " +
+      "* 2654435761) % 4294967296) % 100"
 
   /** Per-language keep rates (percent): the shape of a quality-weighted
     * training mix over the fixture corpus's language strata. */

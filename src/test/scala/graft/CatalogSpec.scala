@@ -109,6 +109,32 @@ class WarehouseSpec extends org.scalatest.funsuite.AnyFunSuite {
       spark.sql("DROP DATABASE IF EXISTS orphandb CASCADE")
     }
   }
+
+  test("materialize clears a crashed saveAsTable staging dir automatically") {
+    val spark = TestSpark.spark
+    graft.fixtures.MakerFixtures.ensureDemuxed(spark)
+    val defs = graft.fixtures.MakerFixtures.fixtureDefs.take(1)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      s"crashdb.db/${defs.head.table}")
+    // a crashed write leaves staging under _temporary with '='-less inner
+    // dirs — still a materialization artifact, must be cleared, not refused
+    val staged = new org.apache.hadoop.fs.Path(
+      dir, "_temporary/0/task_202601_0001_m_000000/part-00000.parquet")
+    val out = fs.create(staged, false)
+    out.write(Array[Byte](1, 2, 3)); out.close()
+    try {
+      graft.catalog.Warehouse.materialize(spark,
+        graft.fixtures.MakerFixtures.demuxStorePath, defs, db = "crashdb")
+      assert(spark.sql(s"SELECT COUNT(*) FROM crashdb.${defs.head.table}")
+        .head().getLong(0) > 0)
+    } finally {
+      fs.delete(dir.getParent, true)
+      spark.sql("DROP DATABASE IF EXISTS crashdb CASCADE")
+    }
+  }
 }
 
 /** Config-driven function registration via SparkSessionExtensions. */
