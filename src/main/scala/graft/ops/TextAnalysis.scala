@@ -74,11 +74,95 @@ object TextAnalysis {
         .cast("long").as("subword_tokens"))
       .orderBy(col("doc_id"))
 
+  /** Top-3 terms per document by rarity-weighted term frequency
+    * (tf · N/df — the unlogged linear-idf TF-IDF variant, chosen because
+    * int→double casts, IEEE division and multiplication are all
+    * correctly rounded, so both engines produce bit-identical scores; a
+    * log-idf would ride on library `ln` ulps). One explode + two
+    * aggregations + a windowed top-k: the shuffle keys are term and
+    * doc_id — map-side partial aggs, never a cross product. */
+  def tfidf(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    val n = d.count()
+    val terms = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = terms.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(df, "term")
+      .withColumn("tfidf",
+        round(col("tf") * (lit(n).cast("double") / col("df")), 6))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("term"))))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk").cast("long").as("rk"),
+        col("term"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  /** Gopher-style quality filter: hard rules over exact integer stats,
+    * keep flag + the first failed rule as the reason. Map-side only. */
+  def qualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    val nTok = size(split(col("text"), " ")).cast("long")
+    val nUniq = size(array_distinct(split(col("text"), " "))).cast("long")
+    val meanLen = (length(col("text")) - nTok + 1).cast("double") / nTok
+    d.select(col("doc_id"), nTok.as("n_tokens"),
+      round(meanLen, 6).as("mean_tok_len"),
+      round(nUniq.cast("double") / nTok, 6).as("uniq_ratio"))
+      .withColumn("reason",
+        when(col("n_tokens") < 5, "too_short")
+          .when(col("n_tokens") > 1000, "too_long")
+          .when(col("mean_tok_len") < 2.0, "tokens_too_short")
+          .when(col("mean_tok_len") > 12.0, "tokens_too_long")
+          .when(col("uniq_ratio") < 0.2, "too_repetitive")
+          .otherwise("ok"))
+      .withColumn("keep", col("reason") === "ok")
+      .orderBy(col("doc_id"))
+  }
+
+  /** ANALYZE-style column profile of the documents table in long format:
+    * one aggregation pass (all stats in a single agg row, unpivoted with
+    * `stack`), min/max rendered as strings per column type. */
+  def profile(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    val agg = d.agg(
+      count(lit(1)).as("n"),
+      count(col("doc_id")).as("nn_doc_id"),
+      countDistinct(col("doc_id")).as("nd_doc_id"),
+      min(col("doc_id")).cast("string").as("min_doc_id"),
+      max(col("doc_id")).cast("string").as("max_doc_id"),
+      count(col("text")).as("nn_text"),
+      countDistinct(col("text")).as("nd_text"),
+      count(col("lang")).as("nn_lang"),
+      countDistinct(col("lang")).as("nd_lang"),
+      min(col("lang")).as("min_lang"), max(col("lang")).as("max_lang"),
+      count(col("source")).as("nn_source"),
+      countDistinct(col("source")).as("nd_source"),
+      min(col("source")).as("min_source"), max(col("source")).as("max_source"),
+      count(col("n_chars")).as("nn_n_chars"),
+      countDistinct(col("n_chars")).as("nd_n_chars"),
+      min(col("n_chars")).cast("string").as("min_n_chars"),
+      max(col("n_chars")).cast("string").as("max_n_chars"))
+    agg.selectExpr("""stack(5,
+        'doc_id', n, n - nn_doc_id, nd_doc_id, min_doc_id, max_doc_id,
+        'lang', n, n - nn_lang, nd_lang, min_lang, max_lang,
+        'n_chars', n, n - nn_n_chars, nd_n_chars, min_n_chars, max_n_chars,
+        'source', n, n - nn_source, nd_source, min_source, max_source,
+        'text', n, n - nn_text, nd_text, CAST(NULL AS STRING), CAST(NULL AS STRING)
+      ) AS (column_name, n_rows, n_null, n_distinct, min_value, max_value)""")
+      .orderBy(col("column_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_counts" -> (tokenCounts _),
     "text_stats" -> (textStats _),
     "text_lang_id" -> (langId _),
-    "text_fingerprint" -> (fingerprint _))
+    "text_fingerprint" -> (fingerprint _),
+    "text_tfidf" -> (tfidf _),
+    "text_quality_filter" -> (qualityFilter _),
+    "profile_documents" -> (profile _))
 
   val oracle: Map[String, String] = Map(
     "text_token_counts" -> """
@@ -118,5 +202,68 @@ object TextAnalysis {
              ELSE 'en' END AS predicted
       FROM c ORDER BY doc_id""",
     "text_fingerprint" -> """
-      SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id""")
+      SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id""",
+    "text_tfidf" -> """
+      WITH terms0 AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      terms AS (SELECT doc_id, term FROM terms0 WHERE length(term) > 0),
+      tf AS (SELECT doc_id, term, COUNT(*) tf FROM terms GROUP BY 1, 2),
+      df AS (SELECT term, COUNT(*) df FROM
+        (SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1),
+      n AS (SELECT COUNT(*) n FROM documents),
+      scored AS (
+        SELECT doc_id, term,
+          ROUND(tf * (CAST(n.n AS DOUBLE) / df), 6) AS tfidf
+        FROM tf JOIN df USING (term), n),
+      ranked AS (
+        SELECT doc_id, term, tfidf,
+          ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY tfidf DESC, term) AS rk
+        FROM scored)
+      SELECT doc_id, rk, term, tfidf FROM ranked WHERE rk <= 3
+      ORDER BY doc_id, rk""",
+    "text_quality_filter" -> """
+      WITH s AS (
+        SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          ROUND(CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+            / len(string_split(text, ' ')), 6) AS mean_tok_len,
+          ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / len(string_split(text, ' ')), 6) AS uniq_ratio
+        FROM documents)
+      SELECT doc_id, n_tokens, mean_tok_len, uniq_ratio,
+        CASE WHEN n_tokens < 5 THEN 'too_short'
+             WHEN n_tokens > 1000 THEN 'too_long'
+             WHEN mean_tok_len < 2.0 THEN 'tokens_too_short'
+             WHEN mean_tok_len > 12.0 THEN 'tokens_too_long'
+             WHEN uniq_ratio < 0.2 THEN 'too_repetitive'
+             ELSE 'ok' END AS reason,
+        (CASE WHEN n_tokens < 5 THEN 'too_short'
+             WHEN n_tokens > 1000 THEN 'too_long'
+             WHEN mean_tok_len < 2.0 THEN 'tokens_too_short'
+             WHEN mean_tok_len > 12.0 THEN 'tokens_too_long'
+             WHEN uniq_ratio < 0.2 THEN 'too_repetitive'
+             ELSE 'ok' END) = 'ok' AS keep
+      FROM s ORDER BY doc_id""",
+    "profile_documents" -> """
+      SELECT 'doc_id' AS column_name, COUNT(*) AS n_rows,
+        COUNT(*) - COUNT(doc_id) AS n_null,
+        COUNT(DISTINCT doc_id) AS n_distinct,
+        CAST(MIN(doc_id) AS VARCHAR) AS min_value,
+        CAST(MAX(doc_id) AS VARCHAR) AS max_value FROM documents
+      UNION ALL
+      SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang),
+        COUNT(DISTINCT lang), MIN(lang), MAX(lang) FROM documents
+      UNION ALL
+      SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars),
+        COUNT(DISTINCT n_chars), CAST(MIN(n_chars) AS VARCHAR),
+        CAST(MAX(n_chars) AS VARCHAR) FROM documents
+      UNION ALL
+      SELECT 'source', COUNT(*), COUNT(*) - COUNT(source),
+        COUNT(DISTINCT source), MIN(source), MAX(source) FROM documents
+      UNION ALL
+      SELECT 'text', COUNT(*), COUNT(*) - COUNT(text),
+        COUNT(DISTINCT text), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+      FROM documents
+      ORDER BY column_name""")
 }
