@@ -105,6 +105,32 @@ class SourceV2Spec extends AnyFunSuite {
     graft.ingest.LogSource.clearReplayCache() // don't leak into other tests
   }
 
+  test("session Hadoop conf survives serialization into task-side readers") {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    conf.set("graft.test.custom", "value-42")
+    val holder = new graft.ingest.SerializableHadoopConf(conf)
+    val bytes = new java.io.ByteArrayOutputStream()
+    val oo = new java.io.ObjectOutputStream(bytes)
+    oo.writeObject(holder); oo.close()
+    val back = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bytes.toByteArray))
+      .readObject().asInstanceOf[graft.ingest.SerializableHadoopConf]
+    assert(back.value.get("graft.test.custom") == "value-42")
+  }
+
+  test("footer-based estimateLogs tracks exact counts without draining records") {
+    graft.fixtures.MakerFixtures.ensure(spark)
+    val path = graft.fixtures.MakerFixtures.rawLogsPath
+    val rpc = new graft.ingest.ParquetLogRpc(
+      graft.ingest.LogSource.listParquetFiles(spark, path))
+    val exact = rpc.getLogs(0L, Long.MaxValue, None).size.toLong
+    // full-range estimate is exact (every row group fully covered)
+    assert(rpc.estimateLogs(0L, Long.MaxValue, None) == exact)
+    // a partial window interpolates: positive, no larger than the corpus
+    val est = rpc.estimateLogs(9000000L, 9500000L, None)
+    assert(est > 0 && est <= exact)
+  }
+
   test("adaptive partition planning responds to log density (S12)") {
     import graft.ingest.{LogRpc, RawLog}
     // synthetic density: blocks < 1M are dense (1 log/block), rest empty
