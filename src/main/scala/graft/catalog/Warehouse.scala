@@ -50,14 +50,21 @@ object Warehouse {
     }
   }
 
+  /** Directory names whose ENTIRE subtree is writer bookkeeping — the
+    * staging layouts Spark/Hive actually produce on a crashed write,
+    * whose inner names (attempt/task ids) follow no other convention.
+    * Deliberately a closed list: a generic `_`/`.` prefix rule would
+    * classify a user's `.backup/` as deletable. */
+  private def isStagingDir(name: String): Boolean =
+    name == "_temporary" || name.startsWith(".hive-staging") ||
+      name.startsWith(".spark-staging")
+
   /** True iff EVERY file under `p` (recursively) is something Spark
     * writes into a managed parquet table: part files or `_`/`.`
-    * bookkeeping at the top, `col=value` partition dirs in between — and
-    * anything nested under a `_`/`.`-prefixed directory (crashed
-    * `_temporary/…/task_…` staging, `.hive-staging_…`) counts as
-    * bookkeeping wholesale, whatever its inner names. A single foreign
-    * file at any depth fails the check (empty stray directories are
-    * tolerated: deleting them loses nothing). */
+    * bookkeeping files, under `col=value` partition dirs — plus anything
+    * nested under a known staging dir ([[isStagingDir]]). A single
+    * foreign file at any depth fails the check (empty stray directories
+    * are tolerated: deleting them loses nothing). */
   private def looksLikeMaterialization(
       fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Boolean = {
@@ -69,10 +76,9 @@ object Warehouse {
       val n = st.getPath.getName
       val rel = st.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/")
       val dirSegs = rel.split('/').dropRight(1)
-      val underBookkeeping =
-        dirSegs.exists(s => s.startsWith("_") || s.startsWith("."))
+      val underStaging = dirSegs.exists(isStagingDir)
       val fileOk = n.startsWith("part-") || n.startsWith("_") || n.startsWith(".")
-      ok = underBookkeeping || (fileOk && dirSegs.forall(_.contains("=")))
+      ok = underStaging || (fileOk && dirSegs.forall(_.contains("=")))
     }
     ok
   }

@@ -83,15 +83,18 @@ object TextAnalysis {
     * doc_id — map-side partial aggs, never a cross product. */
   def tfidf(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(s, dir, "documents")
-    val n = d.count()
+    // N stays a lazy one-row aggregate inside the plan (cross-joined, as
+    // the oracle does) — an eager d.count() here would run a full scan
+    // at DataFrame-construction time, once more per invocation
+    val nDf = d.agg(count(lit(1)).cast("double").as("n_docs"))
     val terms = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(length(col("term")) > 0)
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = terms.select("doc_id", "term").distinct()
       .groupBy("term").agg(count(lit(1)).as("df"))
-    tf.join(df, "term")
+    tf.join(df, "term").crossJoin(nDf)
       .withColumn("tfidf",
-        round(col("tf") * (lit(n).cast("double") / col("df")), 6))
+        round(col("tf") * (col("n_docs") / col("df")), 6))
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
           .orderBy(col("tfidf").desc, col("term"))))
@@ -105,9 +108,13 @@ object TextAnalysis {
     * keep flag + the first failed rule as the reason. Map-side only. */
   def qualityFilter(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(s, dir, "documents")
-    val nTok = size(split(col("text"), " ")).cast("long")
-    val nUniq = size(array_distinct(split(col("text"), " "))).cast("long")
-    val meanLen = (length(col("text")) - nTok + 1).cast("double") / nTok
+    // NULL text is normalized to '' in BOTH engines: Spark's legacy
+    // size(NULL) = -1 vs DuckDB's NULL-propagating CASE would otherwise
+    // classify a NULL document oppositely (too_short vs ok)
+    val txt = coalesce(col("text"), lit(""))
+    val nTok = size(split(txt, " ")).cast("long")
+    val nUniq = size(array_distinct(split(txt, " "))).cast("long")
+    val meanLen = (length(txt) - nTok + 1).cast("double") / nTok
     d.select(col("doc_id"), nTok.as("n_tokens"),
       round(meanLen, 6).as("mean_tok_len"),
       round(nUniq.cast("double") / nTok, 6).as("uniq_ratio"))
@@ -223,14 +230,15 @@ object TextAnalysis {
       SELECT doc_id, rk, term, tfidf FROM ranked WHERE rk <= 3
       ORDER BY doc_id, rk""",
     "text_quality_filter" -> """
-      WITH s AS (
+      WITH d0 AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+      s AS (
         SELECT doc_id,
           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
           ROUND(CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
             / len(string_split(text, ' ')), 6) AS mean_tok_len,
           ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
             / len(string_split(text, ' ')), 6) AS uniq_ratio
-        FROM documents)
+        FROM d0)
       SELECT doc_id, n_tokens, mean_tok_len, uniq_ratio,
         CASE WHEN n_tokens < 5 THEN 'too_short'
              WHEN n_tokens > 1000 THEN 'too_long'

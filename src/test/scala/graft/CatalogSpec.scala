@@ -94,9 +94,22 @@ class WarehouseSpec extends org.scalatest.funsuite.AnyFunSuite {
     val dir = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"),
       s"orphandb.db/${defs.head.table}")
-    val out = fs.create(new org.apache.hadoop.fs.Path(dir, "precious.csv"), false)
-    out.write("do not delete\n".getBytes("UTF-8")); out.close()
+    // user data nested under a generic dot-dir is NOT staging: the
+    // wholesale-bookkeeping shortcut must not classify it as deletable
+    val out2 = fs.create(
+      new org.apache.hadoop.fs.Path(dir, ".backup/dump.csv"), false)
+    out2.write("also precious\n".getBytes("UTF-8")); out2.close()
     try {
+      val e0 = intercept[IllegalStateException] {
+        graft.catalog.Warehouse.materialize(spark,
+          graft.fixtures.MakerFixtures.demuxStorePath, defs, db = "orphandb")
+      }
+      assert(e0.getMessage.contains("refusing to clear"))
+      assert(fs.exists(new org.apache.hadoop.fs.Path(dir, ".backup/dump.csv")),
+        "dot-dir user data must survive the refused materialization")
+      // a top-level foreign file refuses as well
+      val out = fs.create(new org.apache.hadoop.fs.Path(dir, "precious.csv"), false)
+      out.write("do not delete\n".getBytes("UTF-8")); out.close()
       val e = intercept[IllegalStateException] {
         graft.catalog.Warehouse.materialize(spark,
           graft.fixtures.MakerFixtures.demuxStorePath, defs, db = "orphandb")
