@@ -123,8 +123,24 @@ object Components {
       .orderBy(col("doc_id"))
   }
 
+  /** The dedup pipeline's end product: the corpus with every non-
+    * canonical near-duplicate dropped — one survivor (min doc_id) per
+    * transitive cluster, all singletons kept. At scale this is the
+    * component join + a scan-side filter; the text column itself rides
+    * through untouched. */
+  def dedupKeepOnly(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    dedupComponents(s, dir).filter(col("keep"))
+      .select(col("doc_id"))
+      .join(docs, "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(col("text")).as("text_fp"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dedup_components" -> (dedupComponents _))
+    "dedup_components" -> (dedupComponents _),
+    "dedup_keep_only" -> (dedupKeepOnly _))
 
   /** Oracle: transitive closure over the same jaccard≥0.7 edges via a
     * recursive CTE (terminates on cycles because UNION deduplicates),
@@ -144,5 +160,19 @@ object Components {
         COALESCE(c.component, d.doc_id) AS component,
         (COALESCE(c.component, d.doc_id) = d.doc_id) AS keep
       FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+      ORDER BY d.doc_id""",
+    "dedup_keep_only" -> s"""${Dedup.jaccardCtes.replaceFirst("WITH", "WITH RECURSIVE")},
+      edges AS (SELECT i, j FROM jc WHERE jaccard >= 0.7),
+      sym AS (SELECT i AS u, j AS v FROM edges
+              UNION SELECT j, i FROM edges),
+      reach(src, node) AS (
+        SELECT u, u FROM sym
+        UNION
+        SELECT r.src, s.v FROM reach r JOIN sym s ON r.node = s.u),
+      comp AS (SELECT src AS node, MIN(node) AS component
+               FROM reach GROUP BY src)
+      SELECT d.doc_id, d.lang, d.source, d.n_chars, md5(d.text) AS text_fp
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+      WHERE COALESCE(c.component, d.doc_id) = d.doc_id
       ORDER BY d.doc_id""")
 }
