@@ -530,10 +530,17 @@ final class ManifestStore(val root: String) extends Serializable {
     * at any point: an unpublished commit directory is invisible and
     * vacuumable. Per-file range stats are recomputed using the snapshot's
     * recorded range column (or `rangeCol` when given), so compaction
-    * never silently downgrades overwriteRange pruning to full rewrites. */
+    * never silently downgrades overwriteRange pruning to full rewrites.
+    *
+    * `zorderBy` (≥2 columns) lays the compacted files out along a
+    * Z-order curve ([[graft.ops.ZOrder]]) instead of hash partitions:
+    * every file then covers a tight hyper-rectangle of those columns'
+    * space, so parquet min/max stats prune multi-dimensional range
+    * queries — Delta's `OPTIMIZE ZORDER BY`, on plain parquet. */
   def compact(spark: SparkSession, targetBytes: Long = 128L * 1024 * 1024,
               partitionCols: Seq[String] = Nil,
-              rangeCol: Option[String] = None): Unit = synchronized {
+              rangeCol: Option[String] = None,
+              zorderBy: Seq[String] = Nil): Unit = synchronized {
     if (snapshot(spark).forall(_.files.isEmpty)) return
     commitWith(spark, None, rangeCol) { prev =>
       prev.map(_.files).getOrElse(Nil) match {
@@ -546,7 +553,8 @@ final class ManifestStore(val root: String) extends Serializable {
           val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
           val df = readFiles(spark, files)
           val compacted =
-            if (partitionCols.isEmpty) df.repartition(nFiles)
+            if (zorderBy.size >= 2) graft.ops.ZOrder.cluster(df, zorderBy, nFiles)
+            else if (partitionCols.isEmpty) df.repartition(nFiles)
             else df.repartition(nFiles, partitionCols.map(col): _*)
           writeData(spark, compacted, partitionCols, rc)
       }

@@ -313,6 +313,49 @@ class CompactSpec extends AnyFunSuite {
     assert(fresh.hasCommitKey(spark, "legacy-key"))
   }
 
+  test("z-order compaction: files cover tight 2-D tiles, content preserved") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_mzord").toString + "/store"
+    val store = new ManifestStore(root)
+    // 100×100 grid; a plain sort by x would give each of 4 files a
+    // 25×100 stripe (area 2500 each, but full-width in y)
+    val grid = for (x <- 0 until 100; y <- 0 until 100)
+      yield (x.toLong * 100 + y, x.toLong, y.toLong)
+    store.append(spark, grid.toDF("id", "x", "y"))
+    val totalBytes = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(root + "/data"), true)
+      var n = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) n += f.getLen
+      }
+      n
+    }
+    store.compact(spark, targetBytes = math.max(1L, totalBytes / 8),
+      zorderBy = Seq("x", "y"))
+    // content identical
+    val snap = store.read(spark).get
+    assert(snap.count() == 10000)
+    assert(snap.agg(sum(col("id")).cast("long")).head().getLong(0) ==
+      grid.map(_._1).sum)
+    // z-order locality: most files' (x, y) bounding boxes are TILES —
+    // bounded in BOTH dimensions — which a plain x-sort (full-width
+    // y stripes, y-span always 100) can never produce. Files straddling
+    // a major quadrant boundary of the curve may legitimately span wide,
+    // so the assertion is over the majority, not each file.
+    val files = snap.inputFiles
+    assert(files.length >= 4, s"expected >=4 files, got ${files.length}")
+    val tiles = files.count { fp =>
+      val b = spark.read.parquet(fp)
+        .agg(min("x"), max("x"), min("y"), max("y")).head()
+      (b.getLong(1) - b.getLong(0)) <= 60 && (b.getLong(3) - b.getLong(2)) <= 60
+    }
+    assert(tiles >= (files.length + 1) / 2,
+      s"only $tiles of ${files.length} files are z-order tiles")
+  }
+
   test("manifest store: schema evolution across commits (added columns null-fill)") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_mevo").toString + "/store"
