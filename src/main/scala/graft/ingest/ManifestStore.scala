@@ -541,6 +541,15 @@ final class ManifestStore(val root: String) extends Serializable {
               partitionCols: Seq[String] = Nil,
               rangeCol: Option[String] = None,
               zorderBy: Seq[String] = Nil): Unit = synchronized {
+    // reject silently-wrong combinations up front: a single z column
+    // would fall through to hash layout, and hive partitionBy would
+    // re-slice the z tiles across partition dirs (nFiles × |partitions|
+    // small files) — neither is the clustering the caller asked for
+    require(zorderBy.isEmpty || zorderBy.size >= 2,
+      "zorderBy needs at least two columns (one column is a plain sort)")
+    require(zorderBy.isEmpty || partitionCols.isEmpty,
+      "zorderBy cannot combine with partitionCols: z-cluster within " +
+        "partitions by compacting each partition's store separately")
     if (snapshot(spark).forall(_.files.isEmpty)) return
     commitWith(spark, None, rangeCol) { prev =>
       prev.map(_.files).getOrElse(Nil) match {

@@ -107,12 +107,11 @@ object Components {
     comp
   }
 
-  /** Dedup groups over the documents table: every doc labeled with its
-    * near-dup component (min doc_id of the transitive cluster over exact
-    * jaccard ≥ 0.7 pairs) and a keep flag for the canonical survivor.
-    * Docs in no pair are their own singleton component. */
-  def dedupComponents(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(s, dir, "documents")
+  /** Unsorted (doc_id, component, keep) labels over `docs` — component
+    * = min doc_id of the transitive cluster over exact jaccard ≥ 0.7
+    * pairs; docs in no pair are their own singleton. Shared by both
+    * queries, which add only their own presentation sort. */
+  private def componentLabels(docs: DataFrame): DataFrame = {
     val pairs = Dedup.jaccardPairs(Dedup.shingles(docs), 0.7).select("i", "j")
     val comp = connectedComponents(pairs)
     docs.select(col("doc_id"))
@@ -120,17 +119,22 @@ object Components {
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("component"))
       .withColumn("keep", col("doc_id") === col("component"))
-      .orderBy(col("doc_id"))
   }
+
+  /** Dedup groups over the documents table: every doc labeled with its
+    * near-dup component and a keep flag for the canonical survivor. */
+  def dedupComponents(s: SparkSession, dir: String): DataFrame =
+    componentLabels(Tables.load(s, dir, "documents"))
+      .orderBy(col("doc_id"))
 
   /** The dedup pipeline's end product: the corpus with every non-
     * canonical near-duplicate dropped — one survivor (min doc_id) per
-    * transitive cluster, all singletons kept. At scale this is the
-    * component join + a scan-side filter; the text column itself rides
-    * through untouched. */
+    * transitive cluster, all singletons kept. The documents table loads
+    * once and the component labels stay unsorted until the final
+    * presentation sort. */
   def dedupKeepOnly(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
-    dedupComponents(s, dir).filter(col("keep"))
+    componentLabels(docs).filter(col("keep"))
       .select(col("doc_id"))
       .join(docs, "doc_id")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
@@ -142,11 +146,11 @@ object Components {
     "dedup_components" -> (dedupComponents _),
     "dedup_keep_only" -> (dedupKeepOnly _))
 
-  /** Oracle: transitive closure over the same jaccard≥0.7 edges via a
-    * recursive CTE (terminates on cycles because UNION deduplicates),
-    * component = min reachable node. */
-  val oracle: Map[String, String] = Map(
-    "dedup_components" -> s"""${Dedup.jaccardCtes.replaceFirst("WITH", "WITH RECURSIVE")},
+  /** Shared oracle prefix: transitive closure over the same jaccard≥0.7
+    * edges via a recursive CTE (terminates on cycles because UNION
+    * deduplicates), component = min reachable node. */
+  private val componentsCtes: String =
+    s"""${Dedup.jaccardCtes.replaceFirst("WITH", "WITH RECURSIVE")},
       edges AS (SELECT i, j FROM jc WHERE jaccard >= 0.7),
       sym AS (SELECT i AS u, j AS v FROM edges
               UNION SELECT j, i FROM edges),
@@ -155,22 +159,16 @@ object Components {
         UNION
         SELECT r.src, s.v FROM reach r JOIN sym s ON r.node = s.u),
       comp AS (SELECT src AS node, MIN(node) AS component
-               FROM reach GROUP BY src)
+               FROM reach GROUP BY src)"""
+
+  val oracle: Map[String, String] = Map(
+    "dedup_components" -> s"""$componentsCtes
       SELECT d.doc_id,
         COALESCE(c.component, d.doc_id) AS component,
         (COALESCE(c.component, d.doc_id) = d.doc_id) AS keep
       FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
       ORDER BY d.doc_id""",
-    "dedup_keep_only" -> s"""${Dedup.jaccardCtes.replaceFirst("WITH", "WITH RECURSIVE")},
-      edges AS (SELECT i, j FROM jc WHERE jaccard >= 0.7),
-      sym AS (SELECT i AS u, j AS v FROM edges
-              UNION SELECT j, i FROM edges),
-      reach(src, node) AS (
-        SELECT u, u FROM sym
-        UNION
-        SELECT r.src, s.v FROM reach r JOIN sym s ON r.node = s.u),
-      comp AS (SELECT src AS node, MIN(node) AS component
-               FROM reach GROUP BY src)
+    "dedup_keep_only" -> s"""$componentsCtes
       SELECT d.doc_id, d.lang, d.source, d.n_chars, md5(d.text) AS text_fp
       FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
       WHERE COALESCE(c.component, d.doc_id) = d.doc_id

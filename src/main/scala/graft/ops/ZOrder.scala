@@ -44,6 +44,15 @@ object ZOrder {
     val aggs = cols.flatMap(c =>
       Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
     val bounds = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.zipWithIndex.foreach { case (c, i) =>
+      // fail loud on columns the curve can't order: non-numeric (casts
+      // to null), all-null (schema-evolved null-fill), or NaN bounds —
+      // silent bucket-0 degradation would just pretend to cluster
+      require(!bounds.isNullAt(2 * i) && !bounds.isNullAt(2 * i + 1) &&
+        !bounds.getDouble(2 * i).isNaN && !bounds.getDouble(2 * i + 1).isNaN,
+        s"z-order column '$c' has no numeric non-null bounds " +
+          "(non-numeric, all-null, or NaN) — cannot cluster on it")
+    }
     val nBuckets = 1L << bits
     val buckets = cols.zipWithIndex.map { case (c, i) =>
       val (lo, hi) = (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
@@ -53,9 +62,11 @@ object ZOrder {
         greatest(lit(0L),
           width_bucket(col(c).cast("double"), lit(lo), lit(hi), lit(nBuckets)) - 1))
     }
-    df.withColumn("_z", interleave(buckets, bits))
-      .repartitionByRange(math.max(1, nFiles), col("_z"))
-      .sortWithinPartitions("_z")
-      .drop("_z")
+    // helper column name guaranteed not to collide with user columns
+    val zc = Iterator.iterate("_z")("_" + _).dropWhile(df.columns.contains).next()
+    df.withColumn(zc, interleave(buckets, bits))
+      .repartitionByRange(math.max(1, nFiles), col(zc))
+      .sortWithinPartitions(zc)
+      .drop(zc)
   }
 }
