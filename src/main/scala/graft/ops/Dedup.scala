@@ -135,16 +135,13 @@ object Dedup {
     if (buf.length < 2) Left(false) else Right(buf.toSeq)
   }
 
-  /** MinHash-LSH near-dup: candidates verified by exact Jaccard. Same
-    * output contract as [[jaccardPairs]] — at the fixture's clean
-    * similarity separation (planted ≥0.9, background <0.3) the result is
-    * identical with overwhelming probability, so it shares the oracle. */
-  def minhashLsh(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingles(docs).persist()
-    val cand = lshCandidates(minhash(sh)).persist()
+  /** Exact-Jaccard verification of candidate pairs (i, j) against the
+    * shingle table: the shared tail of every LSH variant. Shingles are
+    * first narrowed to candidate docs (broadcast semi-join) so the
+    * verification join touches only the candidate set. */
+  private def verifyPairs(sh: DataFrame, cand: DataFrame,
+                          threshold: Double): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    // restrict shingles to candidate docs first (broadcast semi-join) so
-    // the verification join touches only the candidate set
     val candIds = cand.select(col("i").as("doc_id"))
       .unionByName(cand.select(col("j").as("doc_id"))).distinct()
     val shC = sh.join(broadcast(candIds), "doc_id").persist()
@@ -159,6 +156,53 @@ object Dedup {
       .withColumn("jaccard", round(col("c") / (col("szi") + col("szj") - col("c")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("i"), col("j"), col("jaccard"))
+  }
+
+  /** MinHash-LSH near-dup: candidates verified by exact Jaccard. Same
+    * output contract as [[jaccardPairs]] — at the fixture's clean
+    * similarity separation (planted ≥0.9, background <0.3) the result is
+    * identical with overwhelming probability, so it shares the oracle. */
+  def minhashLsh(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingles(docs).persist()
+    val cand = lshCandidates(minhash(sh)).persist()
+    verifyPairs(sh, cand, threshold)
+  }
+
+  /** One row per (band, band key, doc) — the LSH index layout a frozen
+    * corpus keeps materialized so new batches can probe it. */
+  private def bandedSignatures(sig: DataFrame): DataFrame = {
+    import sig.sparkSession.implicits._
+    val r = NumHashes / Bands
+    val nBands = Bands
+    sig.as[(Long, Seq[Long])].flatMap { case (id, mins) =>
+      (0 until nBands).iterator.map { b =>
+        (b, scala.util.hashing.MurmurHash3.orderedHash(mins.slice(b * r, b * r + r)), id)
+      }
+    }.toDF("band", "bandkey", "doc_id")
+  }
+
+  /** Incremental near-dup: pairs touching at least one NEW doc, found by
+    * probing only the new batch's bands against the full band index.
+    * This is the at-scale ingestion pattern: the existing corpus's
+    * signatures/bands are a frozen, precomputed index (here rebuilt from
+    * the fixture for determinism; production reads it from the store) —
+    * cost per batch is O(new·bands) probe + candidate verification,
+    * never a re-hash or self-join of the whole corpus. Existing↔existing
+    * pairs were reported when THEIR batch arrived, so only pairs with a
+    * new member emit. */
+  def minhashLshIncremental(docs: DataFrame, isNew: Column,
+                            threshold: Double): DataFrame = {
+    val sh = shingles(docs).persist()
+    val index = bandedSignatures(minhash(sh)).persist()
+    val probes = index.join(
+      broadcast(docs.filter(isNew).select(col("doc_id"))), "doc_id")
+    val cand = probes.select(col("band"), col("bandkey"), col("doc_id").as("p"))
+      .join(index, Seq("band", "bandkey"))
+      .filter(col("p") =!= col("doc_id"))
+      .select(least(col("p"), col("doc_id")).as("i"),
+        greatest(col("p"), col("doc_id")).as("j"))
+      .distinct()
+    verifyPairs(sh, cand, threshold)
   }
 
   // ------------------------------------------------------------- SimHash
@@ -237,6 +281,13 @@ object Dedup {
     minhashLsh(Tables.load(s, dir, "documents"), 0.7)
       .orderBy(col("i"), col("j"))
 
+  /** Gate: odd doc_ids play the "new batch", even ids the frozen
+    * corpus — emitted pairs are exactly those touching a new doc. */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame =
+    minhashLshIncremental(Tables.load(s, dir, "documents"),
+      pmod(col("doc_id"), lit(2)) === 1, 0.7)
+      .orderBy(col("i"), col("j"))
+
   /** Gate row: recall of simhash(maxDist=10) against the exact
     * jaccard≥0.7 truth, asserted as a derived BOUND (hits ≥
     * ceil(0.8·n_true), integer arithmetic) so the gate survives fixture
@@ -257,6 +308,7 @@ object Dedup {
     "dedup_exact" -> (dedupExact _),
     "dedup_jaccard_pairs" -> (dedupJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_incremental" -> (dedupIncremental _),
     "dedup_simhash" -> (dedupSimhash _))
 
   private[ops] val jaccardCtes = """
@@ -282,6 +334,10 @@ object Dedup {
       FROM documents GROUP BY 1 ORDER BY fp""",
     "dedup_jaccard_pairs" -> jaccardOracle,
     "dedup_minhash_lsh" -> jaccardOracle,
+    "dedup_incremental" -> s"""$jaccardCtes
+      SELECT i, j, jaccard FROM jc
+      WHERE jaccard >= 0.7 AND (i % 2 = 1 OR j % 2 = 1)
+      ORDER BY i, j""",
     "dedup_simhash" -> s"""$jaccardCtes
       SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
         CAST((COUNT(*)*8 + 9)//10 AS BIGINT) AS min_hits,

@@ -133,6 +133,17 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF recall $recall")
   }
 
+  test("incremental LSH equals the full near-dup result restricted to new docs") {
+    val docs = Tables.load(spark, dir, "documents")
+    val full = Dedup.minhashLsh(docs, 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = full.filter { case (i, j) => i % 2 == 1 || j % 2 == 1 }
+    val inc = graft.ops.Dedup.dedupIncremental(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc == expected, s"incremental=$inc expected=$expected")
+    assert(inc.nonEmpty)
+  }
+
   test("IVF-PQ ANN: ADC shortlist + exact re-rank tracks brute force") {
     val brute = Similarity.topK(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
