@@ -202,6 +202,7 @@ object Dedup {
       .select(least(col("p"), col("doc_id")).as("i"),
         greatest(col("p"), col("doc_id")).as("j"))
       .distinct()
+      .persist() // verifyPairs consumes the candidate set three times
     verifyPairs(sh, cand, threshold)
   }
 
