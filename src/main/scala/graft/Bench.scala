@@ -29,11 +29,14 @@ object Bench {
     // decays in ~a minute, so a bounded settle wait buys clean numbers
     // (observed: runs started at load 5.7 came out ~2.6x inflated
     // end-to-end vs load 0.5 runs of identical code)
+    // floor at cpus/16 (was cpus/8): a run started at load 3.7 on 32
+    // cpus came out 2.5x inflated in the dedup queries — 1-min load
+    // has to be near-idle before the timing is trustworthy
     val loadAtStart = loadAvg()
     var loadBefore = loadAtStart
     var settledMs = 0L
-    val loadFloor = math.max(2.0, cpus.toDouble / 8)
-    while (loadBefore > loadFloor && settledMs < 90_000L) {
+    val loadFloor = math.max(1.5, cpus.toDouble / 16)
+    while (loadBefore > loadFloor && settledMs < 120_000L) {
       Thread.sleep(5000); settledMs += 5000
       loadBefore = loadAvg()
     }
@@ -61,28 +64,37 @@ object Bench {
     val p1Total = p1.values.sum
     // a second timed pass absorbs residual one-off costs (page cache,
     // JIT, a transient competing load); per-query MIN is the standard
-    // repeated-measurement reduction. Skipped when pass 1 already ran
-    // long (a contended host can run ~2.6x slow), keeping worst-case
-    // bench wall-clock bounded at roughly settle + 2x100s + startup.
-    val p2 = if (p1Total < 100.0) Some(pass()) else None
+    // repeated-measurement reduction. An INFLATED pass 1 is precisely
+    // when the second pass matters most (a 138s contended pass 1 once
+    // skipped the pass that would have corrected it), so the skip
+    // threshold only bounds the truly pathological case.
+    val p2 = if (p1Total < 300.0) Some(pass()) else None
     val results = p2 match {
       case Some(second) => p1.map { case (k, v) => k -> math.min(v, second(k)) }
       case None => p1
     }
-    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
+    def f3(d: Double): String = String.format(java.util.Locale.ROOT, "%.3f", d)
+    def f2(d: Double): String = String.format(java.util.Locale.ROOT, "%.2f", d)
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // re-sample after the run: a competing JVM that starts mid-benchmark
     // is exactly the contamination this flag exists to expose
     val jvmsAfter = otherJvmCount()
     val contaminated = jvmsBefore > 0 || jvmsAfter > 0 || loadBefore > loadFloor
-    val env = s""""env":{"other_jvms":$jvmsBefore,"other_jvms_after":$jvmsAfter,""" +
-      s""""load_avg_at_start":$loadAtStart,"load_avg_before":$loadBefore,""" +
-      s""""settle_wait_ms":$settledMs,"load_avg_after":${loadAvg()},""" +
-      s""""passes":${1 + p2.size},"pass1_total":$p1Total,""" +
-      s""""pass2_total":${p2.map(_.values.sum).getOrElse(-1.0)},""" +
+    // terse keys and 2-3 decimal places on purpose: the harness reads a
+    // bounded tail window of stdout, and a long line loses its head —
+    // the whole object has to fit in ~2000 chars
+    val env = s""""env":{"jvms":$jvmsBefore,"jvms_after":$jvmsAfter,""" +
+      s""""load0":${f2(loadAtStart)},"load1":${f2(loadBefore)},""" +
+      s""""wait_s":${settledMs / 1000},"load2":${f2(loadAvg())},""" +
+      s""""passes":${1 + p2.size},"p1":${f2(p1Total)},""" +
+      s""""p2":${f2(p2.map(_.values.sum).getOrElse(-1.0))},""" +
       s""""cpus":$cpus,"contaminated":$contaminated}"""
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$env}"""
+    // headline fields LAST: if the harness's tail window ever truncates
+    // the head of the line again, the readable tail still ends with the
+    // env evidence and the total
+    val json = s"""{"queries":$qs,"sf":"$sfDir",$env,"metric":"total","value":${f3(total)},"unit":"sec"}"""
     if (contaminated)
       System.err.println(s"[bench] WARNING: contended host during the run " +
         s"(jvms before=$jvmsBefore after=$jvmsAfter, load=$loadBefore) - " +

@@ -108,11 +108,19 @@ object Components {
   }
 
   /** Unsorted (doc_id, component, keep) labels over `docs` — component
-    * = min doc_id of the transitive cluster over exact jaccard ≥ 0.7
-    * pairs; docs in no pair are their own singleton. Shared by both
-    * queries, which add only their own presentation sort. */
+    * = min doc_id of the transitive cluster over jaccard ≥ 0.7 pairs;
+    * docs in no pair are their own singleton. Shared by both queries,
+    * which add only their own presentation sort.
+    *
+    * Edges come from the MinHash-LSH path, NOT the brute shingle
+    * self-join: at 100 TB a common shingle is a hot join key and the
+    * exact self-join's Σ occ(shingle)² cost blows up one stage before
+    * the (scale-safe) star rounds ever run. LSH shares the brute
+    * oracle on the fixture's clean similarity separation, so both
+    * component queries stay green against the same recursive-CTE
+    * oracle. */
   private def componentLabels(docs: DataFrame): DataFrame = {
-    val pairs = Dedup.jaccardPairs(Dedup.shingles(docs), 0.7).select("i", "j")
+    val pairs = Dedup.minhashLsh(docs, 0.7).select("i", "j")
     val comp = connectedComponents(pairs)
     docs.select(col("doc_id"))
       .join(comp, col("doc_id") === col("node"), "left")

@@ -21,17 +21,30 @@ import graft.Tables
 object Dedup {
 
   /** Distinct word n-gram shingles per document: (doc_id, sh).
-    * Repartitions first: the source is a single small parquet file → one
-    * scan partition, which would serialize all downstream hashing onto
-    * one core (observed 4× slowdown at sf0.1). */
-  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    * Widens to full parallelism ONLY when the scan is narrower: the
+    * fixture is a single small parquet file → one scan partition, which
+    * would serialize all downstream hashing onto one core (observed 4×
+    * slowdown at sf0.1); a 100 TB corpus already scans with ample
+    * partitions and an unconditional repartition would re-shuffle the
+    * whole text corpus for nothing.
+    *
+    * `counter`, when given, counts the documents actually shingled —
+    * the instrumentation hook LshIndexSpec uses to prove a probe never
+    * re-hashes the frozen corpus. */
+  def shingles(docs: DataFrame, n: Int = 3,
+               counter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
     import docs.sparkSession.implicits._
+    val p = docs.sparkSession.sparkContext.defaultParallelism
+    val narrow = docs.select(col("doc_id"), col("text"))
+    val spread =
+      if (narrow.rdd.getNumPartitions < p) narrow.repartition(p) else narrow
     // typed flatMap, not SQL higher-order functions: the HOF formulation
     // (transform+slice+array_join+array_distinct) evaluates its lambdas
     // interpreted — 35 CPU-s at sf0.1 vs ~1 CPU-s compiled.
-    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    spread.as[(Long, String)]
       .flatMap { case (id, text) =>
+        counter.foreach(_.add(1))
         val toks = text.split(' ')
         if (toks.length < n) Iterator.empty
         else toks.sliding(n).map(_.mkString(" ")).toSet[String].iterator.map(sh => (id, sh))
@@ -137,14 +150,20 @@ object Dedup {
 
   /** Exact-Jaccard verification of candidate pairs (i, j) against the
     * shingle table: the shared tail of every LSH variant. Shingles are
-    * first narrowed to candidate docs (broadcast semi-join) so the
-    * verification join touches only the candidate set. */
-  private def verifyPairs(sh: DataFrame, cand: DataFrame,
-                          threshold: Double): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    * first narrowed to candidate docs (semi-join; NOT a forced broadcast
+    * — on a high-dup corpus the candidate id set is corpus-scale and a
+    * broadcast hint would OOM the driver, while AQE still broadcasts it
+    * when it measures small). `sizes` lets a caller with precomputed
+    * per-doc shingle counts (e.g. a persisted [[LshIndex]]) skip the
+    * recount. */
+  private[graft] def verifyPairs(sh: DataFrame, cand: DataFrame,
+                                 threshold: Double,
+                                 sizesOpt: Option[DataFrame] = None): DataFrame = {
+    val sizes = sizesOpt.getOrElse(
+      sh.groupBy("doc_id").agg(count(lit(1)).as("sz")))
     val candIds = cand.select(col("i").as("doc_id"))
       .unionByName(cand.select(col("j").as("doc_id"))).distinct()
-    val shC = sh.join(broadcast(candIds), "doc_id").persist()
+    val shC = sh.join(candIds, Seq("doc_id"), "left_semi").persist()
     val interC = cand
       .join(shC.select(col("doc_id").as("i"), col("sh").as("sha")), "i")
       .join(shC.select(col("doc_id").as("j"), col("sh").as("shb")), "j")
@@ -169,8 +188,9 @@ object Dedup {
   }
 
   /** One row per (band, band key, doc) — the LSH index layout a frozen
-    * corpus keeps materialized so new batches can probe it. */
-  private def bandedSignatures(sig: DataFrame): DataFrame = {
+    * corpus keeps materialized so new batches can probe it
+    * (persisted/probed via [[LshIndex]]). */
+  private[ops] def bandedSignatures(sig: DataFrame): DataFrame = {
     import sig.sparkSession.implicits._
     val r = NumHashes / Bands
     val nBands = Bands
@@ -179,31 +199,6 @@ object Dedup {
         (b, scala.util.hashing.MurmurHash3.orderedHash(mins.slice(b * r, b * r + r)), id)
       }
     }.toDF("band", "bandkey", "doc_id")
-  }
-
-  /** Incremental near-dup: pairs touching at least one NEW doc, found by
-    * probing only the new batch's bands against the full band index.
-    * This is the at-scale ingestion pattern: the existing corpus's
-    * signatures/bands are a frozen, precomputed index (here rebuilt from
-    * the fixture for determinism; production reads it from the store) —
-    * cost per batch is O(new·bands) probe + candidate verification,
-    * never a re-hash or self-join of the whole corpus. Existing↔existing
-    * pairs were reported when THEIR batch arrived, so only pairs with a
-    * new member emit. */
-  def minhashLshIncremental(docs: DataFrame, isNew: Column,
-                            threshold: Double): DataFrame = {
-    val sh = shingles(docs).persist()
-    val index = bandedSignatures(minhash(sh)).persist()
-    val probes = index.join(
-      broadcast(docs.filter(isNew).select(col("doc_id"))), "doc_id")
-    val cand = probes.select(col("band"), col("bandkey"), col("doc_id").as("p"))
-      .join(index, Seq("band", "bandkey"))
-      .filter(col("p") =!= col("doc_id"))
-      .select(least(col("p"), col("doc_id")).as("i"),
-        greatest(col("p"), col("doc_id")).as("j"))
-      .distinct()
-      .persist() // verifyPairs consumes the candidate set three times
-    verifyPairs(sh, cand, threshold)
   }
 
   // ------------------------------------------------------------- SimHash
@@ -282,12 +277,24 @@ object Dedup {
     minhashLsh(Tables.load(s, dir, "documents"), 0.7)
       .orderBy(col("i"), col("j"))
 
-  /** Gate: odd doc_ids play the "new batch", even ids the frozen
-    * corpus — emitted pairs are exactly those touching a new doc. */
-  def dedupIncremental(s: SparkSession, dir: String): DataFrame =
-    minhashLshIncremental(Tables.load(s, dir, "documents"),
-      pmod(col("doc_id"), lit(2)) === 1, 0.7)
+  /** Gate: even doc_ids play the frozen corpus — built into a persisted
+    * [[LshIndex]] (three ManifestStore tables) — and odd ids the new
+    * batch, which probes the STORED index: only odd docs are shingled
+    * and minhashed at probe time (LshIndexSpec asserts this via the
+    * probe's hash-counter hook). Emitted pairs are exactly
+    * those touching a new doc. The index rebuilds from scratch each
+    * call so the gate is deterministic under repetition. */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_lsh_index_" +
+      new java.io.File(dir).getName
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    LshIndex.append(docs.filter(pmod(col("doc_id"), lit(2)) === 0), root)
+    LshIndex.probe(docs.filter(pmod(col("doc_id"), lit(2)) === 1), root, 0.7)
       .orderBy(col("i"), col("j"))
+  }
 
   /** Gate row: recall of simhash(maxDist=10) against the exact
     * jaccard≥0.7 truth, asserted as a derived BOUND (hits ≥

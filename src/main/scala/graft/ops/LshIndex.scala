@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ingest.ManifestStore
+
+/** Persisted MinHash-LSH index over a frozen corpus, the at-scale
+  * incremental-dedup pattern (SURVEY §7.5): the corpus is shingled,
+  * minhashed and banded ONCE, at ingest time; each new batch then hashes
+  * only its own documents and probes the stored band index. Cost per
+  * batch is O(new · bands) probe + verification of the (tiny) candidate
+  * set — never a re-hash or self-join of the 100 TB corpus.
+  *
+  * Storage layout (three [[ManifestStore]] tables under `root`, so the
+  * index inherits atomic commits, snapshot isolation and time travel):
+  *
+  *  - `bands`    (band, bandkey, doc_id) — the probe target;
+  *  - `shingles` (doc_id, sh)            — read ONLY for candidate docs
+  *                                         (semi-join narrowed) during
+  *                                         exact-Jaccard verification;
+  *  - `sizes`    (doc_id, sz)            — per-doc shingle counts, so
+  *                                         verification never recounts
+  *                                         the corpus.
+  *
+  * Degenerate band keys (occupancy > [[Dedup.MaxBucketOccupancy]]) are
+  * dropped at BUILD time, mirroring [[Dedup.lshCandidates]]'s hot-bucket
+  * policy: a key collecting ≫ the expected handful of docs carries no
+  * signal, and probing it would expand O(occupancy) candidate pairs for
+  * every new doc that lands there.
+  *
+  * Contract: doc_ids are unique across the index and every probed batch
+  * (the ingest pipeline's append invariant). [[append]] extends the
+  * index with a batch AFTER probing it, keeping the index current.
+  */
+object LshIndex {
+
+  private def bandsStore(root: String) = new ManifestStore(s"$root/bands")
+  private def shinglesStore(root: String) = new ManifestStore(s"$root/shingles")
+  private def sizesStore(root: String) = new ManifestStore(s"$root/sizes")
+
+  /** Banded signatures of `docs` with over-occupied band keys dropped. */
+  private def keptBands(docs: DataFrame,
+                        maxBucket: Int = Dedup.MaxBucketOccupancy): DataFrame = {
+    val banded = Dedup.bandedSignatures(Dedup.minhash(Dedup.shingles(docs)))
+    val hot = banded.groupBy("band", "bandkey")
+      .agg(count(lit(1)).as("occ")).filter(col("occ") > maxBucket)
+      .select("band", "bandkey")
+    banded.join(hot, Seq("band", "bandkey"), "left_anti")
+  }
+
+  /** Build (or extend) the index from a corpus batch: one shingle pass,
+    * three atomic appends. Safe to call repeatedly — each call appends
+    * the new batch's rows only. The hot-bucket cap applies per batch;
+    * a key that grows hot only ACROSS appends stays until a periodic
+    * compaction re-applies the cap (ManifestStore.compact + rebuild),
+    * the same maintenance cadence the store already runs. */
+  def append(docs: DataFrame, root: String,
+             commitKey: Option[String] = None): Unit = {
+    val spark = docs.sparkSession
+    val sh = Dedup.shingles(docs).persist()
+    try {
+      bandsStore(root).append(spark, keptBands(docs), commitKey = commitKey)
+      shinglesStore(root).append(spark, sh, commitKey = commitKey)
+      sizesStore(root).append(spark,
+        sh.groupBy("doc_id").agg(count(lit(1)).as("sz")), commitKey = commitKey)
+    } finally { sh.unpersist(); () }
+  }
+
+  /** Near-dup pairs (i, j, jaccard ≥ threshold) touching at least one
+    * doc of `newDocs`, by probing the stored band index: only the new
+    * batch is shingled/minhashed here — the corpus side comes entirely
+    * from the persisted tables, and its shingles are read semi-join
+    * narrowed to candidate docs. New↔new pairs are found by the same
+    * in-batch banding, so a batch's internal dups emit too. An empty or
+    * absent index degrades to in-batch LSH dedup. */
+  def probe(newDocs: DataFrame, root: String, threshold: Double,
+            hashCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    val shNew = Dedup.shingles(newDocs, counter = hashCounter).persist()
+    val sigNew = Dedup.minhash(shNew)
+    val bandsNew = Dedup.bandedSignatures(sigNew)
+
+    val storedBands = bandsStore(root).read(spark).getOrElse(
+      Seq.empty[(Int, Int, Long)].toDF("band", "bandkey", "doc_id"))
+    val storedSh = shinglesStore(root).read(spark).getOrElse(
+      Seq.empty[(Long, String)].toDF("doc_id", "sh"))
+    val storedSizes = sizesStore(root).read(spark).getOrElse(
+      Seq.empty[(Long, Long)].toDF("doc_id", "sz"))
+
+    // new↔corpus candidates: band-key equality against the stored index
+    val candOld = bandsNew.select(col("band"), col("bandkey"), col("doc_id").as("p"))
+      .join(storedBands, Seq("band", "bandkey"))
+      .select(least(col("p"), col("doc_id")).as("i"),
+        greatest(col("p"), col("doc_id")).as("j"))
+      .filter(col("i") =!= col("j"))
+    // new↔new candidates: the batch's own capped-bucket LSH
+    val candNew = Dedup.lshCandidates(sigNew)
+    val cand = candOld.unionByName(candNew).distinct()
+      .persist() // consumed by three verification joins
+
+    val candIds = cand.select(col("i").as("doc_id"))
+      .unionByName(cand.select(col("j").as("doc_id"))).distinct()
+    val sh = shNew.unionByName(
+      storedSh.join(candIds, Seq("doc_id"), "left_semi"))
+    val sizes = shNew.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      .unionByName(storedSizes.join(candIds, Seq("doc_id"), "left_semi"))
+    Dedup.verifyPairs(sh, cand, threshold, Some(sizes))
+  }
+}
