@@ -53,16 +53,24 @@ object LshIndex {
     * the new batch's rows only. The hot-bucket cap applies per batch;
     * a key that grows hot only ACROSS appends stays until a periodic
     * compaction re-applies the cap (ManifestStore.compact + rebuild),
-    * the same maintenance cadence the store already runs. */
+    * the same maintenance cadence the store already runs.
+    *
+    * Commit order matters for crash consistency: `bands` lands LAST.
+    * Band rows are what make a doc discoverable — if a crash strands
+    * the build mid-way, a bands-less doc is simply not probed yet
+    * (correct: the batch isn't in the index), whereas bands WITHOUT
+    * shingles would let candidates form and then fail verification
+    * silently. A `commitKey` makes the whole build exactly-once under
+    * replay: each store skips its own already-committed part. */
   def append(docs: DataFrame, root: String,
              commitKey: Option[String] = None): Unit = {
     val spark = docs.sparkSession
     val sh = Dedup.shingles(docs).persist()
     try {
-      bandsStore(root).append(spark, keptBands(docs), commitKey = commitKey)
       shinglesStore(root).append(spark, sh, commitKey = commitKey)
       sizesStore(root).append(spark,
         sh.groupBy("doc_id").agg(count(lit(1)).as("sz")), commitKey = commitKey)
+      bandsStore(root).append(spark, keptBands(docs), commitKey = commitKey)
     } finally { sh.unpersist(); () }
   }
 

@@ -53,6 +53,22 @@ class LshIndexSpec extends AnyFunSuite {
     assert(probed == expected)
   }
 
+  test("a build stranded before the bands commit leaves the batch un-probed, not half-verified") {
+    val root = freshRoot("crash")
+    LshIndex.append(even, root)
+    // simulate the crash window: shingles+sizes committed, bands not yet
+    // (bands commit LAST precisely so this state reads as "batch absent")
+    val bands = new java.io.File(s"$root/bands")
+    assert(bands.exists())
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(bands)
+    val probed = pairSet(LshIndex.probe(odd, root, 0.7))
+    val inBatch = pairSet(Dedup.minhashLsh(odd, 0.7))
+    assert(probed == inBatch)
+  }
+
   test("append extends the index: two-batch build == one-shot build") {
     val root2 = freshRoot("grow")
     LshIndex.append(even.filter(col("doc_id") < 250), root2)
