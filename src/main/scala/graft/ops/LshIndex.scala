@@ -38,10 +38,11 @@ object LshIndex {
   private def shinglesStore(root: String) = new ManifestStore(s"$root/shingles")
   private def sizesStore(root: String) = new ManifestStore(s"$root/sizes")
 
-  /** Banded signatures of `docs` with over-occupied band keys dropped. */
-  private def keptBands(docs: DataFrame,
+  /** Banded signatures over a (persisted) shingle table with
+    * over-occupied band keys dropped. */
+  private def keptBands(sh: DataFrame,
                         maxBucket: Int = Dedup.MaxBucketOccupancy): DataFrame = {
-    val banded = Dedup.bandedSignatures(Dedup.minhash(Dedup.shingles(docs)))
+    val banded = Dedup.bandedSignatures(Dedup.minhash(sh))
     val hot = banded.groupBy("band", "bandkey")
       .agg(count(lit(1)).as("occ")).filter(col("occ") > maxBucket)
       .select("band", "bandkey")
@@ -70,7 +71,7 @@ object LshIndex {
       shinglesStore(root).append(spark, sh, commitKey = commitKey)
       sizesStore(root).append(spark,
         sh.groupBy("doc_id").agg(count(lit(1)).as("sz")), commitKey = commitKey)
-      bandsStore(root).append(spark, keptBands(docs), commitKey = commitKey)
+      bandsStore(root).append(spark, keptBands(sh), commitKey = commitKey)
     } finally { sh.unpersist(); () }
   }
 
