@@ -1,0 +1,125 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, LshIndex}
+import graft.streaming.CorpusStream
+
+case class StreamDoc(doc_id: Long, text: String, lang: String)
+
+/** Streaming near-dup-filtered corpus ingestion: survivors match a
+  * sequential reference over the brute-jaccard truth, the documented
+  * bridge semantics hold, and replayed batch commits are no-ops. */
+class CorpusStreamSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_cstream_$tag").toString
+
+  test("streamed survivors equal a sequential per-batch reference") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.load(spark, dir, "documents")
+    val rows = docs.select("doc_id", "text", "lang").as[StreamDoc]
+      .collect().sortBy(_.doc_id)
+    // brute ground truth over the whole corpus (deterministic fixture)
+    val truth = Dedup.jaccardPairs(Dedup.shingles(docs), 0.7)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+
+    // sequential reference: process batches in id order; per batch, form
+    // components over truth pairs among (batch ∪ kept-so-far) touching
+    // the batch, keep batch docs that are their component's minimum
+    val batches = rows.grouped(math.max(1, rows.length / 3 + 1)).toSeq
+    var kept = Vector.empty[Long]
+    batches.foreach { batch =>
+      val ids = batch.map(_.doc_id)
+      val inScope = (ids ++ kept).toSet
+      val edges = truth.filter { case (i, j) =>
+        inScope(i) && inScope(j) && (ids.contains(i) || ids.contains(j))
+      }
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (i, j) =>
+        val (ri, rj) = (find(i), find(j))
+        if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+      }
+      kept = kept ++ ids.filter(d => find(d) == d)
+    }
+
+    val indexRoot = tmp("seq") + "/index"
+    val corpus = new graft.ingest.ManifestStore(tmp("seq") + "/corpus")
+    val stream = MemoryStream[StreamDoc]
+    val q = CorpusStream.dedupIngestStream(stream.toDF(), indexRoot, corpus,
+      tmp("seq") + "/ckpt", 0.7)
+    batches.foreach { b => stream.addData(b.toIndexedSeq); q.processAllAvailable() }
+    q.stop()
+
+    val stored = corpus.read(spark).get
+    val storedIds = stored.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(storedIds == kept.toSet,
+      s"streamed=$storedIds reference=${kept.toSet}")
+    assert(storedIds.size < rows.length) // something was actually dropped
+    // payload columns flow through untouched
+    val langs = docs.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    stored.select("doc_id", "lang").collect()
+      .foreach(r => assert(langs(r.getLong(0)) == r.getString(1)))
+  }
+
+  test("bridge doc drops without retracting earlier survivors") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // 102 shared tokens → doc C (their 80-shingle prefix chain) has
+    // jaccard 0.8 with A and with B, while A and B overlap at 80/120 =
+    // 0.667 < 0.7: C transitively links A and B but neither is a direct
+    // dup of the other
+    val w = (1 to 102).map(i => s"w$i")
+    val a = StreamDoc(1L, w.mkString(" "), "en")
+    val b = StreamDoc(2L, (w.take(82) ++ (1 to 20).map(i => s"x$i")).mkString(" "), "en")
+    val c = StreamDoc(3L, w.take(82).mkString(" "), "en")
+
+    val indexRoot = tmp("bridge") + "/index"
+    val corpus = new graft.ingest.ManifestStore(tmp("bridge") + "/corpus")
+    val stream = MemoryStream[StreamDoc]
+    val q = CorpusStream.dedupIngestStream(stream.toDF(), indexRoot, corpus,
+      tmp("bridge") + "/ckpt", 0.7)
+    Seq(a, b, c).foreach { d => stream.addData(d); q.processAllAvailable() }
+    q.stop()
+
+    // A kept (first), B kept (0.667 < threshold vs A), the late bridge C
+    // dies against both — already-appended survivors are never retracted
+    val ids = corpus.read(spark).get.select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L), s"got $ids")
+  }
+
+  test("replayed batch commits are no-ops (exactly-once under restart)") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text", "lang").as[StreamDoc].collect().take(20)
+    val indexRoot = tmp("replay") + "/index"
+    val corpusRoot = tmp("replay") + "/corpus"
+    val corpus = new graft.ingest.ManifestStore(corpusRoot)
+    val stream = MemoryStream[StreamDoc]
+    val q = CorpusStream.dedupIngestStream(stream.toDF(), indexRoot, corpus,
+      tmp("replay") + "/ckpt", 0.7)
+    stream.addData(docs.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    val before = corpus.read(spark).get.count()
+    // a restart can re-deliver batch 0; both appends carry its commit
+    // key, so re-committing changes nothing
+    val survivors = CorpusStream.batchSurvivors(
+      docs.toSeq.toDF("doc_id", "text", "lang"), indexRoot, 0.7)
+    corpus.append(spark, survivors, commitKey = Some("corpus-batch-0"))
+    LshIndex.append(survivors, indexRoot, commitKey = Some("index-batch-0"))
+    assert(corpus.read(spark).get.count() == before)
+  }
+}
