@@ -75,8 +75,8 @@ object Bench {
     }
     def f3(d: Double): String = String.format(java.util.Locale.ROOT, "%.3f", d)
     def f2(d: Double): String = String.format(java.util.Locale.ROOT, "%.2f", d)
-    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
+    def qs(f: Double => String) = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // re-sample after the run: a competing JVM that starts mid-benchmark
     // is exactly the contamination this flag exists to expose
@@ -84,17 +84,23 @@ object Bench {
     val contaminated = jvmsBefore > 0 || jvmsAfter > 0 || loadBefore > loadFloor
     // terse keys and 2-3 decimal places on purpose: the harness reads a
     // bounded tail window of stdout, and a long line loses its head —
-    // the whole object has to fit in ~2000 chars
-    val env = s""""env":{"jvms":$jvmsBefore,"jvms_after":$jvmsAfter,""" +
-      s""""load0":${f2(loadAtStart)},"load1":${f2(loadBefore)},""" +
-      s""""wait_s":${settledMs / 1000},"load2":${f2(loadAvg())},""" +
+    // the whole object has to fit in ~2000 chars (measured: the r4/r5
+    // harness captured exactly the last 2000)
+    val env = s""""env":{"jvms":[$jvmsBefore,$jvmsAfter],""" +
+      s""""load":[${f2(loadAtStart)},${f2(loadBefore)},${f2(loadAvg())}],""" +
+      s""""wait_s":${settledMs / 1000},""" +
       s""""passes":${1 + p2.size},"p1":${f2(p1Total)},""" +
       s""""p2":${f2(p2.map(_.values.sum).getOrElse(-1.0))},""" +
       s""""cpus":$cpus,"contaminated":$contaminated}"""
     // headline fields LAST: if the harness's tail window ever truncates
     // the head of the line again, the readable tail still ends with the
     // env evidence and the total
-    val json = s"""{"queries":$qs,"sf":"$sfDir",$env,"metric":"total","value":${f3(total)},"unit":"sec"}"""
+    def line(f: Double => String) =
+      s"""{"queries":${qs(f)},"sf":"$sfDir",$env,"metric":"total","value":${f3(total)},"unit":"sec"}"""
+    val full = line(f3)
+    // stdout copy degrades per-query precision to 2 decimals if the full
+    // line risks overflowing the tail window; bench_out.json stays f3
+    val json = if (full.length <= 1900) full else line(f2)
     if (contaminated)
       System.err.println(s"[bench] WARNING: contended host during the run " +
         s"(jvms before=$jvmsBefore after=$jvmsAfter, load=$loadBefore) - " +
@@ -103,7 +109,7 @@ object Bench {
     // it as the very LAST stdout line (after Spark shutdown noise) so a
     // parse of the tail finds bare JSON
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
-      (json + "\n").getBytes("UTF-8"))
+      (full + "\n").getBytes("UTF-8"))
     spark.stop()
     System.out.flush()
     println(json)

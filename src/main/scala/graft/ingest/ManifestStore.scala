@@ -536,11 +536,15 @@ final class ManifestStore(val root: String) extends Serializable {
     * Z-order curve ([[graft.ops.ZOrder]]) instead of hash partitions:
     * every file then covers a tight hyper-rectangle of those columns'
     * space, so parquet min/max stats prune multi-dimensional range
-    * queries — Delta's `OPTIMIZE ZORDER BY`, on plain parquet. */
+    * queries — Delta's `OPTIMIZE ZORDER BY`, on plain parquet.
+    * `zorderRank` switches the curve's per-column bucketing to
+    * equi-depth quantile cuts — opt in for skewed keys, where
+    * uniform-width buckets collapse the tail into one stripe. */
   def compact(spark: SparkSession, targetBytes: Long = 128L * 1024 * 1024,
               partitionCols: Seq[String] = Nil,
               rangeCol: Option[String] = None,
-              zorderBy: Seq[String] = Nil): Unit = synchronized {
+              zorderBy: Seq[String] = Nil,
+              zorderRank: Boolean = false): Unit = synchronized {
     // reject silently-wrong combinations up front: a single z column
     // would fall through to hash layout, and hive partitionBy would
     // re-slice the z tiles across partition dirs (nFiles × |partitions|
@@ -562,7 +566,9 @@ final class ManifestStore(val root: String) extends Serializable {
           val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
           val df = readFiles(spark, files)
           val compacted =
-            if (zorderBy.size >= 2) graft.ops.ZOrder.cluster(df, zorderBy, nFiles)
+            if (zorderBy.size >= 2)
+              graft.ops.ZOrder.cluster(df, zorderBy, nFiles,
+                rankBuckets = zorderRank)
             else if (partitionCols.isEmpty) df.repartition(nFiles)
             else df.repartition(nFiles, partitionCols.map(col): _*)
           writeData(spark, compacted, partitionCols, rc)

@@ -119,7 +119,7 @@ object Components {
     * oracle on the fixture's clean similarity separation, so both
     * component queries stay green against the same recursive-CTE
     * oracle. */
-  private def componentLabels(docs: DataFrame): DataFrame = {
+  private[ops] def componentLabels(docs: DataFrame): DataFrame = {
     val pairs = Dedup.minhashLsh(docs, 0.7).select("i", "j")
     val comp = connectedComponents(pairs)
     docs.select(col("doc_id"))
@@ -156,9 +156,10 @@ object Components {
 
   /** Shared oracle prefix: transitive closure over the same jaccard≥0.7
     * edges via a recursive CTE (terminates on cycles because UNION
-    * deduplicates), component = min reachable node. */
-  private val componentsCtes: String =
-    s"""${Dedup.jaccardCtes.replaceFirst("WITH", "WITH RECURSIVE")},
+    * deduplicates), component = min reachable node. Body form (no
+    * leading WITH) so the curation oracle can prepend its own CTEs. */
+  private[ops] def componentsCtesBody(tbl: String): String =
+    s"""${Dedup.jaccardCtesBody(tbl)},
       edges AS (SELECT i, j FROM jc WHERE jaccard >= 0.7),
       sym AS (SELECT i AS u, j AS v FROM edges
               UNION SELECT j, i FROM edges),
@@ -168,6 +169,9 @@ object Components {
         SELECT r.src, s.v FROM reach r JOIN sym s ON r.node = s.u),
       comp AS (SELECT src AS node, MIN(node) AS component
                FROM reach GROUP BY src)"""
+
+  private val componentsCtes: String =
+    "WITH RECURSIVE " + componentsCtesBody("documents")
 
   val oracle: Map[String, String] = Map(
     "dedup_components" -> s"""$componentsCtes

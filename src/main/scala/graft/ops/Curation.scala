@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The composed training-data curation pipeline, end to end — the
+  * "whole" the individual LLM-pipeline operators are parts of
+  * (SURVEY §7.5): quality-filter → exact dedup → near-dup keep-only →
+  * stratified sample, each stage the SAME operator its standalone gate
+  * proves (reference behavior: the reference curates per-table with
+  * dedup-on-ingest, eth-contract.py; here the full corpus pipeline).
+  *
+  * Plan shape at 100 TB (asserted in PLANS.md):
+  *  - the quality rules are map-side expressions FUSED into the scan —
+  *    no pre-filter pass over the corpus;
+  *  - exact dedup is one hash-shuffle on md5(text) with map-side
+  *    partial aggregation;
+  *  - near-dup edges come from the banded MinHash-LSH path (never an
+  *    all-pairs or shingle-equality self-join), components from
+  *    O(log n) node-keyed star rounds;
+  *  - the stratified sample is a pure per-row hash predicate — zero
+  *    shuffles, evaluated on the (already small) survivor set.
+  *
+  * Stage order matters and is part of the contract: quality rejects
+  * never vote in dedup (a spam doc can't be the kept canonical of a
+  * good cluster), and sampling runs LAST so dropping a sampled-out doc
+  * never changes which near-duplicates were removed.
+  */
+object Curation {
+
+  /** Stages 1+2 — the pipeline's single-pass front: the quality rules
+    * are a plain predicate FUSED into the documents scan (no semi-join,
+    * no second pass), and exact dedup is one row_number window over
+    * md5(text) whose rn=1 filter prunes through WindowGroupLimit — so
+    * the whole front is ONE scan + ONE shuffle before any near-dup
+    * work. PLANS.md §15 asserts exactly this shape. */
+  private[graft] def frontStage(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    docs
+      .filter(TextAnalysis.Quality.keepPredicate)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** Survivors of the full pipeline with their curation provenance:
+    * (doc_id, lang, source, n_chars, text_fp), unsorted. */
+  def curate(docs: DataFrame): DataFrame = {
+    // 1+2. fused quality filter + exact dedup; persisted because the
+    // near-dup stage consumes it twice (shingle pass + label join)
+    val exact = frontStage(docs).persist()
+    // 3. near-dup keep-only over the exact-dedup survivors (LSH edges +
+    //    connected components, same operator as dedup_keep_only)
+    val keepIds = Components.componentLabels(exact)
+      .filter(col("keep")).select("doc_id")
+    val kept = exact.join(keepIds, Seq("doc_id"), "left_semi")
+    // 4. deterministic stratified sample (pure hash predicate)
+    kept
+      .withColumn("draw", expr(Sampling.DrawSql))
+      .filter(col("draw") < Sampling.rateCol)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(col("text")).as("text_fp"))
+  }
+
+  /** The gate: the curated documents table, presentation-sorted. */
+  def corpusCurated(s: SparkSession, dir: String): DataFrame =
+    curate(Tables.load(s, dir, "documents"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_curated" -> (corpusCurated _))
+
+  /** The same four stages as a DuckDB CTE chain: quality keep → exact
+    * dedup keep → recursive-CTE components keep → sample predicate. */
+  val oracle: Map[String, String] = Map(
+    "corpus_curated" -> s"""
+      WITH RECURSIVE ${TextAnalysis.qualityCtesBody},
+      qkeep AS (
+        SELECT doc_id FROM qstats
+        WHERE (${TextAnalysis.QualityReasonCase}) = 'ok'),
+      ekeep AS (
+        SELECT MIN(d.doc_id) AS doc_id
+        FROM documents d JOIN qkeep USING (doc_id)
+        GROUP BY md5(d.text)),
+      e AS (SELECT d.* FROM documents d JOIN ekeep USING (doc_id)),
+      ${Components.componentsCtesBody("e")},
+      kept AS (
+        SELECT e.* FROM e LEFT JOIN comp c ON e.doc_id = c.node
+        WHERE COALESCE(c.component, e.doc_id) = e.doc_id)
+      SELECT doc_id, lang, source, n_chars, md5(text) AS text_fp
+      FROM kept
+      WHERE ${Sampling.DrawDuck} < ${Sampling.RateDuck}
+      ORDER BY doc_id""")
+}

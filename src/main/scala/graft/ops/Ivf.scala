@@ -92,13 +92,26 @@ object Ivf {
       .toDF("vec_id", "e", "nrm", "cluster")
   }
 
+  /** Coarse centroids + PQ codebooks for `dir`'s vector set, loaded from
+    * the persisted model store when fingerprint-fresh, trained (one
+    * sampling pass feeding BOTH quantizers — they must train on the same
+    * sample anyway) and persisted otherwise. See [[IvfModel]]. */
+  private def trainedModel(v: DataFrame, dir: String, k: Int,
+                           m: Int = 16, codes: Int = 16)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) =
+    IvfModel.trainedOrLoad(v, dir, s"k${k}m${m}c$codes", () => {
+      val sample = sampledVectors(v, math.max(k, codes))
+      val cents = centroidsFrom(sample, k)
+      (cents, pqCodebooksFrom(sample, cents, m, codes))
+    })
+
   /** IVF top-k: queries (vec_id < 10) probe nProbe clusters. Rows-only
     * gate (probabilistic recall); recall vs brute asserted in OpsSpec. */
   def topKIvf(s: SparkSession, dir: String, k: Int = 8, nProbe: Int = 4): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.graftshim.Shim
     val v = Similarity.vecs(Tables.load(s, dir, "embeddings")).persist()
-    val cents = centroids(v, k)
+    val (cents, _) = trainedModel(v, dir, k)
     val assigned = assign(v, cents)
     val probes = v.filter(col("vec_id") < 10)
       .select("vec_id", "e", "nrm").as[(Long, Seq[Double], Double)]
@@ -206,11 +219,7 @@ object Ivf {
     import s.implicits._
     import org.apache.spark.sql.graftshim.Shim
     val v = Similarity.vecs(Tables.load(s, dir, "embeddings")).persist()
-    // one sampling pass feeds BOTH the coarse quantizer and the PQ
-    // codebooks — they must train on the same sample anyway
-    val sample = sampledVectors(v, math.max(k, codes))
-    val cents = centroidsFrom(sample, k)
-    val cb = pqCodebooksFrom(sample, cents, m, codes)
+    val (cents, cb) = trainedModel(v, dir, k, m, codes)
     val encoded = pqEncode(assign(v, cents), cents, cb)
     val probes = v.filter(col("vec_id") < 10)
       .select("vec_id", "e", "nrm").as[(Long, Seq[Double], Double)]

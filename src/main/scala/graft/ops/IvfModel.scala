@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF/PQ model artifacts: the coarse-quantizer centroids and
+  * PQ codebooks are trained ONCE (out-of-band, as the Ivf scaladoc's
+  * contract says) and stored as tiny parquet beside the search path —
+  * a few KB at any corpus size — then loaded on search instead of
+  * retrained per query.
+  *
+  * Staleness guard: the store carries a fingerprint of the vector set
+  * (row count + order-independent hash sum over vec_id). A search
+  * against a changed corpus misses the fingerprint and retrains —
+  * a stale quantizer can silently destroy recall, so the guard is
+  * load-bearing, not an optimization.
+  *
+  * Writes go through a temp-dir + atomic rename so a crashed trainer
+  * never leaves a half-written model where a loader can see it; a
+  * failed/garbled load falls back to retraining (the model is a cache,
+  * never the source of truth).
+  */
+object IvfModel {
+
+  final case class Model(fp: (Long, Long),
+                         cents: Array[Array[Double]],
+                         cb: Array[Array[Array[Double]]])
+
+  /** Per-JVM memo so repeated searches in one session skip even the
+    * parquet read. Keyed by store root; fingerprint-checked like the
+    * disk copy. */
+  private val memo = new java.util.concurrent.ConcurrentHashMap[String, Model]()
+
+  /** Order-independent fingerprint of the vector set: (count, sum of
+    * xxhash64(vec_id) as decimal — an ANSI-mode long sum would
+    * overflow). One narrow column scan. */
+  private[ops] def fingerprint(v: DataFrame): (Long, Long) = {
+    val r = v.agg(count(lit(1)),
+      sum(xxhash64(col("vec_id")).cast("decimal(38,0)"))).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getDecimal(1).longValue())
+  }
+
+  private def root(dir: String, tag: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_ivf_model_${tag}_" +
+      new java.io.File(dir).getName
+
+  /** Load the model trained for `dir` if present and fingerprint-fresh;
+    * otherwise train via `train`, persist, and return it. `tag` encodes
+    * the hyperparameters (k, m, codes) so models with different shapes
+    * never alias. */
+  def trainedOrLoad(v: DataFrame, dir: String, tag: String,
+                    train: () => (Array[Array[Double]], Array[Array[Array[Double]]]))
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val spark = v.sparkSession
+    val r = root(dir, tag)
+    val fp = fingerprint(v)
+    Option(memo.get(r)).filter(_.fp == fp) match {
+      case Some(m) => (m.cents, m.cb)
+      case None =>
+        val loaded = load(spark, r, fp)
+        val m = loaded.getOrElse {
+          val (cents, cb) = train()
+          save(spark, r, Model(fp, cents, cb))
+          Model(fp, cents, cb)
+        }
+        memo.put(r, m)
+        (m.cents, m.cb)
+    }
+  }
+
+  private def load(spark: SparkSession, root: String,
+                   fp: (Long, Long)): Option[Model] =
+    try {
+      import spark.implicits._
+      val meta = spark.read.parquet(s"$root/meta")
+        .as[(Long, Long)].head()
+      if (meta != fp) None
+      else {
+        val cents = spark.read.parquet(s"$root/cents")
+          .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
+        val cb0 = spark.read.parquet(s"$root/cb")
+          .as[(Int, Int, Seq[Double])].collect()
+        val cb = cb0.groupBy(_._1).toArray.sortBy(_._1).map(_._2
+          .sortBy(_._2).map(_._3.toArray))
+        Some(Model(fp, cents, cb))
+      }
+    } catch { case _: Throwable => None }
+
+  private def save(spark: SparkSession, root: String, m: Model): Unit =
+    try {
+      import spark.implicits._
+      val conf = spark.sparkContext.hadoopConfiguration
+      val tmp = new org.apache.hadoop.fs.Path(root + ".tmp")
+      val dst = new org.apache.hadoop.fs.Path(root)
+      val fs = tmp.getFileSystem(conf)
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      Seq(m.fp).toDF("n", "h").coalesce(1)
+        .write.parquet(s"$tmp/meta")
+      m.cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("c", "vec").coalesce(1).write.parquet(s"$tmp/cents")
+      m.cb.zipWithIndex.flatMap { case (sub, s) =>
+        sub.zipWithIndex.map { case (e, code) => (s, code, e.toSeq) }
+      }.toSeq.toDF("sub", "code", "vec").coalesce(1)
+        .write.parquet(s"$tmp/cb")
+      if (fs.exists(dst)) fs.delete(dst, true)
+      if (!fs.rename(tmp, dst)) fs.delete(tmp, true)
+    } catch { case _: Throwable => () } // cache write failure is benign
+}

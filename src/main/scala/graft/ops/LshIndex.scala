@@ -22,6 +22,13 @@ import graft.ingest.ManifestStore
   *                                         verification never recounts
   *                                         the corpus.
   *
+  * Stored shingles are xxhash64 fingerprints (fixed 8 bytes), not the
+  * raw n-gram strings: set intersection/size — all verification needs —
+  * is preserved under hashing (collision odds within a doc's few
+  * hundred shingles are ~10⁻¹⁵), and the index is a fraction of the
+  * corpus text instead of a second copy of it. Probes hash their batch
+  * with the same function, so index and probe agree.
+  *
   * Degenerate band keys (occupancy > [[Dedup.MaxBucketOccupancy]]) are
   * dropped at BUILD time, mirroring [[Dedup.lshCandidates]]'s hot-bucket
   * policy: a key collecting ≫ the expected handful of docs carries no
@@ -63,10 +70,14 @@ object LshIndex {
     * shingles would let candidates form and then fail verification
     * silently. A `commitKey` makes the whole build exactly-once under
     * replay: each store skips its own already-committed part. */
+  /** Raw shingles → stored form: xxhash64 fingerprint per n-gram. */
+  private def hashed(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+
   def append(docs: DataFrame, root: String,
              commitKey: Option[String] = None): Unit = {
     val spark = docs.sparkSession
-    val sh = Dedup.shingles(docs).persist()
+    val sh = hashed(Dedup.shingles(docs)).persist()
     try {
       shinglesStore(root).append(spark, sh, commitKey = commitKey)
       sizesStore(root).append(spark,
@@ -87,14 +98,14 @@ object LshIndex {
       : DataFrame = {
     val spark = newDocs.sparkSession
     import spark.implicits._
-    val shNew = Dedup.shingles(newDocs, counter = hashCounter).persist()
+    val shNew = hashed(Dedup.shingles(newDocs, counter = hashCounter)).persist()
     val sigNew = Dedup.minhash(shNew)
     val bandsNew = Dedup.bandedSignatures(sigNew)
 
     val storedBands = bandsStore(root).read(spark).getOrElse(
       Seq.empty[(Int, Int, Long)].toDF("band", "bandkey", "doc_id"))
     val storedSh = shinglesStore(root).read(spark).getOrElse(
-      Seq.empty[(Long, String)].toDF("doc_id", "sh"))
+      Seq.empty[(Long, Long)].toDF("doc_id", "sh"))
     val storedSizes = sizesStore(root).read(spark).getOrElse(
       Seq.empty[(Long, Long)].toDF("doc_id", "sz"))
 

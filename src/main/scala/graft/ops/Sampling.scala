@@ -30,9 +30,9 @@ object Sampling {
     * operands — where Spark's `pmod` and DuckDB's sign-following `%`
     * agree exactly. DuckDB spells the non-negative reduction as
     * ((x % m) + m) % m. */
-  private val DrawSql =
+  private[ops] val DrawSql =
     "pmod(pmod(doc_id, 2147483648) * 2654435761, 4294967296) % 100"
-  private val DrawDuck =
+  private[ops] val DrawDuck =
     "(((((doc_id % 2147483648) + 2147483648) % 2147483648) " +
       "* 2654435761) % 4294967296) % 100"
 
@@ -40,6 +40,17 @@ object Sampling {
     * training mix over the fixture corpus's language strata. */
   val Rates: Seq[(String, Int)] = Seq(("en", 100), ("de", 50), ("fr", 25))
   val DefaultRate = 10
+
+  /** The per-language keep-rate column (percent), Spark side. */
+  private[ops] def rateCol: org.apache.spark.sql.Column =
+    Rates.foldLeft(lit(DefaultRate)) { case (acc, (l, r)) =>
+      when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+
+  /** The per-language keep-rate CASE, DuckDB side. */
+  private[ops] val RateDuck: String =
+    "(CASE lang " + Rates.map { case (l, r) => s"WHEN '$l' THEN $r" }
+      .mkString(" ") + s" ELSE $DefaultRate END)"
 
   /** Stratified sample of `documents`: keep a doc iff its deterministic
     * percent draw falls under its language's rate. Returns the sampled
@@ -65,8 +76,6 @@ object Sampling {
     "sample_stratified" -> s"""
       SELECT doc_id, lang, CAST($DrawDuck AS BIGINT) AS draw
       FROM documents
-      WHERE $DrawDuck < (CASE lang
-        WHEN 'en' THEN 100 WHEN 'de' THEN 50 WHEN 'fr' THEN 25
-        ELSE $DefaultRate END)
+      WHERE $DrawDuck < $RateDuck
       ORDER BY doc_id""")
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -104,30 +104,47 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rk"))
   }
 
-  /** Gopher-style quality filter: hard rules over exact integer stats,
-    * keep flag + the first failed rule as the reason. Map-side only. */
-  def qualityFilter(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.load(s, dir, "documents")
+  /** Gopher-style quality stats as plain column expressions over a
+    * `text` column — map-side, codegen'd, fuse into whatever scan the
+    * caller has. Shared by the quality-filter gate and the composed
+    * curation pipeline ([[Curation]]). */
+  private[ops] object Quality {
     // NULL text is normalized to '' in BOTH engines: Spark's legacy
     // size(NULL) = -1 vs DuckDB's NULL-propagating CASE would otherwise
     // classify a NULL document oppositely (too_short vs ok)
-    val txt = coalesce(col("text"), lit(""))
-    val nTok = size(split(txt, " ")).cast("long")
-    val nUniq = size(array_distinct(split(txt, " "))).cast("long")
-    val meanLen = (length(txt) - nTok + 1).cast("double") / nTok
-    d.select(col("doc_id"), nTok.as("n_tokens"),
-      round(meanLen, 6).as("mean_tok_len"),
-      round(nUniq.cast("double") / nTok, 6).as("uniq_ratio"))
-      .withColumn("reason",
-        when(col("n_tokens") < 5, "too_short")
-          .when(col("n_tokens") > 1000, "too_long")
-          .when(col("mean_tok_len") < 2.0, "tokens_too_short")
-          .when(col("mean_tok_len") > 12.0, "tokens_too_long")
-          .when(col("uniq_ratio") < 0.2, "too_repetitive")
-          .otherwise("ok"))
-      .withColumn("keep", col("reason") === "ok")
-      .orderBy(col("doc_id"))
+    private val txt = coalesce(col("text"), lit(""))
+    private val nTokRaw = size(split(txt, " ")).cast("long")
+    private val nUniqRaw = size(array_distinct(split(txt, " "))).cast("long")
+    val nTokens: Column = nTokRaw
+    val meanTokLen: Column =
+      round((length(txt) - nTokRaw + 1).cast("double") / nTokRaw, 6)
+    val uniqRatio: Column = round(nUniqRaw.cast("double") / nTokRaw, 6)
+    def reasonOf(nTok: Column, meanLen: Column, uniq: Column): Column =
+      when(nTok < 5, "too_short")
+        .when(nTok > 1000, "too_long")
+        .when(meanLen < 2.0, "tokens_too_short")
+        .when(meanLen > 12.0, "tokens_too_long")
+        .when(uniq < 0.2, "too_repetitive")
+        .otherwise("ok")
+    /** The keep rules as ONE predicate — a pure filter a scan can fuse. */
+    val keepPredicate: Column =
+      reasonOf(nTokens, meanTokLen, uniqRatio) === "ok"
   }
+
+  /** Quality-rule labels over `d`: (doc_id, n_tokens, mean_tok_len,
+    * uniq_ratio, reason, keep). */
+  private[ops] def qualityLabels(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), Quality.nTokens.as("n_tokens"),
+      Quality.meanTokLen.as("mean_tok_len"),
+      Quality.uniqRatio.as("uniq_ratio"))
+      .withColumn("reason",
+        Quality.reasonOf(col("n_tokens"), col("mean_tok_len"), col("uniq_ratio")))
+      .withColumn("keep", col("reason") === "ok")
+
+  /** Quality filter gate: the labels over the documents table. */
+  def qualityFilter(s: SparkSession, dir: String): DataFrame =
+    qualityLabels(Tables.load(s, dir, "documents"))
+      .orderBy(col("doc_id"))
 
   /** ANALYZE-style column profile of the documents table in long format:
     * one aggregation pass (all stats in a single agg row, unpivoted with
@@ -170,6 +187,27 @@ object TextAnalysis {
     "text_tfidf" -> (tfidf _),
     "text_quality_filter" -> (qualityFilter _),
     "profile_documents" -> (profile _))
+
+  /** DuckDB quality-stats CTE body (matches [[qualityLabels]]) — shared
+    * with the composed-curation oracle. */
+  private[ops] val qualityCtesBody: String = """
+      qd0 AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+      qstats AS (
+        SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          ROUND(CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+            / len(string_split(text, ' ')), 6) AS mean_tok_len,
+          ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / len(string_split(text, ' ')), 6) AS uniq_ratio
+        FROM qd0)"""
+
+  private[ops] val QualityReasonCase: String =
+    """CASE WHEN n_tokens < 5 THEN 'too_short'
+             WHEN n_tokens > 1000 THEN 'too_long'
+             WHEN mean_tok_len < 2.0 THEN 'tokens_too_short'
+             WHEN mean_tok_len > 12.0 THEN 'tokens_too_long'
+             WHEN uniq_ratio < 0.2 THEN 'too_repetitive'
+             ELSE 'ok' END"""
 
   val oracle: Map[String, String] = Map(
     "text_token_counts" -> """
@@ -229,30 +267,12 @@ object TextAnalysis {
         FROM scored)
       SELECT doc_id, rk, term, tfidf FROM ranked WHERE rk <= 3
       ORDER BY doc_id, rk""",
-    "text_quality_filter" -> """
-      WITH d0 AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
-      s AS (
-        SELECT doc_id,
-          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-          ROUND(CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
-            / len(string_split(text, ' ')), 6) AS mean_tok_len,
-          ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-            / len(string_split(text, ' ')), 6) AS uniq_ratio
-        FROM d0)
+    "text_quality_filter" -> s"""
+      WITH $qualityCtesBody
       SELECT doc_id, n_tokens, mean_tok_len, uniq_ratio,
-        CASE WHEN n_tokens < 5 THEN 'too_short'
-             WHEN n_tokens > 1000 THEN 'too_long'
-             WHEN mean_tok_len < 2.0 THEN 'tokens_too_short'
-             WHEN mean_tok_len > 12.0 THEN 'tokens_too_long'
-             WHEN uniq_ratio < 0.2 THEN 'too_repetitive'
-             ELSE 'ok' END AS reason,
-        (CASE WHEN n_tokens < 5 THEN 'too_short'
-             WHEN n_tokens > 1000 THEN 'too_long'
-             WHEN mean_tok_len < 2.0 THEN 'tokens_too_short'
-             WHEN mean_tok_len > 12.0 THEN 'tokens_too_long'
-             WHEN uniq_ratio < 0.2 THEN 'too_repetitive'
-             ELSE 'ok' END) = 'ok' AS keep
-      FROM s ORDER BY doc_id""",
+        $QualityReasonCase AS reason,
+        ($QualityReasonCase) = 'ok' AS keep
+      FROM qstats ORDER BY doc_id""",
     "profile_documents" -> """
       SELECT 'doc_id' AS column_name, COUNT(*) AS n_rows,
         COUNT(*) - COUNT(doc_id) AS n_null,

@@ -33,13 +33,57 @@ object ZOrder {
     terms.reduce(_ + _)
   }
 
+  /** Bucket id of `c` against sorted quantile `cuts` (= number of cuts
+    * ≤ c, in 0..cuts.length), as an UNROLLED binary search of nested
+    * CASE WHENs — ⌈log₂(cuts+1)⌉ comparisons per row, all inside
+    * whole-stage codegen (a linear CASE chain or an array HOF would be
+    * O(buckets) or interpreted). NULLs pin to bucket 0. */
+  private[ops] def rankBucket(c: Column, cuts: Array[Double]): Column = {
+    def go(lo: Int, hi: Int): Column =
+      if (lo == hi) lit(lo.toLong)
+      else {
+        val mid = (lo + hi + 1) / 2
+        when(c < lit(cuts(mid - 1)), go(lo, mid - 1)).otherwise(go(mid, hi))
+      }
+    when(c.isNull, lit(0L)).otherwise(go(0, cuts.length))
+  }
+
+  /** Rank-based (equi-depth) cut points: 2^bits − 1 approximate
+    * quantiles per column, one `percentile_approx` aggregate over all
+    * columns at once. The cuts are deduplicated — a value occupying many
+    * quantiles (a zipf head) collapses to one cut instead of wasting
+    * bucket ids on an un-splittable point mass. */
+  private def quantileCuts(df: DataFrame, cols: Seq[String],
+                           bits: Int): Seq[Array[Double]] = {
+    val nBuckets = 1 << bits
+    val pcts = array((1 until nBuckets).map(i =>
+      lit(i.toDouble / nBuckets)): _*)
+    val aggs = cols.map(c =>
+      percentile_approx(col(c).cast("double"), pcts, lit(10000)))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.indices.map { i =>
+      require(!row.isNullAt(i),
+        s"z-order column '${cols(i)}' has no numeric non-null values " +
+          "— cannot rank-bucket it")
+      row.getSeq[Double](i).distinct.sorted.toArray
+    }
+  }
+
   /** `df` clustered along the z-curve of `cols` into `nFiles` range
     * partitions, each internally z-sorted; the helper column is dropped
-    * after partitioning, so the written schema is unchanged. */
+    * after partitioning, so the written schema is unchanged.
+    *
+    * `rankBuckets = true` switches the per-column bucketing from
+    * uniform-width (`width_bucket` over global min/max — right for
+    * roughly uniform keys, degenerates on skew: a zipf head squeezes
+    * the tail into one bucket and the curve stops tiling) to equi-depth
+    * quantile cuts (one `percentile_approx` pass; each bucket holds
+    * ~equal ROWS regardless of the value distribution). */
   def cluster(df: DataFrame, cols: Seq[String], nFiles: Int,
-              bits: Int = 16): DataFrame = {
+              bits: Int = 16, rankBuckets: Boolean = false): DataFrame = {
     require(cols.size >= 2, "z-order needs at least two columns")
     require(cols.size * bits <= 62, s"${cols.size} dims at $bits bits overflow")
+    if (rankBuckets) return clusterByRank(df, cols, nFiles, bits)
     // one tiny agg: global [min, max] per z column
     val aggs = cols.flatMap(c =>
       Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
@@ -65,6 +109,27 @@ object ZOrder {
     // helper column name guaranteed not to collide with user columns
     val zc = Iterator.iterate("_z")("_" + _).dropWhile(df.columns.contains).next()
     df.withColumn(zc, interleave(buckets, bits))
+      .repartitionByRange(math.max(1, nFiles), col(zc))
+      .sortWithinPartitions(zc)
+      .drop(zc)
+  }
+
+  /** The rank-bucket variant of [[cluster]]: equi-depth quantile cuts
+    * per column, bucket via unrolled binary search, same interleave and
+    * range-partition tail. */
+  private def clusterByRank(df: DataFrame, cols: Seq[String], nFiles: Int,
+                            bits: Int): DataFrame = {
+    // equi-depth cuts need far fewer buckets than uniform width to tile
+    // (each bucket holds ~equal rows by construction), and 2^bits−1
+    // requested quantiles beyond ~256 per column just strain
+    // percentile_approx for no extra file-level discrimination
+    val rbits = math.min(bits, 8)
+    val cuts = quantileCuts(df, cols, rbits)
+    val buckets = cols.zip(cuts).map { case (c, cut) =>
+      if (cut.isEmpty) lit(0L) else rankBucket(col(c).cast("double"), cut)
+    }
+    val zc = Iterator.iterate("_z")("_" + _).dropWhile(df.columns.contains).next()
+    df.withColumn(zc, interleave(buckets, rbits))
       .repartitionByRange(math.max(1, nFiles), col(zc))
       .sortWithinPartitions(zc)
       .drop(zc)

@@ -356,6 +356,60 @@ class CompactSpec extends AnyFunSuite {
       s"only $tiles of ${files.length} files are z-order tiles")
   }
 
+  test("z-order rank buckets: skewed keys still tile where uniform buckets degenerate") {
+    import spark.implicits._
+    // zipf-shaped x: 90% of rows dense in [0, 100) (the head), 10%
+    // stretched to 1e9 (the tail); y independent-uniform. Uniform-width
+    // buckets over [0, 1e9] put the ENTIRE head in x-bucket 0 — the
+    // curve degenerates to a y-sort and every head file spans the full
+    // head x range. Equi-depth cuts concentrate where the rows are, so
+    // head files tile x too.
+    val rows = (0 until 10000).map { i =>
+      val x = if (i < 9000) (i % 100).toLong
+              else (i.toLong - 9000) * 1_000_000L
+      (i.toLong, x, ((i * 37) % 100).toLong)
+    }
+    def build(rank: Boolean): Seq[String] = {
+      val root = java.nio.file.Files.createTempDirectory(
+        s"graft_mzrank_$rank").toString + "/store"
+      val store = new ManifestStore(root)
+      store.append(spark, rows.toDF("id", "x", "y"))
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(root + "/data"), true)
+      var total = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) total += f.getLen
+      }
+      store.compact(spark, targetBytes = math.max(1L, total / 16),
+        zorderBy = Seq("x", "y"), zorderRank = rank)
+      val snap = store.read(spark).get
+      assert(snap.count() == 10000) // content preserved
+      snap.inputFiles.toSeq
+    }
+    // pruning proxy: how many files could a head-range query x∈[40,60]
+    // NOT skip on footer min/max?
+    def touched(files: Seq[String]): Int = files.count { fp =>
+      val b = spark.read.parquet(fp).agg(min("x"), max("x")).head()
+      b.getLong(0) <= 60 && b.getLong(1) >= 40
+    }
+    val uniform = build(rank = false)
+    val ranked = build(rank = true)
+    val (tu, tr) = (touched(uniform), touched(ranked))
+    // uniform: the whole head lands in x-bucket 0, the curve degenerates
+    // to y-stripes, and since head rows are 90% of data EVERY file holds
+    // head rows spanning x 0..99 → ~all files touched. rank: the head
+    // spreads across most of the x-bucket space → a 20-wide head query
+    // touches only the files whose z-tiles cross it.
+    assert(uniform.size >= 8 && ranked.size >= 8)
+    assert(tu * 5 >= uniform.size * 4,
+      s"expected uniform buckets to degenerate on the head, touched $tu/${uniform.size}")
+    assert(tr * 3 <= ranked.size * 2,
+      s"rank buckets should tile the head: touched $tr/${ranked.size}")
+    assert(tr < tu, s"rank ($tr) should beat uniform ($tu)")
+  }
+
   test("manifest store: schema evolution across commits (added columns null-fill)") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_mevo").toString + "/store"
