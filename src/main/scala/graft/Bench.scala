@@ -98,9 +98,11 @@ object Bench {
     def line(f: Double => String) =
       s"""{"queries":${qs(f)},"sf":"$sfDir",$env,"metric":"total","value":${f3(total)},"unit":"sec"}"""
     val full = line(f3)
-    // stdout copy degrades per-query precision to 2 decimals if the full
-    // line risks overflowing the tail window; bench_out.json stays f3
-    val json = if (full.length <= 1900) full else line(f2)
+    // stdout copy degrades per-query precision (3 → 2 → 1 decimals) until
+    // the line fits the tail window; bench_out.json stays f3
+    def f1(d: Double): String = String.format(java.util.Locale.ROOT, "%.1f", d)
+    val json = Seq(full, line(f2), line(f1)).find(_.length <= 1900)
+      .getOrElse(line(f1))
     if (contaminated)
       System.err.println(s"[bench] WARNING: contended host during the run " +
         s"(jvms before=$jvmsBefore after=$jvmsAfter, load=$loadBefore) - " +

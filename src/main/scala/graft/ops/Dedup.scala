@@ -45,7 +45,9 @@ object Dedup {
     spread.as[(Long, String)]
       .flatMap { case (id, text) =>
         counter.foreach(_.add(1))
-        val toks = text.split(' ')
+        // NULL text → no shingles, matching string_split(NULL) → NULL
+        // (unnests to nothing) on the oracle side
+        val toks = if (text == null) Array.empty[String] else text.split(' ')
         if (toks.length < n) Iterator.empty
         else toks.sliding(n).map(_.mkString(" ")).toSet[String].iterator.map(sh => (id, sh))
       }

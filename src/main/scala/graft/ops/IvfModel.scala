@@ -31,6 +31,10 @@ object IvfModel {
     * disk copy. */
   private val memo = new java.util.concurrent.ConcurrentHashMap[String, Model]()
 
+  /** Test hook: drop the in-JVM memo so the next call exercises the
+    * DISK load path (a fresh session would otherwise be needed). */
+  private[graft] def clearMemo(): Unit = memo.clear()
+
   /** Order-independent fingerprint of the vector set: (count, sum of
     * xxhash64(vec_id) as decimal — an ANSI-mode long sum would
     * overflow). One narrow column scan. */
@@ -71,15 +75,13 @@ object IvfModel {
   private def load(spark: SparkSession, root: String,
                    fp: (Long, Long)): Option[Model] =
     try {
-      import spark.implicits._
-      val meta = spark.read.parquet(s"$root/meta")
-        .as[(Long, Long)].head()
-      if (meta != fp) None
+      val meta = spark.read.parquet(s"$root/meta").select("n", "h").head()
+      if ((meta.getLong(0), meta.getLong(1)) != fp) None
       else {
-        val cents = spark.read.parquet(s"$root/cents")
-          .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
-        val cb0 = spark.read.parquet(s"$root/cb")
-          .as[(Int, Int, Seq[Double])].collect()
+        val cents = spark.read.parquet(s"$root/cents").select("c", "vec")
+          .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+        val cb0 = spark.read.parquet(s"$root/cb").select("sub", "code", "vec")
+          .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
         val cb = cb0.groupBy(_._1).toArray.sortBy(_._1).map(_._2
           .sortBy(_._2).map(_._3.toArray))
         Some(Model(fp, cents, cb))

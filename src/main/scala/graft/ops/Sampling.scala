@@ -69,13 +69,64 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** Token budget per language stratum for [[sampleTokenBudget]]. */
+  val TokenBudget = 20000L
+
+  /** Token-budget calibrated sampling: keep ~`TokenBudget` TOKENS per
+    * stratum (the "mix N billion tokens of each source" step), not a
+    * fixed row fraction. Two passes, both scale-safe:
+    *
+    *  1. one tiny aggregate — total tokens per stratum (map-side
+    *     partial, broadcast back);
+    *  2. the same deterministic hash draw as [[sampleStratified]]
+    *     against a CALIBRATED rate = min(100, 100·budget div total) —
+    *     integer `div` so both engines compute the identical rate.
+    *
+    * The naive formulation (cumulative-sum window per stratum, keep
+    * while cumsum ≤ budget) would shuffle the corpus on the stratum key
+    * and serialize each stratum into ONE window task — a few-strata
+    * corpus at 100 TB collapses onto a handful of executors. The
+    * calibrated-rate form keeps the row decision embarrassingly
+    * parallel and append-stable, trading exact-budget for
+    * expected-budget (the standard trade in production mixing). */
+  def sampleTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val nTok = size(split(coalesce(col("text"), lit("")), " ")).cast("long")
+    val tot = docs.groupBy("lang").agg(sum(nTok).as("tot"))
+    docs
+      .withColumn("n_tokens", nTok)
+      .join(broadcast(tot), Seq("lang")) // strata are dimension-sized
+      .withColumn("rate",
+        least(lit(100L), expr(s"(100 * $TokenBudget) div tot")))
+      .withColumn("draw", expr(DrawSql))
+      .filter(col("draw") < col("rate"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("rate").cast("long").as("rate"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sample_stratified" -> (sampleStratified _))
+    "sample_stratified" -> (sampleStratified _),
+    "sample_token_budget" -> (sampleTokenBudget _))
 
   val oracle: Map[String, String] = Map(
     "sample_stratified" -> s"""
       SELECT doc_id, lang, CAST($DrawDuck AS BIGINT) AS draw
       FROM documents
       WHERE $DrawDuck < $RateDuck
+      ORDER BY doc_id""",
+    "sample_token_budget" -> s"""
+      WITH tok AS (
+        SELECT doc_id, lang,
+          CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      tot AS (SELECT lang, SUM(n_tokens) AS tot FROM tok GROUP BY 1),
+      rated AS (
+        SELECT t.doc_id, t.lang, t.n_tokens,
+          LEAST(100, (100 * $TokenBudget) // tot.tot) AS rate
+        FROM tok t JOIN tot USING (lang))
+      SELECT doc_id, lang, n_tokens, CAST(rate AS BIGINT) AS rate
+      FROM rated
+      WHERE $DrawDuck < rate
       ORDER BY doc_id""")
 }
