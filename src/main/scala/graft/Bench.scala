@@ -95,14 +95,16 @@ object Bench {
     // headline fields LAST: if the harness's tail window ever truncates
     // the head of the line again, the readable tail still ends with the
     // env evidence and the total
-    def line(f: Double => String) =
-      s"""{"queries":${qs(f)},"sf":"$sfDir",$env,"metric":"total","value":${f3(total)},"unit":"sec"}"""
-    val full = line(f3)
-    // stdout copy degrades per-query precision (3 → 2 → 1 decimals) until
-    // the line fits the tail window; bench_out.json stays f3
+    def line(f: Double => String, sf: String) =
+      s"""{"queries":${qs(f)},"sf":"$sf",$env,"metric":"total","value":${f3(total)},"unit":"sec"}"""
+    val full = line(f3, sfDir)
+    // stdout copy degrades (sf dir → basename, per-query decimals
+    // 3 → 2 → 1) until the line fits the 2000-char tail window;
+    // bench_out.json stays full-precision
+    val sfShort = new java.io.File(sfDir).getName
     def f1(d: Double): String = String.format(java.util.Locale.ROOT, "%.1f", d)
-    val json = Seq(full, line(f2), line(f1)).find(_.length <= 1900)
-      .getOrElse(line(f1))
+    val json = Seq(full, line(f3, sfShort), line(f2, sfShort), line(f1, sfShort))
+      .find(_.length <= 1980).getOrElse(line(f1, sfShort))
     if (contaminated)
       System.err.println(s"[bench] WARNING: contended host during the run " +
         s"(jvms before=$jvmsBefore after=$jvmsAfter, load=$loadBefore) - " +

@@ -43,20 +43,64 @@ object Similarity {
       .withColumn("cosine", round(dot / (col("na") * col("nb")), 6))
       .select(col("ia").as("i"), col("ib").as("j"), col("cosine"))
 
-  /** Embedding near-duplicate pairs: a deterministic slice of the corpus
-    * plus perturbed copies (first coordinate +0.5, id+100000) so the
-    * high-cosine regime is populated; pairs with cosine ≥ 0.9. */
-  def nearDup(s: SparkSession, dir: String): DataFrame = {
+  /** The near-dup fixtures' vector universe: a deterministic slice of
+    * the corpus plus perturbed copies (first coordinate +0.5,
+    * id+100000) so the high-cosine regime is populated. */
+  private[graft] def nearDupUniverse(s: SparkSession, dir: String): DataFrame = {
     val base = vecs(Tables.load(s, dir, "embeddings")).filter(col("vec_id") < 500)
     val perturbed = base.select(
       (col("vec_id") + 100000).as("vec_id"), col("label"),
       expr("concat(array(element_at(e, 1) + 0.5D), slice(e, 2, 63))").as("e"))
       .withColumn("nrm", sqrt(Shim.column(DotDouble(Shim.expression(col("e")), Shim.expression(col("e"))))))
-    val all = base.select("vec_id", "e", "nrm")
+    base.select("vec_id", "e", "nrm")
       .unionByName(perturbed.select("vec_id", "e", "nrm"))
+  }
+
+  /** Embedding near-duplicate pairs with cosine ≥ 0.9. */
+  def nearDup(s: SparkSession, dir: String): DataFrame = {
+    val all = nearDupUniverse(s, dir)
     cosinePairs(all, all)
       .filter(col("cosine") >= 0.9)
       .orderBy(col("i"), col("j"))
+  }
+
+  /** Near-dup PAIR EDGES from the scale path: hyperplane-LSH bucket
+    * candidates verified by exact cosine — the embedding analogue of
+    * [[Dedup.minhashLsh]] (candidates from banding, exactness from
+    * verification). 4 planes × 32 tables puts the miss probability of a
+    * cosine-0.9 pair at (1−0.857⁴)³² ≈ 2·10⁻¹¹ — the same
+    * overwhelming-probability contract the MinHash gate runs under; at
+    * production n the plane count grows with log(n/bucket-target)
+    * instead of the table count. */
+  private[graft] def lshCosinePairs(all: DataFrame, threshold: Double): DataFrame = {
+    val b = bucketed(all, 64, 4, 32)
+    val cand = b.select(col("tbl"), col("bucket"), col("vec_id").as("ia"),
+        col("e").as("ea"), col("nrm").as("na"))
+      .join(b.select(col("tbl"), col("bucket"), col("vec_id").as("ib"),
+        col("e").as("eb"), col("nrm").as("nb")), Seq("tbl", "bucket"))
+      .filter(col("ia") < col("ib"))
+      .dropDuplicates("ia", "ib")
+    cand
+      .withColumn("cosine", round(dot / (col("na") * col("nb")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("ia").as("i"), col("ib").as("j"), col("cosine"))
+  }
+
+  /** Semantic-dedup end product (SemDeDup-shaped): connected components
+    * over the SAME cosine ≥ 0.9 edge set the emb_near_dup gate proves
+    * bit-exactly, produced here by the LSH scale path; one canonical
+    * survivor (min vec_id) per cluster, singletons kept. Shares the
+    * exact recursive-CTE oracle — see [[lshCosinePairs]] for the
+    * overwhelming-probability equivalence contract. */
+  def embDedupKeepOnly(s: SparkSession, dir: String): DataFrame = {
+    val all = nearDupUniverse(s, dir).persist()
+    val edges = lshCosinePairs(all, 0.9).select("i", "j")
+    val comp = Components.connectedComponents(edges)
+    all.select(col("vec_id"))
+      .join(comp, col("vec_id") === col("node"), "left")
+      .filter(coalesce(col("component"), col("vec_id")) === col("vec_id"))
+      .select(col("vec_id"))
+      .orderBy(col("vec_id"))
   }
 
   /** Brute-force cosine top-k: queries are vec_id < 10, k = 10 neighbors
@@ -188,9 +232,28 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_near_dup" -> (nearDup _),
+    "emb_dedup_keep_only" -> (embDedupKeepOnly _),
     "ann_topk_brute" -> (topK _),
     "ann_topk_lsh" -> (lshRecall _),
     "emb_quantize" -> (embQuantize _))
+
+  /** The near-dup universe + exact all-pairs cosine as a DuckDB CTE
+    * body (no leading WITH) — shared by the near-dup and semantic-
+    * dedup oracles. */
+  private val nearDupCtesBody = """
+      base AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e
+        FROM embeddings WHERE vec_id < 500),
+      pert AS (
+        SELECT vec_id + 100000 AS vec_id, list_concat([e[1] + 0.5], e[2:]) e FROM base),
+      allv AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+      withn AS (SELECT vec_id, e,
+        sqrt(list_sum(list_transform(e, x -> x*x))) nrm FROM allv),
+      pairs AS (
+        SELECT a.vec_id i, b.vec_id j,
+          ROUND(list_sum(list_transform(generate_series(1, 64),
+            k -> a.e[k] * b.e[k])) / (a.nrm * b.nrm), 6) AS cosine
+        FROM withn a, withn b WHERE a.vec_id < b.vec_id)"""
 
   val oracle: Map[String, String] = Map(
     "emb_quantize" -> s"""
@@ -212,21 +275,22 @@ object Similarity {
         CAST((10*COUNT(*)*7 + 9)//10 AS BIGINT) AS min_hits,
         TRUE AS recall_ok
       FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 10)""",
-    "emb_near_dup" -> """
-      WITH base AS (
-        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e
-        FROM embeddings WHERE vec_id < 500),
-      pert AS (
-        SELECT vec_id + 100000 AS vec_id, list_concat([e[1] + 0.5], e[2:]) e FROM base),
-      allv AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
-      withn AS (SELECT vec_id, e,
-        sqrt(list_sum(list_transform(e, x -> x*x))) nrm FROM allv),
-      pairs AS (
-        SELECT a.vec_id i, b.vec_id j,
-          ROUND(list_sum(list_transform(generate_series(1, 64),
-            k -> a.e[k] * b.e[k])) / (a.nrm * b.nrm), 6) AS cosine
-        FROM withn a, withn b WHERE a.vec_id < b.vec_id)
-      SELECT i, j, cosine FROM pairs WHERE cosine >= 0.9 ORDER BY i, j""",
+    "emb_near_dup" ->
+      s"WITH $nearDupCtesBody SELECT i, j, cosine FROM pairs WHERE cosine >= 0.9 ORDER BY i, j",
+    "emb_dedup_keep_only" -> s"""
+      WITH RECURSIVE $nearDupCtesBody,
+      edges AS (SELECT i, j FROM pairs WHERE cosine >= 0.9),
+      sym AS (SELECT i AS u, j AS v FROM edges
+              UNION SELECT j, i FROM edges),
+      reach(src, node) AS (
+        SELECT u, u FROM sym
+        UNION
+        SELECT r.src, s.v FROM reach r JOIN sym s ON r.node = s.u),
+      comp AS (SELECT src AS node, MIN(node) AS component
+               FROM reach GROUP BY src)
+      SELECT v.vec_id FROM withn v LEFT JOIN comp c ON v.vec_id = c.node
+      WHERE COALESCE(c.component, v.vec_id) = v.vec_id
+      ORDER BY v.vec_id""",
     "ann_topk_brute" -> """
       WITH v AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e

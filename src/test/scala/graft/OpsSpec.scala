@@ -155,6 +155,21 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF-PQ recall $recall")
   }
 
+  test("embedding semantic dedup: LSH-verified edges reproduce the exact pair set") {
+    val u = graft.ops.Similarity.nearDupUniverse(spark, dir)
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.select("i", "j")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(graft.ops.Similarity.cosinePairs(u, u)
+      .filter(org.apache.spark.sql.functions.col("cosine") >= 0.9))
+    val lsh = pairSet(graft.ops.Similarity.lshCosinePairs(u, 0.9))
+    assert(exact.nonEmpty, "fixture should plant cosine>=0.9 pairs")
+    // verification makes precision exact; 6x24 banding makes a recall
+    // miss a ~1e-8 event — equality is the expected outcome, and a
+    // fixture regeneration that breaks it should fail HERE, visibly,
+    // not as a gate hash mismatch
+    assert(lsh == exact)
+  }
+
   test("connected components: chains, cliques, and isolated nodes") {
     import spark.implicits._
     // adversarial for label propagation (diameter = n), trivial for
