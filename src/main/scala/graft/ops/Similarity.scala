@@ -73,14 +73,21 @@ object Similarity {
     * production n the plane count grows with log(n/bucket-target)
     * instead of the table count. */
   private[graft] def lshCosinePairs(all: DataFrame, threshold: Double): DataFrame = {
-    val b = bucketed(all, 64, 4, 32)
-    val cand = b.select(col("tbl"), col("bucket"), col("vec_id").as("ia"),
-        col("e").as("ea"), col("nrm").as("na"))
-      .join(b.select(col("tbl"), col("bucket"), col("vec_id").as("ib"),
-        col("e").as("eb"), col("nrm").as("nb")), Seq("tbl", "bucket"))
+    // candidate generation and dedup run on IDS ONLY — carrying the
+    // vectors through the bucket join would shuffle dim·8 bytes per
+    // candidate (corpus-scale at 100 TB); the verification join fetches
+    // each side's vector once, after dedup
+    val b = bucketed(all, 64, 4, 32).select(col("tbl"), col("bucket"), col("vec_id"))
+    val cand = b.select(col("tbl"), col("bucket"), col("vec_id").as("ia"))
+      .join(b.select(col("tbl"), col("bucket"), col("vec_id").as("ib")),
+        Seq("tbl", "bucket"))
       .filter(col("ia") < col("ib"))
-      .dropDuplicates("ia", "ib")
+      .select("ia", "ib").distinct()
     cand
+      .join(all.select(col("vec_id").as("ia"), col("e").as("ea"),
+        col("nrm").as("na")), Seq("ia"))
+      .join(all.select(col("vec_id").as("ib"), col("e").as("eb"),
+        col("nrm").as("nb")), Seq("ib"))
       .withColumn("cosine", round(dot / (col("na") * col("nb")), 6))
       .filter(col("cosine") >= threshold)
       .select(col("ia").as("i"), col("ib").as("j"), col("cosine"))
