@@ -136,6 +136,36 @@ class DemuxVolumeSpec extends AnyFunSuite {
     }.toDF().select(Demux.rawLogSchema.fieldNames.map(col).toSeq: _*)
   }
 
+  test("18k-doc curation pipeline: survivor set exact by construction") {
+    import spark.implicits._
+    // 6000 disjoint-vocabulary clusters: base doc (id 3i), a near-dup
+    // copy (3i+1, one mid token changed → 3-gram jaccard ≈ 0.90), and
+    // for every third cluster an exact copy (3i+2). Disjoint vocab ⇒
+    // zero cross-cluster jaccard, so the expected survivors are exactly
+    // the cluster minima. Plus 500 repetitive spam docs that must fall
+    // to the quality rules before they can anchor any cluster.
+    val n = 6000
+    val docs = (0 until n).iterator.flatMap { i =>
+      val toks = (0 until 60).map(j => s"c${i}t$j")
+      val base = toks.mkString(" ")
+      val near = toks.updated(30, "XX").mkString(" ")
+      val exact = if (i % 3 == 0) Seq((i * 3L + 2, base)) else Nil
+      Seq((i * 3L, base), (i * 3L + 1, near)) ++ exact
+    }.toSeq ++ (0 until 500).map { k =>
+      (100000L + k, Seq.fill(300)("spam").mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .repartition(8)
+    val kept = graft.ops.Curation.curate(df)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = (0 until n).map(_ * 3L).toSet
+    assert(kept == expected,
+      s"missing=${(expected -- kept).take(5)} extra=${(kept -- expected).take(5)}")
+  }
+
   test("150k-log one-pass demux + pruned decode conserves every row") {
     import graft.fixtures.MakerFixtures
     import graft.ingest.Demux
