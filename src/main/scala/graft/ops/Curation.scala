@@ -48,9 +48,13 @@ object Curation {
   /** Survivors of the full pipeline with their curation provenance:
     * (doc_id, lang, source, n_chars, text_fp), unsorted. */
   def curate(docs: DataFrame): DataFrame = {
-    // 1+2. fused quality filter + exact dedup; persisted because the
-    // near-dup stage consumes it twice (shingle pass + label join)
-    val exact = frontStage(docs).persist()
+    // 1+2. fused quality filter + exact dedup; localCheckpoint (not
+    // persist) because the near-dup stage consumes it twice: checkpoint
+    // blocks are released by the ContextCleaner once the result is
+    // unreachable, whereas a persist here would pin the filtered corpus
+    // in executor storage for the session's lifetime (the library
+    // caller never gets a handle to unpersist)
+    val exact = frontStage(docs).localCheckpoint()
     // 3. near-dup keep-only over the exact-dedup survivors (LSH edges +
     //    connected components, same operator as dedup_keep_only)
     val keepIds = Components.componentLabels(exact)

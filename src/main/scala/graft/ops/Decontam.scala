@@ -21,13 +21,14 @@ import graft.Tables
 object Decontam {
 
   /** (doc_id, contaminated) for every TRAIN doc (`!isEval`), true when
-    * the doc shares ≥1 distinct n-gram with the eval set. */
+    * the doc shares ≥1 distinct n-gram with the eval set. Each side is
+    * shingled exactly once, from its own pre-filtered scan — shingling
+    * the full corpus and semi-joining the eval slice out afterwards
+    * would tokenize the 100 TB training side twice. */
   def flags(docs: DataFrame, isEval: Column, n: Int = 5): DataFrame = {
-    val sh = Dedup.shingles(docs, n)
-    val evalIds = docs.filter(isEval).select("doc_id")
-    val evalSh = sh.join(evalIds, Seq("doc_id"), "left_semi")
+    val evalSh = Dedup.shingles(docs.filter(isEval), n)
       .select("sh").distinct()
-    val contaminated = sh.join(evalIds, Seq("doc_id"), "left_anti")
+    val contaminated = Dedup.shingles(docs.filter(!isEval), n)
       .join(evalSh, Seq("sh"), "left_semi")
       .select("doc_id").distinct()
       .withColumn("contaminated", lit(true))
@@ -49,13 +50,8 @@ object Decontam {
     "decontaminate" -> (decontaminate _))
 
   val oracle: Map[String, String] = Map(
-    "decontaminate" -> """
-      WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
-      sh0 AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t)-4, 0))) AS i
-              FROM toks),
-      sh AS (SELECT DISTINCT doc_id,
-               t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS s
-             FROM sh0),
+    "decontaminate" -> s"""
+      WITH ${Dedup.shingleCtes("documents", 5)},
       evalsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0),
       contam AS (SELECT DISTINCT doc_id FROM sh
                  WHERE doc_id % 10 <> 0 AND s IN (SELECT s FROM evalsh))

@@ -298,14 +298,23 @@ object Dedup {
     * return the identical deterministic result. */
   def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
+    // root carries the ABSOLUTE path hash, not just the basename: two
+    // dirs named alike (or a test fixture shadowing the sf dir) must
+    // never alias to one index
+    val abs = new java.io.File(dir).getAbsolutePath
     val root = s"${System.getProperty("java.io.tmpdir")}/graft_lsh_index_" +
-      new java.io.File(dir).getName
-    if (!builtRoots.contains(root)) {
-      val p = new org.apache.hadoop.fs.Path(root)
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
-      LshIndex.append(docs.filter(pmod(col("doc_id"), lit(2)) === 0), root)
-      builtRoots.add(root)
+      new java.io.File(dir).getName + "_" +
+      java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(abs))
+    // serialize the first build per root: two concurrent first calls
+    // would otherwise BOTH append and double every shingle/size row
+    builtRoots.synchronized {
+      if (!builtRoots.contains(root)) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        LshIndex.append(docs.filter(pmod(col("doc_id"), lit(2)) === 0), root)
+        builtRoots.add(root)
+      }
     }
     LshIndex.probe(docs.filter(pmod(col("doc_id"), lit(2)) === 1), root, 0.7)
       .orderBy(col("i"), col("j"))
@@ -334,14 +343,23 @@ object Dedup {
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_simhash" -> (dedupSimhash _))
 
+  /** Word n-gram shingle CTEs (toks/sh0/sh, no leading WITH) over
+    * `tbl` — the DuckDB mirror of [[shingles]], shared by the jaccard
+    * chain and the decontamination oracle so tokenization fixes land
+    * once. */
+  private[ops] def shingleCtes(tbl: String, n: Int): String = {
+    val gram = (0 until n).map(k => s"t[i+$k]").mkString(" || ' ' || ")
+    s"""
+      toks AS (SELECT doc_id, string_split(text, ' ') t FROM $tbl),
+      sh0 AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t)-${n - 1}, 0))) AS i
+              FROM toks),
+      sh AS (SELECT DISTINCT doc_id, $gram AS s FROM sh0)"""
+  }
+
   /** Jaccard-pair CTE chain body (no leading WITH) over `tbl` — reused
     * verbatim by the LSH oracles, the components oracles and the
     * composed-curation oracle, which each prepend their own CTEs. */
-  private[ops] def jaccardCtesBody(tbl: String) = s"""
-      toks AS (SELECT doc_id, string_split(text, ' ') t FROM $tbl),
-      sh0 AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t)-2, 0))) AS i
-              FROM toks),
-      sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM sh0),
+  private[ops] def jaccardCtesBody(tbl: String) = s"""${shingleCtes(tbl, 3)},
       sizes AS (SELECT doc_id, COUNT(*) sz FROM sh GROUP BY 1),
       inter AS (SELECT a.doc_id i, b.doc_id j, COUNT(*) c
                 FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),

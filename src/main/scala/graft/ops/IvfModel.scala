@@ -36,11 +36,14 @@ object IvfModel {
   private[graft] def clearMemo(): Unit = memo.clear()
 
   /** Order-independent fingerprint of the vector set: (count, sum of
-    * xxhash64(vec_id) as decimal — an ANSI-mode long sum would
-    * overflow). One narrow column scan. */
+    * xxhash64(vec_id, hash(e)) as decimal — an ANSI-mode long sum would
+    * overflow). The hash covers the VECTOR VALUES, not just the ids:
+    * re-embedded vectors under the same ids must miss the fingerprint,
+    * or the stale quantizer silently destroys recall. */
   private[ops] def fingerprint(v: DataFrame): (Long, Long) = {
     val r = v.agg(count(lit(1)),
-      sum(xxhash64(col("vec_id")).cast("decimal(38,0)"))).head()
+      sum(xxhash64(col("vec_id"), hash(col("e")).cast("long"))
+        .cast("decimal(38,0)"))).head()
     (r.getLong(0), if (r.isNullAt(1)) 0L else r.getDecimal(1).longValue())
   }
 

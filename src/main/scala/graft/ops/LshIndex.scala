@@ -106,6 +106,15 @@ object LshIndex {
       Seq.empty[(Int, Int, Long)].toDF("band", "bandkey", "doc_id"))
     val storedSh = shinglesStore(root).read(spark).getOrElse(
       Seq.empty[(Long, Long)].toDF("doc_id", "sh"))
+    // refuse an index persisted in the pre-hash format (sh: string):
+    // probing it would union string shingles with the batch's long
+    // fingerprints, every cross candidate would fail verification, and
+    // the recall loss would be SILENT — an error beats wrong pairs
+    require(storedSh.schema("sh").dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"LSH index at $root stores raw-string shingles (pre-fingerprint " +
+        "format) — rebuild the index; probing it would silently drop " +
+        "all corpus candidates")
     val storedSizes = sizesStore(root).read(spark).getOrElse(
       Seq.empty[(Long, Long)].toDF("doc_id", "sz"))
 

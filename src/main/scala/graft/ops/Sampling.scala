@@ -30,11 +30,13 @@ object Sampling {
     * operands — where Spark's `pmod` and DuckDB's sign-following `%`
     * agree exactly. DuckDB spells the non-negative reduction as
     * ((x % m) + m) % m. */
-  private[ops] val DrawSql =
-    "pmod(pmod(doc_id, 2147483648) * 2654435761, 4294967296) % 100"
-  private[ops] val DrawDuck =
+  private[ops] def drawSqlMod(m: Long): String =
+    s"pmod(pmod(doc_id, 2147483648) * 2654435761, 4294967296) % $m"
+  private[ops] def drawDuckMod(m: Long): String =
     "(((((doc_id % 2147483648) + 2147483648) % 2147483648) " +
-      "* 2654435761) % 4294967296) % 100"
+      s"* 2654435761) % 4294967296) % $m"
+  private[ops] val DrawSql = drawSqlMod(100)
+  private[ops] val DrawDuck = drawDuckMod(100)
 
   /** Per-language keep rates (percent): the shape of a quality-weighted
     * training mix over the fixture corpus's language strata. */
@@ -72,6 +74,13 @@ object Sampling {
   /** Token budget per language stratum for [[sampleTokenBudget]]. */
   val TokenBudget = 20000L
 
+  /** Keep-rate granularity for token-budget sampling: parts-per-million,
+    * NOT percent — an integer percent floors to 0 for any stratum whose
+    * total exceeds 100× the budget (i.e. every stratum at corpus scale),
+    * silently emptying the sample. At ppm the cliff moves to 10⁶× the
+    * budget, and the rate product (10⁶ · budget) stays far below 2⁶³. */
+  val RatePpm = 1000000L
+
   /** Token-budget calibrated sampling: keep ~`TokenBudget` TOKENS per
     * stratum (the "mix N billion tokens of each source" step), not a
     * fixed row fraction. Two passes, both scale-safe:
@@ -97,8 +106,11 @@ object Sampling {
       .withColumn("n_tokens", nTok)
       .join(broadcast(tot), Seq("lang")) // strata are dimension-sized
       .withColumn("rate",
-        least(lit(100L), expr(s"(100 * $TokenBudget) div tot")))
-      .withColumn("draw", expr(DrawSql))
+        // pre-multiplied in Scala: an inline `1000000 * 20000` parses
+        // as int·int and overflows under ANSI; the 2·10¹⁰ literal
+        // parses as bigint
+        least(lit(RatePpm), expr(s"${RatePpm * TokenBudget} div tot")))
+      .withColumn("draw", expr(drawSqlMod(RatePpm)))
       .filter(col("draw") < col("rate"))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         col("rate").cast("long").as("rate"))
@@ -123,10 +135,10 @@ object Sampling {
       tot AS (SELECT lang, SUM(n_tokens) AS tot FROM tok GROUP BY 1),
       rated AS (
         SELECT t.doc_id, t.lang, t.n_tokens,
-          LEAST(100, (100 * $TokenBudget) // tot.tot) AS rate
+          LEAST($RatePpm, ${RatePpm * TokenBudget} // tot.tot) AS rate
         FROM tok t JOIN tot USING (lang))
       SELECT doc_id, lang, n_tokens, CAST(rate AS BIGINT) AS rate
       FROM rated
-      WHERE $DrawDuck < rate
+      WHERE ${drawDuckMod(RatePpm)} < rate
       ORDER BY doc_id""")
 }

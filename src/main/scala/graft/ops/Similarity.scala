@@ -100,7 +100,10 @@ object Similarity {
     * exact recursive-CTE oracle — see [[lshCosinePairs]] for the
     * overwhelming-probability equivalence contract. */
   def embDedupKeepOnly(s: SparkSession, dir: String): DataFrame = {
-    val all = nearDupUniverse(s, dir).persist()
+    // localCheckpoint, not persist: consumed by banding, verification
+    // and the survivor join, and released by the ContextCleaner when
+    // the result goes unreachable (a persist would leak per call)
+    val all = nearDupUniverse(s, dir).localCheckpoint()
     val edges = lshCosinePairs(all, 0.9).select("i", "j")
     val comp = Components.connectedComponents(edges)
     all.select(col("vec_id"))

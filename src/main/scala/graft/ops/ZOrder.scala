@@ -62,6 +62,9 @@ object ZOrder {
       percentile_approx(col(c).cast("double"), pcts, lit(10000)))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     cols.indices.map { i =>
+      // fail loud on an all-null column, exactly like the uniform-width
+      // path's bounds check: silent bucket-0 degradation would just
+      // pretend to cluster
       require(!row.isNullAt(i),
         s"z-order column '${cols(i)}' has no numeric non-null values " +
           "— cannot rank-bucket it")

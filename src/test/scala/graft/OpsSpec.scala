@@ -155,6 +155,27 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF-PQ recall $recall")
   }
 
+  test("token-budget sampling keeps a nonzero sample from a stratum far over budget") {
+    import spark.implicits._
+    // one stratum 500x over budget: an integer-PERCENT rate floors to 0
+    // here and silently empties the sample (the gate can't see it — the
+    // oracle floors identically); ppm granularity must keep ~1/500
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tokbudget").toString
+    val nDocs = 100000
+    val tokPerDoc = 100 // total 10M tokens vs budget 20k → rate 2000 ppm
+    (0 until nDocs).map { i =>
+      (i.toLong, Seq.fill(tokPerDoc)("w").mkString(" "), "en", "s", 100L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(4).write.parquet(s"$tmp/documents.parquet")
+    val kept = graft.ops.Sampling.sampleTokenBudget(spark, tmp)
+    val keptTokens = kept.agg(sum("n_tokens")).head().getLong(0)
+    assert(keptTokens > 0, "stratum over 100x budget must not sample to empty")
+    // expected ~TokenBudget tokens; allow generous hash-draw variance
+    assert(keptTokens > graft.ops.Sampling.TokenBudget / 3 &&
+      keptTokens < graft.ops.Sampling.TokenBudget * 3,
+      s"kept $keptTokens tokens, budget ${graft.ops.Sampling.TokenBudget}")
+  }
+
   test("embedding semantic dedup: LSH-verified edges reproduce the exact pair set") {
     val u = graft.ops.Similarity.nearDupUniverse(spark, dir)
     def pairSet(df: org.apache.spark.sql.DataFrame) = df.select("i", "j")
