@@ -30,12 +30,12 @@ object Sampling {
     * operands — where Spark's `pmod` and DuckDB's sign-following `%`
     * agree exactly. DuckDB spells the non-negative reduction as
     * ((x % m) + m) % m. */
-  private[ops] def drawSqlMod(m: Long): String =
+  private[graft] def drawSqlMod(m: Long): String =
     s"pmod(pmod(doc_id, 2147483648) * 2654435761, 4294967296) % $m"
   private[ops] def drawDuckMod(m: Long): String =
     "(((((doc_id % 2147483648) + 2147483648) % 2147483648) " +
       s"* 2654435761) % 4294967296) % $m"
-  private[ops] val DrawSql = drawSqlMod(100)
+  private[graft] val DrawSql = drawSqlMod(100)
   private[ops] val DrawDuck = drawDuckMod(100)
 
   /** Per-language keep rates (percent): the shape of a quality-weighted
@@ -44,7 +44,7 @@ object Sampling {
   val DefaultRate = 10
 
   /** The per-language keep-rate column (percent), Spark side. */
-  private[ops] def rateCol: org.apache.spark.sql.Column =
+  private[graft] def rateCol: org.apache.spark.sql.Column =
     Rates.foldLeft(lit(DefaultRate)) { case (acc, (l, r)) =>
       when(col("lang") === l, lit(r)).otherwise(acc)
     }

@@ -108,7 +108,7 @@ object TextAnalysis {
     * `text` column — map-side, codegen'd, fuse into whatever scan the
     * caller has. Shared by the quality-filter gate and the composed
     * curation pipeline ([[Curation]]). */
-  private[ops] object Quality {
+  private[graft] object Quality {
     // NULL text is normalized to '' in BOTH engines: Spark's legacy
     // size(NULL) = -1 vs DuckDB's NULL-propagating CASE would otherwise
     // classify a NULL document oppositely (too_short vs ok)

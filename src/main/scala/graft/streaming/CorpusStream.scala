@@ -54,14 +54,55 @@ object CorpusStream {
   def dedupIngestStream(docs: DataFrame, indexRoot: String,
                         corpus: ManifestStore, checkpoint: String,
                         threshold: Double = 0.7): StreamingQuery =
+    ingestStream(docs, indexRoot, corpus, checkpoint, threshold,
+      quality = false, sample = false)
+
+  /** The FULL curation pipeline as a stream — the streaming counterpart
+    * of [[graft.ops.Curation.curate]], stage order preserved:
+    *
+    *  1. quality rules — a stateless predicate fused into the batch
+    *     (rejects never reach the index, so they can never anchor a
+    *     cluster);
+    *  2. near-dup keep-only — [[batchSurvivors]] against the persisted
+    *     index (exact duplicates are jaccard-1.0 near-dups, so the
+    *     batch pipeline's separate exact stage is subsumed);
+    *  3. stratified sample LAST — and only on the CORPUS append: the
+    *     index receives every quality-passing survivor, so sampling a
+    *     doc out never re-admits its future near-duplicates. This is
+    *     the same "sampling never alters dedup decisions" contract the
+    *     batch pipeline proves in CurationSpec.
+    *
+    * Crash window: the corpus commit lands before the index commit; if
+    * the job dies between them, the replayed batch's corpus append is a
+    * keyed no-op and the index append completes — the two stores
+    * reconverge (CorpusStreamSpec proves keyed replay idempotence). */
+  def curatedIngestStream(docs: DataFrame, indexRoot: String,
+                          corpus: ManifestStore, checkpoint: String,
+                          threshold: Double = 0.7): StreamingQuery =
+    ingestStream(docs, indexRoot, corpus, checkpoint, threshold,
+      quality = true, sample = true)
+
+  private def ingestStream(docs: DataFrame, indexRoot: String,
+                           corpus: ManifestStore, checkpoint: String,
+                           threshold: Double,
+                           quality: Boolean, sample: Boolean): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val b = batch.persist()
+        val filtered =
+          if (quality) batch.filter(graft.ops.TextAnalysis.Quality.keepPredicate)
+          else batch
+        val b = filtered.persist()
         try {
           val survivors = batchSurvivors(b, indexRoot, threshold).persist()
           try {
-            corpus.append(batch.sparkSession, survivors,
+            val toCorpus =
+              if (sample) survivors
+                .withColumn("_draw", expr(graft.ops.Sampling.DrawSql))
+                .filter(col("_draw") < graft.ops.Sampling.rateCol)
+                .drop("_draw")
+              else survivors
+            corpus.append(batch.sparkSession, toCorpus,
               commitKey = Some(s"corpus-batch-$batchId"))
             LshIndex.append(survivors, indexRoot,
               commitKey = Some(s"index-batch-$batchId"))

@@ -99,6 +99,39 @@ class CorpusStreamSpec extends AnyFunSuite {
     assert(ids == Set(1L, 2L), s"got $ids")
   }
 
+  test("curated stream: quality first, sampling last, index blocks sampled-out survivors") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // all docs lang fr (rate 25). Knuth draws: d(1)=61, d(3)=87, d(5)=17,
+    // d(35)=19 — so doc 1 is a SURVIVOR the sampler drops from the
+    // corpus, doc 5 samples in, doc 35 would sample in (19 < 25) and can
+    // only be absent if the INDEX (fed pre-sample) deduped it against 1
+    val w = (1 to 102).map(i => s"q$i")
+    val good1 = StreamDoc(1L, w.mkString(" "), "fr")
+    val spam3 = StreamDoc(3L, Seq.fill(300)("spam").mkString(" "), "fr")
+    val good5 = StreamDoc(5L, (1 to 102).map(i => s"z$i").mkString(" "), "fr")
+    // 82-token prefix: jaccard 0.8 with doc 1 (the bridge-test shape)
+    val near35 = StreamDoc(35L, w.take(82).mkString(" "), "fr")
+
+    val indexRoot = tmp("curated") + "/index"
+    val corpus = new graft.ingest.ManifestStore(tmp("curated") + "/corpus")
+    val stream = MemoryStream[StreamDoc]
+    val q = CorpusStream.curatedIngestStream(stream.toDF(), indexRoot, corpus,
+      tmp("curated") + "/ckpt", 0.7)
+    stream.addData(good1, spam3, good5); q.processAllAvailable()
+    stream.addData(near35); q.processAllAvailable()
+    q.stop()
+
+    val ids = corpus.read(spark).get.select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // 1: survived dedup, sampled out (draw 61 >= 25)
+    // 3: quality-rejected (too_repetitive) before it could touch the index
+    // 5: survived everything (draw 17 < 25)
+    // 35: dropped by DEDUP against the indexed-but-unsampled doc 1 —
+    //     sampling alone would have kept it (draw 19 < 25)
+    assert(ids == Set(5L), s"got $ids")
+  }
+
   test("replayed batch commits are no-ops (exactly-once under restart)") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
