@@ -60,12 +60,9 @@ object Sampling {
     * point, so the gate compares the full listing. */
   def sampleStratified(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
-    val rate = Rates.foldLeft(lit(DefaultRate)) { case (acc, (l, r)) =>
-      when(col("lang") === l, lit(r)).otherwise(acc)
-    }
     docs
       .withColumn("draw", expr(DrawSql))
-      .withColumn("rate", rate)
+      .withColumn("rate", rateCol)
       .filter(col("draw") < col("rate"))
       .select(col("doc_id"), col("lang"), col("draw").cast("long").as("draw"))
       .orderBy(col("doc_id"))
