@@ -90,6 +90,22 @@ class LshIndexSpec extends AnyFunSuite {
     assert(Dedup.shingles(pre).rdd.getNumPartitions == 8)
   }
 
+  test("a pre-fingerprint (string-shingle) index is refused, not silently mis-probed") {
+    import spark.implicits._
+    val root = freshRoot("oldfmt")
+    // simulate an index persisted before shingles were hashed to longs
+    new graft.ingest.ManifestStore(s"$root/shingles").append(spark,
+      Seq((1L, "a b c")).toDF("doc_id", "sh"))
+    new graft.ingest.ManifestStore(s"$root/sizes").append(spark,
+      Seq((1L, 1L)).toDF("doc_id", "sz"))
+    new graft.ingest.ManifestStore(s"$root/bands").append(spark,
+      Seq((0, 123, 1L)).toDF("band", "bandkey", "doc_id"))
+    val ex = intercept[IllegalArgumentException] {
+      LshIndex.probe(odd, root, 0.7).collect()
+    }
+    assert(ex.getMessage.contains("pre-fingerprint"))
+  }
+
   test("verification values match the exact jaccard of the brute path") {
     val root = freshRoot("vals")
     LshIndex.append(even, root)
