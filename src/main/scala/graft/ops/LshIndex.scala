@@ -102,10 +102,21 @@ object LshIndex {
     val sigNew = Dedup.minhash(shNew)
     val bandsNew = Dedup.bandedSignatures(sigNew)
 
+    // batch-wins exclusion: any stored rows for the PROBING batch's own
+    // doc_ids are dropped before use. A crashed append can strand the
+    // batch's shingles in the store (shingles commit first); without
+    // this, a replayed probe unions those rows with shNew, every
+    // intersection double-counts, jaccard inflates 2-4×, and the replay
+    // commits a DIFFERENT survivor set than the original run — corpus
+    // and index diverge permanently. With it, the probe is idempotent
+    // under partial appends and keyed replays reconverge.
+    val newIds = newDocs.select("doc_id")
     val storedBands = bandsStore(root).read(spark).getOrElse(
       Seq.empty[(Int, Int, Long)].toDF("band", "bandkey", "doc_id"))
+      .join(newIds, Seq("doc_id"), "left_anti")
     val storedSh = shinglesStore(root).read(spark).getOrElse(
       Seq.empty[(Long, Long)].toDF("doc_id", "sh"))
+      .join(newIds, Seq("doc_id"), "left_anti")
     // refuse an index persisted in the pre-hash format (sh: string):
     // probing it would union string shingles with the batch's long
     // fingerprints, every cross candidate would fail verification, and
@@ -117,6 +128,7 @@ object LshIndex {
         "all corpus candidates")
     val storedSizes = sizesStore(root).read(spark).getOrElse(
       Seq.empty[(Long, Long)].toDF("doc_id", "sz"))
+      .join(newIds, Seq("doc_id"), "left_anti")
 
     // new↔corpus candidates: band-key equality against the stored index
     val candOld = bandsNew.select(col("band"), col("bandkey"), col("doc_id").as("p"))

@@ -60,27 +60,41 @@ object CorpusStream {
   /** The FULL curation pipeline as a stream — the streaming counterpart
     * of [[graft.ops.Curation.curate]], stage order preserved:
     *
-    *  1. quality rules — a stateless predicate fused into the batch
-    *     (rejects never reach the index, so they can never anchor a
-    *     cluster);
+    *  1. quality rules + in-batch exact dedup — the batch pipeline's
+    *     fused front ([[graft.ops.Curation.frontStage]]). The md5 stage
+    *     is NOT redundant with LSH: a batch carrying more identical
+    *     copies than [[graft.ops.Dedup.MaxBucketOccupancy]] would make
+    *     every band bucket hot, the cap would drop both the pairs and
+    *     the band rows, and every future copy would be admitted forever.
+    *     Exact dups ACROSS batches are jaccard-1.0 near-dups against
+    *     the stored canonical (a single doc — no hot bucket) and fall
+    *     to the probe;
     *  2. near-dup keep-only — [[batchSurvivors]] against the persisted
-    *     index (exact duplicates are jaccard-1.0 near-dups, so the
-    *     batch pipeline's separate exact stage is subsumed);
+    *     index;
     *  3. stratified sample LAST — and only on the CORPUS append: the
     *     index receives every quality-passing survivor, so sampling a
     *     doc out never re-admits its future near-duplicates. This is
     *     the same "sampling never alters dedup decisions" contract the
     *     batch pipeline proves in CurationSpec.
     *
-    * Crash window: the corpus commit lands before the index commit; if
-    * the job dies between them, the replayed batch's corpus append is a
-    * keyed no-op and the index append completes — the two stores
-    * reconverge (CorpusStreamSpec proves keyed replay idempotence). */
+    * Input contract: `doc_id`, `text` AND `lang` (the sampling stratum;
+    * checked eagerly) plus payload columns, which flow through.
+    *
+    * Crash windows: the corpus commit lands before the index commit,
+    * and [[LshIndex.probe]] ignores stored rows carrying the probing
+    * batch's own doc_ids — so a replay after a crash ANYWHERE in the
+    * batch (including mid-append, with the batch's shingles already
+    * committed) recomputes the identical survivor set and the keyed
+    * sub-appends reconverge both stores. */
   def curatedIngestStream(docs: DataFrame, indexRoot: String,
                           corpus: ManifestStore, checkpoint: String,
-                          threshold: Double = 0.7): StreamingQuery =
+                          threshold: Double = 0.7): StreamingQuery = {
+    require(docs.columns.contains("lang"),
+      "curatedIngestStream samples by the 'lang' stratum — the input " +
+        "stream must carry a lang column")
     ingestStream(docs, indexRoot, corpus, checkpoint, threshold,
       quality = true, sample = true)
+  }
 
   private def ingestStream(docs: DataFrame, indexRoot: String,
                            corpus: ManifestStore, checkpoint: String,
@@ -90,18 +104,24 @@ object CorpusStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val filtered =
-          if (quality) batch.filter(graft.ops.TextAnalysis.Quality.keepPredicate)
+          if (quality) graft.ops.Curation.frontStage(batch)
           else batch
         val b = filtered.persist()
         try {
           val survivors = batchSurvivors(b, indexRoot, threshold).persist()
           try {
             val toCorpus =
-              if (sample) survivors
-                .withColumn("_draw", expr(graft.ops.Sampling.DrawSql))
-                .filter(col("_draw") < graft.ops.Sampling.rateCol)
-                .drop("_draw")
-              else survivors
+              if (sample) {
+                // collision-free helper name: payload columns flow
+                // through untouched, so a payload named "_draw" must
+                // survive
+                val dc = Iterator.iterate("_draw")("_" + _)
+                  .dropWhile(survivors.columns.contains).next()
+                survivors
+                  .withColumn(dc, expr(graft.ops.Sampling.DrawSql))
+                  .filter(col(dc) < graft.ops.Sampling.rateCol)
+                  .drop(dc)
+              } else survivors
             corpus.append(batch.sparkSession, toCorpus,
               commitKey = Some(s"corpus-batch-$batchId"))
             LshIndex.append(survivors, indexRoot,

@@ -110,6 +110,9 @@ class CorpusStreamSpec extends AnyFunSuite {
     val good1 = StreamDoc(1L, w.mkString(" "), "fr")
     val spam3 = StreamDoc(3L, Seq.fill(300)("spam").mkString(" "), "fr")
     val good5 = StreamDoc(5L, (1 to 102).map(i => s"z$i").mkString(" "), "fr")
+    // exact copy of good5 in the SAME batch: the md5 front must collapse
+    // it before LSH (its draw is irrelevant — it dies pre-sample)
+    val copy7 = StreamDoc(7L, good5.text, "fr")
     // 82-token prefix: jaccard 0.8 with doc 1 (the bridge-test shape)
     val near35 = StreamDoc(35L, w.take(82).mkString(" "), "fr")
 
@@ -118,7 +121,7 @@ class CorpusStreamSpec extends AnyFunSuite {
     val stream = MemoryStream[StreamDoc]
     val q = CorpusStream.curatedIngestStream(stream.toDF(), indexRoot, corpus,
       tmp("curated") + "/ckpt", 0.7)
-    stream.addData(good1, spam3, good5); q.processAllAvailable()
+    stream.addData(good1, spam3, good5, copy7); q.processAllAvailable()
     stream.addData(near35); q.processAllAvailable()
     q.stop()
 
@@ -127,6 +130,7 @@ class CorpusStreamSpec extends AnyFunSuite {
     // 1: survived dedup, sampled out (draw 61 >= 25)
     // 3: quality-rejected (too_repetitive) before it could touch the index
     // 5: survived everything (draw 17 < 25)
+    // 7: in-batch exact dup of 5, collapsed by the md5 front
     // 35: dropped by DEDUP against the indexed-but-unsampled doc 1 —
     //     sampling alone would have kept it (draw 19 < 25)
     assert(ids == Set(5L), s"got $ids")

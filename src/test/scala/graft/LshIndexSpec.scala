@@ -90,6 +90,26 @@ class LshIndexSpec extends AnyFunSuite {
     assert(Dedup.shingles(pre).rdd.getNumPartitions == 8)
   }
 
+  test("probe ignores the batch's own stranded rows (replay after crashed append)") {
+    import spark.implicits._
+    val rootClean = freshRoot("replay_clean")
+    LshIndex.append(even, rootClean)
+    val expected = pairSet(LshIndex.probe(odd, rootClean, 0.7))
+    assert(expected.nonEmpty)
+    // same index, but a crashed LshIndex.append(odd) stranded the odd
+    // batch's SHINGLES in the store (shingles commit first; sizes/bands
+    // never landed). A replayed probe must not union those rows with its
+    // own hashing — that double-counts every intersection and emits a
+    // different (wrong) pair set.
+    val rootCrash = freshRoot("replay_crash")
+    LshIndex.append(even, rootCrash)
+    new graft.ingest.ManifestStore(s"$rootCrash/shingles").append(spark,
+      Dedup.shingles(odd).select(col("doc_id"), xxhash64(col("sh")).as("sh")))
+    val replayed = pairSet(LshIndex.probe(odd, rootCrash, 0.7))
+    assert(replayed == expected,
+      s"missing=${(expected -- replayed).take(5)} extra=${(replayed -- expected).take(5)}")
+  }
+
   test("a pre-fingerprint (string-shingle) index is refused, not silently mis-probed") {
     import spark.implicits._
     val root = freshRoot("oldfmt")
