@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted ANN inverted lists: the EXPENSIVE search-time artifact —
+  * cluster assignments (IVF), PQ code lists, hyperplane buckets (LSH) —
+  * written once per (corpus fingerprint, hyperparameters) and laid out
+  * `partitionBy(<probe key>)`, so a search reads ONLY the partitions its
+  * probes name (Hive-style partition pruning in the parquet scan) instead
+  * of re-assigning or re-bucketing the whole corpus per query. This is
+  * the physical form of SURVEY §7.5's "IVF partition pruning": FAISS's
+  * inverted lists, expressed as a partitioned columnar table.
+  *
+  * Freshness is by CONSTRUCTION, not by check-then-read: the artifact
+  * directory name embeds the corpus fingerprint (same (count, value-hash)
+  * contract as [[IvfModel.fingerprint]]), so a changed corpus resolves to
+  * a different directory and simply rebuilds — a stale artifact can never
+  * be read, and no delete-then-rename window exists (the publish is one
+  * atomic rename into a never-before-used name; the loser of a concurrent
+  * build race discards its temp copy, which is bit-identical anyway since
+  * every build is deterministic).
+  */
+object AnnIndex {
+
+  /** Paths this JVM has already built or verified present — repeat
+    * searches skip even the existence check. Safe because a path embeds
+    * the corpus fingerprint: it can never go stale, only orphaned. */
+  private val ready = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Test hook: forget readiness so the next ensure() re-checks disk. */
+  private[graft] def clearReady(): Unit = ready.clear()
+
+  /** Artifact directory for (corpus dir, hyperparameter tag, corpus
+    * fingerprint). Carries the ABSOLUTE path hash — two corpora in
+    * different directories with the same basename must never alias —
+    * and the fingerprint, so staleness is structural. */
+  def path(dir: String, tag: String, fp: (Long, Long)): String = {
+    val abs = new java.io.File(dir).getAbsolutePath
+    s"${System.getProperty("java.io.tmpdir")}/graft_ann_${tag}_" +
+      new java.io.File(dir).getName + "_" +
+      java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(abs)) +
+      "_" + java.lang.Long.toHexString(fp._1 * 1000003L ^ fp._2)
+  }
+
+  /** Ensure the artifact at `path` exists: build + write partitioned by
+    * `partCol` + atomic rename if absent. Serialized per JVM so two
+    * concurrent first searches don't both build. */
+  def ensure(spark: SparkSession, path: String, partCol: String,
+             build: () => DataFrame): Unit = {
+    if (ready.contains(path)) return
+    ready.synchronized {
+      if (ready.contains(path)) return
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) {
+        val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+        if (fs.exists(tmp)) fs.delete(tmp, true) // a crashed builder's leftovers
+        build().write.partitionBy(partCol).parquet(tmp.toString)
+        // one atomic rename into a fingerprint-unique name: a concurrent
+        // builder that won the race leaves dst present — our copy is the
+        // same deterministic bytes, so just drop it
+        if (!fs.rename(tmp, p)) fs.delete(tmp, true)
+      }
+      ready.add(path)
+    }
+  }
+
+  /** Read only the partitions whose `partCol` value is in `keys` — the
+    * filter lands as PartitionFilters in the scan, so unprobed inverted
+    * lists are never opened. `keys` is the probe set of a QUERY BATCH
+    * (small by definition — it is the search input), so the IN-list stays
+    * tiny at any corpus scale. */
+  def readPruned(spark: SparkSession, path: String, partCol: String,
+                 keys: Seq[Long]): DataFrame = {
+    val df = spark.read.parquet(path)
+    // match literal type to the INFERRED partition-column type: a cast
+    // wrapped around the attribute would block partition-filter
+    // extraction and silently degrade the pruned read to a full scan
+    val typed: Seq[Any] = df.schema(partCol).dataType match {
+      case org.apache.spark.sql.types.IntegerType => keys.map(_.toInt)
+      case _ => keys
+    }
+    df.filter(col(partCol).isin(typed: _*))
+  }
+}

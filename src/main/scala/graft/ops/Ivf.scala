@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -11,10 +11,17 @@ import graft.Tables
   *
   * Training is deterministic Lloyd's on a bounded, ordered sample
   * (driver-side — coarse quantizers are tiny and trained out-of-band at
-  * any scale); assignment and search are distributed. A query probes its
-  * `nProbe` nearest centroids and ranks only those clusters' vectors —
-  * the shuffle key is the cluster id, and candidate volume scales with
-  * nProbe/k instead of the corpus. */
+  * any scale); the INVERTED LISTS — every vector's cluster assignment,
+  * and its PQ codes for the ADC path — are built once per corpus
+  * fingerprint and persisted `partitionBy(cluster)` ([[AnnIndex]]), the
+  * on-disk analogue of FAISS's inverted lists. A search then touches
+  * only its probes: the query batch is collected driver-side (query
+  * batches are small by definition — they are the search INPUT, not the
+  * corpus), each query names its `nProbe` nearest centroids, and the
+  * candidate read is partition-pruned to exactly those clusters. Nothing
+  * in the search plan scans, re-assigns, or re-encodes the corpus —
+  * candidate volume scales with nProbe/k, and steady-state search cost
+  * is O(probed partitions), sublinear in the corpus. */
 object Ivf {
 
   /** Deterministic bounded training sample, shared by the coarse
@@ -92,46 +99,74 @@ object Ivf {
       .toDF("vec_id", "e", "nrm", "cluster")
   }
 
-  /** Coarse centroids + PQ codebooks for `dir`'s vector set, loaded from
+  /** Coarse centroids + PQ codebooks for `v`'s vector set, loaded from
     * the persisted model store when fingerprint-fresh, trained (one
     * sampling pass feeding BOTH quantizers — they must train on the same
     * sample anyway) and persisted otherwise. See [[IvfModel]]. */
-  private def trainedModel(v: DataFrame, dir: String, k: Int,
-                           m: Int = 16, codes: Int = 16)
-      : (Array[Array[Double]], Array[Array[Array[Double]]]) =
-    IvfModel.trainedOrLoad(v, dir, s"k${k}m${m}c$codes", () => {
+  private def trainedModel(v: DataFrame, dir: String, table: String, k: Int,
+                           m: Int = 16, codes: Int = 16): IvfModel.Model =
+    IvfModel.trainedOrLoad(v, dir, s"${table}_k${k}m${m}c$codes", () => {
       val sample = sampledVectors(v, math.max(k, codes))
       val cents = centroidsFrom(sample, k)
       (cents, pqCodebooksFrom(sample, cents, m, codes))
     })
 
-  /** IVF top-k: queries (vec_id < 10) probe nProbe clusters. Rows-only
-    * gate (probabilistic recall); recall vs brute asserted in OpsSpec. */
-  def topKIvf(s: SparkSession, dir: String, k: Int = 8, nProbe: Int = 4): DataFrame = {
+  /** Query batch collected to the driver: (vec_id, e, nrm), id-ordered.
+    * Queries are the tiny side of a search at any corpus scale. */
+  private def collectQueries(v: DataFrame, pred: Column)
+      : Array[(Long, Seq[Double], Double)] = {
+    import v.sparkSession.implicits._
+    v.filter(pred).select("vec_id", "e", "nrm")
+      .as[(Long, Seq[Double], Double)].collect().sortBy(_._1)
+  }
+
+  /** Ensure the persisted flat inverted lists (vec_id, e, nrm) laid out
+    * by cluster exist for (v, model); returns their path. */
+  private def ensureFlatLists(v: DataFrame, dir: String, table: String,
+                              m: IvfModel.Model, k: Int): String = {
+    val path = AnnIndex.path(dir, s"ivfflat_${table}_k$k", m.fp)
+    AnnIndex.ensure(v.sparkSession, path, "cluster", () => assign(v, m.cents))
+    path
+  }
+
+  /** IVF top-k over an arbitrary normalized vector table `v` with columns
+    * (vec_id, e, nrm): queries (rows matching `queryPred`) probe their
+    * `nProbe` nearest clusters, candidates come from a PARTITION-PRUNED
+    * read of the persisted inverted lists — the corpus appears nowhere
+    * in the search plan. `table` names the vector set for artifact
+    * keying. */
+  def searchIvf(v: DataFrame, dir: String, table: String, queryPred: Column,
+                k: Int = 8, nProbe: Int = 4, topN: Int = 10): DataFrame = {
+    val s = v.sparkSession
     import s.implicits._
     import org.apache.spark.sql.graftshim.Shim
-    val v = Similarity.vecs(Tables.load(s, dir, "embeddings")).persist()
-    val (cents, _) = trainedModel(v, dir, k)
-    val assigned = assign(v, cents)
-    val probes = v.filter(col("vec_id") < 10)
-      .select("vec_id", "e", "nrm").as[(Long, Seq[Double], Double)]
-      .flatMap { case (id, e, nrm) =>
-        nearestN(cents, e.toArray, nProbe).map(c => (id, e, nrm, c)) }
-      .toDF("qid", "ea", "na", "cluster")
-    val cands = probes.join(
-      assigned.select(col("vec_id").as("nid"), col("e").as("eb"),
-        col("nrm").as("nb"), col("cluster")), Seq("cluster"))
-      .filter(col("qid") =!= col("nid"))
-      .dropDuplicates("qid", "nid")
+    val m = trainedModel(v, dir, table, k)
+    val flat = ensureFlatLists(v, dir, table, m, k)
+    val qRows = collectQueries(v, queryPred)
+    val probesLocal = qRows.toSeq.flatMap { case (id, e, nrm) =>
+      nearestN(m.cents, e.toArray, nProbe).map(c => (id, e, nrm, c.toLong)) }
+    val probes = probesLocal.toDF("qid", "ea", "na", "cluster")
+    val lists = AnnIndex.readPruned(s, flat, "cluster",
+      probesLocal.map(_._4).distinct)
+      .select(col("vec_id").as("nid"), col("e").as("eb"),
+        col("nrm").as("nb"), col("cluster").cast("long").as("cluster"))
     val dot = Shim.column(DotDouble(Shim.expression(col("ea")), Shim.expression(col("eb"))))
-    cands
+    // no dedup needed: assignment is a function, so a (query, candidate)
+    // pair meets in at most one cluster
+    probes.join(lists, Seq("cluster"))
+      .filter(col("qid") =!= col("nid"))
       .withColumn("cosine", round(dot / (col("na") * col("nb")), 6))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))))
-      .filter(col("rank") <= 10)
+      .filter(col("rank") <= topN)
       .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cosine"))
       .orderBy(col("qid"), col("rank"))
   }
+
+  /** IVF top-k on the embeddings table: queries are vec_id < 10. */
+  def topKIvf(s: SparkSession, dir: String, k: Int = 8, nProbe: Int = 4): DataFrame =
+    searchIvf(Similarity.vecs(Tables.load(s, dir, "embeddings")), dir,
+      "embeddings", col("vec_id") < 10, k, nProbe)
 
   /** ann_topk_ivf gates on deterministic recall-vs-brute (see
     * [[Similarity.recallGate]]); the listing itself is cross-checked in
@@ -191,7 +226,8 @@ object Ivf {
                cb: Array[Array[Array[Double]]]): DataFrame = {
     import assigned.sparkSession.implicits._
     val m = cb.length
-    assigned.select("vec_id", "e", "nrm", "cluster")
+    assigned.select(col("vec_id"), col("e"), col("nrm"),
+      col("cluster").cast("int"))
       .as[(Long, Seq[Double], Double, Int)]
       .map { case (id, e, nrm, c) =>
         val cent = cents(c)
@@ -207,42 +243,52 @@ object Ivf {
   }
 
   /** IVF-PQ top-k with asymmetric distance computation (ADC): queries
-    * probe `nProbe` clusters; candidates are scored from their PQ codes
-    * against a per-(query, cluster) lookup table — dot(q, x̂) where
-    * x̂ = centroid + Σ codebook entries, O(m) per candidate after an
-    * O(codes·dim) LUT built once per (query, cluster) per partition —
-    * then the ADC top-`shortlist` are re-ranked with exact vectors.
-    * Shuffle key is the cluster id (same as IVF); the exact re-rank
-    * touches only shortlist·queries vectors. */
+    * probe `nProbe` clusters; candidates are scored from their PQ codes —
+    * read PARTITION-PRUNED from the persisted code lists (built once from
+    * the flat lists, never re-encoded at search time) — against a
+    * per-(query, cluster) lookup table: dot(q, x̂) where x̂ = centroid +
+    * Σ codebook entries, O(m) per candidate after an O(codes·dim) LUT
+    * built once per (query, cluster) per partition. The ADC
+    * top-`shortlist` are then re-ranked with exact vectors fetched from
+    * the flat lists under the SAME cluster pruning (every shortlist
+    * member lives in a probed cluster). */
   def topKIvfPq(s: SparkSession, dir: String, k: Int = 8, nProbe: Int = 4,
                 m: Int = 16, codes: Int = 16, shortlist: Int = 50): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.graftshim.Shim
-    val v = Similarity.vecs(Tables.load(s, dir, "embeddings")).persist()
-    val (cents, cb) = trainedModel(v, dir, k, m, codes)
-    val encoded = pqEncode(assign(v, cents), cents, cb)
-    val probes = v.filter(col("vec_id") < 10)
-      .select("vec_id", "e", "nrm").as[(Long, Seq[Double], Double)]
-      .flatMap { case (id, e, nrm) =>
-        nearestN(cents, e.toArray, nProbe).map(c => (id, e, c)) }
-      .toDF("qid", "ea", "cluster")
+    val v = Similarity.vecs(Tables.load(s, dir, "embeddings"))
+    val model = trainedModel(v, dir, "embeddings", k, m, codes)
+    val flat = ensureFlatLists(v, dir, "embeddings", model, k)
+    val pqPath = AnnIndex.path(dir, s"ivfpq_embeddings_k${k}m${m}c$codes", model.fp)
+    // the code lists derive from the already-persisted flat lists — the
+    // corpus itself is not re-read, let alone re-assigned
+    AnnIndex.ensure(s, pqPath, "cluster",
+      () => pqEncode(s.read.parquet(flat), model.cents, model.cb))
+    val qRows = collectQueries(v, col("vec_id") < 10)
+    val probesLocal = qRows.toSeq.flatMap { case (id, e, _) =>
+      nearestN(model.cents, e.toArray, nProbe).map(c => (id, e, c.toLong)) }
+    val probedClusters = probesLocal.map(_._3).distinct
+    val probes = probesLocal.toDF("qid", "ea", "cluster")
+    val encoded = AnnIndex.readPruned(s, pqPath, "cluster", probedClusters)
+      .select(col("nid"), col("codes"), col("nb"),
+        col("cluster").cast("long").as("cluster"))
     val joined = probes.join(encoded, Seq("cluster"))
       .filter(col("qid") =!= col("nid"))
       .select("qid", "ea", "cluster", "nid", "codes", "nb")
-      .as[(Long, Seq[Double], Int, Long, Seq[Int], Double)]
-    val bCents = s.sparkContext.broadcast(cents)
-    val bCb = s.sparkContext.broadcast(cb)
+      .as[(Long, Seq[Double], Long, Long, Seq[Int], Double)]
+    val bCents = s.sparkContext.broadcast(model.cents)
+    val bCb = s.sparkContext.broadcast(model.cb)
     val approx = joined.mapPartitions { it =>
       val cents = bCents.value
       val cb = bCb.value
       val nSub = cb.length
       // ADC lookup tables, one per (query, cluster) seen in this partition
       val luts = scala.collection.mutable.HashMap
-        .empty[(Long, Int), (Double, Array[Array[Double]])]
+        .empty[(Long, Long), (Double, Array[Array[Double]])]
       it.map { case (qid, ea, cluster, nid, codesSeq, nb) =>
         val (qDotC, lut) = luts.getOrElseUpdate((qid, cluster), {
           val q = ea.toArray
-          val cent = cents(cluster)
+          val cent = cents(cluster.toInt)
           var qc = 0.0
           var j = 0
           while (j < q.length) { qc += q(j) * cent(j); j += 1 }
@@ -272,10 +318,12 @@ object Ivf {
         Window.partitionBy(col("qid")).orderBy(col("approx").desc, col("nid"))))
       .filter(col("arank") <= shortlist)
       .select("qid", "nid")
-    // exact re-rank of the shortlist (broadcast-sized: queries × shortlist)
-    val q = v.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("e").as("ea"), col("nrm").as("na"))
-    val nb = v.select(col("vec_id").as("nid"), col("e").as("eb"), col("nrm").as("nb"))
+    // exact re-rank of the shortlist: query vectors are local; candidate
+    // vectors come from the flat lists, pruned to the probed clusters
+    val q = qRows.toSeq.map { case (id, e, nrm) => (id, e, nrm) }
+      .toDF("qid", "ea", "na")
+    val nb = AnnIndex.readPruned(s, flat, "cluster", probedClusters)
+      .select(col("vec_id").as("nid"), col("e").as("eb"), col("nrm").as("nb"))
     val dot = Shim.column(DotDouble(Shim.expression(col("ea")), Shim.expression(col("eb"))))
     short.join(q, "qid").join(nb, "nid")
       .withColumn("cosine", round(dot / (col("na") * col("nb")), 6))

@@ -9,16 +9,17 @@ import org.apache.spark.sql.functions._
   * a few KB at any corpus size — then loaded on search instead of
   * retrained per query.
   *
-  * Staleness guard: the store carries a fingerprint of the vector set
-  * (row count + order-independent hash sum over vec_id). A search
-  * against a changed corpus misses the fingerprint and retrains —
-  * a stale quantizer can silently destroy recall, so the guard is
-  * load-bearing, not an optimization.
-  *
-  * Writes go through a temp-dir + atomic rename so a crashed trainer
-  * never leaves a half-written model where a loader can see it; a
-  * failed/garbled load falls back to retraining (the model is a cache,
-  * never the source of truth).
+  * Staleness guard: artifacts are keyed by a fingerprint of the vector
+  * set (row count + order-independent hash sum over (vec_id, vector
+  * values)) — the fingerprint is PART OF THE DIRECTORY NAME, so a search
+  * against a changed corpus resolves to a different path and retrains;
+  * a stale quantizer (which can silently destroy recall) is structurally
+  * unreadable. Publishing is a single atomic rename into that
+  * never-before-used name — no delete-then-rename window where a racing
+  * loader sees nothing — and the loser of a concurrent training race
+  * discards its temp copy (bit-identical anyway: training is
+  * deterministic). A failed/garbled load falls back to retraining (the
+  * model is a cache, never the source of truth).
   */
 object IvfModel {
 
@@ -39,7 +40,11 @@ object IvfModel {
     * xxhash64(vec_id, hash(e)) as decimal — an ANSI-mode long sum would
     * overflow). The hash covers the VECTOR VALUES, not just the ids:
     * re-embedded vectors under the same ids must miss the fingerprint,
-    * or the stale quantizer silently destroys recall. */
+    * or the stale quantizer silently destroys recall. Deliberately NOT
+    * memoized per JVM: the guard is load-bearing, and it is a scalar
+    * aggregate with no shuffle — one metadata-grade pass. A production
+    * deployment keeps the corpus in a versioned store (ManifestStore)
+    * whose snapshot version replaces this scan entirely. */
   private[ops] def fingerprint(v: DataFrame): (Long, Long) = {
     val r = v.agg(count(lit(1)),
       sum(xxhash64(col("vec_id"), hash(col("e")).cast("long"))
@@ -47,9 +52,19 @@ object IvfModel {
     (r.getLong(0), if (r.isNullAt(1)) 0L else r.getDecimal(1).longValue())
   }
 
-  private def root(dir: String, tag: String): String =
+  /** Model root for (corpus dir, hyperparameter tag): carries the
+    * ABSOLUTE path hash so two corpora in different directories with the
+    * same basename never alias to one store. */
+  private def root(dir: String, tag: String): String = {
+    val abs = new java.io.File(dir).getAbsolutePath
     s"${System.getProperty("java.io.tmpdir")}/graft_ivf_model_${tag}_" +
-      new java.io.File(dir).getName
+      new java.io.File(dir).getName + "_" +
+      java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(abs))
+  }
+
+  /** The fingerprint-unique model directory under `root`. */
+  private def modelPath(root: String, fp: (Long, Long)): String =
+    s"$root/m_${java.lang.Long.toHexString(fp._1 * 1000003L ^ fp._2)}"
 
   /** Load the model trained for `dir` if present and fingerprint-fresh;
     * otherwise train via `train`, persist, and return it. `tag` encodes
@@ -57,33 +72,33 @@ object IvfModel {
     * never alias. */
   def trainedOrLoad(v: DataFrame, dir: String, tag: String,
                     train: () => (Array[Array[Double]], Array[Array[Array[Double]]]))
-      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+      : Model = {
     val spark = v.sparkSession
     val r = root(dir, tag)
     val fp = fingerprint(v)
     Option(memo.get(r)).filter(_.fp == fp) match {
-      case Some(m) => (m.cents, m.cb)
+      case Some(m) => m
       case None =>
-        val loaded = load(spark, r, fp)
+        val loaded = load(spark, modelPath(r, fp), fp)
         val m = loaded.getOrElse {
           val (cents, cb) = train()
-          save(spark, r, Model(fp, cents, cb))
+          save(spark, modelPath(r, fp), Model(fp, cents, cb))
           Model(fp, cents, cb)
         }
         memo.put(r, m)
-        (m.cents, m.cb)
+        m
     }
   }
 
-  private def load(spark: SparkSession, root: String,
+  private def load(spark: SparkSession, path: String,
                    fp: (Long, Long)): Option[Model] =
     try {
-      val meta = spark.read.parquet(s"$root/meta").select("n", "h").head()
+      val meta = spark.read.parquet(s"$path/meta").select("n", "h").head()
       if ((meta.getLong(0), meta.getLong(1)) != fp) None
       else {
-        val cents = spark.read.parquet(s"$root/cents").select("c", "vec")
+        val cents = spark.read.parquet(s"$path/cents").select("c", "vec")
           .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
-        val cb0 = spark.read.parquet(s"$root/cb").select("sub", "code", "vec")
+        val cb0 = spark.read.parquet(s"$path/cb").select("sub", "code", "vec")
           .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
         val cb = cb0.groupBy(_._1).toArray.sortBy(_._1).map(_._2
           .sortBy(_._2).map(_._3.toArray))
@@ -91,12 +106,12 @@ object IvfModel {
       }
     } catch { case _: Throwable => None }
 
-  private def save(spark: SparkSession, root: String, m: Model): Unit =
+  private def save(spark: SparkSession, path: String, m: Model): Unit =
     try {
       import spark.implicits._
       val conf = spark.sparkContext.hadoopConfiguration
-      val tmp = new org.apache.hadoop.fs.Path(root + ".tmp")
-      val dst = new org.apache.hadoop.fs.Path(root)
+      val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+      val dst = new org.apache.hadoop.fs.Path(path)
       val fs = tmp.getFileSystem(conf)
       if (fs.exists(tmp)) fs.delete(tmp, true)
       Seq(m.fp).toDF("n", "h").coalesce(1)
@@ -107,7 +122,9 @@ object IvfModel {
         sub.zipWithIndex.map { case (e, code) => (s, code, e.toSeq) }
       }.toSeq.toDF("sub", "code", "vec").coalesce(1)
         .write.parquet(s"$tmp/cb")
-      if (fs.exists(dst)) fs.delete(dst, true)
+      // dst is fingerprint-unique and never deleted: either this rename
+      // publishes it atomically, or a concurrent (identical) trainer
+      // already did and our temp copy is redundant
       if (!fs.rename(tmp, dst)) fs.delete(tmp, true)
     } catch { case _: Throwable => () } // cache write failure is benign
 }

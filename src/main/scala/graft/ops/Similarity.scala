@@ -164,25 +164,74 @@ object Similarity {
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
   }
 
-  /** ANN via hyperplane-LSH: candidates share a bucket in ≥1 table; k
-    * best per query. Probabilistic recall — consistency-tested against
-    * brute force in OpsSpec, rows-only check in the driver gate. */
+  /** Driver-side twin of [[bucketed]]'s projection for ONE table's
+    * planes: sign bits of sequential-left-fold dot products — the same
+    * arithmetic order as the SQL `aggregate(zip_with(...))`, so the
+    * bucket of a query computed here is bit-identical to the bucket its
+    * stored copy got at index-build time. */
+  private[ops] def bucketOf(e: Array[Double], pl: Array[Array[Double]]): Long = {
+    var bucket = 0L
+    var p = 0
+    while (p < pl.length) {
+      var d = 0.0
+      var j = 0
+      while (j < e.length) { d += e(j) * pl(p)(j); j += 1 }
+      if (d >= 0d) bucket |= 1L << p
+      p += 1
+    }
+    bucket
+  }
+
+  /** Composite partition key for the persisted bucket index: one value
+    * per (table, bucket), so a probe's partition filter is a flat IN
+    * list. Bucket counts are < 2^16 here (planes ≤ 16). */
+  private def tbKey(tbl: Long, bucket: Long): Long = tbl * 65536L + bucket
+
+  /** ANN via hyperplane-LSH over a PERSISTED bucket index: the corpus is
+    * projected onto the hyperplanes once per corpus fingerprint and
+    * stored `partitionBy(tb)` ([[AnnIndex]], tb = (table, bucket));
+    * queries compute their own buckets driver-side (bit-identical
+    * projection — see [[bucketOf]]) and the candidate read is
+    * partition-pruned to exactly the probed buckets. Nothing in the
+    * search plan re-projects or scans the corpus.
+    *
+    * Storage tradeoff, stated plainly: bucket rows carry the vector
+    * inline, so the index is numTables× the embedding payload — bought
+    * for single-read search locality (no id→vector fetch join). The
+    * ids-only alternative stores 8 bytes/row and fetches candidate
+    * vectors from a vec_id-clustered store; prefer it when embeddings
+    * dominate storage. Probabilistic recall — consistency-tested against
+    * brute force in OpsSpec. */
   def topKLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     // 4 planes × 8 tables: tuned on the sf0.01 fixture (near-uniform
     // vectors → wide buckets + more tables beat narrow buckets: recall
     // 0.73 vs 0.16 at 6×4 for ~1.7× the candidates). At production n,
     // plane count grows with log(n/target-bucket-size).
-    val v = bucketed(vecs(Tables.load(s, dir, "embeddings")), 64, 4, 8)
-    val q = v.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("e").as("ea"), col("nrm").as("na"),
-        col("tbl"), col("bucket"))
-    val n = v.select(col("vec_id").as("nid"), col("e").as("eb"), col("nrm").as("nb"),
-      col("tbl"), col("bucket"))
-    val cand = q.join(n, Seq("tbl", "bucket")).filter(col("qid") =!= col("nid"))
-      .select("qid", "nid", "ea", "eb", "na", "nb").dropDuplicates("qid", "nid")
-    val scored = cand
+    val (numPlanes, numTables) = (4, 8)
+    val v = vecs(Tables.load(s, dir, "embeddings"))
+    val fp = IvfModel.fingerprint(v)
+    val path = AnnIndex.path(dir, s"lshbkt_embeddings_p${numPlanes}t$numTables", fp)
+    AnnIndex.ensure(s, path, "tb", () =>
+      bucketed(v, 64, numPlanes, numTables)
+        .select((col("tbl") * 65536L + col("bucket")).as("tb"),
+          col("vec_id"), col("e"), col("nrm")))
+    val qRows = v.filter(col("vec_id") < 10).select("vec_id", "e", "nrm")
+      .as[(Long, Seq[Double], Double)].collect().sortBy(_._1)
+    val allPlanes = (0 until numTables)
+      .map(t => planes(64, numPlanes, 5678L + t))
+    val probesLocal = qRows.toSeq.flatMap { case (id, e, nrm) =>
+      allPlanes.zipWithIndex.map { case (pl, t) =>
+        (id, e, nrm, tbKey(t.toLong, bucketOf(e.toArray, pl))) }
+    }
+    val probes = probesLocal.toDF("qid", "ea", "na", "tb")
+    val idx = AnnIndex.readPruned(s, path, "tb", probesLocal.map(_._4).distinct)
+      .select(col("vec_id").as("nid"), col("e").as("eb"),
+        col("nrm").as("nb"), col("tb").cast("long").as("tb"))
+    probes.join(idx, Seq("tb")).filter(col("qid") =!= col("nid"))
+      .select("qid", "nid", "ea", "eb", "na", "nb")
+      .dropDuplicates("qid", "nid") // a pair may collide in several tables
       .withColumn("cosine", round(dot / (col("na") * col("nb")), 6))
-    scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))))
       .filter(col("rank") <= 10)

@@ -28,8 +28,8 @@ class IvfModelSpec extends AnyFunSuite {
     val m2 = IvfModel.trainedOrLoad(v, dir, "t1", train _)
     assert(trained == 1)
     // bit-exact roundtrip through the store/memo
-    assert(m1._1.map(_.toSeq).toSeq == m2._1.map(_.toSeq).toSeq)
-    assert(m1._2.map(_.map(_.toSeq).toSeq).toSeq == m2._2.map(_.map(_.toSeq).toSeq).toSeq)
+    assert(m1.cents.map(_.toSeq).toSeq == m2.cents.map(_.toSeq).toSeq)
+    assert(m1.cb.map(_.map(_.toSeq).toSeq).toSeq == m2.cb.map(_.map(_.toSeq).toSeq).toSeq)
   }
 
   test("a changed vector set misses the fingerprint and retrains") {
@@ -39,7 +39,7 @@ class IvfModelSpec extends AnyFunSuite {
     IvfModel.trainedOrLoad(vecs(0 until 50), dir, "t2", train(1) _)
     val m2 = IvfModel.trainedOrLoad(vecs(0 until 51), dir, "t2", train(2) _)
     assert(trained == 2, "append should invalidate the stored model")
-    assert(m2._1(0)(0) == 2.0 + 0) // the retrained model, not the stale one
+    assert(m2.cents(0)(0) == 2.0 + 0) // the retrained model, not the stale one
   }
 
   test("distinct hyperparameter tags never alias") {
@@ -47,6 +47,6 @@ class IvfModelSpec extends AnyFunSuite {
     val v = vecs(0 until 50)
     val a = IvfModel.trainedOrLoad(v, dir, "k8", () => fakeModel(1))
     val b = IvfModel.trainedOrLoad(v, dir, "k16", () => fakeModel(2))
-    assert(a._1(0)(0) == 1.0 && b._1(0)(0) == 2.0)
+    assert(a.cents(0)(0) == 1.0 && b.cents(0)(0) == 2.0)
   }
 }

@@ -184,8 +184,9 @@ class OpsSpec extends AnyFunSuite {
       .filter(org.apache.spark.sql.functions.col("cosine") >= 0.9))
     val lsh = pairSet(graft.ops.Similarity.lshCosinePairs(u, 0.9))
     assert(exact.nonEmpty, "fixture should plant cosine>=0.9 pairs")
-    // verification makes precision exact; 6x24 banding makes a recall
-    // miss a ~1e-8 event — equality is the expected outcome, and a
+    // verification makes precision exact; 4-plane x 32-table banding
+    // makes a recall miss a ~2e-11 event (Similarity.lshCosinePairs) —
+    // equality is the expected outcome, and a
     // fixture regeneration that breaks it should fail HERE, visibly,
     // not as a gate hash mismatch
     assert(lsh == exact)
