@@ -489,6 +489,31 @@ final class ManifestStore(val root: String) extends Serializable {
     }
   }
 
+  /** The range column recorded in the current snapshot, if any — lets a
+    * caller know whether [[readRange]]'s pruning applies and on which
+    * column. */
+  private[graft] def currentRangeCol(spark: SparkSession): Option[String] =
+    snapshot(spark).flatMap(_.rangeCol)
+
+  /** Atomic full replace: one commit whose snapshot lists ONLY `df`'s
+    * files — the maintenance primitive for content rewrites (e.g.
+    * [[graft.ops.LshIndex.compact]] re-applying its occupancy cap across
+    * appends). Readers see wholly-old or wholly-new; the replaced files
+    * stay on disk for in-flight readers until [[vacuum]]. Unlike
+    * [[compact]], the replacement content is computed by the CALLER from
+    * a snapshot it read earlier — a write committed between that read
+    * and this call would be silently dropped, so the caller must hold
+    * writer exclusivity for the duration (the usual maintenance-window
+    * contract). */
+  def replaceAll(spark: SparkSession, df: DataFrame,
+                 partitionCols: Seq[String] = Nil,
+                 commitKey: Option[String] = None,
+                 rangeCol: Option[String] = None): Unit = synchronized {
+    if (commitKey.exists(hasCommitKey(spark, _))) return
+    val newFiles = writeData(spark, df, partitionCols, rangeCol)
+    commitWith(spark, commitKey, rangeCol)(_ => newFiles)
+  }
+
   /** Atomic overwrite-by-range (the manifest form of
     * [[Writer.overwriteRange]], and the exactly-once commit for chain
     * ingest): rows in [from, to] are replaced by `df` in one manifest

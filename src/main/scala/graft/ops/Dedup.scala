@@ -283,7 +283,15 @@ object Dedup {
     * bench's second pass) probes the FROZEN index instead of rebuilding
     * it, which is exactly the production steady state the operator
     * exists for. Roots from other JVMs/rounds are never trusted: the
-    * first call of a JVM always deletes and rebuilds. */
+    * first call of a JVM always deletes and rebuilds.
+    *
+    * Stated assumption: the documents table at a given path is immutable
+    * within one JVM session — rewriting it and re-calling
+    * [[dedupIncremental]] in the same JVM would probe the stale frozen
+    * index. The memo exists for the gate/bench harness, whose fixtures
+    * are immutable; a library caller with a mutable corpus should drive
+    * [[LshIndex.append]]/[[LshIndex.probe]] directly against a
+    * ManifestStore-versioned corpus, where index currency is explicit. */
   private val builtRoots =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 

@@ -126,6 +126,62 @@ class LshIndexSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("pre-fingerprint"))
   }
 
+  test("probe data-skips stored shingles to the candidates' id range") {
+    import spark.implicits._
+    // distinct 20-token vocabularies per doc → no cross-doc candidates
+    // except the planted pair
+    def doc(id: Long, tag: String) =
+      (id, (0 until 20).map(t => s"w${tag}_$t").mkString(" "))
+    val low = (0L until 50L).map(i => doc(i, s"lo$i")).toDF("doc_id", "text")
+    val highDf = ((100001L until 100050L).map(i => doc(i, s"hi$i")) :+
+      (100000L, (0 until 20).map(t => s"p_$t").mkString(" ")))
+      .toDF("doc_id", "text")
+    val root = freshRoot("skip")
+    LshIndex.append(low, root)    // files stats: doc_id in [0, 49]
+    LshIndex.append(highDf, root) // files stats: doc_id in [100000, 100049]
+    // probe batch: one near-dup of doc 100000 (drop one token → j≈0.86)
+    val batch = Seq((200000L,
+      (0 until 19).map(t => s"p_$t").mkString(" "))).toDF("doc_id", "text")
+    val pairs = pairSet(LshIndex.probe(batch, root, 0.7))
+    assert(pairs == Set((100000L, 200000L)), s"pairs=$pairs")
+    val (read, total) = LshIndex.lastShingleRead.get()
+    assert(total >= 2, s"expected one file per append at least, saw $total")
+    assert(read >= 1 && read < total,
+      s"shingle read touched $read of $total files — doc_id data-skipping " +
+        "is not pruning")
+  }
+
+  test("compact drops keys that went hot only ACROSS appends; non-degenerate probes unchanged") {
+    import spark.implicits._
+    val root = freshRoot("compact")
+    val hotText = (0 until 20).map(t => s"hot_$t").mkString(" ")
+    val vText = (0 until 20).map(t => s"v_$t").mkString(" ")
+    def nearV(drop: Int) = (0 until 20).filterNot(_ == drop)
+      .map(t => s"v_$t").mkString(" ")
+    // batch 1: six copies of the hot text + the non-degenerate doc 20
+    LshIndex.append(((0L until 6L).map(i => (i, hotText)) :+ (20L, vText))
+      .toDF("doc_id", "text"), root)
+    // batch 2: six more copies + near-dup of doc 20 — per-append
+    // occupancy (6) never crosses the cap (8); the union (12) does
+    LshIndex.append(((10L until 16L).map(i => (i, hotText)) :+ (21L, nearV(19)))
+      .toDF("doc_id", "text"), root)
+    val batch = Seq((100L, nearV(0)), (101L, hotText)).toDF("doc_id", "text")
+    val before = pairSet(LshIndex.probe(batch, root, 0.7))
+    assert(before.contains((20L, 100L)) && before.contains((21L, 100L)))
+    assert(before.exists(_._2 == 101L), "pre-compact, the hot key still probes")
+    LshIndex.compact(spark, root, maxBucket = 8)
+    val after = pairSet(LshIndex.probe(batch, root, 0.7))
+    // the degenerate key is gone: nothing pairs with the hot-text probe
+    assert(!after.exists(p => p._1 == 101L || p._2 == 101L),
+      s"hot-key pairs survived compaction: $after")
+    // non-degenerate results are unchanged
+    assert(after.filterNot(p => p._1 == 101L || p._2 == 101L) ==
+      before.filterNot(p => p._1 == 101L || p._2 == 101L))
+    // and the hot docs' band rows are physically gone from the store
+    val bands = new graft.ingest.ManifestStore(s"$root/bands").read(spark).get
+    assert(bands.filter(col("doc_id") < 16).count() == 0)
+  }
+
   test("verification values match the exact jaccard of the brute path") {
     val root = freshRoot("vals")
     LshIndex.append(even, root)
