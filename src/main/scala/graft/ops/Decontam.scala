@@ -20,19 +20,32 @@ import graft.Tables
   */
 object Decontam {
 
+  /** The published recipes' text normalization (GPT-3 appendix C / The
+    * Pile): lowercase, strip everything but [a-z0-9 ] — applied map-side
+    * before tokenization, mirrored verbatim in the DuckDB oracle (which
+    * needs the 'g' flag for replace-all). */
+  def normalize(text: Column): Column =
+    regexp_replace(lower(text), "[^a-z0-9 ]", "")
+
   /** (doc_id, contaminated) for every TRAIN doc (`!isEval`), true when
-    * the doc shares ≥1 distinct n-gram with the eval set. Each side is
+    * the doc shares ≥1 distinct n-gram with the eval set. `n` follows
+    * the published recipes (5 here by default; GPT-3 uses 13);
+    * `normalized` lowercases and strips punctuation first. Each side is
     * shingled exactly once, from its own pre-filtered scan — shingling
     * the full corpus and semi-joining the eval slice out afterwards
     * would tokenize the 100 TB training side twice. */
-  def flags(docs: DataFrame, isEval: Column, n: Int = 5): DataFrame = {
-    val evalSh = Dedup.shingles(docs.filter(isEval), n)
+  def flags(docs: DataFrame, isEval: Column, n: Int = 5,
+            normalized: Boolean = false): DataFrame = {
+    val base =
+      if (normalized) docs.withColumn("text", normalize(col("text")))
+      else docs
+    val evalSh = Dedup.shingles(base.filter(isEval), n)
       .select("sh").distinct()
-    val contaminated = Dedup.shingles(docs.filter(!isEval), n)
+    val contaminated = Dedup.shingles(base.filter(!isEval), n)
       .join(evalSh, Seq("sh"), "left_semi")
       .select("doc_id").distinct()
       .withColumn("contaminated", lit(true))
-    docs.filter(!isEval).select("doc_id")
+    base.filter(!isEval).select("doc_id")
       .join(contaminated, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("contaminated"), lit(false)).as("contaminated"))
@@ -46,8 +59,24 @@ object Decontam {
       pmod(col("doc_id"), lit(10)) === 0)
       .orderBy(col("doc_id"))
 
+  /** The GPT-3 recipe variant: 13-gram exact match after lowercasing +
+    * punctuation stripping. The fixture text is already clean, so the
+    * gate deterministically DIRTIES it first (case + punctuation,
+    * mirrored in the oracle) — the flags computed on the normalized
+    * dirty text hash-match the oracle's identical pipeline, proving the
+    * normalization round-trips rather than vacuously passing through. */
+  def decontaminateN13(s: SparkSession, dir: String): DataFrame = {
+    val dirty = Tables.load(s, dir, "documents").withColumn("text",
+      when(pmod(col("doc_id"), lit(3)) === 0, concat(upper(col("text")), lit("!!")))
+        .when(pmod(col("doc_id"), lit(3)) === 1, concat(col("text"), lit(", end.")))
+        .otherwise(col("text")))
+    flags(dirty, pmod(col("doc_id"), lit(10)) === 0, n = 13, normalized = true)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "decontaminate" -> (decontaminate _))
+    "decontaminate" -> (decontaminate _),
+    "decontaminate_n13" -> (decontaminateN13 _))
 
   val oracle: Map[String, String] = Map(
     "decontaminate" -> s"""
@@ -57,6 +86,24 @@ object Decontam {
                  WHERE doc_id % 10 <> 0 AND s IN (SELECT s FROM evalsh))
       SELECT d.doc_id, (c.doc_id IS NOT NULL) AS contaminated
       FROM documents d LEFT JOIN contam c ON d.doc_id = c.doc_id
+      WHERE d.doc_id % 10 <> 0
+      ORDER BY d.doc_id""",
+    "decontaminate_n13" -> s"""
+      WITH dirty AS (
+        SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN upper(text) || '!!'
+                            WHEN doc_id % 3 = 1 THEN text || ', end.'
+                            ELSE text END AS text
+        FROM documents),
+      norm AS (
+        SELECT doc_id,
+          regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS text
+        FROM dirty),
+      ${Dedup.shingleCtes("norm", 13)},
+      evalsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0),
+      contam AS (SELECT DISTINCT doc_id FROM sh
+                 WHERE doc_id % 10 <> 0 AND s IN (SELECT s FROM evalsh))
+      SELECT d.doc_id, (c.doc_id IS NOT NULL) AS contaminated
+      FROM norm d LEFT JOIN contam c ON d.doc_id = c.doc_id
       WHERE d.doc_id % 10 <> 0
       ORDER BY d.doc_id""")
 }

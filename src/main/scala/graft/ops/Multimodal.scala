@@ -141,12 +141,97 @@ object Multimodal {
       .orderBy(col("kind"))
   }
 
+  // ------------------------------------------- features → ANN composition
+
+  /** Center features before similarity: stripe-averages of uniform bytes
+    * all point near (127.5, …), so raw cosines are ≈1 everywhere;
+    * centering is the usual embedding whitening step and spreads the
+    * directions. Mirrored exactly in the sequential truth. */
+  private val FeatureCenter = 127.5
+
+  /** The media feature table as a normalized vector table
+    * (vec_id, e, nrm) — the contract [[Ivf.searchIvf]] consumes. */
+  private[graft] def mediaVectors(s: SparkSession, n: Int): DataFrame = {
+    import org.apache.spark.sql.graftshim.Shim
+    extractFeatures(syntheticMedia(s, n)).toDF()
+      .select(col("media_id").as("vec_id"),
+        expr(s"transform(features, x -> CAST(x AS DOUBLE) - ${FeatureCenter}D)").as("e"))
+      .withColumn("nrm", sqrt(Shim.column(DotDouble(
+        Shim.expression(col("e")), Shim.expression(col("e"))))))
+  }
+
+  val annTruthPath = "/root/repo/fixtures/truth/multimodal_ann.parquet"
+
+  /** Sequential ground truth for the media ANN gate: brute-force cosine
+    * top-10 for queries media_id < 10 over the same 2000 feature
+    * vectors, computed by a plain driver loop that mirrors the Spark
+    * arithmetic exactly (float→double is exact; dots are sequential
+    * left folds; 6 dp rounding before ranking). */
+  def ensureAnnTruth(spark: SparkSession): Unit = synchronized {
+    val marker = new java.io.File("/root/repo/fixtures/_MM_ANN_TRUTH_v1")
+    if (marker.exists()) return
+    val n = 2000
+    val vecs = (0 until n).map { id =>
+      val rnd = new scala.util.Random(id.toLong) // mirrors syntheticMedia
+      rnd.nextInt(3) // the kind draw — consumed to keep the stream aligned
+      val payload = new Array[Byte](256 + rnd.nextInt(4096))
+      rnd.nextBytes(payload)
+      decodeStub(payload, 16).map(_.toDouble - FeatureCenter)
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var j = 0
+      while (j < a.length) { d += a(j) * b(j); j += 1 }
+      d
+    }
+    val nrm = vecs.map(v => math.sqrt(dot(v, v)))
+    val rows = (0 until 10).flatMap { q =>
+      (0 until n).filter(_ != q)
+        .map { i =>
+          val c = BigDecimal(dot(vecs(q), vecs(i)) / (nrm(q) * nrm(i)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (i.toLong, c)
+        }
+        .sortBy { case (i, c) => (-c, i) }.take(10)
+        .map { case (i, _) => (q.toLong, i) }
+    }
+    import spark.implicits._
+    rows.toDF("qid", "nid").coalesce(1)
+      .write.mode("overwrite").parquet(annTruthPath)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/fixtures/_MM_ANN_TRUTH_v1"), "ok")
+  }
+
+  /** Gate: media features composed through the persisted-inverted-list
+    * IVF search ([[Ivf.searchIvf]] on the `media` vector table), recall
+    * asserted against the sequential brute-force truth — proving the
+    * feature contract (schema, vector shape, norms) composes with the
+    * ANN operators end to end. */
+  def mediaAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    ensureAnnTruth(s)
+    val ann = Ivf.searchIvf(mediaVectors(s, 2000), dir, "media",
+      col("vec_id") < 10, k = 8, nProbe = 4)
+    val truth = s.read.parquet(annTruthPath).select("qid", "nid")
+    truth.join(ann.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_expected")))
+      .select(lit("media_ivf").as("method"), col("n_expected"),
+        expr("(n_expected*7 + 9) DIV 10").as("min_hits"),
+        (col("hits") >= expr("(n_expected*7 + 9) DIV 10")).as("recall_ok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "multimodal_features" -> (mediaFeatureStats _))
+    "multimodal_features" -> (mediaFeatureStats _),
+    "multimodal_ann" -> (mediaAnnRecall _))
 
   val oracle: Map[String, String] = Map(
     "multimodal_features" -> s"""
       SELECT kind, n, total_bytes, norm_sum
       FROM read_parquet('$truthPath/*.parquet')
-      ORDER BY kind""")
+      ORDER BY kind""",
+    "multimodal_ann" -> s"""
+      SELECT 'media_ivf' AS method,
+        CAST(COUNT(*) AS BIGINT) AS n_expected,
+        CAST((COUNT(*)*7 + 9)//10 AS BIGINT) AS min_hits,
+        TRUE AS recall_ok
+      FROM read_parquet('$annTruthPath/*.parquet')""")
 }

@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Decontam
+
+/** Benchmark decontamination: the exact n-gram rule at configurable n,
+  * and the published-recipe normalization (lowercase + strip punct). */
+class DecontamSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def toks(tag: String, n: Int) =
+    (0 until n).map(t => s"${tag}_$t").mkString(" ")
+
+  private def flagsOf(df: org.apache.spark.sql.DataFrame, n: Int,
+                      normalized: Boolean): Map[Long, Boolean] =
+    Decontam.flags(df, col("doc_id") < 100L, n, normalized)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+
+  test("a train doc is contaminated iff it shares a full n-gram with the eval set") {
+    // eval doc 0: tokens e_0..e_19. Train 200 embeds a 13-token run of
+    // it; train 201 embeds only a 12-token run — under n=13 only 200 flags.
+    val eval0 = toks("e", 20)
+    val docs = Seq(
+      (0L, eval0),
+      (200L, "x y " + (0 until 13).map(t => s"e_$t").mkString(" ") + " z"),
+      (201L, "x y " + (0 until 12).map(t => s"e_$t").mkString(" ") + " z")
+    ).toDF("doc_id", "text")
+    val f = flagsOf(docs, 13, normalized = false)
+    assert(f == Map(200L -> true, 201L -> false))
+  }
+
+  test("normalization flags case/punctuation-mangled leakage that exact match misses") {
+    val evalText = toks("w", 13)
+    val mangled = evalText.toUpperCase + "!!"
+    val docs = Seq((0L, evalText), (200L, mangled)).toDF("doc_id", "text")
+    assert(flagsOf(docs, 13, normalized = false) == Map(200L -> false),
+      "exact match must NOT see the mangled copy")
+    assert(flagsOf(docs, 13, normalized = true) == Map(200L -> true),
+      "normalized match must see through case + punctuation")
+  }
+}
