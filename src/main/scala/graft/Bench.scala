@@ -109,6 +109,12 @@ object Bench {
       System.err.println(s"[bench] WARNING: contended host during the run " +
         s"(jvms before=$jvmsBefore after=$jvmsAfter, load=$loadBefore) - " +
         "wall times are likely inflated by CPU contention")
+    // plan-shape gate, AFTER the timed passes (untimed): every PLANS.md
+    // assertion re-runs here, so a plan regression aborts the bench with
+    // rc != 0 and no metric line — loud every round, not only when
+    // someone re-runs graft.Plans by hand
+    Plans.run(spark, "/root/testdata/sf0.01")
+    System.err.println("[bench] plan-shape assertions passed (PLANS.md refreshed)")
     // persist the metric line to a file as the canonical copy, and print
     // it as the very LAST stdout line (after Spark shutdown noise) so a
     // parse of the tail finds bare JSON
