@@ -136,34 +136,92 @@ class DemuxVolumeSpec extends AnyFunSuite {
     }.toDF().select(Demux.rawLogSchema.fieldNames.map(col).toSeq: _*)
   }
 
-  test("18k-doc curation pipeline: survivor set exact by construction") {
+  test("100k-doc curation pipeline: survivor set exact by construction, bounded wall-clock") {
     import spark.implicits._
-    // 6000 disjoint-vocabulary clusters: base doc (id 3i), a near-dup
+    // 43000 disjoint-vocabulary clusters: base doc (id 3i), a near-dup
     // copy (3i+1, one mid token changed → 3-gram jaccard ≈ 0.90), and
-    // for every third cluster an exact copy (3i+2). Disjoint vocab ⇒
-    // zero cross-cluster jaccard, so the expected survivors are exactly
-    // the cluster minima. Plus 500 repetitive spam docs that must fall
-    // to the quality rules before they can anchor any cluster.
-    val n = 6000
-    val docs = (0 until n).iterator.flatMap { i =>
+    // for every third cluster an exact copy (3i+2) — ~100.8k docs with
+    // 500 repetitive spam docs that must fall to the quality rules
+    // before they can anchor any cluster. Disjoint vocab ⇒ zero
+    // cross-cluster jaccard, so the expected survivors are exactly the
+    // cluster minima — the truth needs no second implementation. The
+    // wall-clock ceiling is the empirical O(n²) tripwire plan asserts
+    // can't provide: an accidental all-pairs step at this size runs for
+    // hours, not minutes.
+    val n = 43000
+    val docs = spark.range(0L, n.toLong, 1L, 16).flatMap { i =>
       val toks = (0 until 60).map(j => s"c${i}t$j")
       val base = toks.mkString(" ")
       val near = toks.updated(30, "XX").mkString(" ")
       val exact = if (i % 3 == 0) Seq((i * 3L + 2, base)) else Nil
       Seq((i * 3L, base), (i * 3L + 1, near)) ++ exact
-    }.toSeq ++ (0 until 500).map { k =>
-      (100000L + k, Seq.fill(300)("spam").mkString(" "))
-    }
-    val df = docs.toDF("doc_id", "text")
+    }.toDF("doc_id", "text")
+    val spam = (0 until 500).map { k =>
+      (1000000L + k, Seq.fill(300)("spam").mkString(" "))
+    }.toDF("doc_id", "text")
+    val df = docs.unionByName(spam)
       .withColumn("lang", lit("en"))
       .withColumn("source", lit("s"))
       .withColumn("n_chars", length(col("text")).cast("long"))
-      .repartition(8)
+    val t0 = System.nanoTime()
     val kept = graft.ops.Curation.curate(df)
       .select("doc_id").collect().map(_.getLong(0)).toSet
+    val dt = (System.nanoTime() - t0) / 1e9
+    info(f"100k-doc curation in $dt%.1f s")
     val expected = (0 until n).map(_ * 3L).toSet
     assert(kept == expected,
       s"missing=${(expected -- kept).take(5)} extra=${(kept -- expected).take(5)}")
+    assert(dt < 180.0, f"curation took $dt%.1f s — O(n·shingles) budget blown")
+  }
+
+  test("50k-vector ANN: planted-cluster recall exact by construction, bounded wall-clock") {
+    import spark.implicits._
+    // 50k vectors in 4545 tight clusters of 11 (center ~N(0,1)^64 per
+    // cluster, members center + 1% noise): within-cluster cosine ≈ 0.999,
+    // cross-cluster |cosine| ≲ 0.5 with overwhelming probability, so the
+    // true top-10 of any member is EXACTLY its 10 cluster-mates — no
+    // brute-force truth pass needed at this size. Queries are the first
+    // member of clusters 0..9.
+    val nVec = 50050L
+    val dim = 64
+    val v = spark.range(0L, nVec, 1L, 16).map { id =>
+      val cluster = id / 11
+      val cRnd = new scala.util.Random(1000003L * cluster)
+      val base = Array.fill(dim)(cRnd.nextGaussian())
+      val nRnd = new scala.util.Random(id)
+      val e = base.map(x => x + 0.01 * nRnd.nextGaussian())
+      var d = 0.0
+      var j = 0
+      while (j < dim) { d += e(j) * e(j); j += 1 }
+      (id, e.toSeq, math.sqrt(d))
+    }.toDF("vec_id", "e", "nrm")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_volann").toString
+    val t0 = System.nanoTime()
+    val ann = graft.ops.Ivf.searchIvf(v, tmp, "volann",
+      col("vec_id") < 110 && pmod(col("vec_id"), lit(11)) === 0,
+      k = 16, nProbe = 4)
+      .collect()
+    val dt1 = (System.nanoTime() - t0) / 1e9
+    // steady state: the inverted lists are persisted now — a second
+    // search is fingerprint + probes + pruned read only
+    val t1 = System.nanoTime()
+    val ann2 = graft.ops.Ivf.searchIvf(v, tmp, "volann",
+      col("vec_id") < 110 && pmod(col("vec_id"), lit(11)) === 0,
+      k = 16, nProbe = 4)
+      .collect()
+    val dt2 = (System.nanoTime() - t1) / 1e9
+    info(f"50k-vector ANN: build+search $dt1%.1f s, steady-state search $dt2%.1f s")
+    Seq(ann, ann2).foreach { rows =>
+      val byQuery = rows.groupBy(_.getLong(0))
+      assert(byQuery.keySet == (0 until 10).map(_ * 11L).toSet)
+      byQuery.foreach { case (q, rs) =>
+        val mates = rs.map(_.getLong(2)).count(nid => nid / 11 == q / 11)
+        assert(mates >= 8, s"query $q: only $mates of 10 cluster-mates in top-10")
+      }
+    }
+    assert(dt1 < 120.0, f"ANN build+search took $dt1%.1f s")
+    assert(dt2 < 15.0, f"steady-state ANN search took $dt2%.1f s — " +
+      "is the search scanning the corpus again?")
   }
 
   test("150k-log one-pass demux + pruned decode conserves every row") {
