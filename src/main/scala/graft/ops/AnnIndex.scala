@@ -54,13 +54,21 @@ object AnnIndex {
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(p)) {
-        val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
-        if (fs.exists(tmp)) fs.delete(tmp, true) // a crashed builder's leftovers
+        // PROCESS-unique temp name: a fixed `.tmp` would let two JVMs
+        // racing the same artifact delete each other's in-flight build
+        val tmp = new org.apache.hadoop.fs.Path(
+          path + ".tmp-" + java.util.UUID.randomUUID())
         build().write.partitionBy(partCol).parquet(tmp.toString)
         // one atomic rename into a fingerprint-unique name: a concurrent
         // builder that won the race leaves dst present — our copy is the
-        // same deterministic bytes, so just drop it
-        if (!fs.rename(tmp, p)) fs.delete(tmp, true)
+        // same deterministic bytes, so just drop it. If the rename failed
+        // for any OTHER reason, nothing was published: fail loudly rather
+        // than mark an absent artifact ready.
+        if (!fs.rename(tmp, p)) {
+          fs.delete(tmp, true)
+          require(fs.exists(p),
+            s"AnnIndex: rename to $path failed and no concurrent build published it")
+        }
       }
       ready.add(path)
     }

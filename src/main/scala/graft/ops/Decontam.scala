@@ -21,11 +21,17 @@ import graft.Tables
 object Decontam {
 
   /** The published recipes' text normalization (GPT-3 appendix C / The
-    * Pile): lowercase, strip everything but [a-z0-9 ] — applied map-side
-    * before tokenization, mirrored verbatim in the DuckDB oracle (which
-    * needs the 'g' flag for replace-all). */
+    * Pile): lowercase, strip punctuation, treat whitespace as a
+    * SEPARATOR — newlines/tabs collapse to single spaces (deleting them
+    * would weld line-wrapped words together and miss real leakage), and
+    * stripped punctuation can't leave empty tokens behind. Applied
+    * map-side before tokenization; the DuckDB oracle mirrors the exact
+    * pattern text (explicit [ \t\n\r] class — Java and RE2 disagree on
+    * \s's fringe members — and the 'g' flag for replace-all). */
   def normalize(text: Column): Column =
-    regexp_replace(lower(text), "[^a-z0-9 ]", "")
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 \\t\\n\\r]", ""),
+      "[ \\t\\n\\r]+", " "))
 
   /** (doc_id, contaminated) for every TRAIN doc (`!isEval`), true when
     * the doc shares ≥1 distinct n-gram with the eval set. `n` follows
@@ -96,7 +102,9 @@ object Decontam {
         FROM documents),
       norm AS (
         SELECT doc_id,
-          regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS text
+          trim(regexp_replace(
+            regexp_replace(lower(text), '[^a-z0-9 \t\n\r]', '', 'g'),
+            '[ \t\n\r]+', ' ', 'g')) AS text
         FROM dirty),
       ${Dedup.shingleCtes("norm", 13)},
       evalsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0),

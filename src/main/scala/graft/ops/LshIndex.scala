@@ -123,9 +123,12 @@ object LshIndex {
         .agg(count(lit(1)).as("occ")).filter(col("occ") > maxBucket)
         .select("band", "bandkey")
       val kept0 = bands.join(hot, Seq("band", "bandkey"), "left_anti")
-      // upgrade path: a pre-shard index gains its bk_shard layout here
-      val kept = if (kept0.columns.contains("bk_shard")) kept0
-                 else withShard(kept0)
+      // upgrade path: recompute the shard UNCONDITIONALLY — a mixed
+      // store (pre-shard commits + sharded appends) reads old rows with
+      // bk_shard = NULL, and preserving those would write them into the
+      // Hive default partition where every probe's shard filter misses
+      // them forever
+      val kept = withShard(kept0.drop("bk_shard"))
       bandsStore(root).replaceAll(spark, kept,
         partitionCols = Seq("bk_shard"))
     }
@@ -144,9 +147,16 @@ object LshIndex {
       : DataFrame = {
     val spark = newDocs.sparkSession
     import spark.implicits._
-    val shNew = hashed(Dedup.shingles(newDocs, counter = hashCounter)).persist()
+    // localCheckpoint, not persist: each is consumed by several jobs
+    // inside this probe AND by the returned (lazy) result, and a
+    // persist would pin a CacheManager entry per probe call — a
+    // per-micro-batch leak in a streaming ingest loop. Checkpointed
+    // blocks are released by the ContextCleaner once the result goes
+    // unreachable (the embDedupKeepOnly pattern).
+    val shNew = hashed(Dedup.shingles(newDocs, counter = hashCounter))
+      .localCheckpoint()
     val sigNew = Dedup.minhash(shNew)
-    val bandsNew = Dedup.bandedSignatures(sigNew).persist()
+    val bandsNew = Dedup.bandedSignatures(sigNew).localCheckpoint()
 
     // batch-wins exclusion: any stored rows for the PROBING batch's own
     // doc_ids are dropped before use. A crashed append can strand the
@@ -160,8 +170,12 @@ object LshIndex {
 
     // partition-prune the bands read to the shards the batch's own band
     // keys hash into (a small batch touches a strict subset of the
-    // BandShards layout); indexes persisted before the shard column
-    // existed read unpruned
+    // BandShards layout). Rows with bk_shard NULL are pre-shard commits
+    // surfacing through the union's allowMissingColumns null-fill — a
+    // MIXED store (old appends + new) must keep them readable, or every
+    // old doc silently stops probing; the isNull disjunct keeps them
+    // while sharded commits still partition-prune on the IN list.
+    // Compaction re-shards them for good ([[compact]]).
     val batchShards = bandsNew
       .select(pmod(col("bandkey"), lit(BandShards)).as("s"))
       .distinct().collect().map(_.getInt(0)).toSeq
@@ -169,7 +183,8 @@ object LshIndex {
       Seq.empty[(Int, Int, Long)].toDF("band", "bandkey", "doc_id"))
     val storedBands =
       (if (storedBandsAll.columns.contains("bk_shard"))
-        storedBandsAll.filter(col("bk_shard").isin(batchShards: _*))
+        storedBandsAll.filter(col("bk_shard").isin(batchShards: _*) ||
+            col("bk_shard").isNull)
           .drop("bk_shard")
       else storedBandsAll)
         .join(newIds, Seq("doc_id"), "left_anti")
@@ -183,7 +198,7 @@ object LshIndex {
     // new↔new candidates: the batch's own capped-bucket LSH
     val candNew = Dedup.lshCandidates(sigNew)
     val cand = candOld.unionByName(candNew).distinct()
-      .persist() // consumed by three verification joins + the id bounds
+      .localCheckpoint() // consumed by three verification joins + the id bounds
 
     // refuse an index persisted in the pre-hash format (sh: string):
     // probing it would union string shingles with the batch's long

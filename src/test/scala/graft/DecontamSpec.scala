@@ -40,4 +40,16 @@ class DecontamSpec extends AnyFunSuite {
     assert(flagsOf(docs, 13, normalized = true) == Map(200L -> true),
       "normalized match must see through case + punctuation")
   }
+
+  test("normalization treats whitespace as a separator: line-wrapped leakage still matches") {
+    val evalText = toks("w", 13)
+    // the same 13 tokens wrapped across lines with punctuation noise —
+    // deleting (rather than collapsing) the newline would weld two
+    // tokens together and silently miss the leak
+    val wrapped = evalText.split(' ').grouped(4).map(_.mkString(" "))
+      .mkString(",\n  ")
+    val docs = Seq((0L, evalText), (200L, wrapped)).toDF("doc_id", "text")
+    assert(flagsOf(docs, 13, normalized = true) == Map(200L -> true),
+      "wrapped copy must normalize to the same 13-gram")
+  }
 }

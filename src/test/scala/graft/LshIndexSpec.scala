@@ -182,6 +182,47 @@ class LshIndexSpec extends AnyFunSuite {
     assert(bands.filter(col("doc_id") < 16).count() == 0)
   }
 
+  test("mixed-format index: pre-shard commits stay probe-able; compact re-shards them") {
+    import spark.implicits._
+    import graft.ingest.ManifestStore
+    val root = freshRoot("mixed")
+    // simulate a PRE-SHARD append: the three tables committed without the
+    // bk_shard layout, exactly as the previous release wrote them
+    val oldDocs = even.filter(col("doc_id") < 250)
+    val oldSh = Dedup.shingles(oldDocs)
+      .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+    new ManifestStore(s"$root/shingles").append(spark, oldSh,
+      rangeCol = Some("doc_id"))
+    new ManifestStore(s"$root/sizes").append(spark,
+      oldSh.groupBy("doc_id").agg(count(lit(1)).as("sz")),
+      rangeCol = Some("doc_id"))
+    val r = Dedup.NumHashes / Dedup.Bands
+    val oldBands = Dedup.minhash(oldSh).as[(Long, Seq[Long])].collect()
+      .flatMap { case (id, mins) =>
+        (0 until Dedup.Bands).map { b =>
+          (b, scala.util.hashing.MurmurHash3.orderedHash(
+            mins.slice(b * r, b * r + r)), id)
+        }
+      }.toSeq.toDF("band", "bandkey", "doc_id")
+    new ManifestStore(s"$root/bands").append(spark, oldBands)
+    // a new-format append on top makes the store MIXED: old rows read
+    // with bk_shard = NULL through the union's null-fill
+    LshIndex.append(even.filter(col("doc_id") >= 250), root)
+    val rootRef = freshRoot("mixed_ref")
+    LshIndex.append(even, rootRef)
+    val expected = pairSet(LshIndex.probe(odd, rootRef, 0.7))
+    assert(expected.exists(_._1 < 250) && expected.exists(_._1 >= 250),
+      "fixture must plant pairs on both sides of the format split")
+    assert(pairSet(LshIndex.probe(odd, root, 0.7)) == expected,
+      "pre-shard corpus rows must not be dropped by the shard filter")
+    // compaction re-derives every shard: no NULL partition remains, and
+    // the probe result is unchanged
+    LshIndex.compact(spark, root)
+    val bands = new ManifestStore(s"$root/bands").read(spark).get
+    assert(bands.filter(col("bk_shard").isNull).count() == 0)
+    assert(pairSet(LshIndex.probe(odd, root, 0.7)) == expected)
+  }
+
   test("verification values match the exact jaccard of the brute path") {
     val root = freshRoot("vals")
     LshIndex.append(even, root)
