@@ -58,7 +58,14 @@ object AnnIndex {
         // racing the same artifact delete each other's in-flight build
         val tmp = new org.apache.hadoop.fs.Path(
           path + ".tmp-" + java.util.UUID.randomUUID())
-        build().write.partitionBy(partCol).parquet(tmp.toString)
+        // cluster by the partition column before writing: without this,
+        // every write task emits a file into every partition dir
+        // (tasks × partitions tiny files — measured 2.3 s of pure read
+        // overhead per search on a 2000-vector corpus). One build-time
+        // shuffle buys ~1 file per inverted list; at very large list
+        // sizes use repartition(N, col) to keep write parallelism.
+        build().repartition(col(partCol))
+          .write.partitionBy(partCol).parquet(tmp.toString)
         // one atomic rename into a fingerprint-unique name: a concurrent
         // builder that won the race leaves dst present — our copy is the
         // same deterministic bytes, so just drop it. If the rename failed
