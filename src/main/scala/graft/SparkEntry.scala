@@ -24,6 +24,7 @@ object SparkEntry {
       graft.ops.TextAnalysis.queries ++ graft.ops.Dedup.queries ++
       graft.ops.Components.queries ++ graft.ops.Sampling.queries ++
       graft.ops.Curation.queries ++ graft.ops.Decontam.queries ++
+      graft.ops.Scrub.queries ++
       graft.ops.Similarity.queries ++ graft.ops.Ivf.queries ++ graft.ops.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -35,6 +36,7 @@ object SparkEntry {
       graft.ops.TextAnalysis.oracle ++ graft.ops.Dedup.oracle ++
       graft.ops.Components.oracle ++ graft.ops.Sampling.oracle ++
       graft.ops.Curation.oracle ++ graft.ops.Decontam.oracle ++
+      graft.ops.Scrub.oracle ++
       graft.ops.Similarity.oracle ++ graft.ops.Ivf.oracle ++
       graft.ops.Multimodal.oracle
 }

@@ -1,0 +1,150 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus scrubbing operators the published training-data pipelines run
+  * between crawl and train (C4/RefinedWeb/Dolma lineage, SURVEY §7.5
+  * adjunct):
+  *
+  *  - PII redaction: email / phone / IPv4 patterns replaced with typed
+  *    placeholder tokens — pure map-side `regexp_replace`, fused behind
+  *    the scan (no shuffle at any corpus size). Patterns stay within the
+  *    Java∩RE2 common subset (no lookaround, explicit [0-9] classes) so
+  *    the DuckDB oracle runs the IDENTICAL pattern text.
+  *  - Repeated-span (line-level) dedup: C4 removes duplicate three-
+  *    sentence spans corpus-wide; over the token-stream fixture the span
+  *    unit is a fixed 10-token chunk. First occurrence (doc_id, pos)
+  *    wins; later copies are cut and each doc's text is rebuilt from its
+  *    surviving chunks. Scale shape: chunking is map-side (explode), the
+  *    first-wins rule is ONE shuffle on the chunk key (window), the
+  *    rebuild one shuffle on doc_id — never a self-join, and a
+  *    boilerplate chunk repeated a million times costs one window group,
+  *    not a pair expansion.
+  */
+object Scrub {
+
+  // Java∩RE2-safe pattern texts, shared verbatim with the DuckDB oracle
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhoneRe = "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+  private val IpRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** (text', redactions) for one text column: placeholders substituted,
+    * occurrences counted on the ORIGINAL text. */
+  def scrubbed(text: Column): (Column, Column) = {
+    val clean = regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      IpRe, "<IP>")
+    val n = (regexp_count(text, lit(EmailRe)) +
+      regexp_count(text, lit(PhoneRe)) +
+      regexp_count(text, lit(IpRe))).cast("long")
+    (clean, n)
+  }
+
+  /** Gate: the fixture text is PII-free, so deterministic PII is
+    * injected first (mirrored in the oracle) — docs ≡ 0/1/2 (mod 7)
+    * gain an email / phone / IP; scrubbing must redact exactly those. */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val dirty = Tables.load(s, dir, "documents").withColumn("text",
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com for info")))
+        .when(pmod(col("doc_id"), lit(7)) === 1,
+          concat(col("text"), lit(" or call 555-867-5309 today")))
+        .when(pmod(col("doc_id"), lit(7)) === 2,
+          concat(col("text"), lit(" from host 10.0.0.42 logs")))
+        .otherwise(col("text")))
+    val (clean, n) = scrubbed(col("text"))
+    dirty.select(col("doc_id"), clean.as("text"), n.as("redactions"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Tokens per span chunk — C4's unit is three sentences; the token-
+    * stream fixture has no sentence structure, so a fixed window stands
+    * in. */
+  val ChunkTokens = 10
+
+  /** Corpus-wide repeated-span dedup: docs rebuilt from the chunks that
+    * are each the FIRST occurrence of their exact text (order by
+    * (doc_id, pos)). Returns (doc_id, text, n_chunks_kept) for every
+    * input doc — a doc whose every chunk was seen before keeps an empty
+    * text rather than vanishing. */
+  def dedupSpans(docs: DataFrame): DataFrame = {
+    val k = ChunkTokens
+    val chunks = docs
+      .withColumn("_t", split(coalesce(col("text"), lit("")), " "))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, CAST(ceil(size(_t) / ${k}.0) AS INT) - 1),
+              i -> array_join(slice(_t, i * $k + 1, $k), ' '))""")))
+      .toDF("doc_id", "pos", "chunk")
+    val kept = chunks
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("chunk")).orderBy(col("doc_id"), col("pos"))))
+      .filter(col("rn") === 1)
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(
+        expr("array_join(transform(array_sort(collect_list(struct(pos, chunk))), x -> x.chunk), ' ')")
+          .as("kept_text"),
+        count(lit(1)).as("n_kept"))
+    docs.select("doc_id")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("kept_text"), lit("")).as("text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_chunks_kept"))
+  }
+
+  def dedupLines(s: SparkSession, dir: String): DataFrame =
+    dedupSpans(Tables.load(s, dir, "documents"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pii_scrub" -> (piiScrub _),
+    "dedup_lines" -> (dedupLines _))
+
+  val oracle: Map[String, String] = Map(
+    "text_pii_scrub" -> s"""
+      WITH dirty AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' ||
+                 CAST(doc_id AS VARCHAR) || '@example.com for info'
+               WHEN doc_id % 7 = 1 THEN text || ' or call 555-867-5309 today'
+               WHEN doc_id % 7 = 2 THEN text || ' from host 10.0.0.42 logs'
+               ELSE text END AS text
+        FROM documents)
+      SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(text,
+          '$EmailRe', '<EMAIL>', 'g'),
+          '$PhoneRe', '<PHONE>', 'g'),
+          '$IpRe', '<IP>', 'g') AS text,
+        CAST(len(regexp_extract_all(text, '$EmailRe'))
+           + len(regexp_extract_all(text, '$PhoneRe'))
+           + len(regexp_extract_all(text, '$IpRe')) AS BIGINT) AS redactions
+      FROM dirty ORDER BY doc_id""",
+    "dedup_lines" -> s"""
+      WITH toks AS (
+        SELECT doc_id, string_split(COALESCE(text, ''), ' ') t FROM documents),
+      chunks AS (
+        SELECT doc_id, i AS pos,
+          array_to_string(t[(i*$ChunkTokens+1):(i*$ChunkTokens+$ChunkTokens)], ' ') AS chunk
+        FROM toks,
+          unnest(generate_series(0,
+            CAST(ceil(len(t) / ${ChunkTokens}.0) AS INT) - 1)) AS u(i)),
+      kept AS (
+        SELECT doc_id, pos, chunk,
+          ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+        FROM chunks),
+      rebuilt AS (
+        SELECT doc_id,
+          string_agg(chunk, ' ' ORDER BY pos) AS kept_text,
+          CAST(COUNT(*) AS BIGINT) AS n_kept
+        FROM kept WHERE rn = 1 GROUP BY doc_id)
+      SELECT d.doc_id,
+        COALESCE(r.kept_text, '') AS text,
+        COALESCE(r.n_kept, 0) AS n_chunks_kept
+      FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+      ORDER BY d.doc_id""")
+}

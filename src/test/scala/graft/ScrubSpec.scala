@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Scrub
+
+/** PII redaction patterns and the first-wins semantics of repeated-span
+  * dedup, on hand-built corpora where the answer is checkable by eye. */
+class ScrubSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("PII patterns redact emails, phones, and IPs; counts come from the original text") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@corp.example.org and call 555-123-4567 now"),
+      (2L, "server 192.168.1.200 rebooted"),
+      (3L, "nothing sensitive here")
+    ).toDF("doc_id", "text")
+    val (clean, n) = Scrub.scrubbed(col("text"))
+    val out = df.select(col("doc_id"), clean.as("t"), n.as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == ("mail <EMAIL> and call <PHONE> now", 2L))
+    assert(out(2L) == ("server <IP> rebooted", 1L))
+    assert(out(3L) == ("nothing sensitive here", 0L))
+  }
+
+  test("repeated-span dedup: first (doc_id, pos) occurrence wins, later copies cut") {
+    def chunk(tag: String) = (0 until Scrub.ChunkTokens).map(t => s"${tag}$t").mkString(" ")
+    val (a, b, c) = (chunk("a"), chunk("b"), chunk("c"))
+    val docs = Seq(
+      (1L, s"$a $b"),   // both first occurrences
+      (2L, s"$b $c"),   // b already seen in doc 1 → only c survives
+      (3L, s"$a $b")    // everything seen → empty text, row preserved
+    ).toDF("doc_id", "text")
+    val out = Scrub.dedupSpans(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == (s"$a $b", 2L))
+    assert(out(2L) == (c, 1L))
+    assert(out(3L) == ("", 0L))
+  }
+
+  test("a chunk repeated inside ONE doc also dedups, keeping the earliest position") {
+    def chunk(tag: String) = (0 until Scrub.ChunkTokens).map(t => s"${tag}$t").mkString(" ")
+    val (a, b) = (chunk("a"), chunk("b"))
+    val docs = Seq((1L, s"$a $b $a")).toDF("doc_id", "text")
+    val out = Scrub.dedupSpans(docs).collect().head
+    assert(out.getString(1) == s"$a $b" && out.getLong(2) == 2L)
+  }
+}
