@@ -328,14 +328,27 @@ object Dedup {
       .orderBy(col("i"), col("j"))
   }
 
+  /** Order-independent fingerprint of a documents table (count + hash
+    * sum over (doc_id, text)) — the [[TruthCache]] key for gate-side
+    * exact truths. Decimal sum: an ANSI-mode long sum would overflow. */
+  private[ops] def docsFingerprint(docs: DataFrame): (Long, Long) = {
+    val r = docs.agg(count(lit(1)),
+      sum(xxhash64(col("doc_id"), col("text")).cast("decimal(38,0)"))).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getDecimal(1).longValue())
+  }
+
   /** Gate row: recall of simhash(maxDist=10) against the exact
     * jaccard≥0.7 truth, asserted as a derived BOUND (hits ≥
     * ceil(0.8·n_true), integer arithmetic) so the gate survives fixture
     * regeneration and a recall collapse reads as `recall_ok=false`, not a
-    * hash mismatch. The pair listing itself is cross-checked in OpsSpec. */
+    * hash mismatch. The brute truth comes through [[TruthCache]] keyed
+    * by the corpus fingerprint — computed once per corpus, not per
+    * invocation. The pair listing itself is cross-checked in OpsSpec. */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
-    val truePairs = jaccardPairs(shingles(docs), 0.7).select("i", "j").persist()
+    val truePairs = TruthCache.cached(s, "jaccard07_pairs",
+      docsFingerprint(docs),
+      jaccardPairs(shingles(docs), 0.7).select("i", "j"))
     truePairs.join(simhashPairs(docs, 10).select("i", "j"), Seq("i", "j"), "left_semi")
       .agg(count(lit(1)).as("hits"))
       .crossJoin(truePairs.agg(count(lit(1)).as("n_true")))

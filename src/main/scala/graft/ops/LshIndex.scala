@@ -133,6 +133,17 @@ object LshIndex {
         partitionCols = Seq("bk_shard"))
     }
 
+  /** Reclaim data files no retained snapshot references (old copies left
+    * by [[compact]]'s replace commits, crashed appends' unpublished
+    * dirs) across all three stores — the retention contract is
+    * [[ManifestStore.vacuum]]'s. */
+  def vacuum(spark: SparkSession, root: String, keepVersions: Int = 2,
+             minDataAgeMs: Long = ManifestStore.DefaultVacuumMinAgeMs): Unit = {
+    bandsStore(root).vacuum(spark, keepVersions, minDataAgeMs)
+    shinglesStore(root).vacuum(spark, keepVersions, minDataAgeMs)
+    sizesStore(root).vacuum(spark, keepVersions, minDataAgeMs)
+  }
+
   /** Near-dup pairs (i, j, jaccard ≥ threshold) touching at least one
     * doc of `newDocs`, by probing the stored band index: only the new
     * batch is shingled/minhashed here — the corpus side comes entirely

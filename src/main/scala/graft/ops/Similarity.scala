@@ -244,11 +244,15 @@ object Similarity {
     * both engines agree bit-for-bit) rather than a hard-coded hit count —
     * the gate survives fixture regeneration, and a recall collapse flips
     * `recall_ok` to false with a clear meaning instead of a mysterious
-    * hash mismatch. The exact top-k listings are cross-checked in
-    * OpsSpec. */
+    * hash mismatch. The brute-force truth comes through [[TruthCache]]
+    * keyed by the corpus fingerprint — the gate no longer pays a full
+    * O(n·q) pass per invocation, and a changed corpus recomputes. The
+    * exact top-k listings are cross-checked in OpsSpec. */
   def recallGate(s: SparkSession, dir: String, method: String,
                  ann: DataFrame): DataFrame = {
-    val brute = topK(s, dir).select(col("qid"), col("nid")).persist()
+    val fp = IvfModel.fingerprint(vecs(Tables.load(s, dir, "embeddings")))
+    val brute = TruthCache.cached(s, "ann_brute_topk", fp,
+      topK(s, dir).select(col("qid"), col("nid")))
     brute.join(ann.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_semi")
       .agg(count(lit(1)).as("hits"))
       .crossJoin(brute.agg(count(lit(1)).as("n_expected")))

@@ -223,6 +223,28 @@ class LshIndexSpec extends AnyFunSuite {
     assert(pairSet(LshIndex.probe(odd, root, 0.7)) == expected)
   }
 
+  test("vacuum reclaims the files compaction replaced; probe results unchanged") {
+    import spark.implicits._
+    val root = freshRoot("vacuum")
+    LshIndex.append(even.filter(col("doc_id") < 250), root)
+    LshIndex.append(even.filter(col("doc_id") >= 250), root)
+    val before = pairSet(LshIndex.probe(odd, root, 0.7))
+    assert(before.nonEmpty)
+    LshIndex.compact(spark, root) // replace-all commit leaves old files
+    def dataFiles(sub: String): Int = {
+      def walk(f: java.io.File): Iterator[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).iterator.flatten.flatMap(walk)
+        else Iterator(f)
+      walk(new java.io.File(s"$root/$sub/data")).count(_.getName.endsWith(".parquet"))
+    }
+    val filesBefore = dataFiles("bands")
+    LshIndex.vacuum(spark, root, keepVersions = 1, minDataAgeMs = 0)
+    val filesAfter = dataFiles("bands")
+    assert(filesAfter < filesBefore,
+      s"vacuum reclaimed nothing ($filesBefore -> $filesAfter)")
+    assert(pairSet(LshIndex.probe(odd, root, 0.7)) == before)
+  }
+
   test("verification values match the exact jaccard of the brute path") {
     val root = freshRoot("vals")
     LshIndex.append(even, root)
