@@ -53,9 +53,10 @@ object CorpusStream {
     * store untouched). */
   def dedupIngestStream(docs: DataFrame, indexRoot: String,
                         corpus: ManifestStore, checkpoint: String,
-                        threshold: Double = 0.7): StreamingQuery =
+                        threshold: Double = 0.7,
+                        maintainEvery: Int = 0): StreamingQuery =
     ingestStream(docs, indexRoot, corpus, checkpoint, threshold,
-      quality = false, sample = false)
+      quality = false, sample = false, maintainEvery = maintainEvery)
 
   /** The FULL curation pipeline as a stream — the streaming counterpart
     * of [[graft.ops.Curation.curate]], stage order preserved:
@@ -88,18 +89,27 @@ object CorpusStream {
     * sub-appends reconverge both stores. */
   def curatedIngestStream(docs: DataFrame, indexRoot: String,
                           corpus: ManifestStore, checkpoint: String,
-                          threshold: Double = 0.7): StreamingQuery = {
+                          threshold: Double = 0.7,
+                          maintainEvery: Int = 0): StreamingQuery = {
     require(docs.columns.contains("lang"),
       "curatedIngestStream samples by the 'lang' stratum — the input " +
         "stream must carry a lang column")
     ingestStream(docs, indexRoot, corpus, checkpoint, threshold,
-      quality = true, sample = true)
+      quality = true, sample = true, maintainEvery = maintainEvery)
   }
 
+  /** `maintainEvery` > 0 runs the index maintenance pass —
+    * [[LshIndex.compact]] (re-apply the hot-bucket cap across appends)
+    * then [[LshIndex.vacuum]] — every that-many batches, inside
+    * foreachBatch where this stream is provably the only index writer
+    * (compact's replaceAll exclusivity contract). Maintenance is
+    * deterministic over store content, so a replayed batch re-running it
+    * converges to the same index. */
   private def ingestStream(docs: DataFrame, indexRoot: String,
                            corpus: ManifestStore, checkpoint: String,
                            threshold: Double,
-                           quality: Boolean, sample: Boolean): StreamingQuery =
+                           quality: Boolean, sample: Boolean,
+                           maintainEvery: Int): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -126,6 +136,10 @@ object CorpusStream {
               commitKey = Some(s"corpus-batch-$batchId"))
             LshIndex.append(survivors, indexRoot,
               commitKey = Some(s"index-batch-$batchId"))
+            if (maintainEvery > 0 && batchId > 0 && batchId % maintainEvery == 0) {
+              LshIndex.compact(batch.sparkSession, indexRoot)
+              LshIndex.vacuum(batch.sparkSession, indexRoot)
+            }
           } finally { survivors.unpersist(); () }
         } finally {
           b.unpersist()

@@ -72,6 +72,31 @@ class CorpusStreamSpec extends AnyFunSuite {
       .foreach(r => assert(langs(r.getLong(0)) == r.getString(1)))
   }
 
+  test("mid-stream maintenance (compact + vacuum) changes no survivor decision") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.load(spark, dir, "documents")
+    val rows = docs.select("doc_id", "text", "lang").as[StreamDoc]
+      .collect().sortBy(_.doc_id)
+    val batches = rows.grouped(math.max(1, rows.length / 3 + 1)).toSeq
+
+    def runStream(tag: String, maintainEvery: Int): Set[Long] = {
+      val root = tmp(tag)
+      val corpus = new graft.ingest.ManifestStore(s"$root/corpus")
+      val stream = MemoryStream[StreamDoc]
+      val q = CorpusStream.dedupIngestStream(stream.toDF(), s"$root/index",
+        corpus, s"$root/ckpt", 0.7, maintainEvery = maintainEvery)
+      batches.foreach { b => stream.addData(b.toIndexedSeq); q.processAllAvailable() }
+      q.stop()
+      corpus.read(spark).get.select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+
+    val plain = runStream("maint_off", 0)
+    val maintained = runStream("maint_on", 1)
+    assert(maintained == plain && plain.nonEmpty,
+      "maintenance between batches must not change survivor decisions")
+  }
+
   test("bridge doc drops without retracting earlier survivors") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
