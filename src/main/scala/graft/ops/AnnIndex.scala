@@ -18,8 +18,9 @@ import org.apache.spark.sql.functions._
   * a different directory and simply rebuilds — a stale artifact can never
   * be read, and no delete-then-rename window exists (the publish is one
   * atomic rename into a never-before-used name; the loser of a concurrent
-  * build race discards its temp copy, which is bit-identical anyway since
-  * every build is deterministic).
+  * build race discards its temp copy, which holds the same ROW SET —
+  * builds are value-deterministic, though shuffle fetch order makes the
+  * bytes differ — so either copy serves every read identically).
   */
 object AnnIndex {
 
@@ -43,6 +44,28 @@ object AnnIndex {
       "_" + java.lang.Long.toHexString(fp._1 * 1000003L ^ fp._2)
   }
 
+  /** Write `build()` under a process-unique temp name and publish it at
+    * `path` with one atomic rename — the shared publish discipline for
+    * fingerprint-keyed artifacts (also used by [[TruthCache]]). A fixed
+    * temp name would let two JVMs racing the same artifact delete each
+    * other's in-flight build; a lost rename race means a value-identical
+    * copy is already published (drop ours); any OTHER rename failure
+    * published nothing and must fail loudly. */
+  private[ops] def publishAtomically(spark: SparkSession, path: String)
+                                    (write: String => Unit): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) return
+    val tmp = new org.apache.hadoop.fs.Path(
+      path + ".tmp-" + java.util.UUID.randomUUID())
+    write(tmp.toString)
+    if (!fs.rename(tmp, p)) {
+      fs.delete(tmp, true)
+      require(fs.exists(p),
+        s"atomic publish: rename to $path failed and no concurrent writer published it")
+    }
+  }
+
   /** Ensure the artifact at `path` exists: build + write partitioned by
     * `partCol` + atomic rename if absent. Serialized per JVM so two
     * concurrent first searches don't both build. */
@@ -51,13 +74,7 @@ object AnnIndex {
     if (ready.contains(path)) return
     ready.synchronized {
       if (ready.contains(path)) return
-      val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) {
-        // PROCESS-unique temp name: a fixed `.tmp` would let two JVMs
-        // racing the same artifact delete each other's in-flight build
-        val tmp = new org.apache.hadoop.fs.Path(
-          path + ".tmp-" + java.util.UUID.randomUUID())
+      publishAtomically(spark, path) { tmp =>
         // cluster by the partition column before writing: without this,
         // every write task emits a file into every partition dir
         // (tasks × partitions tiny files — measured 2.3 s of pure read
@@ -65,17 +82,7 @@ object AnnIndex {
         // shuffle buys ~1 file per inverted list; at very large list
         // sizes use repartition(N, col) to keep write parallelism.
         build().repartition(col(partCol))
-          .write.partitionBy(partCol).parquet(tmp.toString)
-        // one atomic rename into a fingerprint-unique name: a concurrent
-        // builder that won the race leaves dst present — our copy is the
-        // same deterministic bytes, so just drop it. If the rename failed
-        // for any OTHER reason, nothing was published: fail loudly rather
-        // than mark an absent artifact ready.
-        if (!fs.rename(tmp, p)) {
-          fs.delete(tmp, true)
-          require(fs.exists(p),
-            s"AnnIndex: rename to $path failed and no concurrent build published it")
-        }
+          .write.partitionBy(partCol).parquet(tmp)
       }
       ready.add(path)
     }

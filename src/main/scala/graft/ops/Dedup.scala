@@ -330,12 +330,9 @@ object Dedup {
 
   /** Order-independent fingerprint of a documents table (count + hash
     * sum over (doc_id, text)) — the [[TruthCache]] key for gate-side
-    * exact truths. Decimal sum: an ANSI-mode long sum would overflow. */
-  private[ops] def docsFingerprint(docs: DataFrame): (Long, Long) = {
-    val r = docs.agg(count(lit(1)),
-      sum(xxhash64(col("doc_id"), col("text")).cast("decimal(38,0)"))).head()
-    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getDecimal(1).longValue())
-  }
+    * exact truths. */
+  private[ops] def docsFingerprint(docs: DataFrame): (Long, Long) =
+    IvfModel.fingerprintOf(docs, xxhash64(col("doc_id"), col("text")))
 
   /** Gate row: recall of simhash(maxDist=10) against the exact
     * jaccard≥0.7 truth, asserted as a derived BOUND (hits ≥

@@ -121,11 +121,16 @@ object Ivf {
   }
 
   /** Ensure the persisted flat inverted lists (vec_id, e, nrm) laid out
-    * by cluster exist for (v, model); returns their path. */
+    * by cluster exist for (v, model); returns their path. The one-time
+    * BUILD widens to full parallelism (a single-file scan would
+    * serialize the assignment onto one core); search-path callers can
+    * therefore pass unshuffled vectors. */
   private def ensureFlatLists(v: DataFrame, dir: String, table: String,
                               m: IvfModel.Model, k: Int): String = {
     val path = AnnIndex.path(dir, s"ivfflat_${table}_k$k", m.fp)
-    AnnIndex.ensure(v.sparkSession, path, "cluster", () => assign(v, m.cents))
+    AnnIndex.ensure(v.sparkSession, path, "cluster", () =>
+      assign(v.repartition(v.sparkSession.sparkContext.defaultParallelism),
+        m.cents))
     path
   }
 
@@ -163,9 +168,12 @@ object Ivf {
       .orderBy(col("qid"), col("rank"))
   }
 
-  /** IVF top-k on the embeddings table: queries are vec_id < 10. */
+  /** IVF top-k on the embeddings table: queries are vec_id < 10. Raw
+    * (unshuffled) vectors — searchIvf's corpus-width touches are the
+    * fingerprint aggregate and the one-time build, which widens
+    * itself. */
   def topKIvf(s: SparkSession, dir: String, k: Int = 8, nProbe: Int = 4): DataFrame =
-    searchIvf(Similarity.vecs(Tables.load(s, dir, "embeddings")), dir,
+    searchIvf(Similarity.rawVecs(Tables.load(s, dir, "embeddings")), dir,
       "embeddings", col("vec_id") < 10, k, nProbe)
 
   /** ann_topk_ivf gates on deterministic recall-vs-brute (see
@@ -256,7 +264,7 @@ object Ivf {
                 m: Int = 16, codes: Int = 16, shortlist: Int = 50): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.graftshim.Shim
-    val v = Similarity.vecs(Tables.load(s, dir, "embeddings"))
+    val v = Similarity.rawVecs(Tables.load(s, dir, "embeddings"))
     val model = trainedModel(v, dir, "embeddings", k, m, codes)
     val flat = ensureFlatLists(v, dir, "embeddings", model, k)
     val pqPath = AnnIndex.path(dir, s"ivfpq_embeddings_k${k}m${m}c$codes", model.fp)

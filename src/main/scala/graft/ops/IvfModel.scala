@@ -45,10 +45,15 @@ object IvfModel {
     * aggregate with no shuffle — one metadata-grade pass. A production
     * deployment keeps the corpus in a versioned store (ManifestStore)
     * whose snapshot version replaces this scan entirely. */
-  private[ops] def fingerprint(v: DataFrame): (Long, Long) = {
-    val r = v.agg(count(lit(1)),
-      sum(xxhash64(col("vec_id"), hash(col("e")).cast("long"))
-        .cast("decimal(38,0)"))).head()
+  private[ops] def fingerprint(v: DataFrame): (Long, Long) =
+    fingerprintOf(v, xxhash64(col("vec_id"), hash(col("e")).cast("long")))
+
+  /** The shared (count, decimal-safe sum of `h`) aggregate — one
+    * fingerprint shape for vector sets and document corpora alike, so
+    * the overflow handling lives once. */
+  private[ops] def fingerprintOf(df: DataFrame,
+                                 h: org.apache.spark.sql.Column): (Long, Long) = {
+    val r = df.agg(count(lit(1)), sum(h.cast("decimal(38,0)"))).head()
     (r.getLong(0), if (r.isNullAt(1)) 0L else r.getDecimal(1).longValue())
   }
 

@@ -26,23 +26,28 @@ import graft.Tables
   */
 object Scrub {
 
-  // Java∩RE2-safe pattern texts, shared verbatim with the DuckDB oracle
-  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  // Java∩RE2-safe pattern texts, shared verbatim with the DuckDB oracle.
+  // (?i) on the email: real PII is case-insensitive, and the inline flag
+  // is in the common subset (digit-only patterns don't need it).
+  private val EmailRe = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private val PhoneRe = "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
   private val IpRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
-  /** (text', redactions) for one text column: placeholders substituted,
-    * occurrences counted on the ORIGINAL text. */
+  /** (text', redactions) for one text column. Each pattern is COUNTED on
+    * the exact text its replacement runs on (email on the original,
+    * phone on the email-scrubbed text, IP on the phone-scrubbed text) so
+    * `redactions` always equals the number of placeholders inserted —
+    * counting all three on the original text disagrees whenever one
+    * replacement creates or consumes a later pattern's match (e.g. an
+    * email whose local part looks like a phone number). */
   def scrubbed(text: Column): (Column, Column) = {
-    val clean = regexp_replace(
-      regexp_replace(
-        regexp_replace(text, EmailRe, "<EMAIL>"),
-        PhoneRe, "<PHONE>"),
-      IpRe, "<IP>")
-    val n = (regexp_count(text, lit(EmailRe)) +
-      regexp_count(text, lit(PhoneRe)) +
-      regexp_count(text, lit(IpRe))).cast("long")
-    (clean, n)
+    val c1 = regexp_count(text, lit(EmailRe))
+    val t1 = regexp_replace(text, EmailRe, "<EMAIL>")
+    val c2 = regexp_count(t1, lit(PhoneRe))
+    val t2 = regexp_replace(t1, PhoneRe, "<PHONE>")
+    val c3 = regexp_count(t2, lit(IpRe))
+    val t3 = regexp_replace(t2, IpRe, "<IP>")
+    (t3, (c1 + c2 + c3).cast("long"))
   }
 
   /** Gate: the fixture text is PII-free, so deterministic PII is
@@ -115,15 +120,20 @@ object Scrub {
                WHEN doc_id % 7 = 2 THEN text || ' from host 10.0.0.42 logs'
                ELSE text END AS text
         FROM documents)
+      , s1 AS (
+        SELECT doc_id,
+          regexp_replace(text, '$EmailRe', '<EMAIL>', 'g') AS t,
+          len(regexp_extract_all(text, '$EmailRe')) AS c1
+        FROM dirty),
+      s2 AS (
+        SELECT doc_id,
+          regexp_replace(t, '$PhoneRe', '<PHONE>', 'g') AS t,
+          c1, len(regexp_extract_all(t, '$PhoneRe')) AS c2
+        FROM s1)
       SELECT doc_id,
-        regexp_replace(regexp_replace(regexp_replace(text,
-          '$EmailRe', '<EMAIL>', 'g'),
-          '$PhoneRe', '<PHONE>', 'g'),
-          '$IpRe', '<IP>', 'g') AS text,
-        CAST(len(regexp_extract_all(text, '$EmailRe'))
-           + len(regexp_extract_all(text, '$PhoneRe'))
-           + len(regexp_extract_all(text, '$IpRe')) AS BIGINT) AS redactions
-      FROM dirty ORDER BY doc_id""",
+        regexp_replace(t, '$IpRe', '<IP>', 'g') AS text,
+        CAST(c1 + c2 + len(regexp_extract_all(t, '$IpRe')) AS BIGINT) AS redactions
+      FROM s2 ORDER BY doc_id""",
     "dedup_lines" -> s"""
       WITH toks AS (
         SELECT doc_id, string_split(COALESCE(text, ''), ' ') t FROM documents),

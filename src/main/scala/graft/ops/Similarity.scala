@@ -21,14 +21,23 @@ import org.apache.spark.sql.graftshim.Shim
   */
 object Similarity {
 
-  /** Embeddings with exact double vectors + precomputed norm. Repartitions
-    * first: one small parquet file = one scan partition, which would
-    * serialize every pairwise-cosine task onto one core. */
-  def vecs(emb: DataFrame): DataFrame =
-    emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
-      .select(col("vec_id"), col("label"),
+  /** Embeddings as exact double vectors + precomputed norm, NO
+    * repartition — the right input for scalar aggregates (fingerprints)
+    * and for search paths whose heavy work happens behind a persisted
+    * index: shuffling the payload first would turn a metadata-grade
+    * pass into a full exchange. */
+  def rawVecs(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("label"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
       .withColumn("nrm", sqrt(Shim.column(DotDouble(Shim.expression(col("e")), Shim.expression(col("e"))))))
+
+  /** [[rawVecs]] widened to full parallelism: one small parquet file =
+    * one scan partition, which would serialize every pairwise-cosine
+    * task onto one core — the right input for the compute-heavy pair
+    * paths (brute force, all-pairs verification). */
+  def vecs(emb: DataFrame): DataFrame =
+    rawVecs(emb)
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
 
   /** Compiled left-to-right dot product — same bit-exact contract as the
     * interpreted fold (see DotDouble). */
@@ -209,11 +218,15 @@ object Similarity {
     // 0.73 vs 0.16 at 6×4 for ~1.7× the candidates). At production n,
     // plane count grows with log(n/target-bucket-size).
     val (numPlanes, numTables) = (4, 8)
-    val v = vecs(Tables.load(s, dir, "embeddings"))
+    // raw (unshuffled) vectors: the fingerprint and query collect are
+    // metadata-grade; only the one-time index BUILD widens to full
+    // parallelism for the projection work
+    val v = rawVecs(Tables.load(s, dir, "embeddings"))
     val fp = IvfModel.fingerprint(v)
     val path = AnnIndex.path(dir, s"lshbkt_embeddings_p${numPlanes}t$numTables", fp)
     AnnIndex.ensure(s, path, "tb", () =>
-      bucketed(v, 64, numPlanes, numTables)
+      bucketed(v.repartition(s.sparkContext.defaultParallelism),
+        64, numPlanes, numTables)
         .select((col("tbl") * 65536L + col("bucket")).as("tb"),
           col("vec_id"), col("e"), col("nrm")))
     val qRows = v.filter(col("vec_id") < 10).select("vec_id", "e", "nrm")
@@ -250,7 +263,7 @@ object Similarity {
     * exact top-k listings are cross-checked in OpsSpec. */
   def recallGate(s: SparkSession, dir: String, method: String,
                  ann: DataFrame): DataFrame = {
-    val fp = IvfModel.fingerprint(vecs(Tables.load(s, dir, "embeddings")))
+    val fp = IvfModel.fingerprint(rawVecs(Tables.load(s, dir, "embeddings")))
     val brute = TruthCache.cached(s, "ann_brute_topk", fp,
       topK(s, dir).select(col("qid"), col("nid")))
     brute.join(ann.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_semi")

@@ -7,20 +7,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * operators under test are sublinear; without this their gates still
   * paid a full brute pass per invocation — the "gates don't scale even
   * though the operators do" seam. The truth is computed once per
-  * (definition tag, corpus fingerprint) and reused; a changed corpus
-  * resolves to a different directory and recomputes, so the gate's
-  * sensitivity is untouched — only its redundant recomputation goes.
-  * Same atomic-rename publish discipline as [[AnnIndex]]. */
+  * (code build, definition tag, corpus fingerprint) and reused; a
+  * changed corpus resolves to a different directory and recomputes, so
+  * the gate's sensitivity is untouched — only its redundant
+  * recomputation goes. Publishing goes through
+  * [[AnnIndex.publishAtomically]]. */
 private[graft] object TruthCache {
 
   private val ready = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** Bump when a truth DEFINITION changes, so stale cached truths from
-    * older code can never satisfy a newer gate. */
-  private val Version = 1
+  /** Build stamp folded into every cache path: the mtime of this class's
+    * code source. A recompiled truth DEFINITION (new classes/jar) can
+    * therefore never be satisfied by a truth cached under older code —
+    * without relying on anyone remembering to bump a version constant.
+    * Caching still amortizes across all gate invocations of one build
+    * (the bench's passes, a Verify run, repeated sessions on one
+    * artifact). */
+  private lazy val codeStamp: String =
+    try {
+      val src = getClass.getProtectionDomain.getCodeSource
+      java.lang.Long.toHexString(
+        new java.io.File(src.getLocation.toURI).lastModified())
+    } catch { case _: Throwable => "0" }
 
   private def path(tag: String, fp: (Long, Long)): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_truth_v${Version}_${tag}_" +
+    s"${System.getProperty("java.io.tmpdir")}/graft_truth_${codeStamp}_${tag}_" +
       java.lang.Long.toHexString(fp._1 * 1000003L ^ fp._2)
 
   /** The cached truth for (tag, fp), computing and persisting on miss. */
@@ -29,18 +40,7 @@ private[graft] object TruthCache {
     val p = path(tag, fp)
     if (!ready.contains(p)) ready.synchronized {
       if (!ready.contains(p)) {
-        val dst = new org.apache.hadoop.fs.Path(p)
-        val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(dst)) {
-          val tmp = new org.apache.hadoop.fs.Path(
-            p + ".tmp-" + java.util.UUID.randomUUID())
-          compute.write.parquet(tmp.toString)
-          if (!fs.rename(tmp, dst)) {
-            fs.delete(tmp, true)
-            require(fs.exists(dst),
-              s"TruthCache: rename to $p failed and no concurrent writer published it")
-          }
-        }
+        AnnIndex.publishAtomically(spark, p)(tmp => compute.write.parquet(tmp))
         ready.add(p)
       }
     }

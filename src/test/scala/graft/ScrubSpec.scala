@@ -24,6 +24,25 @@ class ScrubSpec extends AnyFunSuite {
     assert(out(3L) == ("nothing sensitive here", 0L))
   }
 
+  test("uppercase PII redacts; counts equal placeholders when replacements interact") {
+    val df = Seq(
+      (1L, "reach Bob.Smith@Example.COM today"),
+      // the email replacement exposes a boundary that makes the IP
+      // match ('<EMAIL>10.0.0.1'); sequential counting must agree with
+      // the two placeholders actually inserted
+      (2L, "x@y.com10.0.0.1")
+    ).toDF("doc_id", "text")
+    val (clean, n) = Scrub.scrubbed(col("text"))
+    val out = df.select(col("doc_id"), clean.as("t"), n.as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == ("reach <EMAIL> today", 1L))
+    val (t2, n2) = out(2L)
+    def occ(sub: String) = t2.sliding(sub.length).count(_ == sub)
+    val inserted = Seq("<EMAIL>", "<PHONE>", "<IP>").map(occ).sum
+    assert(t2 == "<EMAIL><IP>" && inserted == 2 && n2 == inserted,
+      s"got $t2 / $n2")
+  }
+
   test("repeated-span dedup: first (doc_id, pos) occurrence wins, later copies cut") {
     def chunk(tag: String) = (0 until Scrub.ChunkTokens).map(t => s"${tag}$t").mkString(" ")
     val (a, b, c) = (chunk("a"), chunk("b"), chunk("c"))
