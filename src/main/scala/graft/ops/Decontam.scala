@@ -80,9 +80,53 @@ object Decontam {
       .orderBy(col("doc_id"))
   }
 
+  /** Fuzzy (near-match) decontamination — the Llama-style variant that
+    * flags training docs NEAR-duplicating an eval doc, not just sharing
+    * one exact n-gram: per train doc, the max shingle-Jaccard against
+    * any eval doc (0.0 when they share no shingle), contaminated when it
+    * clears `threshold`.
+    *
+    * Scale shape: eval shingles are benchmark-sized → both the shingle
+    * equi-join and the eval-sizes join are explicit broadcasts, so the
+    * 100 TB train side is never shuffled for candidate generation; the
+    * only wide exchanges are keyed on (train doc, eval doc) intersection
+    * pairs and then train doc — both bounded by actual overlap, not
+    * corpus size. Exact Jaccard (not MinHash-estimated) keeps the gate
+    * oracle-exact; the LSH prefilter path for when even the overlap
+    * pairs are too many is [[Dedup.lshCandidates]] composed upstream. */
+  def fuzzyFlags(docs: DataFrame, isEval: Column, n: Int = 3,
+                 threshold: Double = 0.5): DataFrame = {
+    val evalSh = Dedup.shingles(docs.filter(isEval), n)
+      .withColumnRenamed("doc_id", "eval_id")
+    val trainSh = Dedup.shingles(docs.filter(!isEval), n)
+    val evalSizes = evalSh.groupBy("eval_id").agg(count(lit(1)).as("esz"))
+    val trainSizes = trainSh.groupBy("doc_id").agg(count(lit(1)).as("tsz"))
+    val best = trainSh.join(broadcast(evalSh), Seq("sh"))
+      .groupBy("doc_id", "eval_id").agg(count(lit(1)).as("c"))
+      .join(trainSizes, "doc_id")
+      .join(broadcast(evalSizes), "eval_id")
+      .withColumn("j",
+        round(col("c") / (col("tsz") + col("esz") - col("c")), 6))
+      .groupBy("doc_id").agg(max(col("j")).as("max_jaccard"))
+    docs.filter(!isEval).select("doc_id")
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"))
+      .withColumn("contaminated", col("max_jaccard") >= threshold)
+  }
+
+  /** Gate: same mod-10 eval split as [[decontaminate]]; the planted
+    * near-duplicate pairs straddling the split surface as max_jaccard
+    * ≈ 0.99 while ordinary vocabulary overlap stays ≤ 0.05. */
+  def decontaminateFuzzy(s: SparkSession, dir: String): DataFrame =
+    fuzzyFlags(Tables.load(s, dir, "documents"),
+      pmod(col("doc_id"), lit(10)) === 0)
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "decontaminate" -> (decontaminate _),
-    "decontaminate_n13" -> (decontaminateN13 _))
+    "decontaminate_n13" -> (decontaminateN13 _),
+    "decontaminate_fuzzy" -> (decontaminateFuzzy _))
 
   val oracle: Map[String, String] = Map(
     "decontaminate" -> s"""
@@ -112,6 +156,21 @@ object Decontam {
                  WHERE doc_id % 10 <> 0 AND s IN (SELECT s FROM evalsh))
       SELECT d.doc_id, (c.doc_id IS NOT NULL) AS contaminated
       FROM norm d LEFT JOIN contam c ON d.doc_id = c.doc_id
+      WHERE d.doc_id % 10 <> 0
+      ORDER BY d.doc_id""",
+    "decontaminate_fuzzy" -> s"""
+      WITH ${Dedup.shingleCtes("documents", 3)},
+      esz AS (SELECT doc_id, COUNT(*) sz FROM sh WHERE doc_id % 10 = 0 GROUP BY 1),
+      tsz AS (SELECT doc_id, COUNT(*) sz FROM sh WHERE doc_id % 10 <> 0 GROUP BY 1),
+      inter AS (SELECT a.doc_id i, b.doc_id e, COUNT(*) c
+                FROM sh a JOIN sh b ON a.s = b.s
+                WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0 GROUP BY 1, 2),
+      jc AS (SELECT i, ROUND(c * 1.0 / (t.sz + e2.sz - c), 6) j
+             FROM inter JOIN tsz t ON i = t.doc_id JOIN esz e2 ON e = e2.doc_id),
+      mx AS (SELECT i AS doc_id, MAX(j) mj FROM jc GROUP BY 1)
+      SELECT d.doc_id, COALESCE(mj, 0.0) AS max_jaccard,
+        COALESCE(mj, 0.0) >= 0.5 AS contaminated
+      FROM documents d LEFT JOIN mx USING (doc_id)
       WHERE d.doc_id % 10 <> 0
       ORDER BY d.doc_id""")
 }

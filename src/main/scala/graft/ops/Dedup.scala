@@ -30,9 +30,14 @@ object Dedup {
     *
     * `counter`, when given, counts the documents actually shingled —
     * the instrumentation hook LshIndexSpec uses to prove a probe never
-    * re-hashes the frozen corpus. */
+    * re-hashes the frozen corpus.
+    *
+    * `distinct = false` keeps every occurrence (one row per gram
+    * POSITION, not per gram) — the shape the repetition-quality metrics
+    * need, where how often a gram repeats IS the signal. */
   def shingles(docs: DataFrame, n: Int = 3,
-               counter: Option[org.apache.spark.util.LongAccumulator] = None)
+               counter: Option[org.apache.spark.util.LongAccumulator] = None,
+               distinct: Boolean = true)
       : DataFrame = {
     import docs.sparkSession.implicits._
     val p = docs.sparkSession.sparkContext.defaultParallelism
@@ -49,7 +54,11 @@ object Dedup {
         // (unnests to nothing) on the oracle side
         val toks = if (text == null) Array.empty[String] else text.split(' ')
         if (toks.length < n) Iterator.empty
-        else toks.sliding(n).map(_.mkString(" ")).toSet[String].iterator.map(sh => (id, sh))
+        else {
+          val grams = toks.sliding(n).map(_.mkString(" "))
+          (if (distinct) grams.toSet[String].iterator else grams)
+            .map(sh => (id, sh))
+        }
       }
       .toDF("doc_id", "sh")
   }

@@ -114,9 +114,48 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus-mixing config for [[corpusMix]]: a 5000-token total budget
+    * split across sources by integer weight — src0–src4 (the "curated"
+    * tier) weigh 6, src5–src9 weigh 3, the long tail 1. The weight sum
+    * is part of the mixing SPEC (config, not data): absent sources
+    * simply leave their budget share unspent, exactly like a production
+    * mix whose manifest lists more sources than this shard carries. */
+  val MixBudget = 5000L
+  val MixWeightSum = 55L // 5·6 + 5·3 + 10·1 over the src0..src19 universe
+
+  /** Source-weighted token-budget mixing — the "upsample curated
+    * sources, downsample the crawl" step of training-corpus assembly,
+    * composed from the same primitives as [[sampleTokenBudget]]: one
+    * tiny per-source token aggregate (broadcast back), an integer-
+    * arithmetic calibrated ppm rate per source (weight · budget share ÷
+    * source tokens — `div` end-to-end so both engines agree exactly),
+    * and the deterministic per-row hash draw. Zero corpus shuffles; the
+    * row decision stays append-stable and embarrassingly parallel. */
+  def corpusMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val nTok = size(split(coalesce(col("text"), lit("")), " ")).cast("long")
+    val tot = docs.groupBy("source").agg(sum(nTok).as("tot"))
+    docs
+      .withColumn("n_tokens", nTok)
+      .withColumn("sn", expr("cast(substring(source, 4) as int)"))
+      .withColumn("weight",
+        when(col("sn") < 5, lit(6L)).when(col("sn") < 10, lit(3L))
+          .otherwise(lit(1L)))
+      .join(broadcast(tot), Seq("source")) // sources are dimension-sized
+      .withColumn("rate",
+        least(lit(RatePpm),
+          expr(s"($RatePpm * (($MixBudget * weight) div $MixWeightSum)) div tot")))
+      .withColumn("draw", expr(drawSqlMod(RatePpm)))
+      .filter(col("draw") < col("rate"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("weight"),
+        col("rate").cast("long").as("rate"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> (sampleStratified _),
-    "sample_token_budget" -> (sampleTokenBudget _))
+    "sample_token_budget" -> (sampleTokenBudget _),
+    "corpus_mix" -> (corpusMix _))
 
   val oracle: Map[String, String] = Map(
     "sample_stratified" -> s"""
@@ -135,6 +174,25 @@ object Sampling {
           LEAST($RatePpm, ${RatePpm * TokenBudget} // tot.tot) AS rate
         FROM tok t JOIN tot USING (lang))
       SELECT doc_id, lang, n_tokens, CAST(rate AS BIGINT) AS rate
+      FROM rated
+      WHERE ${drawDuckMod(RatePpm)} < rate
+      ORDER BY doc_id""",
+    "corpus_mix" -> s"""
+      WITH tok AS (
+        SELECT doc_id, source,
+          CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT) AS n_tokens,
+          CAST(substr(source, 4) AS INT) AS sn
+        FROM documents),
+      w AS (
+        SELECT doc_id, source, n_tokens,
+          CAST(CASE WHEN sn < 5 THEN 6 WHEN sn < 10 THEN 3 ELSE 1 END AS BIGINT) AS weight
+        FROM tok),
+      tot AS (SELECT source, SUM(n_tokens) AS tot FROM w GROUP BY 1),
+      rated AS (
+        SELECT w.doc_id, w.source, w.n_tokens, w.weight,
+          LEAST($RatePpm, ($RatePpm * (($MixBudget * weight) // $MixWeightSum)) // tot.tot) AS rate
+        FROM w JOIN tot USING (source))
+      SELECT doc_id, source, n_tokens, weight, CAST(rate AS BIGINT) AS rate
       FROM rated
       WHERE ${drawDuckMod(RatePpm)} < rate
       ORDER BY doc_id""")

@@ -146,6 +146,122 @@ object TextAnalysis {
     qualityLabels(Tables.load(s, dir, "documents"))
       .orderBy(col("doc_id"))
 
+  /** The repetition-signature thresholds ([[repetition]]): a doc is
+    * repetitive when its most common bigram covers > 6% of all bigram
+    * positions or > 2% of trigram positions sit in a repeated trigram —
+    * tuned so both outcomes occur on the fixture corpus (Gopher's
+    * published 0.18/0.30 cut almost nothing on synthetic text). */
+  val TopBigramFracMax = 0.06
+  val DupTrigramFracMax = 0.02
+
+  /** Gopher-style repetition metrics per document: the fraction of
+    * bigram positions taken by the single most common bigram, and the
+    * fraction of trigram positions inside any repeated trigram (Rae et
+    * al. 2021 §A1.1's "top n-gram fraction" / "duplicated n-gram
+    * fraction" family).
+    *
+    * Scale shape: occurrence shingling is the proven map-side flatMap
+    * ([[Dedup.shingles]] with `distinct = false`); counting grams is a
+    * (doc_id, gram)-keyed aggregate with map-side partial combine, then
+    * a doc_id-keyed rollup — two narrow-keyed shuffles, never a join or
+    * expansion. Docs too short for a gram (or NULL) surface with zero
+    * fractions via the left join, mirrored in the oracle. */
+  def repetition(s: SparkSession, dir: String): DataFrame =
+    repetitionLabels(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))
+
+  private[graft] def repetitionLabels(d: DataFrame): DataFrame = {
+    val bi = Dedup.shingles(d, 2, distinct = false)
+      .groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_bigrams"), max("c").as("top_bigram_n"))
+    val tri = Dedup.shingles(d, 3, distinct = false)
+      .groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_trigrams"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_tri"))
+    d.select("doc_id")
+      .join(bi, Seq("doc_id"), "left")
+      .join(tri, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+        coalesce(round(col("top_bigram_n") / col("n_bigrams"), 6), lit(0.0))
+          .as("top_bigram_frac"),
+        coalesce(round(col("dup_tri") / col("n_trigrams"), 6), lit(0.0))
+          .as("dup_trigram_frac"))
+      .withColumn("repetitive",
+        col("top_bigram_frac") > TopBigramFracMax ||
+          col("dup_trigram_frac") > DupTrigramFracMax)
+  }
+
+  /** The Gopher document-shape rules (Rae et al. 2021 §A1.1) that the
+    * length-based [[Quality]] set doesn't cover: bullet-line fraction,
+    * ellipsis-line fraction, symbol-to-word ratio, alphabetic-word
+    * fraction, and the ≥2-distinct-stopwords rule. All metrics are
+    * replace-count / split column expressions — map-side, engine-exact —
+    * except the alphabetic-word count, which needs a per-word regex and
+    * uses an array HOF (still map-side and embarrassingly parallel; a
+    * codegen'd Expression is the production upgrade if it ever dominates
+    * a profile). */
+  private[graft] def gopherLabels(d: DataFrame): DataFrame = {
+    val txt = coalesce(col("text"), lit(""))
+    // non-overlapping occurrence count of literal `m`, the langId idiom
+    def hits(in: Column, m: String): Column =
+      ((length(in) - length(regexp_replace(in, java.util.regex.Pattern.quote(m), "")))
+        / m.length).cast("long")
+    val nWords = size(split(txt, " ")).cast("long")
+    val nLines = hits(txt, "\n") + 1
+    // a leading "\n" sentinel makes first-line bullets countable
+    val bullets =
+      hits(concat(lit("\n"), txt), "\n- ") + hits(concat(lit("\n"), txt), "\n* ")
+    val ells = hits(concat(txt, lit("\n")), "...\n")
+    val symbols = hits(txt, "#") + hits(txt, "...")
+    val alphaWords =
+      size(filter(split(txt, " "), w => w.rlike("[a-zA-Z]"))).cast("long")
+    val pad = concat(lit(" "), txt, lit(" "))
+    val nStop = GopherStopwords
+      .map(w => when(instr(pad, s" $w ") > 0, 1).otherwise(0))
+      .reduce(_ + _).cast("long")
+    d.select(col("doc_id"),
+      nLines.as("n_lines"), nWords.as("n_words"),
+      round(bullets.cast("double") / nLines, 6).as("bullet_frac"),
+      round(ells.cast("double") / nLines, 6).as("ellipsis_frac"),
+      round(symbols.cast("double") / nWords, 6).as("symbol_ratio"),
+      round(alphaWords.cast("double") / nWords, 6).as("alpha_frac"),
+      nStop.as("n_stop"))
+      .withColumn("reason",
+        when(col("bullet_frac") > 0.7, "too_many_bullets")
+          .when(col("ellipsis_frac") > 0.3, "too_many_ellipses")
+          .when(col("symbol_ratio") > 0.1, "too_many_symbols")
+          .when(col("alpha_frac") < 0.8, "low_alpha")
+          .when(col("n_stop") < 2, "few_stopwords")
+          .otherwise("ok"))
+      .withColumn("keep", col("reason") === "ok")
+  }
+
+  private[ops] val GopherStopwords =
+    Seq("the", "be", "to", "of", "and", "a", "in", "that")
+
+  /** Gopher-rules gate. The fixture text is single-line and symbol-free,
+    * so the gate deterministically DIRTIES it per doc_id class first
+    * (bullet lines / ellipsis lines / hash runs / numeric words),
+    * mirrored bit-exactly in the oracle — each line-shape rule
+    * demonstrably fires rather than vacuously passing. */
+  def qualityGopher(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    val dirty = d.withColumn("text",
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(lit("- first point\n- second point\n* third point\n"), col("text")))
+        .when(pmod(col("doc_id"), lit(5)) === 1,
+          concat(col("text"), lit("\nwait...\nmore...\nhuh...")))
+        .when(pmod(col("doc_id"), lit(5)) === 2,
+          concat(col("text"), lit(" ## ### # ####")))
+        .when(pmod(col("doc_id"), lit(5)) === 3,
+          concat(col("text"), lit(" 11 22 33 44 55 66 77 88 99 00")))
+        .otherwise(col("text")))
+    gopherLabels(dirty).orderBy(col("doc_id"))
+  }
+
   /** ANALYZE-style column profile of the documents table in long format:
     * one aggregation pass (all stats in a single agg row, unpivoted with
     * `stack`), min/max rendered as strings per column type. */
@@ -186,6 +302,8 @@ object TextAnalysis {
     "text_fingerprint" -> (fingerprint _),
     "text_tfidf" -> (tfidf _),
     "text_quality_filter" -> (qualityFilter _),
+    "quality_gopher" -> (qualityGopher _),
+    "quality_repetition" -> (repetition _),
     "profile_documents" -> (profile _))
 
   /** DuckDB quality-stats CTE body (matches [[qualityLabels]]) — shared
@@ -273,6 +391,88 @@ object TextAnalysis {
         $QualityReasonCase AS reason,
         ($QualityReasonCase) = 'ok' AS keep
       FROM qstats ORDER BY doc_id""",
+    "quality_gopher" -> {
+      val stopHits = GopherStopwords.map(w =>
+        s"CASE WHEN instr(' '||text||' ', ' $w ') > 0 THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""
+      WITH dirty AS (
+        SELECT doc_id, CASE
+          WHEN doc_id % 5 = 0 THEN '- first point' || chr(10) || '- second point'
+            || chr(10) || '* third point' || chr(10) || text
+          WHEN doc_id % 5 = 1 THEN text || chr(10) || 'wait...' || chr(10)
+            || 'more...' || chr(10) || 'huh...'
+          WHEN doc_id % 5 = 2 THEN text || ' ## ### # ####'
+          WHEN doc_id % 5 = 3 THEN text || ' 11 22 33 44 55 66 77 88 99 00'
+          ELSE text END AS text
+        FROM documents),
+      g AS (
+        SELECT doc_id,
+          CAST(length(text) - length(replace(text, chr(10), '')) + 1 AS BIGINT) AS n_lines,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+          CAST((length(chr(10)||text) - length(replace(chr(10)||text, chr(10)||'- ', ''))) / 3
+            + (length(chr(10)||text) - length(replace(chr(10)||text, chr(10)||'* ', ''))) / 3
+            AS BIGINT) AS bullets,
+          CAST((length(text||chr(10)) - length(replace(text||chr(10), '...'||chr(10), ''))) / 4
+            AS BIGINT) AS ells,
+          CAST(length(text) - length(replace(text, '#', ''))
+            + (length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS symbols,
+          CAST(len(list_filter(string_split(text, ' '),
+            w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS alpha_words,
+          CAST($stopHits AS BIGINT) AS n_stop
+        FROM dirty),
+      m AS (
+        SELECT doc_id, n_lines, n_words,
+          ROUND(bullets * 1.0 / n_lines, 6) AS bullet_frac,
+          ROUND(ells * 1.0 / n_lines, 6) AS ellipsis_frac,
+          ROUND(symbols * 1.0 / n_words, 6) AS symbol_ratio,
+          ROUND(alpha_words * 1.0 / n_words, 6) AS alpha_frac,
+          n_stop
+        FROM g)
+      SELECT doc_id, n_lines, n_words, bullet_frac, ellipsis_frac,
+        symbol_ratio, alpha_frac, n_stop,
+        CASE WHEN bullet_frac > 0.7 THEN 'too_many_bullets'
+             WHEN ellipsis_frac > 0.3 THEN 'too_many_ellipses'
+             WHEN symbol_ratio > 0.1 THEN 'too_many_symbols'
+             WHEN alpha_frac < 0.8 THEN 'low_alpha'
+             WHEN n_stop < 2 THEN 'few_stopwords'
+             ELSE 'ok' END AS reason,
+        (CASE WHEN bullet_frac > 0.7 THEN 'too_many_bullets'
+              WHEN ellipsis_frac > 0.3 THEN 'too_many_ellipses'
+              WHEN symbol_ratio > 0.1 THEN 'too_many_symbols'
+              WHEN alpha_frac < 0.8 THEN 'low_alpha'
+              WHEN n_stop < 2 THEN 'few_stopwords'
+              ELSE 'ok' END) = 'ok' AS keep
+      FROM m ORDER BY doc_id"""
+    },
+    "quality_repetition" -> s"""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+      b0 AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS s
+             FROM (SELECT doc_id, t,
+                     unnest(generate_series(1, greatest(len(t)-1, 0))) i
+                   FROM toks)),
+      bc AS (SELECT doc_id, s, COUNT(*) c FROM b0 GROUP BY 1, 2),
+      bagg AS (SELECT doc_id, SUM(c) n_bigrams, MAX(c) top_n FROM bc GROUP BY 1),
+      t0 AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+             FROM (SELECT doc_id, t,
+                     unnest(generate_series(1, greatest(len(t)-2, 0))) i
+                   FROM toks)),
+      tc AS (SELECT doc_id, s, COUNT(*) c FROM t0 GROUP BY 1, 2),
+      tagg AS (SELECT doc_id, SUM(c) n_tri,
+                 SUM(CASE WHEN c > 1 THEN c ELSE 0 END) dup_tri
+               FROM tc GROUP BY 1),
+      m AS (
+        SELECT d.doc_id,
+          COALESCE(CAST(n_bigrams AS BIGINT), 0) AS n_bigrams,
+          COALESCE(CAST(top_n AS BIGINT), 0) AS top_bigram_n,
+          COALESCE(ROUND(top_n * 1.0 / n_bigrams, 6), 0.0) AS top_bigram_frac,
+          COALESCE(ROUND(dup_tri * 1.0 / n_tri, 6), 0.0) AS dup_trigram_frac
+        FROM documents d
+        LEFT JOIN bagg USING (doc_id) LEFT JOIN tagg USING (doc_id))
+      SELECT doc_id, n_bigrams, top_bigram_n, top_bigram_frac, dup_trigram_frac,
+        (top_bigram_frac > $TopBigramFracMax
+          OR dup_trigram_frac > $DupTrigramFracMax) AS repetitive
+      FROM m ORDER BY doc_id""",
     "profile_documents" -> """
       SELECT 'doc_id' AS column_name, COUNT(*) AS n_rows,
         COUNT(*) - COUNT(doc_id) AS n_null,

@@ -52,4 +52,20 @@ class DecontamSpec extends AnyFunSuite {
     assert(flagsOf(docs, 13, normalized = true) == Map(200L -> true),
       "wrapped copy must normalize to the same 13-gram")
   }
+
+  test("fuzzy decontamination: max Jaccard flags near-copies, zero-overlap reports 0.0") {
+    // eval 0 has 12 tokens → 10 distinct trigrams. Train 200 keeps 11 of
+    // them and swaps the last token: 9 shared trigrams, J = 9/11.
+    // Train 201 shares no trigram at all → max_jaccard must be exactly
+    // 0.0 (left-join coalesce), not a missing row or NULL.
+    val docs = Seq(
+      (0L, toks("e", 12)),
+      (200L, (0 until 11).map(t => s"e_$t").mkString(" ") + " zz"),
+      (201L, toks("q", 12))
+    ).toDF("doc_id", "text")
+    val out = Decontam.fuzzyFlags(docs, col("doc_id") < 100L)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(out(200L) == (math.rint(9.0 / 11.0 * 1e6) / 1e6, true))
+    assert(out(201L) == (0.0, false))
+  }
 }

@@ -281,4 +281,58 @@ class OpsSpec extends AnyFunSuite {
     val mx = spark.read.parquet(p).agg(max("block_number")).collect()(0).getLong(0)
     assert(next == mx + 1)
   }
+
+  test("gopher rules: each document-shape rule fires on its constructed doc") {
+    import graft.ops.TextAnalysis
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "- one\n- two\n* three\nthe body is of and a in that fine"),
+      (1L, "the start of a good one\nwait...\nmore...\nso it ends..."),
+      (2L, "the price of a # thing is ## marked ### up #### again"),
+      (3L, "11 22 33 44 55 66 77 88 99 00 the end of a line"),
+      (4L, "just plain words nothing here matches stopword lists"),
+      (5L, "the quick brown fox jumps over a lazy dog of the farm and barn")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherLabels(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(8)).toMap
+    assert(out == Map(0L -> "too_many_bullets", 1L -> "too_many_ellipses",
+      2L -> "too_many_symbols", 3L -> "low_alpha",
+      4L -> "few_stopwords", 5L -> "ok"))
+  }
+
+  test("repetition metrics: repeated phrase flags, varied text does not, short doc zeros") {
+    import graft.ops.TextAnalysis
+    import spark.implicits._
+    val docs = Seq(
+      (0L, Array.fill(10)("buy now").mkString(" ")), // "buy now" × 10
+      (1L, (0 until 40).map(i => s"w$i").mkString(" ")), // all-distinct
+      (2L, "ab") // one token: no bigrams at all
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionLabels(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5))))
+      .toMap
+    // doc 0: 19 bigram positions, "buy now" occupies 10; every trigram
+    // position sits in a repeated trigram
+    assert(out(0L)._1 == 19L && out(0L)._2 == 10L && out(0L)._5)
+    assert(out(0L)._4 == 1.0, "all trigram positions are duplicated")
+    assert(out(1L)._3 < 0.06 && !out(1L)._5)
+    assert(out(2L) == ((0L, 0L, 0.0, 0.0, false)),
+      "gram-less docs surface with zeros, not missing rows")
+  }
+
+  test("corpus mix: rates scale with source weight and never exceed the ppm cap") {
+    import graft.ops.Sampling
+    val out = Sampling.corpusMix(spark, dir)
+      .select("source", "weight", "rate").distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    assert(out.forall(_._3 <= Sampling.RatePpm))
+    // same-tier sources have similar token totals (25 docs each), so any
+    // weight-6 source must out-rate any weight-1 source
+    val byW: Map[Long, Seq[Long]] =
+      out.groupBy(_._2).map { case (k, v) => k -> v.map(_._3).toSeq }
+    for (hi <- byW.getOrElse(6L, Nil); lo <- byW.getOrElse(1L, Nil))
+      assert(hi > lo, s"weight-6 rate $hi must exceed weight-1 rate $lo")
+  }
 }
