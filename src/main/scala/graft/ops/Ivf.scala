@@ -103,13 +103,14 @@ object Ivf {
     * the persisted model store when fingerprint-fresh, trained (one
     * sampling pass feeding BOTH quantizers — they must train on the same
     * sample anyway) and persisted otherwise. See [[IvfModel]]. */
-  private def trainedModel(v: DataFrame, dir: String, table: String, k: Int,
-                           m: Int = 16, codes: Int = 16): IvfModel.Model =
+  private[ops] def trainedModel(v: DataFrame, dir: String, table: String, k: Int,
+                                m: Int = 16, codes: Int = 16,
+                                version: Option[(Long, Long)] = None): IvfModel.Model =
     IvfModel.trainedOrLoad(v, dir, s"${table}_k${k}m${m}c$codes", () => {
       val sample = sampledVectors(v, math.max(k, codes))
       val cents = centroidsFrom(sample, k)
       (cents, pqCodebooksFrom(sample, cents, m, codes))
-    })
+    }, version)
 
   /** Query batch collected to the driver: (vec_id, e, nrm), id-ordered.
     * Queries are the tiny side of a search at any corpus scale. */
@@ -125,8 +126,8 @@ object Ivf {
     * BUILD widens to full parallelism (a single-file scan would
     * serialize the assignment onto one core); search-path callers can
     * therefore pass unshuffled vectors. */
-  private def ensureFlatLists(v: DataFrame, dir: String, table: String,
-                              m: IvfModel.Model, k: Int): String = {
+  private[ops] def ensureFlatLists(v: DataFrame, dir: String, table: String,
+                                   m: IvfModel.Model, k: Int): String = {
     val path = AnnIndex.path(dir, s"ivfflat_${table}_k$k", m.fp)
     AnnIndex.ensure(v.sparkSession, path, "cluster", () =>
       assign(v.repartition(v.sparkSession.sparkContext.defaultParallelism),
@@ -139,13 +140,20 @@ object Ivf {
     * `nProbe` nearest clusters, candidates come from a PARTITION-PRUNED
     * read of the persisted inverted lists — the corpus appears nowhere
     * in the search plan. `table` names the vector set for artifact
-    * keying. */
+    * keying.
+    *
+    * `version`: caller-supplied corpus version replacing the computed
+    * value fingerprint as the artifact key (see
+    * [[IvfModel.trainedOrLoad]]) — with it, the search plan touches the
+    * corpus ZERO times beyond the query-row filter; without it, one
+    * no-shuffle scalar fingerprint aggregate guards staleness. */
   def searchIvf(v: DataFrame, dir: String, table: String, queryPred: Column,
-                k: Int = 8, nProbe: Int = 4, topN: Int = 10): DataFrame = {
+                k: Int = 8, nProbe: Int = 4, topN: Int = 10,
+                version: Option[(Long, Long)] = None): DataFrame = {
     val s = v.sparkSession
     import s.implicits._
     import org.apache.spark.sql.graftshim.Shim
-    val m = trainedModel(v, dir, table, k)
+    val m = trainedModel(v, dir, table, k, version = version)
     val flat = ensureFlatLists(v, dir, table, m, k)
     val qRows = collectQueries(v, queryPred)
     val probesLocal = qRows.toSeq.flatMap { case (id, e, nrm) =>

@@ -74,13 +74,23 @@ object IvfModel {
   /** Load the model trained for `dir` if present and fingerprint-fresh;
     * otherwise train via `train`, persist, and return it. `tag` encodes
     * the hyperparameters (k, m, codes) so models with different shapes
-    * never alias. */
+    * never alias.
+    *
+    * `version`, when given, REPLACES the computed value fingerprint as
+    * the artifact key — the caller asserts it uniquely identifies the
+    * corpus CONTENT (a ManifestStore snapshot version qualifies; a
+    * wall-clock date does not). This removes the one corpus-width scan
+    * left in the search path; the price is that staleness detection is
+    * now the caller's contract — a version that fails to change with
+    * the data serves stale quantizers and inverted lists by design
+    * (proven in AnnIndexSpec). */
   def trainedOrLoad(v: DataFrame, dir: String, tag: String,
-                    train: () => (Array[Array[Double]], Array[Array[Array[Double]]]))
+                    train: () => (Array[Array[Double]], Array[Array[Array[Double]]]),
+                    version: Option[(Long, Long)] = None)
       : Model = {
     val spark = v.sparkSession
     val r = root(dir, tag)
-    val fp = fingerprint(v)
+    val fp = version.getOrElse(fingerprint(v))
     Option(memo.get(r)).filter(_.fp == fp) match {
       case Some(m) => m
       case None =>

@@ -160,6 +160,8 @@ object Similarity {
                numTables: Int = 4): DataFrame = {
     val flat: Seq[Seq[Double]] =
       (0 until numTables).flatMap(t => planes(dim, numPlanes, 5678L + t).map(_.toSeq))
+    // input columns pass through (e.g. a cluster locator riding along
+    // for the slim index build) — only the plane literal is dropped
     v.withColumn("_pl", typedlit(flat))
       .select(col("*"), explode(expr(
         s"""transform(sequence(0, ${numTables - 1}), t -> struct(
@@ -169,8 +171,8 @@ object Similarity {
                                             (x, w) -> x*w),
                                    0D, (a, b) -> a + b) >= 0D,
                          shiftleft(1L, p), 0L)) AS bucket))""")).as("tb"))
-      .select(col("vec_id"), col("e"), col("nrm"),
-        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      .select(v.columns.map(col) :+ col("tb.tbl").as("tbl")
+        :+ col("tb.bucket").as("bucket"): _*)
   }
 
   /** Driver-side twin of [[bucketed]]'s projection for ONE table's
@@ -279,6 +281,76 @@ object Similarity {
   def lshRecall(s: SparkSession, dir: String): DataFrame =
     recallGate(s, dir, "lsh", topKLsh(s, dir))
 
+  /** The ids-only LSH index — [[topKLsh]]'s storage alternative, stated
+    * there as a tradeoff and implemented here: bucket rows are
+    * (tb, vec_id, cluster) — ~20 bytes/row instead of the vector payload
+    * ×numTables — where `cluster` is the IVF coarse assignment acting as
+    * the LOCATOR into the flat inverted lists ([[Ivf.ensureFlatLists]]),
+    * which stay the corpus's ONE vector copy.
+    *
+    * Search: probes partition-prune the slim bucket index to candidate
+    * (id, locator) pairs; candidate vectors are then fetched from the
+    * flat lists pruned to the candidates' distinct coarse clusters (≤ k
+    * values — collected driver-side from the already-tiny candidate
+    * set). Two pruned reads, no corpus scan, no inline vectors: the
+    * index pays one extra partition-pruned fetch per query batch for a
+    * numTables-fold storage cut — prefer it whenever embeddings dominate
+    * storage. Buckets and planes are identical to [[topKLsh]], so the
+    * candidate set — and hence recall — is exactly the inline index's
+    * (asserted in OpsSpec). */
+  def topKLshSlim(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (numPlanes, numTables) = (4, 8)
+    val k = 8
+    val v = rawVecs(Tables.load(s, dir, "embeddings"))
+    val m = Ivf.trainedModel(v, dir, "embeddings", k)
+    val flat = Ivf.ensureFlatLists(v, dir, "embeddings", m, k)
+    val slimPath = AnnIndex.path(dir,
+      s"lshslim_embeddings_p${numPlanes}t$numTables", m.fp)
+    AnnIndex.ensure(s, slimPath, "tb", () => {
+      // build FROM the flat lists (vectors + their cluster locator in
+      // one read) — the corpus parquet itself is not re-read
+      val lists = s.read.parquet(flat)
+        .select(col("vec_id"), col("e"), col("nrm"),
+          col("cluster").cast("int").as("cluster"))
+      bucketed(lists, 64, numPlanes, numTables)
+        .select((col("tbl") * 65536L + col("bucket")).as("tb"),
+          col("vec_id"), col("cluster"))
+    })
+    val qRows = v.filter(col("vec_id") < 10).select("vec_id", "e", "nrm")
+      .as[(Long, Seq[Double], Double)].collect().sortBy(_._1)
+    val allPlanes = (0 until numTables).map(t => planes(64, numPlanes, 5678L + t))
+    val probesLocal = qRows.toSeq.flatMap { case (id, e, nrm) =>
+      allPlanes.zipWithIndex.map { case (pl, t) =>
+        (id, e, nrm, tbKey(t.toLong, bucketOf(e.toArray, pl))) }
+    }
+    val cand = AnnIndex.readPruned(s, slimPath, "tb", probesLocal.map(_._4).distinct)
+      .select(col("tb").cast("long").as("tb"), col("vec_id").as("nid"),
+        col("cluster"))
+    // the candidates' distinct coarse clusters: ≤ k values, from the
+    // pruned candidate read — never the corpus
+    val candClusters = cand.select(col("cluster").cast("long"))
+      .distinct().as[Long].collect().toSeq
+    val fetched = AnnIndex.readPruned(s, flat, "cluster", candClusters)
+      .select(col("vec_id").as("nid"), col("e").as("eb"), col("nrm").as("nb"))
+    val probes = probesLocal.toDF("qid", "ea", "na", "tb")
+    probes.join(cand, Seq("tb")).filter(col("qid") =!= col("nid"))
+      .select("qid", "nid", "ea", "na")
+      .dropDuplicates("qid", "nid") // a pair may collide in several tables
+      .join(fetched, Seq("nid"))
+      .withColumn("cosine", round(dot / (col("na") * col("nb")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** ann_topk_lsh_slim gates on the same recall bound as the inline
+    * index (identical buckets → identical candidates). */
+  def lshSlimRecall(s: SparkSession, dir: String): DataFrame =
+    recallGate(s, dir, "lsh_slim", topKLshSlim(s, dir))
+
   /** Symmetric int8 quantization scale: a power of two, so `x / Scale`
     * and `q * Scale` are EXACT in IEEE doubles and both engines agree
     * bit-for-bit; `FLOOR(x + 0.5)` pins the rounding mode (half toward
@@ -311,6 +383,7 @@ object Similarity {
     "emb_dedup_keep_only" -> (embDedupKeepOnly _),
     "ann_topk_brute" -> (topK _),
     "ann_topk_lsh" -> (lshRecall _),
+    "ann_topk_lsh_slim" -> (lshSlimRecall _),
     "emb_quantize" -> (embQuantize _))
 
   /** The near-dup universe + exact all-pairs cosine as a DuckDB CTE
@@ -347,6 +420,12 @@ object Similarity {
       FROM q ORDER BY vec_id""",
     "ann_topk_lsh" -> """
       SELECT 'lsh' AS method,
+        CAST(10*COUNT(*) AS BIGINT) AS n_expected,
+        CAST((10*COUNT(*)*7 + 9)//10 AS BIGINT) AS min_hits,
+        TRUE AS recall_ok
+      FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 10)""",
+    "ann_topk_lsh_slim" -> """
+      SELECT 'lsh_slim' AS method,
         CAST(10*COUNT(*) AS BIGINT) AS n_expected,
         CAST((10*COUNT(*)*7 + 9)//10 AS BIGINT) AS min_hits,
         TRUE AS recall_ok

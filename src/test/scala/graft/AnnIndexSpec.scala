@@ -85,4 +85,57 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(plan.contains("graft_ann_lshbkt"), plan)
     assert(!plan.contains("embeddings.parquet"), plan)
   }
+
+  test("slim LSH (ids + locator) returns exactly the inline index's listing") {
+    val sf = "/root/testdata/sf0.001"
+    val inline = graft.ops.Similarity.topKLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val slim = graft.ops.Similarity.topKLshSlim(spark, sf)
+    val slimRows = slim.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(slimRows == inline,
+      "identical planes/buckets must give the identical ranked listing")
+    val plan = slim.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_ann_lshslim"), plan)
+    assert(plan.contains("graft_ann_ivfflat"), plan) // the one vector copy
+    assert(!plan.contains("graft_ann_lshbkt"), plan) // no inline-vector read
+    assert(!plan.contains("embeddings.parquet"), plan)
+  }
+
+  test("caller-supplied corpus version replaces the fingerprint and owns staleness") {
+    import graft.ops.{Ivf, Similarity}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_annidx_ver").toString
+    val rnd = new scala.util.Random(11)
+    def vec() = Seq.fill(64)(rnd.nextFloat())
+    val base = (0L until 200L).map(i => (i, vec(), 0))
+    def write(rows: Seq[(Long, Seq[Float], Int)]): Unit =
+      rows.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    def search(version: (Long, Long)) = {
+      spark.catalog.refreshByPath(s"$tmp/embeddings.parquet")
+      val v = Similarity.rawVecs(Tables.load(spark, tmp, "embeddings"))
+      Ivf.searchIvf(v, tmp, "embeddings", col("vec_id") < 3,
+        version = Some(version))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    }
+    write(base)
+    val r1 = search((1L, 99L))
+    // rewrite every NON-query vector; plant query 0's vector at id 150
+    val changed = base.map {
+      case (150L, _, l) => (150L, base(0)._2, l)
+      case (i, e, l) if i >= 3L => (i, vec(), l)
+      case row => row
+    }
+    write(changed)
+    // same version token → the stale index is served BY DESIGN: the
+    // planted exact duplicate is invisible
+    val r2 = search((1L, 99L))
+    assert(r2 == r1, "unchanged version must serve the stale artifacts")
+    // bumped version → rebuild sees the new corpus: the planted twin of
+    // query 0 surfaces at rank 1 with cosine 1
+    val r3 = search((2L, 100L))
+    assert(r3 != r1)
+    assert(r3.contains((0L, 1L, 150L)),
+      s"planted exact duplicate must lead query 0's listing, got ${r3.take(5)}")
+  }
 }
