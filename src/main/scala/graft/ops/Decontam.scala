@@ -123,10 +123,60 @@ object Decontam {
       pmod(col("doc_id"), lit(10)) === 0)
       .orderBy(col("doc_id"))
 
+  /** Span-level surgical decontamination: instead of dropping a whole
+    * contaminated document ([[flags]]), cut only the [[Scrub.ChunkTokens]]-
+    * token spans whose n-grams leak from the eval set and rebuild the doc
+    * from its surviving spans — the "remove the quote, keep the article"
+    * policy of surgical-removal pipelines.
+    *
+    * Scale shape: chunking is the shared map-side front
+    * ([[Scrub.chunked]]); chunk n-grams are the proven shingle flatMap
+    * over a synthetic (doc, pos) key; contamination is the same broadcast
+    * eval semi-join as [[flags]]; the cut is a broadcast anti-join
+    * (contaminated chunk keys are bounded by actual leakage, not corpus
+    * size); the rebuild is one doc_id-keyed aggregate. No self-joins, no
+    * corpus-wide wide rows. */
+  def scrubSpans(docs: DataFrame, isEval: Column, n: Int = 5): DataFrame = {
+    val evalSh = Dedup.shingles(docs.filter(isEval), n)
+      .select("sh").distinct()
+    val chunks = Scrub.chunked(docs.filter(!isEval))
+    // synthetic chunk key: pos is bounded by doc length / ChunkTokens, so
+    // 2^20 spans per doc is unreachable long before doc_id * 2^20 can
+    // overflow a corpus's id space (doc_id < 2^42 documented)
+    val ckey = col("doc_id") * 1048576L + col("pos")
+    val contaminated = Dedup.shingles(
+      chunks.select(ckey.as("doc_id"), col("chunk").as("text")), n)
+      .join(broadcast(evalSh), Seq("sh"), "left_semi")
+      .select(col("doc_id").as("ckey")).distinct()
+    val kept = chunks.withColumn("ckey", ckey)
+      .join(contaminated, Seq("ckey"), "left_anti")
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(
+        expr("array_join(transform(array_sort(collect_list(struct(pos, chunk))), x -> x.chunk), ' ')")
+          .as("kept_text"),
+        count(lit(1)).as("n_kept"))
+    val totals = chunks.groupBy("doc_id").agg(count(lit(1)).as("n_total"))
+    docs.filter(!isEval).select("doc_id")
+      .join(totals, Seq("doc_id"), "left")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("kept_text"), lit("")).as("text"),
+        (coalesce(col("n_total"), lit(0L)) - coalesce(col("n_kept"), lit(0L)))
+          .as("n_cut"))
+  }
+
+  /** Gate: mod-10 eval split as in [[decontaminate]]; contaminated docs
+    * keep their clean spans instead of vanishing. */
+  def decontaminateSpans(s: SparkSession, dir: String): DataFrame =
+    scrubSpans(Tables.load(s, dir, "documents"),
+      pmod(col("doc_id"), lit(10)) === 0)
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "decontaminate" -> (decontaminate _),
     "decontaminate_n13" -> (decontaminateN13 _),
-    "decontaminate_fuzzy" -> (decontaminateFuzzy _))
+    "decontaminate_fuzzy" -> (decontaminateFuzzy _),
+    "decontaminate_spans" -> (decontaminateSpans _))
 
   val oracle: Map[String, String] = Map(
     "decontaminate" -> s"""
@@ -172,5 +222,38 @@ object Decontam {
         COALESCE(mj, 0.0) >= 0.5 AS contaminated
       FROM documents d LEFT JOIN mx USING (doc_id)
       WHERE d.doc_id % 10 <> 0
-      ORDER BY d.doc_id""")
+      ORDER BY d.doc_id""",
+    "decontaminate_spans" -> {
+      val egram = (0 until 5).map(k => s"t[i+$k]").mkString(" || ' ' || ")
+      val cgram = (0 until 5).map(k => s"ct[i+$k]").mkString(" || ' ' || ")
+      s"""
+      WITH train AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+      ${Scrub.chunkCtes("train")},
+      etoks AS (
+        SELECT doc_id, string_split(text, ' ') t
+        FROM documents WHERE doc_id % 10 = 0),
+      esh0 AS (SELECT t, unnest(generate_series(1, greatest(len(t)-4, 0))) i
+               FROM etoks),
+      evalsh AS (SELECT DISTINCT $egram AS s FROM esh0),
+      ctoks AS (SELECT doc_id, pos, string_split(chunk, ' ') ct FROM chunks),
+      csh0 AS (SELECT doc_id, pos, ct,
+                 unnest(generate_series(1, greatest(len(ct)-4, 0))) i
+               FROM ctoks),
+      bad AS (SELECT DISTINCT doc_id, pos FROM csh0
+              WHERE $cgram IN (SELECT s FROM evalsh)),
+      kept AS (SELECT c.doc_id, c.pos, c.chunk FROM chunks c
+               LEFT JOIN bad b ON c.doc_id = b.doc_id AND c.pos = b.pos
+               WHERE b.doc_id IS NULL),
+      rebuilt AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS kept_text,
+                    CAST(COUNT(*) AS BIGINT) AS n_kept
+                  FROM kept GROUP BY 1),
+      tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_total
+              FROM chunks GROUP BY 1)
+      SELECT d.doc_id, COALESCE(kept_text, '') AS text,
+        COALESCE(n_total, 0) - COALESCE(n_kept, 0) AS n_cut
+      FROM train d
+      LEFT JOIN tot USING (doc_id) LEFT JOIN rebuilt USING (doc_id)
+      ORDER BY doc_id"""
+    })
 }

@@ -78,14 +78,21 @@ object Scrub {
     * (doc_id, pos)). Returns (doc_id, text, n_chunks_kept) for every
     * input doc — a doc whose every chunk was seen before keeps an empty
     * text rather than vanishing. */
-  def dedupSpans(docs: DataFrame): DataFrame = {
+  /** (doc_id, pos, chunk): every doc cut into [[ChunkTokens]]-token
+    * spans — map-side, the shared front of the span operators (repeated-
+    * span dedup here, span-level decontamination in [[Decontam]]). */
+  private[ops] def chunked(docs: DataFrame): DataFrame = {
     val k = ChunkTokens
-    val chunks = docs
+    docs
       .withColumn("_t", split(coalesce(col("text"), lit("")), " "))
       .select(col("doc_id"), posexplode(expr(
         s"""transform(sequence(0, CAST(ceil(size(_t) / ${k}.0) AS INT) - 1),
               i -> array_join(slice(_t, i * $k + 1, $k), ' '))""")))
       .toDF("doc_id", "pos", "chunk")
+  }
+
+  def dedupSpans(docs: DataFrame): DataFrame = {
+    val chunks = chunked(docs)
     val kept = chunks
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("chunk")).orderBy(col("doc_id"), col("pos"))))
@@ -105,6 +112,18 @@ object Scrub {
   def dedupLines(s: SparkSession, dir: String): DataFrame =
     dedupSpans(Tables.load(s, dir, "documents"))
       .orderBy(col("doc_id"))
+
+  /** DuckDB twin of [[chunked]] over `tbl` (no leading WITH) — shared
+    * with the span-decontamination oracle in [[Decontam]]. */
+  private[ops] def chunkCtes(tbl: String): String = s"""
+      toks AS (
+        SELECT doc_id, string_split(COALESCE(text, ''), ' ') t FROM $tbl),
+      chunks AS (
+        SELECT doc_id, i AS pos,
+          array_to_string(t[(i*$ChunkTokens+1):(i*$ChunkTokens+$ChunkTokens)], ' ') AS chunk
+        FROM toks,
+          unnest(generate_series(0,
+            CAST(ceil(len(t) / ${ChunkTokens}.0) AS INT) - 1)) AS u(i))"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_pii_scrub" -> (piiScrub _),
@@ -135,14 +154,7 @@ object Scrub {
         CAST(c1 + c2 + len(regexp_extract_all(t, '$IpRe')) AS BIGINT) AS redactions
       FROM s2 ORDER BY doc_id""",
     "dedup_lines" -> s"""
-      WITH toks AS (
-        SELECT doc_id, string_split(COALESCE(text, ''), ' ') t FROM documents),
-      chunks AS (
-        SELECT doc_id, i AS pos,
-          array_to_string(t[(i*$ChunkTokens+1):(i*$ChunkTokens+$ChunkTokens)], ' ') AS chunk
-        FROM toks,
-          unnest(generate_series(0,
-            CAST(ceil(len(t) / ${ChunkTokens}.0) AS INT) - 1)) AS u(i)),
+      WITH ${chunkCtes("documents")},
       kept AS (
         SELECT doc_id, pos, chunk,
           ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn

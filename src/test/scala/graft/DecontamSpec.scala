@@ -68,4 +68,20 @@ class DecontamSpec extends AnyFunSuite {
     assert(out(200L) == (math.rint(9.0 / 11.0 * 1e6) / 1e6, true))
     assert(out(201L) == (0.0, false))
   }
+
+  test("span scrub cuts exactly the leaking chunk and keeps the rest of the doc") {
+    val c0 = (0 until 10).map(i => s"a$i").mkString(" ")
+    val c1 = "b0 b1 e_0 e_1 e_2 e_3 e_4 b2 b3 b4" // carries an eval 5-gram
+    val c2 = (0 until 10).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (0L, toks("e", 12)),
+      (200L, s"$c0 $c1 $c2"),
+      (201L, (0 until 10).map(i => s"d$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Decontam.scrubSpans(docs, col("doc_id") < 100L)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(200L) == ((s"$c0 $c2", 1L)),
+      "only the chunk containing the leaked 5-gram is cut")
+    assert(out(201L) == (((0 until 10).map(i => s"d$i").mkString(" "), 0L)))
+  }
 }
