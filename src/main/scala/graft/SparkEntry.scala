@@ -25,7 +25,8 @@ object SparkEntry {
       graft.ops.Components.queries ++ graft.ops.Sampling.queries ++
       graft.ops.Curation.queries ++ graft.ops.Decontam.queries ++
       graft.ops.Scrub.queries ++
-      graft.ops.Similarity.queries ++ graft.ops.Ivf.queries ++ graft.ops.Multimodal.queries
+      graft.ops.Similarity.queries ++ graft.ops.Ivf.queries ++
+      graft.ops.IvfIndex.queries ++ graft.ops.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -38,5 +39,5 @@ object SparkEntry {
       graft.ops.Curation.oracle ++ graft.ops.Decontam.oracle ++
       graft.ops.Scrub.oracle ++
       graft.ops.Similarity.oracle ++ graft.ops.Ivf.oracle ++
-      graft.ops.Multimodal.oracle
+      graft.ops.IvfIndex.oracle ++ graft.ops.Multimodal.oracle
 }

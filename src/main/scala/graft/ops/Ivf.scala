@@ -69,7 +69,7 @@ object Ivf {
     cents
   }
 
-  private def nearest(cents: Array[Array[Double]], x: Array[Double]): Int = {
+  private[graft] def nearest(cents: Array[Array[Double]], x: Array[Double]): Int = {
     var best = 0
     var bestD = Double.MaxValue
     var c = 0
@@ -83,7 +83,7 @@ object Ivf {
     best
   }
 
-  private def nearestN(cents: Array[Array[Double]], x: Array[Double], n: Int): Seq[Int] =
+  private[graft] def nearestN(cents: Array[Array[Double]], x: Array[Double], n: Int): Seq[Int] =
     cents.indices.sortBy { c =>
       var d = 0.0
       var j = 0

@@ -1,0 +1,186 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ingest.ManifestStore
+
+/** Persisted, APPENDABLE IVF index over a GROWING vector corpus — the
+  * incremental-ingest counterpart of the immutable, fingerprint-keyed
+  * [[AnnIndex]] artifacts (which assume a frozen corpus and rebuild
+  * wholesale on any change), and the vector twin of the [[LshIndex]]
+  * dedup pattern: ingest assigns ONLY its own batch, search reads only
+  * its probed clusters, and the accumulated corpus is never re-assigned.
+  *
+  * Storage (two [[ManifestStore]] tables under `root`, inheriting atomic
+  * commits, snapshot isolation, commit-key idempotence and time travel):
+  *
+  *  - `cents` (c, vec)                  — the coarse quantizer, trained
+  *                                        on the SEED batch and frozen
+  *                                        (one commit, never appended);
+  *  - `lists` (cluster, vec_id, e, nrm) — the inverted lists, laid out
+  *                                        in `cluster=` partitions so a
+  *                                        search's cluster IN-filter
+  *                                        partition-prunes the read, with
+  *                                        vec_id file stats for id-range
+  *                                        maintenance reads.
+  *
+  * Frozen-quantizer contract (standard IVF ingest practice — FAISS `add`
+  * after `train`): appended vectors are assigned to the SEED-trained
+  * centroids, so recall for a batch whose distribution drifts far from
+  * the seed degrades gracefully (vectors still land in their nearest
+  * existing cluster) rather than corrupting the index. Re-clustering is
+  * an offline rebuild into a fresh root, exactly like a dedup-index
+  * rebuild; the store's snapshot versions make the cutover atomic.
+  *
+  * A ManifestStore snapshot version of `lists` is precisely the
+  * "caller-supplied corpus version" [[Ivf.searchIvf]]'s `version`
+  * parameter wants — the two paths compose: batch-built artifacts for a
+  * frozen corpus, this store for a live one.
+  */
+object IvfIndex {
+
+  private def centsStore(root: String) = new ManifestStore(s"$root/cents")
+  private def listsStore(root: String) = new ManifestStore(s"$root/lists")
+
+  /** Train the frozen coarse quantizer on `seed` and index the seed
+    * batch. Exactly-once under replay via `commitKey` (both commits
+    * derive their keys from it); refuses a root whose quantizer already
+    * exists — retraining under live lists would silently re-route every
+    * future append to different clusters than the stored rows. */
+  def build(seed: DataFrame, root: String, k: Int,
+            commitKey: Option[String] = None): Unit = {
+    val spark = seed.sparkSession
+    import spark.implicits._
+    val existing = centsStore(root).read(spark)
+    require(existing.isEmpty || commitKey.exists(k =>
+      centsStore(root).hasCommitKey(spark, s"$k-cents")),
+      s"IvfIndex at $root already has a trained quantizer — appends must " +
+        "use append(); a re-clustered index is a rebuild into a fresh root")
+    val cents = Ivf.centroids(seed, k)
+    centsStore(root).append(spark,
+      cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("c", "vec"),
+      commitKey = commitKey.map(_ + "-cents"))
+    append(seed, root, commitKey)
+  }
+
+  /** The frozen quantizer, collected (k rows — tiny at any scale). */
+  def centroids(spark: SparkSession, root: String): Array[Array[Double]] =
+    centsStore(root).read(spark)
+      .getOrElse(throw new IllegalStateException(
+        s"IvfIndex at $root has no quantizer — build() first"))
+      .select("c", "vec").collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+
+  /** Extend the lists with a batch: assignment touches ONLY the batch
+    * (`assignCounter` counts assignments — the IvfIndexSpec witness),
+    * against the frozen quantizer, and lands as one keyed atomic commit.
+    * Batch vec_ids must be new to the index (the ingest append
+    * invariant, as for [[LshIndex.append]]). */
+  def append(v: DataFrame, root: String,
+             commitKey: Option[String] = None,
+             assignCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Unit = {
+    val spark = v.sparkSession
+    import spark.implicits._
+    val cents = centroids(spark, root)
+    val assigned = v.select("vec_id", "e", "nrm")
+      .as[(Long, Seq[Double], Double)]
+      .map { case (id, e, nrm) =>
+        assignCounter.foreach(_.add(1))
+        (id, e, nrm, Ivf.nearest(cents, e.toArray))
+      }
+      .toDF("vec_id", "e", "nrm", "cluster")
+    listsStore(root).append(spark, assigned, partitionCols = Seq("cluster"),
+      commitKey = commitKey, rangeCol = Some("vec_id"))
+  }
+
+  /** Top-`topN` cosine neighbors for `queries` (vec_id, e, nrm rows —
+    * the tiny side, collected driver-side like every search path): each
+    * query probes its `nProbe` nearest frozen centroids and the lists
+    * read partition-prunes to exactly the probed clusters — cost is
+    * O(probed partitions) of the CURRENT snapshot, sublinear in the
+    * corpus, regardless of how many appends built it. */
+  def search(queries: DataFrame, root: String, nProbe: Int = 4,
+             topN: Int = 10): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.graftshim.Shim
+    val cents = centroids(spark, root)
+    val qRows = queries.select("vec_id", "e", "nrm")
+      .as[(Long, Seq[Double], Double)].collect().sortBy(_._1)
+    val probesLocal = qRows.toSeq.flatMap { case (id, e, nrm) =>
+      Ivf.nearestN(cents, e.toArray, nProbe).map(c => (id, e, nrm, c)) }
+    val probes = probesLocal.toDF("qid", "ea", "na", "cluster")
+    val lists = listsStore(root).read(spark)
+      .getOrElse(Seq.empty[(Long, Seq[Double], Double, Int)]
+        .toDF("vec_id", "e", "nrm", "cluster"))
+      .filter(col("cluster").isin(probesLocal.map(_._4).distinct: _*))
+      .select(col("vec_id").as("nid"), col("e").as("eb"),
+        col("nrm").as("nb"), col("cluster"))
+    val dot = Shim.column(DotDouble(
+      Shim.expression(col("ea")), Shim.expression(col("eb"))))
+    probes.join(lists, Seq("cluster"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cosine", round(dot / (col("na") * col("nb")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))))
+      .filter(col("rank") <= topN)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("nid"), col("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Reclaim unreferenced data files (crashed appends' unpublished
+    * commit dirs) — [[ManifestStore.vacuum]]'s retention contract. */
+  def vacuum(spark: SparkSession, root: String, keepVersions: Int = 2,
+             minDataAgeMs: Long = ManifestStore.DefaultVacuumMinAgeMs): Unit = {
+    centsStore(root).vacuum(spark, keepVersions, minDataAgeMs)
+    listsStore(root).vacuum(spark, keepVersions, minDataAgeMs)
+  }
+
+  // ----------------------------------------------------------- gate
+
+  /** Per-JVM build memo for the gate, keyed by resolved root (same
+    * contract and caveats as Dedup.builtRoots: fixtures are immutable
+    * in the gate harness). */
+  private val builtRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Gate: the quantizer trains on the even-vec_id HALF (the seed
+    * corpus); odd ids arrive as a second append against the frozen
+    * quantizer; queries (vec_id < 10) then search the accumulated index.
+    * Recall is gated against the brute-force truth over the FULL corpus
+    * — the frozen-quantizer ingest must still find ≥ 70% of the true
+    * neighbors, including ones that arrived after training. */
+  def incrementalRecall(s: SparkSession, dir: String): DataFrame = {
+    val v = Similarity.rawVecs(graft.Tables.load(s, dir, "embeddings"))
+    val abs = new java.io.File(dir).getAbsolutePath
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_" +
+      new java.io.File(dir).getName + "_" +
+      java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(abs))
+    builtRoots.synchronized {
+      if (!builtRoots.contains(root)) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        build(v.filter(pmod(col("vec_id"), lit(2)) === 0), root, k = 8)
+        append(v.filter(pmod(col("vec_id"), lit(2)) === 1), root)
+        builtRoots.add(root)
+      }
+    }
+    Similarity.recallGate(s, dir, "ivf_inc",
+      search(v.filter(col("vec_id") < 10), root))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_incremental" -> (incrementalRecall _))
+
+  val oracle: Map[String, String] = Map(
+    "ann_incremental" -> """
+      SELECT 'ivf_inc' AS method,
+        CAST(10*COUNT(*) AS BIGINT) AS n_expected,
+        CAST((10*COUNT(*)*7 + 9)//10 AS BIGINT) AS min_hits,
+        TRUE AS recall_ok
+      FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 10)""")
+}
