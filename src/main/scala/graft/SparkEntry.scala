@@ -24,9 +24,10 @@ object SparkEntry {
       graft.ops.TextAnalysis.queries ++ graft.ops.Dedup.queries ++
       graft.ops.Components.queries ++ graft.ops.Sampling.queries ++
       graft.ops.Curation.queries ++ graft.ops.Decontam.queries ++
-      graft.ops.Scrub.queries ++
+      graft.ops.Scrub.queries ++ graft.ops.Sharding.queries ++
       graft.ops.Similarity.queries ++ graft.ops.Ivf.queries ++
-      graft.ops.IvfIndex.queries ++ graft.ops.Multimodal.queries
+      graft.ops.IvfIndex.queries ++ graft.ops.ExactIndex.queries ++
+      graft.ops.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -37,7 +38,8 @@ object SparkEntry {
       graft.ops.TextAnalysis.oracle ++ graft.ops.Dedup.oracle ++
       graft.ops.Components.oracle ++ graft.ops.Sampling.oracle ++
       graft.ops.Curation.oracle ++ graft.ops.Decontam.oracle ++
-      graft.ops.Scrub.oracle ++
+      graft.ops.Scrub.oracle ++ graft.ops.Sharding.oracle ++
       graft.ops.Similarity.oracle ++ graft.ops.Ivf.oracle ++
-      graft.ops.IvfIndex.oracle ++ graft.ops.Multimodal.oracle
+      graft.ops.IvfIndex.oracle ++ graft.ops.ExactIndex.oracle ++
+      graft.ops.Multimodal.oracle
 }

@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Training-shard assignment — the "write the curated corpus as N
+  * balanced output shards" step at the end of every data pipeline —
+  * built on a GLOBAL row number that scales.
+  *
+  * The naive spelling, `row_number() OVER (ORDER BY …)` with no
+  * PARTITION BY, is correct and useless at 100 TB: Spark plans an empty
+  * partition spec as ONE window task, so the whole corpus funnels
+  * through a single executor thread. The scalable form is the
+  * distributed zipWithIndex pattern, in DataFrame terms:
+  *
+  *  1. `repartitionByRange` + `sortWithinPartitions` on the sort key —
+  *     a normal distributed range sort (the same machinery as a global
+  *     ORDER BY, parallel in both shuffle and sort);
+  *  2. one TINY per-partition count aggregate (numPartitions rows to the
+  *     driver) → cumulative offsets, broadcast back;
+  *  3. `row_number()` windowed BY PARTITION ID (parallel — one window
+  *     task per range partition, not one total) + the partition's
+  *     offset.
+  *
+  * The materialized range partitioning is pinned with a localCheckpoint
+  * so the count pass and the output pass see the SAME boundaries —
+  * recomputing the range exchange could re-sample them between jobs and
+  * skew every offset.
+  *
+  * Shards are then assigned round-robin on the rank, ordered by
+  * descending token count: consecutive ranks land on different shards,
+  * so each of the N shards receives near-identical token mass (the
+  * greedy "longest processing time" heuristic's streaming cousin) while
+  * staying a pure function of the sorted position — deterministic,
+  * re-runnable, and exactly what the DuckDB oracle computes. */
+object Sharding {
+
+  /** Output shard count for the gate — production sets this to the
+    * target file count (e.g. corpus tokens / 100M-token shard). */
+  val NumShards = 8
+
+  /** (df + `rank` BIGINT): 1-based global row number under `order`,
+    * computed with per-range-partition parallelism. `order` must be a
+    * TOTAL order (tie-break on a key) for the result to be
+    * deterministic. */
+  def globalRowNumber(df: DataFrame, order: Seq[Column]): DataFrame = {
+    val parted = df
+      .repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint() // pin boundaries across the two consuming jobs
+    val spark = df.sparkSession
+    import spark.implicits._
+    // numPartitions rows — the only driver-side data in the pattern
+    val counts = parted.groupBy("_pid").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.scanLeft((Int.MinValue, 0L)) {
+      case ((_, acc), (pid, c)) => (pid, acc + c)
+    }.sliding(2).collect { case Array((_, off), (pid, _)) => (pid, off) }.toSeq
+    val offsetDf = offsets.toDF("_pid", "_offset")
+    parted
+      .join(broadcast(offsetDf), Seq("_pid"))
+      .withColumn("rank",
+        (col("_offset") +
+          row_number().over(
+            Window.partitionBy(col("_pid")).orderBy(order: _*)).cast("long")))
+      .drop("_pid", "_offset")
+  }
+
+  /** Gate: every document's (rank, shard) under descending-token-count
+    * round-robin packing into [[NumShards]] shards. */
+  def shardAssign(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val nTok = size(split(coalesce(col("text"), lit("")), " ")).cast("long")
+    val withTok = docs.select(col("doc_id"), nTok.as("n_tokens"))
+    globalRowNumber(withTok, Seq(col("n_tokens").desc, col("doc_id").asc))
+      .withColumn("shard", pmod(col("rank") - 1, lit(NumShards.toLong)))
+      .select("doc_id", "n_tokens", "rank", "shard")
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "shard_assign" -> (shardAssign _))
+
+  val oracle: Map[String, String] = Map(
+    "shard_assign" -> s"""
+      WITH t AS (
+        SELECT doc_id,
+          CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      r AS (
+        SELECT doc_id, n_tokens,
+          CAST(row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS BIGINT)
+            AS rank
+        FROM t)
+      SELECT doc_id, n_tokens, rank, (rank - 1) % $NumShards AS shard
+      FROM r ORDER BY doc_id""")
+}
