@@ -234,12 +234,18 @@ object ExactIndex {
     * batch. The probe's survivors (batch texts absent from the corpus)
     * aggregate to (fp, keep_id, n) — in-batch duplicates collapse to
     * their min id, exactly the [[Dedup.dedupExact]] shape. */
-  def dedupExactIncremental(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(s, dir, "documents")
+  /** The gate's index root for `dir` — absolute-path-hashed so two dirs
+    * named alike never alias (the [[Dedup.dedupIncremental]] rule). */
+  private[graft] def gateRoot(dir: String): String = {
     val abs = new java.io.File(dir).getAbsolutePath
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_exact_index_" +
+    s"${System.getProperty("java.io.tmpdir")}/graft_exact_index_" +
       new java.io.File(dir).getName + "_" +
       java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(abs))
+  }
+
+  def dedupExactIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val root = gateRoot(dir)
     builtRoots.synchronized {
       if (!builtRoots.contains(root)) {
         val p = new Path(root)

@@ -104,6 +104,55 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** Rare-token cap for [[rareTokens]]: a token seen ≤ this many times
+    * corpus-wide counts as rare. */
+  val RareMaxFreq = 2L
+
+  /** Reject threshold: documents whose rare-token share exceeds this
+    * percent are dropped (OCR garbage, mojibake, boilerplate hashes —
+    * the texts made of words nobody else uses). */
+  val RarePctMax = 30L
+
+  /** Corpus-frequency quality scoring — the integer-exact core of the
+    * CCNet-style "does this document look like the rest of the corpus"
+    * filter: the share of a document's tokens that are corpus-rare
+    * (frequency ≤ [[RareMaxFreq]]). High share = noise; the LM-perplexity
+    * version of this filter ranks by the same signal with float
+    * smoothing, which no SQL oracle can reproduce bit-for-bit — the
+    * count form keeps the gate exact.
+    *
+    * Shuffle discipline at 100 TB: tokens collapse FIRST to per-(doc,
+    * term) partial counts — map-side combine caps every hot term ("the")
+    * at one row per document before anything shuffles — then one
+    * vocab-keyed aggregate builds the frequency table and one join on
+    * term (skew bounded by the pre-aggregation: ≤ n_docs rows per term,
+    * AQE handles the head) rolls back up to documents. The naive
+    * token-stream↔vocab join would shuffle every occurrence of every
+    * stopword. */
+  def rareTokens(s: SparkSession, dir: String): DataFrame =
+    rareTokensOf(Tables.load(s, dir, "documents"))
+
+  private[graft] def rareTokensOf(d: DataFrame): DataFrame = {
+    val terms = d.select(col("doc_id"),
+        explode(split(coalesce(col("text"), lit("")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val freq = tf.groupBy("term").agg(sum(col("tf")).as("c"))
+    val per = tf.join(freq, "term")
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tok"),
+        sum(when(col("c") <= RareMaxFreq, col("tf")).otherwise(lit(0L)))
+          .as("n_rare"))
+    d.select("doc_id").join(per, Seq("doc_id"), "left")
+      .withColumn("n_tok", coalesce(col("n_tok"), lit(0L)))
+      .withColumn("n_rare", coalesce(col("n_rare"), lit(0L)))
+      .withColumn("rare_pct",
+        when(col("n_tok") === 0, lit(100L)) // empty doc: reject
+          .otherwise(expr("(100 * n_rare) div n_tok")))
+      .withColumn("keep", col("rare_pct") <= RarePctMax)
+      .orderBy("doc_id")
+  }
+
   /** Gopher-style quality stats as plain column expressions over a
     * `text` column — map-side, codegen'd, fuse into whatever scan the
     * caller has. Shared by the quality-filter gate and the composed
@@ -303,6 +352,7 @@ object TextAnalysis {
     "text_tfidf" -> (tfidf _),
     "text_quality_filter" -> (qualityFilter _),
     "quality_gopher" -> (qualityGopher _),
+    "quality_rare_tokens" -> (rareTokens _),
     "quality_repetition" -> (repetition _),
     "profile_documents" -> (profile _))
 
@@ -366,6 +416,32 @@ object TextAnalysis {
       FROM c ORDER BY doc_id""",
     "text_fingerprint" -> """
       SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id""",
+    "quality_rare_tokens" -> s"""
+      WITH terms AS (
+        SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS term
+        FROM documents),
+      tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM terms WHERE length(term) > 0 GROUP BY 1, 2),
+      freq AS (
+        SELECT term, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY 1),
+      per AS (
+        SELECT tf.doc_id,
+          CAST(SUM(tf.tf) AS BIGINT) AS n_tok,
+          CAST(SUM(CASE WHEN freq.c <= $RareMaxFreq THEN tf.tf ELSE 0 END)
+            AS BIGINT) AS n_rare
+        FROM tf JOIN freq USING (term) GROUP BY 1),
+      full_docs AS (
+        SELECT d.doc_id,
+          COALESCE(per.n_tok, 0) AS n_tok,
+          COALESCE(per.n_rare, 0) AS n_rare
+        FROM documents d LEFT JOIN per USING (doc_id))
+      SELECT doc_id, n_tok, n_rare,
+        CASE WHEN n_tok = 0 THEN 100
+             ELSE (100 * n_rare) // n_tok END AS rare_pct,
+        (CASE WHEN n_tok = 0 THEN 100
+              ELSE (100 * n_rare) // n_tok END) <= $RarePctMax AS keep
+      FROM full_docs ORDER BY doc_id""",
     "text_tfidf" -> """
       WITH terms0 AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -335,4 +335,26 @@ class OpsSpec extends AnyFunSuite {
     for (hi <- byW.getOrElse(6L, Nil); lo <- byW.getOrElse(1L, Nil))
       assert(hi > lo, s"weight-6 rate $hi must exceed weight-1 rate $lo")
   }
+
+  test("rare-token scoring: corpus-frequency split, empty doc rejected") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    // "common common common" appears in 3 docs -> freq(common)=9 > 2;
+    // "unique1 unique2" are hapax -> rare
+    val docs = Seq(
+      (1L, "common common common"),
+      (2L, "common common common"),
+      (3L, "common common common"),
+      (4L, "common unique1 unique2"), // 2/3 rare -> 66% -> reject
+      (5L, ""),                       // empty -> 100 -> reject
+      (6L, "common common unique3")   // 1/3 rare -> 33% -> reject (>30)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.rareTokensOf(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(out(1L) == ((3L, 0L, 0L, true)))
+    assert(out(4L) == ((3L, 2L, 66L, false)))
+    assert(out(5L) == ((0L, 0L, 100L, false)))
+    assert(out(6L) == ((3L, 1L, 33L, false)))
+  }
 }
