@@ -129,7 +129,10 @@ object ExactIndex {
     * file (replay-idempotent); unkeyed ones get a UUID. */
   private def writeBloom(spark: SparkSession, fps: DataFrame, root: String,
                          key: Option[String]): Unit = {
-    val n = math.max(fps.count(), 1L)
+    val n = fps.count()
+    // empty batch: nothing to member-test — and Spark's stat.bloomFilter
+    // NPEs on a zero-row input (its aggregate returns a null buffer)
+    if (n == 0L) return
     val bf = fps.stat.bloomFilter("fp", n, BloomFpp)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
@@ -222,6 +225,36 @@ object ExactIndex {
     definitelyNew.unionByName(
       candidates.join(storedFps, Seq("fp"), "left_anti"))
   }
+
+  /** Maintenance: rebuild ONE right-sized bloom from the hash store and
+    * retire the per-append filters (probe cost is linear in the filter
+    * count, so a long-lived ingest stream consolidates on the same
+    * cadence as [[LshIndex.compact]]). One corpus-width pass over the
+    * store — a maintenance op, never on the probe path. Publish order
+    * keeps the superset invariant: the consolidated filter lands
+    * (atomic rename) BEFORE the old ones are deleted, so a crash
+    * anywhere leaves membership a superset of the store. Callers hold
+    * writer exclusivity (same contract as compact). */
+  def consolidateBlooms(spark: SparkSession, root: String): Unit =
+    store(root).read(spark).foreach { df =>
+      val dir = bloomDir(root)
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val old =
+        if (fs.exists(dir))
+          fs.listStatus(dir).toSeq.map(_.getPath)
+            .filter(p => p.getName.startsWith("bloom-") &&
+              p.getName.endsWith(".bin"))
+        else Seq.empty
+      writeBloom(spark, df.select("fp"), root,
+        Some("consolidated-" + java.util.UUID.randomUUID().toString))
+      old.foreach(p => fs.delete(p, false))
+    }
+
+  /** Reclaim unreferenced hash-store data files —
+    * [[ManifestStore.vacuum]]'s retention contract. */
+  def vacuum(spark: SparkSession, root: String, keepVersions: Int = 2,
+             minDataAgeMs: Long = ManifestStore.DefaultVacuumMinAgeMs): Unit =
+    store(root).vacuum(spark, keepVersions, minDataAgeMs)
 
   // ------------------------------------------------------------- gate
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import graft.ingest.ManifestStore
-import graft.ops.{Components, LshIndex}
+import graft.ops.{Components, ExactIndex, LshIndex}
 
 /** Streaming near-dup-filtered corpus ingestion — the production shape
   * of incremental dedup (SURVEY §7.5): documents arrive as a stream,
@@ -54,9 +54,11 @@ object CorpusStream {
   def dedupIngestStream(docs: DataFrame, indexRoot: String,
                         corpus: ManifestStore, checkpoint: String,
                         threshold: Double = 0.7,
-                        maintainEvery: Int = 0): StreamingQuery =
+                        maintainEvery: Int = 0,
+                        exactFirst: Boolean = false): StreamingQuery =
     ingestStream(docs, indexRoot, corpus, checkpoint, threshold,
-      quality = false, sample = false, maintainEvery = maintainEvery)
+      quality = false, sample = false, maintainEvery = maintainEvery,
+      exactFirst = exactFirst)
 
   /** The FULL curation pipeline as a stream — the streaming counterpart
     * of [[graft.ops.Curation.curate]], stage order preserved:
@@ -90,12 +92,14 @@ object CorpusStream {
   def curatedIngestStream(docs: DataFrame, indexRoot: String,
                           corpus: ManifestStore, checkpoint: String,
                           threshold: Double = 0.7,
-                          maintainEvery: Int = 0): StreamingQuery = {
+                          maintainEvery: Int = 0,
+                          exactFirst: Boolean = false): StreamingQuery = {
     require(docs.columns.contains("lang"),
       "curatedIngestStream samples by the 'lang' stratum — the input " +
         "stream must carry a lang column")
     ingestStream(docs, indexRoot, corpus, checkpoint, threshold,
-      quality = true, sample = true, maintainEvery = maintainEvery)
+      quality = true, sample = true, maintainEvery = maintainEvery,
+      exactFirst = exactFirst)
   }
 
   /** `maintainEvery` > 0 runs the index maintenance pass —
@@ -105,18 +109,44 @@ object CorpusStream {
     * (compact's replaceAll exclusivity contract). Maintenance is
     * deterministic over store content, so a replayed batch re-running it
     * converges to the same index. */
+  /** `exactFirst` = true inserts an [[ExactIndex]] probe BEFORE the LSH
+    * stage: batch rows whose exact text already survived a previous
+    * batch drop on a bloom short-circuit + md5 anti-join instead of
+    * being shingled and minhashed — the cheap path for the common
+    * recrawl/re-ingest batch. The exact index (under
+    * `indexRoot/exact`) receives every survivor the LSH index does, so
+    * the two stay aligned; its appends carry the same batch commit key
+    * and its probe has the same batch-wins idempotency, so every crash
+    * window replays to the same survivor set.
+    *
+    * Semantics note: for documents long enough to shingle, the exact
+    * stage drops only rows LSH would drop anyway (identical text is
+    * jaccard-1.0 with its stored canonical); for SUB-SHINGLE-LENGTH
+    * documents — which produce no shingles, hence no LSH pairs — it
+    * additionally drops exact re-ingests that the LSH-only pipeline
+    * admits. That is a strictly-better dedup, but it means exactFirst
+    * changes survivor sets for tiny documents: pick per deployment,
+    * don't toggle mid-corpus. */
   private def ingestStream(docs: DataFrame, indexRoot: String,
                            corpus: ManifestStore, checkpoint: String,
                            threshold: Double,
                            quality: Boolean, sample: Boolean,
-                           maintainEvery: Int): StreamingQuery =
+                           maintainEvery: Int,
+                           exactFirst: Boolean = false): StreamingQuery = {
+    val exactRoot = s"$indexRoot/exact"
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val filtered =
           if (quality) graft.ops.Curation.frontStage(batch)
           else batch
-        val b = filtered.persist()
+        val afterExact =
+          if (exactFirst)
+            filtered.join(
+              ExactIndex.probeNew(filtered, exactRoot).select("doc_id"),
+              Seq("doc_id"), "left_semi")
+          else filtered
+        val b = afterExact.persist()
         try {
           val survivors = batchSurvivors(b, indexRoot, threshold).persist()
           try {
@@ -136,9 +166,16 @@ object CorpusStream {
               commitKey = Some(s"corpus-batch-$batchId"))
             LshIndex.append(survivors, indexRoot,
               commitKey = Some(s"index-batch-$batchId"))
+            if (exactFirst)
+              ExactIndex.append(survivors, exactRoot,
+                commitKey = Some(s"exact-batch-$batchId"))
             if (maintainEvery > 0 && batchId > 0 && batchId % maintainEvery == 0) {
               LshIndex.compact(batch.sparkSession, indexRoot)
               LshIndex.vacuum(batch.sparkSession, indexRoot)
+              if (exactFirst) {
+                ExactIndex.consolidateBlooms(batch.sparkSession, exactRoot)
+                ExactIndex.vacuum(batch.sparkSession, exactRoot)
+              }
             }
           } finally { survivors.unpersist(); () }
         } finally {
@@ -151,4 +188,5 @@ object CorpusStream {
         }
       }
       .start()
+  }
 }

@@ -184,4 +184,71 @@ class CorpusStreamSpec extends AnyFunSuite {
     LshIndex.append(survivors, indexRoot, commitKey = Some("index-batch-0"))
     assert(corpus.read(spark).get.count() == before)
   }
+
+  test("exactFirst: re-ingests drop on the exact stage, even sub-shingle docs") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // distinct long docs (no near-dups) + one 2-token doc: too short for
+    // the 3-gram shingles, so LSH can NEVER pair it — only the exact
+    // stage can catch its re-ingest
+    def long(i: Long) = StreamDoc(i,
+      s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i", "en")
+    val batch1 = Seq(long(1), long(2), StreamDoc(3, "tiny doc", "en"))
+    val batch2 = Seq( // exact re-ingests under NEW ids + one new doc
+      long(11).copy(text = long(1).text),
+      StreamDoc(13, "tiny doc", "en"),
+      long(14))
+
+    def run(exactFirst: Boolean): Set[Long] = {
+      val root = tmp(s"exact$exactFirst")
+      val corpus = new graft.ingest.ManifestStore(root + "/corpus")
+      val stream = MemoryStream[StreamDoc]
+      val q = CorpusStream.dedupIngestStream(stream.toDF(), root + "/index",
+        corpus, root + "/ckpt", 0.7, exactFirst = exactFirst)
+      stream.addData(batch1); q.processAllAvailable()
+      stream.addData(batch2); q.processAllAvailable()
+      q.stop()
+      corpus.read(spark).get.select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+
+    // exact stage: both re-ingests (long AND sub-shingle) dropped
+    assert(run(exactFirst = true) == Set(1L, 2L, 3L, 14L))
+    // LSH-only: the long re-ingest drops (jaccard 1.0) but the
+    // sub-shingle copy is invisible to banding and gets admitted —
+    // the documented semantic difference
+    assert(run(exactFirst = false) == Set(1L, 2L, 3L, 13L, 14L))
+  }
+
+  test("exactFirst maintenance consolidates blooms without changing decisions") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = tmp("exactmaint")
+    val corpus = new graft.ingest.ManifestStore(root + "/corpus")
+    val stream = MemoryStream[StreamDoc]
+    val q = CorpusStream.dedupIngestStream(stream.toDF(), root + "/index",
+      corpus, root + "/ckpt", 0.7, maintainEvery = 2, exactFirst = true)
+    def doc(i: Long) = StreamDoc(i,
+      s"one$i two$i three$i four$i five$i six$i seven$i", "en")
+    (0L to 4L).foreach { b =>
+      stream.addData(Seq(doc(b * 10), doc(b * 10 + 1)))
+      q.processAllAvailable()
+    }
+    // batches 2 and 4 ran consolidate+vacuum; re-ingest everything —
+    // the consolidated bloom must still see every survivor
+    stream.addData((0L to 4L).flatMap(b =>
+      Seq(doc(b * 10).copy(doc_id = 100 + b), // same text, new id
+        doc(b * 10 + 1).copy(doc_id = 200 + b))))
+    q.processAllAvailable()
+    q.stop()
+    val ids = corpus.read(spark).get.select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == (0L to 4L).flatMap(b => Seq(b * 10, b * 10 + 1)).toSet,
+      s"got $ids")
+    // consolidation actually retired the per-batch blooms
+    val bloomDir = new java.io.File(s"$root/index/exact/bloom")
+    val blooms = bloomDir.listFiles((_, n) =>
+      n.startsWith("bloom-") && n.endsWith(".bin"))
+    assert(blooms.length <= 3, // consolidated + at most the appends since
+      s"expected consolidation to retire old blooms, found ${blooms.length}")
+  }
 }
