@@ -70,6 +70,79 @@ object Sharding {
       .drop("_pid", "_offset")
   }
 
+  /** (df + `out` BIGINT): inclusive prefix sum of `value` under `order`
+    * — same two-pass shape as [[globalRowNumber]] (range partition, a
+    * numPartitions-row sum aggregate broadcast back as exclusive
+    * offsets, then a per-partition running sum windowed BY PARTITION
+    * ID). The one-task `SUM(…) OVER (ORDER BY …)` global window never
+    * appears. */
+  def globalPrefixSum(df: DataFrame, order: Seq[Column], value: Column,
+                      out: String): DataFrame = {
+    val parted = df
+      .repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_v", value.cast("long"))
+      .localCheckpoint() // pin boundaries across the two consuming jobs
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sums = parted.groupBy("_pid").agg(sum(col("_v")).as("s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = sums.scanLeft((Int.MinValue, 0L)) {
+      case ((_, acc), (pid, s)) => (pid, acc + s)
+    }.sliding(2).collect { case Array((_, off), (pid, _)) => (pid, off) }.toSeq
+    val offsetDf = offsets.toDF("_pid", "_offset")
+    parted
+      .join(broadcast(offsetDf), Seq("_pid"))
+      .withColumn(out,
+        col("_offset") + sum(col("_v")).over(
+          Window.partitionBy(col("_pid")).orderBy(order: _*)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("_pid", "_offset", "_v")
+  }
+
+  /** Deterministic-shuffle draw: the same Knuth multiplicative hash the
+    * samplers use ([[Sampling.drawSqlMod]]) at full 2³² range, so the
+    * oracle engine computes the identical permutation. */
+  private[graft] val ShuffleDrawSql = Sampling.drawSqlMod(4294967296L)
+  private[ops] val ShuffleDrawDuck = Sampling.drawDuckMod(4294967296L)
+
+  /** Token budget per packed training batch for [[packBatches]]. */
+  val PackBudget = 2000L
+
+  /** Gate: the training-order shuffle — every document's position under
+    * a deterministic pseudo-random permutation (hash draw, doc_id
+    * tie-break), computed with [[globalRowNumber]] parallelism. Unlike
+    * `ORDER BY rand()`, re-runs and appends never reorder history. */
+  def corpusShuffle(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id")).withColumn("draw", expr(ShuffleDrawSql))
+    globalRowNumber(docs, Seq(col("draw").asc, col("doc_id").asc))
+      .withColumnRenamed("rank", "pos")
+      .select("doc_id", "draw", "pos")
+      .orderBy("doc_id")
+  }
+
+  /** Gate: greedy sequence packing — walk the shuffled order, assign
+    * each document to the [[PackBudget]]-token batch its running total
+    * starts in (`(cum - n_tokens) div budget`: the standard
+    * deterministic first-fit that lets a long doc spill its batch
+    * rather than re-sort). The running total is [[globalPrefixSum]],
+    * so packing a 100 TB corpus is two shuffles and a broadcast — no
+    * single-task window, no driver-side walk. */
+  def packBatches(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val nTok = size(split(coalesce(col("text"), lit("")), " ")).cast("long")
+    val base = docs.select(col("doc_id"), nTok.as("n_tokens"))
+      .withColumn("draw", expr(ShuffleDrawSql))
+    globalPrefixSum(base, Seq(col("draw").asc, col("doc_id").asc),
+      col("n_tokens"), "cum_tokens")
+      .withColumn("batch_id",
+        expr(s"(cum_tokens - n_tokens) div $PackBudget"))
+      .select("doc_id", "n_tokens", "cum_tokens", "batch_id")
+      .orderBy("doc_id")
+  }
+
   /** Gate: every document's (rank, shard) under descending-token-count
     * round-robin packing into [[NumShards]] shards. */
   def shardAssign(s: SparkSession, dir: String): DataFrame = {
@@ -83,7 +156,9 @@ object Sharding {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "shard_assign" -> (shardAssign _))
+    "shard_assign" -> (shardAssign _),
+    "corpus_shuffle" -> (corpusShuffle _),
+    "pack_batches" -> (packBatches _))
 
   val oracle: Map[String, String] = Map(
     "shard_assign" -> s"""
@@ -97,5 +172,28 @@ object Sharding {
             AS rank
         FROM t)
       SELECT doc_id, n_tokens, rank, (rank - 1) % $NumShards AS shard
-      FROM r ORDER BY doc_id""")
+      FROM r ORDER BY doc_id""",
+    "corpus_shuffle" -> s"""
+      WITH d AS (
+        SELECT doc_id, CAST($ShuffleDrawDuck AS BIGINT) AS draw
+        FROM documents)
+      SELECT doc_id, draw,
+        CAST(row_number() OVER (ORDER BY draw, doc_id) AS BIGINT) AS pos
+      FROM d ORDER BY doc_id""",
+    "pack_batches" -> s"""
+      WITH d AS (
+        SELECT doc_id,
+          CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT)
+            AS n_tokens,
+          CAST($ShuffleDrawDuck AS BIGINT) AS draw
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tokens,
+          CAST(SUM(n_tokens) OVER (ORDER BY draw, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum_tokens
+        FROM d)
+      SELECT doc_id, n_tokens, cum_tokens,
+        (cum_tokens - n_tokens) // $PackBudget AS batch_id
+      FROM c ORDER BY doc_id""")
 }

@@ -47,6 +47,33 @@ class ShardingSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("prefix sum matches the naive global running-sum window bit-for-bit") {
+    val docs = Tables.load(spark, dir, "documents")
+    val nTok = size(split(coalesce(col("text"), lit("")), " ")).cast("long")
+    val base = docs.select(col("doc_id"), nTok.as("n_tokens"))
+      .withColumn("draw", expr(graft.ops.Sharding.ShuffleDrawSql))
+    val naive = base.withColumn("cum", sum("n_tokens")
+        .over(Window.orderBy(col("draw"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("doc_id", "cum")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = graft.ops.Sharding.packBatches(spark, dir)
+      .select("doc_id", "cum_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == naive)
+  }
+
+  test("packing: first batch is 0, ids never decrease, formula holds") {
+    val rows = graft.ops.Sharding.packBatches(spark, dir)
+      .orderBy("cum_tokens")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val budget = graft.ops.Sharding.PackBudget
+    assert(rows.head._3 == 0L)
+    assert(rows.map(_._3).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+    // each doc STARTS in its assigned batch: (cum - n) div budget
+    rows.foreach { case (n, cum, id) => assert((cum - n) / budget == id) }
+  }
+
   test("round-robin packing balances token mass across shards") {
     val sums = assigned.groupBy("shard").agg(sum("n_tokens").as("s"))
       .collect().map(_.getLong(1))
