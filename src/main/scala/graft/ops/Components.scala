@@ -150,9 +150,29 @@ object Components {
       .orderBy(col("doc_id"))
   }
 
+  /** Quality-keyed survivor selection — what production curation
+    * actually does: per near-dup cluster keep the BEST document (here:
+    * max n_chars, ties to min doc_id), not the arbitrary min-id one.
+    * One `max_by` hash-aggregate over the component labels — single
+    * shuffle on component with map-side partial merge, no per-group
+    * sort/window; the ordering struct (n_chars, −doc_id) makes the
+    * argmax deterministic because doc_id is unique. */
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    componentLabels(docs).select("doc_id", "component")
+      .join(docs.select("doc_id", "n_chars"), "doc_id")
+      .groupBy("component")
+      .agg(max_by(struct(col("doc_id"), col("n_chars")),
+        struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("best"))
+      .select(col("component"), col("best.doc_id").as("survivor"),
+        col("best.n_chars").as("n_chars"))
+      .orderBy("component")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_components" -> (dedupComponents _),
-    "dedup_keep_only" -> (dedupKeepOnly _))
+    "dedup_keep_only" -> (dedupKeepOnly _),
+    "dedup_keep_best" -> (dedupKeepBest _))
 
   /** Shared oracle prefix: transitive closure over the same jaccard≥0.7
     * edges via a recursive CTE (terminates on cycles because UNION
@@ -184,5 +204,14 @@ object Components {
       SELECT d.doc_id, d.lang, d.source, d.n_chars, md5(d.text) AS text_fp
       FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
       WHERE COALESCE(c.component, d.doc_id) = d.doc_id
-      ORDER BY d.doc_id""")
+      ORDER BY d.doc_id""",
+    "dedup_keep_best" -> s"""$componentsCtes
+      SELECT component, survivor, n_chars FROM (
+        SELECT COALESCE(c.component, d.doc_id) AS component,
+          d.doc_id AS survivor, d.n_chars,
+          ROW_NUMBER() OVER (
+            PARTITION BY COALESCE(c.component, d.doc_id)
+            ORDER BY d.n_chars DESC, d.doc_id) AS rk
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)
+      WHERE rk = 1 ORDER BY component""")
 }

@@ -153,6 +153,96 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Corpus-overlap matrix — exact shingle-set Jaccard between every
+    * pair of SOURCES (the "how much does the new crawl overlap the
+    * curated set" governance question asked before mixing corpora).
+    * EXACT is the scale-safe choice here, unlike doc-level pairs: the
+    * per-source shingle sets collapse to at most vocab × n_sources rows,
+    * every shingle-key join group is ≤ n_sources rows, and the pair
+    * space is n_sources² — all bounded by the handful of sources a mix
+    * manifest lists, never by corpus row count. Reuses the doc-level
+    * machinery ([[Dedup.shingles]]/[[Dedup.jaccardPairs]]) with the
+    * source ordinal standing in for doc_id, plus a corpus-level
+    * distinct to turn per-document shingle bags into per-source sets. */
+  def corpusOverlap(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val bySrc = docs.select(
+      expr("cast(substring(source, 4) as bigint)").as("doc_id"), col("text"))
+    Dedup.jaccardPairs(Dedup.shingles(bySrc).distinct(), 0.0)
+      .select(col("i").as("sa"), col("j").as("sb"), col("jaccard"))
+      .orderBy("sa", "sb")
+  }
+
+  /** Unigram language-model quality score: per-doc mean token log-prob
+    * under the corpus's own unigram distribution — the classic cheap
+    * stand-in for LM-perplexity filtering (docs of improbable tokens
+    * score low). mean_lp(d) = (Σ_t tf_t·ln c_t)/n_d − ln N.
+    *
+    * Scale shape mirrors [[rareTokensOf]]: tokens collapse to
+    * per-(doc, term) counts BEFORE any join, so the vocab join never
+    * shuffles per-occurrence stopword rows (a hot term contributes
+    * ≤ n_docs rows, AQE handles the head). The corpus total N stays a
+    * lazy 1-row cross join, never an eager driver-side count. Float
+    * parity with the oracle holds because each addend is tf·ln(c) with
+    * integer tf,c (both engines' ln agree to ≪1e-12 relative) and the
+    * final value is a mean rounded to 6 decimals. */
+  def unigramLp(s: SparkSession, dir: String): DataFrame =
+    unigramLpOf(Tables.load(s, dir, "documents"))
+
+  private[graft] def unigramLpOf(d: DataFrame): DataFrame = {
+    val terms = d.select(col("doc_id"),
+        explode(split(coalesce(col("text"), lit("")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val freq = tf.groupBy("term").agg(sum(col("tf")).as("c"))
+    val total = freq.agg(sum(col("c")).as("n_corpus"))
+    val per = tf.join(freq, "term")
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tok"),
+        sum(col("tf") * log(col("c"))).as("sum_lc"))
+    d.select("doc_id").join(per, Seq("doc_id"), "left").crossJoin(total)
+      .select(col("doc_id"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tokens"),
+        round(col("sum_lc") / col("n_tok") - log(col("n_corpus")), 6)
+          .as("mean_lp"))
+      .orderBy("doc_id")
+  }
+
+  /** Context-window chunking — the training-prep step that splits every
+    * document into fixed-width token windows with overlap (stride <
+    * width), the shape fed to a tokenizer/packer downstream. Chunk k of
+    * a doc with n tokens covers tokens [k·stride, min(k·stride+width, n));
+    * n_chunks = ceil(max(n−width,0)/stride)+1, so the final chunk always
+    * reaches the document tail and every chunk keeps ≥ width−stride+1
+    * tokens. Pure per-row flatMap — zero shuffle, map-side at any scale;
+    * typed flatMap rather than SQL higher-order functions for the same
+    * compiled-vs-interpreted reason as [[Dedup.shingles]]. */
+  def chunkFixedTokens(s: SparkSession, dir: String): DataFrame =
+    chunksOf(Tables.load(s, dir, "documents"), 32, 24)
+      .orderBy("doc_id", "chunk_id")
+
+  private[graft] def chunksOf(docs: DataFrame, width: Int, stride: Int)
+      : DataFrame = {
+    require(0 < stride && stride <= width, s"need 0 < stride <= width")
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        // null → '' → single empty token, matching string_split('', ' ')
+        val toks = (if (text == null) "" else text).split(' ')
+        val n = toks.length
+        val nChunks = math.ceil(math.max(n - width, 0) / stride.toDouble).toLong + 1
+        (0L until nChunks).iterator.map { k =>
+          val from = (k * stride).toInt
+          val until = math.min(from + width, n)
+          (id, k, (until - from).toLong,
+            toks.slice(from, until).mkString(" "))
+        }
+      }
+      .toDF("doc_id", "chunk_id", "n_tokens", "chunk")
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+        md5(col("chunk")).as("chunk_fp"))
+  }
+
   /** Gopher-style quality stats as plain column expressions over a
     * `text` column — map-side, codegen'd, fuse into whatever scan the
     * caller has. Shared by the quality-filter gate and the composed
@@ -353,6 +443,9 @@ object TextAnalysis {
     "text_quality_filter" -> (qualityFilter _),
     "quality_gopher" -> (qualityGopher _),
     "quality_rare_tokens" -> (rareTokens _),
+    "quality_unigram_lp" -> (unigramLp _),
+    "chunk_fixed_tokens" -> (chunkFixedTokens _),
+    "corpus_overlap" -> (corpusOverlap _),
     "quality_repetition" -> (repetition _),
     "profile_documents" -> (profile _))
 
@@ -416,6 +509,59 @@ object TextAnalysis {
       FROM c ORDER BY doc_id""",
     "text_fingerprint" -> """
       SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id""",
+    "quality_unigram_lp" -> """
+      WITH terms0 AS (
+        SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS term
+        FROM documents),
+      terms AS (SELECT doc_id, term FROM terms0 WHERE length(term) > 0),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+      freq AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY 1),
+      tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM freq),
+      per AS (
+        SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tok,
+          SUM(tf * ln(c)) AS sum_lc
+        FROM tf JOIN freq USING (term) GROUP BY 1)
+      SELECT d.doc_id,
+        CAST(COALESCE(p.n_tok, 0) AS BIGINT) AS n_tokens,
+        ROUND(p.sum_lc / p.n_tok - ln(t.n), 6) AS mean_lp
+      FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id, tot t
+      ORDER BY d.doc_id""",
+    "chunk_fixed_tokens" -> """
+      WITH toks AS (
+        SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS t
+        FROM documents),
+      base AS (SELECT doc_id, t, len(t) AS n FROM toks),
+      chunks AS (
+        SELECT doc_id, k,
+          CAST(least(k*24 + 32, n) - k*24 AS BIGINT) AS n_tokens,
+          array_to_string(t[k*24 + 1 : least(k*24 + 32, n)], ' ') AS chunk
+        FROM base,
+          unnest(generate_series(
+            0, CAST(ceil(greatest(n - 32, 0) / 24.0) AS BIGINT))) AS u(k))
+      SELECT doc_id, CAST(k AS BIGINT) AS chunk_id, n_tokens,
+        md5(chunk) AS chunk_fp
+      FROM chunks ORDER BY doc_id, chunk_id""",
+    "corpus_overlap" -> """
+      WITH toks AS (
+        SELECT CAST(substring(source, 4) AS BIGINT) AS sid,
+          string_split(text, ' ') t
+        FROM documents),
+      sh0 AS (
+        SELECT sid, t,
+          unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+        FROM toks),
+      sh AS (
+        SELECT DISTINCT sid, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        FROM sh0),
+      sizes AS (SELECT sid, COUNT(*) sz FROM sh GROUP BY 1),
+      inter AS (
+        SELECT a.sid sa, b.sid sb, COUNT(*) c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.sid < b.sid GROUP BY 1, 2)
+      SELECT sa, sb, ROUND(c*1.0/(za.sz + zb.sz - c), 6) AS jaccard
+      FROM inter
+        JOIN sizes za ON sa = za.sid
+        JOIN sizes zb ON sb = zb.sid
+      ORDER BY sa, sb""",
     "quality_rare_tokens" -> s"""
       WITH terms AS (
         SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS term

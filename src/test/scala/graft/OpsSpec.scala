@@ -357,4 +357,70 @@ class OpsSpec extends AnyFunSuite {
     assert(out(5L) == ((0L, 0L, 100L, false)))
     assert(out(6L) == ((3L, 1L, 33L, false)))
   }
+
+  test("unigram log-prob matches a hand-computed tiny corpus") {
+    import spark.implicits._
+    // corpus: a a a b  |  a b  |  (empty)   → counts: a=4, b=2, N=6
+    val docs = Seq(
+      (1L, "a a a b"), (2L, "a b"), (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.unigramLpOf(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    val (la, lb, ln6) = (math.log(4), math.log(2), math.log(6))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+    assert(out(1L)._1 == 4L &&
+      out(1L)._2.contains(r6((3 * la + lb) / 4 - ln6)))
+    assert(out(2L)._1 == 2L &&
+      out(2L)._2.contains(r6((la + lb) / 2 - ln6)))
+    assert(out(3L) == ((0L, None))) // null text: no tokens, NULL score
+  }
+
+  test("fixed-token chunking covers every doc tail with the right widths") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")),  // n=10 < w → 1 chunk
+      (2L, (1 to 32).map(i => s"t$i").mkString(" ")),  // n=32 = w → 1 chunk
+      (3L, (1 to 33).map(i => s"t$i").mkString(" ")),  // n=33 → 2 chunks
+      (4L, (1 to 81).map(i => s"t$i").mkString(" "))   // n=81 → ceil(49/24)+1=4
+    ).toDF("doc_id", "text")
+    val rows = graft.ops.TextAnalysis.chunksOf(docs, 32, 24)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getString(3))).toMap
+    assert(rows.keys.count(_._1 == 1L) == 1 && rows((1L, 0L))._1 == 10L)
+    assert(rows.keys.count(_._1 == 2L) == 1 && rows((2L, 0L))._1 == 32L)
+    assert(rows.keys.count(_._1 == 3L) == 2)
+    assert(rows((3L, 0L))._1 == 32L && rows((3L, 1L))._1 == 9L) // 24..33
+    assert(rows.keys.count(_._1 == 4L) == 4)
+    assert(rows((4L, 3L))._1 == 9L) // tail chunk 72..81
+    // overlap: doc 3 chunk 1 is tokens 25..33, fp of exactly that slice
+    val want = (25 to 33).map(i => s"t$i").mkString(" ")
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(want.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(rows((3L, 1L))._2 == md)
+  }
+
+  test("keep_best picks the longest doc per component, ties to min id") {
+    import graft.ops.Components
+    val labels = Components.dedupComponents(spark, dir)
+      .select("doc_id", "component").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chars = Tables.load(spark, dir, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = labels.groupBy(_._2).map { case (comp, members) =>
+      comp -> members.keys.toSeq.map(id => (-chars(id), id)).min._2
+    }
+    val got = Components.dedupKeepBest(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (comp, survivor) =>
+      assert(got(comp)._1 == survivor, s"component $comp")
+      assert(got(comp)._2 == chars(survivor))
+    }
+    // at least one component where best-quality ≠ min-id proves the
+    // policy differs from keep_only on real data
+    assert(want.exists { case (comp, survivor) => survivor != comp })
+  }
 }
