@@ -153,10 +153,13 @@ object Components {
   /** Quality-keyed survivor selection — what production curation
     * actually does: per near-dup cluster keep the BEST document (here:
     * max n_chars, ties to min doc_id), not the arbitrary min-id one.
-    * One `max_by` hash-aggregate over the component labels — single
-    * shuffle on component with map-side partial merge, no per-group
-    * sort/window; the ordering struct (n_chars, −doc_id) makes the
-    * argmax deterministic because doc_id is unique. */
+    * One `max_by` aggregate over the component labels (SortAggregate —
+    * the struct buffer rules out hash agg — but still with a map-side
+    * partial phase): only ONE candidate row per (component, partition)
+    * crosses the shuffle, where the window formulation would shuffle
+    * every corpus row to its component partition before sorting. The
+    * ordering struct (n_chars, −doc_id) makes the argmax deterministic
+    * because doc_id is unique. */
   def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
     componentLabels(docs).select("doc_id", "component")
@@ -169,10 +172,42 @@ object Components {
       .orderBy("component")
   }
 
+  /** Dedup audit trail — for every DROPPED document, its surviving
+    * canonical and the exact Jaccard between the two (0.0 when the link
+    * is purely transitive and the pair shares no shingle). The
+    * governance artifact a curation run ships alongside the deduped
+    * corpus: "what did we delete, mapped to what, how similar".
+    *
+    * Scale shape: only dropped docs' shingles flow into the audit join,
+    * keyed (survivor, shingle) — group sizes are bounded by cluster
+    * membership, never corpus-wide; the jaccard is per (doc, survivor),
+    * one row per dropped doc. */
+  def dedupAudit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val dropped = componentLabels(docs).filter(!col("keep"))
+      .select(col("doc_id"), col("component"))
+    val sh = Dedup.shingles(docs)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = dropped.join(sh, "doc_id")
+      .join(sh.select(col("doc_id").as("component"), col("sh")),
+        Seq("component", "sh"))
+      .groupBy("doc_id", "component").agg(count(lit(1)).as("c"))
+    dropped
+      .join(inter, Seq("doc_id", "component"), "left")
+      .join(sizes.select(col("doc_id"), col("sz").as("sz_d")), "doc_id")
+      .join(sizes.select(col("doc_id").as("component"), col("sz").as("sz_s")),
+        "component")
+      .select(col("doc_id"), col("component").as("survivor"),
+        coalesce(round(col("c") / (col("sz_d") + col("sz_s") - col("c")), 6),
+          lit(0.0)).as("jaccard"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_components" -> (dedupComponents _),
     "dedup_keep_only" -> (dedupKeepOnly _),
-    "dedup_keep_best" -> (dedupKeepBest _))
+    "dedup_keep_best" -> (dedupKeepBest _),
+    "dedup_audit" -> (dedupAudit _))
 
   /** Shared oracle prefix: transitive closure over the same jaccard≥0.7
     * edges via a recursive CTE (terminates on cycles because UNION
@@ -213,5 +248,19 @@ object Components {
             PARTITION BY COALESCE(c.component, d.doc_id)
             ORDER BY d.n_chars DESC, d.doc_id) AS rk
         FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)
-      WHERE rk = 1 ORDER BY component""")
+      WHERE rk = 1 ORDER BY component""",
+    // dropped doc_id > component always (component = cluster min), so the
+    // jc pair is (i=component, j=doc_id); transitive-only links with no
+    // shared shingle fall out of jc and surface as jaccard 0.0
+    "dedup_audit" -> s"""$componentsCtes,
+      labels AS (
+        SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+      dropped AS (
+        SELECT doc_id, component FROM labels WHERE doc_id <> component)
+      SELECT dr.doc_id, dr.component AS survivor,
+        COALESCE(jx.jaccard, 0.0) AS jaccard
+      FROM dropped dr LEFT JOIN jc jx
+        ON jx.i = dr.component AND jx.j = dr.doc_id
+      ORDER BY dr.doc_id""")
 }

@@ -285,6 +285,37 @@ object TextAnalysis {
     qualityLabels(Tables.load(s, dir, "documents"))
       .orderBy(col("doc_id"))
 
+  /** Per-source curation QC report — the "which crawl is rotten"
+    * dashboard: doc counts, keep rate, and the reject-reason histogram
+    * per source, plus token mass. One scan + one source-keyed hash
+    * aggregate (conditional sums combine map-side); result cardinality
+    * = n_sources, so this is a driver-readable report at any corpus
+    * size. keep_pct is integer (`div`) and mean_tokens a ratio of two
+    * exact integers — engine-exact, no float-parity risk. */
+  def qualityBySource(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    val lab = d.select(col("source"), Quality.nTokens.as("n_tokens"),
+        Quality.meanTokLen.as("mean_tok_len"),
+        Quality.uniqRatio.as("uniq_ratio"))
+      .withColumn("reason", Quality.reasonOf(
+        col("n_tokens"), col("mean_tok_len"), col("uniq_ratio")))
+    def n(r: String) =
+      sum(when(col("reason") === r, 1L).otherwise(0L))
+    lab.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        n("ok").as("n_ok"),
+        n("too_short").as("n_too_short"),
+        n("too_long").as("n_too_long"),
+        n("tokens_too_short").as("n_tok_short"),
+        n("tokens_too_long").as("n_tok_long"),
+        n("too_repetitive").as("n_repetitive"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("keep_pct", expr("(100 * n_ok) div n_docs"))
+      .withColumn("mean_tokens",
+        round(col("n_tokens").cast("double") / col("n_docs"), 6))
+      .orderBy("source")
+  }
+
   /** The repetition-signature thresholds ([[repetition]]): a doc is
     * repetitive when its most common bigram covers > 6% of all bigram
     * positions or > 2% of trigram positions sit in a repeated trigram —
@@ -441,6 +472,7 @@ object TextAnalysis {
     "text_fingerprint" -> (fingerprint _),
     "text_tfidf" -> (tfidf _),
     "text_quality_filter" -> (qualityFilter _),
+    "quality_by_source" -> (qualityBySource _),
     "quality_gopher" -> (qualityGopher _),
     "quality_rare_tokens" -> (rareTokens _),
     "quality_unigram_lp" -> (unigramLp _),
@@ -509,6 +541,36 @@ object TextAnalysis {
       FROM c ORDER BY doc_id""",
     "text_fingerprint" -> """
       SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id""",
+    "quality_by_source" -> s"""
+      WITH $qualityCtesBody,
+      lab AS (
+        SELECT d.source, q.n_tokens, $QualityReasonCase AS reason
+        FROM qstats q JOIN documents d USING (doc_id)),
+      agg AS (
+        SELECT source, COUNT(*) AS n_docs,
+          SUM(CASE WHEN reason = 'ok' THEN 1 ELSE 0 END) AS n_ok,
+          SUM(CASE WHEN reason = 'too_short' THEN 1 ELSE 0 END) AS n_too_short,
+          SUM(CASE WHEN reason = 'too_long' THEN 1 ELSE 0 END) AS n_too_long,
+          SUM(CASE WHEN reason = 'tokens_too_short' THEN 1 ELSE 0 END)
+            AS n_tok_short,
+          SUM(CASE WHEN reason = 'tokens_too_long' THEN 1 ELSE 0 END)
+            AS n_tok_long,
+          SUM(CASE WHEN reason = 'too_repetitive' THEN 1 ELSE 0 END)
+            AS n_repetitive,
+          SUM(n_tokens) AS sum_tok
+        FROM lab GROUP BY 1)
+      SELECT source,
+        CAST(n_docs AS BIGINT) AS n_docs,
+        CAST(n_ok AS BIGINT) AS n_ok,
+        CAST(n_too_short AS BIGINT) AS n_too_short,
+        CAST(n_too_long AS BIGINT) AS n_too_long,
+        CAST(n_tok_short AS BIGINT) AS n_tok_short,
+        CAST(n_tok_long AS BIGINT) AS n_tok_long,
+        CAST(n_repetitive AS BIGINT) AS n_repetitive,
+        CAST(sum_tok AS BIGINT) AS n_tokens,
+        CAST((100 * n_ok) // n_docs AS BIGINT) AS keep_pct,
+        ROUND(CAST(sum_tok AS DOUBLE) / n_docs, 6) AS mean_tokens
+      FROM agg ORDER BY source""",
     "quality_unigram_lp" -> """
       WITH terms0 AS (
         SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS term
