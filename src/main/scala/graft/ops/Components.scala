@@ -203,11 +203,29 @@ object Components {
       .orderBy("doc_id")
   }
 
+  /** Cluster-size histogram over the near-dup components — the
+    * one-screen dedup summary ("how many pairs, triples, …; how many
+    * docs does dedup delete") read before shipping a curation run.
+    *
+    * Scale shape: two narrow-keyed hash aggregates (component, then
+    * cluster_size), both with map-side partial combine; the result has
+    * one row per distinct cluster size — driver-readable at any corpus
+    * scale. */
+  def dedupClusterStats(s: SparkSession, dir: String): DataFrame =
+    componentLabels(Tables.load(s, dir, "documents"))
+      .groupBy("component").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(
+        count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs"),
+        sum(col("cluster_size") - 1).as("n_dropped"))
+      .orderBy("cluster_size")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_components" -> (dedupComponents _),
     "dedup_keep_only" -> (dedupKeepOnly _),
     "dedup_keep_best" -> (dedupKeepBest _),
-    "dedup_audit" -> (dedupAudit _))
+    "dedup_audit" -> (dedupAudit _),
+    "dedup_cluster_stats" -> (dedupClusterStats _))
 
   /** Shared oracle prefix: transitive closure over the same jaccard≥0.7
     * edges via a recursive CTE (terminates on cycles because UNION
@@ -262,5 +280,16 @@ object Components {
         COALESCE(jx.jaccard, 0.0) AS jaccard
       FROM dropped dr LEFT JOIN jc jx
         ON jx.i = dr.component AND jx.j = dr.doc_id
-      ORDER BY dr.doc_id""")
+      ORDER BY dr.doc_id""",
+    "dedup_cluster_stats" -> s"""$componentsCtes,
+      labels AS (
+        SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+      cl AS (SELECT component, COUNT(*) AS cluster_size
+             FROM labels GROUP BY 1)
+      SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+        CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+        CAST(SUM(cluster_size - 1) AS BIGINT) AS n_dropped
+      FROM cl GROUP BY 1 ORDER BY 1""")
 }

@@ -173,6 +173,77 @@ object TextAnalysis {
       .orderBy("sa", "sb")
   }
 
+  /** Bigram language-model quality score — the next step from
+    * [[unigramLp]] toward LM-perplexity filtering: per-doc mean bigram
+    * log-prob under an add-one-smoothed bigram model estimated from the
+    * corpus itself. addend(w1 w2) = ln((c(w1 w2)+1)/(c(w1)+V)) =
+    * ln(c12+1) − ln(c1+V) — every ln argument is an exact integer, so
+    * both engines' ln agree to ≪1e-12 relative and the 6-decimal
+    * rounded mean is engine-exact (the [[unigramLp]] parity contract).
+    *
+    * Scale shape: bigram occurrences collapse to per-(doc, gram) counts
+    * BEFORE the model joins ([[Dedup.shingles]] map-side flatMap +
+    * partial combine), the unigram table and global bigram counts are
+    * vocab-bounded, and the vocabulary size V is a lazy 1-row cross
+    * join — no per-occurrence row ever crosses a join, no driver-side
+    * count. */
+  def bigramLp(s: SparkSession, dir: String): DataFrame =
+    bigramLpOf(Tables.load(s, dir, "documents"))
+
+  private[graft] def bigramLpOf(d: DataFrame): DataFrame = {
+    val terms = d.select(col("doc_id"),
+      explode(split(coalesce(col("text"), lit("")), " ")).as("term"))
+    val uni = terms.groupBy("term").agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val bi = Dedup.shingles(d, 2, distinct = false)
+      .groupBy("doc_id", "sh").agg(count(lit(1)).as("tf"))
+    val c12 = bi.groupBy("sh").agg(sum(col("tf")).as("c12"))
+    val per = bi.join(c12, "sh")
+      .withColumn("term", substring_index(col("sh"), " ", 1))
+      .join(uni, "term")
+      .crossJoin(vocab)
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_bi"),
+        sum(col("tf") * (log(col("c12") + 1) - log(col("c1") + col("v"))))
+          .as("lp_sum"))
+    d.select("doc_id")
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bi"), lit(0L)).as("n_bigrams"),
+        coalesce(round(col("lp_sum") / col("n_bi"), 6), lit(0.0)).as("mean_lp"))
+      .orderBy("doc_id")
+  }
+
+  /** Top boilerplate n-grams — the corpus-wide most frequent word
+    * trigrams with their total occurrence count and document frequency.
+    * The "what template junk dominates this crawl" report: nav bars,
+    * cookie banners, and license boilerplate surface as high-occurrence
+    * high-doc-frequency grams, and the output feeds a line/span scrub
+    * list ([[Scrub]]).
+    *
+    * Scale shape: occurrences collapse to per-(doc, gram) counts first
+    * (map-side partial combine — a doc repeating one gram ships ONE row
+    * per partition), the global rollup gets total + doc frequency from
+    * the same pre-aggregated rows in one gram-keyed shuffle, and the
+    * top-k is `TakeOrderedAndProject` — per-partition heaps merged on
+    * the driver, never a global sort exchange. The (count desc, gram)
+    * ordering is total, so the cut is deterministic. */
+  def corpusNgrams(s: SparkSession, dir: String, n: Int = 3,
+                   topK: Int = 20): DataFrame =
+    corpusNgramsOf(Tables.load(s, dir, "documents"), n, topK)
+
+  private[graft] def corpusNgramsOf(docs: DataFrame, n: Int,
+                                    topK: Int): DataFrame = {
+    val occ = Dedup.shingles(docs, n, distinct = false)
+      .groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
+    occ.groupBy("sh").agg(
+        sum(col("c")).as("n_occurrences"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("sh"))
+      .limit(topK)
+      .select(col("sh").as("ngram"), col("n_occurrences"), col("n_docs"))
+  }
+
   /** Unigram language-model quality score: per-doc mean token log-prob
     * under the corpus's own unigram distribution — the classic cheap
     * stand-in for LM-perplexity filtering (docs of improbable tokens
@@ -476,8 +547,10 @@ object TextAnalysis {
     "quality_gopher" -> (qualityGopher _),
     "quality_rare_tokens" -> (rareTokens _),
     "quality_unigram_lp" -> (unigramLp _),
+    "quality_bigram_lp" -> (bigramLp _),
     "chunk_fixed_tokens" -> (chunkFixedTokens _),
     "corpus_overlap" -> (corpusOverlap _),
+    "corpus_ngrams" -> ((s: SparkSession, dir: String) => corpusNgrams(s, dir)),
     "quality_repetition" -> (repetition _),
     "profile_documents" -> (profile _))
 
@@ -624,6 +697,49 @@ object TextAnalysis {
         JOIN sizes za ON sa = za.sid
         JOIN sizes zb ON sb = zb.sid
       ORDER BY sa, sb""",
+    "quality_bigram_lp" -> """
+      WITH toks AS (
+        SELECT doc_id, string_split(COALESCE(text, ''), ' ') t
+        FROM documents),
+      terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
+      uni AS (SELECT term, COUNT(*) AS c1 FROM terms GROUP BY 1),
+      voc AS (SELECT COUNT(*) AS v FROM uni),
+      sh0 AS (
+        SELECT doc_id, t,
+          unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+        FROM toks),
+      occ AS (
+        SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS s
+        FROM sh0),
+      bi AS (SELECT doc_id, w1, s, COUNT(*) AS tf FROM occ GROUP BY 1, 2, 3),
+      c12 AS (SELECT s, SUM(tf) AS c12 FROM bi GROUP BY 1),
+      per AS (
+        SELECT bi.doc_id,
+          CAST(SUM(bi.tf) AS BIGINT) AS n_bi,
+          SUM(bi.tf * (ln(c12.c12 + 1) - ln(uni.c1 + voc.v))) AS lp_sum
+        FROM bi JOIN c12 USING (s) JOIN uni ON bi.w1 = uni.term, voc
+        GROUP BY 1)
+      SELECT d.doc_id,
+        CAST(COALESCE(p.n_bi, 0) AS BIGINT) AS n_bigrams,
+        COALESCE(ROUND(p.lp_sum / p.n_bi, 6), 0.0) AS mean_lp
+      FROM documents d LEFT JOIN per p USING (doc_id)
+      ORDER BY d.doc_id""",
+    "corpus_ngrams" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+      sh0 AS (
+        SELECT doc_id, t,
+          unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+        FROM toks),
+      occ AS (
+        SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        FROM sh0),
+      pg AS (
+        SELECT s, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+        FROM occ GROUP BY 1)
+      SELECT s AS ngram,
+        CAST(n_occurrences AS BIGINT) AS n_occurrences,
+        CAST(n_docs AS BIGINT) AS n_docs
+      FROM pg ORDER BY n_occurrences DESC, s LIMIT 20""",
     "quality_rare_tokens" -> s"""
       WITH terms AS (
         SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS term

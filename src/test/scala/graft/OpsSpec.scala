@@ -423,4 +423,66 @@ class OpsSpec extends AnyFunSuite {
     // policy differs from keep_only on real data
     assert(want.exists { case (comp, survivor) => survivor != comp })
   }
+
+  test("cluster-size histogram accounts for every doc and every drop") {
+    import graft.ops.Components
+    val labels = Components.dedupComponents(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val hist = Components.dedupClusterStats(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val sizes = labels.groupBy(_._2).map(_._2.length)
+    // every cluster size appears with the right cluster count
+    assert(hist.keySet == sizes.toSet.map((n: Int) => n.toLong))
+    sizes.groupBy(identity).foreach { case (sz, cs) =>
+      assert(hist(sz.toLong)._1 == cs.size, s"n_clusters at size $sz")
+    }
+    // doc mass and drop mass reconcile with the label table
+    assert(hist.values.map(_._2).sum == labels.length)
+    assert(hist.values.map(_._3).sum == labels.count(!_._3))
+    assert(hist.keys.exists(_ > 1L), "fixture has multi-doc clusters")
+  }
+
+  test("corpus ngrams: counts, doc frequency, and deterministic tie order") {
+    import graft.ops.TextAnalysis
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "x y z x y z"), // trigrams: "x y z"×2, "y z x", "z x y"
+      (1L, "x y z"),
+      (2L, "ab")           // too short: no trigram
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.corpusNgramsOf(docs, 3, 20).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("x y z", 3L, 2L), ("y z x", 1L, 1L), ("z x y", 1L, 1L)))
+    // topK cuts deterministically on (count desc, gram asc)
+    val top2 = TextAnalysis.corpusNgramsOf(docs, 3, 2).collect()
+      .map(_.getString(0)).toSeq
+    assert(top2 == Seq("x y z", "y z x"))
+  }
+
+  test("bigram LM score matches the hand-computed smoothed model") {
+    import graft.ops.TextAnalysis
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b a b"), // bigrams: "a b"×2, "b a"
+      (1L, "a b"),
+      (2L, "c")        // one token: no bigrams, mean_lp = 0.0
+    ).toDF("doc_id", "text")
+    // uni: a→3 b→3 c→1, V=3; c12: "a b"→3, "b a"→1
+    val ab = math.log(4) - math.log(6) // ln(c12+1) − ln(c1+V)
+    val ba = math.log(2) - math.log(6)
+    val got = TextAnalysis.bigramLpOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(0L)._1 == 3L && got(1L)._1 == 1L && got(2L)._1 == 0L)
+    assert(math.abs(got(0L)._2 - (2 * ab + ba) / 3) < 2e-6)
+    assert(math.abs(got(1L)._2 - ab) < 2e-6)
+    assert(got(2L)._2 == 0.0)
+    // repetitive text scores higher than improbable-token text: the
+    // filtering signal the score exists for
+    val varied = Seq((0L, "q r s t u v w x y z"), (1L, "q r q r q r q r"))
+      .toDF("doc_id", "text")
+    val lp = TextAnalysis.bigramLpOf(varied).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(lp(1L) > lp(0L))
+  }
 }
