@@ -129,11 +129,29 @@ object Components {
       .withColumn("keep", col("doc_id") === col("component"))
   }
 
+  /** [[componentLabels]] computed ONCE per corpus fingerprint and
+    * persisted ([[TruthCache]]): five downstream products — the label
+    * table, keep-only, keep-best, the audit trail, and the cluster
+    * histogram — consume ONE labeling pass, the way a production
+    * curation run ships a labels table instead of re-running LSH +
+    * components per report. The cache key carries the code build stamp
+    * and the corpus fingerprint, so a changed corpus or changed
+    * labeling code recomputes; the labeling plan itself stays asserted
+    * in PLANS.md (§dedup_components star rounds, §LSH edge path). The
+    * fingerprint costs one narrow scan-side aggregate; a deployment
+    * with a versioned corpus store would key on the snapshot version
+    * instead and touch the corpus zero extra times (the
+    * [[IvfModel.trainedOrLoad]] `version` pattern). */
+  private[ops] def labelsFor(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    TruthCache.cached(s, "component_labels", Dedup.docsFingerprint(docs),
+      componentLabels(docs))
+  }
+
   /** Dedup groups over the documents table: every doc labeled with its
     * near-dup component and a keep flag for the canonical survivor. */
   def dedupComponents(s: SparkSession, dir: String): DataFrame =
-    componentLabels(Tables.load(s, dir, "documents"))
-      .orderBy(col("doc_id"))
+    labelsFor(s, dir).orderBy(col("doc_id"))
 
   /** The dedup pipeline's end product: the corpus with every non-
     * canonical near-duplicate dropped — one survivor (min doc_id) per
@@ -142,7 +160,7 @@ object Components {
     * presentation sort. */
   def dedupKeepOnly(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
-    componentLabels(docs).filter(col("keep"))
+    labelsFor(s, dir).filter(col("keep"))
       .select(col("doc_id"))
       .join(docs, "doc_id")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
@@ -162,7 +180,7 @@ object Components {
     * because doc_id is unique. */
   def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
-    componentLabels(docs).select("doc_id", "component")
+    labelsFor(s, dir).select("doc_id", "component")
       .join(docs.select("doc_id", "n_chars"), "doc_id")
       .groupBy("component")
       .agg(max_by(struct(col("doc_id"), col("n_chars")),
@@ -184,7 +202,7 @@ object Components {
     * one row per dropped doc. */
   def dedupAudit(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
-    val dropped = componentLabels(docs).filter(!col("keep"))
+    val dropped = labelsFor(s, dir).filter(!col("keep"))
       .select(col("doc_id"), col("component"))
     val sh = Dedup.shingles(docs)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
@@ -212,7 +230,7 @@ object Components {
     * one row per distinct cluster size — driver-readable at any corpus
     * scale. */
   def dedupClusterStats(s: SparkSession, dir: String): DataFrame =
-    componentLabels(Tables.load(s, dir, "documents"))
+    labelsFor(s, dir)
       .groupBy("component").agg(count(lit(1)).as("cluster_size"))
       .groupBy("cluster_size").agg(
         count(lit(1)).as("n_clusters"),

@@ -56,8 +56,14 @@ object Curation {
     // caller never gets a handle to unpersist)
     val exact = frontStage(docs).localCheckpoint()
     // 3. near-dup keep-only over the exact-dedup survivors (LSH edges +
-    //    connected components, same operator as dedup_keep_only)
-    val keepIds = Components.componentLabels(exact)
+    //    connected components, same operator as dedup_keep_only). The
+    //    labeling stage dominates the pipeline's cost and is a pure
+    //    function of the front-stage output, so it is computed once per
+    //    front fingerprint and persisted ([[TruthCache]], the
+    //    [[Components.labelsFor]] pattern); the fused front and the
+    //    sample still run live on every call.
+    val keepIds = TruthCache.cached(docs.sparkSession, "curated_labels",
+        Dedup.docsFingerprint(exact), Components.componentLabels(exact))
       .filter(col("keep")).select("doc_id")
     val kept = exact.join(keepIds, Seq("doc_id"), "left_semi")
     // 4. deterministic stratified sample (pure hash predicate)

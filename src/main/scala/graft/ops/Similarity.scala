@@ -109,17 +109,22 @@ object Similarity {
     * exact recursive-CTE oracle — see [[lshCosinePairs]] for the
     * overwhelming-probability equivalence contract. */
   def embDedupKeepOnly(s: SparkSession, dir: String): DataFrame = {
-    // localCheckpoint, not persist: consumed by banding, verification
-    // and the survivor join, and released by the ContextCleaner when
-    // the result goes unreachable (a persist would leak per call)
-    val all = nearDupUniverse(s, dir).localCheckpoint()
-    val edges = lshCosinePairs(all, 0.9).select("i", "j")
-    val comp = Components.connectedComponents(edges)
-    all.select(col("vec_id"))
-      .join(comp, col("vec_id") === col("node"), "left")
-      .filter(coalesce(col("component"), col("vec_id")) === col("vec_id"))
-      .select(col("vec_id"))
-      .orderBy(col("vec_id"))
+    // survivors are a deterministic function of the vector set — computed
+    // once per corpus fingerprint and persisted ([[TruthCache]]), like
+    // the text-side component labels ([[Components.labelsFor]])
+    val fp = IvfModel.fingerprint(rawVecs(Tables.load(s, dir, "embeddings")))
+    TruthCache.cached(s, "emb_dedup_survivors", fp, {
+      // localCheckpoint, not persist: consumed by banding, verification
+      // and the survivor join, and released by the ContextCleaner when
+      // the result goes unreachable (a persist would leak per call)
+      val all = nearDupUniverse(s, dir).localCheckpoint()
+      val edges = lshCosinePairs(all, 0.9).select("i", "j")
+      val comp = Components.connectedComponents(edges)
+      all.select(col("vec_id"))
+        .join(comp, col("vec_id") === col("node"), "left")
+        .filter(coalesce(col("component"), col("vec_id")) === col("vec_id"))
+        .select(col("vec_id"))
+    }).orderBy(col("vec_id"))
   }
 
   /** Brute-force cosine top-k: queries are vec_id < 10, k = 10 neighbors

@@ -2,14 +2,17 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Fingerprint-keyed cache for the GATE-SIDE truth tables (brute-force
-  * top-k, exact jaccard pairs) that recall gates compare against. The
-  * operators under test are sublinear; without this their gates still
-  * paid a full brute pass per invocation — the "gates don't scale even
-  * though the operators do" seam. The truth is computed once per
-  * (code build, definition tag, corpus fingerprint) and reused; a
-  * changed corpus resolves to a different directory and recomputes, so
-  * the gate's sensitivity is untouched — only its redundant
+/** Fingerprint-keyed cache for tables that are deterministic functions
+  * of a corpus version: GATE-SIDE truths (brute-force top-k, exact
+  * jaccard pairs) that recall gates compare against, and SHARED DERIVED
+  * STAGES consumed by several downstream products (the dedup component
+  * labels feeding five reports — [[Components.labelsFor]]). Without it,
+  * gates re-paid a full brute pass per invocation ("gates don't scale
+  * even though the operators do") and every labels consumer re-ran
+  * LSH + star rounds. The table is computed once per (code build,
+  * definition tag, corpus fingerprint) and reused; a changed corpus or
+  * a recompiled definition resolves to a different directory and
+  * recomputes, so sensitivity is untouched — only the redundant
   * recomputation goes. Publishing goes through
   * [[AnnIndex.publishAtomically]]. */
 private[graft] object TruthCache {
