@@ -313,7 +313,11 @@ object Dedup {
     * index from scratch (a leftover dir from another run is deleted,
     * never trusted); repeat calls probe the frozen copy — both paths
     * return the identical deterministic result. */
-  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+  /** The gate-harness frozen index over the EVEN half of `dir`'s
+    * documents table, built once per JVM (see [[builtRoots]]); returns
+    * its root. Shared by the incremental-dedup gate and the retrieval
+    * gate — one build, two consumers. */
+  private[ops] def gateIndexRoot(s: SparkSession, dir: String): String = {
     val docs = Tables.load(s, dir, "documents")
     // root carries the ABSOLUTE path hash, not just the basename: two
     // dirs named alike (or a test fixture shadowing the sf dir) must
@@ -333,8 +337,41 @@ object Dedup {
         builtRoots.add(root)
       }
     }
-    LshIndex.probe(docs.filter(pmod(col("doc_id"), lit(2)) === 1), root, 0.7)
+    root
+  }
+
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    LshIndex.probe(docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+        gateIndexRoot(s, dir), 0.7)
       .orderBy(col("i"), col("j"))
+  }
+
+  /** Near-dup RETRIEVAL over the frozen index — the user-facing search
+    * sibling of [[dedupIncremental]]: for each query doc (the odd,
+    * non-indexed half), the top-5 STORED corpus docs (even ids) by
+    * exact Jaccard ≥ 0.7, ranked (jaccard desc, nid). Same probe — the
+    * corpus side comes entirely from the pruned index read, only the
+    * query batch is hashed — plus a parity filter dropping in-batch
+    * pairs and a per-query `row_number` cut. "Which curated docs does
+    * this incoming batch duplicate" as a ranked listing rather than a
+    * drop decision. */
+  def retrieveTopK(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(s, dir, "documents")
+    val pairs = LshIndex.probe(docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+      gateIndexRoot(s, dir), 0.7)
+    pairs.filter(pmod(col("i"), lit(2)) =!= pmod(col("j"), lit(2)))
+      .select(
+        when(pmod(col("i"), lit(2)) === 1, col("i")).otherwise(col("j")).as("qid"),
+        when(pmod(col("i"), lit(2)) === 1, col("j")).otherwise(col("i")).as("nid"),
+        col("jaccard"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("jaccard").desc, col("nid"))))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("nid"), col("jaccard"))
+      .orderBy(col("qid"), col("rank"))
   }
 
   /** Order-independent fingerprint of a documents table (count + hash
@@ -368,6 +405,7 @@ object Dedup {
     "dedup_jaccard_pairs" -> (dedupJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_incremental" -> (dedupIncremental _),
+    "dedup_retrieve_topk" -> (retrieveTopK _),
     "dedup_simhash" -> (dedupSimhash _))
 
   /** Word n-gram shingle CTEs (toks/sh0/sh, no leading WITH) over
@@ -411,6 +449,23 @@ object Dedup {
       SELECT i, j, jaccard FROM jc
       WHERE jaccard >= 0.7 AND (i % 2 = 1 OR j % 2 = 1)
       ORDER BY i, j""",
+    // cross-parity pairs only (query = odd side, stored = even side),
+    // ranked per query by (jaccard desc, nid), top 5
+    "dedup_retrieve_topk" -> s"""$jaccardCtes,
+      crossp AS (
+        SELECT i, j, jaccard FROM jc
+        WHERE jaccard >= 0.7 AND (i % 2) <> (j % 2)),
+      q AS (
+        SELECT CASE WHEN i % 2 = 1 THEN i ELSE j END AS qid,
+               CASE WHEN i % 2 = 1 THEN j ELSE i END AS nid, jaccard
+        FROM crossp),
+      r AS (
+        SELECT qid, nid, jaccard,
+          ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY jaccard DESC, nid) AS rk
+        FROM q)
+      SELECT qid, CAST(rk AS BIGINT) AS rank, nid, jaccard
+      FROM r WHERE rk <= 5 ORDER BY qid, rank""",
     "dedup_simhash" -> s"""$jaccardCtes
       SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
         CAST((COUNT(*)*8 + 9)//10 AS BIGINT) AS min_hits,

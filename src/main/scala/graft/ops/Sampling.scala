@@ -152,9 +152,33 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** Token budget for [[sampleQualityBudget]]. */
+  val QualityBudget = 10000L
+
+  /** Quality-ranked exact token budget: rank the corpus cleanest-first
+    * (integer rare-token percent, ties to doc_id — engine-exact
+    * ordering) and keep each document whose running token total STARTS
+    * inside the budget — "take the best N tokens", the selection a
+    * final training mix runs after scoring. Where [[sampleTokenBudget]]
+    * trades exact-budget for a parallel per-row rate (the right call
+    * for per-stratum mixing), this delivers the EXACT greedy selection
+    * and stays scale-safe by running the budget walk through
+    * [[Sharding.globalPrefixSum]] — range partition + broadcast
+    * offsets, never the single-task `SUM(…) OVER (ORDER BY …)` global
+    * window. */
+  def sampleQualityBudget(s: SparkSession, dir: String): DataFrame =
+    Sharding.globalPrefixSum(
+        TextAnalysis.rareTokens(s, dir).select("doc_id", "n_tok", "rare_pct"),
+        Seq(col("rare_pct").asc, col("doc_id").asc), col("n_tok"),
+        "cum_tokens")
+      .filter(col("cum_tokens") - col("n_tok") < QualityBudget)
+      .select(col("doc_id"), col("rare_pct"), col("n_tok"), col("cum_tokens"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> (sampleStratified _),
     "sample_token_budget" -> (sampleTokenBudget _),
+    "sample_quality_budget" -> (sampleQualityBudget _),
     "corpus_mix" -> (corpusMix _))
 
   val oracle: Map[String, String] = Map(
@@ -177,6 +201,15 @@ object Sampling {
       FROM rated
       WHERE ${drawDuckMod(RatePpm)} < rate
       ORDER BY doc_id""",
+    "sample_quality_budget" -> s"""
+      WITH ${TextAnalysis.rareCtesBody},
+      c AS (
+        SELECT doc_id, rare_pct, n_tok,
+          SUM(n_tok) OVER (ORDER BY rare_pct, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM scored)
+      SELECT doc_id, rare_pct, n_tok, CAST(cum AS BIGINT) AS cum_tokens
+      FROM c WHERE cum - n_tok < $QualityBudget ORDER BY doc_id""",
     "corpus_mix" -> s"""
       WITH tok AS (
         SELECT doc_id, source,

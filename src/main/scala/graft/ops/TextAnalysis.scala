@@ -567,6 +567,35 @@ object TextAnalysis {
             / len(string_split(text, ' ')), 6) AS uniq_ratio
         FROM qd0)"""
 
+  /** Rare-token scoring CTE body (…scored: doc_id, n_tok, n_rare,
+    * rare_pct; no leading WITH) — the DuckDB mirror of [[rareTokens]],
+    * shared by its gate and the quality-budget sampler oracle. */
+  private[ops] val rareCtesBody: String = s"""
+      terms AS (
+        SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS term
+        FROM documents),
+      tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM terms WHERE length(term) > 0 GROUP BY 1, 2),
+      freq AS (
+        SELECT term, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY 1),
+      per AS (
+        SELECT tf.doc_id,
+          CAST(SUM(tf.tf) AS BIGINT) AS n_tok,
+          CAST(SUM(CASE WHEN freq.c <= $RareMaxFreq THEN tf.tf ELSE 0 END)
+            AS BIGINT) AS n_rare
+        FROM tf JOIN freq USING (term) GROUP BY 1),
+      full_docs AS (
+        SELECT d.doc_id,
+          COALESCE(per.n_tok, 0) AS n_tok,
+          COALESCE(per.n_rare, 0) AS n_rare
+        FROM documents d LEFT JOIN per USING (doc_id)),
+      scored AS (
+        SELECT doc_id, n_tok, n_rare,
+          CASE WHEN n_tok = 0 THEN 100
+               ELSE (100 * n_rare) // n_tok END AS rare_pct
+        FROM full_docs)"""
+
   private[ops] val QualityReasonCase: String =
     """CASE WHEN n_tokens < 5 THEN 'too_short'
              WHEN n_tokens > 1000 THEN 'too_long'
@@ -741,31 +770,10 @@ object TextAnalysis {
         CAST(n_docs AS BIGINT) AS n_docs
       FROM pg ORDER BY n_occurrences DESC, s LIMIT 20""",
     "quality_rare_tokens" -> s"""
-      WITH terms AS (
-        SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS term
-        FROM documents),
-      tf AS (
-        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
-        FROM terms WHERE length(term) > 0 GROUP BY 1, 2),
-      freq AS (
-        SELECT term, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY 1),
-      per AS (
-        SELECT tf.doc_id,
-          CAST(SUM(tf.tf) AS BIGINT) AS n_tok,
-          CAST(SUM(CASE WHEN freq.c <= $RareMaxFreq THEN tf.tf ELSE 0 END)
-            AS BIGINT) AS n_rare
-        FROM tf JOIN freq USING (term) GROUP BY 1),
-      full_docs AS (
-        SELECT d.doc_id,
-          COALESCE(per.n_tok, 0) AS n_tok,
-          COALESCE(per.n_rare, 0) AS n_rare
-        FROM documents d LEFT JOIN per USING (doc_id))
-      SELECT doc_id, n_tok, n_rare,
-        CASE WHEN n_tok = 0 THEN 100
-             ELSE (100 * n_rare) // n_tok END AS rare_pct,
-        (CASE WHEN n_tok = 0 THEN 100
-              ELSE (100 * n_rare) // n_tok END) <= $RarePctMax AS keep
-      FROM full_docs ORDER BY doc_id""",
+      WITH $rareCtesBody
+      SELECT doc_id, n_tok, n_rare, rare_pct,
+        rare_pct <= $RarePctMax AS keep
+      FROM scored ORDER BY doc_id""",
     "text_tfidf" -> """
       WITH terms0 AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -424,6 +424,36 @@ class OpsSpec extends AnyFunSuite {
     assert(want.exists { case (comp, survivor) => survivor != comp })
   }
 
+  test("quality-budget sample keeps exactly the greedy cleanest-first prefix") {
+    import graft.ops.{Sampling, TextAnalysis}
+    val scored = TextAnalysis.rareTokens(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))) // (id, n_tok, rare_pct)
+    var cum = 0L
+    val want = scored.sortBy(x => (x._3, x._1)).flatMap { case (id, nt, rp) =>
+      val start = cum; cum += nt
+      if (start < Sampling.QualityBudget) Some((id, rp, nt, cum)) else None
+    }.sortBy(_._1).toSeq
+    val got = Sampling.sampleQualityBudget(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("retrieval top-k over the frozen index matches the exact cross-parity ranking") {
+    import graft.ops.Dedup
+    val got = Dedup.retrieveTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val jc = Dedup.jaccardPairs(
+        Dedup.shingles(Tables.load(spark, dir, "documents")), 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val want = jc.filter { case (i, j, _) => i % 2 != j % 2 }
+      .map { case (i, j, jac) => if (i % 2 == 1) (i, j, jac) else (j, i, jac) }
+      .groupBy(_._1).toSeq.flatMap { case (qid, xs) =>
+        xs.sortBy(x => (-x._3, x._2)).take(5).zipWithIndex
+          .map { case ((_, nid, jac), k) => (qid, (k + 1).toLong, nid, jac) }
+      }.sortBy(x => (x._1, x._2))
+    assert(got == want && want.nonEmpty)
+  }
+
   test("cluster-size histogram accounts for every doc and every drop") {
     import graft.ops.Components
     val labels = Components.dedupComponents(spark, dir).collect()
