@@ -204,7 +204,14 @@ object Components {
     val docs = Tables.load(s, dir, "documents")
     val dropped = labelsFor(s, dir).filter(!col("keep"))
       .select(col("doc_id"), col("component"))
+    // both shingle inputs are semi-join-bounded by cluster membership
+    // BEFORE any wide work — the survivor side must not be the full
+    // corpus shingle table, or the audit re-shuffles the whole corpus
+    val members = dropped.select("doc_id")
+      .unionByName(dropped.select(col("component").as("doc_id")))
+      .distinct()
     val sh = Dedup.shingles(docs)
+      .join(members, Seq("doc_id"), "left_semi")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = dropped.join(sh, "doc_id")
       .join(sh.select(col("doc_id").as("component"), col("sh")),
@@ -247,7 +254,10 @@ object Components {
 
   /** Shared oracle prefix: transitive closure over the same jaccard≥0.7
     * edges via a recursive CTE (terminates on cycles because UNION
-    * deduplicates), component = min reachable node. Body form (no
+    * deduplicates), component = min reachable node; `labels` maps EVERY
+    * doc of `tbl` to its component (singletons to themselves) — the
+    * single source for the five labeling oracles, so the labeling
+    * definition can never silently diverge between them. Body form (no
     * leading WITH) so the curation oracle can prepend its own CTEs. */
   private[ops] def componentsCtesBody(tbl: String): String =
     s"""${Dedup.jaccardCtesBody(tbl)},
@@ -259,39 +269,35 @@ object Components {
         UNION
         SELECT r.src, s.v FROM reach r JOIN sym s ON r.node = s.u),
       comp AS (SELECT src AS node, MIN(node) AS component
-               FROM reach GROUP BY src)"""
+               FROM reach GROUP BY src),
+      labels AS (
+        SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+        FROM $tbl d LEFT JOIN comp c ON d.doc_id = c.node)"""
 
   private val componentsCtes: String =
     "WITH RECURSIVE " + componentsCtesBody("documents")
 
   val oracle: Map[String, String] = Map(
     "dedup_components" -> s"""$componentsCtes
-      SELECT d.doc_id,
-        COALESCE(c.component, d.doc_id) AS component,
-        (COALESCE(c.component, d.doc_id) = d.doc_id) AS keep
-      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
-      ORDER BY d.doc_id""",
+      SELECT doc_id, component, (component = doc_id) AS keep
+      FROM labels ORDER BY doc_id""",
     "dedup_keep_only" -> s"""$componentsCtes
       SELECT d.doc_id, d.lang, d.source, d.n_chars, md5(d.text) AS text_fp
-      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
-      WHERE COALESCE(c.component, d.doc_id) = d.doc_id
+      FROM documents d JOIN labels l USING (doc_id)
+      WHERE l.component = d.doc_id
       ORDER BY d.doc_id""",
     "dedup_keep_best" -> s"""$componentsCtes
       SELECT component, survivor, n_chars FROM (
-        SELECT COALESCE(c.component, d.doc_id) AS component,
-          d.doc_id AS survivor, d.n_chars,
+        SELECT l.component, d.doc_id AS survivor, d.n_chars,
           ROW_NUMBER() OVER (
-            PARTITION BY COALESCE(c.component, d.doc_id)
+            PARTITION BY l.component
             ORDER BY d.n_chars DESC, d.doc_id) AS rk
-        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)
+        FROM documents d JOIN labels l USING (doc_id))
       WHERE rk = 1 ORDER BY component""",
     // dropped doc_id > component always (component = cluster min), so the
     // jc pair is (i=component, j=doc_id); transitive-only links with no
     // shared shingle fall out of jc and surface as jaccard 0.0
     "dedup_audit" -> s"""$componentsCtes,
-      labels AS (
-        SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
-        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
       dropped AS (
         SELECT doc_id, component FROM labels WHERE doc_id <> component)
       SELECT dr.doc_id, dr.component AS survivor,
@@ -300,9 +306,6 @@ object Components {
         ON jx.i = dr.component AND jx.j = dr.doc_id
       ORDER BY dr.doc_id""",
     "dedup_cluster_stats" -> s"""$componentsCtes,
-      labels AS (
-        SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
-        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
       cl AS (SELECT component, COUNT(*) AS cluster_size
              FROM labels GROUP BY 1)
       SELECT CAST(cluster_size AS BIGINT) AS cluster_size,

@@ -304,19 +304,14 @@ object Dedup {
   private val builtRoots =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** Gate: even doc_ids play the frozen corpus — built into a persisted
-    * [[LshIndex]] (three ManifestStore tables) — and odd ids the new
-    * batch, which probes the STORED index: only odd docs are shingled
-    * and minhashed at probe time (LshIndexSpec asserts this via the
-    * probe's hash-counter hook). Emitted pairs are exactly
-    * those touching a new doc. The first call in a JVM rebuilds the
-    * index from scratch (a leftover dir from another run is deleted,
-    * never trusted); repeat calls probe the frozen copy — both paths
-    * return the identical deterministic result. */
   /** The gate-harness frozen index over the EVEN half of `dir`'s
-    * documents table, built once per JVM (see [[builtRoots]]); returns
-    * its root. Shared by the incremental-dedup gate and the retrieval
-    * gate — one build, two consumers. */
+    * documents table, built into a persisted [[LshIndex]] (three
+    * ManifestStore tables) once per JVM (see [[builtRoots]]); returns
+    * its root. The first call in a JVM rebuilds the index from scratch
+    * (a leftover dir from another run is deleted, never trusted);
+    * repeat calls reuse the frozen copy. Shared by the
+    * incremental-dedup gate and the retrieval gate — one build, two
+    * consumers. */
   private[ops] def gateIndexRoot(s: SparkSession, dir: String): String = {
     val docs = Tables.load(s, dir, "documents")
     // root carries the ABSOLUTE path hash, not just the basename: two
@@ -340,6 +335,12 @@ object Dedup {
     root
   }
 
+  /** Gate: odd doc_ids play the new batch probing the frozen even-half
+    * index ([[gateIndexRoot]]): only odd docs are shingled and
+    * minhashed at probe time (LshIndexSpec asserts this via the probe's
+    * hash-counter hook). Emitted pairs are exactly those touching a new
+    * doc; first-build and repeat-probe paths return the identical
+    * deterministic result. */
   def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
     LshIndex.probe(docs.filter(pmod(col("doc_id"), lit(2)) === 1),

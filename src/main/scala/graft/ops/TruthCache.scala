@@ -19,18 +19,32 @@ private[graft] object TruthCache {
 
   private val ready = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** Build stamp folded into every cache path: the mtime of this class's
-    * code source. A recompiled truth DEFINITION (new classes/jar) can
-    * therefore never be satisfied by a truth cached under older code —
-    * without relying on anyone remembering to bump a version constant.
-    * Caching still amortizes across all gate invocations of one build
-    * (the bench's passes, a Verify run, repeated sessions on one
+  /** Build stamp folded into every cache path: the NEWEST mtime under
+    * this class's code source. A recompiled truth DEFINITION (new
+    * classes/jar) can therefore never be satisfied by a truth cached
+    * under older code — without relying on anyone remembering to bump a
+    * version constant. The code source must be stamped as a TREE walk
+    * when it is a classes directory: the directory's own mtime only
+    * moves when a direct child is added or removed, so an incremental
+    * recompile of a nested .class file would keep the old stamp and —
+    * now that operator outputs route through this cache
+    * ([[Components.labelsFor]]) — let a stale cached result false-PASS
+    * a gate. One bounded walk per JVM; a jar stays the cheap file-mtime
+    * case. Caching still amortizes across all gate invocations of one
+    * build (the bench's passes, a Verify run, repeated sessions on one
     * artifact). */
   private lazy val codeStamp: String =
     try {
-      val src = getClass.getProtectionDomain.getCodeSource
-      java.lang.Long.toHexString(
-        new java.io.File(src.getLocation.toURI).lastModified())
+      val root = new java.io.File(
+        getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
+      val stamp =
+        if (root.isDirectory) {
+          import scala.jdk.CollectionConverters._
+          val walk = java.nio.file.Files.walk(root.toPath)
+          try walk.iterator().asScala.map(_.toFile.lastModified()).max
+          finally walk.close()
+        } else root.lastModified()
+      java.lang.Long.toHexString(stamp)
     } catch { case _: Throwable => "0" }
 
   private def path(tag: String, fp: (Long, Long)): String =
