@@ -1,0 +1,182 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Lexical retrieval + tokenizer-prep operators over the `documents`
+  * table: corpus vocabulary construction (the count table a BPE/WordPiece
+  * trainer starts from) and BM25 ranked retrieval (the classic lexical
+  * scorer behind retrieval-based data selection and eval-set mining).
+  */
+object Retrieval {
+
+  /** Minimum corpus occurrences for a vocabulary entry ([[vocabBuild]]) —
+    * the standard "prune the singleton tail" cut before merge training. */
+  val VocabMinCount = 3L
+
+  /** Query terms for the BM25 gate — frequent fixture-corpus tokens so
+    * scores are dense and every df is well-populated. */
+  val Bm25Terms: Seq[String] = Seq("spark", "join", "merge")
+
+  /** BM25 shape parameters (Robertson et al.'s defaults). */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** Corpus vocabulary over unigram AND bigram entries — the merge-
+    * candidate table a subword-tokenizer trainer consumes: every entry
+    * with ≥ [[VocabMinCount]] corpus occurrences, ranked into contiguous
+    * token ids by (occurrences desc, term).
+    *
+    * Scale shape: occurrences collapse to per-(doc, term) counts first
+    * (map-side partial combine — a stopword ships one row per doc, not
+    * one per occurrence), the rollup to corpus counts is one term-keyed
+    * aggregate, and only then does the min-count cut apply. The ranking
+    * window is global BUT runs over the post-cut VOCABULARY — bounded by
+    * distinct-gram count, not corpus rows — the same vocab-bounded
+    * global-sort exemption the [[TextAnalysis.corpusNgrams]] top-k uses.
+    * A unigram never string-equals a bigram (bigrams contain a space), so
+    * (occurrences, term) is a total order without the kind column. */
+  def vocabBuild(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    val uniOcc = d.select(col("doc_id"),
+        explode(split(coalesce(col("text"), lit("")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val uni = uniOcc.groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+      .groupBy("term").agg(sum("c").as("n_occurrences"),
+        count(lit(1)).as("n_docs"))
+      .withColumn("kind", lit("uni"))
+    val bi = Dedup.shingles(d, 2, distinct = false)
+      .groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
+      .groupBy("sh").agg(sum("c").as("n_occurrences"),
+        count(lit(1)).as("n_docs"))
+      .withColumnRenamed("sh", "term")
+      .withColumn("kind", lit("bi"))
+    uni.unionByName(bi)
+      .filter(col("n_occurrences") >= VocabMinCount)
+      .withColumn("token_id", row_number().over(
+        Window.orderBy(col("n_occurrences").desc, col("term")))
+        .cast("long") - 1)
+      .select(col("token_id"), col("kind"), col("term"),
+        col("n_occurrences"), col("n_docs"))
+      .orderBy("token_id")
+  }
+
+  /** BM25 top-10 documents for the fixed query [[Bm25Terms]]:
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+    *
+    * Oracle-parity contract: every ln argument is built from integers and
+    * exact halves with correctly-rounded divisions, so both engines hand
+    * ln a bit-identical double (the [[TextAnalysis.unigramLp]] contract);
+    * the ≤ |terms| addends are summed and rounded to 6 dp before any
+    * rank, so ordering never straddles an ulp.
+    *
+    * Scale shape: term occurrences collapse to per-(doc, term) counts
+    * map-side and the query-term filter prunes everything else BEFORE the
+    * df aggregate and the length join, so only matching docs flow; N,
+    * avgdl ride as lazy 1-row cross joins. The top-10 cut is orderBy +
+    * limit — `TakeOrderedAndProject`, per-partition heaps merged on the
+    * driver, never a global sort — and the rank window runs over the 10
+    * surviving rows only. */
+  def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    val occ = d.select(col("doc_id"),
+        explode(split(coalesce(col("text"), lit("")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val qtf = occ.filter(col("term").isin(Bm25Terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = qtf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = d.select(col("doc_id"),
+      size(split(coalesce(col("text"), lit("")), " ")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfn = col("tf") * lit(Bm25K1 + 1) /
+      (col("tf") + lit(Bm25K1) *
+        (lit(1.0) - lit(Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))
+    val scored = qtf.join(dfreq, "term").join(dl, "doc_id").crossJoin(stats)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), round(sum(idf * tfn), 6).as("score"))
+    val top = scored.orderBy(col("score").desc, col("doc_id")).limit(10)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"), col("n_terms"), col("score"))
+      .orderBy("rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vocab_build" -> (vocabBuild _),
+    "text_bm25_topk" -> (bm25TopK _))
+
+  val oracle: Map[String, String] = Map(
+    "vocab_build" -> s"""
+      WITH toks AS (
+        SELECT doc_id, string_split(COALESCE(text, ''), ' ') t FROM documents),
+      u0 AS (SELECT doc_id, unnest(t) AS term FROM toks),
+      up AS (SELECT doc_id, term, COUNT(*) c FROM u0
+             WHERE length(term) > 0 GROUP BY 1, 2),
+      uf AS (SELECT 'uni' AS kind, term, SUM(c) AS n_occ, COUNT(*) AS n_docs
+             FROM up GROUP BY 2),
+      b0 AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS term
+             FROM (SELECT doc_id, t,
+                     unnest(generate_series(1, greatest(len(t) - 1, 0))) i
+                   FROM toks)),
+      bp AS (SELECT doc_id, term, COUNT(*) c FROM b0 GROUP BY 1, 2),
+      bf AS (SELECT 'bi' AS kind, term, SUM(c) AS n_occ, COUNT(*) AS n_docs
+             FROM bp GROUP BY 2),
+      vocab AS (
+        SELECT * FROM uf UNION ALL SELECT * FROM bf),
+      cut AS (SELECT * FROM vocab WHERE n_occ >= $VocabMinCount)
+      SELECT
+        CAST(row_number() OVER (ORDER BY n_occ DESC, term) - 1 AS BIGINT)
+          AS token_id,
+        kind, term,
+        CAST(n_occ AS BIGINT) AS n_occurrences,
+        CAST(n_docs AS BIGINT) AS n_docs
+      FROM cut ORDER BY token_id""",
+    "text_bm25_topk" -> {
+      val termsList = Bm25Terms.map(t => s"('$t')").mkString(", ")
+      s"""
+      WITH q(term) AS (VALUES $termsList),
+      occ0 AS (
+        SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS term
+        FROM documents),
+      qtf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM occ0 WHERE length(term) > 0 AND term IN (SELECT term FROM q)
+        GROUP BY 1, 2),
+      dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+                FROM qtf GROUP BY 1),
+      dl AS (
+        SELECT doc_id,
+          CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT) AS dl
+        FROM documents),
+      stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl),
+      scored AS (
+        SELECT qtf.doc_id,
+          CAST(COUNT(*) AS BIGINT) AS n_terms,
+          ROUND(SUM(
+            ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)) *
+            (qtf.tf * ${Bm25K1 + 1} /
+              (qtf.tf + $Bm25K1 *
+                (1.0 - $Bm25B + $Bm25B * dl.dl / stats.avgdl)))), 6) AS score
+        FROM qtf
+          JOIN dfreq USING (term)
+          JOIN dl ON qtf.doc_id = dl.doc_id, stats
+        GROUP BY 1),
+      ranked AS (
+        SELECT doc_id, n_terms, score,
+          CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+            AS rank
+        FROM scored)
+      SELECT rank, doc_id, n_terms, score FROM ranked
+      WHERE rank <= 10 ORDER BY rank"""
+    })
+}

@@ -30,10 +30,16 @@ object Sampling {
     * operands — where Spark's `pmod` and DuckDB's sign-following `%`
     * agree exactly. DuckDB spells the non-negative reduction as
     * ((x % m) + m) % m. */
-  private[graft] def drawSqlMod(m: Long): String =
-    s"pmod(pmod(doc_id, 2147483648) * 2654435761, 4294967296) % $m"
-  private[ops] def drawDuckMod(m: Long): String =
-    "(((((doc_id % 2147483648) + 2147483648) % 2147483648) " +
+  private[graft] def drawSqlMod(m: Long): String = drawSqlModOn("doc_id", m)
+  private[ops] def drawDuckMod(m: Long): String = drawDuckModOn("doc_id", m)
+
+  /** The same draw keyed by an arbitrary BIGINT column — e.g. the
+    * near-dup component id for leakage-safe split assignment
+    * ([[Sharding.splitLeakage]]). */
+  private[graft] def drawSqlModOn(c: String, m: Long): String =
+    s"pmod(pmod($c, 2147483648) * 2654435761, 4294967296) % $m"
+  private[ops] def drawDuckModOn(c: String, m: Long): String =
+    s"((((($c % 2147483648) + 2147483648) % 2147483648) " +
       s"* 2654435761) % 4294967296) % $m"
   private[graft] val DrawSql = drawSqlMod(100)
   private[ops] val DrawDuck = drawDuckMod(100)
@@ -175,10 +181,65 @@ object Sampling {
       .select(col("doc_id"), col("rare_pct"), col("n_tok"), col("cum_tokens"))
       .orderBy("doc_id")
 
+  /** Target source for [[sampleImportance]] — the "domain we want more
+    * of"; the raw distribution is the whole corpus. */
+  val ImportanceTarget = "src0"
+
+  /** DSIR-style importance weighting (Xie et al. 2023's data-selection
+    * recipe, unigram form): per-document mean token log-likelihood RATIO
+    * between a target-domain unigram LM and the raw-corpus unigram LM,
+    * both add-one smoothed over the raw vocabulary —
+    * w(d) = (1/n_d)·Σ_t tf_t·[ln(ct+1) − ln(Nt+V) − ln(cr+1) + ln(Nr+V)].
+    * Positive weight = looks more like the target than the raw corpus;
+    * `keep` selects those documents (the resampling step samples
+    * proportionally — the deterministic threshold form keeps the gate
+    * exact).
+    *
+    * Oracle parity: every ln argument is an exact integer (the
+    * [[TextAnalysis.unigramLp]] contract), the mean is rounded to 6 dp,
+    * and the keep threshold compares the ROUNDED value so the cut can
+    * never straddle an ulp.
+    *
+    * Scale shape: tokens collapse to per-(doc, term) counts map-side
+    * before the vocab joins (hot terms bounded at one row per doc); the
+    * target LM is vocab-bounded (left join, absent terms smooth to
+    * ln 1 = 0 via ct = 0); Nt, Nr and V ride as a lazy 1-row cross join.
+    * In production the target counts come from a separate small curated
+    * corpus — here the in-corpus `source` stratum stands in, which also
+    * keeps the oracle self-contained. */
+  def sampleImportance(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    def occOf(d: DataFrame) = d.select(col("doc_id"),
+        explode(split(coalesce(col("text"), lit("")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = occOf(docs).groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val rawFreq = tf.groupBy("term").agg(sum("tf").as("cr"))
+    val tgtFreq = occOf(docs.filter(col("source") === ImportanceTarget))
+      .groupBy("term").agg(count(lit(1)).as("ct"))
+    val scalars = rawFreq.agg(sum("cr").as("nr"), count(lit(1)).as("v"))
+      .crossJoin(tgtFreq.agg(coalesce(sum("ct"), lit(0L)).as("nt")))
+    val per = tf.join(rawFreq, "term")
+      .join(tgtFreq, Seq("term"), "left")
+      .withColumn("ct", coalesce(col("ct"), lit(0L)))
+      .crossJoin(scalars)
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_tokens"),
+        sum(col("tf") * (log(col("ct") + 1) - log(col("nt") + col("v"))
+          - log(col("cr") + 1) + log(col("nr") + col("v")))).as("w_sum"))
+    docs.select("doc_id", "source").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(round(col("w_sum") / col("n_tokens"), 6), lit(0.0))
+          .as("weight"))
+      .withColumn("keep", col("weight") > 0)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> (sampleStratified _),
     "sample_token_budget" -> (sampleTokenBudget _),
     "sample_quality_budget" -> (sampleQualityBudget _),
+    "sample_importance" -> (sampleImportance _),
     "corpus_mix" -> (corpusMix _))
 
   val oracle: Map[String, String] = Map(
@@ -210,6 +271,36 @@ object Sampling {
         FROM scored)
       SELECT doc_id, rare_pct, n_tok, CAST(cum AS BIGINT) AS cum_tokens
       FROM c WHERE cum - n_tok < $QualityBudget ORDER BY doc_id""",
+    "sample_importance" -> s"""
+      WITH occ0 AS (
+        SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS term
+        FROM documents),
+      occ AS (SELECT doc_id, term FROM occ0 WHERE length(term) > 0),
+      tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM occ GROUP BY 1, 2),
+      rawf AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cr FROM tf GROUP BY 1),
+      tocc0 AS (
+        SELECT d.doc_id, unnest(string_split(COALESCE(d.text, ''), ' ')) AS term
+        FROM documents d WHERE d.source = '$ImportanceTarget'),
+      tgtf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS ct FROM tocc0
+               WHERE length(term) > 0 GROUP BY 1),
+      sc AS (
+        SELECT (SELECT CAST(SUM(cr) AS BIGINT) FROM rawf) AS nr,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM rawf) AS v,
+          (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) FROM tgtf) AS nt),
+      per AS (
+        SELECT tf.doc_id,
+          CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+          SUM(tf.tf * (ln(COALESCE(tgtf.ct, 0) + 1) - ln(sc.nt + sc.v)
+            - ln(rawf.cr + 1) + ln(sc.nr + sc.v))) AS w_sum
+        FROM tf JOIN rawf USING (term) LEFT JOIN tgtf USING (term), sc
+        GROUP BY 1)
+      SELECT d.doc_id, d.source,
+        COALESCE(p.n_tokens, 0) AS n_tokens,
+        COALESCE(ROUND(p.w_sum / p.n_tokens, 6), 0.0) AS weight,
+        COALESCE(ROUND(p.w_sum / p.n_tokens, 6), 0.0) > 0 AS keep
+      FROM documents d LEFT JOIN per p USING (doc_id)
+      ORDER BY d.doc_id""",
     "corpus_mix" -> s"""
       WITH tok AS (
         SELECT doc_id, source,

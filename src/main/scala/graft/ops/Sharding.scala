@@ -155,10 +155,48 @@ object Sharding {
       .orderBy("doc_id")
   }
 
+  /** Validation-split percent for [[splitLeakage]]. */
+  val ValPct = 30L
+
+  /** Train/validation split leakage audit — the check every training
+    * pipeline owes its eval set: a doc-keyed hash split puts the two
+    * halves of a near-duplicate pair on OPPOSITE sides of the split
+    * (the val set "leaks" into train), while keying the SAME hash draw
+    * by the near-dup COMPONENT id sends every member of a cluster to
+    * one side, making cross-split leakage structurally zero.
+    *
+    * The gate reports both, per multi-doc near-dup cluster: how many
+    * clusters straddle the split under the naive doc-keyed draw vs the
+    * component-keyed one (provably 0 — the split is a function of the
+    * component). One row; `leakage_free` asserts the zero.
+    *
+    * Scale shape: reuses the cached component labels
+    * ([[Components.labelsFor]] — LSH edges + star rounds, computed once
+    * per corpus fingerprint), adds two per-row hash columns (map-side),
+    * and rolls up by component — one dimension-bounded aggregate; no
+    * edge list, no extra corpus pass. */
+  def splitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val labels = Components.labelsFor(s, dir).select("doc_id", "component")
+      .withColumn("naive_val",
+        expr(Sampling.drawSqlModOn("doc_id", 100)) < ValPct)
+      .withColumn("safe_val",
+        expr(Sampling.drawSqlModOn("component", 100)) < ValPct)
+    labels.groupBy("component")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("naive_val")).as("dn"),
+        countDistinct(col("safe_val")).as("ds"))
+      .filter(col("n") >= 2)
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(when(col("dn") > 1, 1L).otherwise(0L)).as("n_split_naive"),
+        sum(when(col("ds") > 1, 1L).otherwise(0L)).as("n_split_safe"))
+      .withColumn("leakage_free", col("n_split_safe") === 0)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "shard_assign" -> (shardAssign _),
     "corpus_shuffle" -> (corpusShuffle _),
-    "pack_batches" -> (packBatches _))
+    "pack_batches" -> (packBatches _),
+    "split_leakage" -> (splitLeakage _))
 
   val oracle: Map[String, String] = Map(
     "shard_assign" -> s"""
@@ -180,6 +218,25 @@ object Sharding {
       SELECT doc_id, draw,
         CAST(row_number() OVER (ORDER BY draw, doc_id) AS BIGINT) AS pos
       FROM d ORDER BY doc_id""",
+    "split_leakage" -> s"""
+      WITH RECURSIVE ${Components.componentsCtesBody("documents")},
+      sp AS (
+        SELECT doc_id, component,
+          (${Sampling.drawDuckModOn("doc_id", 100)}) < $ValPct AS naive_val,
+          (${Sampling.drawDuckModOn("component", 100)}) < $ValPct AS safe_val
+        FROM labels),
+      cl AS (
+        SELECT component, COUNT(*) AS n,
+          COUNT(DISTINCT naive_val) AS dn,
+          COUNT(DISTINCT safe_val) AS ds
+        FROM sp GROUP BY 1)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        CAST(SUM(CASE WHEN dn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_split_naive,
+        CAST(SUM(CASE WHEN ds > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_split_safe,
+        SUM(CASE WHEN ds > 1 THEN 1 ELSE 0 END) = 0 AS leakage_free
+      FROM cl WHERE n >= 2""",
     "pack_batches" -> s"""
       WITH d AS (
         SELECT doc_id,

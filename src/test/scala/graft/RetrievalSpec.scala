@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{Retrieval, Sampling, Sharding}
+
+/** Vocabulary construction, BM25 retrieval, DSIR importance weighting,
+  * and the split-leakage audit: by-hand oracles on the small fixture plus
+  * the structural invariants each operator promises. */
+class RetrievalSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def docs: Map[Long, String] =
+    Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse(""))
+      .toMap
+
+  test("vocab ids are contiguous, counts honest, min-count enforced") {
+    val v = Retrieval.vocabBuild(spark, dir).collect()
+    assert(v.nonEmpty)
+    assert(v.map(_.getLong(0)).toSeq == (0L until v.length).toSeq,
+      "token ids must rank contiguously from 0")
+    assert(v.forall(_.getLong(3) >= Retrieval.VocabMinCount))
+    // counts descend along ids (ties broken by term, ids still ordered)
+    val occ = v.map(_.getLong(3)).toSeq
+    assert(occ == occ.sortBy(-_))
+    // recount one unigram and one bigram by hand
+    val uni = v.find(_.getString(1) == "uni").get
+    val uniTerm = uni.getString(2)
+    val expectUni = docs.values.map(
+      _.split(' ').count(_ == uniTerm)).sum
+    assert(uni.getLong(3) == expectUni, s"unigram '$uniTerm' count")
+    val bi = v.find(_.getString(1) == "bi").get
+    val biTerm = bi.getString(2)
+    val expectBi = docs.values.map(t => {
+      val toks = t.split(' ')
+      if (toks.length < 2) 0
+      else toks.sliding(2).count(_.mkString(" ") == biTerm)
+    }).sum
+    assert(bi.getLong(3) == expectBi, s"bigram '$biTerm' count")
+  }
+
+  test("bm25 matches a by-hand scorer on the full fixture") {
+    val d = docs
+    val n = d.size.toLong
+    val dl = d.map { case (id, t) => id -> t.split(' ').length.toLong }
+    val avgdl = dl.values.sum.toDouble / n
+    val tf: Map[(Long, String), Long] = d.toSeq.flatMap { case (id, t) =>
+      t.split(' ').filter(_.nonEmpty).filter(Retrieval.Bm25Terms.contains)
+        .groupBy(identity).map { case (term, o) => (id, term) -> o.length.toLong }
+    }.toMap
+    val df = Retrieval.Bm25Terms.map(term =>
+      term -> tf.keys.count(_._2 == term).toLong).toMap
+    val (k1, b) = (Retrieval.Bm25K1, Retrieval.Bm25B)
+    val scores = d.keys.map { id =>
+      id -> Retrieval.Bm25Terms.map { term =>
+        tf.get((id, term)).fold(0.0) { f =>
+          val idf = math.log(1.0 + (n - df(term) + 0.5) / (df(term) + 0.5))
+          idf * (f * (k1 + 1) / (f + k1 * (1 - b + b * dl(id) / avgdl)))
+        }
+      }.sum
+    }.toMap
+    // Spark's round() is HALF_UP — mirror it exactly
+    val expect = scores.toSeq.filter(_._2 > 0)
+      .map { case (id, s) =>
+        (id, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .sortBy { case (id, s) => (-s, id) }.take(10)
+    val got = Retrieval.bm25TopK(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getDouble(3))).toSeq
+    assert(got == expect)
+  }
+
+  test("importance weights favor the target source") {
+    val w = Sampling.sampleImportance(spark, dir)
+      .groupBy(col("source") === Sampling.ImportanceTarget)
+      .agg(avg("weight")).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(w(true) > w(false),
+      s"target-source docs must average a higher log-ratio: $w")
+    // zero-token docs carry weight 0 and are dropped
+    val bad = Sampling.sampleImportance(spark, dir)
+      .filter(col("n_tokens") === 0 && col("weight") =!= 0.0).count()
+    assert(bad == 0)
+  }
+
+  test("component-keyed split never straddles a near-dup cluster") {
+    val r = Sharding.splitLeakage(spark, dir).collect().head
+    assert(r.getLong(2) == 0, "safe split must be leakage-free")
+    assert(r.getBoolean(3))
+    assert(r.getLong(0) >= 1, "fixture must carry multi-doc clusters")
+    // the naive doc-keyed split demonstrably leaks on this fixture
+    assert(r.getLong(1) > 0,
+      "fixture should show naive-split leakage (draw straddles a cluster)")
+  }
+}
