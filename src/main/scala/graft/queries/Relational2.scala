@@ -90,14 +90,15 @@ object Relational2 {
     ORDER BY a.l_returnflag""")
 
   /** Tumbling time-window aggregation (the streaming-shaped groupBy in
-    * batch). events.ts is a nanos long (Tables.load note) → converted to
-    * a timestamp; window starts leave as epoch millis (timestamps in
-    * outputs are a cross-engine hash hazard). */
+    * batch). events.ts is the canonical NTZ timestamp (Tables.load);
+    * window starts leave as epoch millis (timestamps in outputs are a
+    * cross-engine hash hazard). The LTZ cast is identity under the UTC
+    * session Tables.load pins, and unix_millis needs LTZ. */
   def q27TumblingWindow(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
-    SELECT unix_millis(window.start) AS win_start,
+    SELECT unix_millis(CAST(window.start AS TIMESTAMP)) AS win_start,
       COUNT(*) AS n,
       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-    FROM (SELECT timestamp_micros(ts div 1000) AS t, value FROM events)
+    FROM (SELECT ts AS t, value FROM events)
     GROUP BY window(t, '6 hours')
     ORDER BY win_start""")
 

@@ -97,18 +97,22 @@ object Relational3 {
     * intervals derived from the events span, each counting/summing the
     * events it contains, via the banded equi-join rewrite
     * (ops/RangeJoin — never a nested loop). Oracle: DuckDB BETWEEN join
-    * over the identically-derived intervals (epoch_ns for the nanos). */
+    * over the identically-derived intervals. Both sides band on epoch
+    * nanos — [[Tables.tsEpochNs]] here, `epoch_ns(ts)` in DuckDB — which
+    * is vintage-proof: correct over both the nanos-long and the
+    * timestamp[us] fixture generations. */
   def q36RangeJoin(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     Tables.registerAll(s, dir)
-    val ev = s.table("events").select(col("event_id"), col("ts"), col("value"))
-    val bounds = ev.agg(min("ts").as("t0"), max("ts").as("t1")).head()
+    val ev = s.table("events").select(col("event_id"),
+      Tables.tsEpochNs(col("ts")).as("ts_ns"), col("value"))
+    val bounds = ev.agg(min("ts_ns").as("t0"), max("ts_ns").as("t1")).head()
     val (t0, t1) = (bounds.getLong(0), bounds.getLong(1))
     val span = (t1 - t0) / 200
     val iv = s.range(0, 200).select(col("id").as("iv_id"),
       (lit(t0) + col("id") * span).as("lo"),
       (lit(t0) + col("id") * span + (col("id") % 7 + 1) * (span / 2)).as("hi"))
-    graft.ops.RangeJoin.pointInInterval(ev, "ts", iv, "lo", "hi",
+    graft.ops.RangeJoin.pointInInterval(ev, "ts_ns", iv, "lo", "hi",
       bandWidth = math.max(span / 2, 1))
       .groupBy("iv_id")
       .agg(count(lit(1)).as("n"),

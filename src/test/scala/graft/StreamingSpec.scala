@@ -212,9 +212,10 @@ class SessionizeSpec extends AnyFunSuite {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     import graft.streaming.Sessionize
 
+    // canonical ts is NTZ (Tables.load); the Ev encoder needs LTZ —
+    // identity cast under the UTC session
     val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
-      .select(col("user_id"),
-        expr("timestamp_micros(ts div 1000)").as("ts"))
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
     val batchSessions = Sessionize.sessionsBatch(events, 30).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
     assert(batchSessions.nonEmpty)
