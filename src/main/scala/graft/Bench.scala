@@ -55,18 +55,26 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => }
     }
-    def pass(): Map[String, Double] =
+    // None = the query FAILED this pass — a failure must never post a
+    // wall time (r7: two analysis-broken queries benched at 0.5 s and
+    // nobody noticed until the judge re-ran the suite)
+    def pass(): Map[String, Option[Double]] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] FAILED $name: " +
+              s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
+            false
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         // queries persist intermediates (LSH bands, shingles); drop them so
         // accumulated storage doesn't steal execution memory from later ones
         spark.catalog.clearCache()
-        name -> dt
+        name -> (if (ok) Some(dt) else None)
       }.toMap
     val p1 = pass()
-    val p1Total = p1.values.sum
+    val p1Total = p1.values.flatten.sum
     // a second timed pass absorbs residual one-off costs (page cache,
     // JIT, a transient competing load); per-query MIN is the standard
     // repeated-measurement reduction. An INFLATED pass 1 is precisely
@@ -77,14 +85,19 @@ object Bench {
     // must sit far above the honest cold total and only bound the truly
     // pathological case).
     val p2 = if (p1Total < 900.0) Some(pass()) else None
-    val results = p2 match {
-      case Some(second) => p1.map { case (k, v) => k -> math.min(v, second(k)) }
-      case None => p1
+    // per-query MIN over the passes a query SUCCEEDED in; a query with no
+    // successful pass lands in `failed`, not in the timings
+    val merged: Map[String, Option[Double]] = p1.map { case (k, v1) =>
+      val v2 = p2.flatMap(_.getOrElse(k, None))
+      k -> (v1.toSeq ++ v2.toSeq).reduceOption(_ min _)
     }
+    val results: Map[String, Double] = merged.collect { case (k, Some(v)) => k -> v }
+    val failed: Seq[String] = merged.collect { case (k, None) => k }.toSeq.sorted
     def f3(d: Double): String = String.format(java.util.Locale.ROOT, "%.3f", d)
     def f2(d: Double): String = String.format(java.util.Locale.ROOT, "%.2f", d)
     def qs(f: Double => String) = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // re-sample after the run: a competing JVM that starts mid-benchmark
     // is exactly the contamination this flag exists to expose
@@ -98,21 +111,26 @@ object Bench {
       s""""load":[${f2(loadAtStart)},${f2(loadBefore)},${f2(loadAvg())}],""" +
       s""""wait_s":${settledMs / 1000},""" +
       s""""passes":${1 + p2.size},"p1":${f2(p1Total)},""" +
-      s""""p2":${f2(p2.map(_.values.sum).getOrElse(-1.0))},""" +
+      s""""p2":${f2(p2.map(_.values.flatten.sum).getOrElse(-1.0))},""" +
       s""""cpus":$cpus,"contaminated":$contaminated}"""
-    // headline fields LAST: if the harness's tail window ever truncates
-    // the head of the line again, the readable tail still ends with the
-    // env evidence and the total
-    def line(f: Double => String, sf: String) =
-      s"""{"queries":${qs(f)},"sf":"$sf",$env,"metric":"total","value":${f3(total)},"unit":"sec"}"""
-    val full = line(f3, sfDir)
-    // stdout copy degrades (sf dir → basename, per-query decimals
-    // 3 → 2 → 1) until the line fits the 2000-char tail window;
-    // bench_out.json stays full-precision
+    // Two copies on purpose (the r5→r7 lesson: the harness reads a
+    // ~2000-char tail of stdout, and a 106-query map overflows it even
+    // at 1-decimal precision — r7's stdout line lost its head and parsed
+    // as null). bench_out.json carries the FULL per-query map at 3 dp;
+    // stdout carries a summary-only line that always fits. Headline
+    // fields LAST so a truncated tail still ends with the total.
+    val full = s"""{"queries":${qs(f3)},"failed":$failedJson,"sf":"$sfDir",""" +
+      s"""$env,"metric":"total","value":${f3(total)},"unit":"sec"}"""
     val sfShort = new java.io.File(sfDir).getName
-    def f1(d: Double): String = String.format(java.util.Locale.ROOT, "%.1f", d)
-    val json = Seq(full, line(f3, sfShort), line(f2, sfShort), line(f1, sfShort))
-      .find(_.length <= 1980).getOrElse(line(f1, sfShort))
+    val failedShown = failed.take(12)
+    val failedSummary = (failedShown.map("\"" + _ + "\"") ++
+      (if (failed.size > failedShown.size)
+        Seq("\"+" + (failed.size - failedShown.size) + " more\"") else Nil))
+      .mkString("[", ",", "]")
+    val json = s"""{"sf":"$sfShort","n_ok":${results.size},""" +
+      s""""n_failed":${failed.size},"failed":$failedSummary,""" +
+      s""""queries_in":"bench_out.json",$env,""" +
+      s""""metric":"total","value":${f3(total)},"unit":"sec"}"""
     if (contaminated)
       System.err.println(s"[bench] WARNING: contended host during the run " +
         s"(jvms before=$jvmsBefore after=$jvmsAfter, load=$loadBefore) - " +
@@ -139,5 +157,12 @@ object Bench {
     System.out.flush()
     println(json)
     System.out.flush()
+    // a failed query makes the whole bench loudly red (rc != 0) — the
+    // metric line above still reports the queries that DID run
+    if (failed.nonEmpty) {
+      System.err.println(s"[bench] ${failed.size} quer${
+        if (failed.size == 1) "y" else "ies"} FAILED: ${failed.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

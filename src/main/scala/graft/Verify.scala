@@ -19,12 +19,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    // track written vs declared: r7 shipped a correctness file silently
+    // missing 2 of 106 declared queries — a gap has to be unmissable
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    val failed = scala.collection.mutable.ArrayBuffer[String]()
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       spark.catalog.clearCache() // free per-query persisted intermediates
@@ -45,6 +49,26 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // completeness record, as an artifact AND on both streams: DECLARED
+    // is the full SparkEntry surface, WRITTEN what this run produced —
+    // a correctness file with fewer listed queries than DECLARED means
+    // something broke between rounds and must read as a failure, not a
+    // shorter list
+    val failedJson = failed.sorted.map(q).mkString("[", ",", "]")
+    val summary = s"""{"declared":${SparkEntry.queries.size},""" +
+      s""""selected":${selected.size},"written":${selected.size - failed.size},""" +
+      s""""failed":$failedJson}"""
+    Files.writeString(Paths.get(s"$outDir/verify_summary.json"), summary)
+    val gap = only.isEmpty && failed.nonEmpty
+    val msg = s"[verify] declared=${SparkEntry.queries.size} " +
+      s"selected=${selected.size} written=${selected.size - failed.size}" +
+      (if (failed.nonEmpty) s" FAILED=${failed.sorted.mkString(",")}" else "")
+    println(msg)
+    System.err.println(msg)
+    if (gap) System.err.println(
+      s"[verify] DECLARED != WRITTEN - the correctness file for this round " +
+        "is INCOMPLETE; every name above must be fixed or undeclared")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

