@@ -79,8 +79,46 @@ object Curation {
     curate(Tables.load(s, dir, "documents"))
       .orderBy(col("doc_id"))
 
+  /** The curated corpus with a LEAKAGE-FREE train/validation split —
+    * the `split_leakage` audit's safe draw ([[Sharding.splitLeakage]])
+    * shipped as a pipeline product instead of only proven: quality
+    * filter → exact dedup → keep-BEST near-dup survivor (max n_chars,
+    * ties to min doc_id — so the survivor's id genuinely differs from
+    * its component id) → split keyed by the near-dup COMPONENT id.
+    * Because the split is a pure function of the component, every
+    * member of a near-dup cluster — whichever one survived, and
+    * whatever survives a future re-run with a different keep policy —
+    * lands on the SAME side: cross-split leakage is structurally zero
+    * (the property `split_leakage` asserts as `n_split_safe = 0`).
+    *
+    * Scale shape: reuses the SAME cached labeling pass as
+    * [[curate]] (TruthCache key `curated_labels` per front
+    * fingerprint — zero extra LSH/components work when both gates
+    * run); survivor selection is the one-shuffle max_by aggregate of
+    * [[Components.dedupKeepBest]]; the split itself is a map-side hash
+    * of the component id. */
+  def corpusSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val exact = frontStage(docs).localCheckpoint()
+    val labels = TruthCache.cached(s, "curated_labels",
+      Dedup.docsFingerprint(exact), Components.componentLabels(exact))
+    labels.select("doc_id", "component")
+      .join(exact.select("doc_id", "n_chars"), "doc_id")
+      .groupBy("component")
+      .agg(max_by(struct(col("doc_id"), col("n_chars")),
+        struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("best"))
+      .select(col("component"), col("best.doc_id").as("doc_id"),
+        col("best.n_chars").as("n_chars"))
+      .withColumn("split",
+        when(expr(Sampling.drawSqlModOn("component", 100)) < Sharding.ValPct,
+          "val").otherwise("train"))
+      .select(col("doc_id"), col("component"), col("n_chars"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "corpus_curated" -> (corpusCurated _))
+    "corpus_curated" -> (corpusCurated _),
+    "corpus_split" -> (corpusSplit _))
 
   /** The same four stages as a DuckDB CTE chain: quality keep → exact
     * dedup keep → recursive-CTE components keep → sample predicate. */
@@ -102,5 +140,28 @@ object Curation {
       SELECT doc_id, lang, source, n_chars, md5(text) AS text_fp
       FROM kept
       WHERE ${Sampling.DrawDuck} < ${Sampling.RateDuck}
-      ORDER BY doc_id""")
+      ORDER BY doc_id""",
+    "corpus_split" -> s"""
+      WITH RECURSIVE ${TextAnalysis.qualityCtesBody},
+      qkeep AS (
+        SELECT doc_id FROM qstats
+        WHERE (${TextAnalysis.QualityReasonCase}) = 'ok'),
+      ekeep AS (
+        SELECT MIN(d.doc_id) AS doc_id
+        FROM documents d JOIN qkeep USING (doc_id)
+        GROUP BY md5(d.text)),
+      e AS (SELECT d.* FROM documents d JOIN ekeep USING (doc_id)),
+      ${Components.componentsCtesBody("e")},
+      best AS (
+        SELECT component, doc_id, n_chars FROM (
+          SELECT l.component, d.doc_id, d.n_chars,
+            ROW_NUMBER() OVER (PARTITION BY l.component
+              ORDER BY d.n_chars DESC, d.doc_id) AS rk
+          FROM e d JOIN labels l USING (doc_id))
+        WHERE rk = 1)
+      SELECT doc_id, component, n_chars,
+        CASE WHEN (${Sampling.drawDuckModOn("component", 100)})
+               < ${Sharding.ValPct}
+             THEN 'val' ELSE 'train' END AS split
+      FROM best ORDER BY doc_id""")
 }

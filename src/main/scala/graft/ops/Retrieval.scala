@@ -111,9 +111,110 @@ object Retrieval {
       .orderBy("rank")
   }
 
+  /** The multi-query batch for [[bm25PerQuery]] — (query_id, term) rows,
+    * the retrieval-based data-selection shape: each "query" is an eval
+    * set's bag of terms, and the ranked matches are the corpus docs to
+    * mine (or to hand to `decontaminate_fuzzy`). */
+  val Bm25Queries: Seq[(Long, String)] = Seq(
+    (1L, "spark"), (1L, "join"),
+    (2L, "merge"), (2L, "window"),
+    (3L, "data"), (3L, "query"), (3L, "batch"))
+
+  /** Results per query id for [[bm25PerQuery]]. */
+  val Bm25PerQueryK = 5
+
+  /** BM25 ranked retrieval for a TABLE of queries — [[bm25TopK]]
+    * generalized from one literal term list to (query_id, term) rows,
+    * scoring each query independently and keeping the top
+    * [[Bm25PerQueryK]] docs per query. This is the
+    * mine-eval-set-neighbors-from-the-corpus operator: feed each eval
+    * set's term bag in as one query id, get back the corpus docs to
+    * inspect/decontaminate/select.
+    *
+    * Scale shape: the query table is small by definition (it is the
+    * search INPUT), so its distinct-term set broadcasts and prunes the
+    * corpus token stream BEFORE the df aggregate — per-(doc, term)
+    * counts collapse map-side, then fan out per query id through a
+    * second broadcast join (bounded by |query terms|, not corpus).
+    * N and avgdl ride as lazy 1-row cross joins. The per-query top-k is
+    * a (query_id)-partitioned rank window whose rk ≤ K filter prunes
+    * through WindowGroupLimit — per-partition heaps, never a global
+    * sort of the scored universe. Same oracle-parity float contract as
+    * [[bm25TopK]]. */
+  def bm25PerQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = Bm25Queries.toDF("query_id", "term")
+    val d = Tables.load(s, dir, "documents")
+    val occ = d.select(col("doc_id"),
+        explode(split(coalesce(col("text"), lit("")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val qterms = q.select("term").distinct()
+    val qtf = occ.join(broadcast(qterms), Seq("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = qtf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = d.select(col("doc_id"),
+      size(split(coalesce(col("text"), lit("")), " ")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfn = col("tf") * lit(Bm25K1 + 1) /
+      (col("tf") + lit(Bm25K1) *
+        (lit(1.0) - lit(Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))
+    val scored = qtf.join(broadcast(q), Seq("term"))
+      .join(broadcast(dfreq), Seq("term"))
+      .join(dl, Seq("doc_id")).crossJoin(stats)
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_terms"), round(sum(idf * tfn), 6).as("score"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= Bm25PerQueryK)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("n_terms"), col("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Pair-candidate count for [[bpeTopPairs]]. */
+  val BpeTopK = 20
+
+  /** The first iteration of BPE training, distributed: the corpus-wide
+    * count of every adjacent character pair inside words — the table a
+    * byte-pair-encoding trainer consumes to pick its next merge (the
+    * trainer loop itself is driver-side over this vocab-bounded table,
+    * exactly like [[graft.ops.Ivf]]'s driver-side Lloyd's over a
+    * bounded sample).
+    *
+    * Scale shape: the token stream collapses to WORD counts first (one
+    * term-keyed aggregate — the same vocab-bounded pre-agg as
+    * [[vocabBuild]]), so the character-pair explode runs over the
+    * vocabulary, not the corpus: a word occurring a billion times ships
+    * ONE row into the pair expansion, carrying its count. The top-K cut
+    * is orderBy + limit — `TakeOrderedAndProject`, per-partition heaps,
+    * never a global sort — and the rank window runs over K rows only. */
+  def bpeTopPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    val words = d.select(
+        explode(split(coalesce(col("text"), lit("")), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+    val wc = words.groupBy("w").agg(count(lit(1)).as("c"))
+    val pairs = wc.select(col("c"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum("c").as("n_occurrences"))
+    pairs.orderBy(col("n_occurrences").desc, col("pair")).limit(BpeTopK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_occurrences").desc, col("pair"))).cast("long"))
+      .select(col("rank"), col("pair"), col("n_occurrences"))
+      .orderBy("rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vocab_build" -> (vocabBuild _),
-    "text_bm25_topk" -> (bm25TopK _))
+    "text_bm25_topk" -> (bm25TopK _),
+    "text_bm25_queries" -> (bm25PerQuery _),
+    "bpe_top_pairs" -> (bpeTopPairs _))
 
   val oracle: Map[String, String] = Map(
     "vocab_build" -> s"""
@@ -141,6 +242,67 @@ object Retrieval {
         CAST(n_occ AS BIGINT) AS n_occurrences,
         CAST(n_docs AS BIGINT) AS n_docs
       FROM cut ORDER BY token_id""",
+    "text_bm25_queries" -> {
+      val qvals = Bm25Queries.map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+      s"""
+      WITH q0(query_id, term) AS (VALUES $qvals),
+      q AS (SELECT CAST(query_id AS BIGINT) AS query_id, term FROM q0),
+      occ0 AS (
+        SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS term
+        FROM documents),
+      qtf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM occ0
+        WHERE length(term) > 0 AND term IN (SELECT DISTINCT term FROM q)
+        GROUP BY 1, 2),
+      dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+                FROM qtf GROUP BY 1),
+      dl AS (
+        SELECT doc_id,
+          CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT) AS dl
+        FROM documents),
+      stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl),
+      scored AS (
+        SELECT q.query_id, qtf.doc_id,
+          CAST(COUNT(*) AS BIGINT) AS n_terms,
+          ROUND(SUM(
+            ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)) *
+            (qtf.tf * ${Bm25K1 + 1} /
+              (qtf.tf + $Bm25K1 *
+                (1.0 - $Bm25B + $Bm25B * dl.dl / stats.avgdl)))), 6) AS score
+        FROM qtf
+          JOIN q USING (term)
+          JOIN dfreq ON qtf.term = dfreq.term
+          JOIN dl ON qtf.doc_id = dl.doc_id, stats
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT query_id, doc_id, n_terms, score,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        FROM scored)
+      SELECT query_id, rank, doc_id, n_terms, score FROM ranked
+      WHERE rank <= $Bm25PerQueryK ORDER BY query_id, rank"""
+    },
+    "bpe_top_pairs" -> s"""
+      WITH w0 AS (
+        SELECT unnest(string_split(COALESCE(text, ''), ' ')) AS w
+        FROM documents),
+      wc AS (SELECT w, COUNT(*) AS c FROM w0
+             WHERE length(w) >= 2 GROUP BY 1),
+      p AS (SELECT substring(w, i, 2) AS pair, c
+            FROM wc, unnest(generate_series(1, length(w) - 1)) AS u(i)),
+      agg AS (SELECT pair, CAST(SUM(c) AS BIGINT) AS n_occurrences
+              FROM p GROUP BY 1),
+      top AS (
+        SELECT pair, n_occurrences,
+          CAST(row_number() OVER (ORDER BY n_occurrences DESC, pair) AS BIGINT)
+            AS rank
+        FROM agg)
+      SELECT rank, pair, n_occurrences FROM top
+      WHERE rank <= $BpeTopK ORDER BY rank""",
     "text_bm25_topk" -> {
       val termsList = Bm25Terms.map(t => s"('$t')").mkString(", ")
       s"""

@@ -235,7 +235,55 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Temperature-based source re-balancing (the multilingual-training
+    * recipe of mBERT/XLM-R/mT5, α = 0.5 here): sampling shares follow
+    * q_s ∝ p_s^α instead of the raw share p_s, flattening the source
+    * distribution — head sources are downsampled, tail sources kept at
+    * (relatively) higher rates. The per-source ACCEPT probability is the
+    * likelihood ratio q_s/p_s normalized so the most-upweighted source
+    * keeps 100% (no replication in a keep/drop pipeline); the row
+    * decision is the same deterministic hash draw as every sampler here.
+    *
+    * α is fixed at 1/2 so p^α is `sqrt` — correctly rounded in IEEE,
+    * unlike libm `pow` — and every cross-engine float follows the
+    * oracle-parity contract: shares divide exact integers, each
+    * intermediate is rounded (6–9 dp) before reuse, and the share SUM
+    * runs over 6-dp DECIMALs (exact, order-free — a double sum would be
+    * partition-order dependent).
+    *
+    * Scale shape: one tiny per-source token aggregate (map-side
+    * partial), the rate table is dimension-sized and broadcast back, the
+    * accept test is a fused per-row filter — zero corpus shuffles,
+    * append-stable. */
+  def sampleTemperature(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val nTok = size(split(coalesce(col("text"), lit("")), " ")).cast("long")
+    val tot = docs.groupBy("source").agg(sum(nTok).as("tot"))
+      .withColumn("sdec",
+        round(sqrt(col("tot").cast("double")), 6).cast("decimal(38,6)"))
+    val gt = tot.agg(sum("tot").as("gt"))           // 1 row, lazy
+    val ssum = tot.agg(sum("sdec").as("ssum"))      // 1 row, exact decimal
+    val rates = tot.crossJoin(gt).crossJoin(ssum)
+      .withColumn("q",
+        round(col("sdec").cast("double") / col("ssum").cast("double"), 9))
+      .withColumn("p",
+        round(col("tot").cast("double") / col("gt").cast("double"), 9))
+      .withColumn("w", round(col("q") / col("p"), 9))
+    val wmax = rates.agg(max("w").as("wmax"))       // 1 row; max is exact
+    val pct = rates.crossJoin(wmax)
+      .withColumn("accept_pct",
+        round(col("w") / col("wmax") * 100, 6))
+      .select(col("source"), col("accept_pct"))
+    docs
+      .join(broadcast(pct), Seq("source")) // sources are dimension-sized
+      .withColumn("draw", expr(DrawSql))
+      .filter(col("draw") < col("accept_pct"))
+      .select(col("doc_id"), col("source"), col("accept_pct"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_temperature" -> (sampleTemperature _),
     "sample_stratified" -> (sampleStratified _),
     "sample_token_budget" -> (sampleTokenBudget _),
     "sample_quality_budget" -> (sampleQualityBudget _),
@@ -243,6 +291,31 @@ object Sampling {
     "corpus_mix" -> (corpusMix _))
 
   val oracle: Map[String, String] = Map(
+    "sample_temperature" -> s"""
+      WITH tok AS (
+        SELECT doc_id, source,
+          CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT) AS nt
+        FROM documents),
+      tot AS (
+        SELECT source, CAST(SUM(nt) AS BIGINT) AS tot,
+          CAST(ROUND(sqrt(CAST(SUM(nt) AS DOUBLE)), 6) AS DECIMAL(38,6))
+            AS sdec
+        FROM tok GROUP BY 1),
+      gt AS (SELECT CAST(SUM(tot) AS BIGINT) AS gt FROM tot),
+      ssum AS (SELECT SUM(sdec) AS ssum FROM tot),
+      rates AS (
+        SELECT source,
+          ROUND(CAST(sdec AS DOUBLE) / CAST(ssum AS DOUBLE), 9) AS q,
+          ROUND(CAST(tot AS DOUBLE) / CAST(gt AS DOUBLE), 9) AS p
+        FROM tot, gt, ssum),
+      w AS (SELECT source, ROUND(q / p, 9) AS w FROM rates),
+      wm AS (SELECT MAX(w) AS wmax FROM w),
+      pct AS (
+        SELECT source, ROUND(w / wmax * 100, 6) AS accept_pct FROM w, wm)
+      SELECT d.doc_id, d.source, p.accept_pct
+      FROM documents d JOIN pct p USING (source)
+      WHERE $DrawDuck < p.accept_pct
+      ORDER BY d.doc_id""",
     "sample_stratified" -> s"""
       SELECT doc_id, lang, CAST($DrawDuck AS BIGINT) AS draw
       FROM documents

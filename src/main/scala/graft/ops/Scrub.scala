@@ -113,6 +113,55 @@ object Scrub {
     dedupSpans(Tables.load(s, dir, "documents"))
       .orderBy(col("doc_id"))
 
+  /** Boilerplate grams kept for [[boilerplateScrub]] — production sets
+    * this to the size of its curated boilerplate list. */
+  val BoilerTopK = 30
+
+  /** Corpus-frequent-span ("boilerplate") scrub — the C4-lineage cleanup
+    * that strips navigation chrome, cookie banners and license footers:
+    * the [[BoilerTopK]] highest-document-frequency 3-grams are declared
+    * boilerplate, and every [[ChunkTokens]]-token span containing one is
+    * cut, each doc rebuilt from its surviving spans (the
+    * [[Decontam.scrubSpans]] surgery with the corpus's own frequent
+    * grams in place of the eval set).
+    *
+    * Scale shape: document frequency is the distinct-shingle aggregate
+    * (map-side partial, one term-keyed shuffle); the boilerplate list is
+    * capped to top-K via `TakeOrderedAndProject` (per-partition heaps —
+    * never a global sort) so it BROADCASTS regardless of corpus size;
+    * span marking is a broadcast semi-join behind the chunk scan; the
+    * rebuild is one doc_id-keyed aggregate. A gram occurring in every
+    * document costs one aggregate row, never a pair expansion. */
+  def boilerplateScrub(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val top = Dedup.shingles(docs, 3)
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("sh")).limit(BoilerTopK)
+    val chunks = chunked(docs)
+    // synthetic chunk key — same bound argument as Decontam.scrubSpans
+    val ckey = col("doc_id") * 1048576L + col("pos")
+    val bad = Dedup.shingles(
+        chunks.select(ckey.as("doc_id"), col("chunk").as("text")), 3)
+      .join(broadcast(top.select("sh")), Seq("sh"), "left_semi")
+      .select(col("doc_id").as("ckey")).distinct()
+    val kept = chunks.withColumn("ckey", ckey)
+      .join(bad, Seq("ckey"), "left_anti")
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(
+        expr("array_join(transform(array_sort(collect_list(struct(pos, chunk))), x -> x.chunk), ' ')")
+          .as("kept_text"),
+        count(lit(1)).as("n_kept"))
+    val totals = chunks.groupBy("doc_id").agg(count(lit(1)).as("n_total"))
+    docs.select("doc_id")
+      .join(totals, Seq("doc_id"), "left")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("kept_text"), lit("")).as("text"),
+        (coalesce(col("n_total"), lit(0L)) - coalesce(col("n_kept"), lit(0L)))
+          .as("n_cut"))
+      .orderBy(col("doc_id"))
+  }
+
   /** DuckDB twin of [[chunked]] over `tbl` (no leading WITH) — shared
     * with the span-decontamination oracle in [[Decontam]]. */
   private[ops] def chunkCtes(tbl: String): String = s"""
@@ -127,7 +176,8 @@ object Scrub {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_pii_scrub" -> (piiScrub _),
-    "dedup_lines" -> (dedupLines _))
+    "dedup_lines" -> (dedupLines _),
+    "text_boilerplate_scrub" -> (boilerplateScrub _))
 
   val oracle: Map[String, String] = Map(
     "text_pii_scrub" -> s"""
@@ -168,5 +218,39 @@ object Scrub {
         COALESCE(r.kept_text, '') AS text,
         COALESCE(r.n_kept, 0) AS n_chunks_kept
       FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+      ORDER BY d.doc_id""",
+    "text_boilerplate_scrub" -> s"""
+      WITH ${Dedup.shingleCtes("documents", 3)},
+      dfreq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1),
+      top AS (SELECT s FROM dfreq ORDER BY df DESC, s LIMIT $BoilerTopK),
+      ctoks AS (
+        SELECT doc_id, string_split(COALESCE(text, ''), ' ') ct
+        FROM documents),
+      chunks AS (
+        SELECT doc_id, i AS pos,
+          array_to_string(ct[(i*$ChunkTokens+1):(i*$ChunkTokens+$ChunkTokens)], ' ') AS chunk
+        FROM ctoks,
+          unnest(generate_series(0,
+            CAST(ceil(len(ct) / ${ChunkTokens}.0) AS INT) - 1)) AS u(i)),
+      cg AS (SELECT doc_id, pos, string_split(chunk, ' ') AS g FROM chunks),
+      cs0 AS (SELECT doc_id, pos, g,
+                unnest(generate_series(1, greatest(len(g) - 2, 0))) AS i
+              FROM cg),
+      bad AS (SELECT DISTINCT doc_id, pos FROM cs0
+              WHERE g[i] || ' ' || g[i+1] || ' ' || g[i+2]
+                IN (SELECT s FROM top)),
+      kept AS (SELECT c.doc_id, c.pos, c.chunk FROM chunks c
+               LEFT JOIN bad b ON c.doc_id = b.doc_id AND c.pos = b.pos
+               WHERE b.doc_id IS NULL),
+      rebuilt AS (
+        SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS kept_text,
+          CAST(COUNT(*) AS BIGINT) AS n_kept
+        FROM kept GROUP BY 1),
+      tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_total
+              FROM chunks GROUP BY 1)
+      SELECT d.doc_id, COALESCE(kept_text, '') AS text,
+        COALESCE(n_total, 0) - COALESCE(n_kept, 0) AS n_cut
+      FROM documents d
+      LEFT JOIN tot USING (doc_id) LEFT JOIN rebuilt USING (doc_id)
       ORDER BY d.doc_id""")
 }

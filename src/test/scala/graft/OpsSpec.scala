@@ -515,4 +515,47 @@ class OpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(lp(1L) > lp(0L))
   }
+
+  test("semdedup invariants: verified edges only, exact survivors kept, bound holds") {
+    val row = Similarity.embSemDedup(spark, dir).collect().head
+    assert(row.getLong(3) == 0L,
+      "an exact survivor dropped by semdedup would be a false drop")
+    assert(row.getBoolean(4), "≥50% dup-removal bound")
+    // the invariant counts agree with the LSH-exact keep-only listing
+    val exactKept = Similarity.embDedupKeepOnly(spark, dir).count()
+    assert(row.getLong(2) == exactKept)
+    assert(row.getLong(1) > row.getLong(2), "fixture must carry dups")
+  }
+
+  test("temperature sampling flattens the source distribution deterministically") {
+    import graft.ops.Sampling
+    val rows = Sampling.sampleTemperature(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    // accept rate is per-source constant, and the most-upweighted
+    // source keeps everything (pct == 100)
+    val bySrc = rows.groupBy(_._2).view.mapValues(_.map(_._3).distinct).toMap
+    assert(bySrc.values.forall(_.length == 1))
+    val pcts = bySrc.view.mapValues(_.head).toMap
+    assert(math.abs(pcts.values.max - 100.0) < 1e-9)
+    // flattening: the rate is anti-monotone in source token mass —
+    // smaller sources keep (weakly) higher fractions
+    val tok = Tables.load(spark, dir, "documents")
+      .groupBy("source")
+      .agg(sum(size(split(coalesce(col("text"), lit("")), " "))).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ordered = pcts.toSeq.map { case (s, p) => (tok(s), p) }.sortBy(_._1)
+    ordered.sliding(2).foreach {
+      case Seq((t1, p1), (t2, p2)) =>
+        if (t1 < t2) assert(p1 >= p2 - 1e-9,
+          s"source with $t1 tokens keeps $p1% < $p2% kept by $t2-token source")
+      case _ =>
+    }
+    // every kept doc's draw actually clears its source's rate
+    rows.foreach { case (id, _, pct) =>
+      val draw = (((id % 2147483648L) + 2147483648L) % 2147483648L *
+        2654435761L) % 4294967296L % 100L
+      assert(draw < pct)
+    }
+  }
 }

@@ -85,6 +85,57 @@ class RetrievalSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("per-query bm25 matches a by-hand scorer, query by query") {
+    val d = docs
+    val n = d.size.toLong
+    val dl = d.map { case (id, t) => id -> t.split(' ').length.toLong }
+    val avgdl = dl.values.sum.toDouble / n
+    val (k1, b) = (Retrieval.Bm25K1, Retrieval.Bm25B)
+    val byQuery = Retrieval.Bm25Queries.groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+    val allTerms = Retrieval.Bm25Queries.map(_._2).distinct
+    val tf: Map[(Long, String), Long] = d.toSeq.flatMap { case (id, t) =>
+      t.split(' ').filter(_.nonEmpty).filter(allTerms.contains)
+        .groupBy(identity).map { case (term, o) => (id, term) -> o.length.toLong }
+    }.toMap
+    val df = allTerms.map(term =>
+      term -> tf.keys.count(_._2 == term).toLong).toMap
+    val got = Retrieval.bm25PerQuery(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+    assert(got.map(_._1).distinct.sorted.toSeq == byQuery.keys.toSeq.sorted)
+    byQuery.foreach { case (qid, terms) =>
+      val expect = d.keys.toSeq.flatMap { id =>
+        val s = terms.map { term =>
+          tf.get((id, term)).fold(0.0) { f =>
+            val idf = math.log(1.0 + (n - df(term) + 0.5) / (df(term) + 0.5))
+            idf * f * (k1 + 1) / (f + k1 * (1 - b + b * dl(id) / avgdl))
+          }
+        }.sum
+        if (terms.exists(t => tf.contains((id, t))))
+          Some((id, BigDecimal(s).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP).toDouble))
+        else None
+      }.sortBy { case (id, s) => (-s, id) }.take(Retrieval.Bm25PerQueryK)
+      val gotQ = got.filter(_._1 == qid).sortBy(_._2)
+        .map { case (_, _, id, s) => (id, s) }.toSeq
+      assert(gotQ == expect, s"query $qid top-k")
+    }
+  }
+
+  test("bpe top pairs match a by-hand pair counter, deterministic tie order") {
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    docs.values.foreach(_.split(' ').filter(_.length >= 2).foreach { w =>
+      w.sliding(2).foreach(p => counts(p) = counts.getOrElse(p, 0L) + 1L)
+    })
+    val expect = counts.toSeq.sortBy { case (p, c) => (-c, p) }
+      .take(Retrieval.BpeTopK)
+    val got = Retrieval.bpeTopPairs(spark, dir).collect()
+      .map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(got == expect)
+    val ranks = Retrieval.bpeTopPairs(spark, dir).collect().map(_.getLong(0))
+    assert(ranks.toSeq == (1L to got.length).toSeq)
+  }
+
   test("component-keyed split never straddles a near-dup cluster") {
     val r = Sharding.splitLeakage(spark, dir).collect().head
     assert(r.getLong(2) == 0, "safe split must be leakage-free")

@@ -65,4 +65,40 @@ class ScrubSpec extends AnyFunSuite {
     val out = Scrub.dedupSpans(docs).collect().head
     assert(out.getString(1) == s"$a $b" && out.getLong(2) == 2L)
   }
+
+  test("boilerplate scrub cuts exactly the spans carrying a top-df trigram") {
+    val dir = "/root/testdata/sf0.001"
+    val texts = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse(""))
+    // by-hand top-K grams by distinct-doc frequency, ties by gram
+    val df = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach { case (_, t) =>
+      val toks = t.split(' ')
+      if (toks.length >= 3)
+        toks.sliding(3).map(_.mkString(" ")).toSet[String]
+          .foreach(g => df(g) = df.getOrElse(g, 0L) + 1L)
+    }
+    val top = df.toSeq.sortBy { case (g, c) => (-c, g) }
+      .take(Scrub.BoilerTopK).map(_._1).toSet
+    def chunksOf(t: String): Seq[String] = {
+      val toks = if (t.isEmpty) Array("") else t.split(' ')
+      toks.grouped(Scrub.ChunkTokens).map(_.mkString(" ")).toSeq
+    }
+    def dirty(c: String): Boolean = {
+      val toks = c.split(' ')
+      toks.length >= 3 && toks.sliding(3).exists(g => top(g.mkString(" ")))
+    }
+    val out = Scrub.boilerplateScrub(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    texts.foreach { case (id, t) =>
+      val cs = chunksOf(t)
+      val kept = cs.filterNot(dirty)
+      val (gotText, gotCut) = out(id)
+      assert(gotCut == (cs.length - kept.length).toLong, s"doc $id n_cut")
+      assert(gotText == kept.mkString(" "), s"doc $id rebuilt text")
+    }
+    // the scrub genuinely fires on the fixture
+    assert(out.values.exists(_._2 > 0))
+  }
 }
