@@ -210,11 +210,127 @@ object Retrieval {
       .orderBy("rank")
   }
 
+  /** Merge rounds learned by [[bpeTrain]]. */
+  val BpeMergeRounds = 10
+
+  /** Standard greedy left-to-right non-overlapping BPE merge of the
+    * adjacent pair (a, b) in one segmentation. */
+  private[graft] def mergeAdjacent(seg: Seq[String], a: String,
+                                   b: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < seg.length) {
+      if (i + 1 < seg.length && seg(i) == a && seg(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += seg(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** The full iterative BPE trainer over a (w, c) word-count table:
+    * [[bpeTopPairs]]' single pair-count iterated `rounds` times, each
+    * round merging the argmax pair (count desc, ties (left, right)
+    * asc) into every segmentation. Returns the learned merge table
+    * (rank, lhs, rhs, merged, n_occurrences) — the artifact a BPE
+    * tokenizer IS.
+    *
+    * Scale shape: the state is the VOCAB-BOUNDED word-count table
+    * (never the corpus — a billion-occurrence word is one row), each
+    * round is one map-side-partial pair aggregate + a 1-row argmax
+    * (`TakeOrderedAndProject`) + a compiled re-segmentation map;
+    * `localCheckpoint` truncates the per-round lineage so round k
+    * doesn't replay rounds 1..k-1. The driver holds only the k-row
+    * merge list (the [[Ivf]] centroid pattern: tiny model state
+    * driver-side, data distributed). */
+  private[graft] def bpeTrainOn(wc: DataFrame, rounds: Int): DataFrame = {
+    val s = wc.sparkSession
+    import s.implicits._
+    var seg = wc.select(col("w"), col("c")).as[(String, Long)]
+      .map { case (w, c) => (w.map(_.toString), c) }
+      .toDF("seg", "c").localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= rounds && !exhausted) {
+      // the size-≥2 guard matters: a fully-merged word's segmentation
+      // is ONE symbol, and Spark's sequence(1, 0) steps DOWNWARD
+      // ([1, 0]) instead of yielding an empty array
+      val top = seg.filter(size(col("seg")) >= 2)
+        .select(col("c"), explode(expr(
+          """transform(sequence(1, size(seg) - 1),
+               i -> struct(element_at(seg, i) AS a,
+                           element_at(seg, i + 1) AS b))""")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("c").as("n"))
+        .orderBy(col("n").desc, col("a"), col("b")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, n) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((round.toLong, a, b, a + b, n))
+        seg = seg.as[(Seq[String], Long)]
+          .map { case (sg, c) => (mergeAdjacent(sg, a, b), c) }
+          .toDF("seg", "c").localCheckpoint()
+        round += 1
+      }
+    }
+    merges.result().toDF("rank", "lhs", "rhs", "merged", "n_occurrences")
+      .orderBy("rank")
+  }
+
+  /** Gate: [[BpeMergeRounds]] BPE merges learned from the documents
+    * corpus (words of length ≥ 2 — single-character words carry no
+    * pairs and never change). */
+  def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    val wc = d.select(
+        explode(split(coalesce(col("text"), lit("")), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    bpeTrainOn(wc, BpeMergeRounds)
+  }
+
+  /** Vocabulary cap for [[tokenizeDocs]] — deliberately below the
+    * fixture's 31 distinct terms so the UNK path is exercised at every
+    * scale factor; production sets 32k–200k. */
+  val TokenizeVocabV = 20
+
+  /** Corpus tokenization against a capped vocabulary — the encode step
+    * that turns the curated corpus into the training token stream:
+    * word-level ids under the top-[[TokenizeVocabV]] vocabulary
+    * (count desc, ties by term), everything else the UNK id (= V).
+    * One row per (doc, position).
+    *
+    * Scale shape: the vocabulary is CAPPED BY DESIGN (tokenizer vocabs
+    * are; the cut is `TakeOrderedAndProject`), so the term→id table
+    * broadcasts at any corpus size and the encode is a map-side
+    * broadcast join behind the token scan — a stopword's billion
+    * occurrences never shuffle on the term key. The id-rank window
+    * runs over V rows only. */
+  def tokenizeDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    val occ = d.select(col("doc_id"),
+        posexplode(split(coalesce(col("text"), lit("")), " ")))
+      .toDF("doc_id", "pos", "term")
+      .filter(length(col("term")) > 0)
+    val top = occ.groupBy("term").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term")).limit(TokenizeVocabV)
+    val vocab = top.withColumn("token_id",
+      row_number().over(
+        Window.orderBy(col("c").desc, col("term"))).cast("long") - 1)
+    occ.join(broadcast(vocab.select("term", "token_id")), Seq("term"), "left")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        coalesce(col("token_id"), lit(TokenizeVocabV.toLong)).as("token_id"))
+      .orderBy("doc_id", "pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vocab_build" -> (vocabBuild _),
     "text_bm25_topk" -> (bm25TopK _),
     "text_bm25_queries" -> (bm25PerQuery _),
-    "bpe_top_pairs" -> (bpeTopPairs _))
+    "bpe_top_pairs" -> (bpeTopPairs _),
+    "bpe_train" -> (bpeTrain _),
+    "tokenize_docs" -> (tokenizeDocs _))
 
   val oracle: Map[String, String] = Map(
     "vocab_build" -> s"""
@@ -286,6 +402,66 @@ object Retrieval {
       SELECT query_id, rank, doc_id, n_terms, score FROM ranked
       WHERE rank <= $Bm25PerQueryK ORDER BY query_id, rank"""
     },
+    // the trainer oracle unrolls the merge loop into K CTE stages: per
+    // stage a pair-count aggregate, a (n DESC, a, b) argmax, and a
+    // list_reduce re-segmentation implementing the same greedy
+    // left-to-right non-overlapping merge as mergeAdjacent (the
+    // accumulator's last element can never re-merge because it equals
+    // a||b, which differs from a)
+    "bpe_train" -> {
+      val k = BpeMergeRounds
+      val stages = (1 to k).map { i =>
+        val prev = s"seg${i - 1}"
+        val segNext =
+          if (i == k) "" // the last round's re-segmentation is unused
+          else s""",
+      seg$i AS (
+        SELECT list_reduce(list_transform(seg, x -> [x]),
+          (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m$i.a
+                             AND x[1] = m$i.b
+                      THEN list_concat(acc[:-2], [m$i.a || m$i.b])
+                      ELSE list_concat(acc, x) END) AS seg, c
+        FROM $prev, m$i)"""
+        s"""
+      p$i AS (
+        SELECT a, b, CAST(SUM(c) AS BIGINT) AS n FROM (
+          SELECT c, seg[j] AS a, seg[j+1] AS b
+          FROM $prev, unnest(generate_series(1, len(seg) - 1)) AS u(j))
+        GROUP BY 1, 2),
+      m$i AS (SELECT a, b, n FROM p$i ORDER BY n DESC, a, b LIMIT 1)$segNext"""
+      }.mkString(",")
+      val union = (1 to k).map(i =>
+        s"""SELECT CAST($i AS BIGINT) AS rank, a AS lhs, b AS rhs,
+              a || b AS merged, n AS n_occurrences FROM m$i""")
+        .mkString(" UNION ALL ")
+      s"""
+      WITH w0 AS (
+        SELECT unnest(string_split(COALESCE(text, ''), ' ')) AS w
+        FROM documents),
+      wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM w0
+             WHERE length(w) >= 2 GROUP BY 1),
+      seg0 AS (SELECT string_split(w, '') AS seg, c FROM wc),
+      $stages
+      $union ORDER BY rank"""
+    },
+    "tokenize_docs" -> s"""
+      WITH toks AS (
+        SELECT doc_id, string_split(COALESCE(text, ''), ' ') t
+        FROM documents),
+      occ AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS term
+        FROM toks, unnest(generate_series(1, len(t))) AS u(i)
+        WHERE length(t[i]) > 0),
+      wc AS (SELECT term, COUNT(*) AS c FROM occ GROUP BY 1),
+      vocab AS (
+        SELECT term,
+          CAST(row_number() OVER (ORDER BY c DESC, term) - 1 AS BIGINT)
+            AS token_id
+        FROM (SELECT * FROM wc ORDER BY c DESC, term LIMIT $TokenizeVocabV))
+      SELECT o.doc_id, o.pos,
+        COALESCE(v.token_id, $TokenizeVocabV) AS token_id
+      FROM occ o LEFT JOIN vocab v USING (term)
+      ORDER BY o.doc_id, o.pos""",
     "bpe_top_pairs" -> s"""
       WITH w0 AS (
         SELECT unnest(string_split(COALESCE(text, ''), ' ')) AS w

@@ -136,6 +136,53 @@ class RetrievalSpec extends AnyFunSuite {
     assert(ranks.toSeq == (1L to got.length).toSeq)
   }
 
+  test("bpe trainer learns the hand-derivable merge sequence on a tiny vocab") {
+    import spark.implicits._
+    // aaab×2, ab×3: pairs (a,a):4, (a,b):5 → merge1 (a,b) n=5;
+    // then [a,a,ab]×2, [ab]×3: (a,a):2, (a,ab):2 → tie, (a,a) wins
+    // on (a, b) tie-break → merge2 (a,a) n=2;
+    // then [aa,ab]×2: merge3 (aa,ab) n=2; round 4 has no pairs → stop
+    val wc = Seq(("aaab", 2L), ("ab", 3L)).toDF("w", "c")
+    val got = Retrieval.bpeTrainOn(wc, 10).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1L, "a", "b", "ab", 5L),
+      (2L, "a", "a", "aa", 2L),
+      (3L, "aa", "ab", "aaab", 2L)))
+  }
+
+  test("bpe trainer's first fixture merge is bpe_top_pairs' rank-1 pair") {
+    val first = Retrieval.bpeTrain(spark, dir).collect().head
+    val top1 = Retrieval.bpeTopPairs(spark, dir).collect().head
+    assert(first.getString(3) == top1.getString(1),
+      "round 1 counts pairs over character segmentations — identical " +
+        "to the standalone pair table's top entry")
+    assert(first.getLong(4) == top1.getLong(2))
+  }
+
+  test("tokenize assigns top-V ids by frequency, UNK for the tail, one row per token") {
+    val d = docs
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    d.values.foreach(_.split(' ').filter(_.nonEmpty)
+      .foreach(t => counts(t) = counts.getOrElse(t, 0L) + 1L))
+    val vocab = counts.toSeq.sortBy { case (t, c) => (-c, t) }
+      .take(Retrieval.TokenizeVocabV)
+      .zipWithIndex.map { case ((t, _), i) => t -> i.toLong }.toMap
+    val unk = Retrieval.TokenizeVocabV.toLong
+    val got = Retrieval.tokenizeDocs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expectRows = d.map { case (_, t) =>
+      t.split(' ').count(_.nonEmpty) }.sum
+    assert(got.length == expectRows, "one row per non-empty token")
+    got.foreach { case (id, pos, tid) =>
+      val term = d(id).split(' ')(pos.toInt)
+      assert(tid == vocab.getOrElse(term, unk), s"doc $id pos $pos")
+    }
+    // the cap genuinely bites: both known ids and UNK occur
+    assert(got.exists(_._3 == unk) && got.exists(_._3 < unk))
+  }
+
   test("component-keyed split never straddles a near-dup cluster") {
     val r = Sharding.splitLeakage(spark, dir).collect().head
     assert(r.getLong(2) == 0, "safe split must be leakage-free")
