@@ -278,16 +278,58 @@ object Retrieval {
       .orderBy("rank")
   }
 
+  /** [[bpeTrainOn]] over the corpus word counts, computed once per
+    * corpus fingerprint and persisted ([[TruthCache]]) — the merge
+    * table is the trained MODEL, shared by the train gate and the
+    * encode gate the way [[IvfModel]] shares centroids. */
+  private def trainedMerges(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    TruthCache.cached(s, "bpe_merges", Dedup.docsFingerprint(d), {
+      val wc = d.select(
+          explode(split(coalesce(col("text"), lit("")), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      bpeTrainOn(wc, BpeMergeRounds)
+    })
+  }
+
   /** Gate: [[BpeMergeRounds]] BPE merges learned from the documents
     * corpus (words of length ≥ 2 — single-character words carry no
     * pairs and never change). */
-  def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+  def bpeTrain(s: SparkSession, dir: String): DataFrame =
+    trainedMerges(s, dir).orderBy("rank")
+
+  /** Subword ENCODING under the learned merges — the other half of the
+    * tokenizer ([[bpeTrain]] trains it, this applies it): every corpus
+    * word segmented by replaying the k merges in rank order (greedy
+    * left-to-right each, exactly the training-time [[mergeAdjacent]]),
+    * one output row per (doc, position).
+    *
+    * Scale shape: the merge list is the MODEL — k rows, collected
+    * driver-side like centroids; segmentation runs once per DISTINCT
+    * word (a vocab-bounded compiled map, never per occurrence), and
+    * the corpus joins the encoded vocabulary back by word through a
+    * broadcast (word→subword tables are vocab-bounded: real corpora
+    * hold millions of distinct words — tens of MB — against billions
+    * of occurrences). */
+  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val merges = trainedMerges(s, dir).orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
     val d = Tables.load(s, dir, "documents")
-    val wc = d.select(
-        explode(split(coalesce(col("text"), lit("")), " ")).as("w"))
-      .filter(length(col("w")) >= 2)
-      .groupBy("w").agg(count(lit(1)).as("c"))
-    bpeTrainOn(wc, BpeMergeRounds)
+    val occ = d.select(col("doc_id"),
+        posexplode(split(coalesce(col("text"), lit("")), " ")))
+      .toDF("doc_id", "pos", "w")
+      .filter(length(col("w")) > 0)
+    val encoded = occ.select("w").distinct().as[String].map { w =>
+      var seg: Seq[String] = w.map(_.toString)
+      merges.foreach { case (a, b) => seg = mergeAdjacent(seg, a, b) }
+      (w, seg.mkString(" "), seg.length.toLong)
+    }.toDF("w", "subtokens", "n_subtokens")
+    occ.join(broadcast(encoded), Seq("w"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("n_subtokens"), col("subtokens"))
+      .orderBy("doc_id", "pos")
   }
 
   /** Vocabulary cap for [[tokenizeDocs]] — deliberately below the
@@ -330,7 +372,52 @@ object Retrieval {
     "text_bm25_queries" -> (bm25PerQuery _),
     "bpe_top_pairs" -> (bpeTopPairs _),
     "bpe_train" -> (bpeTrain _),
+    "bpe_encode" -> (bpeEncode _),
     "tokenize_docs" -> (tokenizeDocs _))
+
+  /** The unrolled BPE training stages as DuckDB CTEs (no leading
+    * WITH): word counts → char segmentations → k rounds of pair-count
+    * aggregate, (n DESC, a, b) argmax (m1..mk) and list_reduce
+    * re-segmentation implementing the same greedy left-to-right
+    * non-overlapping merge as [[mergeAdjacent]] (the accumulator's
+    * last element equals a||b after a merge, which differs from a, so
+    * it can never immediately re-merge). Shared by the train and
+    * encode oracles. */
+  private def bpeTrainStagesSql(k: Int): String = {
+    val stages = (1 to k).map { i =>
+      val prev = s"seg${i - 1}"
+      val segNext =
+        if (i == k) "" // the last round's re-segmentation is unused
+        else s""",
+      seg$i AS (
+        SELECT list_reduce(list_transform(seg, x -> [x]),
+          (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m$i.a
+                             AND x[1] = m$i.b
+                      THEN list_concat(acc[:-2], [m$i.a || m$i.b])
+                      ELSE list_concat(acc, x) END) AS seg, c
+        FROM $prev, m$i)"""
+      s"""
+      p$i AS (
+        SELECT a, b, CAST(SUM(c) AS BIGINT) AS n FROM (
+          SELECT c, seg[j] AS a, seg[j+1] AS b
+          FROM $prev, unnest(generate_series(1, len(seg) - 1)) AS u(j))
+        GROUP BY 1, 2),
+      m$i AS (SELECT a, b, n FROM p$i ORDER BY n DESC, a, b LIMIT 1)$segNext"""
+    }.mkString(",")
+    s"""w0 AS (
+        SELECT unnest(string_split(COALESCE(text, ''), ' ')) AS w
+        FROM documents),
+      wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM w0
+             WHERE length(w) >= 2 GROUP BY 1),
+      seg0 AS (SELECT string_split(w, '') AS seg, c FROM wc),
+      $stages"""
+  }
+
+  private def bpeMergesUnionSql(k: Int): String =
+    (1 to k).map(i =>
+      s"""SELECT CAST($i AS BIGINT) AS rank, a AS lhs, b AS rhs,
+            a || b AS merged, n AS n_occurrences FROM m$i""")
+      .mkString(" UNION ALL ")
 
   val oracle: Map[String, String] = Map(
     "vocab_build" -> s"""
@@ -408,41 +495,43 @@ object Retrieval {
     // left-to-right non-overlapping merge as mergeAdjacent (the
     // accumulator's last element can never re-merge because it equals
     // a||b, which differs from a)
-    "bpe_train" -> {
+    "bpe_train" -> s"""
+      WITH ${bpeTrainStagesSql(BpeMergeRounds)}
+      ${bpeMergesUnionSql(BpeMergeRounds)} ORDER BY rank""",
+    // encode = the SAME training stages (m1..mk) replayed over every
+    // distinct corpus word (e0..ek; a LEFT JOIN ON TRUE keeps words
+    // flowing if a round ran dry), joined back to (doc, position)
+    "bpe_encode" -> {
       val k = BpeMergeRounds
-      val stages = (1 to k).map { i =>
-        val prev = s"seg${i - 1}"
-        val segNext =
-          if (i == k) "" // the last round's re-segmentation is unused
-          else s""",
-      seg$i AS (
-        SELECT list_reduce(list_transform(seg, x -> [x]),
-          (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m$i.a
-                             AND x[1] = m$i.b
-                      THEN list_concat(acc[:-2], [m$i.a || m$i.b])
-                      ELSE list_concat(acc, x) END) AS seg, c
-        FROM $prev, m$i)"""
+      val applies = (1 to k).map { i =>
         s"""
-      p$i AS (
-        SELECT a, b, CAST(SUM(c) AS BIGINT) AS n FROM (
-          SELECT c, seg[j] AS a, seg[j+1] AS b
-          FROM $prev, unnest(generate_series(1, len(seg) - 1)) AS u(j))
-        GROUP BY 1, 2),
-      m$i AS (SELECT a, b, n FROM p$i ORDER BY n DESC, a, b LIMIT 1)$segNext"""
+      e$i AS (
+        SELECT w,
+          CASE WHEN m$i.a IS NULL THEN seg
+          ELSE list_reduce(list_transform(seg, x -> [x]),
+            (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m$i.a
+                               AND x[1] = m$i.b
+                        THEN list_concat(acc[:-2], [m$i.a || m$i.b])
+                        ELSE list_concat(acc, x) END) END AS seg
+        FROM e${i - 1} LEFT JOIN m$i ON TRUE)"""
       }.mkString(",")
-      val union = (1 to k).map(i =>
-        s"""SELECT CAST($i AS BIGINT) AS rank, a AS lhs, b AS rhs,
-              a || b AS merged, n AS n_occurrences FROM m$i""")
-        .mkString(" UNION ALL ")
       s"""
-      WITH w0 AS (
-        SELECT unnest(string_split(COALESCE(text, ''), ' ')) AS w
+      WITH ${bpeTrainStagesSql(k)},
+      dtoks AS (
+        SELECT doc_id, string_split(COALESCE(text, ''), ' ') t
         FROM documents),
-      wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM w0
-             WHERE length(w) >= 2 GROUP BY 1),
-      seg0 AS (SELECT string_split(w, '') AS seg, c FROM wc),
-      $stages
-      $union ORDER BY rank"""
+      occ AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS w
+        FROM dtoks, unnest(generate_series(1, len(t))) AS u(i)
+        WHERE length(t[i]) > 0),
+      dw AS (SELECT DISTINCT w FROM occ),
+      e0 AS (SELECT w, string_split(w, '') AS seg FROM dw),
+      $applies
+      SELECT o.doc_id, o.pos,
+        CAST(len(e$k.seg) AS BIGINT) AS n_subtokens,
+        array_to_string(e$k.seg, ' ') AS subtokens
+      FROM occ o JOIN e$k ON o.w = e$k.w
+      ORDER BY o.doc_id, o.pos"""
     },
     "tokenize_docs" -> s"""
       WITH toks AS (

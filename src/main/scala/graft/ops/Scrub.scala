@@ -174,10 +174,65 @@ object Scrub {
           unnest(generate_series(0,
             CAST(ceil(len(t) / ${ChunkTokens}.0) AS INT) - 1)) AS u(i))"""
 
+  /** Masking rate (percent) and the BERT 80/10/10 action split for
+    * [[mlmMask]]. */
+  val MaskPct = 15L
+
+  /** Deterministic masked-LM corruption (the BERT recipe): each token
+    * position draws masked with probability [[MaskPct]]%; a masked
+    * position becomes `[MASK]` 80% of the time, a RANDOM vocabulary
+    * token 10%, and keeps its token 10%. Every draw is the same
+    * engine-exact multiplicative hash the samplers use, keyed by the
+    * synthetic (doc, position) key — so the corruption is exactly
+    * reproducible, append-stable, and re-runs never re-roll (the
+    * property that makes an MLM dataset cacheable).
+    *
+    * Scale shape: pure map-side hash arithmetic fused behind the token
+    * explode, plus ONE broadcast join against the capped
+    * [[Retrieval.TokenizeVocabV]]-row vocabulary for the random-token
+    * replacement — zero corpus shuffles. */
+  def mlmMask(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    val occ = d.select(col("doc_id"),
+        posexplode(split(coalesce(col("text"), lit("")), " ")))
+      .toDF("doc_id", "pos", "term")
+      .filter(length(col("term")) > 0)
+      // same synthetic-key bound argument as Decontam.scrubSpans
+      .withColumn("mk", col("doc_id") * 1048576L + col("pos"))
+      // independent draws from large-odd-offset keys of the same hash
+      .withColumn("mk2", col("mk") + 999999937L)
+      .withColumn("mk3", col("mk") + 777767777L)
+    val masked = occ
+      .withColumn("d1", expr(Sampling.drawSqlModOn("mk", 100)))
+      .withColumn("d2", expr(Sampling.drawSqlModOn("mk2", 10)))
+      .withColumn("rid", expr(
+        Sampling.drawSqlModOn("mk3", Retrieval.TokenizeVocabV.toLong)))
+      .withColumn("action",
+        when(col("d1") >= MaskPct, "none")
+          .when(col("d2") <= 7, "mask")
+          .when(col("d2") === 8, "random")
+          .otherwise("keep"))
+    // the same capped vocab the tokenizer broadcasts (count desc, term)
+    val vocab = occ.groupBy("term").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term")).limit(Retrieval.TokenizeVocabV)
+      .withColumn("rid",
+        row_number().over(
+          Window.orderBy(col("c").desc, col("term"))).cast("long") - 1)
+      .select(col("rid"), col("term").as("rnd_term"))
+    masked.join(broadcast(vocab), Seq("rid"), "left")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("term"),
+        col("action"),
+        when(col("action") === "mask", lit("[MASK]"))
+          .when(col("action") === "random", col("rnd_term"))
+          .otherwise(col("term")).as("replacement"))
+      .orderBy("doc_id", "pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_pii_scrub" -> (piiScrub _),
     "dedup_lines" -> (dedupLines _),
-    "text_boilerplate_scrub" -> (boilerplateScrub _))
+    "text_boilerplate_scrub" -> (boilerplateScrub _),
+    "text_mlm_mask" -> (mlmMask _))
 
   val oracle: Map[String, String] = Map(
     "text_pii_scrub" -> s"""
@@ -252,5 +307,39 @@ object Scrub {
         COALESCE(n_total, 0) - COALESCE(n_kept, 0) AS n_cut
       FROM documents d
       LEFT JOIN tot USING (doc_id) LEFT JOIN rebuilt USING (doc_id)
-      ORDER BY d.doc_id""")
+      ORDER BY d.doc_id""",
+    "text_mlm_mask" -> s"""
+      WITH toks AS (
+        SELECT doc_id, string_split(COALESCE(text, ''), ' ') t
+        FROM documents),
+      occ AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS term,
+          doc_id * 1048576 + (i - 1) AS mk
+        FROM toks, unnest(generate_series(1, len(t))) AS u(i)
+        WHERE length(t[i]) > 0),
+      drawn AS (
+        SELECT doc_id, pos, term,
+          (${Sampling.drawDuckModOn("mk", 100)}) AS d1,
+          (${Sampling.drawDuckModOn("(mk + 999999937)", 10)}) AS d2,
+          (${Sampling.drawDuckModOn(
+            "(mk + 777767777)", Retrieval.TokenizeVocabV.toLong)}) AS rid
+        FROM occ),
+      acted AS (
+        SELECT doc_id, pos, term, rid,
+          CASE WHEN d1 >= ${MaskPct} THEN 'none'
+               WHEN d2 <= 7 THEN 'mask'
+               WHEN d2 = 8 THEN 'random'
+               ELSE 'keep' END AS action
+        FROM drawn),
+      vocab AS (
+        SELECT CAST(row_number() OVER (ORDER BY c DESC, term) - 1 AS BIGINT)
+            AS rid, term AS rnd_term
+        FROM (SELECT term, COUNT(*) AS c FROM occ GROUP BY 1
+              ORDER BY c DESC, term LIMIT ${Retrieval.TokenizeVocabV}))
+      SELECT a.doc_id, a.pos, a.term, a.action,
+        CASE WHEN a.action = 'mask' THEN '[MASK]'
+             WHEN a.action = 'random' THEN v.rnd_term
+             ELSE a.term END AS replacement
+      FROM acted a LEFT JOIN vocab v USING (rid)
+      ORDER BY a.doc_id, a.pos""")
 }

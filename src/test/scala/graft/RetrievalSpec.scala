@@ -161,6 +161,24 @@ class RetrievalSpec extends AnyFunSuite {
     assert(first.getLong(4) == top1.getLong(2))
   }
 
+  test("bpe encode: subtokens concatenate back to the word, merges fire") {
+    val d = docs
+    val got = Retrieval.bpeEncode(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (id, pos, n, st) =>
+      val w = d(id).split(' ')(pos.toInt)
+      val parts = st.split(' ')
+      assert(parts.length == n, s"doc $id pos $pos subtoken count")
+      assert(parts.mkString("") == w,
+        s"doc $id pos $pos: subtokens must concatenate to the word")
+    }
+    // the learned merges genuinely compress: some word encodes to
+    // fewer subtokens than characters
+    assert(got.exists { case (_, _, n, st) =>
+      n < st.replace(" ", "").length })
+  }
+
   test("tokenize assigns top-V ids by frequency, UNK for the tail, one row per token") {
     val d = docs
     val counts = scala.collection.mutable.Map.empty[String, Long]

@@ -101,4 +101,44 @@ class ScrubSpec extends AnyFunSuite {
     // the scrub genuinely fires on the fixture
     assert(out.values.exists(_._2 > 0))
   }
+
+  test("mlm masking replays the 80/10/10 recipe hash-deterministically") {
+    val dir = "/root/testdata/sf0.001"
+    val texts = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse("")).toMap
+    def draw(k: Long, m: Long): Long =
+      ((k % 2147483648L) * 2654435761L) % 4294967296L % m
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    texts.values.foreach(_.split(' ').filter(_.nonEmpty)
+      .foreach(t => counts(t) = counts.getOrElse(t, 0L) + 1L))
+    val vocab = counts.toSeq.sortBy { case (t, c) => (-c, t) }
+      .take(graft.ops.Retrieval.TokenizeVocabV).map(_._1).toIndexedSeq
+    val got = Scrub.mlmMask(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getString(4)))
+    assert(got.nonEmpty)
+    got.foreach { case (id, pos, term, action, repl) =>
+      assert(term == texts(id).split(' ')(pos.toInt))
+      val mk = id * 1048576L + pos
+      val exp =
+        if (draw(mk, 100) >= Scrub.MaskPct) "none"
+        else {
+          val d2 = draw(mk + 999999937L, 10)
+          if (d2 <= 7) "mask" else if (d2 == 8) "random" else "keep"
+        }
+      assert(action == exp, s"doc $id pos $pos")
+      action match {
+        case "mask" => assert(repl == "[MASK]")
+        case "random" => assert(repl == vocab(
+          draw(mk + 777767777L, vocab.length.toLong).toInt))
+        case _ => assert(repl == term)
+      }
+    }
+    // all four actions occur, and the mask rate lands near 15%
+    val byAction = got.groupBy(_._4).view.mapValues(_.length).toMap
+    assert(byAction.keySet == Set("none", "mask", "random", "keep"))
+    val maskedFrac = (got.length - byAction("none")).toDouble / got.length
+    assert(maskedFrac > 0.10 && maskedFrac < 0.20, s"masked $maskedFrac")
+  }
 }
