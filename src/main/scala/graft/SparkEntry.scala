@@ -25,7 +25,7 @@ object SparkEntry {
       graft.ops.Components.queries ++ graft.ops.Sampling.queries ++
       graft.ops.Curation.queries ++ graft.ops.Decontam.queries ++
       graft.ops.Scrub.queries ++ graft.ops.Sharding.queries ++
-      graft.ops.Retrieval.queries ++
+      graft.ops.Retrieval.queries ++ graft.ops.SubstrDedup.queries ++
       graft.ops.Similarity.queries ++ graft.ops.Ivf.queries ++
       graft.ops.IvfIndex.queries ++ graft.ops.ExactIndex.queries ++
       graft.ops.Multimodal.queries
@@ -40,7 +40,7 @@ object SparkEntry {
       graft.ops.Components.oracle ++ graft.ops.Sampling.oracle ++
       graft.ops.Curation.oracle ++ graft.ops.Decontam.oracle ++
       graft.ops.Scrub.oracle ++ graft.ops.Sharding.oracle ++
-      graft.ops.Retrieval.oracle ++
+      graft.ops.Retrieval.oracle ++ graft.ops.SubstrDedup.oracle ++
       graft.ops.Similarity.oracle ++ graft.ops.Ivf.oracle ++
       graft.ops.IvfIndex.oracle ++ graft.ops.ExactIndex.oracle ++
       graft.ops.Multimodal.oracle

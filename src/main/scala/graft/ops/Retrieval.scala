@@ -366,7 +366,46 @@ object Retrieval {
       .orderBy("doc_id", "pos")
   }
 
+  /** Sliding-window chunk width / stride (tokens) for [[chunkSliding]] —
+    * production RAG pipelines use 256–1024 with 50% overlap; the fixture
+    * docs are 10–99 tokens, so 32/16 keeps the same coverage regime. */
+  val ChunkW = 32
+  val ChunkStride = 16
+
+  /** Retrieval-unit construction: every doc cut into [[ChunkW]]-token
+    * windows advancing by [[ChunkStride]] (50% overlap), each chunk
+    * carrying provenance (doc_id, chunk_id, start_tok, n_tokens) — the
+    * prep step that turns a curated corpus into the passage table a
+    * dense or BM25 retriever indexes. The last window is partial; every
+    * token is covered by at least one chunk.
+    *
+    * Scale shape: pure map-side typed flatMap behind the scan (compiled,
+    * same rationale as [[Dedup.shingles]]) — zero shuffles; the output
+    * inherits the scan's partitioning, ready for a downstream
+    * `partitionBy`/index build. */
+  def chunkSliding(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (w, st) = (ChunkW, ChunkStride)
+    Tables.load(s, dir, "documents")
+      // NULL → '' here (not a flatMap branch) so Spark and the oracle's
+      // COALESCE see the identical one-empty-token split
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.split(' ')
+        val starts = 0 until math.max(toks.length, 1) by st
+        starts.iterator.map { start =>
+          val slice = toks.slice(start, start + w)
+          (id, (start / st).toLong, start.toLong, slice.length.toLong,
+            slice.mkString(" "))
+        }
+      }
+      .toDF("doc_id", "chunk_id", "start_tok", "n_tokens", "text")
+      .orderBy("doc_id", "chunk_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "chunk_sliding" -> (chunkSliding _),
     "vocab_build" -> (vocabBuild _),
     "text_bm25_topk" -> (bm25TopK _),
     "text_bm25_queries" -> (bm25PerQuery _),
@@ -420,6 +459,19 @@ object Retrieval {
       .mkString(" UNION ALL ")
 
   val oracle: Map[String, String] = Map(
+    "chunk_sliding" -> s"""
+      WITH toks AS (
+        SELECT doc_id, string_split(COALESCE(text, ''), ' ') t FROM documents),
+      chunks AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+          CAST(i * $ChunkStride AS BIGINT) AS start_tok,
+          t[(i*$ChunkStride+1):(i*$ChunkStride+$ChunkW)] AS w
+        FROM toks, unnest(generate_series(0,
+          CAST(ceil(GREATEST(len(t), 1) / ${ChunkStride}.0) AS INT) - 1)) u(i))
+      SELECT doc_id, chunk_id, start_tok,
+        CAST(len(w) AS BIGINT) AS n_tokens,
+        array_to_string(w, ' ') AS text
+      FROM chunks ORDER BY doc_id, chunk_id""",
     "vocab_build" -> s"""
       WITH toks AS (
         SELECT doc_id, string_split(COALESCE(text, ''), ' ') t FROM documents),

@@ -497,7 +497,44 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Neighbors returned per anchor by [[hardNegatives]]. */
+  val HardNegK = 5
+
+  /** Contrastive hard-negative mining: for each anchor embedding, the
+    * [[HardNegK]] most-similar vectors that are NOT near-duplicates
+    * (cosine < the 0.9 near-dup threshold) — the standard negative-pair
+    * construction for contrastive/embedding training, where the planted
+    * duplicate of an anchor must be excluded (it is a false negative)
+    * and the hardest genuine negatives right below the threshold carry
+    * the training signal. Runs over the near-dup universe so the
+    * exclusion provably fires: every perturbed anchor's planted copy
+    * (cosine ≈ 0.97) is dropped, then top-k of what remains.
+    *
+    * This brute pass is the exact baseline (anchors broadcast, corpus
+    * scanned once); at 100 TB the same ranking runs through the
+    * IVF-partitioned index ([[Ivf.searchIvf]]) with k over-fetched by
+    * the expected duplicate count, then this filter — probes read only
+    * probed clusters, exactly the `ann_topk_ivf` plan. */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val all = nearDupUniverse(s, dir)
+    val q = all.filter(col("vec_id") >= 100000L &&
+        pmod(col("vec_id") - 100000L, lit(29)) === 0)
+      .select(col("vec_id").as("qid"), col("e").as("ea"), col("nrm").as("na"))
+    val n = all.select(col("vec_id").as("nid"), col("e").as("eb"), col("nrm").as("nb"))
+    val scored = q.join(n, col("qid") =!= col("nid"))
+      .withColumn("cosine", round(dot / (col("na") * col("nb")), 6))
+      .filter(col("cosine") < 0.9)
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))))
+      .filter(col("rank") <= HardNegK)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("nid"), col("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_hard_negatives" -> (hardNegatives _),
     "emb_near_dup" -> (nearDup _),
     "emb_dedup_keep_only" -> (embDedupKeepOnly _),
     "emb_semdedup" -> (embSemDedup _),
@@ -525,6 +562,23 @@ object Similarity {
         FROM withn a, withn b WHERE a.vec_id < b.vec_id)"""
 
   val oracle: Map[String, String] = Map(
+    "emb_hard_negatives" -> s"""
+      WITH $nearDupCtesBody,
+      anchors AS (
+        SELECT * FROM withn
+        WHERE vec_id >= 100000 AND (vec_id - 100000) % 29 = 0),
+      scored AS (
+        SELECT a.vec_id qid, n.vec_id nid,
+          ROUND(list_sum(list_transform(generate_series(1, 64),
+            k -> a.e[k] * n.e[k])) / (a.nrm * n.nrm), 6) AS cosine
+        FROM anchors a, withn n WHERE a.vec_id <> n.vec_id),
+      ranked AS (
+        SELECT qid, nid, cosine,
+          row_number() OVER (PARTITION BY qid
+            ORDER BY cosine DESC, nid) AS rk
+        FROM scored WHERE cosine < 0.9)
+      SELECT qid, CAST(rk AS BIGINT) AS rank, nid, cosine
+      FROM ranked WHERE rk <= $HardNegK ORDER BY qid, rank""",
     "emb_quantize" -> s"""
       WITH q AS (
         SELECT vec_id,

@@ -558,4 +558,33 @@ class OpsSpec extends AnyFunSuite {
       assert(draw < pct)
     }
   }
+
+  test("hard negatives exclude every planted duplicate and rank below the threshold") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Similarity.hardNegatives(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // exact planted-pair cosines: the copy counts as a FALSE negative
+    // (excluded) iff it clears the 0.9 near-dup threshold
+    val u = Similarity.nearDupUniverse(spark, dir).localCheckpoint()
+    val planted = Similarity.cosinePairs(u, u)
+      .filter(col("j") === col("i") + 100000L)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    var excluded = 0
+    rows.groupBy(_._1).foreach { case (qid, ns) =>
+      assert(ns.length == Similarity.HardNegK)
+      val dupKept = ns.exists(_._3 == qid - 100000L)
+      if (planted(qid) >= 0.9) {
+        assert(!dupKept, s"anchor $qid kept its >=0.9 dup"); excluded += 1
+      }
+      assert(ns.forall { case (_, _, nid, c) => c < 0.9 && nid != qid })
+      // ranks are 1..k in descending-cosine order
+      assert(ns.sortBy(_._2).map(_._4).sliding(2).forall {
+        case Array(a, b) => a >= b; case _ => true
+      })
+    }
+    // the exclusion must actually fire somewhere, or the gate is inert
+    assert(excluded > 0, "no anchor had a >=0.9 planted dup to exclude")
+  }
 }
