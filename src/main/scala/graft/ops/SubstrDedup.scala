@@ -113,8 +113,59 @@ object SubstrDedup {
       .orderBy(col("doc_id"))
   }
 
+  /** The cutting policy over [[substrSpans]]' detection — Lee et al.'s
+    * "remove all but one occurrence": a window is *foreign* iff its
+    * k-gram occurs more than once corpus-wide and this (doc, pos) is
+    * not the gram's first occurrence (min by (doc_id, pos)); every
+    * token covered by a foreign window is cut and each doc is rebuilt
+    * from its surviving tokens. The first copy of a duplicated span
+    * keeps its text verbatim; later copies (and later self-repeats
+    * inside the same doc) lose exactly the duplicated substance, with
+    * unique flanks preserved to the token.
+    *
+    * Scale shape: the first-occurrence table is the SAME single
+    * gram-keyed aggregate as the detector (min over a (doc_id, pos)
+    * struct is partial-aggregable — a million-copy gram still costs
+    * one row); marking joins grams to that table on the gram key;
+    * token coverage is a bounded ≤k-fold explode deduped per
+    * (doc, token); the rebuild is one doc-keyed aggregate. Never a
+    * corpus self-join. */
+  def substrScrub(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val g = gramPositions(docs)
+    val firsts = g.groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("doc_id"), col("pos"))).as("f"))
+      .filter(col("n") > 1L)
+      .select(col("g"), col("f.doc_id").as("fdoc"), col("f.pos").as("fpos"))
+    val foreign = g.join(firsts, Seq("g"))
+      .filter(!(col("doc_id") === col("fdoc") && col("pos") === col("fpos")))
+    val cut = foreign.select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit((GramK - 1).toLong))).as("tp"))
+      .distinct()
+    val toks = docs.select(col("doc_id"),
+        posexplode(split(coalesce(col("text"), lit("")), " ")))
+      .toDF("doc_id", "tp", "tok")
+      .withColumn("tp", col("tp").cast("long"))
+    val kept = toks.join(cut, Seq("doc_id", "tp"), "left_anti")
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(tp, tok))), x -> x.tok), ' ')")
+          .as("kept_text"),
+        count(lit(1)).as("n_kept"))
+    val totals = toks.groupBy("doc_id").agg(count(lit(1)).as("n_total"))
+    docs.select("doc_id")
+      .join(totals, Seq("doc_id"), "left")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("kept_text"), lit("")).as("text"),
+        (coalesce(col("n_total"), lit(0L)) - coalesce(col("n_kept"), lit(0L)))
+          .as("n_cut"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_substr_spans" -> (substrSpans _),
+    "dedup_substr_scrub" -> (substrScrub _),
     "quality_dup_fraction" -> (dupFraction _))
 
   /** DuckDB twin of [[gramPositions]] + [[coveredPositions]] (no
@@ -142,6 +193,46 @@ object SubstrDedup {
         COUNT(*) + ${GramK - 1} AS n_tokens
       FROM isl GROUP BY doc_id, island
       ORDER BY doc_id, start""",
+    "dedup_substr_scrub" -> s"""
+      WITH toks AS (
+        SELECT doc_id, string_split(COALESCE(text, ''), ' ') t FROM documents),
+      grams AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+          array_to_string(t[(i+1):(i+$GramK)], ' ') AS g
+        FROM toks, unnest(generate_series(0, len(t) - $GramK)) u(i)
+        WHERE len(t) >= $GramK),
+      firsts AS (
+        SELECT g, doc_id AS fdoc, pos AS fpos FROM (
+          SELECT g, doc_id, pos,
+            row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
+            count(*) OVER (PARTITION BY g) AS n
+          FROM grams)
+        WHERE rn = 1 AND n > 1),
+      frn AS (
+        SELECT gr.doc_id, gr.pos FROM grams gr JOIN firsts f ON gr.g = f.g
+        WHERE NOT (gr.doc_id = f.fdoc AND gr.pos = f.fpos)),
+      cut AS (
+        SELECT DISTINCT doc_id, pos + i AS tp
+        FROM frn, unnest(generate_series(0, ${GramK - 1})) u(i)),
+      tokstream AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS tp, t[i] AS tok
+        FROM toks, unnest(generate_series(1, len(t))) u(i)),
+      kept AS (
+        SELECT ts.doc_id, ts.tp, ts.tok FROM tokstream ts
+        WHERE NOT EXISTS (
+          SELECT 1 FROM cut c WHERE c.doc_id = ts.doc_id AND c.tp = ts.tp)),
+      reb AS (
+        SELECT doc_id, array_to_string(list(tok ORDER BY tp), ' ') AS kept_text,
+          count(*) AS n_kept
+        FROM kept GROUP BY doc_id),
+      tot AS (SELECT doc_id, count(*) AS n_total FROM tokstream GROUP BY doc_id)
+      SELECT d.doc_id,
+        COALESCE(reb.kept_text, '') AS text,
+        CAST(COALESCE(tot.n_total, 0) - COALESCE(reb.n_kept, 0) AS BIGINT) AS n_cut
+      FROM documents d
+      LEFT JOIN tot ON d.doc_id = tot.doc_id
+      LEFT JOIN reb ON d.doc_id = reb.doc_id
+      ORDER BY d.doc_id""",
     "quality_dup_fraction" -> s"""
       WITH $gramCtes,
       per AS (SELECT doc_id, count(*) AS n_dup FROM marked GROUP BY doc_id),

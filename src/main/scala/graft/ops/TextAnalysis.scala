@@ -214,6 +214,60 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Absolute discount for [[knLp]] — Kneser–Ney's standard 0.75. */
+  val KnDiscount = 0.75
+
+  /** Interpolated Kneser–Ney bigram scoring — the smoothing the n-gram-LM
+    * quality filters actually ship (CCNet/KenLM lineage), upgrading
+    * [[bigramLp]]'s add-one backoff: P(w2|w1) = max(c12−d,0)/c1 +
+    * (d·N1+(w1,·)/c1)·Pcont(w2), with the continuation probability
+    * Pcont(w2) = N1+(·,w2)/|bigram types| — so a word seen in MANY
+    * contexts (a genuine continuation) backs off high, while a word
+    * frequent only inside one collocation backs off low. Per-doc output
+    * is the mean ln P over the doc's bigrams.
+    *
+    * Float parity: every count is an exact integer and the probability
+    * expression is the IDENTICAL parenthesization on both engines, so
+    * each IEEE step is exactly rounded to the same double; ln then
+    * agrees to ≪1e-12 relative and the 6-decimal rounded mean is
+    * engine-exact (the [[unigramLp]] contract).
+    *
+    * Scale shape: identical to [[bigramLp]] — per-(doc, gram)
+    * pre-aggregation before any join, and ALL model tables (context
+    * totals, continuation counts, the type total as a lazy 1-row cross
+    * join) are vocab-bounded, derived from the same single global
+    * bigram aggregate. */
+  def knLp(s: SparkSession, dir: String): DataFrame =
+    knLpOf(Tables.load(s, dir, "documents"))
+
+  private[graft] def knLpOf(d: DataFrame): DataFrame = {
+    val bi = Dedup.shingles(d, 2, distinct = false)
+      .groupBy("doc_id", "sh").agg(count(lit(1)).as("tf"))
+    val glob = bi.groupBy("sh").agg(sum(col("tf")).as("c12"))
+      .withColumn("w1", substring_index(col("sh"), " ", 1))
+      .withColumn("w2", substring_index(col("sh"), " ", -1))
+    val ctx = glob.groupBy("w1")
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p"))
+    val cont = glob.groupBy("w2").agg(count(lit(1)).as("n2"))
+    val types = glob.agg(count(lit(1)).as("b"))
+    val per = bi
+      .join(glob, "sh")
+      .join(ctx, "w1").join(cont, "w2").crossJoin(types)
+      .withColumn("p",
+        greatest(col("c12") - lit(KnDiscount), lit(0.0)) / col("c1") +
+          (lit(KnDiscount) * col("n1p") / col("c1")) *
+            (col("n2") / col("b")))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_bi"),
+        sum(col("tf") * log(col("p"))).as("lp_sum"))
+    d.select("doc_id")
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bi"), lit(0L)).as("n_bigrams"),
+        coalesce(round(col("lp_sum") / col("n_bi"), 6), lit(0.0)).as("mean_lp"))
+      .orderBy("doc_id")
+  }
+
   /** Top boilerplate n-grams — the corpus-wide most frequent word
     * trigrams with their total occurrence count and document frequency.
     * The "what template junk dominates this crawl" report: nav bars,
@@ -548,6 +602,7 @@ object TextAnalysis {
     "quality_rare_tokens" -> (rareTokens _),
     "quality_unigram_lp" -> (unigramLp _),
     "quality_bigram_lp" -> (bigramLp _),
+    "quality_kn_lp" -> (knLp _),
     "chunk_fixed_tokens" -> (chunkFixedTokens _),
     "corpus_overlap" -> (corpusOverlap _),
     "corpus_ngrams" -> ((s: SparkSession, dir: String) => corpusNgrams(s, dir)),
@@ -726,6 +781,38 @@ object TextAnalysis {
         JOIN sizes za ON sa = za.sid
         JOIN sizes zb ON sb = zb.sid
       ORDER BY sa, sb""",
+    "quality_kn_lp" -> s"""
+      WITH toks AS (
+        SELECT doc_id, string_split(COALESCE(text, ''), ' ') t
+        FROM documents),
+      sh0 AS (
+        SELECT doc_id, t,
+          unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+        FROM toks),
+      occ AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS s FROM sh0),
+      bi AS (SELECT doc_id, s, COUNT(*) AS tf FROM occ GROUP BY 1, 2),
+      gbi AS (
+        SELECT s, SUM(tf) AS c12,
+          split_part(s, ' ', 1) AS w1, split_part(s, ' ', 2) AS w2
+        FROM bi GROUP BY 1),
+      ctx AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1p FROM gbi GROUP BY 1),
+      cont AS (SELECT w2, COUNT(*) AS n2 FROM gbi GROUP BY 1),
+      typ AS (SELECT COUNT(*) AS b FROM gbi),
+      per AS (
+        SELECT bi.doc_id,
+          CAST(SUM(bi.tf) AS BIGINT) AS n_bi,
+          SUM(bi.tf * ln(
+            greatest(gbi.c12 - $KnDiscount, 0.0) / ctx.c1 +
+              ($KnDiscount * ctx.n1p / ctx.c1) * (cont.n2 / typ.b))) AS lp_sum
+        FROM bi JOIN gbi USING (s)
+          JOIN ctx ON gbi.w1 = ctx.w1
+          JOIN cont ON gbi.w2 = cont.w2, typ
+        GROUP BY 1)
+      SELECT d.doc_id,
+        CAST(COALESCE(p.n_bi, 0) AS BIGINT) AS n_bigrams,
+        COALESCE(ROUND(p.lp_sum / p.n_bi, 6), 0.0) AS mean_lp
+      FROM documents d LEFT JOIN per p USING (doc_id)
+      ORDER BY d.doc_id""",
     "quality_bigram_lp" -> """
       WITH toks AS (
         SELECT doc_id, string_split(COALESCE(text, ''), ' ') t

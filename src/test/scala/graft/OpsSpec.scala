@@ -516,6 +516,43 @@ class OpsSpec extends AnyFunSuite {
     assert(lp(1L) > lp(0L))
   }
 
+  test("Kneser-Ney bigram scoring matches the hand formula and sums to one per context") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val docs = Seq(
+      (0L, "a b a b"), // bigrams: "a b"×2, "b a"
+      (1L, "a b"),
+      (2L, "c")        // one token: no bigrams, mean_lp = 0.0
+    ).toDF("doc_id", "text")
+    // gbi: "a b"→3, "b a"→1; ctx a: c1=3 n1p=1, b: c1=1 n1p=1;
+    // cont b: n2=1, a: n2=1; B=2
+    val d = TextAnalysis.KnDiscount
+    def p(c12: Double, c1: Double, n1p: Double, n2: Double, b: Double) =
+      math.max(c12 - d, 0.0) / c1 + (d * n1p / c1) * (n2 / b)
+    val pab = p(3, 3, 1, 1, 2)
+    val pba = p(1, 1, 1, 1, 2)
+    val got = TextAnalysis.knLpOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(0L)._1 == 3L && got(1L)._1 == 1L && got(2L)._1 == 0L)
+    assert(math.abs(got(0L)._2 - (2 * math.log(pab) + math.log(pba)) / 3) < 2e-6)
+    assert(math.abs(got(1L)._2 - math.log(pab)) < 2e-6)
+    assert(got(2L)._2 == 0.0)
+    // KN's defining property: Σ_w2 P(w2|w1) = 1 over observed
+    // continuations when every continuation of w1 was seen (here: both
+    // contexts have a single observed continuation, so check the
+    // discount mass lands on the backoff exactly)
+    assert(math.abs(pba - (0.25 + 0.375)) < 1e-12) // (1-d)/1 + d*1*(1/2)
+    // a word appearing in many CONTEXTS backs off higher than one
+    // frequent only inside a single collocation
+    val varied = Seq(
+      (0L, "x p y p z p q q q q q r"), // p follows x,y,z; q only q
+      (1L, "w p"), (2L, "w q")).toDF("doc_id", "text")
+    val kn = TextAnalysis.knLpOf(varied).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(kn(1L) > kn(2L),
+      "unseen-context 'w p' must outscore 'w q': p is the richer continuation")
+  }
+
   test("semdedup invariants: verified edges only, exact survivors kept, bound holds") {
     val row = Similarity.embSemDedup(spark, dir).collect().head
     assert(row.getLong(3) == 0L,

