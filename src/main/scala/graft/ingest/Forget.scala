@@ -1,0 +1,84 @@
+package graft.ingest
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Right-to-be-forgotten pipeline over the manifest store: ingest →
+  * copy-on-write [[ManifestStore.delete]] keyed by the forget-request id
+  * → read back. The gate proves the whole loop end-to-end against the
+  * DuckDB oracle: the surviving store contents equal the fixture minus
+  * the forgotten users, the replayed request is a no-op, and untouched
+  * files are not rewritten (asserted structurally in the spec).
+  */
+object Forget {
+
+  /** Users to forget in the gate: user_id ≡ 0 (mod 13). */
+  val ForgetMod = 13L
+
+  private val builtRoots = scala.collection.mutable.Set[String]()
+
+  /** Absolute-path-hashed per-dir store root (the
+    * [[graft.ops.ExactIndex.gateRoot]] rule — alike-named dirs never
+    * alias). */
+  private[graft] def gateRoot(dir: String): String = {
+    val abs = new java.io.File(dir).getAbsolutePath
+    s"${System.getProperty("java.io.tmpdir")}/graft_forget_store_" +
+      new java.io.File(dir).getName + "_" +
+      java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(abs))
+  }
+
+  /** Build (once per session) the gate store: ingest events in two
+    * appends (so the delete provably leaves untouched FILES alone, not
+    * just untouched rows), run the keyed delete, replay it. */
+  private[graft] def builtStore(s: SparkSession, dir: String): ManifestStore = {
+    val root = gateRoot(dir)
+    builtRoots.synchronized {
+      if (!builtRoots.contains(root)) {
+        val p = new Path(root)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        val store = new ManifestStore(root)
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        store.append(s, ev.filter(col("event_id") % 2 === 0),
+          rangeCol = Some("event_id"))
+        store.append(s, ev.filter(col("event_id") % 2 === 1),
+          rangeCol = Some("event_id"))
+        val n = store.delete(s, pmod(col("user_id"), lit(ForgetMod)) === 0,
+          commitKey = Some("forget-req-1"))
+        // replaying the same forget-request id must change nothing
+        val replay = store.delete(s, pmod(col("user_id"), lit(ForgetMod)) === 0,
+          commitKey = Some("forget-req-1"))
+        require(replay == 0L, s"forget replay deleted $replay rows")
+        require(n > 0L, "forget gate deleted nothing — inert predicate")
+        builtRoots.add(root)
+      }
+    }
+    new ManifestStore(root)
+  }
+
+  /** Gate: per-type counts + id checksum of the store AFTER the forget —
+    * equality with the oracle proves the surviving row set exactly. */
+  def storeDelete(s: SparkSession, dir: String): DataFrame =
+    builtStore(s, dir).read(s).get
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("event_id")).as("id_sum"),
+        sum(col("user_id")).as("user_sum"))
+      .orderBy("event_type")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "store_delete_forget" -> (storeDelete _))
+
+  val oracle: Map[String, String] = Map(
+    "store_delete_forget" -> s"""
+      SELECT event_type,
+        COUNT(*) AS n,
+        CAST(SUM(event_id) AS BIGINT) AS id_sum,
+        CAST(SUM(user_id) AS BIGINT) AS user_sum
+      FROM events
+      WHERE user_id % $ForgetMod <> 0
+      GROUP BY event_type ORDER BY event_type""")
+}

@@ -2,7 +2,7 @@ package graft.ingest
 
 import java.nio.charset.StandardCharsets
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Manifest-committed parquet store: atomic, snapshot-isolated commits
@@ -544,6 +544,51 @@ final class ManifestStore(val root: String) extends Serializable {
           .unionByName(df, allowMissingColumns = true)
       kept ++ writeData(spark, merged, partitionCols, Some(rangeCol))
     }
+  }
+
+  /** Copy-on-write DELETE (the GDPR/right-to-be-forgotten maintenance
+    * primitive, Delta's `DELETE FROM` on plain parquet): every row
+    * matching `predicate` disappears in ONE atomic manifest flip, and
+    * only the files that actually CONTAIN matches are rewritten — the
+    * untouched majority of a 100 TB store keeps its existing files
+    * byte-identical (no read, no write, no new entries). Victim files
+    * are found with a single predicate-filtered scan carrying
+    * `input_file_name()` — at scale that scan itself prunes on parquet
+    * stats/partitioning when the predicate allows. Survivor rows of hit
+    * files are rewritten into a fresh commit directory; readers see
+    * wholly-old or wholly-new. Replay-safe via `commitKey` (a repeated
+    * forget-request id is a no-op), and the pre-delete snapshot stays
+    * time-travelable until [[vacuum]] — the audit trail a deletion
+    * request needs on one hand, the retention cap that actually erases
+    * on the other.
+    *
+    * Returns the number of rows deleted (0 on key replay or no match). */
+  def delete(spark: SparkSession, predicate: Column,
+             partitionCols: Seq[String] = Nil,
+             commitKey: Option[String] = None): Long = synchronized {
+    if (commitKey.exists(hasCommitKey(spark, _))) return 0L
+    var deleted = 0L
+    commitWith(spark, commitKey, currentRangeCol(spark)) { prev =>
+      deleted = 0L // re-computed per attempt against the then-current snapshot
+      val files = prev.map(_.files).getOrElse(Nil)
+      if (files.isEmpty) files
+      else {
+        val victims = readFiles(spark, files).filter(predicate)
+          .select(input_file_name().as("f")).distinct()
+          .collect().map(_.getString(0)).toSet
+        // rel (data/<commit-uuid>/...) is a unique suffix of the URI —
+        // bare file names (part-00000…) repeat across commits
+        val (hit, kept) = files.partition(e => victims.exists(_.endsWith("/" + e.rel)))
+        if (hit.isEmpty) files
+        else {
+          val rc = prev.flatMap(_.rangeCol)
+          deleted = readFiles(spark, hit).filter(predicate).count()
+          kept ++ writeData(spark,
+            readFiles(spark, hit).filter(!predicate), partitionCols, rc)
+        }
+      }
+    }
+    deleted
   }
 
   /** Atomic compaction: rewrite the current snapshot into

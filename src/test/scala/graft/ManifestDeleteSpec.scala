@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ingest.ManifestStore
+
+/** Copy-on-write DELETE: atomicity, file-level pruning (untouched files
+  * are not rewritten), keyed replay, and the audit/time-travel contract. */
+class ManifestDeleteSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshStore(): ManifestStore =
+    new ManifestStore(
+      Files.createTempDirectory("graft_delete_spec").toString)
+
+  test("delete rewrites only files containing matches; others stay byte-identical entries") {
+    val store = freshStore()
+    // commit 1: no victims; commit 2: contains the victim user
+    store.append(spark, Seq((1L, 10L, "a"), (2L, 11L, "b"))
+      .toDF("event_id", "user_id", "payload"), rangeCol = Some("event_id"))
+    store.append(spark, Seq((3L, 66L, "c"), (4L, 12L, "d"))
+      .toDF("event_id", "user_id", "payload"), rangeCol = Some("event_id"))
+    val before = store.currentFiles(spark).toSet
+    val vBefore = store.currentVersion(spark)
+
+    val n = store.delete(spark, col("user_id") === 66L,
+      commitKey = Some("req-1"))
+    assert(n == 1L)
+    val after = store.currentFiles(spark).toSet
+    // commit-1 files (the no-victim commit) must survive UNREWRITTEN
+    val kept = before.intersect(after)
+    assert(kept.nonEmpty, "no untouched file survived — delete rewrote everything")
+    assert(before.diff(after).nonEmpty, "no file was replaced")
+    // surviving rows are exactly the non-matching ones
+    val rows = store.read(spark).get.select("event_id", "user_id")
+      .as[(Long, Long)].collect().toSet
+    assert(rows == Set((1L, 10L), (2L, 11L), (4L, 12L)))
+    // audit: the pre-delete snapshot is still time-travelable
+    val old = store.readVersion(spark, vBefore).get
+      .select("event_id").as[Long].collect().toSet
+    assert(old == Set(1L, 2L, 3L, 4L))
+    // keyed replay is a no-op (same request id)
+    assert(store.delete(spark, col("user_id") === 66L,
+      commitKey = Some("req-1")) == 0L)
+    assert(store.currentFiles(spark).toSet == after)
+  }
+
+  test("no-match delete leaves the manifest file set unchanged") {
+    val store = freshStore()
+    store.append(spark, Seq((1L, 10L, "a")).toDF("event_id", "user_id", "payload"),
+      rangeCol = Some("event_id"))
+    val before = store.currentFiles(spark).toSet
+    assert(store.delete(spark, col("user_id") === 999L) == 0L)
+    assert(store.currentFiles(spark).toSet == before)
+  }
+
+  test("delete preserves the recorded range column (stats pruning survives)") {
+    val store = freshStore()
+    store.append(spark, (1L to 40L).map(i => (i, i % 7, s"p$i"))
+      .toDF("event_id", "user_id", "payload"), rangeCol = Some("event_id"))
+    store.delete(spark, col("user_id") === 3L)
+    // resume watermark still computable from stats after the rewrite
+    assert(store.statsMax(spark).contains(40L))
+    val got = store.readRange(spark, 10L, 20L).get
+      .select("event_id").as[Long].collect().toSet
+    assert(got == (10L to 20L).filter(_ % 7 != 3).toSet)
+  }
+}
