@@ -457,6 +457,38 @@ final class ManifestStore(val root: String) extends Serializable {
       .map(s => readFiles(spark, s.files))
   }
 
+  /** Delta read for incremental consumers ([[MatView]]): rows in files
+    * ADDED after `sinceVersion` up to the current snapshot — the
+    * manifest diff makes change capture free on an append-only store
+    * (no per-row change log, no timestamps). None when nothing was
+    * added. Valid under the append-only contract: a rewriting commit
+    * (delete/merge/overwrite/compact) re-adds surviving rows' files, so
+    * incremental consumers must recompute from scratch then — detect
+    * rewrites with [[removedSince]]. */
+  def readAddedSince(spark: SparkSession, sinceVersion: Long): Option[DataFrame] = {
+    val f = fs(spark)
+    val base: Set[String] =
+      if (sinceVersion <= 0) Set.empty
+      else readManifest(f, sinceVersion).map(_.files.map(_.rel).toSet)
+        .getOrElse(Set.empty)
+    snapshot(spark).flatMap { s =>
+      val added = s.files.filterNot(e => base.contains(e.rel))
+      if (added.isEmpty) None else Some(readFiles(spark, added))
+    }
+  }
+
+  /** True iff any file of `sinceVersion`'s snapshot is gone from the
+    * current one — i.e. a rewriting commit happened and the append-only
+    * delta contract of [[readAddedSince]] is broken for that window. */
+  def removedSince(spark: SparkSession, sinceVersion: Long): Boolean = {
+    val f = fs(spark)
+    if (sinceVersion <= 0) return false
+    val base = readManifest(f, sinceVersion).map(_.files.map(_.rel).toSet)
+      .getOrElse(Set.empty)
+    val now = snapshot(spark).map(_.files.map(_.rel).toSet).getOrElse(Set.empty)
+    base.exists(r => !now.contains(r))
+  }
+
   /** Data skipping: rows of the current snapshot with the range column in
     * [from, to], reading ONLY the files whose manifest stats overlap the
     * window — at warehouse scale a narrow block-range query opens a
@@ -589,6 +621,43 @@ final class ManifestStore(val root: String) extends Serializable {
       }
     }
     deleted
+  }
+
+  /** Copy-on-write MERGE (upsert-by-key; Delta's `MERGE WHEN MATCHED
+    * THEN UPDATE WHEN NOT MATCHED THEN INSERT` for whole rows): every
+    * stored row whose `keyCols` match a row of `updates` is replaced,
+    * and every `updates` row is present afterwards — in one atomic
+    * manifest flip. Only files actually CONTAINING matched keys are
+    * rewritten (victim detection tags rows with `input_file_name()` AT
+    * THE SCAN, before the join shuffle can lose it, then semi-joins on
+    * the key); the untouched majority keeps its entries. Replay-safe
+    * via `commitKey`.
+    *
+    * Update rows all land in the fresh commit regardless of matching —
+    * the no-match case degrades to a pure append with zero rewrites. */
+  def merge(spark: SparkSession, updates: DataFrame, keyCols: Seq[String],
+            partitionCols: Seq[String] = Nil,
+            commitKey: Option[String] = None): Unit = synchronized {
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    if (commitKey.exists(hasCommitKey(spark, _))) return
+    commitWith(spark, commitKey, currentRangeCol(spark)) { prev =>
+      val files = prev.map(_.files).getOrElse(Nil)
+      val rc = prev.flatMap(_.rangeCol).orElse(currentRangeCol(spark))
+      if (files.isEmpty) writeData(spark, updates, partitionCols, rc)
+      else {
+        val keys = updates.select(keyCols.map(col): _*).distinct()
+        val victims = readFiles(spark, files)
+          .withColumn("__f", input_file_name())
+          .join(keys, keyCols, "left_semi")
+          .select("__f").distinct().collect().map(_.getString(0)).toSet
+        val (hit, kept) = files.partition(e => victims.exists(_.endsWith("/" + e.rel)))
+        val fresh =
+          if (hit.isEmpty) updates
+          else readFiles(spark, hit).join(keys, keyCols, "left_anti")
+            .unionByName(updates, allowMissingColumns = true)
+        kept ++ writeData(spark, fresh, partitionCols, rc)
+      }
+    }
   }
 
   /** Atomic compaction: rewrite the current snapshot into

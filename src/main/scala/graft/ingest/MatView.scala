@@ -1,0 +1,126 @@
+package graft.ingest
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Incremental materialized aggregate view over a [[ManifestStore]] —
+  * classic incremental view maintenance on the manifest log:
+  *
+  *  - The view stores PARTIAL aggregates (row count + exact decimal sum
+  *    per group) plus the source version they cover (`as_of`), in its
+  *    own manifest store.
+  *  - `refresh` reads ONLY the delta — the files the source's manifest
+  *    diff says were added since `as_of` ([[ManifestStore.readAddedSince]];
+  *    no change log, no timestamps) — aggregates them map-side, and
+  *    merges partials with the stored ones: at 100 TB a refresh costs
+  *    the new batch, not the corpus.
+  *  - A REWRITING source commit (delete/merge/overwrite/compact) breaks
+  *    the append-only delta contract; [[ManifestStore.removedSince]]
+  *    detects it and the refresh falls back to a full recompute — stale
+  *    results are structurally impossible, whatever the commit mix.
+  *  - The refresh commit is keyed `refresh@<sourceVersion>`, so a
+  *    crashed or replayed refresh can never double-count a delta, and
+  *    refreshing an unchanged source short-circuits.
+  */
+final class MatView(val root: String, groupCols: Seq[String], valueCol: String) {
+
+  private def store = new ManifestStore(root)
+
+  /** Current view contents: (groupCols…, n, vsum DECIMAL(38,6), as_of). */
+  def state(spark: SparkSession): Option[DataFrame] = store.read(spark)
+
+  private def aggOf(df: DataFrame): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(18,6)")).as("vsum"))
+      .select(groupCols.map(col) ++
+        Seq(col("n"), col("vsum").cast("decimal(38,6)").as("vsum")): _*)
+
+  /** Bring the view up to the source's current version; returns that
+    * version. No-op when already current. */
+  def refresh(spark: SparkSession, source: ManifestStore): Long = {
+    val vNow = source.currentVersion(spark)
+    val st = state(spark)
+    val asOf: Long = st.map(_.agg(max(col("as_of"))).head.getLong(0)).getOrElse(0L)
+    if (asOf == vNow) return vNow
+    val rewritten = source.removedSince(spark, asOf)
+    val delta = source.readAddedSince(spark, if (rewritten) 0L else asOf)
+    val fresh: Option[DataFrame] = (delta, st) match {
+      case (None, None) => None // empty source, nothing to store
+      case (None, Some(prev)) =>
+        // rewritten-to-empty source empties the view; otherwise versions
+        // moved with no files added (empty append): carry partials
+        // forward under the new as_of
+        Some(if (rewritten) prev.drop("as_of").limit(0) else prev.drop("as_of"))
+      case (Some(d), prevOpt) =>
+        if (rewritten || prevOpt.isEmpty) Some(aggOf(d))
+        else Some(prevOpt.get.drop("as_of").unionByName(aggOf(d))
+          .groupBy(groupCols.map(col): _*)
+          .agg(sum(col("n")).as("n"),
+            sum(col("vsum")).cast("decimal(38,6)").as("vsum")))
+    }
+    fresh.foreach(f => store.replaceAll(spark,
+      f.withColumn("as_of", lit(vNow)), commitKey = Some(s"refresh@$vNow")))
+    vNow
+  }
+}
+
+/** Gate: the view maintained across two appends (delta-path refreshes)
+  * and a copy-on-write forget (rewrite-detected full recompute) equals
+  * the direct aggregate over the surviving fixture rows. */
+object MatView {
+
+  private val builtRoots = scala.collection.mutable.Set[String]()
+
+  private[graft] def gateRoots(dir: String): (String, String) = {
+    val abs = new java.io.File(dir).getAbsolutePath
+    val tag = new java.io.File(dir).getName + "_" +
+      java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(abs))
+    val t = System.getProperty("java.io.tmpdir")
+    (s"$t/graft_mv_source_$tag", s"$t/graft_mv_view_$tag")
+  }
+
+  def matviewGate(s: SparkSession, dir: String): DataFrame = {
+    val (srcRoot, viewRoot) = gateRoots(dir)
+    builtRoots.synchronized {
+      if (!builtRoots.contains(srcRoot)) {
+        for (r <- Seq(srcRoot, viewRoot)) {
+          val p = new Path(r)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+        val src = new ManifestStore(srcRoot)
+        val mv = new MatView(viewRoot, Seq("event_type"), "value")
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        src.append(s, ev.filter(col("event_id") % 2 === 0),
+          rangeCol = Some("event_id"))
+        mv.refresh(s, src) // delta = commit 1
+        src.append(s, ev.filter(col("event_id") % 2 === 1),
+          rangeCol = Some("event_id"))
+        mv.refresh(s, src) // delta = commit 2 only
+        src.delete(s, pmod(col("user_id"), lit(Forget.ForgetMod)) === 0,
+          commitKey = Some("mv-forget-1"))
+        mv.refresh(s, src) // rewrite detected -> full recompute
+        builtRoots.add(srcRoot)
+      }
+    }
+    new MatView(viewRoot, Seq("event_type"), "value").state(s).get
+      .select(col("event_type"), col("n"),
+        col("vsum").cast("double").as("value_sum"))
+      .orderBy("event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "store_matview_flows" -> (matviewGate _))
+
+  val oracle: Map[String, String] = Map(
+    "store_matview_flows" -> s"""
+      SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      FROM events
+      WHERE user_id % ${Forget.ForgetMod} <> 0
+      GROUP BY event_type ORDER BY event_type""")
+}

@@ -56,6 +56,36 @@ class ManifestDeleteSpec extends AnyFunSuite {
     assert(store.currentFiles(spark).toSet == before)
   }
 
+  test("merge upserts by key: matched rows replaced, new rows inserted, untouched files kept") {
+    val store = freshStore()
+    store.append(spark, Seq((1L, 10L, "a"), (2L, 11L, "b"))
+      .toDF("event_id", "user_id", "payload"), rangeCol = Some("event_id"))
+    store.append(spark, Seq((3L, 12L, "c"))
+      .toDF("event_id", "user_id", "payload"), rangeCol = Some("event_id"))
+    val before = store.currentFiles(spark).toSet
+    // update key 3, insert key 9 — commit-1's file holds no matched key
+    store.merge(spark, Seq((3L, 99L, "C2"), (9L, 13L, "new"))
+      .toDF("event_id", "user_id", "payload"), Seq("event_id"),
+      commitKey = Some("merge-1"))
+    val after = store.currentFiles(spark).toSet
+    assert(before.intersect(after).nonEmpty, "untouched commit was rewritten")
+    val rows = store.read(spark).get
+      .select("event_id", "user_id", "payload")
+      .as[(Long, Long, String)].collect().toSet
+    assert(rows == Set((1L, 10L, "a"), (2L, 11L, "b"),
+      (3L, 99L, "C2"), (9L, 13L, "new")))
+    // keyed replay is a no-op
+    store.merge(spark, Seq((3L, 0L, "x")).toDF("event_id", "user_id", "payload"),
+      Seq("event_id"), commitKey = Some("merge-1"))
+    assert(store.read(spark).get.filter(col("event_id") === 3L)
+      .select("payload").as[String].head() == "C2")
+    // no-match merge degrades to a pure append (zero rewrites)
+    val pre = store.currentFiles(spark).toSet
+    store.merge(spark, Seq((50L, 1L, "z")).toDF("event_id", "user_id", "payload"),
+      Seq("event_id"))
+    assert(pre.subsetOf(store.currentFiles(spark).toSet))
+  }
+
   test("delete preserves the recorded range column (stats pruning survives)") {
     val store = freshStore()
     store.append(spark, (1L to 40L).map(i => (i, i % 7, s"p$i"))

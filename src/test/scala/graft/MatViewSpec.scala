@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ingest.{ManifestStore, MatView}
+
+/** Incremental view maintenance: delta-only refresh, rewrite-triggered
+  * recompute, replay idempotence, and the up-to-date short-circuit. */
+class MatViewSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fresh(): (ManifestStore, MatView) = {
+    val t = Files.createTempDirectory("graft_mv_spec").toString
+    (new ManifestStore(s"$t/src"),
+      new MatView(s"$t/view", Seq("k"), "v"))
+  }
+
+  private def stateMap(mv: MatView): Map[String, (Long, BigDecimal)] =
+    mv.state(spark).get.select("k", "n", "vsum").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), BigDecimal(r.getDecimal(2)))))
+      .toMap
+
+  test("refresh consumes only the manifest delta and merges partials") {
+    val (src, mv) = fresh()
+    src.append(spark, Seq(("a", 1.5), ("b", 2.0)).toDF("k", "v"))
+    mv.refresh(spark, src)
+    assert(stateMap(mv) == Map("a" -> ((1L, BigDecimal("1.5"))),
+      "b" -> ((1L, BigDecimal("2.0")))))
+    src.append(spark, Seq(("a", 0.5), ("c", 3.0)).toDF("k", "v"))
+    // the delta visible to the second refresh is exactly commit 2
+    val v1 = 1L
+    val delta = src.readAddedSince(spark, v1).get
+    assert(delta.count() == 2L)
+    assert(delta.select("k").as[String].collect().toSet == Set("a", "c"))
+    mv.refresh(spark, src)
+    assert(stateMap(mv) == Map("a" -> ((2L, BigDecimal("2.0"))),
+      "b" -> ((1L, BigDecimal("2.0"))), "c" -> ((1L, BigDecimal("3.0")))))
+    // up-to-date refresh short-circuits (same version, view unchanged)
+    val filesBefore = mv.state(spark).get.inputFiles.toSet
+    mv.refresh(spark, src)
+    assert(mv.state(spark).get.inputFiles.toSet == filesBefore)
+  }
+
+  test("a rewriting source commit forces a full recompute, never stale state") {
+    val (src, mv) = fresh()
+    src.append(spark, Seq(("a", 1.0), ("b", 2.0), ("b", 4.0)).toDF("k", "v"))
+    mv.refresh(spark, src)
+    src.delete(spark, col("k") === "b")
+    assert(src.removedSince(spark, 1L))
+    mv.refresh(spark, src)
+    assert(stateMap(mv) == Map("a" -> ((1L, BigDecimal("1.0")))))
+    // append after the rewrite goes back to the delta path
+    src.append(spark, Seq(("a", 2.5)).toDF("k", "v"))
+    mv.refresh(spark, src)
+    assert(stateMap(mv) == Map("a" -> ((2L, BigDecimal("3.5")))))
+  }
+}
