@@ -214,6 +214,44 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Dimensions of the [[hashEmbed]] feature-hashed vector — production
+    * uses 2¹⁸–2²⁰; 16 keeps every dimension populated at fixture scale. */
+  val HashDim = 16
+
+  /** Feature-hashing document embedding (the hashing trick, Weinberger
+    * et al. 2009): each token is hashed to a dimension with a ±1 sign
+    * and the doc's vector is the signed count per dimension — a
+    * model-free text→vector bridge whose output feeds the SAME ANN /
+    * embedding-dedup machinery as learned embeddings ([[Similarity]],
+    * [[Ivf]]), with no vocabulary table at all. The hash is md5-derived
+    * (hex-digit arithmetic) so the DuckDB oracle computes the identical
+    * buckets — Spark's murmur `hash()` has no DuckDB twin.
+    *
+    * Scale shape: token explode + ONE (doc, dim)-keyed aggregate with
+    * map-side partial combine; the dense fill is a per-row 16-way
+    * sequence explode. No vocabulary join, no shuffle wider than the
+    * output itself — the whole point of hashing features. */
+  def hashEmbed(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    val terms = d.select(col("doc_id"),
+        explode(split(coalesce(col("text"), lit("")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .withColumn("fp", md5(col("term")))
+    def hx(i: Int) = expr(s"instr('0123456789abcdef', substring(fp, $i, 1)) - 1")
+    val bucketed = terms
+      .withColumn("v", ((hx(1) * 16 + hx(2)) * 16 + hx(3)) * 16 + hx(4))
+      .withColumn("dim", pmod(col("v"), lit(HashDim)).cast("long"))
+      .withColumn("sgn", when(hx(5) % 2 === 0, lit(1.0)).otherwise(lit(-1.0)))
+    val agg = bucketed.groupBy("doc_id", "dim").agg(sum(col("sgn")).as("val"))
+    d.select(col("doc_id"),
+        explode(sequence(lit(0), lit(HashDim - 1))).as("dim"))
+      .withColumn("dim", col("dim").cast("long"))
+      .join(agg, Seq("doc_id", "dim"), "left")
+      .select(col("doc_id"), col("dim"),
+        coalesce(col("val"), lit(0.0)).as("val"))
+      .orderBy("doc_id", "dim")
+  }
+
   /** Absolute discount for [[knLp]] — Kneser–Ney's standard 0.75. */
   val KnDiscount = 0.75
 
@@ -603,6 +641,7 @@ object TextAnalysis {
     "quality_unigram_lp" -> (unigramLp _),
     "quality_bigram_lp" -> (bigramLp _),
     "quality_kn_lp" -> (knLp _),
+    "text_hash_embed" -> (hashEmbed _),
     "chunk_fixed_tokens" -> (chunkFixedTokens _),
     "corpus_overlap" -> (corpusOverlap _),
     "corpus_ngrams" -> ((s: SparkSession, dir: String) => corpusNgrams(s, dir)),
@@ -781,6 +820,33 @@ object TextAnalysis {
         JOIN sizes za ON sa = za.sid
         JOIN sizes zb ON sb = zb.sid
       ORDER BY sa, sb""",
+    "text_hash_embed" -> s"""
+      WITH terms AS (
+        SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS term
+        FROM documents),
+      h AS (
+        SELECT doc_id, md5(term) AS fp FROM terms WHERE length(term) > 0),
+      hx AS (
+        SELECT doc_id,
+          strpos('0123456789abcdef', substring(fp, 1, 1)) - 1 AS h1,
+          strpos('0123456789abcdef', substring(fp, 2, 1)) - 1 AS h2,
+          strpos('0123456789abcdef', substring(fp, 3, 1)) - 1 AS h3,
+          strpos('0123456789abcdef', substring(fp, 4, 1)) - 1 AS h4,
+          strpos('0123456789abcdef', substring(fp, 5, 1)) - 1 AS h5
+        FROM h),
+      sgn AS (
+        SELECT doc_id,
+          (((h1*16 + h2)*16 + h3)*16 + h4) % $HashDim AS dim,
+          CASE WHEN h5 % 2 = 0 THEN 1.0 ELSE -1.0 END AS s
+        FROM hx),
+      agg AS (SELECT doc_id, dim, SUM(s) AS val FROM sgn GROUP BY 1, 2),
+      dims AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS dim
+        FROM (SELECT DISTINCT doc_id FROM documents),
+          unnest(generate_series(0, ${HashDim - 1})) u(i))
+      SELECT d.doc_id, d.dim, COALESCE(a.val, 0.0) AS val
+      FROM dims d LEFT JOIN agg a ON d.doc_id = a.doc_id AND d.dim = a.dim
+      ORDER BY d.doc_id, d.dim""",
     "quality_kn_lp" -> s"""
       WITH toks AS (
         SELECT doc_id, string_split(COALESCE(text, ''), ' ') t

@@ -516,6 +516,27 @@ class OpsSpec extends AnyFunSuite {
     assert(lp(1L) > lp(0L))
   }
 
+  test("hash embedding: known md5 buckets, signed counts, dense dims") {
+    val rows = graft.ops.TextAnalysis.hashEmbed(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val dims = graft.ops.TextAnalysis.HashDim
+    // dense: every (doc, dim) present
+    assert(rows.size % dims == 0)
+    // md5("a") = 0cc175b9... → v = ((0·16+12)·16+12)·16+1 = 3265,
+    // dim = 3265 % 16 = 1, 5th hex digit 7 → sign −1
+    import spark.implicits._
+    val md5a = java.security.MessageDigest.getInstance("MD5")
+      .digest("a".getBytes).map("%02x".format(_)).mkString
+    assert(md5a.startsWith("0cc17"))
+    // embedding magnitude is bounded by the doc's token count
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    docs.foreach { case (id, text) =>
+      val l1 = (0 until dims).map(d => math.abs(rows((id, d.toLong)))).sum
+      assert(l1 <= text.split(' ').count(_.nonEmpty) + 1e-9)
+    }
+  }
+
   test("Kneser-Ney bigram scoring matches the hand formula and sums to one per context") {
     import spark.implicits._
     import graft.ops.TextAnalysis
