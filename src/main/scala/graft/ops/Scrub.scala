@@ -228,13 +228,40 @@ object Scrub {
       .orderBy("doc_id", "pos")
   }
 
+  /** Text normalization — the canonical pre-dedup cleanup (C4/CCNet
+    * lineage): lowercase, non-alphanumerics to spaces, whitespace
+    * collapsed, trimmed; plus the post-normalization token count. Pure
+    * map-side column expressions fused behind the scan — zero shuffles
+    * at any corpus size. Patterns live in the Java∩RE2 common subset so
+    * the oracle runs the identical text. */
+  def normalize(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    val t = trim(regexp_replace(regexp_replace(
+      lower(coalesce(col("text"), lit(""))), "[^a-z0-9 ]", " "), " +", " "))
+    d.select(col("doc_id"), t.as("text"),
+        when(length(t) === 0, lit(0L))
+          .otherwise(size(split(t, " ")).cast("long")).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_normalize" -> (normalize _),
     "text_pii_scrub" -> (piiScrub _),
     "dedup_lines" -> (dedupLines _),
     "text_boilerplate_scrub" -> (boilerplateScrub _),
     "text_mlm_mask" -> (mlmMask _))
 
   val oracle: Map[String, String] = Map(
+    "text_normalize" -> """
+      WITH norm AS (
+        SELECT doc_id,
+          trim(regexp_replace(regexp_replace(lower(COALESCE(text, '')),
+            '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS text
+        FROM documents)
+      SELECT doc_id, text,
+        CAST(CASE WHEN length(text) = 0 THEN 0
+             ELSE len(string_split(text, ' ')) END AS BIGINT) AS n_tokens
+      FROM norm ORDER BY doc_id""",
     "text_pii_scrub" -> s"""
       WITH dirty AS (
         SELECT doc_id,

@@ -214,6 +214,30 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** One-row dataset card — the corpus datasheet every published
+    * training set ships (docs/tokens/chars, exact-duplicate rate,
+    * language/source diversity): integer-exact totals so the gate is
+    * engine-exact. One aggregate with map-side partials; the distinct
+    * counts key on md5/lang/source — the md5 distinct is the same
+    * shuffle the exact-dedup pass already pays, and at 100 TB the report
+    * rides the SAME pass ([[graft.ops.Dedup.dedupExact]]) rather than a
+    * second scan. */
+  def corpusReport(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    val nTok = size(split(coalesce(col("text"), lit("")), " ")).cast("long")
+    d.agg(
+        count(lit(1)).as("n_docs"),
+        sum(nTok).as("n_tokens"),
+        sum(length(coalesce(col("text"), lit(""))).cast("long")).as("n_chars"),
+        countDistinct(md5(coalesce(col("text"), lit("")))).as("n_distinct_texts"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(when(col("lang") === "en", lit(1L)).otherwise(lit(0L))).as("n_en"),
+        min(nTok).as("min_tokens"),
+        max(nTok).as("max_tokens"))
+      .withColumn("n_dup_docs", col("n_docs") - col("n_distinct_texts"))
+  }
+
   /** Dimensions of the [[hashEmbed]] feature-hashed vector — production
     * uses 2¹⁸–2²⁰; 16 keeps every dimension populated at fixture scale. */
   val HashDim = 16
@@ -642,6 +666,7 @@ object TextAnalysis {
     "quality_bigram_lp" -> (bigramLp _),
     "quality_kn_lp" -> (knLp _),
     "text_hash_embed" -> (hashEmbed _),
+    "corpus_report" -> (corpusReport _),
     "chunk_fixed_tokens" -> (chunkFixedTokens _),
     "corpus_overlap" -> (corpusOverlap _),
     "corpus_ngrams" -> ((s: SparkSession, dir: String) => corpusNgrams(s, dir)),
@@ -820,6 +845,18 @@ object TextAnalysis {
         JOIN sizes za ON sa = za.sid
         JOIN sizes zb ON sb = zb.sid
       ORDER BY sa, sb""",
+    "corpus_report" -> """
+      SELECT COUNT(*) AS n_docs,
+        CAST(SUM(len(string_split(COALESCE(text, ''), ' '))) AS BIGINT) AS n_tokens,
+        CAST(SUM(length(COALESCE(text, ''))) AS BIGINT) AS n_chars,
+        COUNT(DISTINCT md5(COALESCE(text, ''))) AS n_distinct_texts,
+        COUNT(DISTINCT lang) AS n_langs,
+        COUNT(DISTINCT source) AS n_sources,
+        CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+        CAST(MIN(len(string_split(COALESCE(text, ''), ' '))) AS BIGINT) AS min_tokens,
+        CAST(MAX(len(string_split(COALESCE(text, ''), ' '))) AS BIGINT) AS max_tokens,
+        COUNT(*) - COUNT(DISTINCT md5(COALESCE(text, ''))) AS n_dup_docs
+      FROM documents""",
     "text_hash_embed" -> s"""
       WITH terms AS (
         SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS term

@@ -516,6 +516,23 @@ class OpsSpec extends AnyFunSuite {
     assert(lp(1L) > lp(0L))
   }
 
+  test("corpus report agrees with independently computed totals") {
+    val r = graft.ops.TextAnalysis.corpusReport(spark, "/root/testdata/sf0.001")
+      .collect().head
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text", "lang", "source")
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getString(2), x.getString(3)))
+    assert(r.getAs[Long]("n_docs") == docs.length.toLong)
+    assert(r.getAs[Long]("n_tokens") == docs.map(_._2.split(' ').length.toLong).sum)
+    assert(r.getAs[Long]("n_distinct_texts") == docs.map(_._2).distinct.length.toLong)
+    assert(r.getAs[Long]("n_dup_docs") ==
+      docs.length.toLong - docs.map(_._2).distinct.length)
+    assert(r.getAs[Long]("n_langs") == docs.map(_._3).distinct.length.toLong)
+    assert(r.getAs[Long]("n_sources") == docs.map(_._4).distinct.length.toLong)
+    assert(r.getAs[Long]("n_en") == docs.count(_._3 == "en").toLong)
+    assert(r.getAs[Long]("min_tokens") <= r.getAs[Long]("max_tokens"))
+  }
+
   test("hash embedding: known md5 buckets, signed counts, dense dims") {
     val rows = graft.ops.TextAnalysis.hashEmbed(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

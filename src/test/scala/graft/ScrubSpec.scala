@@ -43,6 +43,18 @@ class ScrubSpec extends AnyFunSuite {
       s"got $t2 / $n2")
   }
 
+  test("normalization lowercases, strips punctuation, collapses whitespace") {
+    val out = graft.ops.Scrub.normalize(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    out.foreach { case (id, t, n) =>
+      assert(t == t.toLowerCase, s"doc $id not lowercased")
+      assert(!t.exists(c => !c.isLetterOrDigit && c != ' '), s"doc $id has punct")
+      assert(!t.contains("  ") && t == t.trim, s"doc $id has loose whitespace")
+      assert(n == (if (t.isEmpty) 0L else t.split(' ').length.toLong))
+    }
+  }
+
   test("repeated-span dedup: first (doc_id, pos) occurrence wins, later copies cut") {
     def chunk(tag: String) = (0 until Scrub.ChunkTokens).map(t => s"${tag}$t").mkString(" ")
     val (a, b, c) = (chunk("a"), chunk("b"), chunk("c"))
