@@ -43,6 +43,38 @@ class MatViewSpec extends AnyFunSuite {
     assert(mv.state(spark).get.inputFiles.toSet == filesBefore)
   }
 
+  test("streaming ingest keeps the view consistent; batch-id keys make replays no-ops") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t = Files.createTempDirectory("graft_mv_stream").toString
+    val src = new ManifestStore(s"$t/src")
+    val mv = new MatView(s"$t/view", Seq("k"), "v")
+    val stream = MemoryStream[(String, Double)]
+    val q = stream.toDF().toDF("k", "v").writeStream
+      .option("checkpointLocation", s"$t/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        // exactly-once: the append is keyed by the micro-batch id, the
+        // refresh by the store version it covers
+        src.append(spark, batch, commitKey = Some(s"mvstream@$id"))
+        mv.refresh(spark, src)
+        ()
+      }.start()
+    stream.addData(("a", 1.0), ("b", 2.0))
+    q.processAllAvailable()
+    stream.addData(("a", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(stateMap(mv) == Map("a" -> ((2L, BigDecimal("4.0"))),
+      "b" -> ((1L, BigDecimal("2.0")))))
+    // a re-delivered micro-batch (same id) changes nothing
+    import spark.implicits._
+    src.append(spark, Seq(("a", 99.0)).toDF("k", "v"),
+      commitKey = Some("mvstream@1"))
+    mv.refresh(spark, src)
+    assert(stateMap(mv) == Map("a" -> ((2L, BigDecimal("4.0"))),
+      "b" -> ((1L, BigDecimal("2.0")))))
+  }
+
   test("a rewriting source commit forces a full recompute, never stale state") {
     val (src, mv) = fresh()
     src.append(spark, Seq(("a", 1.0), ("b", 2.0), ("b", 4.0)).toDF("k", "v"))
