@@ -366,6 +366,122 @@ object Retrieval {
       .orderBy("doc_id", "pos")
   }
 
+  // ---- SentencePiece-style unigram-LM tokenizer (Kudo 2018) ----
+
+  /** Max piece length in characters. */
+  val UniMaxPiece = 4
+
+  /** Multi-character pieces retained after seeding (single characters
+    * are always kept, so segmentation can never fail). */
+  val UniMultiV = 40
+
+  /** EM refinement rounds. */
+  val UniEmRounds = 3
+
+  /** Viterbi-best segmentation of `w` under piece log-probs `lp`: the
+    * split maximizing Σ log p(piece). Deterministic tie-break: strictly-
+    * greater updates with ascending split points prefer the LONGEST
+    * final piece on equal scores. Single chars are always in `lp`, so a
+    * segmentation always exists. */
+  private[graft] def viterbi(w: String, lp: collection.Map[String, Double],
+                             maxLen: Int = UniMaxPiece): Seq[String] = {
+    val n = w.length
+    val best = Array.fill(n + 1)(Double.NegativeInfinity)
+    val back = Array.fill(n + 1)(-1)
+    best(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - maxLen)
+      while (j < i) {
+        lp.get(w.substring(j, i)) match {
+          case Some(p) if best(j) + p > best(i) =>
+            best(i) = best(j) + p; back(i) = j
+          case _ =>
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val out = scala.collection.mutable.ListBuffer[String]()
+    var k = n
+    while (k > 0) { out.prepend(w.substring(back(k), k)); k = back(k) }
+    out.toList
+  }
+
+  /** The trained unigram model (piece, count, logp), computed once per
+    * corpus fingerprint ([[TruthCache]] — the [[IvfModel]]/BPE-merge
+    * pattern). Seeding: every ≤[[UniMaxPiece]]-char substring of every
+    * distinct word, count-weighted; all single chars plus the top
+    * [[UniMultiV]] multi-char pieces survive. Each EM round is ONE
+    * distributed pass over the DISTINCT-WORD table (vocab-bounded — a
+    * billion-occurrence word Viterbi-segments once) with the k-entry
+    * model broadcast; the E-step's piece-usage counts aggregate
+    * map-side, the M-step renormalizes driver-side over the k-row
+    * model — the centroid pattern. Unused pieces fall out of the vocab
+    * (the paper's pruning, with usage as the importance score); single
+    * chars are floored so coverage never breaks. */
+  private[graft] def unigramModel(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    TruthCache.cached(s, "unigram_model", Dedup.docsFingerprint(d), {
+      import s.implicits._
+      val wc = d.select(
+          explode(split(coalesce(col("text"), lit("")), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .as[(String, Long)]
+        .localCheckpoint() // the EM loop re-reads this table every round
+      val seeds = wc.flatMap { case (w, c) =>
+        for {
+          len <- 1 to math.min(UniMaxPiece, w.length)
+          j <- 0 to w.length - len
+        } yield (w.substring(j, j + len), c)
+      }.toDF("piece", "c").groupBy("piece").agg(sum(col("c")).as("c"))
+      val chars = seeds.filter(length(col("piece")) === 1)
+      val multi = seeds.filter(length(col("piece")) > 1)
+        .orderBy(col("c").desc, col("piece")).limit(UniMultiV)
+      var vocab: Map[String, Long] = chars.unionByName(multi)
+        .as[(String, Long)].collect().toMap
+      for (_ <- 1 to UniEmRounds) {
+        val total = vocab.values.sum.toDouble
+        val lp = vocab.map { case (p, c) => p -> math.log(c / total) }
+        val bc = s.sparkContext.broadcast(lp)
+        val used = wc.flatMap { case (w, c) =>
+          viterbi(w, bc.value).map(p => (p, c))
+        }.toDF("piece", "c").groupBy("piece").agg(sum(col("c")).as("c"))
+          .as[(String, Long)].collect().toMap
+        vocab = vocab.keysIterator.map { p =>
+          p -> used.getOrElse(p, if (p.length == 1) 1L else 0L)
+        }.filter(_._2 > 0).toMap
+      }
+      val total = vocab.values.sum.toDouble
+      vocab.toSeq.sortBy(_._1)
+        .map { case (p, c) => (p, c, math.log(c / total)) }
+        .toDF("piece", "c", "logp")
+    })
+  }
+
+  /** Gate: Viterbi segmentation of every distinct corpus word under the
+    * trained model. The oracle-checked contract is LOSSLESSNESS and
+    * coverage — `rebuilt` (the pieces re-concatenated) must equal the
+    * word, for EVERY distinct word — which no segmentation bug
+    * survives; optimality against brute-force enumeration is asserted
+    * in the spec (no SQL engine replays Viterbi). */
+  def unigramTokenize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lp = unigramModel(s, dir).select("piece", "logp")
+      .as[(String, Double)].collect().toMap
+    val bc = s.sparkContext.broadcast(lp)
+    val d = Tables.load(s, dir, "documents")
+    d.select(explode(split(coalesce(col("text"), lit("")), " ")).as("w"))
+      .filter(length(col("w")) > 0).distinct().as[String]
+      .map { w =>
+        val seg = viterbi(w, bc.value)
+        (w, seg.mkString, seg.forall(bc.value.contains))
+      }
+      .toDF("w", "rebuilt", "pieces_in_vocab")
+      .orderBy("w")
+  }
+
   /** Sliding-window chunk width / stride (tokens) for [[chunkSliding]] —
     * production RAG pipelines use 256–1024 with 50% overlap; the fixture
     * docs are 10–99 tokens, so 32/16 keeps the same coverage regime. */
@@ -412,6 +528,7 @@ object Retrieval {
     "bpe_top_pairs" -> (bpeTopPairs _),
     "bpe_train" -> (bpeTrain _),
     "bpe_encode" -> (bpeEncode _),
+    "unigram_tokenize" -> (unigramTokenize _),
     "tokenize_docs" -> (tokenizeDocs _))
 
   /** The unrolled BPE training stages as DuckDB CTEs (no leading
@@ -459,6 +576,12 @@ object Retrieval {
       .mkString(" UNION ALL ")
 
   val oracle: Map[String, String] = Map(
+    "unigram_tokenize" -> """
+      SELECT term AS w, term AS rebuilt, CAST(1 AS BOOLEAN) AS pieces_in_vocab
+      FROM (
+        SELECT DISTINCT unnest(string_split(COALESCE(text, ''), ' ')) AS term
+        FROM documents)
+      WHERE length(term) > 0 ORDER BY w""",
     "chunk_sliding" -> s"""
       WITH toks AS (
         SELECT doc_id, string_split(COALESCE(text, ''), ' ') t FROM documents),

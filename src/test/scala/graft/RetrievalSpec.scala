@@ -201,6 +201,43 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got.exists(_._3 == unk) && got.exists(_._3 < unk))
   }
 
+  test("unigram-LM segmentation is Viterbi-optimal vs brute-force enumeration") {
+    val model = Retrieval.unigramModel(spark, dir)
+      .select("piece", "logp").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // model invariants: probabilities normalize, every piece is real
+    val probSum = model.values.map(math.exp).sum
+    assert(math.abs(probSum - 1.0) < 1e-9, s"prob mass $probSum")
+    val words = Tables.load(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ")).as("w"))
+      .distinct().collect().map(_.getString(0)).filter(_.nonEmpty)
+    assert(model.keys.forall(p => words.exists(_.contains(p))),
+      "a vocab piece never occurs in the corpus")
+    def bruteBest(w: String): Double = {
+      val memo = scala.collection.mutable.Map[Int, Double]()
+      def go(i: Int): Double =
+        if (i == w.length) 0.0
+        else memo.getOrElseUpdate(i,
+          (1 to math.min(Retrieval.UniMaxPiece, w.length - i)).flatMap { len =>
+            model.get(w.substring(i, i + len)).map(_ + go(i + len))
+          }.foldLeft(Double.NegativeInfinity)(math.max))
+      go(0)
+    }
+    words.foreach { w =>
+      val seg = Retrieval.viterbi(w, model)
+      assert(seg.mkString == w, s"lossy segmentation of '$w'")
+      assert(seg.forall(model.contains), s"'$w' used an out-of-vocab piece")
+      val score = seg.map(model).sum
+      assert(math.abs(score - bruteBest(w)) < 1e-9,
+        s"'$w': viterbi $score < brute ${bruteBest(w)}")
+    }
+    // multi-char pieces genuinely win somewhere (EM kept useful pieces)
+    assert(words.exists(w => Retrieval.viterbi(w, model).exists(_.length > 1)),
+      "no word ever segments with a multi-char piece — inert vocabulary")
+  }
+
   test("component-keyed split never straddles a near-dup cluster") {
     val r = Sharding.splitLeakage(spark, dir).collect().head
     assert(r.getLong(2) == 0, "safe split must be leakage-free")
