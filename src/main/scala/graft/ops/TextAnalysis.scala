@@ -214,6 +214,60 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Full-batch GD rounds / learning rate for [[classifierTrain]]. */
+  val LrRounds = 5
+  val LrEta = 0.5
+
+  /** Model-based quality classification — the trainable cousin of the
+    * rule filters (CCNet trains fastText on known-good vs crawl text;
+    * here a logistic regression learns to predict the `lang == 'en'`
+    * label from the SAME document-shape features the rule filter uses).
+    * Training is full-batch gradient descent: each round is ONE
+    * map-side-combined aggregate over the corpus computing the 4
+    * per-feature gradient sums with the current weights broadcast in
+    * the expression — the centroid pattern, k driver-held doubles and
+    * zero corpus shuffles per round.
+    *
+    * Engine-exact contract (the DuckDB oracle replays the unrolled GD):
+    * features derive from pre-rounded stats; per-row σ is rounded to
+    * 12 dp (absorbing exp() ulp skew between libm and the JVM), the
+    * per-row gradient contribution is cast to DECIMAL(38,18) so the
+    * SUM is exact and order-independent, and the gradient mean is
+    * re-rounded to 12 dp before the weight update. */
+  def classifierTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.load(s, dir, "documents")
+    val feats = d.select(col("doc_id"),
+        lit(1.0).as("x0"),
+        (Quality.nTokens / lit(100.0)).as("x1"),
+        (Quality.meanTokLen / lit(10.0)).as("x2"),
+        Quality.uniqRatio.as("x3"),
+        when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0)).as("y"))
+      .localCheckpoint() // re-read once per GD round
+    var w = Array(0.0, 0.0, 0.0, 0.0)
+    for (_ <- 1 to LrRounds) {
+      val z = lit(w(0)) * col("x0") + lit(w(1)) * col("x1") +
+        lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
+      val sig = round(lit(1.0) / (lit(1.0) + exp(-z)), 12)
+      val err = sig - col("y")
+      val aggs = (0 to 3).map(j =>
+        sum((err * col(s"x$j")).cast("decimal(38,18)")).as(s"s$j")) :+
+        count(lit(1)).as("n")
+      val row = feats.agg(aggs.head, aggs.tail: _*).head()
+      val n = row.getLong(4).toDouble
+      w = w.zipWithIndex.map { case (wj, j) =>
+        val g = BigDecimal(row.getDecimal(j).doubleValue() / n)
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+        wj - LrEta * g
+      }
+    }
+    Seq(("bias", w(0)), ("n_tokens_over_100", w(1)),
+      ("mean_tok_len_over_10", w(2)), ("uniq_ratio", w(3)))
+      .toDF("feature", "weight")
+      .select(col("feature"), round(col("weight"), 6).as("weight"))
+      .orderBy("feature")
+  }
+
   /** One-row dataset card — the corpus datasheet every published
     * training set ships (docs/tokens/chars, exact-duplicate rate,
     * language/source diversity): integer-exact totals so the gate is
@@ -667,11 +721,46 @@ object TextAnalysis {
     "quality_kn_lp" -> (knLp _),
     "text_hash_embed" -> (hashEmbed _),
     "corpus_report" -> (corpusReport _),
+    "quality_classifier" -> (classifierTrain _),
     "chunk_fixed_tokens" -> (chunkFixedTokens _),
     "corpus_overlap" -> (corpusOverlap _),
     "corpus_ngrams" -> ((s: SparkSession, dir: String) => corpusNgrams(s, dir)),
     "quality_repetition" -> (repetition _),
     "profile_documents" -> (profile _))
+
+  /** The unrolled logistic-GD oracle for [[classifierTrain]] — round r's
+    * gradient CTE cross-joins round r−1's weight CTE, exactly the
+    * driver loop. */
+  private def lrOracleSql: String = {
+    val z = (w: String) =>
+      s"($w.a0*x0 + $w.a1*x1 + $w.a2*x2 + $w.a3*x3)"
+    val rounds = (1 to LrRounds).map { r =>
+      val pw = s"w${r - 1}"
+      val sig = s"ROUND(1.0/(1.0 + exp(-${z("w")})), 12)"
+      val sums = (0 to 3).map(j =>
+        s"SUM(CAST(($sig - y) * x$j AS DECIMAL(38,18))) AS s$j").mkString(", ")
+      val upd = (0 to 3).map(j =>
+        s"w.a$j - $LrEta*ROUND(CAST(g.s$j AS DOUBLE)/g.n, 12) AS a$j").mkString(", ")
+      s""",
+      g$r AS (SELECT $sums, COUNT(*) AS n FROM feat, $pw w),
+      w$r AS (SELECT $upd FROM g$r g, $pw w)"""
+    }.mkString
+    val out = Seq("bias" -> "a0", "n_tokens_over_100" -> "a1",
+      "mean_tok_len_over_10" -> "a2", "uniq_ratio" -> "a3")
+      .map { case (nm, a) =>
+        s"SELECT '$nm' AS feature, ROUND($a, 6) AS weight FROM w$LrRounds" }
+      .mkString(" UNION ALL ")
+    s"""
+      WITH $qualityCtesBody,
+      feat AS (
+        SELECT q.doc_id, 1.0 AS x0,
+          CAST(n_tokens AS DOUBLE)/100.0 AS x1,
+          mean_tok_len/10.0 AS x2, uniq_ratio AS x3,
+          CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+        FROM qstats q JOIN documents d ON q.doc_id = d.doc_id),
+      w0 AS (SELECT 0.0 AS a0, 0.0 AS a1, 0.0 AS a2, 0.0 AS a3)$rounds
+      SELECT feature, weight FROM ($out) ORDER BY feature"""
+  }
 
   /** DuckDB quality-stats CTE body (matches [[qualityLabels]]) — shared
     * with the composed-curation oracle. */
@@ -845,6 +934,7 @@ object TextAnalysis {
         JOIN sizes za ON sa = za.sid
         JOIN sizes zb ON sb = zb.sid
       ORDER BY sa, sb""",
+    "quality_classifier" -> lrOracleSql,
     "corpus_report" -> """
       SELECT COUNT(*) AS n_docs,
         CAST(SUM(len(string_split(COALESCE(text, ''), ' '))) AS BIGINT) AS n_tokens,

@@ -516,6 +516,19 @@ class OpsSpec extends AnyFunSuite {
     assert(lp(1L) > lp(0L))
   }
 
+  test("logistic quality classifier learns a non-trivial separator") {
+    val w = graft.ops.TextAnalysis.classifierTrain(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(w.size == 4 && w.values.forall(v => !v.isNaN && !v.isInfinite))
+    // σ(0) = 0.5 against a non-balanced label: the bias must move off 0
+    // in round 1 and stay off
+    assert(math.abs(w("bias")) > 1e-6, s"inert training: $w")
+    // full-batch GD is deterministic: a second run reproduces exactly
+    val w2 = graft.ops.TextAnalysis.classifierTrain(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(w == w2)
+  }
+
   test("corpus report agrees with independently computed totals") {
     val r = graft.ops.TextAnalysis.corpusReport(spark, "/root/testdata/sf0.001")
       .collect().head
