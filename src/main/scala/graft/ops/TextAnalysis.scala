@@ -268,6 +268,27 @@ object TextAnalysis {
       .orderBy("feature")
   }
 
+  /** The trained model applied back to the corpus — per-doc quality
+    * probability (σ of the linear score, 12 dp then 6 dp for output)
+    * and the keep flag at the 0.5 threshold. Inference is a pure
+    * map-side expression with the 4 weights inlined as literals: the
+    * classifier costs nothing at any corpus size (the whole point of
+    * training a filter). The weights come from [[classifierTrain]]'s
+    * deterministic GD, so train + apply share one contract. */
+  def classifierScore(s: SparkSession, dir: String): DataFrame = {
+    val w = classifierTrain(s, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val d = Tables.load(s, dir, "documents")
+    val z = lit(w("bias")) * lit(1.0) +
+      lit(w("n_tokens_over_100")) * (Quality.nTokens / lit(100.0)) +
+      lit(w("mean_tok_len_over_10")) * (Quality.meanTokLen / lit(10.0)) +
+      lit(w("uniq_ratio")) * Quality.uniqRatio
+    val sig = round(lit(1.0) / (lit(1.0) + exp(-z)), 12)
+    d.select(col("doc_id"), round(sig, 6).as("p_quality"),
+        (sig >= 0.5).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** One-row dataset card — the corpus datasheet every published
     * training set ships (docs/tokens/chars, exact-duplicate rate,
     * language/source diversity): integer-exact totals so the gate is
@@ -722,6 +743,7 @@ object TextAnalysis {
     "text_hash_embed" -> (hashEmbed _),
     "corpus_report" -> (corpusReport _),
     "quality_classifier" -> (classifierTrain _),
+    "quality_classifier_scores" -> (classifierScore _),
     "chunk_fixed_tokens" -> (chunkFixedTokens _),
     "corpus_overlap" -> (corpusOverlap _),
     "corpus_ngrams" -> ((s: SparkSession, dir: String) => corpusNgrams(s, dir)),
@@ -731,7 +753,7 @@ object TextAnalysis {
   /** The unrolled logistic-GD oracle for [[classifierTrain]] — round r's
     * gradient CTE cross-joins round r−1's weight CTE, exactly the
     * driver loop. */
-  private def lrOracleSql: String = {
+  private def lrCtesSql: String = {
     val z = (w: String) =>
       s"($w.a0*x0 + $w.a1*x1 + $w.a2*x2 + $w.a3*x3)"
     val rounds = (1 to LrRounds).map { r =>
@@ -745,22 +767,38 @@ object TextAnalysis {
       g$r AS (SELECT $sums, COUNT(*) AS n FROM feat, $pw w),
       w$r AS (SELECT $upd FROM g$r g, $pw w)"""
     }.mkString
-    val out = Seq("bias" -> "a0", "n_tokens_over_100" -> "a1",
-      "mean_tok_len_over_10" -> "a2", "uniq_ratio" -> "a3")
-      .map { case (nm, a) =>
-        s"SELECT '$nm' AS feature, ROUND($a, 6) AS weight FROM w$LrRounds" }
-      .mkString(" UNION ALL ")
-    s"""
-      WITH $qualityCtesBody,
+    s"""$qualityCtesBody,
       feat AS (
         SELECT q.doc_id, 1.0 AS x0,
           CAST(n_tokens AS DOUBLE)/100.0 AS x1,
           mean_tok_len/10.0 AS x2, uniq_ratio AS x3,
           CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS y
         FROM qstats q JOIN documents d ON q.doc_id = d.doc_id),
-      w0 AS (SELECT 0.0 AS a0, 0.0 AS a1, 0.0 AS a2, 0.0 AS a3)$rounds
+      w0 AS (SELECT 0.0 AS a0, 0.0 AS a1, 0.0 AS a2, 0.0 AS a3)$rounds"""
+  }
+
+  private def lrOracleSql: String = {
+    val out = Seq("bias" -> "a0", "n_tokens_over_100" -> "a1",
+      "mean_tok_len_over_10" -> "a2", "uniq_ratio" -> "a3")
+      .map { case (nm, a) =>
+        s"SELECT '$nm' AS feature, ROUND($a, 6) AS weight FROM w$LrRounds" }
+      .mkString(" UNION ALL ")
+    s"""
+      WITH $lrCtesSql
       SELECT feature, weight FROM ($out) ORDER BY feature"""
   }
+
+  private def lrScoreOracleSql: String = s"""
+      WITH $lrCtesSql,
+      wr AS (SELECT ROUND(a0,6) AS b, ROUND(a1,6) AS c1,
+        ROUND(a2,6) AS c2, ROUND(a3,6) AS c3 FROM w$LrRounds),
+      sc AS (
+        SELECT f.doc_id,
+          ROUND(1.0/(1.0 + exp(-(w.b*1.0 + w.c1*x1 + w.c2*x2 + w.c3*x3))), 12)
+            AS sig
+        FROM feat f, wr w)
+      SELECT doc_id, ROUND(sig, 6) AS p_quality, sig >= 0.5 AS keep
+      FROM sc ORDER BY doc_id"""
 
   /** DuckDB quality-stats CTE body (matches [[qualityLabels]]) — shared
     * with the composed-curation oracle. */
@@ -935,6 +973,7 @@ object TextAnalysis {
         JOIN sizes zb ON sb = zb.sid
       ORDER BY sa, sb""",
     "quality_classifier" -> lrOracleSql,
+    "quality_classifier_scores" -> lrScoreOracleSql,
     "corpus_report" -> """
       SELECT COUNT(*) AS n_docs,
         CAST(SUM(len(string_split(COALESCE(text, ''), ' '))) AS BIGINT) AS n_tokens,
