@@ -29,7 +29,7 @@ object SparkEntry {
       graft.ops.Similarity.queries ++ graft.ops.Ivf.queries ++
       graft.ops.IvfIndex.queries ++ graft.ops.ExactIndex.queries ++
       graft.ops.Multimodal.queries ++ graft.ingest.Forget.queries ++
-      graft.ingest.MatView.queries
+      graft.ingest.MatView.queries ++ graft.ingest.Validated.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -45,5 +45,5 @@ object SparkEntry {
       graft.ops.Similarity.oracle ++ graft.ops.Ivf.oracle ++
       graft.ops.IvfIndex.oracle ++ graft.ops.ExactIndex.oracle ++
       graft.ops.Multimodal.oracle ++ graft.ingest.Forget.oracle ++
-      graft.ingest.MatView.oracle
+      graft.ingest.MatView.oracle ++ graft.ingest.Validated.oracle
 }

@@ -1,0 +1,110 @@
+package graft.ingest
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Constraint-validated ingest with a quarantine store — the CHECK
+  * constraint + bad-records-path shape every warehouse ingest ships:
+  * rows satisfying the constraint land in the main store, violators in
+  * a sibling quarantine store WITH the violation reason, and both
+  * commits carry the SAME idempotence key, so a replayed batch can
+  * never split differently or double-land on either side.
+  *
+  * Scale shape: the split is two fused scan-filters over the batch (a
+  * batch is read twice, not shuffled — appends are write-only
+  * otherwise); validation itself is a pure column predicate, fused
+  * behind the scan.
+  */
+object Validated {
+
+  /** NULL-safe validity: a constraint evaluating to NULL is a
+    * violation (Delta CHECK semantics). */
+  private def validCol(constraint: Column): Column =
+    coalesce(constraint, lit(false))
+
+  /** Append `df` split by `constraint`: valid rows → `store`, violators
+    * → `quarantine` (with a `reason` column). Returns (nGood, nBad).
+    * Replay-safe: both sides key on `commitKey`. */
+  def appendValidated(spark: SparkSession, df: DataFrame, constraint: Column,
+                      store: ManifestStore, quarantine: ManifestStore,
+                      reason: String,
+                      commitKey: Option[String] = None,
+                      rangeCol: Option[String] = None): (Long, Long) = {
+    val good = df.filter(validCol(constraint))
+    val bad = df.filter(!validCol(constraint))
+      .withColumn("reason", lit(reason))
+    val nGood = good.count()
+    val nBad = bad.count()
+    store.append(spark, good, commitKey = commitKey.map(_ + "#main"),
+      rangeCol = rangeCol)
+    quarantine.append(spark, bad, commitKey = commitKey.map(_ + "#quarantine"),
+      rangeCol = rangeCol)
+    (nGood, nBad)
+  }
+
+  // ----------------------------------------------------------- the gate
+
+  private val builtRoots = scala.collection.mutable.Set[String]()
+
+  private[graft] def gateRoots(dir: String): (String, String) = {
+    val abs = new java.io.File(dir).getAbsolutePath
+    val tag = new java.io.File(dir).getName + "_" +
+      java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(abs))
+    val t = System.getProperty("java.io.tmpdir")
+    (s"$t/graft_valid_main_$tag", s"$t/graft_valid_quar_$tag")
+  }
+
+  /** Gate: events deterministically corrupted (value NULLed on
+    * event_id ≡ 0 mod 17), ingested through the validated path twice
+    * with the same key (replay must be a no-op), then both stores read
+    * back into one per-(store, type) rollup the oracle recomputes from
+    * the fixture. */
+  def validatedIngest(s: SparkSession, dir: String): DataFrame = {
+    val (mainRoot, quarRoot) = gateRoots(dir)
+    builtRoots.synchronized {
+      if (!builtRoots.contains(mainRoot)) {
+        for (r <- Seq(mainRoot, quarRoot)) {
+          val p = new Path(r)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+        val main = new ManifestStore(mainRoot)
+        val quar = new ManifestStore(quarRoot)
+        val dirty = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            when(col("event_id") % 17 === 0, lit(null).cast("double"))
+              .otherwise(col("value")).as("value"))
+        val constraint = col("value").isNotNull
+        def run() = appendValidated(s, dirty, constraint, main, quar,
+          reason = "value_null", commitKey = Some("batch-1"),
+          rangeCol = Some("event_id"))
+        val (g1, b1) = run()
+        val (g2, b2) = run() // replay: counts recompute, stores unchanged
+        require(g1 == g2 && b1 == b2, "validated replay split differently")
+        builtRoots.add(mainRoot)
+      }
+    }
+    val main = new ManifestStore(mainRoot).read(s).get
+      .withColumn("store", lit("main"))
+    val quar = new ManifestStore(quarRoot).read(s).get
+      .withColumn("store", lit("quarantine")).drop("reason")
+    main.unionByName(quar)
+      .groupBy("store", "event_type")
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
+      .orderBy("store", "event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "store_validated_ingest" -> (validatedIngest _))
+
+  val oracle: Map[String, String] = Map(
+    "store_validated_ingest" -> """
+      SELECT CASE WHEN event_id % 17 = 0 THEN 'quarantine' ELSE 'main' END
+          AS store,
+        event_type, COUNT(*) AS n,
+        CAST(SUM(event_id) AS BIGINT) AS id_sum
+      FROM events
+      GROUP BY 1, 2 ORDER BY store, event_type""")
+}

@@ -75,9 +75,11 @@ object SubstrDedup {
   /** Maximal duplicated spans: (doc_id, start, n_tokens), every
     * [[GramK]]-token window inside the span occurring ≥2 times in the
     * corpus (self-repeats included, as in the paper). */
-  def substrSpans(s: SparkSession, dir: String): DataFrame = {
-    val marked = coveredPositions(
-      gramPositions(Tables.load(s, dir, "documents")))
+  def substrSpans(s: SparkSession, dir: String): DataFrame =
+    substrSpansOf(Tables.load(s, dir, "documents"))
+
+  private[graft] def substrSpansOf(docs: DataFrame): DataFrame = {
+    val marked = coveredPositions(gramPositions(docs))
     // gaps-and-islands: consecutive covered positions share (pos - rank)
     val isl = marked.withColumn("island",
       col("pos") - row_number().over(

@@ -174,6 +174,37 @@ class DemuxVolumeSpec extends AnyFunSuite {
     assert(dt < 240.0, f"curation took $dt%.1f s — O(n·shingles) budget blown")
   }
 
+  test("80k-doc substring dedup: planted spans exact by construction, bounded wall-clock") {
+    import spark.implicits._
+    // 40000 pairs with disjoint vocabulary except a 12-token shared
+    // span per pair, planted at DIFFERENT offsets (10 vs 7) — the
+    // unaligned case chunk dedup misses. Expected spans are exactly
+    // (2i, 10, 12) and (2i+1, 7, 12); k=8 ⇒ 5 covered windows each.
+    // The ceiling is the empirical tripwire for an accidental
+    // per-occurrence join blowup on the gram key.
+    val n = 40000
+    val docs = spark.range(0L, n.toLong, 1L, 16).flatMap { i =>
+      val shared = (0 until 12).map(j => s"s${i}x$j")
+      val a = ((0 until 10).map(j => s"a${i}u$j") ++ shared ++
+        (0 until 10).map(j => s"a${i}v$j")).mkString(" ")
+      val b = ((0 until 7).map(j => s"b${i}u$j") ++ shared ++
+        (0 until 9).map(j => s"b${i}v$j")).mkString(" ")
+      Seq((i * 2L, a), (i * 2L + 1, b))
+    }.toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val spans = graft.ops.SubstrDedup.substrSpansOf(docs)
+      .as[(Long, Long, Long)].collect()
+    val dt = (System.nanoTime() - t0) / 1e9
+    info(f"80k-doc substring-span dedup in $dt%.1f s")
+    assert(spans.length == 2 * n)
+    val got = spans.map { case (d, st, len) => d -> ((st, len)) }.toMap
+    (0 until n).foreach { i =>
+      assert(got(i * 2L) == ((10L, 12L)), s"pair $i doc a: ${got(i * 2L)}")
+      assert(got(i * 2L + 1) == ((7L, 12L)), s"pair $i doc b")
+    }
+    assert(dt < 240.0, f"substring dedup took $dt%.1f s — gram-join budget blown")
+  }
+
   test("50k-vector ANN: planted-cluster recall exact by construction, bounded wall-clock") {
     import spark.implicits._
     // 50k vectors in 4545 tight clusters of 11 (center ~N(0,1)^64 per
