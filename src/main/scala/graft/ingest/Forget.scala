@@ -69,10 +69,57 @@ object Forget {
         sum(col("user_id")).as("user_sum"))
       .orderBy("event_type")
 
+  /** TTL cutoff for [[storeExpire]] (event_id units). */
+  val TtlCutoff = 500L
+
+  private val expireRoots = scala.collection.mutable.Set[String]()
+
+  /** Gate: retention expiry end-to-end — two appends split at
+    * event_id 300 so the first commit lies WHOLLY below the cutoff and
+    * must be dropped from stats alone (asserted structurally: the
+    * expire returns ≥1 dropped file), then the surviving store equals
+    * the fixture above the cutoff. */
+  def storeExpire(s: SparkSession, dir: String): DataFrame = {
+    val root = gateRoot(dir) + "_ttl"
+    expireRoots.synchronized {
+      if (!expireRoots.contains(root)) {
+        val p = new Path(root)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        val store = new ManifestStore(root)
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        store.append(s, ev.filter(col("event_id") < 300),
+          rangeCol = Some("event_id"))
+        store.append(s, ev.filter(col("event_id") >= 300),
+          rangeCol = Some("event_id"))
+        val (dropped, rewritten) = store.expire(s, TtlCutoff,
+          commitKey = Some("ttl-req-1"))
+        require(dropped >= 1, s"no file dropped from stats alone ($dropped)")
+        require(rewritten >= 1, s"no straddler rewritten ($rewritten)")
+        require(store.expire(s, TtlCutoff, commitKey = Some("ttl-req-1")) ==
+          ((0, 0)), "ttl replay was not a no-op")
+        expireRoots.add(root)
+      }
+    }
+    new ManifestStore(root).read(s).get
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("event_id")).as("id_sum"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "store_delete_forget" -> (storeDelete _))
+    "store_delete_forget" -> (storeDelete _),
+    "store_expire_ttl" -> (storeExpire _))
 
   val oracle: Map[String, String] = Map(
+    "store_expire_ttl" -> s"""
+      SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(event_id) AS BIGINT) AS id_sum
+      FROM events
+      WHERE event_id >= $TtlCutoff
+      GROUP BY event_type ORDER BY event_type""",
     "store_delete_forget" -> s"""
       SELECT event_type,
         COUNT(*) AS n,

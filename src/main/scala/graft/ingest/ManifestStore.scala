@@ -623,6 +623,36 @@ final class ManifestStore(val root: String) extends Serializable {
     deleted
   }
 
+  /** TTL retention (Delta's `DELETE WHERE rangeCol < cutoff` shape,
+    * done with manifest arithmetic alone): files whose stats lie
+    * WHOLLY below `cutoff` are dropped from the snapshot WITHOUT EVER
+    * BEING READ — at 100 TB an expiry run costs the straddling
+    * boundary files only; files wholly at-or-above keep their entries
+    * byte-identical. Straddlers (and statless files, conservatively)
+    * are rewritten keeping rows ≥ cutoff. One atomic flip; replay-safe
+    * via `commitKey`; reclaimed bytes follow at the next [[vacuum]].
+    * Returns (filesDropped, filesRewritten). */
+  def expire(spark: SparkSession, cutoff: Long,
+             partitionCols: Seq[String] = Nil,
+             commitKey: Option[String] = None): (Int, Int) = synchronized {
+    if (commitKey.exists(hasCommitKey(spark, _))) return (0, 0)
+    var dropped, rewritten = 0
+    commitWith(spark, commitKey, currentRangeCol(spark)) { prev =>
+      dropped = 0; rewritten = 0
+      val files = prev.map(_.files).getOrElse(Nil)
+      val rc = prev.flatMap(_.rangeCol).getOrElse("block_number")
+      val (dead, rest) = files.partition(_.max.exists(_ < cutoff))
+      val (kept, straddle) = rest.partition(e =>
+        e.min.exists(_ >= cutoff))
+      dropped = dead.size; rewritten = straddle.size
+      if (straddle.isEmpty) kept
+      else kept ++ writeData(spark,
+        readFiles(spark, straddle).filter(col(rc) >= cutoff),
+        partitionCols, prev.flatMap(_.rangeCol))
+    }
+    (dropped, rewritten)
+  }
+
   /** Copy-on-write MERGE (upsert-by-key; Delta's `MERGE WHEN MATCHED
     * THEN UPDATE WHEN NOT MATCHED THEN INSERT` for whole rows): every
     * stored row whose `keyCols` match a row of `updates` is replaced,

@@ -86,6 +86,34 @@ class ManifestDeleteSpec extends AnyFunSuite {
     assert(pre.subsetOf(store.currentFiles(spark).toSet))
   }
 
+  test("expire drops wholly-old files from stats alone and rewrites only straddlers") {
+    val store = freshStore()
+    def batch(from: Long, to: Long) =
+      (from to to).map(i => (i, s"p$i")).toDF("event_id", "payload")
+        .repartition(1)
+    store.append(spark, batch(1, 10), rangeCol = Some("event_id"))
+    store.append(spark, batch(11, 20), rangeCol = Some("event_id"))
+    store.append(spark, batch(21, 30), rangeCol = Some("event_id"))
+    val before = store.currentFiles(spark)
+    val newest = before.last // commit 3's file
+    val (dropped, rewritten) = store.expire(spark, 15L,
+      commitKey = Some("ttl-1"))
+    assert((dropped, rewritten) == ((1, 1)), s"got ($dropped, $rewritten)")
+    val after = store.currentFiles(spark)
+    // the wholly-retained file keeps its entry byte-identical; the
+    // wholly-expired file is gone; the straddler was replaced
+    assert(after.contains(newest))
+    assert(!after.exists(before.take(1).contains), "commit-1 file survived")
+    val rows = store.read(spark).get.select("event_id")
+      .as[Long].collect().toSet
+    assert(rows == (15L to 30L).toSet)
+    // keyed replay is a no-op
+    assert(store.expire(spark, 15L, commitKey = Some("ttl-1")) == ((0, 0)))
+    assert(store.currentFiles(spark).toSet == after.toSet)
+    // stats pruning still works on the survivor set
+    assert(store.statsMax(spark).contains(30L))
+  }
+
   test("delete preserves the recorded range column (stats pruning survives)") {
     val store = freshStore()
     store.append(spark, (1L to 40L).map(i => (i, i % 7, s"p$i"))
