@@ -533,8 +533,40 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** The SCALE PATH for [[hardNegatives]], exercised: the same ranking
+    * through the persisted cluster-partitioned IVF index
+    * ([[Ivf.searchIvf]] over the planted-dup universe, registered as
+    * its own index family) with top-k over-fetched by the expected
+    * duplicate count, then the dup filter and re-rank. Gated on ≥70%
+    * recall against the brute exact listing (TruthCache'd per universe
+    * fingerprint) — the `ann_topk_ivf` contract applied to negative
+    * mining, so "documented as the scale path" is a tested claim, not
+    * a comment. */
+  def hardNegativesIvf(s: SparkSession, dir: String): DataFrame = {
+    val u = nearDupUniverse(s, dir)
+    val pred = col("vec_id") >= 100000L &&
+      pmod(col("vec_id") - 100000L, lit(29)) === 0
+    val ann = Ivf.searchIvf(u, dir, "emb_universe", pred,
+        topN = HardNegK + 8)
+      .filter(col("cosine") < 0.9)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))))
+      .filter(col("rk") <= HardNegK)
+      .select(col("qid"), col("nid"))
+    val truth = TruthCache.cached(s, "hard_neg_brute",
+      IvfModel.fingerprint(u),
+      hardNegatives(s, dir).select(col("qid"), col("nid")))
+    truth.join(ann, Seq("qid", "nid"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_expected")))
+      .select(lit("ivf_hard_neg").as("method"), col("n_expected"),
+        expr("(n_expected*7 + 9) DIV 10").as("min_hits"),
+        (col("hits") >= expr("(n_expected*7 + 9) DIV 10")).as("recall_ok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_hard_negatives" -> (hardNegatives _),
+    "emb_hard_negatives_ivf" -> (hardNegativesIvf _),
     "emb_near_dup" -> (nearDup _),
     "emb_dedup_keep_only" -> (embDedupKeepOnly _),
     "emb_semdedup" -> (embSemDedup _),
@@ -562,6 +594,13 @@ object Similarity {
         FROM withn a, withn b WHERE a.vec_id < b.vec_id)"""
 
   val oracle: Map[String, String] = Map(
+    "emb_hard_negatives_ivf" -> s"""
+      SELECT 'ivf_hard_neg' AS method,
+        CAST($HardNegK*COUNT(*) AS BIGINT) AS n_expected,
+        CAST(($HardNegK*COUNT(*)*7 + 9)//10 AS BIGINT) AS min_hits,
+        TRUE AS recall_ok
+      FROM (SELECT DISTINCT vec_id FROM embeddings
+            WHERE vec_id < 500 AND vec_id % 29 = 0)""",
     "emb_hard_negatives" -> s"""
       WITH $nearDupCtesBody,
       anchors AS (
