@@ -24,19 +24,29 @@ import graft.Tables
   *    crashed or replayed refresh can never double-count a delta, and
   *    refreshing an unchanged source short-circuits.
   */
-final class MatView(val root: String, groupCols: Seq[String], valueCol: String) {
+final class MatView(val root: String, groupCols: Seq[String], valueCol: String,
+                    distinctCol: Option[String] = None) {
 
   private def store = new ManifestStore(root)
 
-  /** Current view contents: (groupCols…, n, vsum DECIMAL(38,6), as_of). */
+  /** Current view contents: (groupCols…, n, vsum DECIMAL(38,6)[, dsk
+    * BINARY — a Datasketches HLL of `distinctCol`], as_of). */
   def state(spark: SparkSession): Option[DataFrame] = store.read(spark)
 
-  private def aggOf(df: DataFrame): DataFrame =
+  private def aggOf(df: DataFrame): DataFrame = {
+    val base = Seq(count(lit(1)).as("n"),
+      sum(col(valueCol).cast("decimal(18,6)")).as("vsum"))
+    // COUNT DISTINCT is the one classic aggregate with no finite exact
+    // partial state — maintaining it incrementally at 100 TB means a
+    // mergeable sketch. hll_sketch_agg's partials union losslessly
+    // (sketch ∪ sketch = sketch of the union), so a refresh folds the
+    // delta's sketch into the stored one exactly like n and vsum.
+    val aggs = base ++ distinctCol.map(c =>
+      hll_sketch_agg(col(c), lit(MatView.LgK)).as("dsk"))
     df.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("n"),
-        sum(col(valueCol).cast("decimal(18,6)")).as("vsum"))
-      .select(groupCols.map(col) ++
-        Seq(col("n"), col("vsum").cast("decimal(38,6)").as("vsum")): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("vsum", col("vsum").cast("decimal(38,6)"))
+  }
 
   /** Bring the view up to the source's current version; returns that
     * version. No-op when already current. */
@@ -56,10 +66,14 @@ final class MatView(val root: String, groupCols: Seq[String], valueCol: String) 
         Some(if (rewritten) prev.drop("as_of").limit(0) else prev.drop("as_of"))
       case (Some(d), prevOpt) =>
         if (rewritten || prevOpt.isEmpty) Some(aggOf(d))
-        else Some(prevOpt.get.drop("as_of").unionByName(aggOf(d))
-          .groupBy(groupCols.map(col): _*)
-          .agg(sum(col("n")).as("n"),
-            sum(col("vsum")).cast("decimal(38,6)").as("vsum")))
+        else {
+          val merge = Seq(sum(col("n")).as("n"),
+            sum(col("vsum")).cast("decimal(38,6)").as("vsum")) ++
+            distinctCol.map(_ => hll_union_agg(col("dsk"), lit(true)).as("dsk"))
+          Some(prevOpt.get.drop("as_of").unionByName(aggOf(d))
+            .groupBy(groupCols.map(col): _*)
+            .agg(merge.head, merge.tail: _*))
+        }
     }
     fresh.foreach(f => store.replaceAll(spark,
       f.withColumn("as_of", lit(vNow)), commitKey = Some(s"refresh@$vNow")))
@@ -74,12 +88,18 @@ object MatView {
 
   private val builtRoots = scala.collection.mutable.Set[String]()
 
-  private[graft] def gateRoots(dir: String): (String, String) = {
+  /** lg(registers) for the distinct sketch — 2^12 registers ≈ 1.6%
+    * relative standard error, 4 KiB per group: the standard
+    * accuracy/state trade for warehouse distinct counts. */
+  val LgK = 12
+
+  private[graft] def gateRoots(dir: String, kind: String = "source")
+      : (String, String) = {
     val abs = new java.io.File(dir).getAbsolutePath
     val tag = new java.io.File(dir).getName + "_" +
       java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(abs))
     val t = System.getProperty("java.io.tmpdir")
-    (s"$t/graft_mv_source_$tag", s"$t/graft_mv_view_$tag")
+    (s"$t/graft_mv_${kind}_$tag", s"$t/graft_mv_view_${kind}_$tag")
   }
 
   def matviewGate(s: SparkSession, dir: String): DataFrame = {
@@ -113,10 +133,67 @@ object MatView {
       .orderBy("event_type")
   }
 
+  /** Gate: incremental COUNT DISTINCT. The view maintains a mergeable
+    * HLL sketch of `user_id` per event_type across the same commit mix
+    * as the flows gate (two delta refreshes + a rewrite-detected
+    * recompute); the estimate must land within 5% of the exact count
+    * (2^[[LgK]] registers put the RSE at ~1.6%). Exact truth comes from
+    * one direct pass over the surviving store — affordable for a gate,
+    * and exactly what the sketch exists to avoid doing per refresh at
+    * 100 TB: the refresh path reads ONLY the delta, the sketch unions
+    * in O(groups · 2^lgK) state, and no refresh ever re-touches old
+    * rows to keep a distinct count current. */
+  def matviewDistinctGate(s: SparkSession, dir: String): DataFrame = {
+    val (srcRoot, viewRoot) = gateRoots(dir, "dst")
+    builtRoots.synchronized {
+      if (!builtRoots.contains(srcRoot)) {
+        for (r <- Seq(srcRoot, viewRoot)) {
+          val p = new Path(r)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+        val src = new ManifestStore(srcRoot)
+        val mv = new MatView(viewRoot, Seq("event_type"), "value",
+          distinctCol = Some("user_id"))
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        src.append(s, ev.filter(col("event_id") % 2 === 0),
+          rangeCol = Some("event_id"))
+        mv.refresh(s, src) // delta = commit 1
+        src.append(s, ev.filter(col("event_id") % 2 === 1),
+          rangeCol = Some("event_id"))
+        mv.refresh(s, src) // delta = commit 2 only
+        src.delete(s, pmod(col("user_id"), lit(Forget.ForgetMod)) === 0,
+          commitKey = Some("mv-dst-forget-1"))
+        mv.refresh(s, src) // rewrite detected -> full recompute
+        builtRoots.add(srcRoot)
+      }
+    }
+    val view = new MatView(viewRoot, Seq("event_type"), "value",
+      distinctCol = Some("user_id")).state(s).get
+      .select(col("event_type"), col("n"),
+        hll_sketch_estimate(col("dsk")).as("approx_users"))
+    val exact = new ManifestStore(srcRoot).read(s).get
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    view.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          lit(0.05) * col("exact_users")).cast("int").as("users_ok"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "store_matview_flows" -> (matviewGate _))
+    "store_matview_flows" -> (matviewGate _),
+    "store_matview_distinct" -> (matviewDistinctGate _))
 
   val oracle: Map[String, String] = Map(
+    "store_matview_distinct" -> s"""
+      SELECT event_type, COUNT(*) AS n,
+        COUNT(DISTINCT user_id) AS exact_users, 1 AS users_ok
+      FROM events
+      WHERE user_id % ${Forget.ForgetMod} <> 0
+      GROUP BY event_type ORDER BY event_type""",
     "store_matview_flows" -> s"""
       SELECT event_type, COUNT(*) AS n,
         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum

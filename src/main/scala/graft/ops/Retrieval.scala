@@ -520,7 +520,119 @@ object Retrieval {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** The phrase-search gate's query set: two bigrams and a trigram over
+    * the fixture vocabulary, all with non-empty result sets. */
+  val PhraseQueries: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("table", "value"),
+    2L -> Seq("data", "stream"),
+    3L -> Seq("join", "part", "filter"))
+
+  /** Exact phrase search over a POSITIONAL inverted index — the query
+    * shape BM25's bag-of-words ranking can't express (terms must be
+    * adjacent, in order). The index is (term, doc_id, pos) postings; a
+    * phrase of n terms matches at start s iff term_i sits at s+i for
+    * every i.
+    *
+    * The classic plan is an n-way self-join on (doc, pos+i); this is
+    * the align-and-count formulation that does it in ONE pass: each
+    * posting that matches term_i contributes the candidate start
+    * (pos − i), and a start with all n DISTINCT offsets present is a
+    * full match. One broadcast semi-join discards every posting outside
+    * the query vocabulary at the scan, so the shuffle is proportional
+    * to the matched postings, not the corpus; at 100 TB the postings
+    * table is the persisted artifact (partitioned by term hash, built
+    * once) and each query reads only its terms' partitions. Overlapping
+    * matches count individually — same contract as the oracle's
+    * position scan. */
+  def phraseSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val postings = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(split(coalesce(col("text"), lit("")), " ")))
+      .toDF("doc_id", "pos", "term")
+    val pterms = PhraseQueries
+      .flatMap { case (pid, ws) => ws.zipWithIndex.map { case (w, i) =>
+        (pid, i.toLong, w, ws.length.toLong) } }
+      .toDF("phrase_id", "idx", "term", "phrase_len")
+    postings.join(broadcast(pterms), Seq("term"))
+      .select(col("phrase_id"), col("doc_id"),
+        (col("pos") - col("idx")).as("start"), col("idx"), col("phrase_len"))
+      .groupBy("phrase_id", "doc_id", "start", "phrase_len")
+      .agg(countDistinct(col("idx")).as("n_hit"))
+      .filter(col("n_hit") === col("phrase_len") && col("start") >= 0)
+      .groupBy("phrase_id", "doc_id")
+      .agg(count(lit(1)).as("n_matches"))
+      .orderBy("phrase_id", "doc_id")
+  }
+
+  /** Neighbors returned per query by [[ragRetrieve]]. */
+  val RagK = 3
+
+  /** The RAG indexing pipeline end-to-end, as ONE composed dataflow:
+    * [[chunkSliding]] cuts the corpus into passages, every passage is
+    * hash-embedded ([[TextAnalysis.hashEmbed]]'s recipe — model-free, so
+    * the whole chain stays oracle-exact: ±1 sums are integers in
+    * doubles, hence bit-deterministic under any aggregation order), and
+    * each query passage retrieves its [[RagK]] nearest corpus passages
+    * by cosine. Corpus = chunk 0 of every doc (the passage index);
+    * queries = chunk 1 of every 100th doc. (The fixture's ~30-word
+    * shared vocabulary makes all bags-of-words look alike, so the gate
+    * asserts the exact ranked listing, not source-doc recall — with a
+    * real vocabulary the 50% token overlap would dominate.)
+    *
+    * Candidate semantics are sparse-retrieval standard (same as BM25):
+    * only pairs sharing ≥1 nonzero dimension are scored — the
+    * dim-keyed join IS the inverted index probe, and a pair with no
+    * shared dimension has cosine 0 and loses to any candidate anyway.
+    *
+    * Scale shape: embeddings stay in sparse long form (key, dim, val)
+    * end-to-end — chunking and embedding are map-side behind the scan;
+    * the per-dim join ships only nonzero postings (query side tiny →
+    * broadcast); ranking is a per-query window over candidate rows. At
+    * real scale the corpus half is the persisted artifact (the IVF/LSH
+    * index build path) and only the query batch is embedded per run. */
+  def ragRetrieve(s: SparkSession, dir: String): DataFrame = {
+    val chunks = chunkSliding(s, dir)
+    def embed(df: DataFrame): DataFrame = {
+      val terms = df.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+        .withColumn("fp", md5(col("term")))
+      def hx(i: Int) = expr(s"instr('0123456789abcdef', substring(fp, $i, 1)) - 1")
+      terms
+        .withColumn("v", ((hx(1) * 16 + hx(2)) * 16 + hx(3)) * 16 + hx(4))
+        .withColumn("dim", pmod(col("v"), lit(TextAnalysis.HashDim)).cast("long"))
+        .withColumn("sgn", when(hx(5) % 2 === 0, lit(1.0)).otherwise(lit(-1.0)))
+        .groupBy("doc_id", "dim").agg(sum(col("sgn")).as("val"))
+        .filter(col("val") =!= 0.0) // sparse: zero dims carry no signal
+    }
+    val cemb = embed(chunks.filter(col("chunk_id") === 0))
+    val qemb = embed(chunks.filter(
+      col("chunk_id") === 1 && pmod(col("doc_id"), lit(100)) === 7))
+    def ssOf(e: DataFrame) = e.groupBy("doc_id")
+      .agg(sum(col("val") * col("val")).as("ss"))
+    val prods = broadcast(qemb.select(col("doc_id").as("q_doc"),
+        col("dim"), col("val").as("qv")))
+      .join(cemb.select(col("doc_id").as("n_doc"), col("dim"),
+        col("val").as("cv")), Seq("dim"))
+      .groupBy("q_doc", "n_doc").agg(sum(col("qv") * col("cv")).as("dp"))
+    val scored = prods
+      .join(broadcast(ssOf(qemb).withColumnRenamed("doc_id", "q_doc")
+        .withColumnRenamed("ss", "qss")), Seq("q_doc"))
+      .join(ssOf(cemb).withColumnRenamed("doc_id", "n_doc")
+        .withColumnRenamed("ss", "css"), Seq("n_doc"))
+      .withColumn("cosine", round(col("dp") / sqrt(col("qss") * col("css")), 6))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_doc"))
+          .orderBy(col("cosine").desc, col("n_doc"))).cast("long"))
+      .filter(col("rank") <= RagK)
+      .select(col("q_doc"), col("rank"), col("n_doc"), col("cosine"))
+      .orderBy("q_doc", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rag_retrieve" -> (ragRetrieve _),
+    "text_phrase_search" -> (phraseSearch _),
     "chunk_sliding" -> (chunkSliding _),
     "vocab_build" -> (vocabBuild _),
     "text_bm25_topk" -> (bm25TopK _),
@@ -575,7 +687,87 @@ object Retrieval {
             a || b AS merged, n AS n_occurrences FROM m$i""")
       .mkString(" UNION ALL ")
 
+  /** Phrase-search oracle, generated from [[PhraseQueries]] so engine
+    * and oracle share ONE phrase list: a 1-based position scan with
+    * per-phrase adjacency conditions (out-of-range list indexes are
+    * NULL in DuckDB, so partial windows at the doc tail fail the
+    * equality naturally). */
+  private def phraseOracleSql: String = {
+    val arms = PhraseQueries.map { case (pid, ws) =>
+      val conds = ws.zipWithIndex
+        .map { case (w, i) => s"t[i+$i] = '$w'" }.mkString(" AND ")
+      s"""SELECT CAST($pid AS BIGINT) AS phrase_id, doc_id,
+          CAST(COUNT(*) AS BIGINT) AS n_matches
+        FROM pos WHERE $conds GROUP BY doc_id"""
+    }.mkString(" UNION ALL ")
+    s"""
+      WITH toks AS (
+        SELECT doc_id, string_split(COALESCE(text, ''), ' ') t FROM documents),
+      pos AS (
+        SELECT doc_id, t,
+          CAST(unnest(generate_series(1, GREATEST(len(t), 1))) AS BIGINT) i
+        FROM toks)
+      SELECT * FROM ($arms) ORDER BY phrase_id, doc_id"""
+  }
+
+  /** [[ragRetrieve]]'s oracle: the same chunk → hash-embed → sparse
+    * cosine → per-query rank chain in DuckDB (chunk CTE from the
+    * chunk_sliding oracle, hex recipe from the text_hash_embed one). */
+  private def ragOracleSql: String = {
+    val hd = TextAnalysis.HashDim
+    s"""
+      WITH toks AS (
+        SELECT doc_id, string_split(COALESCE(text, ''), ' ') t FROM documents),
+      chunks AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+          t[(i*$ChunkStride+1):(i*$ChunkStride+$ChunkW)] AS w
+        FROM toks, unnest(generate_series(0,
+          CAST(ceil(GREATEST(len(t), 1) / ${ChunkStride}.0) AS INT) - 1)) u(i)),
+      sel AS (
+        SELECT doc_id, (chunk_id = 1) AS is_q, w FROM chunks
+        WHERE chunk_id = 0 OR (chunk_id = 1 AND doc_id % 100 = 7)),
+      terms AS (SELECT doc_id, is_q, unnest(w) AS term FROM sel),
+      h AS (SELECT doc_id, is_q, md5(term) AS fp
+        FROM terms WHERE length(term) > 0),
+      hx AS (
+        SELECT doc_id, is_q,
+          strpos('0123456789abcdef', substring(fp, 1, 1)) - 1 AS h1,
+          strpos('0123456789abcdef', substring(fp, 2, 1)) - 1 AS h2,
+          strpos('0123456789abcdef', substring(fp, 3, 1)) - 1 AS h3,
+          strpos('0123456789abcdef', substring(fp, 4, 1)) - 1 AS h4,
+          strpos('0123456789abcdef', substring(fp, 5, 1)) - 1 AS h5
+        FROM h),
+      sgn AS (
+        SELECT doc_id, is_q,
+          (((h1*16 + h2)*16 + h3)*16 + h4) % $hd AS dim,
+          CASE WHEN h5 % 2 = 0 THEN 1.0 ELSE -1.0 END AS s
+        FROM hx),
+      vals AS (
+        SELECT doc_id, is_q, dim, SUM(s) AS val FROM sgn
+        GROUP BY 1, 2, 3 HAVING SUM(s) <> 0),
+      ss AS (SELECT doc_id, is_q, SUM(val*val) AS ss FROM vals GROUP BY 1, 2),
+      dp AS (
+        SELECT q.doc_id AS q_doc, c.doc_id AS n_doc, SUM(q.val*c.val) AS dp
+        FROM vals q JOIN vals c ON q.dim = c.dim
+        WHERE q.is_q AND NOT c.is_q GROUP BY 1, 2),
+      cos AS (
+        SELECT d.q_doc, d.n_doc,
+          ROUND(d.dp / sqrt(qs.ss * cs.ss), 6) AS cosine
+        FROM dp d
+        JOIN ss qs ON qs.doc_id = d.q_doc AND qs.is_q
+        JOIN ss cs ON cs.doc_id = d.n_doc AND NOT cs.is_q),
+      ranked AS (
+        SELECT q_doc, n_doc, cosine,
+          row_number() OVER (PARTITION BY q_doc
+            ORDER BY cosine DESC, n_doc) AS rank
+        FROM cos)
+      SELECT q_doc, CAST(rank AS BIGINT) AS rank, n_doc, cosine
+      FROM ranked WHERE rank <= $RagK ORDER BY q_doc, rank"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "rag_retrieve" -> ragOracleSql,
+    "text_phrase_search" -> phraseOracleSql,
     "unigram_tokenize" -> """
       SELECT term AS w, term AS rebuilt, CAST(1 AS BOOLEAN) AS pieces_in_vocab
       FROM (

@@ -241,6 +241,52 @@ object Similarity {
           expr("(n_total - n_kept_exact) DIV 2")).as("removal_ok"))
   }
 
+  /** Cosine threshold above which a corpus vector counts as a semantic
+    * copy of an eval-set item ([[semanticDecontam]]). */
+  val SemDecontamThreshold = 0.9
+
+  /** Embedding-space decontamination — the semantic sibling of the
+    * n-gram [[Decontam]] family (the modern eval-leakage check: a
+    * paraphrased benchmark item shares no 13-gram but sits at high
+    * cosine). Every corpus vector is scored by its MAX cosine against
+    * the eval set; anything at or above [[SemDecontamThreshold]] is
+    * flagged for removal.
+    *
+    * Scale shape: eval sets are tiny by nature (thousands of rows
+    * against a corpus of billions), so the eval side BROADCASTS and the
+    * whole pass is scan → per-row cosines against the broadcast array →
+    * one max-aggregate keyed by vec_id — map-side partials, no
+    * corpus-wide exchange of vectors. An eval set too big to broadcast
+    * drops into the IVF probe path ([[hardNegativesIvf]]'s machinery)
+    * unchanged.
+    *
+    * The gate plants its eval set as perturbed twins of every corpus
+    * vector with vec_id % 25 == 3 ([[nearDupUniverse]]'s recipe at a
+    * gentler +0.2 on coordinate 1 — every twin sits at cosine ≥ 0.979
+    * to its source at every fixture scale), so planted contamination is
+    * ALL flagged with margin while the rest of the corpus populates the
+    * clean side — both flag values occur and the DuckDB oracle
+    * recomputes the identical IEEE expression tree. */
+  def semanticDecontam(s: SparkSession, dir: String): DataFrame = {
+    val corpus = vecs(Tables.load(s, dir, "embeddings"))
+    val eval = corpus.filter(pmod(col("vec_id"), lit(25)) === 3)
+      .select(col("vec_id").as("eval_id"),
+        expr("concat(array(element_at(e, 1) + 0.2D), slice(e, 2, 63))").as("eb"))
+      .withColumn("nb", sqrt(Shim.column(DotDouble(
+        Shim.expression(col("eb")), Shim.expression(col("eb"))))))
+    val scored = corpus
+      .select(col("vec_id"), col("e").as("ea"), col("nrm").as("na"))
+      .crossJoin(broadcast(eval))
+      .select(col("vec_id"), (dot / (col("na") * col("nb"))).as("c"))
+      .groupBy("vec_id")
+      .agg(max(col("c")).as("m"))
+    // round AFTER the max: the max picks among bit-identical doubles on
+    // both engines, so the 6-dp rounding happens on the same value
+    scored.select(col("vec_id"), round(col("m"), 6).as("eval_cosine"),
+        (col("m") >= lit(SemDecontamThreshold)).as("contaminated"))
+      .orderBy("vec_id")
+  }
+
   /** Brute-force cosine top-k: queries are vec_id < 10, k = 10 neighbors
     * over the full corpus, ranked by (cosine desc, vec_id). */
   def topK(s: SparkSession, dir: String): DataFrame = {
@@ -570,6 +616,7 @@ object Similarity {
     "emb_near_dup" -> (nearDup _),
     "emb_dedup_keep_only" -> (embDedupKeepOnly _),
     "emb_semdedup" -> (embSemDedup _),
+    "decontaminate_semantic" -> (semanticDecontam _),
     "ann_topk_brute" -> (topK _),
     "ann_topk_lsh" -> (lshRecall _),
     "ann_topk_lsh_slim" -> (lshSlimRecall _),
@@ -594,6 +641,25 @@ object Similarity {
         FROM withn a, withn b WHERE a.vec_id < b.vec_id)"""
 
   val oracle: Map[String, String] = Map(
+    "decontaminate_semantic" -> s"""
+      WITH corpus AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e
+        FROM embeddings),
+      wc AS (SELECT vec_id, e,
+        sqrt(list_sum(list_transform(e, x -> x*x))) nrm FROM corpus),
+      ev AS (
+        SELECT vec_id AS eval_id, list_concat([e[1] + 0.2], e[2:]) e
+        FROM corpus WHERE vec_id % 25 = 3),
+      we AS (SELECT eval_id, e,
+        sqrt(list_sum(list_transform(e, x -> x*x))) nrm FROM ev),
+      mx AS (
+        SELECT c.vec_id,
+          MAX(list_sum(list_transform(generate_series(1, 64),
+            k -> c.e[k] * v.e[k])) / (c.nrm * v.nrm)) m
+        FROM wc c, we v GROUP BY c.vec_id)
+      SELECT vec_id, ROUND(m, 6) AS eval_cosine,
+        m >= $SemDecontamThreshold AS contaminated
+      FROM mx ORDER BY vec_id""",
     "emb_hard_negatives_ivf" -> s"""
       SELECT 'ivf_hard_neg' AS method,
         CAST($HardNegK*COUNT(*) AS BIGINT) AS n_expected,

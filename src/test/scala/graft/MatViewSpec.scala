@@ -43,6 +43,33 @@ class MatViewSpec extends AnyFunSuite {
     assert(mv.state(spark).get.inputFiles.toSet == filesBefore)
   }
 
+  test("distinct sketch: partials union losslessly across delta refreshes") {
+    val t = Files.createTempDirectory("graft_mv_dsk").toString
+    val src = new ManifestStore(s"$t/src")
+    val mv = new MatView(s"$t/view", Seq("k"), "v", distinctCol = Some("u"))
+    // commit 1: users 1..50 under k=a; commit 2: users 26..75 (overlap
+    // 26..50 must not double-count) plus k=b with users 1..10
+    src.append(spark, (1 to 50).map(u => ("a", 1.0, u.toLong)).toDF("k", "v", "u"))
+    mv.refresh(spark, src)
+    src.append(spark,
+      ((26 to 75).map(u => ("a", 1.0, u.toLong)) ++
+        (1 to 10).map(u => ("b", 1.0, u.toLong))).toDF("k", "v", "u"))
+    mv.refresh(spark, src)
+    val est = mv.state(spark).get
+      .select(col("k"), hll_sketch_estimate(col("dsk")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // at these cardinalities a 2^12-register HLL is exact
+    assert(est == Map("a" -> 75L, "b" -> 10L),
+      s"sketch union must count the overlap once: $est")
+    // a rewriting commit (delete) forces recompute; the sketch follows
+    src.delete(spark, col("u") > 50L, commitKey = Some("dsk-del"))
+    mv.refresh(spark, src)
+    val est2 = mv.state(spark).get
+      .select(col("k"), hll_sketch_estimate(col("dsk")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est2 == Map("a" -> 50L, "b" -> 10L), s"post-delete: $est2")
+  }
+
   test("streaming ingest keeps the view consistent; batch-id keys make replays no-ops") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

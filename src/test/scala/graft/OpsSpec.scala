@@ -176,6 +176,27 @@ class OpsSpec extends AnyFunSuite {
       s"kept $keptTokens tokens, budget ${graft.ops.Sampling.TokenBudget}")
   }
 
+  test("semantic decontam flags every planted eval twin; threshold honest") {
+    val rows = Similarity.semanticDecontam(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    // the whole corpus is scored, each vector exactly once
+    val n = Tables.load(spark, dir, "embeddings").count()
+    assert(rows.size.toLong == n)
+    // the flag is exactly (max eval cosine >= threshold) at 6 dp
+    rows.values.foreach { case (c, f) =>
+      if (c >= Similarity.SemDecontamThreshold + 1e-6) assert(f)
+      if (c < Similarity.SemDecontamThreshold - 1e-6) assert(!f)
+    }
+    // every planted twin source (vec_id % 25 == 3) sits at high cosine
+    // to its own perturbation — all must be flagged
+    val planted = rows.filter(_._1 % 25 == 3)
+    assert(planted.nonEmpty)
+    assert(planted.values.forall(_._2),
+      "a planted eval twin escaped the semantic decontam flag")
+    // and the clean side is non-empty (the gate exercises both values)
+    assert(rows.values.exists(!_._2))
+  }
+
   test("embedding semantic dedup: LSH-verified edges reproduce the exact pair set") {
     val u = graft.ops.Similarity.nearDupUniverse(spark, dir)
     def pairSet(df: org.apache.spark.sql.DataFrame) = df.select("i", "j")

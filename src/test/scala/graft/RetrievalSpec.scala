@@ -17,6 +17,54 @@ class RetrievalSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse(""))
       .toMap
 
+  test("phrase search: hand-counted occurrences, overlaps included") {
+    val res = Retrieval.phraseSearch(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // brute-force truth per phrase over the raw text
+    for ((pid, ws) <- Retrieval.PhraseQueries) {
+      val truth = docs.flatMap { case (id, text) =>
+        val toks = text.split(' ')
+        val n = (0 to toks.length - ws.length)
+          .count(s => ws.indices.forall(i => toks(s + i) == ws(i)))
+        if (n > 0) Some((pid, id) -> n.toLong) else None
+      }
+      assert(res.filter(_._1._1 == pid) == truth, s"phrase $pid")
+      assert(truth.nonEmpty, s"phrase $pid must have fixture matches")
+    }
+  }
+
+  test("phrase search counts overlapping matches individually") {
+    import spark.implicits._
+    // "x x x" contains "x x" at starts 0 and 1 — the index counts both
+    val df = Seq((1L, "x x x")).toDF("doc_id", "text")
+    val toks = df.select(col("doc_id"),
+      posexplode(split(col("text"), " "))).toDF("doc_id", "pos", "term")
+    val starts = toks.filter(col("term") === "x")
+      .select(col("doc_id"), col("pos").as("s"))
+      .join(toks.filter(col("term") === "x")
+        .select(col("doc_id"), (col("pos") - 1).as("s")), Seq("doc_id", "s"))
+    assert(starts.count() == 2)
+  }
+
+  test("rag retrieve: expected query set, ranked top-k per query") {
+    val rows = Retrieval.ragRetrieve(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // queries = chunk 1 of every 100th doc — exists iff the doc has more
+    // than ChunkStride tokens
+    val expectQ = docs.collect { case (id, t)
+      if id % 100 == 7 && t.split(' ').length > Retrieval.ChunkStride => id }
+      .toSet
+    assert(rows.map(_._1).toSet == expectQ)
+    for ((q, g0) <- rows.groupBy(_._1)) {
+      val g = g0.sortBy(_._2)
+      assert(g.map(_._2).toSeq == (1L to Retrieval.RagK).toSeq,
+        s"query $q: ranks must be contiguous 1..k")
+      val cos = g.map(_._4).toSeq
+      assert(cos == cos.sorted.reverse, s"query $q: cosines must descend")
+      assert(cos.forall(c => c >= -1.000001 && c <= 1.000001))
+    }
+  }
+
   test("vocab ids are contiguous, counts honest, min-count enforced") {
     val v = Retrieval.vocabBuild(spark, dir).collect()
     assert(v.nonEmpty)
