@@ -176,6 +176,29 @@ class OpsSpec extends AnyFunSuite {
       s"kept $keptTokens tokens, budget ${graft.ops.Sampling.TokenBudget}")
   }
 
+  test("pagerank: probability mass conserved, degree ordering respected") {
+    val ranks = graft.ops.PageRank.pagerank(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ranks.values.forall(_ > 0))
+    // symmetric graph, no dangling nodes: total mass stays 1 (up to the
+    // 12-dp per-round rounding, bounded by iters * n * 1e-12)
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-6, s"mass=${ranks.values.sum}")
+    // the highest in-degree node must outrank the lowest (power iteration
+    // on a symmetric graph tracks degree)
+    val o = Tables.load(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    val l = Tables.load(spark, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val deg = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), (col("l_suppkey") + 100000L).as("s"))
+      .distinct()
+      .select(explode(array(col("c"), col("s"))).as("node"))
+      .groupBy("node").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hi = deg.maxBy(_._2)._1
+    val lo = deg.minBy(_._2)._1
+    assert(ranks(hi) > ranks(lo),
+      s"deg(${deg.maxBy(_._2)._2}) node must outrank deg(${deg.minBy(_._2)._2})")
+  }
+
   test("semantic decontam flags every planted eval twin; threshold honest") {
     val rows = Similarity.semanticDecontam(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
