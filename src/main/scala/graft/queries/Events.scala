@@ -130,13 +130,190 @@ object Events {
     GROUP BY window(t, '6 hours', '3 hours')
     ORDER BY win_start""")
 
+  /** Trailing 24 h per-user rolling aggregates via a RANGE window frame
+    * — the frame type ROWS can't express (it bounds by event-time
+    * distance, not row count, so sparse and dense users get the same
+    * semantics). One user_id exchange; DECIMAL sum for cross-engine
+    * exactness. */
+  def rollingRange(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+    WITH t AS (
+      SELECT user_id, event_id,
+        unix_millis(CAST(ts AS TIMESTAMP)) AS ms, value
+      FROM events)
+    SELECT user_id, event_id, ms,
+      COUNT(*) OVER w AS n_24h,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_24h
+    FROM t
+    WINDOW w AS (PARTITION BY user_id ORDER BY ms
+      RANGE BETWEEN 86400000 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, ms, event_id""")
+
+  /** Slowly-changing-dimension (type 2) build from the event stream:
+    * each user's event_type transitions become validity intervals
+    * (valid_from, valid_to, is_current) — the classic warehouse
+    * dimension-history ETL, as two window passes (LAG change detection,
+    * LEAD interval close) sharing one user_id exchange. */
+  def scd2(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+    WITH t AS (
+      SELECT user_id, event_id, event_type,
+        unix_millis(CAST(ts AS TIMESTAMP)) AS ms
+      FROM events),
+    chg AS (
+      SELECT user_id, ms, event_id, event_type
+      FROM (SELECT *, LAG(event_type) OVER
+          (PARTITION BY user_id ORDER BY ms, event_id) AS prev_type
+        FROM t)
+      WHERE prev_type IS NULL OR prev_type <> event_type)
+    SELECT user_id, event_type AS state, ms AS valid_from_ms,
+      LEAD(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id)
+        AS valid_to_ms,
+      LEAD(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) IS NULL
+        AS is_current
+    FROM chg
+    ORDER BY user_id, valid_from_ms, state""")
+
+  /** Linear interpolation of each user's value series onto a daily grid
+    * — the gap-filling sibling of LOCF (q14): every grid point gets
+    * va + (vb−va)·(t−ta)/(tb−ta) from the surrounding observations,
+    * NULL outside the observed range. Both neighbor lookups use the
+    * q14 group trick (running count of observations partitions the
+    * timeline into LOCF groups — no IGNORE NULLS portability hazard),
+    * run once forward and once reverse; all four window passes and the
+    * final projection share the user_id exchange. */
+  def interpolate(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+    WITH b AS (
+      SELECT unix_millis(CAST(date_trunc('DAY', MIN(ts)) AS TIMESTAMP)) AS d0,
+        unix_millis(CAST(date_trunc('DAY', MAX(ts)) AS TIMESTAMP)) AS d1
+      FROM events),
+    grid AS (
+      SELECT u.user_id, g.ms
+      FROM (SELECT DISTINCT user_id FROM events) u
+      CROSS JOIN (SELECT explode(sequence(d0, d1, 86400000)) AS ms FROM b) g),
+    obs AS (
+      SELECT user_id, unix_millis(CAST(ts AS TIMESTAMP)) AS ms,
+        value, event_id, 1 AS is_obs
+      FROM events),
+    allr AS (
+      SELECT user_id, ms, value, coalesce(event_id, -1) AS eid, is_obs
+      FROM obs
+      UNION ALL
+      SELECT user_id, ms, CAST(NULL AS DOUBLE), -1, 0 FROM grid),
+    fwd AS (
+      SELECT *, SUM(is_obs) OVER (PARTITION BY user_id
+          ORDER BY ms, is_obs DESC, eid
+          ROWS UNBOUNDED PRECEDING) AS grp_f
+      FROM allr),
+    bwd AS (
+      SELECT *, SUM(is_obs) OVER (PARTITION BY user_id
+          ORDER BY ms DESC, is_obs, eid DESC
+          ROWS UNBOUNDED PRECEDING) AS grp_b
+      FROM fwd),
+    nb AS (
+      SELECT user_id, ms, is_obs,
+        MAX(CASE WHEN is_obs = 1 THEN ms END)
+          OVER (PARTITION BY user_id, grp_f) AS ta,
+        MAX(CASE WHEN is_obs = 1 THEN value END)
+          OVER (PARTITION BY user_id, grp_f) AS va,
+        MAX(CASE WHEN is_obs = 1 THEN ms END)
+          OVER (PARTITION BY user_id, grp_b) AS tb,
+        MAX(CASE WHEN is_obs = 1 THEN value END)
+          OVER (PARTITION BY user_id, grp_b) AS vb
+      FROM bwd)
+    SELECT user_id, ms,
+      CASE
+        WHEN ta = ms THEN ROUND(va, 6)
+        WHEN ta IS NULL OR tb IS NULL THEN CAST(NULL AS DOUBLE)
+        ELSE ROUND(va + (vb - va) *
+          (CAST(ms - ta AS DOUBLE) / CAST(tb - ta AS DOUBLE)), 6)
+      END AS value_interp
+    FROM nb WHERE is_obs = 0
+    ORDER BY user_id, ms""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_rolling_range" -> (rollingRange _),
+    "events_scd2" -> (scd2 _),
+    "events_interpolate" -> (interpolate _),
     "events_sessionize" -> (sessionize _),
     "events_funnel" -> (funnel _),
     "events_retention" -> (retention _),
     "events_hopping_window" -> (hoppingWindow _))
 
   val oracle: Map[String, String] = Map(
+    "events_rolling_range" -> """
+      WITH t AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS ms, value FROM events)
+      SELECT user_id, event_id, ms,
+        COUNT(*) OVER w AS n_24h,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_24h
+      FROM t
+      WINDOW w AS (PARTITION BY user_id ORDER BY ms
+        RANGE BETWEEN 86400000 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, ms, event_id""",
+    "events_scd2" -> """
+      WITH t AS (
+        SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms
+        FROM events),
+      chg AS (
+        SELECT user_id, ms, event_id, event_type
+        FROM (SELECT *, LAG(event_type) OVER
+            (PARTITION BY user_id ORDER BY ms, event_id) AS prev_type
+          FROM t)
+        WHERE prev_type IS NULL OR prev_type <> event_type)
+      SELECT user_id, event_type AS state, ms AS valid_from_ms,
+        LEAD(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id)
+          AS valid_to_ms,
+        LEAD(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) IS NULL
+          AS is_current
+      FROM chg
+      ORDER BY user_id, valid_from_ms, state""",
+    "events_interpolate" -> """
+      WITH b AS (
+        SELECT epoch_ms(date_trunc('day', MIN(ts))) AS d0,
+          epoch_ms(date_trunc('day', MAX(ts))) AS d1
+        FROM events),
+      grid AS (
+        SELECT u.user_id, g.ms
+        FROM (SELECT DISTINCT user_id FROM events) u
+        CROSS JOIN (SELECT unnest(generate_series(d0, d1, 86400000)) AS ms
+          FROM b) g),
+      obs AS (
+        SELECT user_id, epoch_ms(ts) AS ms, value, event_id, 1 AS is_obs
+        FROM events),
+      allr AS (
+        SELECT user_id, ms, value, COALESCE(event_id, -1) AS eid, is_obs
+        FROM obs
+        UNION ALL
+        SELECT user_id, ms, CAST(NULL AS DOUBLE), -1, 0 FROM grid),
+      fwd AS (
+        SELECT *, SUM(is_obs) OVER (PARTITION BY user_id
+            ORDER BY ms, is_obs DESC, eid
+            ROWS UNBOUNDED PRECEDING) AS grp_f
+        FROM allr),
+      bwd AS (
+        SELECT *, SUM(is_obs) OVER (PARTITION BY user_id
+            ORDER BY ms DESC, is_obs, eid DESC
+            ROWS UNBOUNDED PRECEDING) AS grp_b
+        FROM fwd),
+      nb AS (
+        SELECT user_id, ms, is_obs,
+          MAX(CASE WHEN is_obs = 1 THEN ms END)
+            OVER (PARTITION BY user_id, grp_f) AS ta,
+          MAX(CASE WHEN is_obs = 1 THEN value END)
+            OVER (PARTITION BY user_id, grp_f) AS va,
+          MAX(CASE WHEN is_obs = 1 THEN ms END)
+            OVER (PARTITION BY user_id, grp_b) AS tb,
+          MAX(CASE WHEN is_obs = 1 THEN value END)
+            OVER (PARTITION BY user_id, grp_b) AS vb
+        FROM bwd)
+      SELECT user_id, ms,
+        CASE
+          WHEN ta = ms THEN ROUND(va, 6)
+          WHEN ta IS NULL OR tb IS NULL THEN CAST(NULL AS DOUBLE)
+          ELSE ROUND(va + (vb - va) *
+            (CAST(ms - ta AS DOUBLE) / CAST(tb - ta AS DOUBLE)), 6)
+        END AS value_interp
+      FROM nb WHERE is_obs = 0
+      ORDER BY user_id, ms""",
     "events_sessionize" -> s"""
       WITH brk AS (
         SELECT user_id, event_id, ts, value,

@@ -6,7 +6,9 @@ import graft.queries.Events
 
 /** Behavioral analytics over events: sessionization against a by-hand
   * union-by-gap truth, funnel monotonicity + window honesty, retention
-  * triangle invariants, hopping-window double coverage. */
+  * triangle invariants, hopping-window double coverage, rolling RANGE
+  * frame vs a trailing walk, SCD2 interval tiling, interpolation
+  * neighbor bounds. */
 class EventsSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
@@ -63,6 +65,65 @@ class EventsSpec extends AnyFunSuite {
     // no offset exceeds its cohort's size
     val c0 = rows.filter(_._2 == 0L).map(r => r._1 -> r._3).toMap
     rows.foreach { case (cms, _, n) => assert(n <= c0(cms)) }
+  }
+
+  test("rolling range frame matches a by-hand 24h trailing walk") {
+    val got = Events.rollingRange(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    raw.groupBy(_._1).foreach { case (_, evs) =>
+      evs.foreach { e =>
+        val n = evs.count(o => o._3 <= e._3 && o._3 >= e._3 - 86400000L)
+        assert(got((e._1, e._2)) == n.toLong,
+          s"user ${e._1} event ${e._2}: 24h count")
+      }
+    }
+    // the frame must discriminate (not all 1, not all full-history)
+    assert(got.values.exists(_ > 1) && got.values.exists(_ == 1))
+  }
+
+  test("scd2: intervals tile each user's timeline, one current row") {
+    val rows = Events.scd2(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))
+    rows.groupBy(_._1).foreach { case (u, g0) =>
+      val g = g0.sortBy(_._3)
+      // exactly one open (current) interval per user, and it is the last
+      assert(g.count(_._4.isEmpty) == 1)
+      assert(g.last._4.isEmpty && g.last._5)
+      // each interval closes exactly where the next opens
+      g.sliding(2).filter(_.length == 2).foreach { w =>
+        val (a, b) = (w(0), w(1))
+        assert(a._4.contains(b._3), s"user $u: gap in SCD2")
+        // consecutive states differ (that is what made them intervals)
+        assert(a._2 != b._2, s"user $u: non-change row")
+      }
+    }
+  }
+
+  test("interpolation: bounded by neighbors, exact at observations, null outside") {
+    val got = Events.interpolate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    val byUser = raw.groupBy(_._1)
+    got.foreach { case ((u, g), v) =>
+      val evs = byUser(u).sortBy(e => (e._3, e._2))
+      val before = evs.filter(_._3 <= g)
+      val after = evs.filter(_._3 > g)
+      (before.lastOption, after.headOption) match {
+        case (Some(a), _) if a._3 == g =>
+          // exact hit: the last obs at that ms wins
+          assert(v.contains(BigDecimal(a._4)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        case (Some(a), Some(b)) =>
+          val x = v.get
+          val (lo, hi) = (math.min(a._4, b._4), math.max(a._4, b._4))
+          assert(x >= lo - 1e-6 && x <= hi + 1e-6,
+            s"user $u grid $g: $x outside [$lo, $hi]")
+        case _ => assert(v.isEmpty, s"user $u grid $g: expected NULL")
+      }
+    }
+    assert(got.values.exists(_.isEmpty) || got.nonEmpty)
   }
 
   test("hopping window: every event counted twice; totals reconcile") {
