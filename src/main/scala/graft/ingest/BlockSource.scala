@@ -24,12 +24,20 @@ trait BlockRpc extends Serializable {
   def getBlock(n: Long): Block
 }
 
+object FakeBlockRpc {
+  /** Block-fetch counter — the observable the aggregate-pushdown spec
+    * asserts on (a pushed COUNT/MIN/MAX must fetch ZERO blocks).
+    * Meaningful in local mode only, where executors share the JVM. */
+  val fetches = new java.util.concurrent.atomic.AtomicLong(0L)
+}
+
 /** Deterministic block generator: every field derives from keccak of the
   * block number, so any partition/executor computes identical rows. */
 final class FakeBlockRpc extends BlockRpc {
   private val GenesisTime = 1438269973L // public mainnet genesis timestamp
 
   override def getBlock(n: Long): Block = {
+    FakeBlockRpc.fetches.incrementAndGet()
     val h = Keccak.hash256(BigInt(n).toByteArray)
     val h2 = Keccak.hash256(h)
     def u32(b: Array[Byte], off: Int): Long =

@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Bucketed co-located joins — the storage-layout answer to the
+  * fact-to-fact shuffle (SURVEY §4's "pre-partitioning" lever): both
+  * sides written `bucketBy(N, key)`, so the join's exchange disappears
+  * entirely — each task reads bucket i of both tables and merges. At
+  * 100 TB this converts the single most expensive operation in a
+  * star-join warehouse (the fact×fact repartition) into a scan-local
+  * merge; the bucket count is chosen at write time to keep one
+  * bucket × one columnstore row group per core.
+  *
+  * Spark specifics: bucketing metadata lives in the session catalog, so
+  * the gate writes the two bucketed tables once per session (cheap at
+  * fixture scale; a production table is bucketed once at ingest). The
+  * `merge` hint pins SortMergeJoin so the plan-shape assertion is about
+  * bucketing (no exchange), not about the broadcast-vs-merge choice the
+  * tiny fixture would otherwise make.
+  */
+object Colocated {
+
+  val Buckets = 8
+
+  private val built = scala.collection.mutable.Set[String]()
+
+  private def tag(dir: String): String =
+    java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(
+        new java.io.File(dir).getAbsolutePath))
+
+  /** Write orders+lineitem bucketed by the join key into the session
+    * catalog (once per session per fixture dir). */
+  private def ensureTables(s: SparkSession, dir: String): (String, String) = {
+    val t = tag(dir)
+    val (ob, lb) = (s"graft_orders_b_$t", s"graft_lineitem_b_$t")
+    // explicit external-table paths: the default would drop a
+    // spark-warehouse dir into the process cwd (the repo)
+    val wh = System.getProperty("java.io.tmpdir") + s"/graft_bucketed_$t"
+    built.synchronized {
+      if (!built.contains(ob)) {
+        if (!s.catalog.tableExists(ob)) {
+          Tables.load(s, dir, "orders")
+            .write.mode("overwrite").option("path", s"$wh/orders")
+            .bucketBy(Buckets, "o_orderkey").sortBy("o_orderkey")
+            .saveAsTable(ob)
+          Tables.load(s, dir, "lineitem")
+            .write.mode("overwrite").option("path", s"$wh/lineitem")
+            .bucketBy(Buckets, "l_orderkey").sortBy("l_orderkey")
+            .saveAsTable(lb)
+        }
+        built.add(ob)
+      }
+    }
+    (ob, lb)
+  }
+
+  /** Fact-to-fact join with NO join-side exchange: both scans are
+    * bucketed on the join key, so the SortMergeJoin consumes them in
+    * place; the only shuffle left is the final small rollup on
+    * o_orderpriority. The plan gate asserts exactly that split
+    * (PLANS.md §35). */
+  def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val (ob, lb) = ensureTables(s, dir)
+    s.table(ob).hint("merge")
+      .join(s.table(lb), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+      .orderBy("o_orderpriority")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_bucketed_join" -> (bucketedJoin _))
+
+  val oracle: Map[String, String] = Map(
+    "q38_bucketed_join" -> """
+      SELECT o_orderpriority, COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+}

@@ -295,6 +295,25 @@ object MakerDw {
       .orderBy(col("bucket"))
   }
 
+  /** DSv2 AGGREGATE pushdown (SupportsPushDownAggregates, complete):
+    * COUNT(*)/MIN/MAX over a block range collapse to range arithmetic
+    * inside the source — one 1-row partition, ZERO block fetches
+    * (accumulator-proven in SourceV2Spec). The 100 TB point: chain-head
+    * monitoring and ingest-resume watermarks ask exactly these
+    * questions, and they must not cost a scan. */
+  def blocksDsv2AggPushdown(s: SparkSession, dir: String): DataFrame = {
+    MakerFixtures.ensure(s)
+    s.read.format("graft.sources.BlockSourceV2")
+      .option("from", MakerFixtures.BlockRangeStart)
+      .option("to", MakerFixtures.BlockRangeEnd)
+      .load()
+      .filter(col("block_number") >= MakerFixtures.BlockRangeStart + 500 &&
+        col("block_number") < MakerFixtures.BlockRangeStart + 2500)
+      .agg(expr("COUNT(*)").as("n"),
+        min(col("block_number")).as("min_bn"),
+        max(col("block_number")).as("max_bn"))
+  }
+
   /** DSv2 log source with address + block-range pushdown and adaptive
     * partition sizing (S2+S12): the scan fetches only the pushed
     * address/range window — the reference's server-side eth_getLogs
@@ -387,6 +406,7 @@ object MakerDw {
     "logs_dsv2_range" -> (logsDsv2Range _),
     "proxy_actions_filter" -> (proxyActionsFilter _),
     "blocks_dsv2_range" -> (blocksDsv2Range _),
+    "blocks_dsv2_agg_pushdown" -> (blocksDsv2AggPushdown _),
     "assets_per_type_dsl" -> (assetsPerTypeDsl _),
     "assets_per_type_catalog" -> (assetsPerTypeCatalog _),
     "abi_decode_frob" -> (decodeFrob _),
@@ -532,6 +552,12 @@ object MakerDw {
         lower(hex(transaction_hash)) AS tx_hash, lower(hex(data)) AS data_hex
       FROM ${truthFrom("proxy_actions")}
       ORDER BY block_number""",
+    "blocks_dsv2_agg_pushdown" -> s"""
+      SELECT COUNT(*) AS n, MIN(block_number) AS min_bn,
+        MAX(block_number) AS max_bn
+      FROM ${truthFrom("ethereum_transactions")}
+      WHERE block_number >= ${MakerFixtures.BlockRangeStart + 500}
+        AND block_number < ${MakerFixtures.BlockRangeStart + 2500}""",
     "blocks_dsv2_range" -> s"""
       SELECT CAST(block_number // 500 AS INT) AS bucket,
         COUNT(*) AS n,

@@ -4,7 +4,8 @@ import java.util
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, EqualTo}
 import org.apache.spark.sql.types._
@@ -64,11 +65,42 @@ private class BlocksTable(from: Long, to: Long, parallelism: Int)
 }
 
 private class BlocksScanBuilder(from: Long, to: Long, parallelism: Int)
-  extends ScanBuilder with SupportsPushDownFilters {
+  extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
 
   private var lo = from
   private var hi = to
   private var pushed = Array.empty[Filter]
+  private var agg: Option[Aggregation] = None
+
+  /** COUNT(*)/MIN(block_number)/MAX(block_number) with no grouping are
+    * pure range arithmetic — the source answers them from [lo, hi]
+    * without fetching a single block (the DSv2 analogue of answering
+    * `eth_blockNumber`-style metadata queries without block bodies).
+    * Anything else stays in Spark. */
+  private def answerable(a: Aggregation): Boolean = {
+    def isBlockNumber(f: AggregateFunc): Boolean = f match {
+      case m: Min => m.column match {
+        case n: NamedReference => n.fieldNames.sameElements(Array("block_number"))
+        case _ => false
+      }
+      case m: Max => m.column match {
+        case n: NamedReference => n.fieldNames.sameElements(Array("block_number"))
+        case _ => false
+      }
+      case _ => false
+    }
+    a.groupByExpressions.isEmpty && a.aggregateExpressions.nonEmpty &&
+      a.aggregateExpressions.forall {
+        case _: CountStar => true
+        case f => isBlockNumber(f)
+      }
+  }
+
+  override def supportCompletePushDown(a: Aggregation): Boolean = answerable(a)
+
+  override def pushAggregation(a: Aggregation): Boolean =
+    if (answerable(a)) { agg = Some(a); true } else false
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
@@ -93,7 +125,55 @@ private class BlocksScanBuilder(from: Long, to: Long, parallelism: Int)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new BlocksScan(lo, hi, parallelism)
+  override def build(): Scan = agg match {
+    case Some(a) => new BlocksAggScan(lo, hi, a)
+    case None => new BlocksScan(lo, hi, parallelism)
+  }
+}
+
+/** Completely-pushed aggregate over a block range: one partition, one
+  * row, zero RPC fetches — count/min/max fall out of [lo, hi]. */
+private class BlocksAggScan(lo: Long, hi: Long, agg: Aggregation)
+  extends Scan with Batch {
+
+  private val empty = hi < lo
+
+  override def readSchema(): StructType = StructType(
+    agg.aggregateExpressions.zipWithIndex.map {
+      case (_: CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
+      case (_, i) => StructField(s"agg_$i", LongType, nullable = true)
+    })
+
+  override def description(): String =
+    s"graft blocks AGG-PUSHDOWN range=[$lo,$hi] " +
+      agg.aggregateExpressions.map(_.describe()).mkString(", ")
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(BlockRangePartition(lo, hi))
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val values: Array[Any] = agg.aggregateExpressions.map {
+      case _: CountStar => if (empty) 0L else hi - lo + 1
+      case _: Min => if (empty) null else lo
+      case _: Max => if (empty) null else hi
+      case other => throw new IllegalStateException(
+        s"unanswerable pushed aggregate: ${other.describe()}")
+    }
+    new SingleRowReaderFactory(InternalRow.fromSeq(values.toSeq))
+  }
+}
+
+private class SingleRowReaderFactory(row: InternalRow)
+  extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
 }
 
 private class BlocksScan(lo: Long, hi: Long, parallelism: Int) extends Scan with Batch {

@@ -22,6 +22,26 @@ class SourceV2Spec extends AnyFunSuite {
     assert(df.agg(sum("gas_used"), sum("size")).collect()(0) == direct)
   }
 
+  test("pushed COUNT/MIN/MAX fetch ZERO blocks; unanswerable aggs still fetch") {
+    import graft.ingest.FakeBlockRpc
+    val agg = blocks(1000, 5999)
+      .filter(col("block_number") >= 2000 && col("block_number") < 4000)
+      .agg(expr("COUNT(*)").as("n"),
+        min(col("block_number")).as("mn"), max(col("block_number")).as("mx"))
+    FakeBlockRpc.fetches.set(0L)
+    assert(agg.collect().toSeq.map(_.toSeq) == Seq(Seq(2000L, 2000L, 3999L)))
+    assert(FakeBlockRpc.fetches.get() == 0L,
+      "a completely-pushed aggregate must not fetch any block")
+    assert(agg.queryExecution.executedPlan.toString.contains("AGG-PUSHDOWN"))
+    // SUM(gas_used) is not range arithmetic: the source must refuse the
+    // push and the row scan fetches exactly the filtered range
+    FakeBlockRpc.fetches.set(0L)
+    blocks(1000, 5999)
+      .filter(col("block_number") >= 2000 && col("block_number") < 4000)
+      .agg(sum(col("gas_used"))).collect()
+    assert(FakeBlockRpc.fetches.get() == 2000L)
+  }
+
   test("block_number range predicates are pushed into the scan") {
     val df = blocks(0, 1000000).filter(
       col("block_number") >= 999000 && col("block_number") < 999100)
