@@ -229,7 +229,25 @@ object Events {
     FROM nb WHERE is_obs = 0
     ORDER BY user_id, ms""")
 
+  /** The same sessionization through Spark's NATIVE session-window
+    * operator (`session_window(ts, gap)` — the Structured-Streaming
+    * session primitive, usable in batch): one groupBy, the engine
+    * merges overlapping [ts, ts+gap) intervals per key internally.
+    * Next to [[sessionize]] (the portable two-window SQL formulation)
+    * this pins the operator's semantics: identical session boundaries,
+    * window end = last event + gap. */
+  def sessionWindow(s: SparkSession, dir: String): DataFrame = sql(s, dir, s"""
+    SELECT user_id,
+      unix_millis(session_window.start) AS start_ms,
+      unix_millis(session_window.end) AS end_ms,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value FROM events)
+    GROUP BY user_id, session_window(t, '${SessionGapSec} seconds')
+    ORDER BY user_id, start_ms""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_session_window" -> (sessionWindow _),
     "events_rolling_range" -> (rollingRange _),
     "events_scd2" -> (scd2 _),
     "events_interpolate" -> (interpolate _),
@@ -239,6 +257,30 @@ object Events {
     "events_hopping_window" -> (hoppingWindow _))
 
   val oracle: Map[String, String] = Map(
+    "events_session_window" -> s"""
+      WITH brk AS (
+        SELECT user_id, event_id, ts, value,
+          -- session_window semantics: an event joins iff it lands STRICTLY
+          -- inside [last, last+gap) — compare at MICROsecond precision
+          -- (ms rounding could flip an exact-boundary case)
+          CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+               >= ${SessionGapSec * 1000000L}
+            OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_start
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (
+        SELECT user_id, ts, value,
+          SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM brk)
+      SELECT user_id,
+        epoch_ms(MIN(ts)) AS start_ms,
+        epoch_ms(MAX(ts)) + ${SessionGapSec * 1000} AS end_ms,
+        COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      FROM sess
+      GROUP BY user_id, session_no
+      ORDER BY user_id, start_ms""",
     "events_rolling_range" -> """
       WITH t AS (
         SELECT user_id, event_id, epoch_ms(ts) AS ms, value FROM events)

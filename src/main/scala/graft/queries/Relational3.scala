@@ -149,7 +149,44 @@ object Relational3 {
       .orderBy("k")
   }
 
+  /** Recursive CTE (Spark 4 native `WITH RECURSIVE`): bounded-depth
+    * reachability over the customer↔supplier trade graph — per source
+    * node the minimum hop count within 2 steps of node 3. The engine
+    * iterates the recursive UNION exactly like DuckDB, so results
+    * hash-match; the damped full-graph analogue is `graph_pagerank`. */
+  def q39RecursiveCte(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+    WITH RECURSIVE ed AS (
+      SELECT DISTINCT o_custkey AS src, 100000 + l_suppkey AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      UNION ALL
+      SELECT DISTINCT 100000 + l_suppkey AS src, o_custkey AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    reach(node, dist) AS (
+      SELECT CAST(3 AS BIGINT) AS node, 0 AS dist
+      UNION ALL
+      SELECT e.dst, r.dist + 1
+      FROM reach r JOIN ed e ON r.node = e.src
+      WHERE r.dist < 2)
+    SELECT node, CAST(MIN(dist) AS BIGINT) AS d, COUNT(*) AS n_paths
+    FROM reach GROUP BY node ORDER BY node""")
+
+  /** VARIANT (Spark 4's semi-structured type): `props` parsed once into
+    * a variant, typed path extraction, grouped rollup — the
+    * schema-on-read path for telemetry payloads (q19 is the legacy
+    * string-path twin). */
+  def q40Variant(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+    WITH v AS (
+      SELECT event_id, event_type,
+        variant_get(parse_json(props), '$.k', 'int') AS k
+      FROM events)
+    SELECT event_type, CAST(k % 10 AS INT) AS k_mod,
+      COUNT(*) AS n, CAST(MIN(k) AS INT) AS min_k, CAST(MAX(k) AS INT) AS max_k
+    FROM v GROUP BY event_type, k_mod
+    ORDER BY event_type, k_mod""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_recursive_cte" -> (q39RecursiveCte _),
+    "q40_variant" -> (q40Variant _),
     "q37_skew_join" -> (q37SkewJoin _),
     "q36_range_join" -> (q36RangeJoin _),
     "q29_grouping_sets" -> (q29GroupingSets _),
@@ -161,6 +198,30 @@ object Relational3 {
     "q35_rank_family" -> (q35RankFamily _))
 
   val oracle: Map[String, String] = Map(
+    "q39_recursive_cte" -> """
+      WITH RECURSIVE ed AS (
+        SELECT DISTINCT o_custkey AS src, 100000 + l_suppkey AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        UNION ALL
+        SELECT DISTINCT 100000 + l_suppkey AS src, o_custkey AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      reach(node, dist) AS (
+        SELECT CAST(3 AS BIGINT) AS node, 0 AS dist
+        UNION ALL
+        SELECT e.dst, r.dist + 1
+        FROM reach r JOIN ed e ON r.node = e.src
+        WHERE r.dist < 2)
+      SELECT node, CAST(MIN(dist) AS BIGINT) AS d, COUNT(*) AS n_paths
+      FROM reach GROUP BY node ORDER BY node""",
+    "q40_variant" -> """
+      WITH v AS (
+        SELECT event_id, event_type,
+          CAST(props->>'$.k' AS INT) AS k
+        FROM events)
+      SELECT event_type, CAST(k % 10 AS INT) AS k_mod,
+        COUNT(*) AS n, MIN(k) AS min_k, MAX(k) AS max_k
+      FROM v GROUP BY event_type, k_mod
+      ORDER BY event_type, k_mod""",
     "q37_skew_join" -> """
       WITH large AS (
         SELECT CASE WHEN l_orderkey % 10 < 9 THEN 'HOT' ELSE 'k9' END AS k,

@@ -126,6 +126,20 @@ class EventsSpec extends AnyFunSuite {
     assert(got.values.exists(_.isEmpty) || got.nonEmpty)
   }
 
+  test("native session_window agrees with the SQL-window sessionization") {
+    // same gap, two formulations: the native operator and the LAG +
+    // running-sum chain must carve identical sessions (start, size)
+    val native = Events.sessionWindow(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val sqlform = Events.sessionize(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(2))).toSet
+    assert(native == sqlform)
+    // and the native window end is last event + gap
+    Events.sessionWindow(spark, dir).collect().foreach { r =>
+      assert(r.getLong(2) > r.getLong(1))
+    }
+  }
+
   test("hopping window: every event counted twice; totals reconcile") {
     val rows = Events.hoppingWindow(spark, dir).collect()
     val nTotal = rows.map(_.getLong(1)).sum
