@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, count, expr, hex, input_file_name, lit, lower, max, min, regexp_extract}
+import org.apache.spark.sql.functions.{col, count, expr, hex, input_file_name, lit, lower, max, min, regexp_extract, session_window, unix_millis}
 import graft.fixtures.MakerFixtures
 import graft.ingest.{Demux, RawLog}
 import graft.streaming.ChainStream
@@ -242,6 +242,53 @@ class SessionizeSpec extends AnyFunSuite {
     assert(streamed == batchSessions,
       s"stream ${streamed.size} vs batch ${batchSessions.size}; " +
         s"missing=${batchSessions.diff(streamed).take(3)} extra=${streamed.diff(batchSessions).take(3)}")
+  }
+
+  test("NATIVE streaming session_window = the batch session_window gate") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val gap = s"${graft.queries.Events.SessionGapSec} seconds"
+
+    val batch = graft.queries.Events.sessionWindow(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(batch.nonEmpty)
+
+    val evs = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)].collect().sortBy(_._2.getTime)
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val q = stream.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_millis(col("session_window.start")).as("start_ms"),
+        unix_millis(col("session_window.end")).as("end_ms"),
+        col("n_events"))
+      .writeStream.format("memory").queryName("native_sessions")
+      .outputMode("append").start()
+    val (a, b) = (evs.take(evs.length / 2), evs.drop(evs.length / 2))
+    stream.addData(a.toIndexedSeq)
+    q.processAllAvailable()
+    stream.addData(b.toIndexedSeq)
+    q.processAllAvailable()
+    // sentinel far past the last event closes every open session
+    val last = evs.last._2.getTime
+    stream.addData((-1L, new java.sql.Timestamp(last + 86400000L), 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("native_sessions")
+      .filter(col("user_id") >= 0)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // the batch gate carries total_value too; compare the shared columns
+    assert(streamed == batch,
+      s"stream ${streamed.size} vs batch ${batch.size}; " +
+        s"missing=${batch.diff(streamed).take(3)} extra=${streamed.diff(batch).take(3)}")
   }
 }
 
