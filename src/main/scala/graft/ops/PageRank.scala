@@ -35,7 +35,9 @@ object PageRank {
   val PrIters = 10
   val Damping = 0.85
 
-  /** Edges with the source's out-degree attached, built once. */
+  /** Edges with the source's out-degree attached, built once;
+    * [[pagerank]] re-partitions them on src (the loop's join key) with
+    * a data-sized partition count, so no iteration re-shuffles them. */
   private def edgesWithDeg(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
     val l = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -49,23 +51,58 @@ object PageRank {
     edges.join(outdeg, "src").localCheckpoint()
   }
 
+  /** Target edge rows per loop partition: the static stand-in for
+    * AQE's coalescing (AQE is off inside the loop — see below). */
+  val EdgeRowsPerPartition = 100000L
+
   def pagerank(s: SparkSession, dir: String): DataFrame = {
-    val ed = edgesWithDeg(s, dir)
-    val nodes = ed.select(col("src").as("node")).distinct().localCheckpoint()
+    val ed0 = edgesWithDeg(s, dir)
+    // size the loop's partitioning from the data, capped at the
+    // cluster's parallelism — exactly what AQE's coalescing would pick,
+    // decided once so every round keeps the SAME partitioning (AQE
+    // itself must stay off inside the loop: its re-planning invalidates
+    // the carried co-partitioning and reinserts per-round exchanges)
+    val parts = math.max(1L, math.min(
+      s.sparkContext.defaultParallelism.toLong,
+      ed0.count() / EdgeRowsPerPartition + 1)).toInt
+    val ed = ed0.repartition(parts, col("src")).localCheckpoint()
+    // nodes partitioned on node: the left join against per-round
+    // contributions (hash-partitioned on dst by their aggregate) is
+    // then co-partitioned — no exchange on either side
+    val nodes = ed.select(col("src").as("node")).distinct()
+      .repartition(parts, col("node")).localCheckpoint()
     val n = nodes.count()
     val base = 0.15 / n // raw double, same expression as the oracle's
     var ranks = nodes.withColumn("rank", round(lit(1.0 / n), 12))
-    for (_ <- 1 to PrIters) {
-      val contrib = ranks.join(ed, col("node") === col("src"))
-        .select(col("dst"),
-          round(col("rank") / col("outdeg"), 12)
-            .cast("decimal(38,18)").as("c"))
-        .groupBy("dst").agg(sum(col("c")).as("sc"))
-      ranks = nodes.join(contrib, col("node") === col("dst"), "left")
-        .select(col("node"),
-          round(lit(base) + lit(Damping) *
-            coalesce(col("sc").cast("double"), lit(0.0)), 12).as("rank"))
-        .localCheckpoint()
+    val aqeBefore = s.conf.get("spark.sql.adaptive.enabled", "true")
+    val spBefore = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.shuffle.partitions", parts)
+    try {
+      // each round costs exactly ONE exchange (the dst aggregate):
+      // ranks leave every round partitioned on node == the next join's
+      // key, the edge side is pinned above, and shuffle_hash joins skip
+      // the per-round sorts a merge join would redo on the same data
+      for (i <- 1 to PrIters) {
+        val contrib = ranks.join(ed.hint("shuffle_hash"),
+            col("node") === col("src"))
+          .select(col("dst"),
+            round(col("rank") / col("outdeg"), 12)
+              .cast("decimal(38,18)").as("c"))
+          .groupBy("dst").agg(sum(col("c")).as("sc"))
+        val next = nodes.join(contrib.hint("shuffle_hash"),
+            col("node") === col("dst"), "left")
+          .select(col("node"),
+            round(lit(base) + lit(Damping) *
+              coalesce(col("sc").cast("double"), lit(0.0)), 12).as("rank"))
+        // cut lineage every few rounds — one materialization per cut,
+        // not per round (at 100 TB: durable checkpoint, same cadence)
+        ranks = if (i % 4 == 0 || i == PrIters) next.localCheckpoint()
+          else next
+      }
+    } finally {
+      s.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      s.conf.set("spark.sql.shuffle.partitions", spBefore)
     }
     ranks.select(col("node"), round(col("rank"), 6).as("rank"))
       .orderBy("node")

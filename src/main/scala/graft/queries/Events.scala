@@ -246,7 +246,82 @@ object Events {
     GROUP BY user_id, session_window(t, '${SessionGapSec} seconds')
     ORDER BY user_id, start_ms""")
 
+  /** Z-score outlier report per event_type: mean/stddev from exact
+    * DECIMAL sums (population variance via E[x²]−E[x]², every moment an
+    * order-independent decimal aggregate), flag at |z| > 3. Two passes:
+    * a tiny per-type moment table (broadcast back) and one map-side
+    * scoring join — the data-quality shape that runs on every metric at
+    * any scale. */
+  def outliers(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+    WITH m AS (
+      SELECT event_type,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+          AS DOUBLE) AS sxx
+      FROM events GROUP BY event_type),
+    st AS (
+      SELECT event_type, n, sx / n AS mean,
+        sqrt(sxx / n - (sx / n) * (sx / n)) AS sd
+      FROM m)
+    SELECT e.event_type, e.event_id,
+      ROUND((e.value - st.mean) / st.sd, 6) AS z
+    FROM events e JOIN st ON e.event_type = st.event_type
+    WHERE ABS((e.value - st.mean) / st.sd) > 3
+    ORDER BY e.event_type, e.event_id""")
+
+  /** Two-sample A/B analysis: users split by user_id parity, per-type
+    * means and a Welch t statistic — every moment an exact DECIMAL sum,
+    * the final scalar algebra identical IEEE on both engines. The
+    * whole analysis is one grouped aggregate + one 5-row projection. */
+  def abTest(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+    WITH g AS (
+      SELECT event_type, CAST(user_id % 2 AS INT) AS grp,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+          AS DOUBLE) AS sxx
+      FROM events GROUP BY event_type, CAST(user_id % 2 AS INT)),
+    st AS (
+      SELECT event_type, grp, n, sx / n AS mean,
+        (sxx - sx * sx / n) / (n - 1) AS var
+      FROM g)
+    SELECT a.event_type,
+      ROUND(a.mean, 6) AS mean_a, ROUND(b.mean, 6) AS mean_b,
+      a.n AS n_a, b.n AS n_b,
+      ROUND((a.mean - b.mean) /
+        sqrt(a.var / a.n + b.var / b.n), 6) AS t_stat
+    FROM st a JOIN st b
+      ON a.event_type = b.event_type AND a.grp = 0 AND b.grp = 1
+    ORDER BY a.event_type""")
+
+  /** Number of equi-width histogram bins ([[histogram]]). */
+  val HistBins = 20
+
+  /** Equi-width value histogram per event_type over the type's own
+    * min/max — one moment pass, one bucketing pass, the profiling shape
+    * behind every dashboard distribution plot. The bin arithmetic is
+    * spelled out (not width_bucket) so both engines evaluate the
+    * IDENTICAL IEEE expression — engine built-ins disagree on boundary
+    * grouping, and DuckDB has no width_bucket at all. */
+  def histogram(s: SparkSession, dir: String): DataFrame = sql(s, dir, s"""
+    WITH b AS (
+      SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+      FROM events GROUP BY event_type)
+    SELECT e.event_type,
+      CASE WHEN b.hi = b.lo THEN CAST(1 AS BIGINT) ELSE
+        LEAST(CAST(FLOOR((e.value - b.lo) / (b.hi - b.lo)
+          * $HistBins) AS BIGINT) + 1, $HistBins) END AS bin,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM events e JOIN b ON e.event_type = b.event_type
+    GROUP BY e.event_type, bin
+    ORDER BY e.event_type, bin""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_outliers" -> (outliers _),
+    "events_ab_test" -> (abTest _),
+    "events_histogram" -> (histogram _),
     "events_session_window" -> (sessionWindow _),
     "events_rolling_range" -> (rollingRange _),
     "events_scd2" -> (scd2 _),
@@ -257,6 +332,56 @@ object Events {
     "events_hopping_window" -> (hoppingWindow _))
 
   val oracle: Map[String, String] = Map(
+    "events_outliers" -> """
+      WITH m AS (
+        SELECT event_type,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+            AS DOUBLE) AS sxx
+        FROM events GROUP BY event_type),
+      st AS (
+        SELECT event_type, n, sx / n AS mean,
+          sqrt(sxx / n - (sx / n) * (sx / n)) AS sd
+        FROM m)
+      SELECT e.event_type, e.event_id,
+        ROUND((e.value - st.mean) / st.sd, 6) AS z
+      FROM events e JOIN st ON e.event_type = st.event_type
+      WHERE ABS((e.value - st.mean) / st.sd) > 3
+      ORDER BY e.event_type, e.event_id""",
+    "events_ab_test" -> """
+      WITH g AS (
+        SELECT event_type, CAST(user_id % 2 AS INT) AS grp,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+            AS DOUBLE) AS sxx
+        FROM events GROUP BY event_type, CAST(user_id % 2 AS INT)),
+      st AS (
+        SELECT event_type, grp, n, sx / n AS mean,
+          (sxx - sx * sx / n) / (n - 1) AS var
+        FROM g)
+      SELECT a.event_type,
+        ROUND(a.mean, 6) AS mean_a, ROUND(b.mean, 6) AS mean_b,
+        a.n AS n_a, b.n AS n_b,
+        ROUND((a.mean - b.mean) /
+          sqrt(a.var / a.n + b.var / b.n), 6) AS t_stat
+      FROM st a JOIN st b
+        ON a.event_type = b.event_type AND a.grp = 0 AND b.grp = 1
+      ORDER BY a.event_type""",
+    "events_histogram" -> s"""
+      WITH b AS (
+        SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+        FROM events GROUP BY event_type)
+      SELECT e.event_type,
+        CASE WHEN b.hi = b.lo THEN CAST(1 AS BIGINT) ELSE
+          LEAST(CAST(FLOOR((e.value - b.lo) / (b.hi - b.lo)
+            * $HistBins) AS BIGINT) + 1, $HistBins) END AS bin,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total
+      FROM events e JOIN b ON e.event_type = b.event_type
+      GROUP BY e.event_type, bin
+      ORDER BY e.event_type, bin""",
     "events_session_window" -> s"""
       WITH brk AS (
         SELECT user_id, event_id, ts, value,
