@@ -154,21 +154,27 @@ object Relational3 {
     * node the minimum hop count within 2 steps of node 3. The engine
     * iterates the recursive UNION exactly like DuckDB, so results
     * hash-match; the damped full-graph analogue is `graph_pagerank`. */
-  def q39RecursiveCte(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
-    WITH RECURSIVE ed AS (
+  def q39RecursiveCte(s: SparkSession, dir: String): DataFrame = {
+    // materialize the edge table ONCE: a CTE referenced inside the
+    // recursion would re-run the join+distinct on every iteration
+    graft.Tables.registerAll(s, dir)
+    s.sql("""
       SELECT DISTINCT o_custkey AS src, 100000 + l_suppkey AS dst
       FROM orders JOIN lineitem ON l_orderkey = o_orderkey
       UNION ALL
       SELECT DISTINCT 100000 + l_suppkey AS src, o_custkey AS dst
-      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-    reach(node, dist) AS (
-      SELECT CAST(3 AS BIGINT) AS node, 0 AS dist
-      UNION ALL
-      SELECT e.dst, r.dist + 1
-      FROM reach r JOIN ed e ON r.node = e.src
-      WHERE r.dist < 2)
-    SELECT node, CAST(MIN(dist) AS BIGINT) AS d, COUNT(*) AS n_paths
-    FROM reach GROUP BY node ORDER BY node""")
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey""")
+      .localCheckpoint().createOrReplaceTempView("graft_trade_edges")
+    s.sql("""
+      WITH RECURSIVE reach(node, dist) AS (
+        SELECT CAST(3 AS BIGINT) AS node, 0 AS dist
+        UNION ALL
+        SELECT e.dst, r.dist + 1
+        FROM reach r JOIN graft_trade_edges e ON r.node = e.src
+        WHERE r.dist < 2)
+      SELECT node, CAST(MIN(dist) AS BIGINT) AS d, COUNT(*) AS n_paths
+      FROM reach GROUP BY node ORDER BY node""")
+  }
 
   /** VARIANT (Spark 4's semi-structured type): `props` parsed once into
     * a variant, typed path extraction, grouped rollup — the
