@@ -318,7 +318,28 @@ object Events {
     GROUP BY e.event_type, bin
     ORDER BY e.event_type, bin""")
 
+  /** Common 3-step behavior paths: each user's consecutive event-type
+    * trigrams (ordered by event time), counted corpus-wide, global
+    * top-10 — the product-analytics "what do users do next" mining
+    * shape. The trigram expansion is two LEADs inside the user window
+    * (one exchange); the top-10 cut rides TakeOrderedAndProject
+    * (per-partition heaps), never a global sort. */
+  def topPaths(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+    WITH seq AS (
+      SELECT user_id, event_type AS e1,
+        LEAD(event_type, 1) OVER w AS e2,
+        LEAD(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    paths AS (
+      SELECT CONCAT(e1, '>', e2, '>', e3) AS path
+      FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL)
+    SELECT path, COUNT(*) AS n
+    FROM paths GROUP BY path
+    ORDER BY n DESC, path LIMIT 10""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_top_paths" -> (topPaths _),
     "events_outliers" -> (outliers _),
     "events_ab_test" -> (abTest _),
     "events_histogram" -> (histogram _),
@@ -332,6 +353,19 @@ object Events {
     "events_hopping_window" -> (hoppingWindow _))
 
   val oracle: Map[String, String] = Map(
+    "events_top_paths" -> """
+      WITH seq AS (
+        SELECT user_id, event_type AS e1,
+          LEAD(event_type, 1) OVER w AS e2,
+          LEAD(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      paths AS (
+        SELECT e1 || '>' || e2 || '>' || e3 AS path
+        FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL)
+      SELECT path, COUNT(*) AS n
+      FROM paths GROUP BY path
+      ORDER BY n DESC, path LIMIT 10""",
     "events_outliers" -> """
       WITH m AS (
         SELECT event_type,
