@@ -20,7 +20,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++ graft.queries.Relational2.queries ++
       graft.queries.Relational3.queries ++ graft.queries.Events.queries ++
-      graft.queries.Colocated.queries ++
+      graft.queries.Colocated.queries ++ graft.queries.Tpch.queries ++
       graft.queries.MakerDw.queries ++
       graft.ops.TextAnalysis.queries ++ graft.ops.Dedup.queries ++
       graft.ops.Components.queries ++ graft.ops.Sampling.queries ++
@@ -38,7 +38,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++ graft.queries.Relational2.oracle ++
       graft.queries.Relational3.oracle ++ graft.queries.Events.oracle ++
-      graft.queries.Colocated.oracle ++
+      graft.queries.Colocated.oracle ++ graft.queries.Tpch.oracle ++
       graft.queries.MakerDw.oracle ++
       graft.ops.TextAnalysis.oracle ++ graft.ops.Dedup.oracle ++
       graft.ops.Components.oracle ++ graft.ops.Sampling.oracle ++

@@ -1,0 +1,195 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+
+/** Canonical warehouse anchors over the TPC-H-shaped fixture tables:
+  * the two classic multi-join pricing queries (Q3/Q5 adapted to the
+  * fixture's columns), RFM customer segmentation, and a referential-
+  * integrity audit. All declarative SQL through Catalyst — dimension
+  * joins broadcast, revenue sums ride exact DECIMAL partials, date
+  * filters push to the scans.
+  */
+object Tpch {
+
+  private def sql(s: SparkSession, dir: String, text: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(text)
+  }
+
+  /** TPC-H Q3 (shipping-priority) adapted: BUILDING-segment orders
+    * placed before and shipped after 1998-03-15, top-10 order revenue.
+    * customer is the broadcast side; the top-10 rides
+    * TakeOrderedAndProject. */
+  def q41TpchQ3(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+    SELECT l_orderkey,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)))
+        AS DOUBLE) AS revenue,
+      unix_millis(CAST(o_orderdate AS TIMESTAMP)) AS orderdate_ms,
+      o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, orderdate_ms, l_orderkey LIMIT 10""")
+
+  /** TPC-H Q5 (local-supplier volume): ASIA-region 1997 revenue where
+    * the supplier sits in the customer's nation — the 6-way star with
+    * region/nation broadcast down the join tree. */
+  def q42TpchQ5(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+    SELECT n_name,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)))
+        AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name""")
+
+  /** RFM customer segmentation — recency/frequency/monetary quintile
+    * scores. NTILE would be a single-task global window (the
+    * vocab_build lesson); instead the quintile THRESHOLDS come from one
+    * percentile_cont aggregate (a 1-row broadcast) and every score is a
+    * map-side comparison — scale-clean at any customer count. */
+  def customersRfm(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+    WITH m AS (
+      SELECT o_custkey AS c_custkey,
+        MAX(unix_millis(CAST(o_orderdate AS TIMESTAMP))) AS last_ms,
+        COUNT(*) AS freq,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+      FROM orders GROUP BY o_custkey),
+    q AS (
+      SELECT
+        percentile(last_ms, array(0.2, 0.4, 0.6, 0.8)) AS qr,
+        percentile(freq, array(0.2, 0.4, 0.6, 0.8)) AS qf,
+        percentile(monetary, array(0.2, 0.4, 0.6, 0.8)) AS qm
+      FROM m)
+    SELECT m.c_custkey, m.freq, m.monetary,
+      CAST(1 + CAST(m.last_ms > qr[0] AS INT) + CAST(m.last_ms > qr[1] AS INT)
+        + CAST(m.last_ms > qr[2] AS INT) + CAST(m.last_ms > qr[3] AS INT)
+        AS INT) AS r_score,
+      CAST(1 + CAST(m.freq > qf[0] AS INT) + CAST(m.freq > qf[1] AS INT)
+        + CAST(m.freq > qf[2] AS INT) + CAST(m.freq > qf[3] AS INT)
+        AS INT) AS f_score,
+      CAST(1 + CAST(m.monetary > qm[0] AS INT) + CAST(m.monetary > qm[1] AS INT)
+        + CAST(m.monetary > qm[2] AS INT) + CAST(m.monetary > qm[3] AS INT)
+        AS INT) AS m_score
+    FROM m CROSS JOIN q
+    ORDER BY m.c_custkey""")
+
+  /** Referential-integrity audit across the star: orphan counts per
+    * relationship (NOT EXISTS anti-joins) plus primary-key duplicate
+    * counts — the data-quality report a warehouse runs after every
+    * load. Each check is one anti-join or one distinct aggregate. */
+  def auditRefIntegrity(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+    SELECT 'lineitem_orphan_order' AS chk, COUNT(*) AS n FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem_orphan_supplier', COUNT(*) FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+    UNION ALL
+    SELECT 'lineitem_orphan_part', COUNT(*) FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+    UNION ALL
+    SELECT 'order_orphan_customer', COUNT(*) FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'customer_bad_nation', COUNT(*) FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+    UNION ALL
+    SELECT 'orders_dup_pk', COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders
+    UNION ALL
+    SELECT 'customer_dup_pk', COUNT(*) - COUNT(DISTINCT c_custkey) FROM customer
+    ORDER BY chk""")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_tpch_q3" -> (q41TpchQ3 _),
+    "q42_tpch_q5" -> (q42TpchQ5 _),
+    "customers_rfm" -> (customersRfm _),
+    "audit_ref_integrity" -> (auditRefIntegrity _))
+
+  val oracle: Map[String, String] = Map(
+    "q41_tpch_q3" -> """
+      SELECT l_orderkey,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)))
+          AS DOUBLE) AS revenue,
+        epoch_ms(o_orderdate) AS orderdate_ms,
+        o_orderpriority
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, orderdate_ms, l_orderkey LIMIT 10""",
+    "q42_tpch_q5" -> """
+      SELECT n_name,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)))
+          AS DOUBLE) AS revenue
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name""",
+    "customers_rfm" -> """
+      WITH m AS (
+        SELECT o_custkey AS c_custkey,
+          MAX(epoch_ms(o_orderdate)) AS last_ms,
+          COUNT(*) AS freq,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+        FROM orders GROUP BY o_custkey),
+      q AS (
+        SELECT
+          quantile_cont(last_ms, [0.2, 0.4, 0.6, 0.8]) AS qr,
+          quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS qf,
+          quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS qm
+        FROM m)
+      SELECT m.c_custkey, m.freq, m.monetary,
+        CAST(1 + CAST(m.last_ms > qr[1] AS INT) + CAST(m.last_ms > qr[2] AS INT)
+          + CAST(m.last_ms > qr[3] AS INT) + CAST(m.last_ms > qr[4] AS INT)
+          AS INT) AS r_score,
+        CAST(1 + CAST(m.freq > qf[1] AS INT) + CAST(m.freq > qf[2] AS INT)
+          + CAST(m.freq > qf[3] AS INT) + CAST(m.freq > qf[4] AS INT)
+          AS INT) AS f_score,
+        CAST(1 + CAST(m.monetary > qm[1] AS INT) + CAST(m.monetary > qm[2] AS INT)
+          + CAST(m.monetary > qm[3] AS INT) + CAST(m.monetary > qm[4] AS INT)
+          AS INT) AS m_score
+      FROM m CROSS JOIN q
+      ORDER BY m.c_custkey""",
+    "audit_ref_integrity" -> """
+      SELECT 'lineitem_orphan_order' AS chk, COUNT(*) AS n FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      UNION ALL
+      SELECT 'lineitem_orphan_supplier', COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+      UNION ALL
+      SELECT 'lineitem_orphan_part', COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+      UNION ALL
+      SELECT 'order_orphan_customer', COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      UNION ALL
+      SELECT 'customer_bad_nation', COUNT(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+      UNION ALL
+      SELECT 'orders_dup_pk', COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders
+      UNION ALL
+      SELECT 'customer_dup_pk', COUNT(*) - COUNT(DISTINCT c_custkey) FROM customer
+      ORDER BY chk""")
+}
