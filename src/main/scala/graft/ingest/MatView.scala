@@ -183,11 +183,51 @@ object MatView {
       .orderBy("event_type")
   }
 
+  /** Gate: change-data capture from manifest arithmetic alone. Two
+    * appends land in the store; `readAddedSince(v1)` must return
+    * EXACTLY commit 2's rows — no change log, no timestamps, no diff
+    * scan (the manifest names the added files, the read touches only
+    * them). This is the feed the incremental views consume; here it is
+    * gated directly: the delta aggregated by event_type hash-matches
+    * the oracle's "odd event_ids" replica. */
+  def cdcDiffGate(s: SparkSession, dir: String): DataFrame = {
+    val (srcRoot, _) = gateRoots(dir, "cdc")
+    val src = new ManifestStore(srcRoot)
+    val v1 = builtRoots.synchronized {
+      if (!builtRoots.contains(srcRoot)) {
+        val p = new Path(srcRoot)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        src.append(s, ev.filter(col("event_id") % 2 === 0),
+          rangeCol = Some("event_id"), commitKey = Some("cdc-evens"))
+        src.append(s, ev.filter(col("event_id") % 2 === 1),
+          rangeCol = Some("event_id"), commitKey = Some("cdc-odds"))
+        builtRoots.add(srcRoot)
+      }
+      // the version AFTER commit 1 is the CDC cursor; commit keys make
+      // the build replay-safe, so the cursor is stable across runs
+      src.currentVersion(s) - 1
+    }
+    src.readAddedSince(s, v1).get
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "store_matview_flows" -> (matviewGate _),
-    "store_matview_distinct" -> (matviewDistinctGate _))
+    "store_matview_distinct" -> (matviewDistinctGate _),
+    "store_cdc_diff" -> (cdcDiffGate _))
 
   val oracle: Map[String, String] = Map(
+    "store_cdc_diff" -> """
+      SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      FROM events WHERE event_id % 2 = 1
+      GROUP BY event_type ORDER BY event_type""",
     "store_matview_distinct" -> s"""
       SELECT event_type, COUNT(*) AS n,
         COUNT(DISTINCT user_id) AS exact_users, 1 AS users_ok

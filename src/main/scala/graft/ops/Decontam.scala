@@ -172,13 +172,38 @@ object Decontam {
       pmod(col("doc_id"), lit(10)) === 0)
       .orderBy(col("doc_id"))
 
+  /** One-row cross-method contamination report: per-method flag counts
+    * plus pairwise agreement — the summary a data audit publishes
+    * before a training run (exact 5-gram, GPT-3-style normalized
+    * 13-gram, fuzzy Jaccard; the embedding method lives on the vector
+    * corpus as `decontaminate_semantic`). Each method's flags are the
+    * already-gated dataflows; the report is one 3-way doc_id join and
+    * one aggregate on top. */
+  def decontamReport(s: SparkSession, dir: String): DataFrame = {
+    val ex = decontaminate(s, dir)
+      .select(col("doc_id"), col("contaminated").as("ex"))
+    val n13 = decontaminateN13(s, dir)
+      .select(col("doc_id"), col("contaminated").as("nf"))
+    val fz = decontaminateFuzzy(s, dir)
+      .select(col("doc_id"), col("contaminated").as("fu"))
+    ex.join(n13, "doc_id").join(fz, "doc_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ex").cast("long")).as("n_exact"),
+        sum(col("nf").cast("long")).as("n_n13"),
+        sum(col("fu").cast("long")).as("n_fuzzy"),
+        sum((col("ex") && col("nf")).cast("long")).as("n_exact_and_n13"),
+        sum((col("ex") && col("fu")).cast("long")).as("n_exact_and_fuzzy"),
+        sum((col("ex") || col("nf") || col("fu")).cast("long")).as("n_any"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "decontaminate" -> (decontaminate _),
     "decontaminate_n13" -> (decontaminateN13 _),
     "decontaminate_fuzzy" -> (decontaminateFuzzy _),
-    "decontaminate_spans" -> (decontaminateSpans _))
+    "decontaminate_spans" -> (decontaminateSpans _),
+    "decontam_report" -> (decontamReport _))
 
-  val oracle: Map[String, String] = Map(
+  private val baseOracle: Map[String, String] = Map(
     "decontaminate" -> s"""
       WITH ${Dedup.shingleCtes("documents", 5)},
       evalsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0),
@@ -256,4 +281,20 @@ object Decontam {
       LEFT JOIN tot USING (doc_id) LEFT JOIN rebuilt USING (doc_id)
       ORDER BY doc_id"""
     })
+  /** decontam_report's oracle composes the three method oracles as
+    * subqueries, so the report can never drift from the gated flags. */
+  private def wrapFlags(k: String, as_ : String): String =
+    s"(SELECT doc_id, contaminated AS ${as_} FROM (${baseOracle(k)}))"
+
+  val oracle: Map[String, String] = baseOracle + ("decontam_report" -> s"""
+      SELECT COUNT(*) AS n_docs,
+        CAST(SUM(CAST(ex AS BIGINT)) AS BIGINT) AS n_exact,
+        CAST(SUM(CAST(nf AS BIGINT)) AS BIGINT) AS n_n13,
+        CAST(SUM(CAST(fu AS BIGINT)) AS BIGINT) AS n_fuzzy,
+        CAST(SUM(CAST(ex AND nf AS BIGINT)) AS BIGINT) AS n_exact_and_n13,
+        CAST(SUM(CAST(ex AND fu AS BIGINT)) AS BIGINT) AS n_exact_and_fuzzy,
+        CAST(SUM(CAST(ex OR nf OR fu AS BIGINT)) AS BIGINT) AS n_any
+      FROM ${wrapFlags("decontaminate", "ex")} e
+      JOIN ${wrapFlags("decontaminate_n13", "nf")} n USING (doc_id)
+      JOIN ${wrapFlags("decontaminate_fuzzy", "fu")} f USING (doc_id)""")
 }
