@@ -341,12 +341,23 @@ object Dedup {
     * hash-counter hook). Emitted pairs are exactly those touching a new
     * doc; first-build and repeat-probe paths return the identical
     * deterministic result. */
-  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+  /** The odd-half probe of the frozen gate index, computed ONCE per
+    * corpus fingerprint and shared by [[dedupIncremental]] and
+    * [[retrieveTopK]] — the [[Components.labelsFor]] sharing pattern:
+    * the index derives deterministically from the same documents table,
+    * so the docs fingerprint keys the probe result too. Production
+    * shape: a batch's candidate pairs are computed once and consumed by
+    * every downstream decision (drop, rank, audit), not re-probed per
+    * consumer. */
+  private def probedPairsFor(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
-    LshIndex.probe(docs.filter(pmod(col("doc_id"), lit(2)) === 1),
-        gateIndexRoot(s, dir), 0.7)
-      .orderBy(col("i"), col("j"))
+    TruthCache.cached(s, "lsh_probe_odd07", docsFingerprint(docs),
+      LshIndex.probe(docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+        gateIndexRoot(s, dir), 0.7))
   }
+
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame =
+    probedPairsFor(s, dir).orderBy(col("i"), col("j"))
 
   /** Near-dup RETRIEVAL over the frozen index — the user-facing search
     * sibling of [[dedupIncremental]]: for each query doc (the odd,
@@ -359,9 +370,7 @@ object Dedup {
     * drop decision. */
   def retrieveTopK(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.load(s, dir, "documents")
-    val pairs = LshIndex.probe(docs.filter(pmod(col("doc_id"), lit(2)) === 1),
-      gateIndexRoot(s, dir), 0.7)
+    val pairs = probedPairsFor(s, dir)
     pairs.filter(pmod(col("i"), lit(2)) =!= pmod(col("j"), lit(2)))
       .select(
         when(pmod(col("i"), lit(2)) === 1, col("i")).otherwise(col("j")).as("qid"),
