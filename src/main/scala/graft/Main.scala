@@ -164,6 +164,29 @@ object Main {
       println(s"materialized ${tables.length} tables in $db: ${tables.sorted.mkString(", ")}")
       if (owned) spark.stop()
 
+    // run any registered gate query against a fixture dir and show the
+    // head, or print its executed physical plan — the operability
+    // surface for "what does this operator actually do / cost"
+    case cmd :: name :: rest if (cmd == "run" || cmd == "explain") &&
+        rest.length <= 1 =>
+      SparkEntry.queries.get(name) match {
+        case None =>
+          System.err.println(s"unknown query '$name'; available:\n  " +
+            SparkEntry.queries.keys.toSeq.sorted.mkString("\n  "))
+          sys.exit(2)
+        case Some(fn) =>
+          val dir = rest.headOption.getOrElse("/root/testdata/sf0.001")
+          val (spark, owned) = session()
+          val df = fn(spark, dir)
+          if (cmd == "run") df.show(20, truncate = false)
+          else {
+            df.collect() // executed plan: AQE finalized, codegen resolved
+            println(df.queryExecution.executedPlan.toString
+              .split("== Initial Plan ==").head)
+          }
+          if (owned) spark.stop()
+      }
+
     case other =>
       System.err.println(
         s"""unknown args: ${other.mkString(" ")}
@@ -173,7 +196,9 @@ object Main {
            |  graft.Main compact <storePath> [targetBytes]
            |  graft.Main mstore-compact <manifestRoot> [targetBytes]
            |  graft.Main mstore-vacuum <manifestRoot> [keepVersions] [minAgeMinutes]
-           |  graft.Main warehouse [storePath] [db] [<schema>.<contract>]""".stripMargin)
+           |  graft.Main warehouse [storePath] [db] [<schema>.<contract>]
+           |  graft.Main run <queryName> [sfDir]
+           |  graft.Main explain <queryName> [sfDir]""".stripMargin)
       sys.exit(2)
   }
 }

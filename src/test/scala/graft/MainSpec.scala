@@ -41,6 +41,21 @@ class MainSpec extends AnyFunSuite {
       .head().getLong(0) == 800)
   }
 
+  test("run/explain CLI serve any registered query; unknown name lists all") {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      graft.Main.main(Array("run", "q01_agg", "/root/testdata/sf0.001"))
+    }
+    assert(out.toString.contains("l_returnflag"))
+    val out2 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out2)) {
+      graft.Main.main(Array("explain", "q02_filter_pushdown",
+        "/root/testdata/sf0.001"))
+    }
+    assert(out2.toString.contains("PushedFilters"),
+      "explain must print the executed physical plan")
+  }
+
   test("mstore CLI: compact and vacuum a manifest-committed store") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_cli").toString + "/mstore"
