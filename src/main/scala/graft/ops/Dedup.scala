@@ -312,7 +312,7 @@ object Dedup {
     * repeat calls reuse the frozen copy. Shared by the
     * incremental-dedup gate and the retrieval gate — one build, two
     * consumers. */
-  private[ops] def gateIndexRoot(s: SparkSession, dir: String): String = {
+  private[graft] def gateIndexRoot(s: SparkSession, dir: String): String = {
     val docs = Tables.load(s, dir, "documents")
     // root carries the ABSOLUTE path hash, not just the basename: two
     // dirs named alike (or a test fixture shadowing the sf dir) must
