@@ -109,11 +109,83 @@ object Forget {
       .orderBy("event_type")
   }
 
+  private val mergeRoots = scala.collection.mutable.Set[String]()
+
+  /** Gate: copy-on-write MERGE (upsert) end-to-end — ingest events in
+    * two appends (parity split, so matched keys span both commits'
+    * files), then merge one batch that UPDATES every event_id ≡ 0
+    * (mod 10) row (value + 1000, event_type → 'updated') and INSERTS a
+    * shifted copy of every event_id ≡ 0 (mod 17) row. Structural
+    * assertions: untouched files survive the flip by reference (no
+    * full-table rewrite), and replaying the same commit key is a
+    * no-op. The surviving row set is proven exactly by the rollup
+    * against the oracle's UNION-reconstruction of the merged table. */
+  def storeMerge(s: SparkSession, dir: String): DataFrame = {
+    val root = gateRoot(dir) + "_merge"
+    mergeRoots.synchronized {
+      if (!mergeRoots.contains(root)) {
+        val p = new Path(root)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        val store = new ManifestStore(root)
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        store.append(s, ev.filter(col("event_id") % 2 === 0),
+          rangeCol = Some("event_id"))
+        store.append(s, ev.filter(col("event_id") % 2 === 1),
+          rangeCol = Some("event_id"))
+        val updates = ev.filter(col("event_id") % 10 === 0)
+          .withColumn("event_type", lit("updated"))
+          .withColumn("value", col("value") + 1000.0)
+          .unionByName(ev.filter(col("event_id") % 17 === 0)
+            .select((col("event_id") + 1000000L).as("event_id"),
+              col("user_id"), lit("inserted").as("event_type"), col("value")))
+        val before = store.currentFiles(s).toSet
+        store.merge(s, updates, Seq("event_id"),
+          commitKey = Some("merge-req-1"))
+        val after = store.currentFiles(s).toSet
+        require((before & after).nonEmpty,
+          "merge rewrote every file — copy-on-write pruning is inert")
+        require((after -- before).nonEmpty, "merge committed no fresh file")
+        // replaying the same merge-request id must change nothing
+        store.merge(s, updates, Seq("event_id"),
+          commitKey = Some("merge-req-1"))
+        require(store.currentFiles(s).toSet == after,
+          "merge replay was not a no-op")
+        mergeRoots.add(root)
+      }
+    }
+    new ManifestStore(root).read(s).get
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("event_id")).as("id_sum"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("val_sum"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "store_delete_forget" -> (storeDelete _),
-    "store_expire_ttl" -> (storeExpire _))
+    "store_expire_ttl" -> (storeExpire _),
+    "store_merge_upsert" -> (storeMerge _))
 
   val oracle: Map[String, String] = Map(
+    "store_merge_upsert" -> """
+      WITH merged AS (
+        SELECT event_id, user_id, event_type, value
+        FROM events WHERE event_id % 10 <> 0
+        UNION ALL
+        SELECT event_id, user_id, 'updated' AS event_type,
+          value + 1000 AS value
+        FROM events WHERE event_id % 10 = 0
+        UNION ALL
+        SELECT event_id + 1000000 AS event_id, user_id,
+          'inserted' AS event_type, value
+        FROM events WHERE event_id % 17 = 0)
+      SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(event_id) AS BIGINT) AS id_sum,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS val_sum
+      FROM merged
+      GROUP BY event_type ORDER BY event_type""",
     "store_expire_ttl" -> s"""
       SELECT event_type, COUNT(*) AS n,
         CAST(SUM(event_id) AS BIGINT) AS id_sum

@@ -190,6 +190,95 @@ object Ivf {
   def ivfRecall(s: SparkSession, dir: String): DataFrame =
     Similarity.recallGate(s, dir, "ivf", topKIvf(s, dir))
 
+  // ------------------------------------------- metadata-filtered search
+
+  /** The filter target for the [[topKIvfFiltered]] gate. */
+  val FilterLabel = 1
+
+  /** nProbe for filtered search. A metadata filter thins every probed
+    * list (only ~1/|labels| of its vectors qualify), so the true
+    * filtered neighbors spread over MORE clusters than unfiltered ones —
+    * production filtered-ANN probes wider to hold recall; 6 of 8 here. */
+  val FilteredNProbe = 6
+
+  /** Metadata-filtered IVF top-k: neighbors must satisfy a predicate on
+    * an attribute column (here `label === target`) — the
+    * filtered-vector-search shape (every production ANN store supports
+    * it: Milvus/Qdrant/Vespa filtered queries).
+    *
+    * PRE-filtering, done where it scales: the inverted lists are
+    * persisted WITH the payload attribute (`ivfmeta` artifact —
+    * metadata rides the index, the join to attach it happens once at
+    * build), so a search partition-prunes to its probed clusters and
+    * applies the attribute predicate INSIDE the pruned scan, before any
+    * distance is computed. Post-filtering (score first, filter the
+    * top-k after) would return < k rows whenever the filter is
+    * selective; re-touching the corpus for the attribute would defeat
+    * the index. Neither happens here. */
+  def topKIvfFiltered(s: SparkSession, dir: String, k: Int = 8,
+                      nProbe: Int = FilteredNProbe, topN: Int = 10,
+                      target: Int = FilterLabel): DataFrame = {
+    import org.apache.spark.sql.graftshim.Shim
+    val v = Similarity.rawVecs(Tables.load(s, dir, "embeddings"))
+    val m = trainedModel(v, dir, "embeddings", k)
+    val metaPath = AnnIndex.path(dir, s"ivfmeta_embeddings_k$k", m.fp)
+    AnnIndex.ensure(s, metaPath, "cluster", () =>
+      assign(v.repartition(s.sparkContext.defaultParallelism), m.cents)
+        .join(v.select(col("vec_id"), col("label")), Seq("vec_id")))
+    val qRows = collectQueries(v, col("vec_id") < 10)
+    val probesLocal = qRows.toSeq.flatMap { case (id, e, nrm) =>
+      nearestN(m.cents, e.toArray, nProbe).map(c => (id, e, nrm, c.toLong)) }
+    import s.implicits._
+    val probes = probesLocal.toDF("qid", "ea", "na", "cluster")
+    val lists = AnnIndex.readPruned(s, metaPath, "cluster",
+      probesLocal.map(_._4).distinct)
+      .filter(col("label") === target) // inside the pruned scan — a parquet pushdown
+      .select(col("vec_id").as("nid"), col("e").as("eb"),
+        col("nrm").as("nb"), col("cluster").cast("long").as("cluster"))
+    val dot = Shim.column(DotDouble(Shim.expression(col("ea")), Shim.expression(col("eb"))))
+    probes.join(lists, Seq("cluster"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cosine", round(dot / (col("na") * col("nb")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))))
+      .filter(col("rank") <= topN)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Brute filtered truth: exact top-k among label-matching neighbors —
+    * the gate's recall denominator (tiny: |queries| × filtered corpus). */
+  private[ops] def bruteFiltered(s: SparkSession, dir: String,
+                                 topN: Int = 10,
+                                 target: Int = FilterLabel): DataFrame = {
+    import org.apache.spark.sql.graftshim.Shim
+    val v = Similarity.vecs(Tables.load(s, dir, "embeddings"))
+    val q = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("e").as("ea"), col("nrm").as("na"))
+    val n = v.filter(col("label") === target)
+      .select(col("vec_id").as("nid"), col("e").as("eb"), col("nrm").as("nb"))
+    val dot = Shim.column(DotDouble(Shim.expression(col("ea")), Shim.expression(col("eb"))))
+    q.join(n, col("qid") =!= col("nid"))
+      .withColumn("cosine", round(dot / (col("na") * col("nb")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))))
+      .filter(col("rank") <= topN)
+      .select(col("qid"), col("nid"))
+  }
+
+  /** ann_topk_filtered gates on deterministic recall vs the exact
+    * filtered truth, the [[Similarity.recallGate]] recipe. */
+  def ivfFilteredRecall(s: SparkSession, dir: String): DataFrame = {
+    val brute = bruteFiltered(s, dir)
+    val ann = topKIvfFiltered(s, dir).select(col("qid"), col("nid"))
+    brute.join(ann, Seq("qid", "nid"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+      .crossJoin(brute.agg(count(lit(1)).as("n_expected")))
+      .select(lit("ivf_filtered").as("method"), col("n_expected"),
+        expr("(n_expected*7 + 9) DIV 10").as("min_hits"),
+        (col("hits") >= expr("(n_expected*7 + 9) DIV 10")).as("recall_ok"))
+  }
+
   // ---------------------------------------------------- IVF-PQ (ADC)
 
   /** Product-quantization codebooks over coarse-quantizer RESIDUALS:
@@ -356,7 +445,8 @@ object Ivf {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk_ivf" -> (ivfRecall _),
-    "ann_topk_ivfpq" -> (ivfPqRecall _))
+    "ann_topk_ivfpq" -> (ivfPqRecall _),
+    "ann_topk_filtered" -> (ivfFilteredRecall _))
 
   private def recallOracle(method: String): String = s"""
       SELECT '$method' AS method,
@@ -367,5 +457,20 @@ object Ivf {
 
   val oracle: Map[String, String] = Map(
     "ann_topk_ivf" -> recallOracle("ivf"),
-    "ann_topk_ivfpq" -> recallOracle("ivfpq"))
+    "ann_topk_ivfpq" -> recallOracle("ivfpq"),
+    // n_expected per query = min(10, |label-matching neighbors|), the
+    // query itself excluded when it carries the target label — exactly
+    // the filtered brute truth's row count
+    "ann_topk_filtered" -> s"""
+      WITH nl AS (SELECT COUNT(*) AS c FROM embeddings
+                  WHERE label = $FilterLabel),
+      per AS (
+        SELECT LEAST(10, (SELECT c FROM nl) -
+          CASE WHEN label = $FilterLabel THEN 1 ELSE 0 END) AS k
+        FROM embeddings WHERE vec_id < 10)
+      SELECT 'ivf_filtered' AS method,
+        CAST(SUM(k) AS BIGINT) AS n_expected,
+        CAST((SUM(k)*7 + 9)//10 AS BIGINT) AS min_hits,
+        TRUE AS recall_ok
+      FROM per""")
 }

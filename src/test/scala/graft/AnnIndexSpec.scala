@@ -138,4 +138,33 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(r3.contains((0L, 1L, 150L)),
       s"planted exact duplicate must lead query 0's listing, got ${r3.take(5)}")
   }
+
+  test("filtered search: every neighbor carries the target label; plan stays " +
+      "pruned off the metadata-enriched lists, corpus untouched") {
+    val sf = "/root/testdata/sf0.001"
+    val ann = graft.ops.Ivf.topKIvfFiltered(spark, sf)
+    val rows = ann.collect()
+    assert(rows.nonEmpty)
+    // the pre-filter is semantic, not just a plan shape: cross-check
+    // every returned neighbor id against the fixture's label column
+    val target = graft.ops.Ivf.FilterLabel
+    val labels = Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      val nid = r.getLong(2)
+      assert(labels(nid) == target, s"neighbor $nid has label ${labels(nid)}")
+    }
+    val plan = ann.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("graft_ann_ivfmeta"), plan)
+    assert(!plan.contains("embeddings.parquet"), plan)
+  }
+
+  test("filtered search holds the gate's recall bound vs the exact filtered truth") {
+    val sf = "/root/testdata/sf0.001"
+    val row = graft.ops.Ivf.ivfFilteredRecall(spark, sf).head()
+    assert(row.getBoolean(3),
+      s"filtered recall below bound: expected=${row.getLong(1)} min_hits=${row.getLong(2)}")
+  }
 }

@@ -125,4 +125,25 @@ class ManifestDeleteSpec extends AnyFunSuite {
       .select("event_id").as[Long].collect().toSet
     assert(got == (10L to 20L).filter(_ % 7 != 3).toSet)
   }
+
+  test("store_merge_upsert gate equals a direct Spark reconstruction of the merged table") {
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.ingest.Forget.storeMerge(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val expected = ev.filter(col("event_id") % 10 =!= 0)
+      .unionByName(ev.filter(col("event_id") % 10 === 0)
+        .withColumn("event_type", lit("updated"))
+        .withColumn("value", col("value") + 1000.0))
+      .unionByName(ev.filter(col("event_id") % 17 === 0)
+        .select((col("event_id") + 1000000L).as("event_id"), col("user_id"),
+          lit("inserted").as("event_type"), col("value")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("val_sum"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expected)
+  }
 }
