@@ -153,6 +153,74 @@ object Components {
   def dedupComponents(s: SparkSession, dir: String): DataFrame =
     labelsFor(s, dir).orderBy(col("doc_id"))
 
+  /** INCREMENTAL component maintenance — fold a new batch's near-dup
+    * edges into an existing labels table without relabeling the corpus
+    * from scratch (the missing piece between [[Dedup.dedupIncremental]]'s
+    * per-batch pair detection and the batch-recompute labeling).
+    *
+    * Star contraction on the CONTRACTED graph: each new edge's old
+    * endpoint is replaced by its current component label (every old
+    * cluster collapses to one node — its label, which is already the
+    * cluster's min doc_id), so the component rounds run over only the
+    * labels the batch TOUCHES plus the batch itself — O(batch) nodes,
+    * independent of corpus size. Because old labels are cluster minima,
+    * the contracted minimum IS the merged cluster's global min doc_id:
+    * labels stay canonical, and a batch doc bridging two old clusters
+    * merges them correctly (the transitive case OpsSpec plants).
+    *
+    * Scale shape: the touched-label mapping is O(batch) rows and
+    * BROADCAST to relabel the base table — the base labels never
+    * shuffle; new edges join the labels table on the endpoint id
+    * (the probe output already carries partition-prunable doc ids).
+    * At 100 TB the batch relabel is one broadcast map-side pass over
+    * the labels store, the way streaming dedup must work. */
+  def mergeBatchLabels(baseLabels: DataFrame, newEdges: DataFrame,
+                       batchIds: DataFrame): DataFrame = {
+    val lab = baseLabels.select(col("doc_id").as("n"), col("component").as("l"))
+    val contracted = newEdges.select(col("i").as("a"), col("j").as("b"))
+      .join(lab.select(col("n").as("a"), col("l").as("la")), Seq("a"), "left")
+      .join(lab.select(col("n").as("b"), col("l").as("lb")), Seq("b"), "left")
+      .select(coalesce(col("la"), col("a")).as("i"),
+        coalesce(col("lb"), col("b")).as("j"))
+      .filter(col("i") =!= col("j"))
+    // star rounds over the contracted graph: O(batch) nodes, so the
+    // mapping below is broadcast-sized BY CONSTRUCTION
+    val remap = connectedComponents(contracted)
+    val oldRelabel = broadcast(remap
+      .select(col("node").as("component"), col("component").as("newc")))
+    val updatedOld = baseLabels
+      .join(oldRelabel, Seq("component"), "left")
+      .select(col("doc_id"),
+        coalesce(col("newc"), col("component")).as("component"))
+    val newLab = batchIds.select(col("doc_id"))
+      .join(broadcast(remap), col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+    updatedOld.unionByName(newLab)
+      .withColumn("keep", col("doc_id") === col("component"))
+  }
+
+  /** Gate: the incremental path end-to-end over the gate's base/batch
+    * split (even ids = stored corpus, odd ids = new batch — the same
+    * split the frozen LSH index gates use): base labels computed once
+    * over the even half, the batch's edges from the frozen-index PROBE
+    * ([[Dedup.probedPairsFor]] — only batch docs are hashed), then
+    * [[mergeBatchLabels]]. The oracle is the FULL-corpus transitive
+    * closure — the incremental result must be indistinguishable from a
+    * batch recompute. */
+  def dedupComponentsIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val base = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val baseLabels = TruthCache.cached(s, "component_labels_even",
+      Dedup.docsFingerprint(docs),
+      componentLabels(base).select("doc_id", "component"))
+    val batch = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+    mergeBatchLabels(baseLabels,
+        Dedup.probedPairsFor(s, dir).select("i", "j"),
+        batch.select("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The dedup pipeline's end product: the corpus with every non-
     * canonical near-duplicate dropped — one survivor (min doc_id) per
     * transitive cluster, all singletons kept. The documents table loads
@@ -247,6 +315,7 @@ object Components {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_components" -> (dedupComponents _),
+    "dedup_components_incremental" -> (dedupComponentsIncremental _),
     "dedup_keep_only" -> (dedupKeepOnly _),
     "dedup_keep_best" -> (dedupKeepBest _),
     "dedup_audit" -> (dedupAudit _),
@@ -279,6 +348,11 @@ object Components {
 
   val oracle: Map[String, String] = Map(
     "dedup_components" -> s"""$componentsCtes
+      SELECT doc_id, component, (component = doc_id) AS keep
+      FROM labels ORDER BY doc_id""",
+    // the incremental path must be INDISTINGUISHABLE from a batch
+    // recompute: same closure over the full corpus
+    "dedup_components_incremental" -> s"""$componentsCtes
       SELECT doc_id, component, (component = doc_id) AS keep
       FROM labels ORDER BY doc_id""",
     "dedup_keep_only" -> s"""$componentsCtes

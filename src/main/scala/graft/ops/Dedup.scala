@@ -349,7 +349,7 @@ object Dedup {
     * shape: a batch's candidate pairs are computed once and consumed by
     * every downstream decision (drop, rank, audit), not re-probed per
     * consumer. */
-  private def probedPairsFor(s: SparkSession, dir: String): DataFrame = {
+  private[ops] def probedPairsFor(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
     TruthCache.cached(s, "lsh_probe_odd07", docsFingerprint(docs),
       LshIndex.probe(docs.filter(pmod(col("doc_id"), lit(2)) === 1),

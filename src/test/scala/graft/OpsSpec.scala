@@ -277,6 +277,41 @@ class OpsSpec extends AnyFunSuite {
     got.foreach { case (n, c) => if (!truth.contains(n)) assert(c == n) }
   }
 
+  test("incremental component merge: a batch doc bridging two old clusters " +
+      "relabels BOTH to the global min; untouched clusters keep their labels") {
+    import graft.ops.Components
+    import spark.implicits._
+    // base: cluster {2,4,6} labeled 2, cluster {10,12} labeled 10,
+    // untouched cluster {20,22} labeled 20, singleton 30
+    val base = Seq((2L, 2L), (4L, 2L), (6L, 2L), (10L, 10L), (12L, 10L),
+      (20L, 20L), (22L, 20L), (30L, 30L))
+      .toDF("doc_id", "component")
+    // new batch: 99 bridges the two clusters (via members 4 and 12 —
+    // NOT the labels, so contraction must route through the label);
+    // 101 is a batch singleton; 103 pairs only with 30
+    val edges = Seq((4L, 99L), (12L, 99L), (30L, 103L)).toDF("i", "j")
+    val batch = Seq(99L, 101L, 103L).toDF("doc_id")
+    val got = Components.mergeBatchLabels(base, edges, batch)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // merged cluster {2,4,6,10,12,99} → min 2
+    Seq(2L, 4L, 6L, 10L, 12L, 99L).foreach(n => assert(got(n) == 2L, s"node $n"))
+    // untouched cluster survives the broadcast relabel unchanged
+    Seq(20L, 22L).foreach(n => assert(got(n) == 20L, s"node $n"))
+    assert(got(101L) == 101L) // batch singleton
+    assert(got(30L) == 30L && got(103L) == 30L) // new doc joins old singleton
+    assert(got.size == base.count() + batch.count())
+  }
+
+  test("dedup_components_incremental equals the full-corpus batch recompute") {
+    val dir = "/root/testdata/sf0.001"
+    val full = graft.ops.Components.dedupComponents(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val inc = graft.ops.Components.dedupComponentsIncremental(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(inc == full,
+      "incremental labels must be indistinguishable from a batch recompute")
+  }
+
   test("wad rescaler: binary uint256 mode ≡ decimal mode (rad-safe path)") {
     import spark.implicits._
     import graft.codec.GraftFunctions
