@@ -27,7 +27,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "rad" -> (es => RescaleToDouble(es.head, 45)),
       "dot_double" -> (es => graft.ops.DotDouble(es(0), es(1))),
       "minhash_agg" -> (es => graft.ops.MinHashAgg(es.head, 64, 1234).toAggregateExpression()),
-      "simhash_agg" -> (es => graft.ops.SimHashAgg(es.head).toAggregateExpression()))
+      "simhash_agg" -> (es => graft.ops.SimHashAgg(es.head).toAggregateExpression()),
+      "cms_agg" -> (es => graft.ops.CmsAgg(es.head).toAggregateExpression()),
+      "cms_merge_agg" -> (es => graft.ops.CmsMergeAgg(es.head).toAggregateExpression()),
+      "cms_estimate" -> (es => graft.ops.CmsEstimate(es(0), es(1))),
+      "cms_total" -> (es => graft.ops.CmsTotal(es.head)))
     scalar.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info(name), builder))
     }

@@ -67,5 +67,13 @@ object GraftFunctions {
       es => graft.ops.MinHashAgg(es.head, 64, 1234).toAggregateExpression(), "scala_udf")
     reg.createOrReplaceTempFunction("simhash_agg",
       es => graft.ops.SimHashAgg(es.head).toAggregateExpression(), "scala_udf")
+    reg.createOrReplaceTempFunction("cms_agg",
+      es => graft.ops.CmsAgg(es.head).toAggregateExpression(), "scala_udf")
+    reg.createOrReplaceTempFunction("cms_merge_agg",
+      es => graft.ops.CmsMergeAgg(es.head).toAggregateExpression(), "scala_udf")
+    reg.createOrReplaceTempFunction("cms_estimate",
+      es => graft.ops.CmsEstimate(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("cms_total",
+      es => graft.ops.CmsTotal(es.head), "scala_udf")
   }
 }

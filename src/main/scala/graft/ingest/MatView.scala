@@ -25,12 +25,14 @@ import graft.Tables
   *    refreshing an unchanged source short-circuits.
   */
 final class MatView(val root: String, groupCols: Seq[String], valueCol: String,
-                    distinctCol: Option[String] = None) {
+                    distinctCol: Option[String] = None,
+                    freqCol: Option[String] = None) {
 
   private def store = new ManifestStore(root)
 
   /** Current view contents: (groupCols…, n, vsum DECIMAL(38,6)[, dsk
-    * BINARY — a Datasketches HLL of `distinctCol`], as_of). */
+    * BINARY — a Datasketches HLL of `distinctCol`][, csk BINARY — a
+    * count-min sketch of `freqCol`], as_of). */
   def state(spark: SparkSession): Option[DataFrame] = store.read(spark)
 
   private def aggOf(df: DataFrame): DataFrame = {
@@ -41,8 +43,12 @@ final class MatView(val root: String, groupCols: Seq[String], valueCol: String,
     // mergeable sketch. hll_sketch_agg's partials union losslessly
     // (sketch ∪ sketch = sketch of the union), so a refresh folds the
     // delta's sketch into the stored one exactly like n and vsum.
+    // Point FREQUENCIES (heavy hitters) are the same story with a
+    // count-min sketch ([[graft.ops.CmsAgg]]): counters add, so
+    // sketch(old) ⊎ sketch(delta) = sketch(old ⊎ delta) exactly.
     val aggs = base ++ distinctCol.map(c =>
-      hll_sketch_agg(col(c), lit(MatView.LgK)).as("dsk"))
+      hll_sketch_agg(col(c), lit(MatView.LgK)).as("dsk")) ++
+      freqCol.map(c => MatView.cmsAgg(col(c)).as("csk"))
     df.groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("vsum", col("vsum").cast("decimal(38,6)"))
@@ -69,7 +75,8 @@ final class MatView(val root: String, groupCols: Seq[String], valueCol: String,
         else {
           val merge = Seq(sum(col("n")).as("n"),
             sum(col("vsum")).cast("decimal(38,6)").as("vsum")) ++
-            distinctCol.map(_ => hll_union_agg(col("dsk"), lit(true)).as("dsk"))
+            distinctCol.map(_ => hll_union_agg(col("dsk"), lit(true)).as("dsk")) ++
+            freqCol.map(_ => MatView.cmsMergeAgg(col("csk")).as("csk"))
           Some(prevOpt.get.drop("as_of").unionByName(aggOf(d))
             .groupBy(groupCols.map(col): _*)
             .agg(merge.head, merge.tail: _*))
@@ -92,6 +99,17 @@ object MatView {
     * relative standard error, 4 KiB per group: the standard
     * accuracy/state trade for warehouse distinct counts. */
   val LgK = 12
+
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftshim.Shim
+  private[ingest] def cmsAgg(c: Column): Column =
+    Shim.column(graft.ops.CmsAgg(Shim.expression(c)).toAggregateExpression())
+  private[ingest] def cmsMergeAgg(c: Column): Column =
+    Shim.column(graft.ops.CmsMergeAgg(Shim.expression(c)).toAggregateExpression())
+  private[ingest] def cmsEstimate(sk: Column, v: Column): Column =
+    Shim.column(graft.ops.CmsEstimate(Shim.expression(sk), Shim.expression(v)))
+  private[ingest] def cmsTotal(sk: Column): Column =
+    Shim.column(graft.ops.CmsTotal(Shim.expression(sk)))
 
   private[graft] def gateRoots(dir: String, kind: String = "source")
       : (String, String) = {
@@ -183,6 +201,65 @@ object MatView {
       .orderBy("event_type")
   }
 
+  /** Gate: incremental HEAVY HITTERS. The view maintains a mergeable
+    * count-min sketch of `user_id` per event_type across the same
+    * commit mix as the other matview gates (two delta refreshes + a
+    * rewrite-detected recompute). For each event_type's exact top-3
+    * users (count desc, user_id tie-break — computed once from the
+    * surviving store, the pass the sketch exists to avoid per refresh),
+    * the sketch's point estimate must sit in the CMS envelope:
+    * ≥ the true count ALWAYS (counters only add — a hard invariant,
+    * not a tolerance), and ≤ true + max(4, 8·N/width) (ε·N-style
+    * bound; deterministic here for the fixed seed). At 100 TB the
+    * refresh path reads only the delta and folds O(depth·width) state
+    * per group — no re-scan ever keeps the frequency table current. */
+  def matviewTopkGate(s: SparkSession, dir: String): DataFrame = {
+    val (srcRoot, viewRoot) = gateRoots(dir, "hh")
+    builtRoots.synchronized {
+      if (!builtRoots.contains(srcRoot)) {
+        for (r <- Seq(srcRoot, viewRoot)) {
+          val p = new Path(r)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+        val src = new ManifestStore(srcRoot)
+        val mv = new MatView(viewRoot, Seq("event_type"), "value",
+          freqCol = Some("user_id"))
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        src.append(s, ev.filter(col("event_id") % 2 === 0),
+          rangeCol = Some("event_id"))
+        mv.refresh(s, src) // delta = commit 1
+        src.append(s, ev.filter(col("event_id") % 2 === 1),
+          rangeCol = Some("event_id"))
+        mv.refresh(s, src) // delta = commit 2 only
+        src.delete(s, pmod(col("user_id"), lit(Forget.ForgetMod)) === 0,
+          commitKey = Some("mv-hh-forget-1"))
+        mv.refresh(s, src) // rewrite detected -> full recompute
+        builtRoots.add(srcRoot)
+      }
+    }
+    val view = new MatView(viewRoot, Seq("event_type"), "value",
+      freqCol = Some("user_id")).state(s).get
+      .select(col("event_type"), col("csk"))
+    val exact = new ManifestStore(srcRoot).read(s).get
+      .groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("exact_n"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+          .orderBy(col("exact_n").desc, col("user_id"))))
+      .filter(col("rk") <= 3)
+    exact.join(view, Seq("event_type"))
+      .withColumn("est", cmsEstimate(col("csk"), col("user_id")))
+      .withColumn("bound", greatest(lit(4L),
+        floor(cmsTotal(col("csk")) * 8L / lit(graft.ops.Cms.Width.toLong))
+          .cast("long")))
+      .select(col("event_type"), col("rk"), col("user_id"), col("exact_n"),
+        (col("est") >= col("exact_n") &&
+          col("est") <= col("exact_n") + col("bound")).cast("int").as("est_ok"))
+      .orderBy("event_type", "rk")
+  }
+
   /** Gate: change-data capture from manifest arithmetic alone. Two
     * appends land in the store; `readAddedSince(v1)` must return
     * EXACTLY commit 2's rows — no change log, no timestamps, no diff
@@ -220,9 +297,26 @@ object MatView {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "store_matview_flows" -> (matviewGate _),
     "store_matview_distinct" -> (matviewDistinctGate _),
+    "store_matview_topk" -> (matviewTopkGate _),
     "store_cdc_diff" -> (cdcDiffGate _))
 
   val oracle: Map[String, String] = Map(
+    // per-event_type exact top-3 users (count desc, user_id tie-break)
+    // over the post-forget survivors; est_ok is the CMS envelope, a
+    // literal TRUE on the oracle side
+    "store_matview_topk" -> s"""
+      WITH surv AS (
+        SELECT event_type, user_id FROM events
+        WHERE user_id % ${Forget.ForgetMod} <> 0),
+      cnt AS (
+        SELECT event_type, user_id, COUNT(*) AS exact_n,
+          ROW_NUMBER() OVER (PARTITION BY event_type
+            ORDER BY COUNT(*) DESC, user_id) AS rk
+        FROM surv GROUP BY event_type, user_id)
+      SELECT event_type, CAST(rk AS INT) AS rk, user_id,
+        CAST(exact_n AS BIGINT) AS exact_n, 1 AS est_ok
+      FROM cnt WHERE rk <= 3
+      ORDER BY event_type, rk""",
     "store_cdc_diff" -> """
       SELECT event_type, COUNT(*) AS n,
         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum

@@ -183,3 +183,167 @@ case class SimHashAgg(child: Expression,
     copy(child = newChild)
   override def prettyName: String = "simhash_agg"
 }
+
+/** Count-min sketch plumbing shared by the aggregate, the merge
+  * aggregate, and the estimator. Layout: `depth` rows × `width` counters
+  * (longs) + one trailing total-count cell, serialized row-major. The
+  * guarantee that matters for gating: estimate ≥ true count ALWAYS
+  * (counters only ever add), and ≤ true + O(N/width) with the usual CMS
+  * probability — deterministic for a fixed seed and input. */
+object Cms {
+  val Depth = 5
+  val Width = 4096
+  val Seed = 4242
+
+  def cells: Int = Depth * Width + 1
+
+  /** splitmix64 finalizer then 31-bit fold — spreads arbitrary longs
+    * before the affine row hashes (which need a bounded domain). */
+  def mix(x: Long): Long = {
+    var z = x + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    (z ^ (z >>> 31)) & 0x7fffffffL
+  }
+
+  @transient lazy val (as, bs) = MinHashAgg.coeffs(Depth, Seed)
+
+  def slot(row: Int, x: Long): Int =
+    (row * Width +
+      ((as(row) * mix(x) + bs(row)) % MinHashAgg.MersennePrime % Width)).toInt
+
+  def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * cells)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(cells)(bb.getLong)
+  }
+
+  def estimate(bytes: Array[Byte], x: Long): Long = {
+    val bb = ByteBuffer.wrap(bytes)
+    var est = Long.MaxValue
+    var r = 0
+    while (r < Depth) {
+      val c = bb.getLong(8 * slot(r, x))
+      if (c < est) est = c
+      r += 1
+    }
+    est
+  }
+
+  def total(bytes: Array[Byte]): Long =
+    ByteBuffer.wrap(bytes).getLong(8 * (cells - 1))
+}
+
+/** cms_agg(long) → binary: mergeable count-min sketch of the group's
+  * values — the classic frequency sketch (Cormode & Muthukrishnan '05)
+  * with finite state, so point-frequency queries (heavy hitters,
+  * top-k candidates) can be maintained INCREMENTALLY: partials combine
+  * map-side, stored sketches fold with a delta's sketch by elementwise
+  * add ([[CmsMergeAgg]]) — the same property that lets
+  * [[graft.ingest.MatView]] keep COUNT DISTINCT current via HLL. */
+case class CmsAgg(child: Expression,
+                  mutableAggBufferOffset: Int = 0,
+                  inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](Cms.cells)
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val x = v.asInstanceOf[Long]
+      var r = 0
+      while (r < Cms.Depth) { buffer(Cms.slot(r, x)) += 1L; r += 1 }
+      buffer(Cms.cells - 1) += 1L
+    }
+    buffer
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < Cms.cells) { b1(i) += b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buffer: Array[Long]): Any = Cms.serialize(buffer)
+  override def serialize(buffer: Array[Long]): Array[Byte] = Cms.serialize(buffer)
+  override def deserialize(storage: Array[Byte]): Array[Long] = Cms.deserialize(storage)
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def withNewMutableAggBufferOffset(newOffset: Int): CmsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CmsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): CmsAgg =
+    copy(child = newChild)
+  override def prettyName: String = "cms_agg"
+}
+
+/** cms_merge_agg(binary) → binary: union of stored sketches by
+  * elementwise add — the refresh-path combiner (sketch(A) ⊎ sketch(B)
+  * = sketch(A ⊎ B), exactly). */
+case class CmsMergeAgg(child: Expression,
+                       mutableAggBufferOffset: Int = 0,
+                       inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](Cms.cells)
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) merge(buffer, Cms.deserialize(v.asInstanceOf[Array[Byte]]))
+    else buffer
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < Cms.cells) { b1(i) += b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buffer: Array[Long]): Any = Cms.serialize(buffer)
+  override def serialize(buffer: Array[Long]): Array[Byte] = Cms.serialize(buffer)
+  override def deserialize(storage: Array[Byte]): Array[Long] = Cms.deserialize(storage)
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def withNewMutableAggBufferOffset(newOffset: Int): CmsMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CmsMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): CmsMergeAgg =
+    copy(child = newChild)
+  override def prettyName: String = "cms_merge_agg"
+}
+
+/** cms_estimate(sketch, value) → long: point-frequency estimate (min
+  * over the sketch's rows). */
+case class CmsEstimate(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(sk: Any, v: Any): Any =
+    Cms.estimate(sk.asInstanceOf[Array[Byte]], v.asInstanceOf[Long])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CmsEstimate =
+    copy(left = l, right = r)
+  override def prettyName: String = "cms_estimate"
+}
+
+/** cms_total(sketch) → long: the sketch's total update count (the N in
+  * the ε·N error bound). */
+case class CmsTotal(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(sk: Any): Any =
+    Cms.total(sk.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression): CmsTotal =
+    copy(child = newChild)
+  override def prettyName: String = "cms_total"
+}

@@ -70,6 +70,34 @@ class MatViewSpec extends AnyFunSuite {
     assert(est2 == Map("a" -> 50L, "b" -> 10L), s"post-delete: $est2")
   }
 
+  test("count-min sketch: frequencies add exactly across delta refreshes; " +
+      "estimates never undercount") {
+    val t = Files.createTempDirectory("graft_mv_csk").toString
+    val src = new ManifestStore(s"$t/src")
+    val mv = new MatView(s"$t/view", Seq("k"), "v", freqCol = Some("u"))
+    // commit 1: user 7 × 30, user 8 × 5; commit 2: user 7 × 20 more —
+    // the merged sketch must see 7 → 50 (25 of them from each refresh
+    // path: aggOf on the delta, cms_merge_agg on the stored sketch)
+    src.append(spark, ((1 to 30).map(_ => ("a", 1.0, 7L)) ++
+      (1 to 5).map(_ => ("a", 1.0, 8L))).toDF("k", "v", "u"))
+    mv.refresh(spark, src)
+    src.append(spark, (1 to 20).map(_ => ("a", 1.0, 7L)).toDF("k", "v", "u"))
+    mv.refresh(spark, src)
+    val sk = mv.state(spark).get.select(col("csk")).head().getAs[Array[Byte]](0)
+    import graft.ops.Cms
+    assert(Cms.total(sk) == 55L)
+    val e7 = Cms.estimate(sk, 7L)
+    val e8 = Cms.estimate(sk, 8L)
+    // never undercount (hard CMS invariant); at 55 updates into a
+    // 5×4096 sketch, collisions are also structurally impossible to
+    // matter by more than the full stream
+    assert(e7 >= 50L && e7 <= 55L, s"est(7)=$e7")
+    assert(e8 >= 5L && e8 <= 10L, s"est(8)=$e8")
+    // an unseen key estimates at most the collision mass, never negative
+    val e9 = Cms.estimate(sk, 9L)
+    assert(e9 >= 0L && e9 <= 5L, s"est(9)=$e9")
+  }
+
   test("streaming ingest keeps the view consistent; batch-id keys make replays no-ops") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
