@@ -31,7 +31,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "cms_agg" -> (es => graft.ops.CmsAgg(es.head).toAggregateExpression()),
       "cms_merge_agg" -> (es => graft.ops.CmsMergeAgg(es.head).toAggregateExpression()),
       "cms_estimate" -> (es => graft.ops.CmsEstimate(es(0), es(1))),
-      "cms_total" -> (es => graft.ops.CmsTotal(es.head)))
+      "cms_total" -> (es => graft.ops.CmsTotal(es.head)),
+      "hist_agg" -> (es => graft.ops.HistAgg(es.head).toAggregateExpression()),
+      "hist_merge_agg" -> (es => graft.ops.HistMergeAgg(es.head).toAggregateExpression()),
+      "hist_quantile" -> (es => graft.ops.HistQuantile(es(0), es(1))),
+      "hist_oor" -> (es => graft.ops.HistOutOfRange(es.head)))
     scalar.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info(name), builder))
     }

@@ -75,5 +75,13 @@ object GraftFunctions {
       es => graft.ops.CmsEstimate(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("cms_total",
       es => graft.ops.CmsTotal(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("hist_agg",
+      es => graft.ops.HistAgg(es.head).toAggregateExpression(), "scala_udf")
+    reg.createOrReplaceTempFunction("hist_merge_agg",
+      es => graft.ops.HistMergeAgg(es.head).toAggregateExpression(), "scala_udf")
+    reg.createOrReplaceTempFunction("hist_quantile",
+      es => graft.ops.HistQuantile(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("hist_oor",
+      es => graft.ops.HistOutOfRange(es.head), "scala_udf")
   }
 }

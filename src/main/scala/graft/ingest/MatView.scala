@@ -26,7 +26,8 @@ import graft.Tables
   */
 final class MatView(val root: String, groupCols: Seq[String], valueCol: String,
                     distinctCol: Option[String] = None,
-                    freqCol: Option[String] = None) {
+                    freqCol: Option[String] = None,
+                    histCol: Option[String] = None) {
 
   private def store = new ManifestStore(root)
 
@@ -46,9 +47,15 @@ final class MatView(val root: String, groupCols: Seq[String], valueCol: String,
     // Point FREQUENCIES (heavy hitters) are the same story with a
     // count-min sketch ([[graft.ops.CmsAgg]]): counters add, so
     // sketch(old) ⊎ sketch(delta) = sketch(old ⊎ delta) exactly.
+    // QUANTILES likewise: a fixed-domain equi-width histogram's bucket
+    // counts add exactly ([[graft.ops.HistAgg]]), and a discrete
+    // quantile reads off the merged counts with error ≤ the bin width —
+    // the sketch triad (distinct / frequency / quantile) that makes a
+    // warehouse summary view maintainable from deltas alone.
     val aggs = base ++ distinctCol.map(c =>
       hll_sketch_agg(col(c), lit(MatView.LgK)).as("dsk")) ++
-      freqCol.map(c => MatView.cmsAgg(col(c)).as("csk"))
+      freqCol.map(c => MatView.cmsAgg(col(c)).as("csk")) ++
+      histCol.map(c => MatView.histAgg(col(c)).as("hsk"))
     df.groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("vsum", col("vsum").cast("decimal(38,6)"))
@@ -76,7 +83,8 @@ final class MatView(val root: String, groupCols: Seq[String], valueCol: String,
           val merge = Seq(sum(col("n")).as("n"),
             sum(col("vsum")).cast("decimal(38,6)").as("vsum")) ++
             distinctCol.map(_ => hll_union_agg(col("dsk"), lit(true)).as("dsk")) ++
-            freqCol.map(_ => MatView.cmsMergeAgg(col("csk")).as("csk"))
+            freqCol.map(_ => MatView.cmsMergeAgg(col("csk")).as("csk")) ++
+            histCol.map(_ => MatView.histMergeAgg(col("hsk")).as("hsk"))
           Some(prevOpt.get.drop("as_of").unionByName(aggOf(d))
             .groupBy(groupCols.map(col): _*)
             .agg(merge.head, merge.tail: _*))
@@ -110,6 +118,14 @@ object MatView {
     Shim.column(graft.ops.CmsEstimate(Shim.expression(sk), Shim.expression(v)))
   private[ingest] def cmsTotal(sk: Column): Column =
     Shim.column(graft.ops.CmsTotal(Shim.expression(sk)))
+  private[ingest] def histAgg(c: Column): Column =
+    Shim.column(graft.ops.HistAgg(Shim.expression(c)).toAggregateExpression())
+  private[ingest] def histMergeAgg(c: Column): Column =
+    Shim.column(graft.ops.HistMergeAgg(Shim.expression(c)).toAggregateExpression())
+  private[ingest] def histQuantile(sk: Column, p: Column): Column =
+    Shim.column(graft.ops.HistQuantile(Shim.expression(sk), Shim.expression(p)))
+  private[ingest] def histOor(sk: Column): Column =
+    Shim.column(graft.ops.HistOutOfRange(Shim.expression(sk)))
 
   private[graft] def gateRoots(dir: String, kind: String = "source")
       : (String, String) = {
@@ -260,6 +276,68 @@ object MatView {
       .orderBy("event_type", "rk")
   }
 
+  /** Gate: incremental QUANTILES. The view maintains a mergeable
+    * fixed-domain histogram of `value` per event_type across the same
+    * commit mix (two delta refreshes + a rewrite-detected recompute).
+    * For p50 and p95 the histogram's bin-midpoint estimate must land
+    * within the BIN WIDTH of the exact discrete quantile (the 0-indexed
+    * rank ⌊p·(n−1)⌋ order statistic — both engines compute the rank in
+    * IEEE double, so it is bit-agreed), and the out-of-domain counter
+    * must be zero — a fixture outgrowing the declared [0, 1024) domain
+    * fails loudly instead of silently skewing the estimate. */
+  def matviewQuantileGate(s: SparkSession, dir: String): DataFrame = {
+    val (srcRoot, viewRoot) = gateRoots(dir, "qt")
+    builtRoots.synchronized {
+      if (!builtRoots.contains(srcRoot)) {
+        for (r <- Seq(srcRoot, viewRoot)) {
+          val p = new Path(r)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+        val src = new ManifestStore(srcRoot)
+        val mv = new MatView(viewRoot, Seq("event_type"), "value",
+          histCol = Some("value"))
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        src.append(s, ev.filter(col("event_id") % 2 === 0),
+          rangeCol = Some("event_id"))
+        mv.refresh(s, src) // delta = commit 1
+        src.append(s, ev.filter(col("event_id") % 2 === 1),
+          rangeCol = Some("event_id"))
+        mv.refresh(s, src) // delta = commit 2 only
+        src.delete(s, pmod(col("user_id"), lit(Forget.ForgetMod)) === 0,
+          commitKey = Some("mv-qt-forget-1"))
+        mv.refresh(s, src) // rewrite detected -> full recompute
+        builtRoots.add(srcRoot)
+      }
+    }
+    val view = new MatView(viewRoot, Seq("event_type"), "value",
+      histCol = Some("value")).state(s).get
+      .select(col("event_type"), col("hsk"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("value"))
+    val exact = new ManifestStore(srcRoot).read(s).get
+      .select(col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(w) - 1)
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))))
+      .groupBy("event_type")
+      .agg(
+        max(when(col("rn") === floor(lit(0.5) * (col("n") - 1)),
+          col("value"))).as("p50_exact"),
+        max(when(col("rn") === floor(lit(0.95) * (col("n") - 1)),
+          col("value"))).as("p95_exact"))
+    val bw = lit(graft.ops.Hist.width)
+    exact.join(view, Seq("event_type"))
+      .select(col("event_type"), col("p50_exact"), col("p95_exact"),
+        (abs(histQuantile(col("hsk"), lit(0.5)) - col("p50_exact")) <= bw)
+          .cast("int").as("p50_ok"),
+        (abs(histQuantile(col("hsk"), lit(0.95)) - col("p95_exact")) <= bw)
+          .cast("int").as("p95_ok"),
+        (histOor(col("hsk")) === 0L).cast("int").as("domain_ok"))
+      .orderBy("event_type")
+  }
+
   /** Gate: change-data capture from manifest arithmetic alone. Two
     * appends land in the store; `readAddedSince(v1)` must return
     * EXACTLY commit 2's rows — no change log, no timestamps, no diff
@@ -298,6 +376,7 @@ object MatView {
     "store_matview_flows" -> (matviewGate _),
     "store_matview_distinct" -> (matviewDistinctGate _),
     "store_matview_topk" -> (matviewTopkGate _),
+    "store_matview_quantile" -> (matviewQuantileGate _),
     "store_cdc_diff" -> (cdcDiffGate _))
 
   val oracle: Map[String, String] = Map(
@@ -317,6 +396,25 @@ object MatView {
         CAST(exact_n AS BIGINT) AS exact_n, 1 AS est_ok
       FROM cnt WHERE rk <= 3
       ORDER BY event_type, rk""",
+    // exact discrete quantiles (rank = floor(p·(n−1)), 0-indexed) over
+    // the post-forget survivors; ok flags are the histogram envelope,
+    // literal TRUE on the oracle side
+    "store_matview_quantile" -> s"""
+      WITH surv AS (
+        SELECT event_type, value FROM events
+        WHERE user_id % ${Forget.ForgetMod} <> 0),
+      r AS (
+        SELECT event_type, value,
+          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) - 1 AS rn,
+          COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM surv)
+      SELECT event_type,
+        MAX(CASE WHEN rn = CAST(FLOOR(0.5*(n-1)) AS BIGINT)
+          THEN value END) AS p50_exact,
+        MAX(CASE WHEN rn = CAST(FLOOR(0.95*(n-1)) AS BIGINT)
+          THEN value END) AS p95_exact,
+        1 AS p50_ok, 1 AS p95_ok, 1 AS domain_ok
+      FROM r GROUP BY event_type ORDER BY event_type""",
     "store_cdc_diff" -> """
       SELECT event_type, COUNT(*) AS n,
         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum

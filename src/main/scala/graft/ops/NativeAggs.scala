@@ -347,3 +347,162 @@ case class CmsTotal(child: Expression)
     copy(child = newChild)
   override def prettyName: String = "cms_total"
 }
+
+/** Mergeable equi-width histogram for incremental QUANTILES — the third
+  * classic sketch next to HLL (distinct) and CMS (frequency): bucket
+  * counts add exactly, so hist(A) ⊎ hist(B) = hist(A ⊎ B) and a
+  * discrete quantile reads off the cumulative counts with error bounded
+  * by the BIN WIDTH — a deterministic bound, not a probabilistic one.
+  *
+  * Layout: [[Bins]] longs over the declared domain [0, [[Max]]) +
+  * an out-of-range cell + a total cell. The domain is fixed UP FRONT
+  * (the trade that makes the state finite and mergeable); inputs
+  * outside it land in the out-of-range cell, which consumers MUST
+  * check — a domain-busting input stream reads as a loud counter, not
+  * silently distorted quantiles. */
+object Hist {
+  val Bins = 4096
+  val Max = 1024.0
+  def width: Double = Max / Bins // 0.25
+  def cells: Int = Bins + 2 // + outOfRange + total
+  private def oorCell = Bins
+  private def totalCell = Bins + 1
+
+  def update(buf: Array[Long], x: Double): Unit = {
+    if (x >= 0.0 && x < Max) buf((x / width).toInt) += 1L
+    else buf(oorCell) += 1L
+    buf(totalCell) += 1L
+  }
+
+  def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * cells)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(cells)(bb.getLong)
+  }
+
+  def outOfRange(bytes: Array[Byte]): Long =
+    ByteBuffer.wrap(bytes).getLong(8 * oorCell)
+
+  def total(bytes: Array[Byte]): Long =
+    ByteBuffer.wrap(bytes).getLong(8 * totalCell)
+
+  /** Discrete-quantile estimate: midpoint of the bin holding the
+    * 0-indexed rank floor(p·(n−1)) order statistic (in-range values
+    * only). Error ≤ width/2 vs the true order statistic. */
+  def quantile(bytes: Array[Byte], p: Double): Double = {
+    val bb = ByteBuffer.wrap(bytes)
+    var inRange = 0L
+    var b = 0
+    while (b < Bins) { inRange += bb.getLong(8 * b); b += 1 }
+    if (inRange == 0L) return Double.NaN
+    val rank = math.floor(p * (inRange - 1)).toLong // 0-indexed
+    var cum = 0L
+    b = 0
+    while (b < Bins) {
+      cum += bb.getLong(8 * b)
+      if (cum > rank) return (b + 0.5) * width
+      b += 1
+    }
+    Max - width / 2
+  }
+}
+
+/** hist_agg(double) → binary: mergeable fixed-domain histogram. */
+case class HistAgg(child: Expression,
+                   mutableAggBufferOffset: Int = 0,
+                   inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](Hist.cells)
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) Hist.update(buffer, v.asInstanceOf[Double])
+    buffer
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < Hist.cells) { b1(i) += b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buffer: Array[Long]): Any = Hist.serialize(buffer)
+  override def serialize(buffer: Array[Long]): Array[Byte] = Hist.serialize(buffer)
+  override def deserialize(storage: Array[Byte]): Array[Long] = Hist.deserialize(storage)
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def withNewMutableAggBufferOffset(newOffset: Int): HistAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HistAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): HistAgg =
+    copy(child = newChild)
+  override def prettyName: String = "hist_agg"
+}
+
+/** hist_merge_agg(binary) → binary: union by elementwise add. */
+case class HistMergeAgg(child: Expression,
+                        mutableAggBufferOffset: Int = 0,
+                        inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](Hist.cells)
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) merge(buffer, Hist.deserialize(v.asInstanceOf[Array[Byte]]))
+    else buffer
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < Hist.cells) { b1(i) += b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buffer: Array[Long]): Any = Hist.serialize(buffer)
+  override def serialize(buffer: Array[Long]): Array[Byte] = Hist.serialize(buffer)
+  override def deserialize(storage: Array[Byte]): Array[Long] = Hist.deserialize(storage)
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def withNewMutableAggBufferOffset(newOffset: Int): HistMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HistMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): HistMergeAgg =
+    copy(child = newChild)
+  override def prettyName: String = "hist_merge_agg"
+}
+
+/** hist_quantile(sketch, p) → double: bin-midpoint discrete quantile. */
+case class HistQuantile(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(sk: Any, p: Any): Any =
+    Hist.quantile(sk.asInstanceOf[Array[Byte]], p.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HistQuantile =
+    copy(left = l, right = r)
+  override def prettyName: String = "hist_quantile"
+}
+
+/** hist_oor(sketch) → long: out-of-domain update count — consumers gate
+  * on 0 before trusting any quantile. */
+case class HistOutOfRange(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(sk: Any): Any =
+    Hist.outOfRange(sk.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression): HistOutOfRange =
+    copy(child = newChild)
+  override def prettyName: String = "hist_oor"
+}

@@ -98,6 +98,31 @@ class MatViewSpec extends AnyFunSuite {
     assert(e9 >= 0L && e9 <= 5L, s"est(9)=$e9")
   }
 
+  test("histogram sketch: quantiles within bin width across delta refreshes; " +
+      "out-of-domain inputs count loudly") {
+    val t = Files.createTempDirectory("graft_mv_hsk").toString
+    val src = new ManifestStore(s"$t/src")
+    val mv = new MatView(s"$t/view", Seq("k"), "v", histCol = Some("v"))
+    // commit 1: 0..99; commit 2: 100..199 — the merged histogram must
+    // see the full 0..199 stream (median ≈ 99.5, p95 ≈ 189)
+    src.append(spark, (0 until 100).map(i => ("a", i.toDouble)).toDF("k", "v"))
+    mv.refresh(spark, src)
+    src.append(spark, (100 until 200).map(i => ("a", i.toDouble)).toDF("k", "v"))
+    mv.refresh(spark, src)
+    import graft.ops.Hist
+    val sk = mv.state(spark).get.select(col("hsk")).head().getAs[Array[Byte]](0)
+    assert(Hist.total(sk) == 200L && Hist.outOfRange(sk) == 0L)
+    // exact discrete p50: rank floor(0.5*199)=99 → value 99.0
+    assert(math.abs(Hist.quantile(sk, 0.5) - 99.0) <= Hist.width)
+    // exact discrete p95: rank floor(0.95*199)=189 → value 189.0
+    assert(math.abs(Hist.quantile(sk, 0.95) - 189.0) <= Hist.width)
+    // a domain-busting append surfaces as the loud counter, not a skew
+    src.append(spark, Seq(("a", 5000.0)).toDF("k", "v"))
+    mv.refresh(spark, src)
+    val sk2 = mv.state(spark).get.select(col("hsk")).head().getAs[Array[Byte]](0)
+    assert(Hist.outOfRange(sk2) == 1L && Hist.total(sk2) == 201L)
+  }
+
   test("streaming ingest keeps the view consistent; batch-id keys make replays no-ops") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
