@@ -317,4 +317,44 @@ class DemuxVolumeSpec extends AnyFunSuite {
     assert(store.currentStatEntries(spark).forall(_._2.isDefined))
     raw.unpersist()
   }
+
+  test("200k-label incremental component merge: exact by construction, bounded wall-clock") {
+    import spark.implicits._
+    // Base: 100k clusters of two (docs 2c, 2c+1 → component 2c). Batch:
+    // 5k bridge docs, bridge k linking MEMBERS (not labels) of clusters
+    // 4k and 4k+2 — every bridge must merge two old clusters through
+    // the label contraction. Expected labels are a closed formula, so
+    // the truth needs no second implementation; the ceiling is the
+    // empirical tripwire for an accidental corpus-sized shuffle or a
+    // contracted graph that failed to contract.
+    val base = spark.range(0L, 200000L, 1L, 16)
+      .select(col("id").as("doc_id"), (col("id") / 2).cast("long") * 2L)
+      .toDF("doc_id", "component")
+    val edges = spark.range(0L, 5000L, 1L, 4)
+      .select(col("id"))
+      .select(
+        explode(array(
+          struct((col("id") * 4 + 1).as("i"), (lit(1000000L) + col("id")).as("j")),
+          struct((col("id") * 4 + 3).as("i"), (lit(1000000L) + col("id")).as("j")))).as("e"))
+      .select(col("e.i"), col("e.j"))
+    val batch = spark.range(0L, 5000L, 1L, 4)
+      .select((lit(1000000L) + col("id")).as("doc_id"))
+    val t0 = System.nanoTime()
+    val got = graft.ops.Components.mergeBatchLabels(base, edges, batch)
+    // closed-form expectation: base cluster c(d)=⌊d/2⌋·2; merged to
+    // ⌊c/4⌋·4 when c < 20000; bridge doc 1000000+k → 4k
+    val expected = base.select(col("doc_id"),
+        when(col("component") < 20000L,
+          (col("component") / 4).cast("long") * 4L)
+          .otherwise(col("component")).as("component"))
+      .unionByName(batch.select(col("doc_id"),
+        ((col("doc_id") - 1000000L) * 4L).as("component")))
+    val diff = got.select("doc_id", "component")
+      .exceptAll(expected).count() +
+      expected.exceptAll(got.select("doc_id", "component")).count()
+    val dt = (System.nanoTime() - t0) / 1e9
+    info(f"200k-label merge of a 5k-bridge batch in $dt%.1f s")
+    assert(diff == 0L, s"$diff label rows diverge from the closed form")
+    assert(dt < 120.0, f"merge took $dt%.1f s — batch-sized work only, budget blown")
+  }
 }
