@@ -127,6 +127,57 @@ object CorpusStream {
     * admits. That is a strictly-better dedup, but it means exactFirst
     * changes survivor sets for tiny documents: pick per deployment,
     * don't toggle mid-corpus. */
+  /** Streaming LABEL maintenance — the live form of the batch labeling
+    * (`dedup_components`): every document is ADMITTED (no drops — this
+    * is the audit/retrieval-friendly mode where near-dups are labeled,
+    * not discarded), and a persisted labels table stays current via
+    * [[Components.mergeBatchLabels]]: the batch's probe pairs contract
+    * onto existing component labels, the O(batch) remap broadcasts, and
+    * the labels table never shuffles for the merge. Every pair of the
+    * full corpus is emitted exactly once — by the LATER endpoint's
+    * batch probing the index that already holds the earlier one — so
+    * the maintained labels equal a full batch recompute at every
+    * commit point (CorpusStreamSpec proves final-state equality against
+    * the offline labeling).
+    *
+    * Exactly-once: corpus/index appends and the labels `replaceAll` all
+    * carry the batch-id commit key. A crash between commits replays
+    * into keyed no-ops for the committed stores and a deterministic
+    * recompute for the rest (the probe's batch-wins rule makes the pair
+    * set identical under partial index appends). */
+  def labeledIngestStream(docs: DataFrame, indexRoot: String,
+                          corpus: ManifestStore, labels: ManifestStore,
+                          checkpoint: String,
+                          threshold: Double = 0.7): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val b = batch.persist()
+        try {
+          val pairs = LshIndex.probe(b, indexRoot, threshold)
+            .select("i", "j").persist()
+          try {
+            val base = labels.read(s).map(_.select("doc_id", "component"))
+              .getOrElse(b.select(col("doc_id"), col("doc_id").as("component"))
+                .limit(0))
+            val merged = Components
+              .mergeBatchLabels(base, pairs, b.select("doc_id"))
+              .select("doc_id", "component")
+              .localCheckpoint() // sever from the pre-commit snapshot read
+            corpus.append(s, b, commitKey = Some(s"corpus-batch-$batchId"))
+            LshIndex.append(b, indexRoot,
+              commitKey = Some(s"index-batch-$batchId"))
+            labels.replaceAll(s, merged,
+              commitKey = Some(s"labels-batch-$batchId"))
+          } finally { pairs.unpersist(); () }
+        } finally {
+          b.unpersist()
+          s.catalog.clearCache()
+        }
+      }
+      .start()
+
   private def ingestStream(docs: DataFrame, indexRoot: String,
                            corpus: ManifestStore, checkpoint: String,
                            threshold: Double,

@@ -251,4 +251,33 @@ class CorpusStreamSpec extends AnyFunSuite {
     assert(blooms.length <= 3, // consolidated + at most the appends since
       s"expected consolidation to retire old blooms, found ${blooms.length}")
   }
+
+  test("streaming label maintenance equals the offline batch labeling") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.load(spark, dir, "documents")
+    val rows = docs.select("doc_id", "text", "lang").as[StreamDoc]
+      .collect().sortBy(_.doc_id)
+    val root = tmp("labels")
+    val corpus = new graft.ingest.ManifestStore(s"$root/corpus")
+    val labels = new graft.ingest.ManifestStore(s"$root/labels")
+    val stream = MemoryStream[StreamDoc]
+    val q = CorpusStream.labeledIngestStream(stream.toDF(), s"$root/index",
+      corpus, labels, s"$root/ckpt", 0.7)
+    rows.grouped(math.max(1, rows.length / 3 + 1))
+      .foreach { b => stream.addData(b.toIndexedSeq); q.processAllAvailable() }
+    q.stop()
+    // nothing dropped: the labeled mode admits everything
+    assert(corpus.read(spark).get.count() == rows.length.toLong)
+    val live = labels.read(spark).get.select("doc_id", "component")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the maintained table must be indistinguishable from the offline
+    // full-corpus labeling (same threshold, same LSH edge semantics)
+    val offline = graft.ops.Components.dedupComponents(spark, dir)
+      .select("doc_id", "component")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(live == offline,
+      s"diverging labels: ${(live.toSet -- offline.toSet).take(5)} vs " +
+        s"${(offline.toSet -- live.toSet).take(5)}")
+  }
 }
