@@ -176,10 +176,21 @@ object Components {
     * the labels store, the way streaming dedup must work. */
   def mergeBatchLabels(baseLabels: DataFrame, newEdges: DataFrame,
                        batchIds: DataFrame): DataFrame = {
+    // prune the labels table to the O(batch) edge endpoints FIRST, via a
+    // broadcast semi-join — the corpus-sized labels side is then touched
+    // only map-side, and the contraction lookups below broadcast the
+    // pruned (tiny) label slice. Without this, the left joins would put
+    // the full labels table on the build side of an outer join — a
+    // corpus-wide shuffle per batch for an O(batch) lookup.
+    val endIds = newEdges.select(col("i").as("n"))
+      .unionByName(newEdges.select(col("j").as("n"))).distinct()
     val lab = baseLabels.select(col("doc_id").as("n"), col("component").as("l"))
+      .join(broadcast(endIds), Seq("n"), "left_semi")
     val contracted = newEdges.select(col("i").as("a"), col("j").as("b"))
-      .join(lab.select(col("n").as("a"), col("l").as("la")), Seq("a"), "left")
-      .join(lab.select(col("n").as("b"), col("l").as("lb")), Seq("b"), "left")
+      .join(broadcast(lab.select(col("n").as("a"), col("l").as("la"))),
+        Seq("a"), "left")
+      .join(broadcast(lab.select(col("n").as("b"), col("l").as("lb"))),
+        Seq("b"), "left")
       .select(coalesce(col("la"), col("a")).as("i"),
         coalesce(col("lb"), col("b")).as("j"))
       .filter(col("i") =!= col("j"))

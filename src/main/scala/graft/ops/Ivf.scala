@@ -150,17 +150,31 @@ object Ivf {
   def searchIvf(v: DataFrame, dir: String, table: String, queryPred: Column,
                 k: Int = 8, nProbe: Int = 4, topN: Int = 10,
                 version: Option[(Long, Long)] = None): DataFrame = {
-    val s = v.sparkSession
-    import s.implicits._
-    import org.apache.spark.sql.graftshim.Shim
     val m = trainedModel(v, dir, table, k, version = version)
     val flat = ensureFlatLists(v, dir, table, m, k)
-    val qRows = collectQueries(v, queryPred)
+    probeAndRank(v.sparkSession, m, flat, collectQueries(v, queryPred),
+      nProbe, topN, listFilter = None)
+  }
+
+  /** The ONE probe-and-rank dataflow shared by plain and filtered IVF
+    * search: query batch → nProbe nearest centroids → partition-pruned
+    * read of the persisted lists at `listsPath` (plus an optional
+    * attribute predicate applied INSIDE the pruned scan) → cosine →
+    * per-query top-`topN`. Any change to ranking, tie-breaks, or
+    * self-exclusion lands in every search variant at once. */
+  private def probeAndRank(s: SparkSession, m: IvfModel.Model,
+                           listsPath: String,
+                           qRows: Array[(Long, Seq[Double], Double)],
+                           nProbe: Int, topN: Int,
+                           listFilter: Option[Column]): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.graftshim.Shim
     val probesLocal = qRows.toSeq.flatMap { case (id, e, nrm) =>
       nearestN(m.cents, e.toArray, nProbe).map(c => (id, e, nrm, c.toLong)) }
     val probes = probesLocal.toDF("qid", "ea", "na", "cluster")
-    val lists = AnnIndex.readPruned(s, flat, "cluster",
+    val pruned = AnnIndex.readPruned(s, listsPath, "cluster",
       probesLocal.map(_._4).distinct)
+    val lists = listFilter.fold(pruned)(pruned.filter)
       .select(col("vec_id").as("nid"), col("e").as("eb"),
         col("nrm").as("nb"), col("cluster").cast("long").as("cluster"))
     val dot = Shim.column(DotDouble(Shim.expression(col("ea")), Shim.expression(col("eb"))))
@@ -201,49 +215,43 @@ object Ivf {
     * production filtered-ANN probes wider to hold recall; 6 of 8 here. */
   val FilteredNProbe = 6
 
+  /** Fingerprint covering vectors AND the label payload — the `ivfmeta`
+    * artifact bakes the label column into the persisted lists, so a
+    * label-only change (vectors identical, labels corrected) must miss
+    * the artifact key and rebuild; keying by the vector-only model
+    * fingerprint would serve STALE labels silently. */
+  private def labeledFingerprint(v: DataFrame): (Long, Long) =
+    IvfModel.fingerprintOf(v,
+      xxhash64(col("vec_id"), hash(col("e")).cast("long"), col("label")))
+
   /** Metadata-filtered IVF top-k: neighbors must satisfy a predicate on
     * an attribute column (here `label === target`) — the
     * filtered-vector-search shape (every production ANN store supports
     * it: Milvus/Qdrant/Vespa filtered queries).
     *
     * PRE-filtering, done where it scales: the inverted lists are
-    * persisted WITH the payload attribute (`ivfmeta` artifact —
-    * metadata rides the index, the join to attach it happens once at
-    * build), so a search partition-prunes to its probed clusters and
-    * applies the attribute predicate INSIDE the pruned scan, before any
-    * distance is computed. Post-filtering (score first, filter the
-    * top-k after) would return < k rows whenever the filter is
-    * selective; re-touching the corpus for the attribute would defeat
-    * the index. Neither happens here. */
+    * persisted WITH the payload attribute (`ivfmeta` artifact, keyed by
+    * [[labeledFingerprint]] — metadata rides the index, the join to
+    * attach it happens once at build), so a search partition-prunes to
+    * its probed clusters and applies the attribute predicate INSIDE the
+    * pruned scan, before any distance is computed. Post-filtering
+    * (score first, filter the top-k after) would return < k rows
+    * whenever the filter is selective; re-touching the corpus for the
+    * attribute would defeat the index. Neither happens here. */
   def topKIvfFiltered(s: SparkSession, dir: String, k: Int = 8,
                       nProbe: Int = FilteredNProbe, topN: Int = 10,
                       target: Int = FilterLabel): DataFrame = {
-    import org.apache.spark.sql.graftshim.Shim
     val v = Similarity.rawVecs(Tables.load(s, dir, "embeddings"))
     val m = trainedModel(v, dir, "embeddings", k)
-    val metaPath = AnnIndex.path(dir, s"ivfmeta_embeddings_k$k", m.fp)
+    val metaPath = AnnIndex.path(dir, s"ivfmeta_embeddings_k$k",
+      labeledFingerprint(v))
     AnnIndex.ensure(s, metaPath, "cluster", () =>
       assign(v.repartition(s.sparkContext.defaultParallelism), m.cents)
         .join(v.select(col("vec_id"), col("label")), Seq("vec_id")))
-    val qRows = collectQueries(v, col("vec_id") < 10)
-    val probesLocal = qRows.toSeq.flatMap { case (id, e, nrm) =>
-      nearestN(m.cents, e.toArray, nProbe).map(c => (id, e, nrm, c.toLong)) }
-    import s.implicits._
-    val probes = probesLocal.toDF("qid", "ea", "na", "cluster")
-    val lists = AnnIndex.readPruned(s, metaPath, "cluster",
-      probesLocal.map(_._4).distinct)
-      .filter(col("label") === target) // inside the pruned scan — a parquet pushdown
-      .select(col("vec_id").as("nid"), col("e").as("eb"),
-        col("nrm").as("nb"), col("cluster").cast("long").as("cluster"))
-    val dot = Shim.column(DotDouble(Shim.expression(col("ea")), Shim.expression(col("eb"))))
-    probes.join(lists, Seq("cluster"))
-      .filter(col("qid") =!= col("nid"))
-      .withColumn("cosine", round(dot / (col("na") * col("nb")), 6))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))))
-      .filter(col("rank") <= topN)
-      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cosine"))
-      .orderBy(col("qid"), col("rank"))
+    probeAndRank(s, m, metaPath, collectQueries(v, col("vec_id") < 10),
+      nProbe, topN,
+      // inside the pruned scan — lands as a parquet pushdown
+      listFilter = Some(col("label") === target))
   }
 
   /** Brute filtered truth: exact top-k among label-matching neighbors —
@@ -267,9 +275,14 @@ object Ivf {
   }
 
   /** ann_topk_filtered gates on deterministic recall vs the exact
-    * filtered truth, the [[Similarity.recallGate]] recipe. */
+    * filtered truth, the [[Similarity.recallGate]] recipe — including
+    * its TruthCache: the brute filtered pass runs once per corpus
+    * (label-aware fingerprint), not twice per gate invocation. */
   def ivfFilteredRecall(s: SparkSession, dir: String): DataFrame = {
-    val brute = bruteFiltered(s, dir)
+    val fp = labeledFingerprint(
+      Similarity.rawVecs(Tables.load(s, dir, "embeddings")))
+    val brute = TruthCache.cached(s, "ann_brute_filtered_topk", fp,
+      bruteFiltered(s, dir))
     val ann = topKIvfFiltered(s, dir).select(col("qid"), col("nid"))
     brute.join(ann, Seq("qid", "nid"), "left_semi")
       .agg(count(lit(1)).as("hits"))

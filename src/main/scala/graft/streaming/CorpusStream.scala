@@ -148,7 +148,8 @@ object CorpusStream {
   def labeledIngestStream(docs: DataFrame, indexRoot: String,
                           corpus: ManifestStore, labels: ManifestStore,
                           checkpoint: String,
-                          threshold: Double = 0.7): StreamingQuery =
+                          threshold: Double = 0.7,
+                          maintainEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -170,6 +171,14 @@ object CorpusStream {
               commitKey = Some(s"index-batch-$batchId"))
             labels.replaceAll(s, merged,
               commitKey = Some(s"labels-batch-$batchId"))
+            // admit-everything mode MUST maintain: every near-dup lands
+            // in the index, so cross-batch hot buckets accumulate faster
+            // than in the dropping modes — compact re-applies the
+            // occupancy cap, vacuum reclaims replaced snapshots
+            if (maintainEvery > 0 && batchId > 0 && batchId % maintainEvery == 0) {
+              LshIndex.compact(s, indexRoot)
+              LshIndex.vacuum(s, indexRoot)
+            }
           } finally { pairs.unpersist(); () }
         } finally {
           b.unpersist()
