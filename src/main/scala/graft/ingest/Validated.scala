@@ -96,10 +96,61 @@ object Validated {
       .orderBy("store", "event_type")
   }
 
+  /** Syntactically-broken JSONL lines planted in the [[ingestJsonl]]
+    * gate — every one fails JSON parsing outright (no half-parsed
+    * PERMISSIVE field nulling, whose engine-specific coercion rules
+    * would muddy the oracle). */
+  private[ingest] val CorruptLines = Seq(
+    "{bad", "not json", "[1,2", "{\"a\":}", "}", "{{", "\"unterminated")
+
+  /** Gate: JSONL corpus ingestion with corrupt-record quarantine — the
+    * raw-crawl-dump entry path (documents arrive as JSON lines; some
+    * are truncated/garbled). The documents table round-trips through
+    * `to_json` → `from_json(PERMISSIVE, columnNameOfCorruptRecord)`
+    * with [[CorruptLines]] planted: valid lines must reconstruct the
+    * table exactly (per-lang count + id checksum against the direct
+    * oracle), broken lines land in the corrupt column and are COUNTED,
+    * never dropped silently. Scale shape: both serialization and
+    * parsing are pure column expressions fused into the scan — no
+    * shuffle beyond the final rollup. */
+  def ingestJsonl(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val docs = Tables.load(s, dir, "documents")
+    val jsonl = docs.select(to_json(struct(col("doc_id"), col("text"),
+      col("lang"), col("source"), col("n_chars"))).as("line"))
+      .unionByName(CorruptLines.toDF("line"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType), StructField("_bad", StringType)))
+    val parsed = jsonl.select(from_json(col("line"), schema, Map(
+      "mode" -> "PERMISSIVE",
+      "columnNameOfCorruptRecord" -> "_bad")).as("r")).select("r.*")
+    parsed.filter(col("_bad").isNull)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+      .unionByName(parsed.filter(col("_bad").isNotNull)
+        .agg(count(lit(1)).as("n"))
+        .select(lit("_corrupt").as("lang"), col("n"),
+          lit(null).cast("long").as("id_sum")))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "store_validated_ingest" -> (validatedIngest _))
+    "store_validated_ingest" -> (validatedIngest _),
+    "ingest_jsonl" -> (ingestJsonl _))
 
   val oracle: Map[String, String] = Map(
+    // valid lines reconstruct the table exactly; the corrupt row is the
+    // planted-line count with a NULL checksum
+    "ingest_jsonl" -> s"""
+      SELECT lang, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      FROM documents GROUP BY lang
+      UNION ALL
+      SELECT '_corrupt' AS lang, ${CorruptLines.size} AS n,
+        CAST(NULL AS BIGINT) AS id_sum
+      ORDER BY lang""",
     "store_validated_ingest" -> """
       SELECT CASE WHEN event_id % 17 = 0 THEN 'quarantine' ELSE 'main' END
           AS store,
