@@ -50,9 +50,51 @@ object GraftFunctions {
           generatorOutput = Nil, child = OneRowRelation())
       }, "scala_udf")
 
+  /** SQL access to the manifest store's pruned reads — table functions
+    * resolving to the SAME optimized parquet plan the programmatic API
+    * builds (stat-pruned file set, vectorized scan, pushdown — a DSv2
+    * wrapper would forfeit the vectorized reader; a TVF keeps it):
+    *
+    *   SELECT … FROM graft_store_range('/store', lo, hi)   -- stat-pruned
+    *   SELECT … FROM graft_store_version('/store', v)      -- time travel
+    *
+    * Arguments must be literals (they select the file set at analysis
+    * time — exactly when a catalog would resolve a snapshot). */
+  def registerStoreTvfs(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    def str(e: Expression): String = e.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => other.toString
+    }
+    def lng(e: Expression): Long = e.eval() match {
+      case n: java.lang.Number => n.longValue()
+      case other => other.toString.toLong
+    }
+    val treg = Shim.tableRegistry(spark)
+    treg.createOrReplaceTempFunction("graft_store_range",
+      (es: Seq[Expression]) => {
+        val s = SparkSession.active
+        new graft.ingest.ManifestStore(str(es(0)))
+          .readRange(s, lng(es(1)), lng(es(2)))
+          .getOrElse(throw new IllegalArgumentException(
+            s"graft_store_range: empty or missing store at ${str(es(0))}"))
+          .queryExecution.analyzed
+      }, "scala_udf")
+    treg.createOrReplaceTempFunction("graft_store_version",
+      (es: Seq[Expression]) => {
+        val s = SparkSession.active
+        new graft.ingest.ManifestStore(str(es(0)))
+          .readVersion(s, lng(es(1)))
+          .getOrElse(throw new IllegalArgumentException(
+            s"graft_store_version: no version ${lng(es(1))} at ${str(es(0))}"))
+          .queryExecution.analyzed
+      }, "scala_udf")
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = Shim.registry(spark)
     registerGenerateSeries(spark)
+    registerStoreTvfs(spark)
     reg.createOrReplaceTempFunction("keccak256", es => Keccak256(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("bytes32_to_ascii", es => Bytes32ToAscii(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("checksum_address", es => ChecksumAddress(es.head), "scala_udf")

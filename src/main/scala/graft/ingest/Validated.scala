@@ -137,11 +137,79 @@ object Validated {
       .orderBy("lang")
   }
 
+  private val tvfRoots = scala.collection.mutable.Map[String, Long]()
+
+  /** Build (once per JVM) the TVF gate store: events in two appends
+    * split at event_id 500, rangeCol event_id; returns (root, version
+    * after the first append) for the time-travel query. */
+  private def tvfStore(s: SparkSession, dir: String): (String, Long) = {
+    val abs = new java.io.File(dir).getAbsolutePath
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_tvf_store_" +
+      new java.io.File(dir).getName + "_" +
+      java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(abs))
+    val v1 = tvfRoots.synchronized {
+      tvfRoots.getOrElseUpdate(root, {
+        val p = new Path(root)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        val store = new ManifestStore(root)
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        store.append(s, ev.filter(col("event_id") < 500),
+          rangeCol = Some("event_id"))
+        val v = store.currentVersion(s)
+        store.append(s, ev.filter(col("event_id") >= 500),
+          rangeCol = Some("event_id"))
+        v
+      })
+    }
+    (root, v1)
+  }
+
+  /** Gate: the store's stat-pruned range read through plain SQL — the
+    * `graft_store_range` table function resolves to the SAME pruned
+    * parquet plan `readRange` builds (see
+    * [[graft.codec.GraftFunctions.registerStoreTvfs]]). */
+  def storeSqlRange(s: SparkSession, dir: String): DataFrame = {
+    val (root, _) = tvfStore(s, dir)
+    graft.codec.GraftFunctions.register(s)
+    s.sql(s"""
+      SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(event_id) AS BIGINT) AS id_sum
+      FROM graft_store_range('$root', 200, 700)
+      GROUP BY event_type ORDER BY event_type""")
+  }
+
+  /** Gate: time travel through plain SQL — `graft_store_version`
+    * pinned to the version after the FIRST append must see only that
+    * commit's rows, whatever landed since. */
+  def storeSqlVersion(s: SparkSession, dir: String): DataFrame = {
+    val (root, v1) = tvfStore(s, dir)
+    graft.codec.GraftFunctions.register(s)
+    s.sql(s"""
+      SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(event_id) AS BIGINT) AS id_sum
+      FROM graft_store_version('$root', $v1)
+      GROUP BY event_type ORDER BY event_type""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "store_validated_ingest" -> (validatedIngest _),
-    "ingest_jsonl" -> (ingestJsonl _))
+    "ingest_jsonl" -> (ingestJsonl _),
+    "store_sql_range" -> (storeSqlRange _),
+    "store_sql_version" -> (storeSqlVersion _))
 
   val oracle: Map[String, String] = Map(
+    "store_sql_range" -> """
+      SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(event_id) AS BIGINT) AS id_sum
+      FROM events WHERE event_id BETWEEN 200 AND 700
+      GROUP BY event_type ORDER BY event_type""",
+    "store_sql_version" -> """
+      SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(event_id) AS BIGINT) AS id_sum
+      FROM events WHERE event_id < 500
+      GROUP BY event_type ORDER BY event_type""",
     // valid lines reconstruct the table exactly; the corrupt row is the
     // planted-line count with a NULL checksum
     "ingest_jsonl" -> s"""

@@ -183,6 +183,24 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
                 (CAST(5 AS BIGINT)) AS t(h)) AS sh""").head()
       assert(sim.getDouble(0) == 32.0)
       assert(sim.getLong(1) == 5L)
+      // store TVFs: build a tiny store, read a range and a version via SQL
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ext_tvf").toString + "/store"
+      val store = new graft.ingest.ManifestStore(root)
+      import s2.implicits._
+      store.append(s2, Seq((1L, "a"), (5L, "b")).toDF("event_id", "p"),
+        rangeCol = Some("event_id"))
+      val v1 = store.currentVersion(s2)
+      store.append(s2, Seq((9L, "c")).toDF("event_id", "p"),
+        rangeCol = Some("event_id"))
+      val rng = s2.sql(
+        s"SELECT event_id FROM graft_store_range('$root', 4, 10) ORDER BY 1")
+        .collect().map(_.getLong(0)).toSeq
+      assert(rng == Seq(5L, 9L))
+      val tt = s2.sql(
+        s"SELECT event_id FROM graft_store_version('$root', $v1) ORDER BY 1")
+        .collect().map(_.getLong(0)).toSeq
+      assert(tt == Seq(1L, 5L))
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
