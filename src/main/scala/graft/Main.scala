@@ -187,6 +187,17 @@ object Main {
           if (owned) spark.stop()
       }
 
+    // ad-hoc SQL over the testdata tables with every graft function and
+    // store TVF registered — the "run the query you run today" surface:
+    //   graft.Main sql "SELECT lang, count(*) FROM documents GROUP BY 1" [sfDir]
+    case "sql" :: query :: rest if rest.length <= 1 =>
+      val dir = rest.headOption.getOrElse("/root/testdata/sf0.001")
+      val (spark, owned) = session()
+      Tables.registerAll(spark, dir)
+      graft.codec.GraftFunctions.register(spark)
+      spark.sql(query).show(50, truncate = false)
+      if (owned) spark.stop()
+
     case other =>
       System.err.println(
         s"""unknown args: ${other.mkString(" ")}
@@ -198,7 +209,8 @@ object Main {
            |  graft.Main mstore-vacuum <manifestRoot> [keepVersions] [minAgeMinutes]
            |  graft.Main warehouse [storePath] [db] [<schema>.<contract>]
            |  graft.Main run <queryName> [sfDir]
-           |  graft.Main explain <queryName> [sfDir]""".stripMargin)
+           |  graft.Main explain <queryName> [sfDir]
+           |  graft.Main sql "<query>" [sfDir]""".stripMargin)
       sys.exit(2)
   }
 }

@@ -56,6 +56,20 @@ class MainSpec extends AnyFunSuite {
       "explain must print the executed physical plan")
   }
 
+  test("sql CLI runs ad-hoc SQL with graft functions registered") {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      graft.Main.main(Array("sql",
+        "SELECT lang, COUNT(*) AS n, " +
+          "lower(hex(keccak256(CAST('' AS BINARY)))) AS h " +
+          "FROM documents GROUP BY lang ORDER BY lang LIMIT 3",
+        "/root/testdata/sf0.001"))
+    }
+    val s = out.toString
+    assert(s.contains("lang") && s.contains("c5d2460186f7"),
+      s"sql CLI output missing expected columns/functions: $s")
+  }
+
   test("mstore CLI: compact and vacuum a manifest-committed store") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_cli").toString + "/mstore"
