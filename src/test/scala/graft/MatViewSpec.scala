@@ -123,6 +123,49 @@ class MatViewSpec extends AnyFunSuite {
     assert(Hist.outOfRange(sk2) == 1L && Hist.total(sk2) == 201L)
   }
 
+  test("sketch aggregates hold state across streaming micro-batches: stream == batch") {
+    // the TypedImperativeAggregate buffers (CMS + histogram) must
+    // serialize into streaming aggregation state and keep merging as
+    // batches arrive — the property that makes the matview sketches
+    // usable in a live pipeline, proven by final-state equality with
+    // the one-shot batch aggregate over the same rows
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    graft.codec.GraftFunctions.register(spark)
+    val rows: Seq[(String, Long, Double)] =
+      (0 until 400).map(i => ("a", (i % 37).toLong, (i % 97).toDouble)) ++
+        (0 until 200).map(i => ("b", (i % 11).toLong, (i % 53).toDouble))
+    val stream = MemoryStream[(String, Long, Double)]
+    val q = stream.toDF().toDF("k", "u", "v")
+      .groupBy("k")
+      .agg(expr("cms_agg(u)").as("csk"), expr("hist_agg(v)").as("hsk"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sketch_stream").start()
+    rows.grouped(150).foreach { b => stream.addData(b); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("sketch_stream")
+      .select(col("k"),
+        expr("cms_estimate(csk, 3L)").as("e3"),
+        expr("cms_total(csk)").as("ct"),
+        expr("hist_quantile(hsk, 0.5D)").as("p50"),
+        expr("hist_oor(hsk)").as("oor"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    val batch = rows.toDF("k", "u", "v")
+      .groupBy("k")
+      .agg(expr("cms_agg(u)").as("csk"), expr("hist_agg(v)").as("hsk"))
+      .select(col("k"),
+        expr("cms_estimate(csk, 3L)").as("e3"),
+        expr("cms_total(csk)").as("ct"),
+        expr("hist_quantile(hsk, 0.5D)").as("p50"),
+        expr("hist_oor(hsk)").as("oor"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(streamed == batch,
+      s"streamed sketch state diverged: $streamed vs $batch")
+    assert(streamed("a")._2 == 400L && streamed("b")._2 == 200L)
+  }
+
   test("streaming ingest keeps the view consistent; batch-id keys make replays no-ops") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
