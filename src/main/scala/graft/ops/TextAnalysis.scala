@@ -289,6 +289,41 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Decision thresholds for the [[classifierPr]] evaluation sweep. */
+  val PrThresholds: Seq[Double] = (1 to 9).map(_ / 10.0)
+
+  /** Classifier EVALUATION — the precision/recall sweep every
+    * model-based filter ships before its threshold is chosen: at each
+    * cut the trained model's scores ([[classifierScore]], 6-dp doubles
+    * identical across engines) split against the training labels
+    * (lang = 'en'), and precision/recall are integer-count ratios in
+    * IEEE double — engine-exact, NULL when the cut keeps nothing.
+    * One score pass, one threshold-crossed aggregate; the sweep costs
+    * |thresholds| copies of the per-doc rows, all map-side before the
+    * final tiny groupBy. */
+  def classifierPr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = classifierScore(s, dir).select(col("doc_id"), col("p_quality"))
+    val lab = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), (col("lang") === "en").as("y"))
+    val ths = PrThresholds.toDF("th")
+    scored.join(lab, "doc_id").crossJoin(ths)
+      .groupBy("th")
+      .agg(
+        sum(when(col("p_quality") >= col("th") && col("y"), 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("p_quality") >= col("th") && !col("y"), 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("p_quality") < col("th") && col("y"), 1L)
+          .otherwise(0L)).as("fn"))
+      .select(col("th"), col("tp"), col("fp"), col("fn"),
+        round(col("tp").cast("double") /
+          nullif(col("tp") + col("fp"), lit(0L)), 6).as("prec"),
+        round(col("tp").cast("double") /
+          nullif(col("tp") + col("fn"), lit(0L)), 6).as("rec"))
+      .orderBy("th")
+  }
+
   /** One-row dataset card — the corpus datasheet every published
     * training set ships (docs/tokens/chars, exact-duplicate rate,
     * language/source diversity): integer-exact totals so the gate is
@@ -744,6 +779,7 @@ object TextAnalysis {
     "corpus_report" -> (corpusReport _),
     "quality_classifier" -> (classifierTrain _),
     "quality_classifier_scores" -> (classifierScore _),
+    "quality_pr_curve" -> (classifierPr _),
     "chunk_fixed_tokens" -> (chunkFixedTokens _),
     "corpus_overlap" -> (corpusOverlap _),
     "corpus_ngrams" -> ((s: SparkSession, dir: String) => corpusNgrams(s, dir)),
@@ -799,6 +835,36 @@ object TextAnalysis {
         FROM feat f, wr w)
       SELECT doc_id, ROUND(sig, 6) AS p_quality, sig >= 0.5 AS keep
       FROM sc ORDER BY doc_id"""
+
+  /** PR-sweep oracle: the same unrolled-GD score CTEs, labels joined
+    * back, counts per threshold, IEEE ratios. */
+  private def lrPrOracleSql: String = {
+    val thValues = PrThresholds
+      .map(t => s"(CAST($t AS DOUBLE))").mkString(", ")
+    s"""
+      WITH $lrCtesSql,
+      wr AS (SELECT ROUND(a0,6) AS b, ROUND(a1,6) AS c1,
+        ROUND(a2,6) AS c2, ROUND(a3,6) AS c3 FROM w$LrRounds),
+      sc AS (
+        SELECT f.doc_id,
+          ROUND(1.0/(1.0 + exp(-(w.b*1.0 + w.c1*x1 + w.c2*x2 + w.c3*x3))), 12)
+            AS sig
+        FROM feat f, wr w),
+      lab AS (
+        SELECT s.doc_id, ROUND(s.sig, 6) AS p, (d.lang = 'en') AS y
+        FROM sc s JOIN documents d USING (doc_id)),
+      th(th) AS (VALUES $thValues),
+      agg AS (
+        SELECT th,
+          CAST(SUM(CASE WHEN p >= th AND y THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+          CAST(SUM(CASE WHEN p >= th AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+          CAST(SUM(CASE WHEN p < th AND y THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        FROM lab, th GROUP BY th)
+      SELECT th, tp, fp, fn,
+        ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0), 6) AS prec,
+        ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0), 6) AS rec
+      FROM agg ORDER BY th"""
+  }
 
   /** DuckDB quality-stats CTE body (matches [[qualityLabels]]) — shared
     * with the composed-curation oracle. */
@@ -974,6 +1040,7 @@ object TextAnalysis {
       ORDER BY sa, sb""",
     "quality_classifier" -> lrOracleSql,
     "quality_classifier_scores" -> lrScoreOracleSql,
+    "quality_pr_curve" -> lrPrOracleSql,
     "corpus_report" -> """
       SELECT COUNT(*) AS n_docs,
         CAST(SUM(len(string_split(COALESCE(text, ''), ' '))) AS BIGINT) AS n_tokens,
