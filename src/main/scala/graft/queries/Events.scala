@@ -338,7 +338,66 @@ object Events {
     FROM paths GROUP BY path
     ORDER BY n DESC, path LIMIT 10""")
 
+  /** PSI drift-monitor SQL, parameterized by the per-engine 0..9 bin
+    * generator (the ONLY dialect difference). Baseline = even event_ids'
+    * values; "current" = odd ids' values shifted +100 (a deterministic
+    * planted drift). Values bin into ten fixed 60-wide buckets (capped),
+    * add-one smoothed so empty bins stay defined, and every log argument
+    * is an exact INTEGER product — the [[graft.ops.TextAnalysis]] ln
+    * contract — so PSI is engine-exact at 6 dp. The full 10-bin grid is
+    * enumerated per type: a bin empty on both sides still contributes
+    * its smoothed mass difference. Scale shape: two scan-fused binning
+    * aggregates + a broadcast-sized grid join — one shuffle each, the
+    * drift report is O(types × bins). */
+  private def driftPsiSql(binGen: String): String = s"""
+    WITH base AS (
+      SELECT event_type,
+        LEAST(9, CAST(FLOOR(value / 60.0) AS INT)) AS bin,
+        CAST(COUNT(*) AS BIGINT) AS c
+      FROM events WHERE event_id % 2 = 0
+      GROUP BY 1, 2),
+    cur AS (
+      SELECT event_type,
+        LEAST(9, CAST(FLOOR((value + 100) / 60.0) AS INT)) AS bin,
+        CAST(COUNT(*) AS BIGINT) AS c
+      FROM events WHERE event_id % 2 = 1
+      GROUP BY 1, 2),
+    grid AS (
+      SELECT t.event_type, b.bin
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN ($binGen) b),
+    j AS (
+      SELECT g.event_type, g.bin,
+        COALESCE(base.c, 0) + 1 AS c1, COALESCE(cur.c, 0) + 1 AS c2
+      FROM grid g
+      LEFT JOIN base ON base.event_type = g.event_type AND base.bin = g.bin
+      LEFT JOIN cur ON cur.event_type = g.event_type AND cur.bin = g.bin),
+    tot AS (
+      SELECT event_type,
+        CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+      FROM j GROUP BY 1)
+    SELECT j.event_type,
+      ROUND(SUM(
+        (CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2) *
+        (LN(CAST(c1 * n2 AS DOUBLE)) - LN(CAST(c2 * n1 AS DOUBLE)))), 6)
+        AS psi,
+      ROUND(SUM(
+        (CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2) *
+        (LN(CAST(c1 * n2 AS DOUBLE)) - LN(CAST(c2 * n1 AS DOUBLE)))), 6)
+        > 0.1 AS drifted
+    FROM j JOIN tot ON tot.event_type = j.event_type
+    GROUP BY j.event_type
+    ORDER BY j.event_type"""
+
+  /** Population-stability-index drift monitor (`events_drift_psi`) —
+    * the data-observability staple: has a feature's distribution moved
+    * between a baseline window and the current one? See
+    * [[driftPsiSql]]. */
+  def driftPsi(s: SparkSession, dir: String): DataFrame = sql(s, dir,
+    driftPsiSql("SELECT explode(sequence(0, 9)) AS bin"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_drift_psi" -> (driftPsi _),
     "events_top_paths" -> (topPaths _),
     "events_outliers" -> (outliers _),
     "events_ab_test" -> (abTest _),
@@ -353,6 +412,8 @@ object Events {
     "events_hopping_window" -> (hoppingWindow _))
 
   val oracle: Map[String, String] = Map(
+    "events_drift_psi" ->
+      driftPsiSql("SELECT unnest(range(0, 10)) AS bin"),
     "events_top_paths" -> """
       WITH seq AS (
         SELECT user_id, event_type AS e1,
