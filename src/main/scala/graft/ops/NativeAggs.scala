@@ -212,31 +212,53 @@ object Cms {
     (row * Width +
       ((as(row) * mix(x) + bs(row)) % MinHashAgg.MersennePrime % Width)).toInt
 
+  /** Self-describing header: (depth, width, seed) ints. A persisted
+    * sketch from a DIFFERENT configuration (other width, other hash
+    * family) must refuse to merge/estimate — elementwise-adding
+    * mismatched layouts would corrupt counts SILENTLY, the failure mode
+    * a stored-and-refreshed matview sketch is most exposed to. */
+  private val Header = 12
+
+  private def checkHeader(bb: ByteBuffer, what: String): Unit = {
+    val (d, w, sd) = (bb.getInt(0), bb.getInt(4), bb.getInt(8))
+    require(d == Depth && w == Width && sd == Seed,
+      s"$what: stored count-min sketch has layout depth=$d width=$w " +
+        s"seed=$sd but this build uses $Depth/$Width/$Seed — rebuild the " +
+        "sketch; merging mismatched layouts silently corrupts counts")
+  }
+
   def serialize(buf: Array[Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(8 * cells)
+    val bb = ByteBuffer.allocate(Header + 8 * cells)
+    bb.putInt(Depth).putInt(Width).putInt(Seed)
     buf.foreach(bb.putLong)
     bb.array()
   }
 
   def deserialize(bytes: Array[Byte]): Array[Long] = {
     val bb = ByteBuffer.wrap(bytes)
+    checkHeader(bb, "cms deserialize")
+    bb.position(Header)
     Array.fill(cells)(bb.getLong)
   }
 
   def estimate(bytes: Array[Byte], x: Long): Long = {
     val bb = ByteBuffer.wrap(bytes)
+    checkHeader(bb, "cms_estimate")
     var est = Long.MaxValue
     var r = 0
     while (r < Depth) {
-      val c = bb.getLong(8 * slot(r, x))
+      val c = bb.getLong(Header + 8 * slot(r, x))
       if (c < est) est = c
       r += 1
     }
     est
   }
 
-  def total(bytes: Array[Byte]): Long =
-    ByteBuffer.wrap(bytes).getLong(8 * (cells - 1))
+  def total(bytes: Array[Byte]): Long = {
+    val bb = ByteBuffer.wrap(bytes)
+    checkHeader(bb, "cms_total")
+    bb.getLong(Header + 8 * (cells - 1))
+  }
 }
 
 /** cms_agg(long) → binary: mergeable count-min sketch of the group's
@@ -374,37 +396,61 @@ object Hist {
     buf(totalCell) += 1L
   }
 
+  /** Self-describing header: (bins, domain-max bits). Same refuse-on-
+    * mismatch contract as [[Cms]] — adding counts binned over a
+    * DIFFERENT domain or width silently skews every quantile. */
+  private val Header = 12
+
+  private def checkHeader(bb: ByteBuffer, what: String): Unit = {
+    val (b, mx) = (bb.getInt(0), bb.getLong(4))
+    require(b == Bins && mx == java.lang.Double.doubleToLongBits(Max),
+      s"$what: stored histogram has layout bins=$b max=" +
+        s"${java.lang.Double.longBitsToDouble(mx)} but this build uses " +
+        s"$Bins/$Max — rebuild the sketch; merging mismatched layouts " +
+        "silently skews quantiles")
+  }
+
   def serialize(buf: Array[Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(8 * cells)
+    val bb = ByteBuffer.allocate(Header + 8 * cells)
+    bb.putInt(Bins).putLong(java.lang.Double.doubleToLongBits(Max))
     buf.foreach(bb.putLong)
     bb.array()
   }
 
   def deserialize(bytes: Array[Byte]): Array[Long] = {
     val bb = ByteBuffer.wrap(bytes)
+    checkHeader(bb, "hist deserialize")
+    bb.position(Header)
     Array.fill(cells)(bb.getLong)
   }
 
-  def outOfRange(bytes: Array[Byte]): Long =
-    ByteBuffer.wrap(bytes).getLong(8 * oorCell)
+  def outOfRange(bytes: Array[Byte]): Long = {
+    val bb = ByteBuffer.wrap(bytes)
+    checkHeader(bb, "hist_oor")
+    bb.getLong(Header + 8 * oorCell)
+  }
 
-  def total(bytes: Array[Byte]): Long =
-    ByteBuffer.wrap(bytes).getLong(8 * totalCell)
+  def total(bytes: Array[Byte]): Long = {
+    val bb = ByteBuffer.wrap(bytes)
+    checkHeader(bb, "hist total")
+    bb.getLong(Header + 8 * totalCell)
+  }
 
   /** Discrete-quantile estimate: midpoint of the bin holding the
     * 0-indexed rank floor(p·(n−1)) order statistic (in-range values
     * only). Error ≤ width/2 vs the true order statistic. */
   def quantile(bytes: Array[Byte], p: Double): Double = {
     val bb = ByteBuffer.wrap(bytes)
+    checkHeader(bb, "hist_quantile")
     var inRange = 0L
     var b = 0
-    while (b < Bins) { inRange += bb.getLong(8 * b); b += 1 }
+    while (b < Bins) { inRange += bb.getLong(Header + 8 * b); b += 1 }
     if (inRange == 0L) return Double.NaN
     val rank = math.floor(p * (inRange - 1)).toLong // 0-indexed
     var cum = 0L
     b = 0
     while (b < Bins) {
-      cum += bb.getLong(8 * b)
+      cum += bb.getLong(Header + 8 * b)
       if (cum > rank) return (b + 0.5) * width
       b += 1
     }

@@ -123,6 +123,22 @@ class MatViewSpec extends AnyFunSuite {
     assert(Hist.outOfRange(sk2) == 1L && Hist.total(sk2) == 201L)
   }
 
+  test("sketches refuse a layout-mismatched binary instead of merging garbage") {
+    import graft.ops.{Cms, Hist}
+    val cms = Cms.serialize(new Array[Long](Cms.cells))
+    val wrongCms = cms.clone()
+    wrongCms(4) = (wrongCms(4) ^ 1).toByte // flip a width bit in the header
+    intercept[IllegalArgumentException](Cms.estimate(wrongCms, 1L))
+    intercept[IllegalArgumentException](Cms.deserialize(wrongCms))
+    val hist = Hist.serialize(new Array[Long](Hist.cells))
+    val wrongHist = hist.clone()
+    wrongHist(0) = (wrongHist(0) ^ 1).toByte // flip a bins bit
+    intercept[IllegalArgumentException](Hist.quantile(wrongHist, 0.5))
+    intercept[IllegalArgumentException](Hist.deserialize(wrongHist))
+    // well-formed sketches still round-trip
+    assert(Cms.total(cms) == 0L && Hist.total(hist) == 0L)
+  }
+
   test("sketch aggregates hold state across streaming micro-batches: stream == batch") {
     // the TypedImperativeAggregate buffers (CMS + histogram) must
     // serialize into streaming aggregation state and keep merging as
