@@ -108,8 +108,69 @@ object PageRank {
       .orderBy("node")
   }
 
+  /** Distributed triangle counting (the third graph workload, next to
+    * PageRank and connected components) over the part CO-PURCHASE graph
+    * (parts sharing an order, id-deduped).
+    *
+    * Degree-ordered edge orientation (Suri & Vassilvitskii, WWW'11 /
+    * the standard "compact-forward" trick): every edge points from its
+    * lower-(degree, id) endpoint to the higher, so each triangle is
+    * counted exactly once AND every wedge enumeration fans out over
+    * out-neighborhoods bounded by O(√m) — a hub with millions of
+    * co-purchases never anchors the wedge join; its edges all point
+    * INTO it. The closing-edge check is an equi-join on the oriented
+    * pair (never a cross product); the triangle count is
+    * orientation-independent, so the oracle replays a plain id-ordered
+    * 3-way join. */
+  def triangles(s: SparkSession, dir: String): DataFrame = {
+    val (pairs, tri) = triangleDataflow(s, dir)
+    // 1-row × 1-row stats join — the only nested-loop in the query, by
+    // construction over two scalar aggregates (the dataflow itself is
+    // plan-asserted cross-product-free in PLANS.md §graph_triangles)
+    pairs.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+  }
+
+  /** (distinct co-purchase edges, closed-triangle rows) — the asserted
+    * dataflow, shared by the gate and the plan section. */
+  private[graft] def triangleDataflow(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      .localCheckpoint() // edges feed degree + orientation + closure
+    val deg = pairs.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // orient: (s → t) with (d_s, s) < (d_t, t); carry t's rank key so
+    // wedge endpoints order without another degree join
+    val oriented = pairs
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("t"), col("dv").as("dt")))
+          .otherwise(
+            struct(col("v").as("s"), col("u").as("t"), col("du").as("dt")))
+          .as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
+      .localCheckpoint()
+    val w1 = oriented.select(col("s"), col("t").as("a"), col("dt").as("da"))
+    val w2 = oriented.select(col("s"), col("t").as("b"), col("dt").as("db"))
+    val wedges = w1.join(w2, Seq("s"))
+      .filter(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")))
+      .select(col("a"), col("b"))
+    val tri = wedges.join(
+      oriented.select(col("s").as("a"), col("t").as("b")), Seq("a", "b"))
+    (pairs, tri)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "graph_pagerank" -> (pagerank _))
+    "graph_pagerank" -> (pagerank _),
+    "graph_triangles" -> (triangles _))
 
   /** 10 unrolled damped iterations in DuckDB — same rounding points,
     * same DECIMAL(38,18) contribution sums. */
@@ -146,5 +207,17 @@ object PageRank {
       SELECT node, ROUND(rank, 6) AS rank FROM r$PrIters ORDER BY node"""
   }
 
-  val oracle: Map[String, String] = Map("graph_pagerank" -> oracleSql)
+  val oracle: Map[String, String] = Map(
+    "graph_pagerank" -> oracleSql,
+    // orientation-independent count: the plain id-ordered 3-way join
+    "graph_triangles" -> """
+      WITH pp AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+      SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM pp) AS n_edges,
+        (SELECT CAST(COUNT(*) AS BIGINT)
+         FROM pp e1 JOIN pp e2 ON e1.v = e2.u
+         JOIN pp e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles""")
 }
