@@ -35,7 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "hist_agg" -> (es => graft.ops.HistAgg(es.head).toAggregateExpression()),
       "hist_merge_agg" -> (es => graft.ops.HistMergeAgg(es.head).toAggregateExpression()),
       "hist_quantile" -> (es => graft.ops.HistQuantile(es(0), es(1))),
-      "hist_oor" -> (es => graft.ops.HistOutOfRange(es.head)))
+      "hist_oor" -> (es => graft.ops.HistOutOfRange(es.head)),
+      "mg_agg" -> (es => graft.ops.MgAgg(es.head).toAggregateExpression()),
+      "mg_estimate" -> (es => graft.ops.MgEstimate(es(0), es(1))))
     scalar.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info(name), builder))
     }

@@ -125,5 +125,9 @@ object GraftFunctions {
       es => graft.ops.HistQuantile(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("hist_oor",
       es => graft.ops.HistOutOfRange(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("mg_agg",
+      es => graft.ops.MgAgg(es.head).toAggregateExpression(), "scala_udf")
+    reg.createOrReplaceTempFunction("mg_estimate",
+      es => graft.ops.MgEstimate(es(0), es(1)), "scala_udf")
   }
 }

@@ -552,3 +552,117 @@ case class HistOutOfRange(child: Expression)
     copy(child = newChild)
   override def prettyName: String = "hist_oor"
 }
+
+/** Misra–Gries summary plumbing — heavy-hitter DISCOVERY (no candidate
+  * list needed, unlike a CMS point query): at most [[K]] counters; any
+  * value with true frequency > N/(K+1) is guaranteed present, and its
+  * stored count e satisfies  true − N/(K+1) ≤ e ≤ true  (MG only ever
+  * UNDERcounts — the mirror of CMS's overcount). Summaries MERGE
+  * (Agarwal et al., PODS'12): add counts pointwise, then subtract the
+  * (K+1)-th largest count and drop non-positives — the guarantee
+  * survives any merge order, which is exactly what a distributed
+  * aggregation needs (Spark's partial-merge order is nondeterministic;
+  * consumers must gate on the GUARANTEE, not on raw counter values). */
+object Mg {
+  val K = 16
+
+  def serialize(m: scala.collection.mutable.HashMap[Long, Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 16 * m.size)
+    bb.putInt(m.size)
+    // sorted for a canonical byte form (map iteration order is not)
+    m.toSeq.sortBy(_._1).foreach { case (v, c) => bb.putLong(v); bb.putLong(c) }
+    bb.array()
+  }
+
+  def deserialize(bytes: Array[Byte]): scala.collection.mutable.HashMap[Long, Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val m = scala.collection.mutable.HashMap.empty[Long, Long]
+    var i = 0
+    while (i < n) { m.put(bb.getLong, bb.getLong); i += 1 }
+    m
+  }
+
+  def update(m: scala.collection.mutable.HashMap[Long, Long], x: Long): Unit = {
+    m.get(x) match {
+      case Some(c) => m.update(x, c + 1)
+      case None if m.size < K => m.put(x, 1L)
+      case None => // decrement-all; drop zeros
+        val dead = scala.collection.mutable.ArrayBuffer[Long]()
+        m.foreach { case (v, c) => if (c == 1L) dead += v else m.update(v, c - 1) }
+        dead.foreach(m.remove)
+    }
+  }
+
+  def merge(a: scala.collection.mutable.HashMap[Long, Long],
+            b: scala.collection.mutable.HashMap[Long, Long])
+      : scala.collection.mutable.HashMap[Long, Long] = {
+    b.foreach { case (v, c) => a.update(v, a.getOrElse(v, 0L) + c) }
+    if (a.size > K) {
+      val cut = a.values.toArray.sorted(Ordering[Long].reverse)(K) // (K+1)-th largest
+      val dead = scala.collection.mutable.ArrayBuffer[Long]()
+      a.foreach { case (v, c) =>
+        if (c - cut <= 0L) dead += v else a.update(v, c - cut) }
+      dead.foreach(a.remove)
+    }
+    a
+  }
+
+  /** Stored count for `x` (0 when absent — by the MG guarantee, absence
+    * proves true frequency ≤ N/(K+1)). */
+  def estimate(bytes: Array[Byte], x: Long): Long =
+    deserialize(bytes).getOrElse(x, 0L)
+}
+
+/** mg_agg(long) → binary: mergeable Misra–Gries heavy-hitter summary. */
+case class MgAgg(child: Expression,
+                 mutableAggBufferOffset: Int = 0,
+                 inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[scala.collection.mutable.HashMap[Long, Long]]
+  with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): scala.collection.mutable.HashMap[Long, Long] =
+    scala.collection.mutable.HashMap.empty
+
+  override def update(buffer: scala.collection.mutable.HashMap[Long, Long],
+                      input: InternalRow): scala.collection.mutable.HashMap[Long, Long] = {
+    val v = child.eval(input)
+    if (v != null) Mg.update(buffer, v.asInstanceOf[java.lang.Number].longValue())
+    buffer
+  }
+
+  override def merge(b1: scala.collection.mutable.HashMap[Long, Long],
+                     b2: scala.collection.mutable.HashMap[Long, Long])
+      : scala.collection.mutable.HashMap[Long, Long] = Mg.merge(b1, b2)
+
+  override def eval(buffer: scala.collection.mutable.HashMap[Long, Long]): Any =
+    Mg.serialize(buffer)
+  override def serialize(buffer: scala.collection.mutable.HashMap[Long, Long]): Array[Byte] =
+    Mg.serialize(buffer)
+  override def deserialize(storage: Array[Byte])
+      : scala.collection.mutable.HashMap[Long, Long] = Mg.deserialize(storage)
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def withNewMutableAggBufferOffset(newOffset: Int): MgAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MgAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): MgAgg =
+    copy(child = newChild)
+  override def prettyName: String = "mg_agg"
+}
+
+/** mg_estimate(sketch, value) → long: the summary's stored count (0 if
+  * absent — proof of non-heaviness, by the MG guarantee). */
+case class MgEstimate(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(sk: Any, v: Any): Any =
+    Mg.estimate(sk.asInstanceOf[Array[Byte]],
+      v.asInstanceOf[java.lang.Number].longValue())
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MgEstimate =
+    copy(left = l, right = r)
+  override def prettyName: String = "mg_estimate"
+}

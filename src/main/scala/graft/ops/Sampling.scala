@@ -282,7 +282,30 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** Sample size for [[sampleFixedK]]. */
+  val FixedK = 200
+
+  /** Deterministic FIXED-SIZE sample (`sample_fixed_k`) — exactly K
+    * rows whatever the corpus size, the reservoir-sampling use case
+    * done the distributed-friendly way: rank every row by a stable
+    * content hash (md5 of the id — identical text in both engines) and
+    * keep the K smallest. Unlike a true reservoir this is reproducible
+    * row-for-row, stable under repartitioning and appends-at-the-tail,
+    * and needs no sequential state: Spark plans it as
+    * TakeOrderedAndProject — a per-partition K-heap plus one K-row
+    * merge at the driver, never a global sort (the same shape as the
+    * corpus top-k queries). Output is the per-lang rollup of the
+    * sampled rows, which pins the exact membership. */
+  def sampleFixedK(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .orderBy(md5(col("doc_id").cast("string")))
+      .limit(FixedK)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+      .orderBy("lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_fixed_k" -> (sampleFixedK _),
     "sample_temperature" -> (sampleTemperature _),
     "sample_stratified" -> (sampleStratified _),
     "sample_token_budget" -> (sampleTokenBudget _),
@@ -291,6 +314,12 @@ object Sampling {
     "corpus_mix" -> (corpusMix _))
 
   val oracle: Map[String, String] = Map(
+    "sample_fixed_k" -> s"""
+      WITH samp AS (
+        SELECT doc_id, lang FROM documents
+        ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT $FixedK)
+      SELECT lang, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      FROM samp GROUP BY lang ORDER BY lang""",
     "sample_temperature" -> s"""
       WITH tok AS (
         SELECT doc_id, source,

@@ -396,7 +396,34 @@ object Events {
   def driftPsi(s: SparkSession, dir: String): DataFrame = sql(s, dir,
     driftPsiSql("SELECT explode(sequence(0, 9)) AS bin"))
 
+  /** Heavy-hitter DISCOVERY (`events_heavy_discover`) — the
+    * [[graft.ops.MgAgg]] Misra–Gries summary finds frequent values with
+    * NO candidate list (the capability a CMS point query lacks), here
+    * over a planted-skew stream (2/3 of the mass on one synthetic key).
+    * The gate asserts the MERGE-ORDER-INVARIANT guarantees only — the
+    * hot key must be present, its stored count within [true − N/(K+1),
+    * true] — because raw MG counter values legitimately vary with
+    * Spark's nondeterministic partial-merge order; the guarantee is
+    * what the algorithm promises at any cluster size. */
+  def heavyDiscover(s: SparkSession, dir: String): DataFrame = {
+    graft.codec.GraftFunctions.register(s)
+    sql(s, dir, s"""
+      WITH src AS (
+        SELECT CASE WHEN event_id % 3 = 0 THEN user_id ELSE 777777 END AS x
+        FROM events),
+      sk AS (SELECT mg_agg(x) AS m, CAST(COUNT(*) AS BIGINT) AS n FROM src),
+      ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS hot_exact
+             FROM events WHERE event_id % 3 <> 0)
+      SELECT n, hot_exact,
+        mg_estimate(m, 777777) > 0 AS found_ok,
+        (mg_estimate(m, 777777) <= hot_exact AND
+         mg_estimate(m, 777777) >= hot_exact - (n DIV ${graft.ops.Mg.K + 1}) - 1)
+          AS est_ok
+      FROM sk, ex""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_heavy_discover" -> (heavyDiscover _),
     "events_drift_psi" -> (driftPsi _),
     "events_top_paths" -> (topPaths _),
     "events_outliers" -> (outliers _),
@@ -412,6 +439,14 @@ object Events {
     "events_hopping_window" -> (hoppingWindow _))
 
   val oracle: Map[String, String] = Map(
+    // the MG guarantees are literal TRUE on the oracle side; n and the
+    // hot key's exact count anchor the row
+    "events_heavy_discover" -> """
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CASE WHEN event_id % 3 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS hot_exact,
+        TRUE AS found_ok, TRUE AS est_ok
+      FROM events""",
     "events_drift_psi" ->
       driftPsiSql("SELECT unnest(range(0, 10)) AS bin"),
     "events_top_paths" -> """
