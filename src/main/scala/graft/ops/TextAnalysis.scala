@@ -324,6 +324,34 @@ object TextAnalysis {
       .orderBy("th")
   }
 
+  /** Classifier CALIBRATION (reliability) table — the companion readout
+    * to [[classifierPr]]: scores bucket into per-mille probability
+    * bins (the trained filter's scores cluster tightly — coarse decile
+    * bins would collapse the whole corpus into one row); per bin, the observed positive rate against the mean
+    * predicted probability says whether the filter's scores mean what
+    * they claim. Determinism: bin = LEAST(9, floor(p·10)) over the 6-dp
+    * score (identical doubles both engines), mean_p through a
+    * DECIMAL(18,6) sum (order-independent), rates as integer-count IEEE
+    * ratios. Empty bins are absent rows (both engines agree). */
+  def classifierCalibration(s: SparkSession, dir: String): DataFrame = {
+    val scored = classifierScore(s, dir).select(col("doc_id"), col("p_quality"))
+    val lab = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), (col("lang") === "en").as("y"))
+    scored.join(lab, "doc_id")
+      .withColumn("bin", least(lit(999L), floor(col("p_quality") * 1000).cast("long")))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(col("p_quality").cast("decimal(18,6)")).as("psum"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("pos"))
+      .select(col("bin"), col("n"), col("pos"),
+        // exact decimal sum → ONE double conversion → IEEE divide: the
+        // same value in both engines (decimal/long division rounding
+        // rules differ; double division does not)
+        round(col("psum").cast("double") / col("n"), 6).as("mean_p"),
+        round(col("pos").cast("double") / col("n"), 6).as("pos_rate"))
+      .orderBy("bin")
+  }
+
   /** One-row dataset card — the corpus datasheet every published
     * training set ships (docs/tokens/chars, exact-duplicate rate,
     * language/source diversity): integer-exact totals so the gate is
@@ -780,6 +808,7 @@ object TextAnalysis {
     "quality_classifier" -> (classifierTrain _),
     "quality_classifier_scores" -> (classifierScore _),
     "quality_pr_curve" -> (classifierPr _),
+    "quality_calibration" -> (classifierCalibration _),
     "chunk_fixed_tokens" -> (chunkFixedTokens _),
     "corpus_overlap" -> (corpusOverlap _),
     "corpus_ngrams" -> ((s: SparkSession, dir: String) => corpusNgrams(s, dir)),
@@ -865,6 +894,30 @@ object TextAnalysis {
         ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0), 6) AS rec
       FROM agg ORDER BY th"""
   }
+
+  /** Calibration-table oracle: same score CTEs, ten equal-width bins,
+    * decimal-exact mean-p, IEEE rates (per-mille bins, see the Spark
+    * side). */
+  private def lrCalibrationOracleSql: String = s"""
+      WITH $lrCtesSql,
+      wr AS (SELECT ROUND(a0,6) AS b, ROUND(a1,6) AS c1,
+        ROUND(a2,6) AS c2, ROUND(a3,6) AS c3 FROM w$LrRounds),
+      sc AS (
+        SELECT f.doc_id,
+          ROUND(1.0/(1.0 + exp(-(w.b*1.0 + w.c1*x1 + w.c2*x2 + w.c3*x3))), 12)
+            AS sig
+        FROM feat f, wr w),
+      lab AS (
+        SELECT LEAST(999, CAST(FLOOR(ROUND(s.sig, 6) * 1000) AS BIGINT)) AS bin,
+          ROUND(s.sig, 6) AS p, (d.lang = 'en') AS y
+        FROM sc s JOIN documents d USING (doc_id))
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+        ROUND(CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+          AS mean_p,
+        ROUND(CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+          AS pos_rate
+      FROM lab GROUP BY bin ORDER BY bin"""
 
   /** DuckDB quality-stats CTE body (matches [[qualityLabels]]) — shared
     * with the composed-curation oracle. */
@@ -1041,6 +1094,7 @@ object TextAnalysis {
     "quality_classifier" -> lrOracleSql,
     "quality_classifier_scores" -> lrScoreOracleSql,
     "quality_pr_curve" -> lrPrOracleSql,
+    "quality_calibration" -> lrCalibrationOracleSql,
     "corpus_report" -> """
       SELECT COUNT(*) AS n_docs,
         CAST(SUM(len(string_split(COALESCE(text, ''), ' '))) AS BIGINT) AS n_tokens,
