@@ -49,37 +49,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectTableFunction(
       (FunctionIdentifier("generate_series"), info("generate_series"), series))
-    // manifest-store SQL access (range read + time travel) — same
-    // builders as GraftFunctions.registerStoreTvfs, resolved per query
-    // against the ACTIVE session so the pruned file set is selected at
-    // analysis time, like a catalog snapshot resolution
-    def str(e: Expression): String = e.eval() match {
-      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
-      case other => other.toString
-    }
-    def lng(e: Expression): Long = e.eval() match {
-      case n: java.lang.Number => n.longValue()
-      case other => other.toString.toLong
-    }
-    val storeRange: Seq[Expression] => LogicalPlan = { es =>
-      val s = org.apache.spark.sql.SparkSession.active
-      new graft.ingest.ManifestStore(str(es(0)))
-        .readRange(s, lng(es(1)), lng(es(2)))
-        .getOrElse(throw new IllegalArgumentException(
-          s"graft_store_range: empty or missing store at ${str(es(0))}"))
-        .queryExecution.analyzed
-    }
-    val storeVersion: Seq[Expression] => LogicalPlan = { es =>
-      val s = org.apache.spark.sql.SparkSession.active
-      new graft.ingest.ManifestStore(str(es(0)))
-        .readVersion(s, lng(es(1)))
-        .getOrElse(throw new IllegalArgumentException(
-          s"graft_store_version: no version ${lng(es(1))} at ${str(es(0))}"))
-        .queryExecution.analyzed
-    }
+    // manifest-store SQL access (range read + time travel): the SAME
+    // builders as the per-session registration — one implementation,
+    // two registration paths
     ext.injectTableFunction((FunctionIdentifier("graft_store_range"),
-      info("graft_store_range"), storeRange))
+      info("graft_store_range"), GraftFunctions.storeRangeBuilder))
     ext.injectTableFunction((FunctionIdentifier("graft_store_version"),
-      info("graft_store_version"), storeVersion))
+      info("graft_store_version"), GraftFunctions.storeVersionBuilder))
   }
 }

@@ -60,35 +60,50 @@ object GraftFunctions {
     *
     * Arguments must be literals (they select the file set at analysis
     * time — exactly when a catalog would resolve a snapshot). */
-  def registerStoreTvfs(spark: SparkSession): Unit = {
-    import org.apache.spark.sql.catalyst.expressions.Expression
-    def str(e: Expression): String = e.eval() match {
+  private def tvfStr(e: org.apache.spark.sql.catalyst.expressions.Expression): String =
+    e.eval() match {
       case s: org.apache.spark.unsafe.types.UTF8String => s.toString
       case other => other.toString
     }
-    def lng(e: Expression): Long = e.eval() match {
+
+  private def tvfLng(e: org.apache.spark.sql.catalyst.expressions.Expression): Long =
+    e.eval() match {
       case n: java.lang.Number => n.longValue()
       case other => other.toString.toLong
     }
+
+  /** The ONE pair of store-TVF builders, shared by per-session
+    * registration (below) and the cluster-wide extensions — a fix to
+    * argument handling or range semantics cannot diverge the two
+    * registration paths. */
+  private[codec] val storeRangeBuilder
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = { es =>
+    val s = SparkSession.active
+    new graft.ingest.ManifestStore(tvfStr(es(0)))
+      .readRange(s, tvfLng(es(1)), tvfLng(es(2)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft_store_range: empty or missing store at ${tvfStr(es(0))}"))
+      .queryExecution.analyzed
+  }
+
+  private[codec] val storeVersionBuilder
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = { es =>
+    val s = SparkSession.active
+    new graft.ingest.ManifestStore(tvfStr(es(0)))
+      .readVersion(s, tvfLng(es(1)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft_store_version: no version ${tvfLng(es(1))} at ${tvfStr(es(0))}"))
+      .queryExecution.analyzed
+  }
+
+  def registerStoreTvfs(spark: SparkSession): Unit = {
     val treg = Shim.tableRegistry(spark)
     treg.createOrReplaceTempFunction("graft_store_range",
-      (es: Seq[Expression]) => {
-        val s = SparkSession.active
-        new graft.ingest.ManifestStore(str(es(0)))
-          .readRange(s, lng(es(1)), lng(es(2)))
-          .getOrElse(throw new IllegalArgumentException(
-            s"graft_store_range: empty or missing store at ${str(es(0))}"))
-          .queryExecution.analyzed
-      }, "scala_udf")
+      storeRangeBuilder, "scala_udf")
     treg.createOrReplaceTempFunction("graft_store_version",
-      (es: Seq[Expression]) => {
-        val s = SparkSession.active
-        new graft.ingest.ManifestStore(str(es(0)))
-          .readVersion(s, lng(es(1)))
-          .getOrElse(throw new IllegalArgumentException(
-            s"graft_store_version: no version ${lng(es(1))} at ${str(es(0))}"))
-          .queryExecution.analyzed
-      }, "scala_udf")
+      storeVersionBuilder, "scala_udf")
   }
 
   def register(spark: SparkSession): Unit = {

@@ -220,6 +220,9 @@ object Cms {
   private val Header = 12
 
   private def checkHeader(bb: ByteBuffer, what: String): Unit = {
+    require(bb.capacity >= Header + 8 * cells,
+      s"$what: binary too short (${bb.capacity} B) to be a count-min " +
+        s"sketch of this layout — rebuild the sketch")
     val (d, w, sd) = (bb.getInt(0), bb.getInt(4), bb.getInt(8))
     require(d == Depth && w == Width && sd == Seed,
       s"$what: stored count-min sketch has layout depth=$d width=$w " +
@@ -402,6 +405,9 @@ object Hist {
   private val Header = 12
 
   private def checkHeader(bb: ByteBuffer, what: String): Unit = {
+    require(bb.capacity >= Header + 8 * cells,
+      s"$what: binary too short (${bb.capacity} B) to be a histogram " +
+        "of this layout — rebuild the sketch")
     val (b, mx) = (bb.getInt(0), bb.getLong(4))
     require(b == Bins && mx == java.lang.Double.doubleToLongBits(Max),
       s"$what: stored histogram has layout bins=$b max=" +
@@ -566,8 +572,12 @@ case class HistOutOfRange(child: Expression)
 object Mg {
   val K = 16
 
+  /** Self-describing header (the [[Cms]]/[[Hist]] refuse-on-mismatch
+    * contract): K first — guarantee math for a stored summary built
+    * with a different K is silently wrong otherwise. */
   def serialize(m: scala.collection.mutable.HashMap[Long, Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + 16 * m.size)
+    val bb = ByteBuffer.allocate(8 + 16 * m.size)
+    bb.putInt(K)
     bb.putInt(m.size)
     // sorted for a canonical byte form (map iteration order is not)
     m.toSeq.sortBy(_._1).foreach { case (v, c) => bb.putLong(v); bb.putLong(c) }
@@ -575,7 +585,13 @@ object Mg {
   }
 
   def deserialize(bytes: Array[Byte]): scala.collection.mutable.HashMap[Long, Long] = {
+    require(bytes.length >= 8,
+      s"mg: binary too short (${bytes.length} B) to be a summary")
     val bb = ByteBuffer.wrap(bytes)
+    val k = bb.getInt
+    require(k == K,
+      s"mg: stored summary built with K=$k but this build uses K=$K — " +
+        "rebuild; its error bounds do not transfer")
     val n = bb.getInt
     val m = scala.collection.mutable.HashMap.empty[Long, Long]
     var i = 0

@@ -140,7 +140,10 @@ object PageRank {
     val pairs = li.as("a").join(li.as("b"),
         col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
       .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
-      .localCheckpoint() // edges feed degree + orientation + closure
+      // LAZY checkpoint: edges feed degree + orientation + closure, but
+      // materialize only when a consumer runs — the plan gate stringifies
+      // this dataflow without paying the self-join jobs
+      .localCheckpoint(false)
     val deg = pairs.select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("d"))
     // orient: (s → t) with (d_s, s) < (d_t, t); carry t's rank key so
@@ -156,7 +159,7 @@ object PageRank {
             struct(col("v").as("s"), col("u").as("t"), col("du").as("dt")))
           .as("e"))
       .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val w1 = oriented.select(col("s"), col("t").as("a"), col("dt").as("da"))
     val w2 = oriented.select(col("s"), col("t").as("b"), col("dt").as("db"))
     val wedges = w1.join(w2, Seq("s"))

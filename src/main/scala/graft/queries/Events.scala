@@ -341,7 +341,9 @@ object Events {
   /** PSI drift-monitor SQL, parameterized by the per-engine 0..9 bin
     * generator (the ONLY dialect difference). Baseline = even event_ids'
     * values; "current" = odd ids' values shifted +100 (a deterministic
-    * planted drift). Values bin into ten fixed 60-wide buckets (capped),
+    * planted drift). Values bin into ten fixed 60-wide buckets (clamped at BOTH ends —
+    * a negative value must land in bin 0, not fall off the enumerated
+    * grid and silently vanish from the totals),
     * add-one smoothed so empty bins stay defined, and every log argument
     * is an exact INTEGER product — the [[graft.ops.TextAnalysis]] ln
     * contract — so PSI is engine-exact at 6 dp. The full 10-bin grid is
@@ -352,13 +354,13 @@ object Events {
   private def driftPsiSql(binGen: String): String = s"""
     WITH base AS (
       SELECT event_type,
-        LEAST(9, CAST(FLOOR(value / 60.0) AS INT)) AS bin,
+        LEAST(9, GREATEST(0, CAST(FLOOR(value / 60.0) AS INT))) AS bin,
         CAST(COUNT(*) AS BIGINT) AS c
       FROM events WHERE event_id % 2 = 0
       GROUP BY 1, 2),
     cur AS (
       SELECT event_type,
-        LEAST(9, CAST(FLOOR((value + 100) / 60.0) AS INT)) AS bin,
+        LEAST(9, GREATEST(0, CAST(FLOOR((value + 100) / 60.0) AS INT))) AS bin,
         CAST(COUNT(*) AS BIGINT) AS c
       FROM events WHERE event_id % 2 = 1
       GROUP BY 1, 2),
