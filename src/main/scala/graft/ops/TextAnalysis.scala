@@ -352,6 +352,25 @@ object TextAnalysis {
       .orderBy("bin")
   }
 
+  /** Brier score (`quality_brier`) — the proper scoring rule completing
+    * the eval trio (PR sweep, calibration table, Brier): mean squared
+    * error of the 6-dp probabilities against the labels. (p − y)² is an
+    * exact IEEE product of identical doubles; the sum goes through
+    * DECIMAL(38,18) (the classifierTrain gradient-sum contract, already
+    * proven engine-exact) so the mean is aggregation-order-free. One row,
+    * one map-side aggregate. */
+  def classifierBrier(s: SparkSession, dir: String): DataFrame = {
+    val scored = classifierScore(s, dir).select(col("doc_id"), col("p_quality"))
+    val lab = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+    scored.join(lab, "doc_id")
+      .agg(count(lit(1)).as("n"),
+        sum(((col("p_quality") - col("y")) * (col("p_quality") - col("y")))
+          .cast("decimal(38,18)")).as("ssum"))
+      .select(col("n"),
+        round(col("ssum").cast("double") / col("n"), 6).as("brier"))
+  }
+
   /** One-row dataset card — the corpus datasheet every published
     * training set ships (docs/tokens/chars, exact-duplicate rate,
     * language/source diversity): integer-exact totals so the gate is
@@ -809,6 +828,7 @@ object TextAnalysis {
     "quality_classifier_scores" -> (classifierScore _),
     "quality_pr_curve" -> (classifierPr _),
     "quality_calibration" -> (classifierCalibration _),
+    "quality_brier" -> (classifierBrier _),
     "chunk_fixed_tokens" -> (chunkFixedTokens _),
     "corpus_overlap" -> (corpusOverlap _),
     "corpus_ngrams" -> ((s: SparkSession, dir: String) => corpusNgrams(s, dir)),
@@ -918,6 +938,25 @@ object TextAnalysis {
         ROUND(CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
           AS pos_rate
       FROM lab GROUP BY bin ORDER BY bin"""
+
+  /** Brier oracle: same score CTEs, same DECIMAL(38,18) square sum. */
+  private def lrBrierOracleSql: String = s"""
+      WITH $lrCtesSql,
+      wr AS (SELECT ROUND(a0,6) AS b, ROUND(a1,6) AS c1,
+        ROUND(a2,6) AS c2, ROUND(a3,6) AS c3 FROM w$LrRounds),
+      sc AS (
+        SELECT f.doc_id,
+          ROUND(1.0/(1.0 + exp(-(w.b*1.0 + w.c1*x1 + w.c2*x2 + w.c3*x3))), 12)
+            AS sig
+        FROM feat f, wr w),
+      lab AS (
+        SELECT ROUND(s.sig, 6) AS p,
+          CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+        FROM sc s JOIN documents d USING (doc_id))
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        ROUND(CAST(SUM(CAST((p - y) * (p - y) AS DECIMAL(38,18))) AS DOUBLE)
+          / COUNT(*), 6) AS brier
+      FROM lab"""
 
   /** DuckDB quality-stats CTE body (matches [[qualityLabels]]) — shared
     * with the composed-curation oracle. */
@@ -1095,6 +1134,7 @@ object TextAnalysis {
     "quality_classifier_scores" -> lrScoreOracleSql,
     "quality_pr_curve" -> lrPrOracleSql,
     "quality_calibration" -> lrCalibrationOracleSql,
+    "quality_brier" -> lrBrierOracleSql,
     "corpus_report" -> """
       SELECT COUNT(*) AS n_docs,
         CAST(SUM(len(string_split(COALESCE(text, ''), ' '))) AS BIGINT) AS n_tokens,
