@@ -43,6 +43,16 @@ object Bench {
   private def loadAvg(): Double = java.lang.management.ManagementFactory
     .getOperatingSystemMXBean.getSystemLoadAverage
 
+  /** One pass's per-query map as JSON (3 dp), failed queries omitted.
+    * Emitted per PASS into bench_out.json (stdout stays summary-only):
+    * p1-vs-p2 deltas attribute cold one-time costs (index builds, page
+    * cache) per query mechanically, instead of the hand-run probe
+    * passes the r8 q17 drift investigation needed (r8 ADVICE item 5). */
+  private[graft] def passJson(p: Map[String, Option[Double]]): String =
+    p.toSeq.sortBy(_._1).collect { case (k, Some(v)) =>
+      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", v)
+    }.mkString("{", ",", "}")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -127,6 +137,8 @@ object Bench {
     // stdout carries a summary-only line that always fits. Headline
     // fields LAST so a truncated tail still ends with the total.
     val full = s"""{"queries":${qs(f3)},"failed":$failedJson,"sf":"$sfDir",""" +
+      s""""p1_queries":${passJson(p1)},""" +
+      s""""p2_queries":${p2.map(passJson).getOrElse("{}")},""" +
       s"""$env,"metric":"total","value":${f3(total)},"unit":"sec"}"""
     val sfShort = new java.io.File(sfDir).getName
     val failedShown = failed.take(12)

@@ -144,5 +144,7 @@ object GraftFunctions {
       es => graft.ops.MgAgg(es.head).toAggregateExpression(), "scala_udf")
     reg.createOrReplaceTempFunction("mg_estimate",
       es => graft.ops.MgEstimate(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("mg_keys",
+      es => graft.ops.MgKeys(es.head), "scala_udf")
   }
 }

@@ -329,7 +329,7 @@ object TextAnalysis {
     * bins (the trained filter's scores cluster tightly — coarse decile
     * bins would collapse the whole corpus into one row); per bin, the observed positive rate against the mean
     * predicted probability says whether the filter's scores mean what
-    * they claim. Determinism: bin = LEAST(9, floor(p·10)) over the 6-dp
+    * they claim. Determinism: bin = LEAST(999, floor(p·1000)) over the 6-dp
     * score (identical doubles both engines), mean_p through a
     * DECIMAL(18,6) sum (order-independent), rates as integer-count IEEE
     * ratios. Empty bins are absent rows (both engines agree). */

@@ -424,8 +424,39 @@ object Events {
       FROM sk, ex""")
   }
 
+  /** TWO-PASS verified heavy hitters (`events_heavy_verified`) — the
+    * production composition on top of [[heavyDiscover]]: pass 1 builds
+    * the MG summary (one aggregate, no candidate list needed); pass 2
+    * re-scans the stream restricted to the ≤K discovered candidates
+    * (broadcast join — the candidate side is K rows at ANY corpus
+    * scale) and counts them EXACTLY. Keeping candidates with exact
+    * count > n DIV (K+1) yields precisely the true heavy-hitter set
+    * with exact counts — fully deterministic (hash-gated against plain
+    * GROUP BY/HAVING in DuckDB) even though raw MG counters are
+    * merge-order dependent: the guarantee ensures no true heavy hitter
+    * is missing from the candidates, and the exact pass removes the
+    * merge-order-dependent extras. */
+  def heavyVerified(s: SparkSession, dir: String): DataFrame = {
+    graft.codec.GraftFunctions.register(s)
+    sql(s, dir, s"""
+      WITH src AS (
+        SELECT CASE WHEN event_id % 3 = 0 THEN user_id ELSE 777777 END AS x
+        FROM events),
+      sk AS (SELECT mg_agg(x) AS m, CAST(COUNT(*) AS BIGINT) AS n FROM src),
+      cand AS (SELECT explode(mg_keys(m)) AS x FROM sk),
+      verified AS (
+        SELECT /*+ BROADCAST(c) */ s.x, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM src s JOIN cand c ON s.x = c.x
+        GROUP BY s.x)
+      SELECT v.x, v.cnt
+      FROM verified v, sk
+      WHERE v.cnt > sk.n DIV ${graft.ops.Mg.K + 1}
+      ORDER BY v.x""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_heavy_discover" -> (heavyDiscover _),
+    "events_heavy_verified" -> (heavyVerified _),
     "events_drift_psi" -> (driftPsi _),
     "events_top_paths" -> (topPaths _),
     "events_outliers" -> (outliers _),
@@ -441,6 +472,17 @@ object Events {
     "events_hopping_window" -> (hoppingWindow _))
 
   val oracle: Map[String, String] = Map(
+    // the two-pass composition is exactly GROUP BY + HAVING over the
+    // guarantee threshold — no sketch needed on the oracle side
+    "events_heavy_verified" -> s"""
+      WITH src AS (
+        SELECT CASE WHEN event_id % 3 = 0 THEN user_id ELSE 777777 END AS x
+        FROM events),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM src)
+      SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM src GROUP BY x
+      HAVING CAST(COUNT(*) AS BIGINT) > (SELECT n FROM nn) // ${graft.ops.Mg.K + 1}
+      ORDER BY x""",
     // the MG guarantees are literal TRUE on the oracle side; n and the
     // hot key's exact count anchor the row
     "events_heavy_discover" -> """

@@ -55,6 +55,27 @@ object Tpch {
     GROUP BY n_name
     ORDER BY revenue DESC, n_name""")
 
+  /** TPC-H Q18 (large-volume customer): orders whose total quantity
+    * exceeds 300, with their customer and exact quantity rollup — the
+    * aggregate-then-semi-join shape (a HAVING subquery feeding a
+    * large IN) that Q3/Q5's plain star joins never exercise. The IN
+    * subquery plans as a left-semi join of orders against the
+    * pre-aggregated qualifying keyset; quantity sums ride exact
+    * DECIMAL partials; the top-100 is TakeOrderedAndProject. */
+  def q43TpchQ18(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+    SELECT c_name, c_custkey, o_orderkey,
+      unix_millis(CAST(o_orderdate AS TIMESTAMP)) AS orderdate_ms,
+      o_totalprice,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, orderdate_ms, o_orderkey LIMIT 100""")
+
   /** RFM customer segmentation — recency/frequency/monetary quintile
     * scores. NTILE would be a single-task global window (the
     * vocab_build lesson); instead the quintile THRESHOLDS come from one
@@ -114,6 +135,7 @@ object Tpch {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_tpch_q3" -> (q41TpchQ3 _),
     "q42_tpch_q5" -> (q42TpchQ5 _),
+    "q43_tpch_q18" -> (q43TpchQ18 _),
     "customers_rfm" -> (customersRfm _),
     "audit_ref_integrity" -> (auditRefIntegrity _))
 
@@ -147,6 +169,19 @@ object Tpch {
         AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
       GROUP BY n_name
       ORDER BY revenue DESC, n_name""",
+    "q43_tpch_q18" -> """
+      SELECT c_name, c_custkey, o_orderkey,
+        epoch_ms(o_orderdate) AS orderdate_ms,
+        o_totalprice,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+      GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      ORDER BY o_totalprice DESC, orderdate_ms, o_orderkey LIMIT 100""",
     "customers_rfm" -> """
       WITH m AS (
         SELECT o_custkey AS c_custkey,

@@ -28,4 +28,11 @@ class BenchSpec extends AnyFunSuite {
     val failed = timed.collect { case (k, None) => k }.toSeq.sorted
     assert(failed == Seq("broken_analysis", "broken_runtime"))
   }
+
+  test("per-pass JSON carries only succeeded queries, sorted, 3 dp") {
+    val json = Bench.passJson(Map(
+      "b_ok" -> Some(1.23456), "a_ok" -> Some(0.5), "broken" -> None))
+    assert(json == """{"a_ok":0.500,"b_ok":1.235}""",
+      s"per-pass map malformed: $json")
+  }
 }

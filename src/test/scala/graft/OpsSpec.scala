@@ -199,6 +199,43 @@ class OpsSpec extends AnyFunSuite {
       s"deg(${deg.maxBy(_._2)._2}) node must outrank deg(${deg.minBy(_._2)._2})")
   }
 
+  test("dangling pagerank: mass conserved via redistribution, sinks ranked") {
+    val ranks = graft.ops.PageRank.pagerankDangling(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ranks.values.forall(_ > 0))
+    // the whole point of the dangling term: sink mass re-enters the
+    // system each round, so total mass stays 1 up to the 6-dp OUTPUT
+    // rounding (n × 5e-7 ≈ 8e-4 worst case here) — WITHOUT the term it
+    // would decay toward the 0.15 damping floor (a ~0.4 drop, three
+    // orders of magnitude past this tolerance)
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-3, s"mass=${ranks.values.sum}")
+    // suppliers (the +100000 node space) are pure sinks: they receive
+    // mass but forward none, so every supplier must sit above the
+    // uniform floor a customer with no popularity would have
+    val (supp, cust) = ranks.partition(_._1 >= 100000L)
+    assert(supp.nonEmpty && cust.nonEmpty)
+    assert(supp.values.sum > 0.3,
+      s"sinks hold ${supp.values.sum} of the mass - redistribution broken?")
+  }
+
+  test("intersect_count_sorted matches size(array_intersect) on random input") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(200)((
+      rnd.shuffle((0L to 50L).toList).take(rnd.nextInt(20)).sorted,
+      rnd.shuffle((0L to 50L).toList).take(rnd.nextInt(20)).sorted))
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      org.apache.spark.sql.graftshim.Shim.column(
+        graft.ops.IntersectCountSortedLong(
+          org.apache.spark.sql.graftshim.Shim.expression(col("a")),
+          org.apache.spark.sql.graftshim.Shim.expression(col("b")))).as("k"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("ref"))
+      .collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"merge-count ${r.getLong(0)} != builtin ${r.getLong(1)}"))
+  }
+
   test("semantic decontam flags every planted eval twin; threshold honest") {
     val rows = Similarity.semanticDecontam(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap

@@ -261,11 +261,14 @@ class DemuxVolumeSpec extends AnyFunSuite {
       "is the search scanning the corpus again?")
   }
 
-  test("150k-log one-pass demux + pruned decode conserves every row") {
+  test("1M-log one-pass demux + pruned decode conserves every row, ≥2500 logs/s") {
     import graft.fixtures.MakerFixtures
     import graft.ingest.Demux
     val defs = MakerFixtures.fixtureDefs
-    val n = 150000L
+    // 1M logs (was 150k through r8) — the S8 "one pass at scale" claim
+    // proven at the next decade: encode → tag → single partitioned
+    // write → per-table pruned decode, all executor-parallel
+    val n = 1000000L
     val raw = syntheticRaw(n)
 
     val store = java.nio.file.Files.createTempDirectory("graft_vol").toString + "/store"
@@ -274,13 +277,21 @@ class DemuxVolumeSpec extends AnyFunSuite {
     val perTable = defs.map(d =>
       d.table -> Demux.readTable(spark, store, d).count()).toMap
     val dt = (System.nanoTime() - t0) / 1e9
-    info(f"150k logs demux+decode in $dt%.1f s (${n / dt}%.0f logs/s)")
+    info(f"1M logs demux+decode in $dt%.1f s (${n / dt}%.0f logs/s)")
     // conservation: every synthetic log decodes back out of its table
-    val expectEach = n / defs.size
-    defs.foreach { d =>
-      assert(perTable(d.table) == expectEach, s"${d.table}: ${perTable(d.table)}")
+    // (round-robin over defs — the first n % defs.size tables get one
+    // extra row when n doesn't divide evenly)
+    defs.zipWithIndex.foreach { case (d, i) =>
+      val expect = n / defs.size + (if (i < n % defs.size) 1L else 0L)
+      assert(perTable(d.table) == expect,
+        s"${d.table}: ${perTable(d.table)} != $expect")
     }
     assert(perTable.values.sum == n)
+    // throughput floor: generous vs the observed rate (so host noise
+    // can't flake it) but fatal for an accidental per-table scan or a
+    // driver-side loop, which cost a decade more at this volume
+    assert(dt < 400.0, f"1M-log demux took $dt%.1f s (<2500 logs/s) — " +
+      "one-pass write or pruned decode regressed")
   }
 
   test("150k-log atomic chunked ingest through the manifest store") {
@@ -355,6 +366,14 @@ class DemuxVolumeSpec extends AnyFunSuite {
     val dt = (System.nanoTime() - t0) / 1e9
     info(f"200k-label merge of a 5k-bridge batch in $dt%.1f s")
     assert(diff == 0L, s"$diff label rows diverge from the closed form")
-    assert(dt < 120.0, f"merge took $dt%.1f s — batch-sized work only, budget blown")
+    // the property under guard is the broadcast SHAPE (the labels table
+    // never shuffles for the remap), asserted on the plan rather than a
+    // wall-clock ceiling — elapsed time on a loaded CI host measures the
+    // host, not the merge (r8 ADVICE)
+    got.collect()
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      "labels-side remap degenerated to a sort-merge join — the batch " +
+        s"remap must stay broadcast-sized\n$plan")
   }
 }

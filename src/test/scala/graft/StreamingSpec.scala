@@ -244,6 +244,54 @@ class SessionizeSpec extends AnyFunSuite {
         s"missing=${batchSessions.diff(streamed).take(3)} extra=${streamed.diff(batchSessions).take(3)}")
   }
 
+  test("late events beyond the watermark drop deterministically and are counted") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.Sessionize
+    // planted timeline (gap 30 min): on-time events for users 1 and 2, a
+    // sentinel that advances the watermark a day past everything (closing
+    // every session), then three LATE events with event times far below
+    // the watermark — including one for a user (3) the stream has never
+    // seen. Correctness under disorder is the exactly-once sibling: the
+    // late rows must DROP deterministically (never resurrect or extend a
+    // closed session), the engine must COUNT them
+    // (numRowsDroppedByWatermark — the production monitoring signal), and
+    // the emitted sessions must equal the batch replay of the on-time
+    // rows alone.
+    val t0 = 1700000000000L
+    def ev(u: Long, ms: Long) = Sessionize.Ev(u, new java.sql.Timestamp(ms))
+    val onTime = Seq(ev(1, t0), ev(1, t0 + 600000L), ev(2, t0 + 300000L))
+    val late = Seq(ev(1, t0 + 300000L), ev(2, t0), ev(3, t0 + 60000L))
+    val stream = MemoryStream[Sessionize.Ev]
+    val q = Sessionize.sessions(stream.toDS(), 30)
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode("append").start()
+    stream.addData(onTime.toIndexedSeq)
+    q.processAllAvailable()
+    stream.addData(ev(-1L, t0 + 86400000L)) // watermark → t0 + 1d − 30min
+    q.processAllAvailable()
+    stream.addData(late.toIndexedSeq)
+    q.processAllAvailable()
+    val dropped = q.recentProgress.toSeq
+      .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+      .map(_.numRowsDroppedByWatermark).sum
+    q.stop()
+    assert(dropped == late.size.toLong,
+      s"engine counted $dropped dropped-by-watermark rows, planted ${late.size}")
+    val streamed = spark.table("late_sessions")
+      .filter(col("user_id") >= 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    val batchRef = Sessionize
+      .sessionsBatch(onTime.toDF("user_id", "ts"), 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(streamed == batchRef,
+      s"stream $streamed != batch-replay-minus-late $batchRef")
+    assert(!streamed.exists(_._1 == 3L),
+      "a late-only user materialized a session — late rows reached state")
+  }
+
   test("NATIVE streaming session_window = the batch session_window gate") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
