@@ -139,6 +139,20 @@ object IvfIndex {
     listsStore(root).vacuum(spark, keepVersions, minDataAgeMs)
   }
 
+  /** Copy-on-write DELETE from the inverted lists — the GDPR/forget
+    * path for a vector index, inherited from [[ManifestStore.delete]]:
+    * only list files actually containing victims are rewritten (into
+    * one atomic commit), the frozen quantizer and every untouched list
+    * file stay byte-identical, searches see wholly-old or wholly-new,
+    * and the pre-delete snapshot stays time-travelable until
+    * [[vacuum]] erases it. Replay-safe via `commitKey` (a re-delivered
+    * forget request is a no-op). Returns rows deleted. */
+  def delete(spark: SparkSession, root: String,
+             predicate: org.apache.spark.sql.Column,
+             commitKey: Option[String] = None): Long =
+    listsStore(root).delete(spark, predicate,
+      partitionCols = Seq("cluster"), commitKey = commitKey)
+
   // ----------------------------------------------------------- gate
 
   /** Per-JVM build memo for the gate, keyed by resolved root (same
@@ -152,7 +166,20 @@ object IvfIndex {
     * quantizer; queries (vec_id < 10) then search the accumulated index.
     * Recall is gated against the brute-force truth over the FULL corpus
     * — the frozen-quantizer ingest must still find ≥ 70% of the true
-    * neighbors, including ones that arrived after training. */
+    * neighbors, including ones that arrived after training.
+    *
+    * Cost attribution (measured at sf0.1, local[32]): cold ≈ 12 s — the
+    * one-time quantizer train + the two lifecycle appends, which ARE
+    * the operator under test — warm ≈ 1.3 s (probes + recall against
+    * the fingerprint-cached brute truth; search alone ≈ 0.7 s). The
+    * bench's per-pass p1/p2 maps in bench_out.json now expose exactly
+    * this split per round, so a warm-path regression is visible without
+    * hand-run probe passes. The build is not shared with the
+    * frozen-corpus `ann_topk_*` gates on purpose: their
+    * [[Ivf.trainedModel]] quantizer is a different artifact with
+    * different training data (full corpus vs the seed half), and
+    * sharing it would stop exercising the frozen-quantizer append
+    * semantics this gate exists to prove. */
   def incrementalRecall(s: SparkSession, dir: String): DataFrame = {
     val v = Similarity.rawVecs(graft.Tables.load(s, dir, "embeddings"))
     val abs = new java.io.File(dir).getAbsolutePath
@@ -173,10 +200,58 @@ object IvfIndex {
       search(v.filter(col("vec_id") < 10), root))
   }
 
+  /** Gate: build a bounded index (vec_id < 2000, quantizer trained on
+    * the subset), CoW-DELETE every odd id, then search with nProbe = k
+    * (every cluster probed, so IVF degenerates to EXACT search over
+    * the remaining rows — the gate is hash-exact against a DuckDB
+    * brute pass over the surviving evens, not a recall bound). A
+    * deleted vector appearing in any top-k, or a surviving one
+    * missing, breaks the hash. */
+  def deleteGate(s: SparkSession, dir: String): DataFrame = {
+    val v = Similarity.rawVecs(graft.Tables.load(s, dir, "embeddings"))
+      .filter(col("vec_id") < 2000)
+    val abs = new java.io.File(dir).getAbsolutePath
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_del_" +
+      new java.io.File(dir).getName + "_" +
+      java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(abs))
+    builtRoots.synchronized {
+      if (!builtRoots.contains(root)) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        build(v, root, k = 8)
+        delete(s, root, pmod(col("vec_id"), lit(2)) === 1)
+        builtRoots.add(root)
+      }
+    }
+    search(v.filter(col("vec_id") < 10 && pmod(col("vec_id"), lit(2)) === 0),
+      root, nProbe = 8)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ann_incremental" -> (incrementalRecall _))
+    "ann_incremental" -> (incrementalRecall _),
+    "ann_delete" -> (deleteGate _))
 
   val oracle: Map[String, String] = Map(
+    // exact: brute cosine top-10 over the SURVIVING evens < 2000 — the
+    // same rounding recipe as ann_topk_brute
+    "ann_delete" -> """
+      WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e
+        FROM embeddings WHERE vec_id < 2000 AND vec_id % 2 = 0),
+      withn AS (SELECT vec_id, e,
+        sqrt(list_sum(list_transform(e, x -> x*x))) nrm FROM v),
+      scored AS (
+        SELECT q.vec_id qid, n.vec_id nid,
+          ROUND(list_sum(list_transform(generate_series(1, 64),
+            k -> q.e[k] * n.e[k])) / (q.nrm * n.nrm), 6) AS cosine
+        FROM withn q, withn n WHERE q.vec_id < 10 AND q.vec_id <> n.vec_id),
+      ranked AS (
+        SELECT qid, nid, cosine,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+        FROM scored)
+      SELECT qid, rank, nid, cosine FROM ranked WHERE rank <= 10
+      ORDER BY qid, rank""",
     "ann_incremental" -> """
       SELECT 'ivf_inc' AS method,
         CAST(10*COUNT(*) AS BIGINT) AS n_expected,

@@ -304,8 +304,39 @@ object Sampling {
       .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
       .orderBy("lang")
 
+  /** Sample size for [[sampleWeighted]]. */
+  val AesK = 100
+
+  /** WEIGHTED sample without replacement (`sample_weighted`) — the
+    * Efraimidis–Spirakis A-ES scheme (IPL 2006): every row gets key
+    * ln(u)/w for a uniform u and weight w, and the K LARGEST keys are
+    * a weighted-without-replacement sample (P(selected) ∝ w for the
+    * marginal inclusion). The training-data use case: favor long/
+    * high-quality documents in a fixed-size subset without a
+    * sequential reservoir. Distribution-friendly by the same argument
+    * as [[sampleFixedK]]: the key is a pure per-row function (u comes
+    * from the deterministic Knuth draw at full 2^32 granularity, w =
+    * n_chars), so the cut is TakeOrderedAndProject — per-partition
+    * K-heaps, one K-row driver merge, no RNG state, no global sort,
+    * reproducible under any repartitioning. Keys are ROUNDED to 9 dp
+    * BEFORE ranking with a doc_id tiebreak, so selection is identical
+    * on both engines even at LN's last-ulp (precedent: the PSI gate's
+    * LN). */
+  def sampleWeighted(s: SparkSession, dir: String): DataFrame = {
+    val draw = drawSqlModOn("doc_id", 4294967296L)
+    Tables.load(s, dir, "documents")
+      .withColumn("key", round(
+        log((expr(draw).cast("double") + 0.5) / 4294967296.0) /
+          greatest(col("n_chars"), lit(1L)).cast("double"), 9))
+      .orderBy(col("key").desc, col("doc_id"))
+      .limit(AesK)
+      .select(col("doc_id"), col("lang"), col("key"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_fixed_k" -> (sampleFixedK _),
+    "sample_weighted" -> (sampleWeighted _),
     "sample_temperature" -> (sampleTemperature _),
     "sample_stratified" -> (sampleStratified _),
     "sample_token_budget" -> (sampleTokenBudget _),
@@ -320,6 +351,17 @@ object Sampling {
         ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT $FixedK)
       SELECT lang, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
       FROM samp GROUP BY lang ORDER BY lang""",
+    "sample_weighted" -> s"""
+      WITH k AS (
+        SELECT doc_id, lang,
+          ROUND(LN((CAST(${drawDuckModOn("doc_id", 4294967296L)} AS DOUBLE)
+              + 0.5) / 4294967296.0)
+            / CAST(GREATEST(n_chars, 1) AS DOUBLE), 9) AS key
+        FROM documents),
+      samp AS (
+        SELECT doc_id, lang, key FROM k
+        ORDER BY key DESC, doc_id LIMIT $AesK)
+      SELECT doc_id, lang, key FROM samp ORDER BY doc_id""",
     "sample_temperature" -> s"""
       WITH tok AS (
         SELECT doc_id, source,

@@ -57,6 +57,24 @@ class IvfIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("CoW delete removes exactly the victims; keyed replay is a no-op") {
+    val root = freshRoot()
+    val all = vecRows(0 until 120, 4)
+    IvfIndex.build(df(all), root, k = 4, commitKey = Some("b0"))
+    val deleted = IvfIndex.delete(spark, root,
+      pmod(col("vec_id"), lit(2)) === 1, commitKey = Some("forget-1"))
+    assert(deleted == 60L, s"expected 60 odd victims, deleted $deleted")
+    // exhaustive search (all clusters probed) sees only survivors
+    val got = IvfIndex.search(df(vecRows(0 until 1, 4)), root,
+      nProbe = 4, topN = 1000).collect()
+    assert(got.length == 59, s"59 surviving non-query neighbors, got ${got.length}")
+    assert(got.forall(_.getLong(2) % 2 == 0),
+      "a deleted (odd) vector surfaced in search results")
+    // a re-delivered forget request (same commit key) deletes nothing
+    assert(IvfIndex.delete(spark, root,
+      pmod(col("vec_id"), lit(2)) === 1, commitKey = Some("forget-1")) == 0L)
+  }
+
   test("search equals a driver-side recomputation under the frozen quantizer") {
     val root = freshRoot()
     val all = vecRows(0 until 200, 4)

@@ -218,6 +218,20 @@ class OpsSpec extends AnyFunSuite {
       s"sinks hold ${supp.values.sum} of the mass - redistribution broken?")
   }
 
+  test("A-ES weighted sample: exactly K rows, biased toward heavy (long) docs") {
+    val docs = Tables.load(spark, dir, "documents")
+    val corpusMean = docs.agg(avg("n_chars")).head().getDouble(0)
+    val samp = graft.ops.Sampling.sampleWeighted(spark, dir)
+    assert(samp.count() == graft.ops.Sampling.AesK.toLong)
+    val sampMean = samp.join(docs.select("doc_id", "n_chars"), "doc_id")
+      .agg(avg("n_chars")).head().getDouble(0)
+    // marginal inclusion ∝ n_chars, so the K-subset must average longer
+    // than the corpus — the property that distinguishes A-ES from the
+    // uniform fixed-K sample
+    assert(sampMean > corpusMean,
+      f"weighted sample mean $sampMean%.1f chars ≤ corpus mean $corpusMean%.1f")
+  }
+
   test("intersect_count_sorted matches size(array_intersect) on random input") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
