@@ -290,8 +290,11 @@ object Sampling {
     * done the distributed-friendly way: rank every row by a stable
     * content hash (md5 of the id — identical text in both engines) and
     * keep the K smallest. Unlike a true reservoir this is reproducible
-    * row-for-row, stable under repartitioning and appends-at-the-tail,
-    * and needs no sequential state: Spark plans it as
+    * row-for-row and stable under repartitioning; membership is fixed
+    * for a FIXED corpus (an append can introduce smaller hashes and
+    * displace earlier members — inherent to any exactly-K scheme, and
+    * exactly how a re-drawn reservoir would behave), and it needs no
+    * sequential state: Spark plans it as
     * TakeOrderedAndProject — a per-partition K-heap plus one K-row
     * merge at the driver, never a global sort (the same shape as the
     * corpus top-k queries). Output is the per-lang rollup of the
