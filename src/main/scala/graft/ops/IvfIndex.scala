@@ -161,6 +161,17 @@ object IvfIndex {
   private val builtRoots =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Gate-store root under tmpdir for (prefix, corpus dir): carries the
+    * dir basename for readability plus a hash of the ABSOLUTE path so
+    * two corpora with the same basename never alias (one recipe for
+    * every gate of this family — keep them in lockstep). */
+  private def gateStoreRoot(prefix: String, dir: String): String = {
+    val abs = new java.io.File(dir).getAbsolutePath
+    s"${System.getProperty("java.io.tmpdir")}/${prefix}_" +
+      new java.io.File(dir).getName + "_" +
+      java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(abs))
+  }
+
   /** Gate: the quantizer trains on the even-vec_id HALF (the seed
     * corpus); odd ids arrive as a second append against the frozen
     * quantizer; queries (vec_id < 10) then search the accumulated index.
@@ -182,10 +193,7 @@ object IvfIndex {
     * semantics this gate exists to prove. */
   def incrementalRecall(s: SparkSession, dir: String): DataFrame = {
     val v = Similarity.rawVecs(graft.Tables.load(s, dir, "embeddings"))
-    val abs = new java.io.File(dir).getAbsolutePath
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_" +
-      new java.io.File(dir).getName + "_" +
-      java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(abs))
+    val root = gateStoreRoot("graft_ivf_index", dir)
     builtRoots.synchronized {
       if (!builtRoots.contains(root)) {
         val p = new org.apache.hadoop.fs.Path(root)
@@ -210,10 +218,7 @@ object IvfIndex {
   def deleteGate(s: SparkSession, dir: String): DataFrame = {
     val v = Similarity.rawVecs(graft.Tables.load(s, dir, "embeddings"))
       .filter(col("vec_id") < 2000)
-    val abs = new java.io.File(dir).getAbsolutePath
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_del_" +
-      new java.io.File(dir).getName + "_" +
-      java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(abs))
+    val root = gateStoreRoot("graft_ivf_del", dir)
     builtRoots.synchronized {
       if (!builtRoots.contains(root)) {
         val p = new org.apache.hadoop.fs.Path(root)

@@ -83,6 +83,20 @@ case class DotDouble(left: Expression, right: Expression)
 case class IntersectCountSortedLong(left: Expression, right: Expression)
   extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = LongType
+  // refuse non-bigint arrays at ANALYSIS time: the codegen path reads
+  // ArrayData.getLong, which over e.g. array<int> would return garbage
+  // counts silently (8-byte reads over 4-byte slots)
+  override def checkInputDataTypes()
+  : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (Seq(left, right).forall(e => e.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"intersect_count_sorted needs two array<bigint> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val ys = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
@@ -657,7 +671,7 @@ object Mg {
       s"mg: stored summary built with K=$k but this build uses K=$K — " +
         "rebuild; its error bounds do not transfer")
     val n = bb.getInt
-    require(bytes.length >= 8 + 16L * n,
+    require(n >= 0 && bytes.length >= 8 + 16L * n,
       s"mg: summary declares $n entries but carries only ${bytes.length} B " +
         s"(need ${8 + 16L * n}) — truncated or corrupt")
     val m = scala.collection.mutable.HashMap.empty[Long, Long]

@@ -435,7 +435,11 @@ object Events {
     * GROUP BY/HAVING in DuckDB) even though raw MG counters are
     * merge-order dependent: the guarantee ensures no true heavy hitter
     * is missing from the candidates, and the exact pass removes the
-    * merge-order-dependent extras. */
+    * merge-order-dependent extras. The stream total n rides the
+    * candidate rows (each carries it; MIN re-extracts it after the
+    * rollup), so `src` is scanned exactly twice — a third
+    * threshold-time reference would re-scan the whole stream at
+    * 100 TB. */
   def heavyVerified(s: SparkSession, dir: String): DataFrame = {
     graft.codec.GraftFunctions.register(s)
     sql(s, dir, s"""
@@ -443,15 +447,15 @@ object Events {
         SELECT CASE WHEN event_id % 3 = 0 THEN user_id ELSE 777777 END AS x
         FROM events),
       sk AS (SELECT mg_agg(x) AS m, CAST(COUNT(*) AS BIGINT) AS n FROM src),
-      cand AS (SELECT explode(mg_keys(m)) AS x FROM sk),
+      cand AS (SELECT explode(mg_keys(m)) AS x, n FROM sk),
       verified AS (
-        SELECT /*+ BROADCAST(c) */ s.x, CAST(COUNT(*) AS BIGINT) AS cnt
+        SELECT /*+ BROADCAST(c) */ s.x, CAST(COUNT(*) AS BIGINT) AS cnt,
+          MIN(c.n) AS n
         FROM src s JOIN cand c ON s.x = c.x
         GROUP BY s.x)
-      SELECT v.x, v.cnt
-      FROM verified v, sk
-      WHERE v.cnt > sk.n DIV ${graft.ops.Mg.K + 1}
-      ORDER BY v.x""")
+      SELECT x, cnt FROM verified
+      WHERE cnt > n DIV ${graft.ops.Mg.K + 1}
+      ORDER BY x""")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
