@@ -630,6 +630,68 @@ object Retrieval {
       .orderBy("q_doc", "rank")
   }
 
+  /** Retrieval-quality EVALUATION (`retrieval_eval`) — MRR and nDCG@K
+    * for the [[bm25PerQuery]] ranking against a graded relevance truth
+    * derived from the corpus itself: rel(query, doc) = how many of the
+    * query's distinct terms the doc contains (full containment = the
+    * binary "relevant" for MRR; the graded value feeds nDCG's 2^rel−1
+    * gains). This closes the retrieval loop — index → search →
+    * measure — the way a training-data pipeline scores its retriever
+    * before trusting it for data selection.
+    *
+    * Scale shape: the relevance table reuses the pruned
+    * (doc, query-term) stream (broadcast query terms in front of the
+    * scan), the ideal ranking prunes through a per-query
+    * WindowGroupLimit, and every metric is a per-query aggregate of
+    * ≤K rows. Determinism: DCG addends round to 9 dp and sum as
+    * DECIMAL(18,9) (order-independent); log2 is spelled LN(x)/LN(2)
+    * identically on both engines; final metrics round to 6 dp. */
+  def retrievalEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = Bm25Queries.toDF("query_id", "term")
+    val qn = q.groupBy("query_id").agg(count(lit(1)).as("n_terms"))
+    val d = Tables.load(s, dir, "documents")
+    val occQ = d.select(col("doc_id"),
+        explode(split(coalesce(col("text"), lit("")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .join(broadcast(q.select("term").distinct()), Seq("term"))
+      .select("doc_id", "term").distinct()
+    val rel = occQ.join(broadcast(q), Seq("term"))
+      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("rel"))
+    val hits = bm25PerQuery(s, dir).select("query_id", "rank", "doc_id")
+      .join(rel, Seq("query_id", "doc_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0L)))
+    def gain(rankCol: org.apache.spark.sql.Column) =
+      round((pow(lit(2.0), col("rel")) - lit(1.0)) /
+        (log(rankCol.cast("double") + lit(1.0)) / log(lit(2.0))), 9)
+        .cast("decimal(18,9)")
+    val dcg = hits.groupBy("query_id")
+      .agg(round(sum(gain(col("rank"))).cast("double"), 6).as("dcg"))
+    val ideal = rel.withColumn("irank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rel").desc, col("doc_id"))).cast("long"))
+      .filter(col("irank") <= Bm25PerQueryK)
+    val idcg = ideal.groupBy("query_id")
+      .agg(round(sum(gain(col("irank"))).cast("double"), 6).as("idcg"))
+    val firstFull = hits.join(broadcast(qn), Seq("query_id"))
+      .filter(col("rel") === col("n_terms"))
+      .groupBy("query_id").agg(min(col("rank")).as("fr"))
+    val nRel = rel.join(broadcast(qn), Seq("query_id"))
+      .filter(col("rel") === col("n_terms"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    qn.select("query_id")
+      .join(nRel, Seq("query_id"), "left")
+      .join(firstFull, Seq("query_id"), "left")
+      .join(dcg, Seq("query_id"), "left")
+      .join(idcg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(round(lit(1.0) / col("fr"), 6), lit(0.0)).as("mrr"),
+        when(coalesce(col("idcg"), lit(0.0)) === 0.0, lit(0.0))
+          .otherwise(round(col("dcg") / col("idcg"), 6)).as("ndcg"))
+      .orderBy("query_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rag_retrieve" -> (ragRetrieve _),
     "text_phrase_search" -> (phraseSearch _),
@@ -637,11 +699,57 @@ object Retrieval {
     "vocab_build" -> (vocabBuild _),
     "text_bm25_topk" -> (bm25TopK _),
     "text_bm25_queries" -> (bm25PerQuery _),
+    "retrieval_eval" -> (retrievalEval _),
     "bpe_top_pairs" -> (bpeTopPairs _),
     "bpe_train" -> (bpeTrain _),
     "bpe_encode" -> (bpeEncode _),
     "unigram_tokenize" -> (unigramTokenize _),
     "tokenize_docs" -> (tokenizeDocs _))
+
+  /** The [[bm25PerQuery]] ranking as DuckDB CTEs (no leading WITH;
+    * exposes q, qtf, dfreq, dl, stats, scored, ranked) — shared by the
+    * ranking oracle and the retrieval-eval oracle on top of it. */
+  private def bm25QueryCtesSql: String = {
+    val qvals = Bm25Queries.map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+    s"""q0(query_id, term) AS (VALUES $qvals),
+      q AS (SELECT CAST(query_id AS BIGINT) AS query_id, term FROM q0),
+      occ0 AS (
+        SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS term
+        FROM documents),
+      qtf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM occ0
+        WHERE length(term) > 0 AND term IN (SELECT DISTINCT term FROM q)
+        GROUP BY 1, 2),
+      dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+                FROM qtf GROUP BY 1),
+      dl AS (
+        SELECT doc_id,
+          CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT) AS dl
+        FROM documents),
+      stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl),
+      scored AS (
+        SELECT q.query_id, qtf.doc_id,
+          CAST(COUNT(*) AS BIGINT) AS n_terms,
+          ROUND(SUM(
+            ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)) *
+            (qtf.tf * ${Bm25K1 + 1} /
+              (qtf.tf + $Bm25K1 *
+                (1.0 - $Bm25B + $Bm25B * dl.dl / stats.avgdl)))), 6) AS score
+        FROM qtf
+          JOIN q USING (term)
+          JOIN dfreq ON qtf.term = dfreq.term
+          JOIN dl ON qtf.doc_id = dl.doc_id, stats
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT query_id, doc_id, n_terms, score,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        FROM scored)"""
+  }
 
   /** The unrolled BPE training stages as DuckDB CTEs (no leading
     * WITH): word counts → char segmentations → k rounds of pair-count
@@ -812,50 +920,57 @@ object Retrieval {
         CAST(n_occ AS BIGINT) AS n_occurrences,
         CAST(n_docs AS BIGINT) AS n_docs
       FROM cut ORDER BY token_id""",
-    "text_bm25_queries" -> {
-      val qvals = Bm25Queries.map { case (id, t) => s"($id, '$t')" }.mkString(", ")
-      s"""
-      WITH q0(query_id, term) AS (VALUES $qvals),
-      q AS (SELECT CAST(query_id AS BIGINT) AS query_id, term FROM q0),
-      occ0 AS (
-        SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS term
-        FROM documents),
-      qtf AS (
-        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
-        FROM occ0
-        WHERE length(term) > 0 AND term IN (SELECT DISTINCT term FROM q)
-        GROUP BY 1, 2),
-      dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
-                FROM qtf GROUP BY 1),
-      dl AS (
-        SELECT doc_id,
-          CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT) AS dl
-        FROM documents),
-      stats AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-          CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
-        FROM dl),
-      scored AS (
-        SELECT q.query_id, qtf.doc_id,
-          CAST(COUNT(*) AS BIGINT) AS n_terms,
-          ROUND(SUM(
-            ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)) *
-            (qtf.tf * ${Bm25K1 + 1} /
-              (qtf.tf + $Bm25K1 *
-                (1.0 - $Bm25B + $Bm25B * dl.dl / stats.avgdl)))), 6) AS score
-        FROM qtf
-          JOIN q USING (term)
-          JOIN dfreq ON qtf.term = dfreq.term
-          JOIN dl ON qtf.doc_id = dl.doc_id, stats
-        GROUP BY 1, 2),
-      ranked AS (
-        SELECT query_id, doc_id, n_terms, score,
-          CAST(row_number() OVER (PARTITION BY query_id
-            ORDER BY score DESC, doc_id) AS BIGINT) AS rank
-        FROM scored)
+    "text_bm25_queries" -> s"""
+      WITH $bm25QueryCtesSql
       SELECT query_id, rank, doc_id, n_terms, score FROM ranked
-      WHERE rank <= $Bm25PerQueryK ORDER BY query_id, rank"""
-    },
+      WHERE rank <= $Bm25PerQueryK ORDER BY query_id, rank""",
+    // MRR + nDCG@K on top of the SAME ranking CTEs; relevance = count
+    // of the query's terms the doc contains; DCG addends through
+    // DECIMAL(18,9) so the ≤K-term sums are order-independent
+    "retrieval_eval" -> s"""
+      WITH $bm25QueryCtesSql,
+      rel AS (
+        SELECT q.query_id, qtf.doc_id, CAST(COUNT(*) AS BIGINT) AS rel
+        FROM qtf JOIN q USING (term) GROUP BY 1, 2),
+      qn AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_terms
+             FROM q GROUP BY 1),
+      hits AS (
+        SELECT r.query_id, r.rank, COALESCE(rel.rel, 0) AS rel
+        FROM ranked r LEFT JOIN rel
+          ON r.query_id = rel.query_id AND r.doc_id = rel.doc_id
+        WHERE r.rank <= $Bm25PerQueryK),
+      dcg AS (
+        SELECT query_id, ROUND(CAST(SUM(CAST(ROUND(
+            (POWER(2.0, rel) - 1.0) /
+            (LN(CAST(rank + 1 AS DOUBLE)) / LN(2.0)), 9)
+          AS DECIMAL(18,9))) AS DOUBLE), 6) AS dcg
+        FROM hits GROUP BY 1),
+      ideal AS (
+        SELECT query_id, rel, CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY rel DESC, doc_id) AS BIGINT) AS irank
+        FROM rel),
+      idcg AS (
+        SELECT query_id, ROUND(CAST(SUM(CAST(ROUND(
+            (POWER(2.0, rel) - 1.0) /
+            (LN(CAST(irank + 1 AS DOUBLE)) / LN(2.0)), 9)
+          AS DECIMAL(18,9))) AS DOUBLE), 6) AS idcg
+        FROM ideal WHERE irank <= $Bm25PerQueryK GROUP BY 1),
+      ff AS (
+        SELECT h.query_id, MIN(h.rank) AS fr
+        FROM hits h JOIN qn USING (query_id)
+        WHERE h.rel = qn.n_terms GROUP BY 1),
+      nrel AS (
+        SELECT rel.query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+        FROM rel JOIN qn USING (query_id)
+        WHERE rel.rel = qn.n_terms GROUP BY 1)
+      SELECT qn.query_id,
+        COALESCE(n_rel, 0) AS n_rel,
+        COALESCE(ROUND(CAST(1.0 AS DOUBLE) / fr, 6), 0.0) AS mrr,
+        CASE WHEN COALESCE(idcg, 0.0) = 0.0 THEN 0.0
+          ELSE ROUND(dcg / idcg, 6) END AS ndcg
+      FROM qn LEFT JOIN nrel USING (query_id) LEFT JOIN ff USING (query_id)
+        LEFT JOIN dcg USING (query_id) LEFT JOIN idcg USING (query_id)
+      ORDER BY qn.query_id""",
     // the trainer oracle unrolls the merge loop into K CTE stages: per
     // stage a pair-count aggregate, a (n DESC, a, b) argmax, and a
     // list_reduce re-segmentation implementing the same greedy

@@ -218,6 +218,39 @@ class OpsSpec extends AnyFunSuite {
       s"sinks hold ${supp.values.sum} of the mass - redistribution broken?")
   }
 
+  test("retrieval eval: metrics bounded, full-match@1 implies mrr=1") {
+    val rows = graft.ops.Retrieval.retrievalEval(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSet ==
+      graft.ops.Retrieval.Bm25Queries.map(_._1).toSet,
+      "every query id must get a metrics row")
+    rows.foreach { case (qid, nRel, mrr, ndcg) =>
+      assert(mrr >= 0.0 && mrr <= 1.0, s"q$qid mrr=$mrr")
+      assert(ndcg >= 0.0 && ndcg <= 1.0 + 1e-9, s"q$qid ndcg=$ndcg")
+      assert(nRel >= 0)
+      // a query with no fully-matching doc anywhere can never have
+      // positive MRR (MRR is defined on full containment)
+      if (nRel == 0) assert(mrr == 0.0, s"q$qid mrr>0 with no relevant docs")
+    }
+    // cross-check MRR against a by-hand walk of the ranked lists
+    val q = graft.ops.Retrieval.Bm25Queries.groupBy(_._1)
+      .map { case (id, ts) => id -> ts.map(_._2).toSet }
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse("")
+        .split(" ").filter(_.nonEmpty).toSet).toMap
+    val ranked = graft.ops.Retrieval.bm25PerQuery(spark, dir)
+      .select("query_id", "rank", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { case (qid, _, mrr, _) =>
+      val full = ranked.filter(_._1 == qid).sortBy(_._2)
+        .find(r => q(qid).subsetOf(docs(r._3)))
+      val expect = full.map(r => math.rint(1e6 / r._2) / 1e6).getOrElse(0.0)
+      assert(math.abs(mrr - expect) < 1e-9,
+        s"q$qid mrr=$mrr, by-hand walk says $expect")
+    }
+  }
+
   test("A-ES weighted sample: exactly K rows, biased toward heavy (long) docs") {
     val docs = Tables.load(spark, dir, "documents")
     val corpusMean = docs.agg(avg("n_chars")).head().getDouble(0)
