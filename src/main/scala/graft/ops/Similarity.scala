@@ -610,7 +610,71 @@ object Similarity {
         (col("hits") >= expr("(n_expected*7 + 9) DIV 10")).as("recall_ok"))
   }
 
+  /** Embedding-space drift monitor (`emb_drift_psi`) — the vector twin
+    * of the scalar `events_drift_psi`: population-stability index over
+    * a DETERMINISTIC sign-bucket partition of the embedding space (the
+    * 4-bit sign pattern of dimensions 0–3 — an axis-aligned
+    * hyperplane-LSH cell; deterministic so the DuckDB oracle replays
+    * the assignment, where trained k-means cells could not be
+    * hash-gated). Baseline = even vec_ids; "current" = odd ids with
+    * dimension 0 SHIFTED by +1 (a planted mean drift — the bit-3 sign
+    * probability moves from ~0.5 to ~Φ(1), shifting mass between the
+    * two 8-cell blocks; a sign FLIP would be invisible here, since a
+    * symmetric distribution maps to itself under it). Full 16-cell
+    * grid enumerated,
+    * add-one smoothed; PSI terms use the exact-integer-product LN
+    * contract and sum through DECIMAL(18,9), so the index is
+    * engine-exact at 6 dp. Scale shape: two scan-fused bucketing
+    * aggregates + a 16-row grid join — the report is O(cells). */
+  def embDriftPsi(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(embDriftPsiSql(
+      (i: Int) => s"embedding[$i]", "SELECT explode(sequence(0, 15)) AS bucket"))
+  }
+
+  /** The PSI SQL, parameterized by element indexing (0- vs 1-based)
+    * and the bucket-grid generator — the only dialect differences. */
+  private[ops] def embDriftPsiSql(e: Int => String, grid: String): String = {
+    def bucket(shift0: Boolean) = {
+      // CAST to double first: float + double literal would otherwise
+      // promote differently across engines
+      val d0 = if (shift0) s"(CAST(${e(0)} AS DOUBLE) + 1.0)" else e(0)
+      s"""(CASE WHEN $d0 > 0 THEN 8 ELSE 0 END +
+          CASE WHEN ${e(1)} > 0 THEN 4 ELSE 0 END +
+          CASE WHEN ${e(2)} > 0 THEN 2 ELSE 0 END +
+          CASE WHEN ${e(3)} > 0 THEN 1 ELSE 0 END)"""
+    }
+    s"""
+    WITH base AS (
+      SELECT ${bucket(shift0 = false)} AS bucket, CAST(COUNT(*) AS BIGINT) AS c
+      FROM embeddings WHERE vec_id % 2 = 0 GROUP BY 1),
+    cur AS (
+      SELECT ${bucket(shift0 = true)} AS bucket, CAST(COUNT(*) AS BIGINT) AS c
+      FROM embeddings WHERE vec_id % 2 = 1 GROUP BY 1),
+    grid AS ($grid),
+    j AS (
+      SELECT g.bucket,
+        COALESCE(base.c, 0) + 1 AS c1, COALESCE(cur.c, 0) + 1 AS c2
+      FROM grid g
+      LEFT JOIN base ON base.bucket = g.bucket
+      LEFT JOIN cur ON cur.bucket = g.bucket),
+    tot AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+      FROM j),
+    terms AS (
+      SELECT CAST(ROUND(
+          (CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2) *
+          (LN(CAST(c1 * n2 AS DOUBLE)) - LN(CAST(c2 * n1 AS DOUBLE))), 9)
+        AS DECIMAL(18,9)) AS t, n1, n2
+      FROM j, tot)
+    SELECT n1, n2,
+      ROUND(CAST(SUM(t) AS DOUBLE), 6) AS psi,
+      ROUND(CAST(SUM(t) AS DOUBLE), 6) > 0.1 AS drifted
+    FROM terms GROUP BY n1, n2"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_drift_psi" -> (embDriftPsi _),
     "emb_hard_negatives" -> (hardNegatives _),
     "emb_hard_negatives_ivf" -> (hardNegativesIvf _),
     "emb_near_dup" -> (nearDup _),
@@ -641,6 +705,9 @@ object Similarity {
         FROM withn a, withn b WHERE a.vec_id < b.vec_id)"""
 
   val oracle: Map[String, String] = Map(
+    "emb_drift_psi" -> embDriftPsiSql(
+      (i: Int) => s"embedding[${i + 1}]",
+      "SELECT unnest(range(0, 16)) AS bucket"),
     "decontaminate_semantic" -> s"""
       WITH corpus AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e
