@@ -99,9 +99,18 @@ object PageRank {
     math.max(2L, math.min(s.sparkContext.defaultParallelism.toLong,
       edgeCount / EdgeRowsPerPartition + 1)).toInt
 
-  def pagerank(s: SparkSession, dir: String): DataFrame = {
+  def pagerank(s: SparkSession, dir: String): DataFrame =
+    pagerankLoop(s, sess => edgesWithDeg(sess, dir))
+
+  /** The damped symmetric loop over an ARBITRARY (src, dst, outdeg)
+    * edge table — shared by the corpus gate and the closed-form volume
+    * spec (ScaleSpec's ring graph). `build` receives the private
+    * session clone so the edge dataframe executes under the pinned
+    * loop conf. */
+  private[graft] def pagerankLoop(s: SparkSession,
+      build: SparkSession => DataFrame): DataFrame = {
     val sess = s.newSession() // private conf scope — see the scaladoc
-    val ed0 = edgesWithDeg(sess, dir)
+    val ed0 = build(sess)
     val parts = loopParts(sess, ed0.count())
     sess.conf.set("spark.sql.adaptive.enabled", "false")
     sess.conf.set("spark.sql.shuffle.partitions", parts)

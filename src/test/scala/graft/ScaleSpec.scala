@@ -261,6 +261,36 @@ class DemuxVolumeSpec extends AnyFunSuite {
       "is the search scanning the corpus again?")
   }
 
+  test("500k-node ring PageRank: uniform ranks exact by symmetry, bounded wall-clock") {
+    import spark.implicits._
+    // A symmetric ring (i ↔ i±1 mod n) is vertex-transitive, so the
+    // stationary distribution is EXACTLY uniform and stays uniform
+    // through every damped round — rank_i = 1/n is a closed-form truth
+    // at any scale, no second implementation needed. 500k nodes / 1M
+    // directed edges is ~10× the corpus gate's edge volume; the
+    // 12-dp rounding drifts each round by ≤1 ulp(1e-12), far inside
+    // the 6-dp output grid. The ceiling is the empirical tripwire for
+    // a loop that re-shuffles the pinned edges or leaks lineage.
+    val n = 500000L
+    val t0 = System.nanoTime()
+    val ranks = graft.ops.PageRank.pagerankLoop(spark, sess =>
+      sess.range(0L, n, 1L, 16)
+        .select(explode(array(
+          struct(col("id").as("src"), pmod(col("id") + 1, lit(n)).as("dst")),
+          struct(col("id").as("src"), pmod(col("id") - 1 + n, lit(n)).as("dst"))))
+          .as("e"))
+        .select(col("e.src"), col("e.dst"), lit(2L).as("outdeg")))
+    val row = ranks.agg(
+      count(lit(1)), min(col("rank")), max(col("rank"))).head()
+    val dt = (System.nanoTime() - t0) / 1e9
+    info(f"500k-node ring PageRank in $dt%.1f s")
+    assert(row.getLong(0) == n)
+    val uniform = math.rint(1e6 / n) / 1e6 // round(1/n, 6) = 0.000002
+    assert(row.getDouble(1) == uniform && row.getDouble(2) == uniform,
+      s"ranks [${row.getDouble(1)}, ${row.getDouble(2)}] != uniform $uniform")
+    assert(dt < 240.0, f"ring PageRank took $dt%.1f s — loop budget blown")
+  }
+
   test("1M-log one-pass demux + pruned decode conserves every row, ≥2500 logs/s") {
     import graft.fixtures.MakerFixtures
     import graft.ingest.Demux
