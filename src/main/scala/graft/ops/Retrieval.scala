@@ -141,16 +141,27 @@ object Retrieval {
     * through WindowGroupLimit — per-partition heaps, never a global
     * sort of the scored universe. Same oracle-parity float contract as
     * [[bm25TopK]]. */
+  /** The pruned per-(doc, query-term) frequency stream (the oracle's
+    * `qtf` CTE): broadcast query terms cut the token explode BEFORE
+    * any aggregation — shared by the ranking and by [[retrievalEval]]'s
+    * relevance table, so the eval gate doesn't pay a second corpus
+    * scan + explode. */
+  private def queryTermFreqs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = Bm25Queries.toDF("query_id", "term")
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(split(coalesce(col("text"), lit("")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .join(broadcast(q.select("term").distinct()), Seq("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+  }
+
   def bm25PerQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val q = Bm25Queries.toDF("query_id", "term")
     val d = Tables.load(s, dir, "documents")
-    val occ = d.select(col("doc_id"),
-        explode(split(coalesce(col("text"), lit("")), " ")).as("term"))
-      .filter(length(col("term")) > 0)
-    val qterms = q.select("term").distinct()
-    val qtf = occ.join(broadcast(qterms), Seq("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val qtf = queryTermFreqs(s, dir)
     val dfreq = qtf.groupBy("term").agg(count(lit(1)).as("df"))
     val dl = d.select(col("doc_id"),
       size(split(coalesce(col("text"), lit("")), " ")).cast("long").as("dl"))
@@ -650,13 +661,9 @@ object Retrieval {
     import s.implicits._
     val q = Bm25Queries.toDF("query_id", "term")
     val qn = q.groupBy("query_id").agg(count(lit(1)).as("n_terms"))
-    val d = Tables.load(s, dir, "documents")
-    val occQ = d.select(col("doc_id"),
-        explode(split(coalesce(col("text"), lit("")), " ")).as("term"))
-      .filter(length(col("term")) > 0)
-      .join(broadcast(q.select("term").distinct()), Seq("term"))
-      .select("doc_id", "term").distinct()
-    val rel = occQ.join(broadcast(q), Seq("term"))
+    // relevance from the SAME pruned frequency stream the ranking uses
+    // (the oracle derives rel from the shared qtf CTE identically)
+    val rel = queryTermFreqs(s, dir).join(broadcast(q), Seq("term"))
       .groupBy("query_id", "doc_id").agg(count(lit(1)).as("rel"))
     val hits = bm25PerQuery(s, dir).select("query_id", "rank", "doc_id")
       .join(rel, Seq("query_id", "doc_id"), "left")

@@ -633,7 +633,12 @@ object Similarity {
   }
 
   /** The PSI SQL, parameterized by element indexing (0- vs 1-based)
-    * and the bucket-grid generator — the only dialect differences. */
+    * and the bucket-grid generator — the only dialect differences.
+    * Sibling: [[graft.queries.Events]]' driftPsiSql (per-type value
+    * bins); a change to the smoothing, threshold, or LN-factor recipe
+    * belongs in both. LN factors cast to DOUBLE BEFORE multiplying —
+    * a raw BIGINT product c·n wraps past 2^63 on multi-billion-row
+    * tables and LN(negative) would silently NULL the term. */
   private[ops] def embDriftPsiSql(e: Int => String, grid: String): String = {
     def bucket(shift0: Boolean) = {
       // CAST to double first: float + double literal would otherwise
@@ -664,7 +669,7 @@ object Similarity {
     terms AS (
       SELECT CAST(ROUND(
           (CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2) *
-          (LN(CAST(c1 * n2 AS DOUBLE)) - LN(CAST(c2 * n1 AS DOUBLE))), 9)
+          (LN(CAST(c1 AS DOUBLE) * CAST(n2 AS DOUBLE)) - LN(CAST(c2 AS DOUBLE) * CAST(n1 AS DOUBLE))), 9)
         AS DECIMAL(18,9)) AS t, n1, n2
       FROM j, tot)
     SELECT n1, n2,

@@ -350,7 +350,12 @@ object Events {
     * enumerated per type: a bin empty on both sides still contributes
     * its smoothed mass difference. Scale shape: two scan-fused binning
     * aggregates + a broadcast-sized grid join — one shuffle each, the
-    * drift report is O(types × bins). */
+    * drift report is O(types × bins). Sibling:
+    * [[graft.ops.Similarity.embDriftPsiSql]] applies the same PSI/LN
+    * contract to embedding-space sign buckets — kept separate on
+    * purpose (different grain: per-type value bins vs one global cell
+    * grid), but a change to the smoothing, threshold, or LN-factor
+    * recipe belongs in BOTH. */
   private def driftPsiSql(binGen: String): String = s"""
     WITH base AS (
       SELECT event_type,
@@ -381,11 +386,11 @@ object Events {
     SELECT j.event_type,
       ROUND(SUM(
         (CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2) *
-        (LN(CAST(c1 * n2 AS DOUBLE)) - LN(CAST(c2 * n1 AS DOUBLE)))), 6)
+        (LN(CAST(c1 AS DOUBLE) * CAST(n2 AS DOUBLE)) - LN(CAST(c2 AS DOUBLE) * CAST(n1 AS DOUBLE)))), 6)
         AS psi,
       ROUND(SUM(
         (CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2) *
-        (LN(CAST(c1 * n2 AS DOUBLE)) - LN(CAST(c2 * n1 AS DOUBLE)))), 6)
+        (LN(CAST(c1 AS DOUBLE) * CAST(n2 AS DOUBLE)) - LN(CAST(c2 AS DOUBLE) * CAST(n1 AS DOUBLE)))), 6)
         > 0.1 AS drifted
     FROM j JOIN tot ON tot.event_type = j.event_type
     GROUP BY j.event_type
