@@ -456,9 +456,47 @@ object Ivf {
   def ivfPqRecall(s: SparkSession, dir: String): DataFrame =
     Similarity.recallGate(s, dir, "ivfpq", topKIvfPq(s, dir))
 
+  /** IVF TUNING CURVE (`ann_recall_curve`) — recall@10 vs nProbe over
+    * the persisted inverted lists: the artifact a deployment reads to
+    * pick its probe budget (recall rises with probes, cost linearly
+    * with probed cells). Two DETERMINISTIC guarantees gate it, next to
+    * the single-point recall bounds of the `ann_topk_*` family:
+    * hit counts are NON-DECREASING in nProbe (probing more cells can
+    * only add candidates — a violation means the probe path DROPS
+    * candidates), and at nProbe = k every cell is probed, IVF
+    * degenerates to exhaustive search, and the hits equal the brute
+    * truth EXACTLY (same 6-dp rounding and (cosine, nid) tiebreak).
+    * Cost: 4 partition-pruned probes of the one persisted index plus
+    * the fingerprint-cached brute truth. */
+  def ivfRecallCurve(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fp = IvfModel.fingerprint(
+      Similarity.rawVecs(Tables.load(s, dir, "embeddings")))
+    val brute = TruthCache.cached(s, "ann_brute_topk", fp,
+      Similarity.topK(s, dir).select(col("qid"), col("nid")))
+    val perProbe = Seq(1, 2, 4, 8).map { np =>
+      brute.join(topKIvf(s, dir, nProbe = np).select(col("qid"), col("nid")),
+          Seq("qid", "nid"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(np).as("nprobe"), col("hits"))
+    }.reduce(_ unionByName _)
+    // the 4-row curve: a global window over it is bounded by the probe
+    // grid, never by the corpus (the q05_window_global pattern)
+    val w = Window.orderBy("nprobe")
+    perProbe.crossJoin(brute.agg(count(lit(1)).as("n_expected")))
+      .withColumn("mono_ok",
+        coalesce(col("hits") >= lag("hits", 1).over(w), lit(true)))
+      .withColumn("exact_at_full",
+        col("nprobe") =!= lit(8) || col("hits") === col("n_expected"))
+      .select(col("nprobe"), col("n_expected"), col("mono_ok"),
+        col("exact_at_full"))
+      .orderBy("nprobe")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk_ivf" -> (ivfRecall _),
     "ann_topk_ivfpq" -> (ivfPqRecall _),
+    "ann_recall_curve" -> (ivfRecallCurve _),
     "ann_topk_filtered" -> (ivfFilteredRecall _))
 
   private def recallOracle(method: String): String = s"""
@@ -471,6 +509,15 @@ object Ivf {
   val oracle: Map[String, String] = Map(
     "ann_topk_ivf" -> recallOracle("ivf"),
     "ann_topk_ivfpq" -> recallOracle("ivfpq"),
+    // the curve's guarantees are literal TRUE; n_expected anchors it
+    "ann_recall_curve" -> """
+      SELECT nprobe,
+        (SELECT CAST(10*COUNT(*) AS BIGINT)
+         FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 10))
+          AS n_expected,
+        TRUE AS mono_ok, TRUE AS exact_at_full
+      FROM (SELECT unnest([1, 2, 4, 8]) AS nprobe)
+      ORDER BY nprobe""",
     // n_expected per query = min(10, |label-matching neighbors|), the
     // query itself excluded when it carries the target label — exactly
     // the filtered brute truth's row count
