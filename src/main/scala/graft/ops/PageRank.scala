@@ -290,15 +290,24 @@ object PageRank {
     * (plan-asserted: the warm plan scans `graft_truth_` stores). A
     * changed corpus or recompiled definition misses the cache and
     * rebuilds — same sensitivity, no redundant recomputation. */
+  /** The distinct co-purchase edge set (u < v), fingerprint-cached —
+    * shared by triangle counting and [[kcore]]. */
+  private[graft] def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+    val fp = IvfModel.fingerprintOf(li, xxhash64(col("ok"), col("p")))
+    TruthCache.cached(s, "tri_pairs", fp,
+      li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v")).distinct())
+  }
+
   private[graft] def triangleDataflow(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     val li = Tables.load(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
     val fp = IvfModel.fingerprintOf(li, xxhash64(col("ok"), col("p")))
-    val pairs = TruthCache.cached(s, "tri_pairs", fp,
-      li.as("a").join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("u"), col("b.p").as("v")).distinct())
+    val pairs = copurchaseEdges(s, dir)
     // orient: (s → t) with (d_s, s) < (d_t, t)
     val oriented = TruthCache.cached(s, "tri_oriented", fp, {
       val deg = pairs.select(explode(array(col("u"), col("v"))).as("n"))
@@ -339,9 +348,77 @@ object PageRank {
     (pairs, triCount)
   }
 
+  /** Peel threshold and fixed round count for [[kcore]]. */
+  val KCoreK = 80
+  val KCoreRounds = 8
+
+  /** k-CORE decomposition (`graph_kcore`) — the fourth graph workload
+    * next to PageRank, connected components, and triangles, and a
+    * different ITERATION SHAPE: monotone peeling (each round drops
+    * every node whose degree among survivors is < k) instead of
+    * value propagation. The dense-core extractor a curation pipeline
+    * uses to find tightly co-occurring item/document clusters.
+    *
+    * Determinism: peeling is a pure set computation — no floats
+    * anywhere — and it is MONOTONE (survivor sets only shrink, and
+    * once the fixpoint is reached further rounds are no-ops), so a
+    * FIXED round count [[KCoreRounds]] replayed identically by the
+    * unrolled DuckDB oracle gives identical sets whenever the peel
+    * converges within the budget; the `converged` output column
+    * (round-R survivors all have degree ≥ k) is TRUE in the oracle, so
+    * a fixture needing more rounds fails LOUDLY as a hash mismatch
+    * instead of silently gating a partial peel. The loop EARLY-EXITS
+    * when a round's survivor count equals the previous one (survivor
+    * sets only shrink, so equal count ⇒ equal set ⇒ fixpoint; the
+    * skipped rounds would be no-ops, so the output is bit-identical
+    * to the full budget) — one scalar count per round, the Pregel
+    * aggregator allowance.
+    *
+    * Scale shape: per round, the edge table semi-joins the (shrinking)
+    * survivor set on both endpoints — broadcast-sized here, shuffled
+    * semi-joins on the node id at 100 TB — and one partial-combined
+    * degree aggregate; survivors checkpoint per round (node-sized). */
+  def kcore(s: SparkSession, dir: String): DataFrame = {
+    val pairs = copurchaseEdges(s, dir)
+    val edges = pairs
+      .unionAll(pairs.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    val nodes = edges.select(col("u").as("n")).distinct().localCheckpoint()
+    def degOf(alive: DataFrame): DataFrame =
+      edges.join(alive.select(col("n").as("u")), Seq("u"), "left_semi")
+        .join(alive.select(col("n").as("v")), Seq("v"), "left_semi")
+        .groupBy("u").agg(count(lit(1)).as("d"))
+    var alive = nodes
+    var prev = alive.count()
+    var r = 0
+    var fixed = false
+    while (r < KCoreRounds && !fixed) {
+      alive = degOf(alive).filter(col("d") >= KCoreK)
+        .select(col("u").as("n")).localCheckpoint()
+      val c = alive.count()
+      fixed = c == prev
+      prev = c
+      r += 1
+    }
+    // convergence check: one MORE round would drop nobody — anti-join
+    // (not a degree filter: a survivor with zero surviving edges has no
+    // degree row at all, and must still count as a violation)
+    val violations = alive.join(
+        degOf(alive).filter(col("d") >= KCoreK).select(col("u").as("n")),
+        Seq("n"), "left_anti")
+      .agg(count(lit(1)).as("viol"))
+    nodes.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(alive.agg(count(lit(1)).as("core_size"),
+        coalesce(sum(col("n")), lit(0L)).as("id_sum")))
+      .crossJoin(violations)
+      .select(col("n_nodes"), col("core_size"), col("id_sum"),
+        (col("viol") === 0L).as("converged"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> (pagerank _),
     "graph_pagerank_dangling" -> (pagerankDangling _),
+    "graph_kcore" -> (kcore _),
     "graph_triangles" -> (triangles _))
 
   /** 10 unrolled damped iterations in DuckDB — same rounding points,
@@ -420,9 +497,48 @@ object PageRank {
       SELECT node, ROUND(rank, 6) AS rank FROM r$PrIters ORDER BY node"""
   }
 
+  /** [[KCoreRounds]] unrolled peel rounds; every survivor CTE is
+    * MATERIALIZED (each is referenced three times — inlining would
+    * blow up exponentially across rounds). */
+  private def oracleKcoreSql: String = {
+    val rounds = (1 to KCoreRounds).map { r =>
+      s"""a$r AS MATERIALIZED (
+        SELECT u AS n FROM (
+          SELECT u, COUNT(*) AS d FROM ed
+          WHERE u IN (SELECT n FROM a${r - 1})
+            AND v IN (SELECT n FROM a${r - 1})
+          GROUP BY u)
+        WHERE d >= $KCoreK)"""
+    }.mkString(",\n")
+    s"""
+      WITH pp AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      ed AS MATERIALIZED (
+        SELECT u, v FROM pp UNION ALL SELECT v AS u, u AS v FROM pp),
+      a0 AS MATERIALIZED (SELECT DISTINCT u AS n FROM ed),
+      $rounds,
+      kept AS MATERIALIZED (
+        SELECT u FROM (
+          SELECT u, COUNT(*) AS d FROM ed
+          WHERE u IN (SELECT n FROM a$KCoreRounds)
+            AND v IN (SELECT n FROM a$KCoreRounds)
+          GROUP BY u)
+        WHERE d >= $KCoreK)
+      SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM a0) AS n_nodes,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM a$KCoreRounds) AS core_size,
+        (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM a$KCoreRounds)
+          AS id_sum,
+        (SELECT COUNT(*) FROM a$KCoreRounds
+         WHERE n NOT IN (SELECT u FROM kept)) = 0 AS converged"""
+  }
+
   val oracle: Map[String, String] = Map(
     "graph_pagerank" -> oracleSql,
     "graph_pagerank_dangling" -> oracleDanglingSql,
+    "graph_kcore" -> oracleKcoreSql,
     // orientation-independent count: the plain id-ordered 3-way join
     "graph_triangles" -> """
       WITH pp AS (
