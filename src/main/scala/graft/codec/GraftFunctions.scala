@@ -106,7 +106,31 @@ object GraftFunctions {
       storeVersionBuilder, "scala_udf")
   }
 
-  def register(spark: SparkSession): Unit = {
+  /** Sessions already registered — weak keys so a discarded session (test
+    * suites spin up many) can still be collected. `register` is called
+    * from inside query functions for self-sufficiency; without this guard
+    * every call re-registered ~15 session-global functions, spamming
+    * "replaced a previously registered function" WARNs and, worse,
+    * read-modify-writing the shared SimpleFunctionRegistry mid-query —
+    * a real race once two queries run concurrently on one session. */
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Test hook: has this exact session instance been registered? */
+  private[graft] def isRegistered(spark: SparkSession): Boolean =
+    registered.containsKey(spark)
+
+  def register(spark: SparkSession): Unit = synchronized {
+    // the object-level lock (not just the map's) makes registration
+    // ATOMIC, not merely idempotent: a second thread arriving mid-way
+    // must wait until every function is in place before its query plans
+    if (registered.containsKey(spark)) return
+    doRegister(spark)
+    registered.put(spark, java.lang.Boolean.TRUE)
+  }
+
+  private def doRegister(spark: SparkSession): Unit = {
     val reg = Shim.registry(spark)
     registerGenerateSeries(spark)
     registerStoreTvfs(spark)

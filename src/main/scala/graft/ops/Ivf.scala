@@ -24,6 +24,13 @@ import graft.Tables
   * is O(probed partitions), sublinear in the corpus. */
 object Ivf {
 
+  /** The one cluster count shared by every IVF entry point's default
+    * (`topKIvf`/`topKIvfPq`/`searchIvf`) AND by [[ivfRecallCurve]]'s
+    * probe grid — the curve's "exhaustive at full probing" leg holds
+    * only when its last grid point probes ALL cells, so grid and k must
+    * move together. */
+  val IvfK = 8
+
   /** Deterministic bounded training sample, shared by the coarse
     * quantizer and the PQ codebooks. Sampling is a value-hash filter
     * (`hash(vec_id) % every == 0`) — distribution-independent (no
@@ -148,7 +155,7 @@ object Ivf {
     * corpus ZERO times beyond the query-row filter; without it, one
     * no-shuffle scalar fingerprint aggregate guards staleness. */
   def searchIvf(v: DataFrame, dir: String, table: String, queryPred: Column,
-                k: Int = 8, nProbe: Int = 4, topN: Int = 10,
+                k: Int = IvfK, nProbe: Int = 4, topN: Int = 10,
                 version: Option[(Long, Long)] = None): DataFrame = {
     val m = trainedModel(v, dir, table, k, version = version)
     val flat = ensureFlatLists(v, dir, table, m, k)
@@ -194,7 +201,7 @@ object Ivf {
     * (unshuffled) vectors — searchIvf's corpus-width touches are the
     * fingerprint aggregate and the one-time build, which widens
     * itself. */
-  def topKIvf(s: SparkSession, dir: String, k: Int = 8, nProbe: Int = 4): DataFrame =
+  def topKIvf(s: SparkSession, dir: String, k: Int = IvfK, nProbe: Int = 4): DataFrame =
     searchIvf(Similarity.rawVecs(Tables.load(s, dir, "embeddings")), dir,
       "embeddings", col("vec_id") < 10, k, nProbe)
 
@@ -238,7 +245,7 @@ object Ivf {
     * (score first, filter the top-k after) would return < k rows
     * whenever the filter is selective; re-touching the corpus for the
     * attribute would defeat the index. Neither happens here. */
-  def topKIvfFiltered(s: SparkSession, dir: String, k: Int = 8,
+  def topKIvfFiltered(s: SparkSession, dir: String, k: Int = IvfK,
                       nProbe: Int = FilteredNProbe, topN: Int = 10,
                       target: Int = FilterLabel): DataFrame = {
     val v = Similarity.rawVecs(Tables.load(s, dir, "embeddings"))
@@ -370,7 +377,7 @@ object Ivf {
     * top-`shortlist` are then re-ranked with exact vectors fetched from
     * the flat lists under the SAME cluster pruning (every shortlist
     * member lives in a probed cluster). */
-  def topKIvfPq(s: SparkSession, dir: String, k: Int = 8, nProbe: Int = 4,
+  def topKIvfPq(s: SparkSession, dir: String, k: Int = IvfK, nProbe: Int = 4,
                 m: Int = 16, codes: Int = 16, shortlist: Int = 50): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.graftshim.Shim
@@ -474,7 +481,11 @@ object Ivf {
       Similarity.rawVecs(Tables.load(s, dir, "embeddings")))
     val brute = TruthCache.cached(s, "ann_brute_topk", fp,
       Similarity.topK(s, dir).select(col("qid"), col("nid")))
-    val perProbe = Seq(1, 2, 4, 8).map { np =>
+    // powers of two up to IvfK — derived, so the final grid point always
+    // probes EVERY cell and the exact_at_full leg stays exercised if the
+    // cluster count changes
+    val probeGrid = Iterator.iterate(1)(_ * 2).takeWhile(_ < IvfK).toSeq :+ IvfK
+    val perProbe = probeGrid.map { np =>
       brute.join(topKIvf(s, dir, nProbe = np).select(col("qid"), col("nid")),
           Seq("qid", "nid"), "left_semi")
         .agg(count(lit(1)).as("hits"))
@@ -487,7 +498,7 @@ object Ivf {
       .withColumn("mono_ok",
         coalesce(col("hits") >= lag("hits", 1).over(w), lit(true)))
       .withColumn("exact_at_full",
-        col("nprobe") =!= lit(8) || col("hits") === col("n_expected"))
+        col("nprobe") =!= lit(IvfK) || col("hits") === col("n_expected"))
       .select(col("nprobe"), col("n_expected"), col("mono_ok"),
         col("exact_at_full"))
       .orderBy("nprobe")

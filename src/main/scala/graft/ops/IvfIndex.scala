@@ -161,15 +161,20 @@ object IvfIndex {
   private val builtRoots =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** Gate-store root under tmpdir for (prefix, corpus dir): carries the
-    * dir basename for readability plus a hash of the ABSOLUTE path so
-    * two corpora with the same basename never alias (one recipe for
-    * every gate of this family — keep them in lockstep). */
-  private def gateStoreRoot(prefix: String, dir: String): String = {
+  /** Gate-store root under tmpdir for (prefix, corpus dir, corpus
+    * fingerprint): carries the dir basename for readability, a hash of
+    * the ABSOLUTE path so two corpora with the same basename never
+    * alias, AND the corpus VALUE fingerprint (the TruthCache recipe) so
+    * a fixture regenerated in-place misses — without it, the per-JVM
+    * builtRoots memo would happily reuse a pre-built/pre-deleted index
+    * over data the oracle no longer reads. */
+  private def gateStoreRoot(prefix: String, dir: String,
+                            fp: (Long, Long)): String = {
     val abs = new java.io.File(dir).getAbsolutePath
     s"${System.getProperty("java.io.tmpdir")}/${prefix}_" +
       new java.io.File(dir).getName + "_" +
-      java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(abs))
+      java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(abs)) +
+      "_" + java.lang.Long.toHexString(fp._1 ^ java.lang.Long.rotateLeft(fp._2, 17))
   }
 
   /** Gate: the quantizer trains on the even-vec_id HALF (the seed
@@ -193,7 +198,7 @@ object IvfIndex {
     * semantics this gate exists to prove. */
   def incrementalRecall(s: SparkSession, dir: String): DataFrame = {
     val v = Similarity.rawVecs(graft.Tables.load(s, dir, "embeddings"))
-    val root = gateStoreRoot("graft_ivf_index", dir)
+    val root = gateStoreRoot("graft_ivf_index", dir, IvfModel.fingerprint(v))
     builtRoots.synchronized {
       if (!builtRoots.contains(root)) {
         val p = new org.apache.hadoop.fs.Path(root)
@@ -218,7 +223,7 @@ object IvfIndex {
   def deleteGate(s: SparkSession, dir: String): DataFrame = {
     val v = Similarity.rawVecs(graft.Tables.load(s, dir, "embeddings"))
       .filter(col("vec_id") < 2000)
-    val root = gateStoreRoot("graft_ivf_del", dir)
+    val root = gateStoreRoot("graft_ivf_del", dir, IvfModel.fingerprint(v))
     builtRoots.synchronized {
       if (!builtRoots.contains(root)) {
         val p = new org.apache.hadoop.fs.Path(root)

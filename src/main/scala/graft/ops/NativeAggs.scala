@@ -17,6 +17,24 @@ import org.apache.spark.sql.types._
   * primitive buffer, and are map-side combinable (partial aggregation
   * before the shuffle), which is the property that matters at 100 TB.
   */
+/** Analysis-time whitelist for the LONG-KEYED sketches (CMS, MG): their
+  * update paths coerce via `Number.longValue()`, which would silently
+  * truncate a DOUBLE input's fraction and sketch the wrong keys. Integral
+  * widths narrower than bigint coerce losslessly and stay accepted;
+  * fractional types are an analysis error, matching the contract
+  * [[IntersectCountSortedLong]] already enforces for its array inputs. */
+private[ops] object IntegralKeyCheck {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  def apply(name: String, e: Expression): TypeCheckResult = e.dataType match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$name requires an integral key (tinyint/smallint/int/bigint), got " +
+        s"${other.simpleString}: fractional keys would be truncated silently" +
+        " — hash or floor/round the column explicitly first")
+  }
+}
+
 object MinHashAgg {
   val MersennePrime = 2147483647L // 2^31-1
 
@@ -348,14 +366,18 @@ case class CmsAgg(child: Expression,
                   inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
 
+  override def checkInputDataTypes()
+  : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    IntegralKeyCheck("cms_agg", child)
+
   override def createAggregationBuffer(): Array[Long] = new Array[Long](Cms.cells)
 
   override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      // accept any numeric input (the MgAgg contract): the registered SQL
-      // surface sees int columns and int literals as readily as longs, and
-      // a raw asInstanceOf[Long] would throw ClassCastException on them
+      // any INTEGRAL width (gated by checkInputDataTypes above): the
+      // registered SQL surface sees int columns and int literals as
+      // readily as longs, and a raw asInstanceOf[Long] would throw
       val x = v.asInstanceOf[java.lang.Number].longValue()
       var r = 0
       while (r < Cms.Depth) { buffer(Cms.slot(r, x)) += 1L; r += 1 }
@@ -428,6 +450,12 @@ case class CmsEstimate(left: Expression, right: Expression)
   extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
   with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+  : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType != BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"cms_estimate expects a cms_agg sketch (binary), got ${left.dataType.simpleString}")
+    else IntegralKeyCheck("cms_estimate", right)
   override protected def nullSafeEval(sk: Any, v: Any): Any =
     Cms.estimate(sk.asInstanceOf[Array[Byte]],
       v.asInstanceOf[java.lang.Number].longValue())
@@ -718,6 +746,10 @@ case class MgAgg(child: Expression,
   extends TypedImperativeAggregate[scala.collection.mutable.HashMap[Long, Long]]
   with UnaryLike[Expression] {
 
+  override def checkInputDataTypes()
+  : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    IntegralKeyCheck("mg_agg", child)
+
   override def createAggregationBuffer(): scala.collection.mutable.HashMap[Long, Long] =
     scala.collection.mutable.HashMap.empty
 
@@ -756,6 +788,12 @@ case class MgEstimate(left: Expression, right: Expression)
   extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
   with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+  : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType != BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"mg_estimate expects an mg_agg sketch (binary), got ${left.dataType.simpleString}")
+    else IntegralKeyCheck("mg_estimate", right)
   override protected def nullSafeEval(sk: Any, v: Any): Any =
     Mg.estimate(sk.asInstanceOf[Array[Byte]],
       v.asInstanceOf[java.lang.Number].longValue())

@@ -313,8 +313,10 @@ object Sampling {
   /** WEIGHTED sample without replacement (`sample_weighted`) — the
     * Efraimidis–Spirakis A-ES scheme (IPL 2006): every row gets key
     * ln(u)/w for a uniform u and weight w, and the K LARGEST keys are
-    * a weighted-without-replacement sample (P(selected) ∝ w for the
-    * marginal inclusion). The training-data use case: favor long/
+    * a weighted-without-replacement sample: each successive draw picks
+    * item i with probability w_i over the remaining items' total
+    * weight (the A-ES guarantee — marginal inclusion probabilities are
+    * only approximately ∝ w). The training-data use case: favor long/
     * high-quality documents in a fixed-size subset without a
     * sequential reservoir. Distribution-friendly by the same argument
     * as [[sampleFixedK]]: the key is a pure per-row function (u comes

@@ -838,4 +838,24 @@ class OpsSpec extends AnyFunSuite {
     // the exclusion must actually fire somewhere, or the gate is inert
     assert(excluded > 0, "no anchor had a >=0.9 planted dup to exclude")
   }
+
+  test("long-keyed sketches reject fractional inputs at analysis time") {
+    graft.codec.GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq((1, 1.5), (2, 2.5)).toDF("k", "v").createOrReplaceTempView("skt")
+    // DOUBLE into cms_agg / mg_agg / *_estimate keys: analysis error, not
+    // a silent longValue() truncation that sketches the wrong keys
+    for (q <- Seq(
+        "SELECT cms_agg(v) FROM skt",
+        "SELECT mg_agg(v) FROM skt",
+        "SELECT cms_estimate(cms_agg(k), 1.5) FROM skt",
+        "SELECT mg_estimate(mg_agg(k), 1.5) FROM skt")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException](spark.sql(q).collect())
+      assert(e.getMessage.toLowerCase.contains("integral"), s"$q: ${e.getMessage}")
+    }
+    // narrower integral widths (int here) still coerce losslessly
+    val ok = spark.sql(
+      "SELECT cms_estimate(cms_agg(k), 1), mg_estimate(mg_agg(k), 1) FROM skt").head()
+    assert(ok.getLong(0) == 1L && ok.getLong(1) == 1L)
+  }
 }
