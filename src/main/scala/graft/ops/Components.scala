@@ -142,11 +142,21 @@ object Components {
     * with a versioned corpus store would key on the snapshot version
     * instead and touch the corpus zero extra times (the
     * [[IvfModel.trainedOrLoad]] `version` pattern). */
-  private[ops] def labelsFor(s: SparkSession, dir: String): DataFrame = {
+  private[ops] def labelsFor(s: SparkSession, dir: String,
+                             version: Option[(Long, Long)] = None): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
-    TruthCache.cached(s, "component_labels", Dedup.docsFingerprint(docs),
+    TruthCache.cached(s, "component_labels",
+      version.getOrElse(Dedup.docsFingerprint(docs)),
       componentLabels(docs))
   }
+
+  /** Version-keyed labels entry (the [[graft.ops.IvfModel.trainedOrLoad]]
+    * `version` contract): a caller whose corpus lives in a versioned
+    * store passes its snapshot version — cache validation is then a
+    * manifest read, zero corpus scans on the warm path. */
+  def labelsVersioned(s: SparkSession, dir: String,
+                      version: (Long, Long)): DataFrame =
+    labelsFor(s, dir, Some(version))
 
   /** Dedup groups over the documents table: every doc labeled with its
     * near-dup component and a keep flag for the canonical survivor. */

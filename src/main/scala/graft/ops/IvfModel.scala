@@ -51,8 +51,15 @@ object IvfModel {
   /** The shared (count, decimal-safe sum of `h`) aggregate — one
     * fingerprint shape for vector sets and document corpora alike, so
     * the overflow handling lives once. */
+  /** Fingerprint scans run by this JVM — the mechanical evidence for
+    * the version-keyed cache contract: a version-keyed warm path must
+    * leave this counter untouched (asserted in VersionKeyedCacheSpec),
+    * because at 100 TB each of these aggregates is a full corpus scan. */
+  private[graft] val fingerprintScans = new java.util.concurrent.atomic.AtomicLong()
+
   private[ops] def fingerprintOf(df: DataFrame,
                                  h: org.apache.spark.sql.Column): (Long, Long) = {
+    fingerprintScans.incrementAndGet()
     val r = df.agg(count(lit(1)), sum(h.cast("decimal(38,0)"))).head()
     (r.getLong(0), if (r.isNullAt(1)) 0L else r.getDecimal(1).longValue())
   }

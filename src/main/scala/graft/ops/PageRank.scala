@@ -53,7 +53,14 @@ object PageRank {
   val Damping = 0.85
 
   /** Fingerprint of the trade-graph inputs (orders ⨝ lineitem) — two
-    * narrow scan-side aggregates, mixed; keys the edge-table caches. */
+    * narrow scan-side aggregates, mixed; keys the edge-table caches.
+    * Every consumer takes an optional caller-supplied `version` that
+    * REPLACES this computed fingerprint (the [[IvfModel.trainedOrLoad]]
+    * contract): when the corpus lives in a versioned store
+    * (ManifestStore), cache validation costs a manifest read, not a
+    * corpus scan — the remaining 100 TB scan in the warm path
+    * otherwise. The price is identical: a version that fails to change
+    * with the data serves stale edge tables by design. */
   private def tradeFingerprint(s: SparkSession, dir: String): (Long, Long) = {
     val o = Tables.load(s, dir, "orders")
     val l = Tables.load(s, dir, "lineitem")
@@ -69,8 +76,10 @@ object PageRank {
     * triangle edge set; [[pagerank]] re-partitions them on src (the
     * loop's join key) with a data-sized partition count, so no
     * iteration re-shuffles them. */
-  private def edgesWithDeg(s: SparkSession, dir: String): DataFrame =
-    TruthCache.cached(s, "pr_edges_sym", tradeFingerprint(s, dir), {
+  private def edgesWithDeg(s: SparkSession, dir: String,
+                           version: Option[(Long, Long)] = None): DataFrame =
+    TruthCache.cached(s, "pr_edges_sym",
+      version.getOrElse(tradeFingerprint(s, dir)), {
       val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
       val l = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
       val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
@@ -99,8 +108,13 @@ object PageRank {
     math.max(2L, math.min(s.sparkContext.defaultParallelism.toLong,
       edgeCount / EdgeRowsPerPartition + 1)).toInt
 
-  def pagerank(s: SparkSession, dir: String): DataFrame =
-    pagerankLoop(s, sess => edgesWithDeg(sess, dir))
+  def pagerank(s: SparkSession, dir: String): DataFrame = pagerank(s, dir, None)
+
+  /** Version-keyed entry: `version` (a store snapshot version + tag)
+    * replaces the corpus-scan fingerprint as the edge-cache key. */
+  def pagerank(s: SparkSession, dir: String,
+               version: Option[(Long, Long)]): DataFrame =
+    pagerankLoop(s, sess => edgesWithDeg(sess, dir, version))
 
   /** The damped symmetric loop over an ARBITRARY (src, dst, outdeg)
     * edge table — shared by the corpus gate and the closed-form volume
@@ -191,10 +205,11 @@ object PageRank {
   /** Pinned-conf inputs for the dangling variant: (session clone,
     * edges w/ outdeg on src, flagged nodes on node, n). Shared by the
     * gate and the Plans single-round shape assertion. */
-  private[graft] def danglingInputs(s: SparkSession, dir: String)
+  private[graft] def danglingInputs(s: SparkSession, dir: String,
+                                    version: Option[(Long, Long)] = None)
       : (SparkSession, DataFrame, DataFrame, Long) = {
     val sess = s.newSession()
-    val fp = tradeFingerprint(sess, dir)
+    val fp = version.getOrElse(tradeFingerprint(sess, dir))
     // edge table with out-degrees and the flagged node table are pure
     // corpus functions — cached like the symmetric/triangle edge sets;
     // only the per-invocation repartition onto the loop's partitioning
@@ -229,8 +244,12 @@ object PageRank {
   /** PageRank over the ONE-WAY customer→supplier graph — every
     * supplier is a sink, exercising the per-round dangling-mass
     * redistribution the symmetric gate's closure dodges. */
-  def pagerankDangling(s: SparkSession, dir: String): DataFrame = {
-    val (_, ed, nodes, n) = danglingInputs(s, dir)
+  def pagerankDangling(s: SparkSession, dir: String): DataFrame =
+    pagerankDangling(s, dir, None)
+
+  def pagerankDangling(s: SparkSession, dir: String,
+                       version: Option[(Long, Long)]): DataFrame = {
+    val (_, ed, nodes, n) = danglingInputs(s, dir, version)
     val base = 0.15 / n
     var ranks = nodes.withColumn("rank", round(lit(1.0 / n), 12))
       .localCheckpoint()
@@ -270,8 +289,12 @@ object PageRank {
     * materializes or shuffles. The triangle count is
     * orientation-independent, so the oracle replays a plain id-ordered
     * 3-way join. */
-  def triangles(s: SparkSession, dir: String): DataFrame = {
-    val (pairs, triCount) = triangleDataflow(s, dir)
+  def triangles(s: SparkSession, dir: String): DataFrame =
+    triangles(s, dir, None)
+
+  def triangles(s: SparkSession, dir: String,
+                version: Option[(Long, Long)]): DataFrame = {
+    val (pairs, triCount) = triangleDataflow(s, dir, version)
     // 1-row × 1-row stats join — the only nested-loop in the query, by
     // construction over two scalar aggregates (the dataflow itself is
     // plan-asserted cross-product-free in PLANS.md §graph_triangles)
@@ -292,22 +315,26 @@ object PageRank {
     * rebuilds — same sensitivity, no redundant recomputation. */
   /** The distinct co-purchase edge set (u < v), fingerprint-cached —
     * shared by triangle counting and [[kcore]]. */
-  private[graft] def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def copurchaseEdges(s: SparkSession, dir: String,
+                                     version: Option[(Long, Long)] = None): DataFrame = {
     val li = Tables.load(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-    val fp = IvfModel.fingerprintOf(li, xxhash64(col("ok"), col("p")))
+    val fp = version.getOrElse(
+      IvfModel.fingerprintOf(li, xxhash64(col("ok"), col("p"))))
     TruthCache.cached(s, "tri_pairs", fp,
       li.as("a").join(li.as("b"),
           col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
         .select(col("a.p").as("u"), col("b.p").as("v")).distinct())
   }
 
-  private[graft] def triangleDataflow(s: SparkSession, dir: String)
+  private[graft] def triangleDataflow(s: SparkSession, dir: String,
+                                      version: Option[(Long, Long)] = None)
       : (DataFrame, DataFrame) = {
     val li = Tables.load(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-    val fp = IvfModel.fingerprintOf(li, xxhash64(col("ok"), col("p")))
-    val pairs = copurchaseEdges(s, dir)
+    val fp = version.getOrElse(
+      IvfModel.fingerprintOf(li, xxhash64(col("ok"), col("p"))))
+    val pairs = copurchaseEdges(s, dir, version)
     // orient: (s → t) with (d_s, s) < (d_t, t)
     val oriented = TruthCache.cached(s, "tri_oriented", fp, {
       val deg = pairs.select(explode(array(col("u"), col("v"))).as("n"))
@@ -378,8 +405,11 @@ object PageRank {
     * survivor set on both endpoints — broadcast-sized here, shuffled
     * semi-joins on the node id at 100 TB — and one partial-combined
     * degree aggregate; survivors checkpoint per round (node-sized). */
-  def kcore(s: SparkSession, dir: String): DataFrame = {
-    val pairs = copurchaseEdges(s, dir)
+  def kcore(s: SparkSession, dir: String): DataFrame = kcore(s, dir, None)
+
+  def kcore(s: SparkSession, dir: String,
+            version: Option[(Long, Long)]): DataFrame = {
+    val pairs = copurchaseEdges(s, dir, version)
     val edges = pairs
       .unionAll(pairs.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint()
@@ -416,10 +446,11 @@ object PageRank {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "graph_pagerank" -> (pagerank _),
-    "graph_pagerank_dangling" -> (pagerankDangling _),
-    "graph_kcore" -> (kcore _),
-    "graph_triangles" -> (triangles _))
+    "graph_pagerank" -> ((s: SparkSession, d: String) => pagerank(s, d)),
+    "graph_pagerank_dangling" ->
+      ((s: SparkSession, d: String) => pagerankDangling(s, d)),
+    "graph_kcore" -> ((s: SparkSession, d: String) => kcore(s, d)),
+    "graph_triangles" -> ((s: SparkSession, d: String) => triangles(s, d)))
 
   /** 10 unrolled damped iterations in DuckDB — same rounding points,
     * same DECIMAL(18,12) contribution sums. */

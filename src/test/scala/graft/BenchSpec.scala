@@ -20,7 +20,7 @@ class BenchSpec extends AnyFunSuite {
         Seq("x").toDF("v").selectExpr("CAST(assert_true(v = 'y') AS STRING)")
       }))
     val timed = Bench.timedPass(spark, "/root/testdata/sf0.001", qs)
-    assert(timed("ok_query").exists(_ >= 0.0))
+    assert(timed("ok_query").exists(_._1 >= 0.0))
     assert(timed("broken_analysis").isEmpty,
       "an analysis-broken query must not post a wall time")
     assert(timed("broken_runtime").isEmpty,
@@ -31,8 +31,16 @@ class BenchSpec extends AnyFunSuite {
 
   test("per-pass JSON carries only succeeded queries, sorted, 3 dp") {
     val json = Bench.passJson(Map(
-      "b_ok" -> Some(1.23456), "a_ok" -> Some(0.5), "broken" -> None))
+      "b_ok" -> Some((1.23456, false)), "a_ok" -> Some((0.5, true)),
+      "broken" -> None))
     assert(json == """{"a_ok":0.500,"b_ok":1.235}""",
       s"per-pass map malformed: $json")
+  }
+
+  test("contended markers surface per query, sorted") {
+    val json = Bench.contendedJson(Map(
+      "b_cont" -> Some((1.0, true)), "a_ok" -> Some((0.5, false)),
+      "a_cont" -> Some((2.0, true)), "broken" -> None))
+    assert(json == """["a_cont","b_cont"]""", s"contended list malformed: $json")
   }
 }

@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import graft.ops.{Components, IvfModel, PageRank}
+
+/** Version-keyed graph/label caches (round-10 agenda #3).
+  *
+  * The TruthCache consumers' default keys are CORPUS-SCAN fingerprints —
+  * cheap at sf0.1, a full corpus scan per warm cache check at 100 TB.
+  * Every graph/label entry point now accepts a caller-supplied version
+  * (the [[IvfModel.trainedOrLoad]] contract): when the corpus lives in
+  * a versioned store, the version pair replaces the fingerprint and
+  * cache validation costs a manifest read. The gates stay
+  * fingerprint-keyed (the driver testdata is raw parquet); this spec
+  * proves the version-keyed path mechanically:
+  *
+  *  - ZERO fingerprint scans, cold AND warm ([[IvfModel.fingerprintScans]]
+  *    counter — stronger than a plan-string check, it counts the eager
+  *    driver-side aggregate jobs themselves);
+  *  - results hash-identical to the fingerprint-keyed baseline;
+  *  - distinct versions don't alias (a bumped store version recomputes).
+  */
+class VersionKeyedCacheSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def hashOf(df: DataFrame): String = {
+    val rows = df.collect().map(_.toString).sorted.mkString("\n")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(rows.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** A store-snapshot-shaped version pair: (version number, a stable
+    * content tag). The caller contract — it must change with the data —
+    * is the store's, not this spec's. */
+  private val ver = (7L, 0x5eed5eedL)
+
+  test("graph consumers under a version key: zero fingerprint scans, same hashes") {
+    // fingerprint-keyed baselines first (these DO scan — that's the
+    // contract being replaced)
+    val basePr = hashOf(PageRank.pagerank(spark, dir))
+    val baseDang = hashOf(PageRank.pagerankDangling(spark, dir))
+    val baseTri = hashOf(PageRank.triangles(spark, dir))
+    val baseKcore = hashOf(PageRank.kcore(spark, dir))
+    val baseLabels = hashOf(Components.dedupComponents(spark, dir))
+
+    val c0 = IvfModel.fingerprintScans.get()
+    // cold (first use of the version key: caches build under it) + warm
+    val v = Some(ver)
+    val vPr = Seq(PageRank.pagerank(spark, dir, v),
+      PageRank.pagerank(spark, dir, v)).map(hashOf)
+    val vDang = Seq(PageRank.pagerankDangling(spark, dir, v),
+      PageRank.pagerankDangling(spark, dir, v)).map(hashOf)
+    val vTri = Seq(PageRank.triangles(spark, dir, v),
+      PageRank.triangles(spark, dir, v)).map(hashOf)
+    val vKcore = Seq(PageRank.kcore(spark, dir, v),
+      PageRank.kcore(spark, dir, v)).map(hashOf)
+    val vLabels = Seq(Components.labelsVersioned(spark, dir, ver),
+      Components.labelsVersioned(spark, dir, ver))
+      .map(df => hashOf(df.orderBy("doc_id")))
+    val scans = IvfModel.fingerprintScans.get() - c0
+    assert(scans == 0L,
+      s"version-keyed path ran $scans corpus fingerprint scans; must be 0")
+
+    assert(vPr.forall(_ == basePr), "pagerank diverged under version key")
+    assert(vDang.forall(_ == baseDang), "dangling PR diverged under version key")
+    assert(vTri.forall(_ == baseTri), "triangles diverged under version key")
+    assert(vKcore.forall(_ == baseKcore), "kcore diverged under version key")
+    assert(vLabels.forall(_ == hashOf(
+      Components.dedupComponents(spark, dir))),
+      "component labels diverged under version key")
+    assert(vLabels.head == baseLabels)
+  }
+
+  test("distinct versions never alias: a bumped version recomputes, same result") {
+    val v2 = (ver._1 + 1, ver._2)
+    val h = hashOf(PageRank.triangles(spark, dir, Some(v2)))
+    assert(h == hashOf(PageRank.triangles(spark, dir)),
+      "recomputed-under-new-version result must match")
+  }
+}
