@@ -81,9 +81,13 @@ object AbiSchema {
   def columnName(p: AbiJson.Param, pos: Int): String =
     if (p.name == null || p.name.isEmpty) s"v$pos" else p.name.toLowerCase
 
-  /** One produced table: name, source ABI entry, full Spark schema. */
+  /** One produced table: name, source ABI entry, full Spark schema.
+    * `wideIntsAsBinary` records the rad-safe mapping the schema was
+    * built with, so decode expressions constructed from the def emit
+    * the matching representation (32-byte words, not Decimal(38,0)). */
   final case class TableDef(table: String, entry: AbiJson.Entry, schema: StructType,
-                            isEvent: Boolean) {
+                            isEvent: Boolean,
+                            wideIntsAsBinary: Boolean = false) {
     /** Dispatch key: topic0 (events) or 4-byte selector (functions). */
     lazy val dispatchKey: Seq[Byte] = {
       val h = Keccak.hash256(entry.signature)
@@ -98,7 +102,7 @@ object AbiSchema {
       (e.entryType == "event" && !e.anonymous)
 
   /** 64..256-bit int? (the types that need Decimal(38) or binary). */
-  private def isWideInt(abiType: String): Boolean = abiType match {
+  private[graft] def isWideInt(abiType: String): Boolean = abiType match {
     case IntPat(_, bitsStr) =>
       (if (bitsStr.isEmpty) 256 else bitsStr.toInt) > 56
     case _ => false
@@ -127,7 +131,8 @@ object AbiSchema {
       val cols = e.inputs.zipWithIndex.map { case (p, i) =>
         StructField(columnName(p, i), sparkType(p, wideIntsAsBinary))
       }
-      TableDef(table, e, StructType(commonFields ++ cols), kind == "evt")
+      TableDef(table, e, StructType(commonFields ++ cols), kind == "evt",
+        wideIntsAsBinary)
     }
   }
 

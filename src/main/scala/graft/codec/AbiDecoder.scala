@@ -35,16 +35,17 @@ object AbiDecoder {
   /** Decode one event log: indexed params come from topics(1..), the rest
     * sequentially from `data`. Dynamic indexed params are keccak hashes —
     * kept as the raw 32-byte topic (standard Ethereum semantics). */
-  def decodeEvent(entry: Entry, topics: Seq[Array[Byte]], data: Array[Byte]): Seq[Any] = {
+  def decodeEvent(entry: Entry, topics: Seq[Array[Byte]], data: Array[Byte],
+                  wide: Boolean = false): Seq[Any] = {
     val (indexed, unindexed) = entry.inputs.partition(_.indexed)
     val topicVals = indexed.zipWithIndex.map { case (p, i) =>
       val t = topics(i + 1)
       // reference types (arrays/tuples/bytes/string) arrive as their
       // keccak hash; keep the raw topic (undecodable by design)
       if (AbiSchema.hashedWhenIndexed(p)) t
-      else decodeHead(p, t, 0, t)
+      else decodeHead(p, t, 0, t, wide)
     }
-    val dataVals = decodeTuple(unindexed, data)
+    val dataVals = decodeTuple(unindexed, data, wide)
     // re-interleave in declaration order
     var ti = 0
     var di = 0
@@ -55,8 +56,9 @@ object AbiDecoder {
   }
 
   /** Decode function calldata (selector already stripped). */
-  def decodeCall(entry: Entry, argsData: Array[Byte]): Seq[Any] =
-    decodeTuple(entry.inputs, argsData)
+  def decodeCall(entry: Entry, argsData: Array[Byte],
+                 wide: Boolean = false): Seq[Any] =
+    decodeTuple(entry.inputs, argsData, wide)
 
   /** Decode calldata including its 4-byte selector, dispatching via `index`.
     * When the top-level selector is unknown, scans forward word-aligned for
@@ -81,15 +83,20 @@ object AbiDecoder {
     }
   }
 
-  /** Head/tail decode of a parameter tuple. */
-  def decodeTuple(params: Seq[Param], data: Array[Byte]): Seq[Any] = {
+  /** Head/tail decode of a parameter tuple. `wide` = decode 64..256-bit
+    * ints as their raw 32-byte big-endian words (two's complement for
+    * signed types) instead of Decimal(38,0) — the rad-safe mapping of
+    * `AbiSchema.tables(wideIntsAsBinary = true)`: rad-scale uint256
+    * values need up to 78 digits and silently overflow Decimal(38). */
+  def decodeTuple(params: Seq[Param], data: Array[Byte],
+                  wide: Boolean = false): Seq[Any] = {
     var headOff = 0
     params.map { p =>
       val v =
         if (isDynamic(p)) {
           val tailOff = uintAt(data, headOff).intValueExact()
-          decodeTail(p, data, tailOff)
-        } else decodeHead(p, data, headOff, data)
+          decodeTail(p, data, tailOff, wide)
+        } else decodeHead(p, data, headOff, data, wide)
       headOff += headSize(p)
       v
     }
@@ -116,19 +123,23 @@ object AbiDecoder {
   }
 
   /** Decode a static value whose word starts at `off`. */
-  private def decodeHead(p: Param, data: Array[Byte], off: Int, full: Array[Byte]): Any =
+  private def decodeHead(p: Param, data: Array[Byte], off: Int,
+                         full: Array[Byte], wide: Boolean = false): Any =
     p.abiType match {
       case "tuple" => // static tuple: members inline from off
-        TupleValue(decodeTuple(p.components, data.drop(off)))
+        TupleValue(decodeTuple(p.components, data.drop(off), wide))
       case FixedArrayPat(elem, n) =>
         val ep = elemOf(p, elem)
         val sz = headSize(ep)
-        (0 until n.toInt).map(i => decodeHead(ep, data, off + i * sz, full))
+        (0 until n.toInt).map(i => decodeHead(ep, data, off + i * sz, full, wide))
       case "address" => data.slice(off + 12, off + 32)
       case "bool" => data(off + 31) != 0
       case t if t.startsWith("bytes") && t != "bytes" =>
         val n = t.drop(5).toInt
         data.slice(off, off + n)
+      case t if wide && AbiSchema.isWideInt(t) =>
+        // rad-safe: the raw 32-byte word, exactly as on the wire
+        data.slice(off, off + Word)
       case t =>
         val signed = t.startsWith("int")
         val bi =
@@ -138,7 +149,8 @@ object AbiDecoder {
     }
 
   /** Decode a dynamic value whose tail starts at `off`. */
-  private def decodeTail(p: Param, data: Array[Byte], off: Int): Any = p.abiType match {
+  private def decodeTail(p: Param, data: Array[Byte], off: Int,
+                         wide: Boolean = false): Any = p.abiType match {
     case "bytes" =>
       val len = uintAt(data, off).intValueExact()
       data.slice(off + Word, off + Word + len)
@@ -154,21 +166,21 @@ object AbiDecoder {
       if (isDynamic(elemParam)) {
         (0 until n).map { i =>
           val rel = uintAt(data, base + i * Word).intValueExact()
-          decodeTail(elemParam, data, base + rel)
+          decodeTail(elemParam, data, base + rel, wide)
         }
       } else {
         val sz = headSize(elemParam)
-        (0 until n).map(i => decodeHead(elemParam, data, base + i * sz, data))
+        (0 until n).map(i => decodeHead(elemParam, data, base + i * sz, data, wide))
       }
     case FixedArrayPat(elemType, nStr) => // T[k] with dynamic T: k tail offsets
       val n = nStr.toInt
       val elemParam = elemOf(p, elemType)
       (0 until n).map { i =>
         val rel = uintAt(data, off + i * Word).intValueExact()
-        decodeTail(elemParam, data, off + rel)
+        decodeTail(elemParam, data, off + rel, wide)
       }
     case "tuple" => // dynamic tuple: member offsets relative to tuple start
-      TupleValue(decodeTuple(p.components, data.drop(off)))
+      TupleValue(decodeTuple(p.components, data.drop(off), wide))
     case other => throw new IllegalArgumentException(s"not a dynamic type: $other")
   }
 

@@ -18,6 +18,13 @@ object CodecRuntime {
   def uintToDouble(b: Array[Byte]): Double =
     new java.math.BigDecimal(new java.math.BigInteger(1, b)).doubleValue
 
+  /** Big-endian unsigned integer bytes → exact decimal digit string —
+    * the DISPLAY/EXPORT form for wide ints kept as binary (rad-scale
+    * values exceed every fixed-precision SQL type on both engines, so
+    * the exact value travels as digits). */
+  def uintToDecimalString(b: Array[Byte]): UTF8String =
+    UTF8String.fromString(new java.math.BigInteger(1, b).toString)
+
   /** EIP-55 mixed-case checksum display form of a 20-byte address
     * (public standard; replaces the reference's `w3.toChecksumAddress`,
     * eth-contract.py:39 / SURVEY S14). */
@@ -74,6 +81,30 @@ case class ChecksumAddress(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): ChecksumAddress =
     copy(child = newChild)
   override def prettyName: String = "checksum_address"
+}
+
+/** uint_to_decimal_string(binary) → string: exact base-10 digits of a
+  * big-endian unsigned integer — the lossless display form for wide
+  * ints carried as 32-byte binary (`AbiSchema.tables(wideIntsAsBinary
+  * = true)`, SURVEY §1.2). Rad-scale values need up to 78 digits;
+  * Decimal(38) on the Spark side and HUGEINT (128-bit) on the DuckDB
+  * side both overflow, so exact cross-engine comparison happens on the
+  * digit string (`maker_rad_extreme`). */
+case class UintToDecimalString(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes()
+  : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"uint_to_decimal_string needs binary input, got ${child.dataType.simpleString}")
+  override protected def nullSafeEval(input: Any): Any =
+    CodecRuntime.uintToDecimalString(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.codec.CodecRuntime.uintToDecimalString($c)")
+  override protected def withNewChildInternal(newChild: Expression): UintToDecimalString =
+    copy(child = newChild)
+  override def prettyName: String = "uint_to_decimal_string"
 }
 
 /** Maker fixed-point rescaler: token quantity → double at 10^-digits.
@@ -133,7 +164,8 @@ private[codec] object CatalystConv {
   * object) rather than falling back to interpreted evaluation — the
   * decode stays inside whole-stage codegen, so scan+decode+project
   * remain one generated loop. */
-case class DecodeEvent(entryJson: String, topics: Expression, data: Expression)
+case class DecodeEvent(entryJson: String, topics: Expression, data: Expression,
+                       wideIntsAsBinary: Boolean = false)
   extends BinaryExpression {
   @transient private lazy val entry: AbiJson.Entry = AbiJson.parse(s"[$entryJson]").head
 
@@ -141,14 +173,15 @@ case class DecodeEvent(entryJson: String, topics: Expression, data: Expression)
   override def right: Expression = data
   override def dataType: DataType = StructType(
     entry.inputs.zipWithIndex.map { case (p, i) =>
-      StructField(AbiSchema.columnName(p, i), AbiSchema.sparkType(p))
+      StructField(AbiSchema.columnName(p, i),
+        AbiSchema.sparkType(p, wideIntsAsBinary))
     })
 
   override protected def nullSafeEval(topicsVal: Any, dataVal: Any): Any = {
     val topicArr = topicsVal.asInstanceOf[ArrayData]
     val topicBytes = (0 until topicArr.numElements()).map(topicArr.getBinary)
     val values = graft.codec.AbiDecoder.decodeEvent(
-      entry, topicBytes, dataVal.asInstanceOf[Array[Byte]])
+      entry, topicBytes, dataVal.asInstanceOf[Array[Byte]], wideIntsAsBinary)
     InternalRow.fromSeq(values.map(CatalystConv.toCatalyst))
   }
 
@@ -170,7 +203,8 @@ case class DecodeEvent(entryJson: String, topics: Expression, data: Expression)
   * the full calldata; the selector is verified then stripped, scanning
   * word-aligned for proxy-wrapped payloads (S10, functions.py:119-149).
   * Returns null when the selector never matches. */
-case class DecodeCalldata(entryJson: String, data: Expression)
+case class DecodeCalldata(entryJson: String, data: Expression,
+                          wideIntsAsBinary: Boolean = false)
   extends UnaryExpression {
   @transient private lazy val entry: AbiJson.Entry = AbiJson.parse(s"[$entryJson]").head
   @transient private lazy val selector: Seq[Byte] =
@@ -179,7 +213,8 @@ case class DecodeCalldata(entryJson: String, data: Expression)
   override def child: Expression = data
   override def dataType: DataType = StructType(
     entry.inputs.zipWithIndex.map { case (p, i) =>
-      StructField(AbiSchema.columnName(p, i), AbiSchema.sparkType(p))
+      StructField(AbiSchema.columnName(p, i),
+        AbiSchema.sparkType(p, wideIntsAsBinary))
     })
   override def nullable: Boolean = true
 
@@ -194,7 +229,8 @@ case class DecodeCalldata(entryJson: String, data: Expression)
     while (result == null && off + 4 <= bytes.length && off <= 64 * 4) {
       if (bytes.slice(off, off + 4).toSeq == selector) {
         try {
-          val values = AbiDecoder.decodeCall(entry, bytes.drop(off + 4))
+          val values = AbiDecoder.decodeCall(entry, bytes.drop(off + 4),
+            wideIntsAsBinary)
           result = InternalRow.fromSeq(values.map(CatalystConv.toCatalyst))
         } catch { case _: Exception => () }
       }

@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "keccak256" -> (es => Keccak256(es.head)),
       "bytes32_to_ascii" -> (es => Bytes32ToAscii(es.head)),
       "checksum_address" -> (es => ChecksumAddress(es.head)),
+      "uint_to_decimal_string" -> (es => UintToDecimalString(es.head)),
       "wad" -> (es => RescaleToDouble(es.head, 18)),
       "ray" -> (es => RescaleToDouble(es.head, 27)),
       "rad" -> (es => RescaleToDouble(es.head, 45)),

@@ -29,11 +29,19 @@ object GraftFunctions {
   /** rad: debt at 10^-45. */
   def rad(c: Column): Column = Shim.column(RescaleToDouble(Shim.expression(c), 45))
 
-  def decodeEvent(entryJson: String, topics: Column, data: Column): Column =
-    Shim.column(DecodeEvent(entryJson, Shim.expression(topics), Shim.expression(data)))
+  def decodeEvent(entryJson: String, topics: Column, data: Column,
+                  wideIntsAsBinary: Boolean = false): Column =
+    Shim.column(DecodeEvent(entryJson, Shim.expression(topics),
+      Shim.expression(data), wideIntsAsBinary))
 
-  def decodeCalldata(entryJson: String, data: Column): Column =
-    Shim.column(DecodeCalldata(entryJson, Shim.expression(data)))
+  def decodeCalldata(entryJson: String, data: Column,
+                     wideIntsAsBinary: Boolean = false): Column =
+    Shim.column(DecodeCalldata(entryJson, Shim.expression(data), wideIntsAsBinary))
+
+  /** Exact decimal digits of a wide int carried as binary (S5/S9 rad
+    * path — see [[UintToDecimalString]]). */
+  def uintToDecimalString(c: Column): Column =
+    Shim.column(UintToDecimalString(Shim.expression(c)))
 
   /** PG-dialect `generate_series(start, stop[, step])` as a table
     * function (SURVEY §4.2) — resolves to Generate(Explode(Sequence)))
@@ -137,6 +145,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("keccak256", es => Keccak256(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("bytes32_to_ascii", es => Bytes32ToAscii(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("checksum_address", es => ChecksumAddress(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("uint_to_decimal_string",
+      es => UintToDecimalString(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("wad", es => RescaleToDouble(es.head, 18), "scala_udf")
     reg.createOrReplaceTempFunction("ray", es => RescaleToDouble(es.head, 27), "scala_udf")
     reg.createOrReplaceTempFunction("rad", es => RescaleToDouble(es.head, 45), "scala_udf")

@@ -220,6 +220,73 @@ object MakerFixtures {
       .coalesce(1).write.mode("overwrite").parquet(truthPath("proxy_actions"))
   }
 
+  // ---------------------------------------------------------- rad extreme
+
+  val radxRawLogsPath = s"$dir/radx_raw_logs.parquet"
+
+  /** jug_call_file with the RAD-SAFE mapping (uint256 → 32-byte binary)
+    * — the def the `maker_rad_extreme` gate decodes with. */
+  lazy val radxDef: AbiSchema.TableDef =
+    AbiSchema.tables("jug", jugAbi, wideIntsAsBinary = true)
+      .find(_.table == "jug_call_file")
+      .getOrElse(throw new NoSuchElementException("jug_call_file (wide)"))
+
+  /** Rad-extreme corpus (SURVEY §1.2's load-bearing design decision,
+    * gated end-to-end): jug.file calls whose uint256 `data` values are
+    * planted at 10^44..10^46 — 45-47 DIGITS, provably past Decimal(38)
+    * (and DuckDB's 128-bit HUGEINT) — so the only lossless route is the
+    * wideIntsAsBinary decode. Truth carries the exact digit string; the
+    * gate hash-matches digits AND the rad()/ray() rescaled doubles. */
+  def ensureRadExtreme(spark: SparkSession): Unit = synchronized {
+    val marker = new java.io.File(s"$dir/_RADX_v1")
+    if (marker.exists()) return
+    val gen = new Gen(4242)
+    import gen._
+    val d = radxDef
+    val jugAddr = addr()
+    val rawRows = ArrayBuffer.empty[Row]
+    val truthRows = ArrayBuffer.empty[Row]
+    var blockNo = 12_000_000L
+    (0 until 80).foreach { i =>
+      blockNo += 1 + rnd.nextInt(997)
+      val ilkB = ilk()
+      val whatB = bytes32("duty")
+      // units(1..99999) × 10^41 → 42..46 digits; floor the first ten at
+      // exactly 10^44 so the fixture PROVABLY exceeds 38 digits even if
+      // the random draw runs low
+      val units = if (i < 10) 1000L + i else rnd.between(1L, 99999L)
+      val v = BigInteger.valueOf(units)
+        .multiply(new BigInteger("1" + "0" * 41))
+      val values = Seq[Any](ilkB, whatB, new JBigDecimal(v))
+      val calldata = AbiDecoder.encodeCall(d.entry, values)
+      val wrapped =
+        if (rnd.nextInt(100) < 20) // proxy-style wrap, same as §B
+          Array[Byte](0x0e, 0x1f, 0x2a, 0x3b) ++ new Array[Byte](32) ++ calldata
+        else calldata
+      rawRows += Row.fromSeq(Seq[Any](
+        jugAddr, Seq(java.util.Arrays.copyOf(d.dispatchKey.toArray, 32)),
+        wrapped, blockNo, bytes(32), i % 100, i, bytes(32)))
+      truthRows += Row(blockNo,
+        new String(ilkB.filter(_ != 0), "US-ASCII"),
+        new String(whatB.filter(_ != 0), "US-ASCII"),
+        v.toString)
+    }
+    spark.createDataFrame(rawRows.asJava, Demux.rawLogSchema)
+      .coalesce(1).write.mode("overwrite").parquet(radxRawLogsPath)
+    val truthSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("block_number",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ilk_str",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("what_str",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("data_str",
+        org.apache.spark.sql.types.StringType)))
+    spark.createDataFrame(truthRows.asJava, truthSchema)
+      .coalesce(1).write.mode("overwrite").parquet(truthPath("rad_extreme"))
+    java.nio.file.Files.writeString(marker.toPath, "ok")
+  }
+
   /** Raw logs DataFrame (generating fixtures on first use). */
   def rawLogs(spark: SparkSession): DataFrame = {
     ensure(spark)

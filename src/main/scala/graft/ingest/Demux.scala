@@ -51,9 +51,11 @@ object Demux {
     val matched = raw.filter(element_at(col("topics"), 1) === lit(topic0Key(d)))
     val decoded =
       if (d.isEvent)
-        GraftFunctions.decodeEvent(entryJson, col("topics"), col("data"))
+        GraftFunctions.decodeEvent(entryJson, col("topics"), col("data"),
+          d.wideIntsAsBinary)
       else
-        GraftFunctions.decodeCalldata(entryJson, col("data"))
+        GraftFunctions.decodeCalldata(entryJson, col("data"),
+          d.wideIntsAsBinary)
     matched
       .withColumn("_params", decoded)
       .filter(col("_params").isNotNull) // undecodable wrapped calldata → drop

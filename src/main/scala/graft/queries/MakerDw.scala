@@ -70,6 +70,31 @@ object MakerDw {
       GraftFunctions.bytes32ToAscii(col("i")).as("ilk_name"))
       .orderBy(col("block_number"), col("transaction_index"))
 
+  /** RAD-EXTREME end-to-end gate (`maker_rad_extreme`, SURVEY §1.2):
+    * jug.file calls whose uint256 values are 42-47 DIGITS — past
+    * Decimal(38) on the Spark side and 128-bit HUGEINT on DuckDB's —
+    * decoded through the `wideIntsAsBinary` path (raw 32-byte words),
+    * exported as exact digit strings ([[graft.codec.UintToDecimalString]])
+    * and rescaled with rad()/ray() from binary. The oracle reads the
+    * generator's digit-string truth: a single lost digit anywhere in
+    * encode → wrapped-selector scan → wide decode → rescale breaks the
+    * hash, and min_digits > 38 in BOTH engines proves the fixture
+    * actually exercises the overflow regime. */
+  def radExtreme(s: SparkSession, dir: String): DataFrame = {
+    MakerFixtures.ensureRadExtreme(s)
+    val d = MakerFixtures.radxDef
+    Demux.table(s.read.parquet(MakerFixtures.radxRawLogsPath), d)
+      .select(col("block_number"),
+        GraftFunctions.bytes32ToAscii(col("ilk")).as("ilk_str"),
+        GraftFunctions.bytes32ToAscii(col("what")).as("what_str"),
+        GraftFunctions.uintToDecimalString(col("data")).as("data_str"),
+        length(GraftFunctions.uintToDecimalString(col("data")))
+          .cast("int").as("n_digits"),
+        GraftFunctions.rad(col("data")).as("rad_val"),
+        GraftFunctions.ray(col("data")).as("ray_val"))
+      .orderBy(col("block_number"))
+  }
+
   /** The ported production query. Dialect rewrites (SURVEY §7.3):
     * generate_series→explode(sequence), `^`→power, `::int` + truncating
     * division→div+cast, `null::numeric`→typed CAST, encode(..,'escape')→
@@ -413,6 +438,7 @@ object MakerDw {
     "abi_decode_buygem" -> (decodeBuyGem _),
     "abi_demux_counts" -> (demuxCounts _),
     "maker_wad_ray" -> (wadRay _),
+    "maker_rad_extreme" -> (radExtreme _),
     "assets_per_type" -> (assetsPerType _),
     "blocks_stats" -> (blocksStats _))
 
@@ -603,5 +629,12 @@ object MakerDw {
         replace(decode(i), chr(0), '') AS ilk_name
       FROM ${truthFrom("vat_call_frob")}
       ORDER BY block_number, transaction_index""",
+    "maker_rad_extreme" -> s"""
+      SELECT block_number, ilk_str, what_str, data_str,
+        CAST(LENGTH(data_str) AS INT) AS n_digits,
+        CAST(data_str AS DOUBLE)/1e45 AS rad_val,
+        CAST(data_str AS DOUBLE)/1e27 AS ray_val
+      FROM ${truthFrom("rad_extreme")}
+      ORDER BY block_number""",
     "assets_per_type" -> oracleAssetsSql)
 }

@@ -76,6 +76,75 @@ object Tpch {
     GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
     ORDER BY o_totalprice DESC, orderdate_ms, o_orderkey LIMIT 100""")
 
+  /** TPC-H Q21 (suppliers who kept waiting) adapted to the fixture's
+    * columns: there is no l_commitdate/l_receiptdate, so a line is LATE
+    * iff l_shipdate > o_orderdate + 60 days. The classic correlated
+    * EXISTS / NOT EXISTS anchor — for 'F' orders, count a supplier's
+    * late lines on multi-supplier orders where it was the ONLY late
+    * supplier. Catalyst decorrelates the EXISTS into a left-semi and
+    * the NOT EXISTS into a left-anti join on l_orderkey (the l3
+    * subquery re-joins orders on its own key rather than referencing
+    * the outer o_orderdate in a non-equality predicate — same order,
+    * same date, and the correlation stays equality-only, which both
+    * engines decorrelate cleanly). Scan budget (documented, asserted
+    * in PLANS.md): THREE lineitem scans — l1 + one per subquery
+    * instance. [[q45TpchQ21OneScan]] is the single-scan reformulation
+    * a 100 TB deployment runs instead. */
+  def q44TpchQ21(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F' AND n_name LIKE 'NATION_1%'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  JOIN orders o2 ON o2.o_orderkey = l3.l_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o2.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name LIMIT 100""")
+
+  /** Q21 re-expressed with ONE lineitem scan — the 100 TB plan: per
+    * (order, supplier) flags from a single fact pass, then the
+    * order-level "other suppliers / other late suppliers" tests as
+    * WINDOW aggregates over the SAME grouped rows (a join-back through
+    * a second CTE reference would re-scan the fact table: Catalyst
+    * inlines multiply-referenced CTEs). The semi/anti pair of the
+    * literal form becomes two window sums — no second fact scan, no
+    * self-join; at scale that replaces two extra fact-table scans and
+    * their shuffles with one narrow window over the already-grouped
+    * (order, supplier) rows. Hash-matches the same oracle as
+    * [[q44TpchQ21]]. */
+  def q45TpchQ21OneScan(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+    WITH fl AS (
+      SELECT l_orderkey, l_suppkey,
+             CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END AS late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'),
+    per_supp AS (
+      SELECT l_orderkey, l_suppkey, MAX(late) AS supp_late,
+             CAST(SUM(late) AS BIGINT) AS late_lines
+      FROM fl GROUP BY l_orderkey, l_suppkey),
+    flagged AS (
+      SELECT l_suppkey, supp_late, late_lines,
+             COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+             SUM(supp_late) OVER (PARTITION BY l_orderkey) AS n_late_supp
+      FROM per_supp)
+    SELECT s_name, CAST(SUM(late_lines) AS BIGINT) AS numwait
+    FROM flagged
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE supp_late = 1 AND n_supp > 1 AND n_late_supp = 1
+      AND n_name LIKE 'NATION_1%'
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name LIMIT 100""")
+
   /** RFM customer segmentation — recency/frequency/monetary quintile
     * scores. NTILE would be a single-task global window (the
     * vocab_build lesson); instead the quintile THRESHOLDS come from one
@@ -136,6 +205,8 @@ object Tpch {
     "q41_tpch_q3" -> (q41TpchQ3 _),
     "q42_tpch_q5" -> (q42TpchQ5 _),
     "q43_tpch_q18" -> (q43TpchQ18 _),
+    "q44_tpch_q21" -> (q44TpchQ21 _),
+    "q45_tpch_q21_onescan" -> (q45TpchQ21OneScan _),
     "customers_rfm" -> (customersRfm _),
     "audit_ref_integrity" -> (auditRefIntegrity _))
 
@@ -169,6 +240,42 @@ object Tpch {
         AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
       GROUP BY n_name
       ORDER BY revenue DESC, n_name""",
+    "q44_tpch_q21" -> """
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F' AND n_name LIKE 'NATION_1%'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  JOIN orders o2 ON o2.o_orderkey = l3.l_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o2.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name LIMIT 100""",
+    "q45_tpch_q21_onescan" -> """
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F' AND n_name LIKE 'NATION_1%'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  JOIN orders o2 ON o2.o_orderkey = l3.l_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o2.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name LIMIT 100""",
     "q43_tpch_q18" -> """
       SELECT c_name, c_custkey, o_orderkey,
         epoch_ms(o_orderdate) AS orderdate_ms,

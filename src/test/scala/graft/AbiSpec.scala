@@ -133,6 +133,38 @@ class AbiDecoderSpec extends AnyFunSuite {
     assert(decoded(5) == new JBigDecimal("-42")) // signed two's complement
   }
 
+  test("wide decode: 45-digit uint256 survives as the raw 32-byte word") {
+    val entry = AbiJson.Entry("function", "file",
+      Seq(p("bytes32", "ilk"), p("bytes32", "what"), p("uint256", "data")),
+      "nonpayable", anonymous = false)
+    val ilk = java.util.Arrays.copyOf("ETH-A".getBytes, 32)
+    val big = new BigInteger("123456789012345678901234567890123456789012345") // 45 digits
+    assert(big.toString.length == 45 && big.bitLength > 127) // > Decimal(38), > HUGEINT
+    val data = AbiDecoder.encodeCall(entry, Seq[Any](ilk, ilk, new JBigDecimal(big)))
+    // default mapping throws or truncates into Decimal — wide returns the word
+    val wide = AbiDecoder.decodeCall(entry, data.drop(4), wide = true)
+    val word = wide(2).asInstanceOf[Array[Byte]]
+    assert(word.length == 32)
+    assert(new BigInteger(1, word) == big)
+    assert(graft.codec.CodecRuntime.uintToDecimalString(word).toString == big.toString)
+    // rescale path: rad() from binary is bit-identical to the
+    // string→double route the DuckDB oracle takes
+    val viaBinary = graft.codec.CodecRuntime.uintToDouble(word) / 1e45
+    val viaString = big.toString.toDouble / 1e45
+    assert(java.lang.Double.doubleToLongBits(viaBinary) ==
+      java.lang.Double.doubleToLongBits(viaString))
+    // signed wide type: the raw word IS the two's complement encoding
+    val sEntry = AbiJson.Entry("function", "fold",
+      Seq(p("bytes32", "i"), p("address", "u"), p("int256", "rate")),
+      "nonpayable", anonymous = false)
+    val neg = new BigInteger("-987654321098765432109876543210987654321")
+    val sData = AbiDecoder.encodeCall(sEntry,
+      Seq[Any](ilk, new Array[Byte](20), new JBigDecimal(neg)))
+    val sWide = AbiDecoder.decodeCall(sEntry, sData.drop(4), wide = true)
+    val sWord = sWide(2).asInstanceOf[Array[Byte]]
+    assert(new BigInteger(sWord) == neg) // signed interpretation roundtrips
+  }
+
   test("event decode with indexed params: psm BuyGem") {
     val entry = AbiJson.Entry("event", "BuyGem",
       Seq(p("address", "owner", indexed = true), p("uint256", "value"), p("uint256", "fee")),

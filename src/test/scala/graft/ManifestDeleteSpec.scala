@@ -52,8 +52,19 @@ class ManifestDeleteSpec extends AnyFunSuite {
     store.append(spark, Seq((1L, 10L, "a")).toDF("event_id", "user_id", "payload"),
       rangeCol = Some("event_id"))
     val before = store.currentFiles(spark).toSet
+    val vBefore = store.currentVersion(spark)
     assert(store.delete(spark, col("user_id") === 999L) == 0L)
     assert(store.currentFiles(spark).toSet == before)
+    // a no-change commit publishes NOTHING: victimless deletes (and
+    // empty catch-ups, straddle-free expiries) must not churn versions —
+    // every consumer keyed on currentVersion would refresh for nothing
+    assert(store.currentVersion(spark) == vBefore,
+      "victimless delete must not bump the version")
+    store.append(spark, spark.emptyDataFrame.selectExpr(
+      "CAST(1 AS BIGINT) AS event_id", "CAST(1 AS BIGINT) AS user_id",
+      "'x' AS payload").limit(0), rangeCol = Some("event_id"))
+    assert(store.currentVersion(spark) == vBefore,
+      "an empty append must not bump the version")
   }
 
   test("merge upserts by key: matched rows replaced, new rows inserted, untouched files kept") {

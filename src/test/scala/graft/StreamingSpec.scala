@@ -338,6 +338,63 @@ class SessionizeSpec extends AnyFunSuite {
       s"stream ${streamed.size} vs batch ${batch.size}; " +
         s"missing=${batch.diff(streamed).take(3)} extra=${streamed.diff(batch).take(3)}")
   }
+
+  test("chain-follow E2E: head advance → fetch → decode → demux → store → matview") {
+    // EP1's streaming future as ONE flow (r9 verdict #7): a stub chain
+    // whose head advances in steps; each step runs the atomic ingest
+    // (resume → adaptive fetch → demux tag → one manifest commit) and
+    // refreshes an incremental matview over the store. The view must
+    // reflect EXACTLY the blocks at or below the head after every step,
+    // and replays (same head re-ingested, same version re-refreshed)
+    // must be no-ops — the commit-key discipline end to end.
+    import graft.ingest.{IngestJob, LogSource, ManifestStore, MatView}
+    MakerFixtures.ensure(spark)
+    val rpc = LogSource.replayFromParquet(spark, MakerFixtures.rawLogsPath)
+    val defs = MakerFixtures.fixtureDefs
+    val corpus = spark.read.parquet(MakerFixtures.rawLogsPath)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_chain_follow")
+    val store = new ManifestStore(s"$tmp/store")
+    val view = new MatView(s"$tmp/view", Seq("table_name"), "block_number")
+    val creation = 8928160L
+    val maxBlock = corpus.agg(max("block_number")).head.getLong(0)
+    val heads = Seq(creation + 300000L, creation + 900000L, maxBlock)
+
+    heads.foreach { head =>
+      IngestJob.runAtomic(spark, rpc, defs, None, store, creation, head)
+      val vStore = store.currentVersion(spark)
+      assert(view.refresh(spark, store) == vStore)
+
+      // truth: direct tag over the corpus at-or-below the head
+      val expect = Demux.tagged(corpus.filter(col("block_number") <= head), defs)
+        .filter(col("table_name").isNotNull)
+        .groupBy("table_name")
+        .agg(count(lit(1)).as("n"),
+          org.apache.spark.sql.functions.sum(col("block_number")
+            .cast("decimal(18,6)")).as("vsum"))
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getDecimal(2).toPlainString)).toSet
+      val got = view.state(spark).get
+        .select(col("table_name"), col("n"),
+          col("vsum").cast("decimal(18,6)"))
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getDecimal(2).toPlainString)).toSet
+      assert(got == expect, s"view diverged at head=$head")
+
+      // replay safety: same head again → zero rows ingested, version
+      // unchanged; same version re-refreshed → no new view commit
+      assert(IngestJob.runAtomic(spark, rpc, defs, None, store, creation, head) == 0L)
+      assert(store.currentVersion(spark) == vStore)
+      val viewStore = new ManifestStore(s"$tmp/view")
+      val vView = viewStore.currentVersion(spark)
+      assert(view.refresh(spark, store) == vStore)
+      assert(viewStore.currentVersion(spark) == vView,
+        "a same-version refresh must not commit")
+    }
+    // the final state covers the whole corpus
+    val all = Demux.tagged(corpus, defs).filter(col("table_name").isNotNull).count()
+    assert(view.state(spark).get.agg(org.apache.spark.sql.functions.sum("n"))
+      .head.getLong(0) == all)
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
