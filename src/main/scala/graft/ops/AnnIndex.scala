@@ -66,13 +66,18 @@ object AnnIndex {
     }
   }
 
+  /** Per-path build locks — same striping rationale as TruthCache:
+    * concurrent first searches of the SAME index serialize onto one
+    * build; different indexes build concurrently. */
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Ensure the artifact at `path` exists: build + write partitioned by
-    * `partCol` + atomic rename if absent. Serialized per JVM so two
-    * concurrent first searches don't both build. */
+    * `partCol` + atomic rename if absent. Serialized per JVM per PATH so
+    * two concurrent first searches don't both build. */
   def ensure(spark: SparkSession, path: String, partCol: String,
              build: () => DataFrame): Unit = {
     if (ready.contains(path)) return
-    ready.synchronized {
+    locks.computeIfAbsent(path, _ => new Object).synchronized {
       if (ready.contains(path)) return
       publishAtomically(spark, path) { tmp =>
         // cluster by the partition column before writing: without this,

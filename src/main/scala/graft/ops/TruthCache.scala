@@ -51,11 +51,19 @@ private[graft] object TruthCache {
     s"${System.getProperty("java.io.tmpdir")}/graft_truth_${codeStamp}_${tag}_" +
       java.lang.Long.toHexString(fp._1 * 1000003L ^ fp._2)
 
+  /** Per-path build locks: two threads missing the SAME key serialize
+    * (one build, the loser reads the winner's publication), while
+    * builds of DIFFERENT keys proceed concurrently — a global lock
+    * here would serialize every concurrent query's unrelated cache
+    * build behind the slowest one (the engine's default execution mode
+    * is concurrent; see ConcurrencySpec). */
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** The cached truth for (tag, fp), computing and persisting on miss. */
   def cached(spark: SparkSession, tag: String, fp: (Long, Long),
              compute: => DataFrame): DataFrame = {
     val p = path(tag, fp)
-    if (!ready.contains(p)) ready.synchronized {
+    if (!ready.contains(p)) locks.computeIfAbsent(p, _ => new Object).synchronized {
       if (!ready.contains(p)) {
         AnnIndex.publishAtomically(spark, p)(tmp => compute.write.parquet(tmp))
         ready.add(p)
