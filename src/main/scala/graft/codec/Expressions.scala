@@ -25,6 +25,12 @@ object CodecRuntime {
   def uintToDecimalString(b: Array[Byte]): UTF8String =
     UTF8String.fromString(new java.math.BigInteger(1, b).toString)
 
+  /** Two's-complement signed counterpart of [[uintToDecimalString]] —
+    * the display form for wide SIGNED ints (int256 dart/dink/rate kept
+    * as raw words). */
+  def intToDecimalString(b: Array[Byte]): UTF8String =
+    UTF8String.fromString(new java.math.BigInteger(b).toString)
+
   /** EIP-55 mixed-case checksum display form of a 20-byte address
     * (public standard; replaces the reference's `w3.toChecksumAddress`,
     * eth-contract.py:39 / SURVEY S14). */
@@ -107,6 +113,26 @@ case class UintToDecimalString(child: Expression) extends UnaryExpression {
   override def prettyName: String = "uint_to_decimal_string"
 }
 
+/** int_to_decimal_string(binary) → string: the SIGNED (two's-complement)
+  * counterpart of [[UintToDecimalString]] — for wide int256 columns
+  * (dart/dink/rate) carried as raw words. */
+case class IntToDecimalString(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes()
+  : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"int_to_decimal_string needs binary input, got ${child.dataType.simpleString}")
+  override protected def nullSafeEval(input: Any): Any =
+    CodecRuntime.intToDecimalString(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.codec.CodecRuntime.intToDecimalString($c)")
+  override protected def withNewChildInternal(newChild: Expression): IntToDecimalString =
+    copy(child = newChild)
+  override def prettyName: String = "int_to_decimal_string"
+}
+
 /** Maker fixed-point rescaler: token quantity → double at 10^-digits.
   * wad=18, ray=27, rad=45 (SURVEY §1.2). Computed exactly as SQL
   * `CAST(x AS DOUBLE)/1eN` would be (two IEEE roundings) so results stay
@@ -116,7 +142,12 @@ case class UintToDecimalString(child: Expression) extends UnaryExpression {
   * the rad-safe representation: rad-scale values need up to 78 decimal
   * digits, overflowing Decimal(38), so `AbiSchema.tables(wideIntsAsBinary
   * = true)` keeps them as 32-byte big-endian and this expression rescales
-  * losslessly-to-double from either form. */
+  * losslessly-to-double from either form. Binary input is interpreted
+  * UNSIGNED — the rad-scale vat quantities (dai/debt/tab) are uint256 in
+  * the reference schema; signed wide columns (int256 dart/dink/rate) fit
+  * the default Decimal(38,0) mapping at wad/ray scale, so the
+  * signed+binary combination does not arise. Display-form exact digits:
+  * [[UintToDecimalString]] / [[IntToDecimalString]]. */
 case class RescaleToDouble(child: Expression, digits: Int)
   extends UnaryExpression {
   require(digits >= 0 && digits <= 45)

@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "bytes32_to_ascii" -> (es => Bytes32ToAscii(es.head)),
       "checksum_address" -> (es => ChecksumAddress(es.head)),
       "uint_to_decimal_string" -> (es => UintToDecimalString(es.head)),
+      "int_to_decimal_string" -> (es => IntToDecimalString(es.head)),
       "wad" -> (es => RescaleToDouble(es.head, 18)),
       "ray" -> (es => RescaleToDouble(es.head, 27)),
       "rad" -> (es => RescaleToDouble(es.head, 45)),

@@ -43,6 +43,10 @@ object GraftFunctions {
   def uintToDecimalString(c: Column): Column =
     Shim.column(UintToDecimalString(Shim.expression(c)))
 
+  /** Signed (two's-complement) counterpart of [[uintToDecimalString]]. */
+  def intToDecimalString(c: Column): Column =
+    Shim.column(IntToDecimalString(Shim.expression(c)))
+
   /** PG-dialect `generate_series(start, stop[, step])` as a table
     * function (SURVEY §4.2) — resolves to Generate(Explode(Sequence)))
     * so `SELECT * FROM generate_series(1, 10, 2)` and lateral uses run
@@ -147,6 +151,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("checksum_address", es => ChecksumAddress(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("uint_to_decimal_string",
       es => UintToDecimalString(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("int_to_decimal_string",
+      es => IntToDecimalString(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("wad", es => RescaleToDouble(es.head, 18), "scala_udf")
     reg.createOrReplaceTempFunction("ray", es => RescaleToDouble(es.head, 27), "scala_udf")
     reg.createOrReplaceTempFunction("rad", es => RescaleToDouble(es.head, 45), "scala_udf")

@@ -163,6 +163,16 @@ class AbiDecoderSpec extends AnyFunSuite {
     val sWide = AbiDecoder.decodeCall(sEntry, sData.drop(4), wide = true)
     val sWord = sWide(2).asInstanceOf[Array[Byte]]
     assert(new BigInteger(sWord) == neg) // signed interpretation roundtrips
+    assert(graft.codec.CodecRuntime.intToDecimalString(sWord).toString == neg.toString)
+    // wide ARRAY element path: uint256[] decodes as 32-byte words too
+    val aEntry = AbiJson.Entry("function", "batch",
+      Seq(p("uint256[]", "xs")), "nonpayable", anonymous = false)
+    val vals = Seq(big, big.add(BigInteger.ONE)).map(new JBigDecimal(_))
+    val aData = AbiDecoder.encodeCall(aEntry, Seq[Any](vals))
+    val aWide = AbiDecoder.decodeCall(aEntry, aData.drop(4), wide = true)
+    val words = aWide(0).asInstanceOf[Seq[Any]].map(_.asInstanceOf[Array[Byte]])
+    assert(words.map(w => new BigInteger(1, w)) ==
+      Seq(big, big.add(BigInteger.ONE)))
   }
 
   test("event decode with indexed params: psm BuyGem") {

@@ -160,6 +160,39 @@ class ConcurrencySpec extends AnyFunSuite {
       s"lost update: ${ids.mkString(",")}")
   }
 
+  test("concurrent refreshes of one matview: one delta fold, never a double-count") {
+    // two refreshers racing the same source version: the refresh commit
+    // is keyed refresh@<version>, so exactly one folds the delta and the
+    // loser replays into a no-op — a double-fold would double-count n
+    import graft.ingest.{ManifestStore, MatView}
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_conc_mv")
+    val src = new ManifestStore(s"$tmp/src")
+    src.append(spark, (0L until 500L).map(i => (i, i % 7)).toDF("id", "grp"))
+    val view = new MatView(s"$tmp/view", Seq("grp"), "id")
+    view.refresh(spark, src)
+    src.append(spark, (500L until 900L).map(i => (i, i % 7)).toDF("id", "grp"))
+    val pool = Executors.newFixedThreadPool(4)
+    val start = new CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (0 until 4).foreach { _ =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          start.await()
+          try view.refresh(spark, src)
+          catch { case e: Throwable => errs.add(e) }
+        }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(300, TimeUnit.SECONDS))
+    assert(errs.isEmpty, s"concurrent refresh failed: ${errs.toArray.toSeq.take(2)}")
+    val n = view.state(spark).get
+      .agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0)
+    assert(n == 900L, s"delta folded more than once: total n = $n")
+  }
+
   test("concurrent append+delete on one root: both land, neither drops the other") {
     val root = java.nio.file.Files
       .createTempDirectory("graft_conc_store_ad").toString
