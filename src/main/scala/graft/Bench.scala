@@ -12,7 +12,12 @@ object Bench {
     * mid-run — our own local[32] pass drives it to ~cpus. */
   private def hostBusySec(): Double =
     try {
-      val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
+      // Files.readAllLines, not Source.fromFile: this samples twice per
+      // query and an unclosed BufferedSource per sample leaks fds for
+      // the whole run (~750 on a 2-pass 187-query bench)
+      import scala.jdk.CollectionConverters._
+      val cpu = java.nio.file.Files
+        .readAllLines(java.nio.file.Paths.get("/proc/stat")).asScala
         .find(_.startsWith("cpu ")).get.trim.split("\\s+").drop(1).map(_.toLong)
       // fields: user nice system idle iowait irq softirq steal ...
       val busy = cpu.zipWithIndex.collect {
@@ -235,10 +240,11 @@ object Bench {
         s"(jvms before=$jvmsBefore after=$jvmsAfter, load=$loadBefore, " +
         s"contended in all passes: ${contendedBoth.mkString(",")}) - " +
         "affected wall times are likely inflated by CPU contention")
-    // cold-cost gate: exceeded ceiling with no contention excuse is a
-    // build-cost regression (some gate started paying an unamortized
-    // cold build) — loud, with the top offenders named
-    val coldExceeded = p2.nonEmpty && coldTotal > coldCeiling && !contaminated
+    // cold-cost gate: coldDeltas already excludes queries contended in
+    // pass 1, so the run-level contamination flag is NOT an excuse here
+    // — a genuine +N-second cold-build regression in clean queries must
+    // fail even when some unrelated query saw foreign CPU
+    val coldExceeded = p2.nonEmpty && coldTotal > coldCeiling
     if (coldExceeded)
       System.err.println(s"[bench] COLD-COST CEILING EXCEEDED: " +
         f"p1-p2 overhead $coldTotal%.1f s > $coldCeiling%.1f s; top: " +

@@ -110,12 +110,22 @@ object AbiSchema {
 
   /** Spark type with the rad-safe option: wide ints as 32-byte binary
     * instead of Decimal(38,0) — rad-scale uint256 values can need 78
-    * digits (SURVEY §1.2); the wad/ray/rad rescalers accept both. */
+    * digits (SURVEY §1.2); the wad/ray/rad rescalers accept both.
+    * Array suffixes recurse, so uint256[3] and uint256[][] carry the
+    * binary element type too — the decoder's tuple walk is recursive in
+    * `wide`, and a schema that stopped at one dynamic-array level would
+    * declare Decimal elements over byte-array values (silent row
+    * corruption at read time). */
   def sparkType(abiType: String, wideIntsAsBinary: Boolean): DataType =
-    if (wideIntsAsBinary && isWideInt(abiType)) BinaryType
-    else if (wideIntsAsBinary && abiType.endsWith("[]") && isWideInt(abiType.dropRight(2)))
-      ArrayType(BinaryType)
-    else sparkType(abiType)
+    if (!wideIntsAsBinary) sparkType(abiType)
+    else if (isWideInt(abiType)) BinaryType
+    else abiType match {
+      case t if t.endsWith("[]") =>
+        ArrayType(sparkType(t.dropRight(2), wideIntsAsBinary))
+      case FixedArrayPat(elem, _) =>
+        ArrayType(sparkType(elem, wideIntsAsBinary))
+      case _ => sparkType(abiType)
+    }
 
   /** Derive every table for one contract ABI, with overload suffixing. */
   def tables(contract: String, abi: Seq[AbiJson.Entry],

@@ -305,16 +305,19 @@ final class ManifestStore(val root: String) extends Serializable {
       val snap = snapshotFrom(f, versions)
       val files = build(snap)
       val rc = rangeCol.orElse(snap.flatMap(_.rangeCol))
-      // NO-OP SHORT-CIRCUIT: a commit that would publish the exact same
-      // file list (and range column) as the current snapshot changes
-      // nothing — publish nothing. Without this, every empty catch-up
-      // (an ingest tick with no new blocks), victimless delete, and
-      // straddle-free expiry bumped a version: at 100 TB that is a
+      // NO-OP SHORT-CIRCUIT: an UNKEYED commit that would publish the
+      // exact same file list (and range column) as the current snapshot
+      // changes nothing — publish nothing. Without this, every empty
+      // catch-up (an ingest tick with no new blocks), victimless delete,
+      // and straddle-free expiry bumped a version: at 100 TB that is a
       // steadily growing manifest log, spurious matview refreshes (the
       // delta is provably empty), and version churn in every consumer
-      // keyed on currentVersion. The skipped commit's key (if any) is
-      // deliberately NOT recorded — replaying it re-runs another no-op.
-      if (snap.exists(p => p.files == files && p.rangeCol == rc))
+      // keyed on currentVersion. KEYED commits never short-circuit: the
+      // key IS the commit's idempotence marker — skipping a victimless
+      // keyed delete would leave the key unrecorded, and an
+      // at-least-once replay arriving after a backfill would re-apply
+      // the predicate to rows that did not exist the first time.
+      if (key.isEmpty && snap.exists(p => p.files == files && p.rangeCol == rc))
         return snap.get.version
       val body = (key.map("#key:" + _).toSeq ++
         rc.map("#rangeCol:" + _).toSeq ++

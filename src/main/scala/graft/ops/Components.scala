@@ -146,7 +146,8 @@ object Components {
                              version: Option[(Long, Long)] = None): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
     TruthCache.cached(s, "component_labels",
-      version.getOrElse(Dedup.docsFingerprint(docs)),
+      version.map(TruthCache.versionKey(dir, _))
+        .getOrElse(Dedup.docsFingerprint(docs)),
       componentLabels(docs))
   }
 

@@ -79,7 +79,8 @@ object PageRank {
   private def edgesWithDeg(s: SparkSession, dir: String,
                            version: Option[(Long, Long)] = None): DataFrame =
     TruthCache.cached(s, "pr_edges_sym",
-      version.getOrElse(tradeFingerprint(s, dir)), {
+      version.map(TruthCache.versionKey(dir, _))
+        .getOrElse(tradeFingerprint(s, dir)), {
       val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
       val l = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
       val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
@@ -209,7 +210,8 @@ object PageRank {
                                     version: Option[(Long, Long)] = None)
       : (SparkSession, DataFrame, DataFrame, Long) = {
     val sess = s.newSession()
-    val fp = version.getOrElse(tradeFingerprint(sess, dir))
+    val fp = version.map(TruthCache.versionKey(dir, _))
+      .getOrElse(tradeFingerprint(sess, dir))
     // edge table with out-degrees and the flagged node table are pure
     // corpus functions — cached like the symmetric/triangle edge sets;
     // only the per-invocation repartition onto the loop's partitioning
@@ -319,7 +321,7 @@ object PageRank {
                                      version: Option[(Long, Long)] = None): DataFrame = {
     val li = Tables.load(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-    val fp = version.getOrElse(
+    val fp = version.map(TruthCache.versionKey(dir, _)).getOrElse(
       IvfModel.fingerprintOf(li, xxhash64(col("ok"), col("p"))))
     TruthCache.cached(s, "tri_pairs", fp,
       li.as("a").join(li.as("b"),
@@ -332,7 +334,7 @@ object PageRank {
       : (DataFrame, DataFrame) = {
     val li = Tables.load(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-    val fp = version.getOrElse(
+    val fp = version.map(TruthCache.versionKey(dir, _)).getOrElse(
       IvfModel.fingerprintOf(li, xxhash64(col("ok"), col("p"))))
     val pairs = copurchaseEdges(s, dir, version)
     // orient: (s → t) with (d_s, s) < (d_t, t)

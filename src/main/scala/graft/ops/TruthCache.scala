@@ -47,6 +47,19 @@ private[graft] object TruthCache {
       java.lang.Long.toHexString(stamp)
     } catch { case _: Throwable => "0" }
 
+  /** Caller-supplied version pair → cache key, with the CORPUS IDENTITY
+    * (absolute dir) mixed in. A content fingerprint identifies the data
+    * by value, so two corpora never alias unless they are equal; a bare
+    * store version does NOT — two different stores both at snapshot v7
+    * would otherwise resolve to one cache entry and silently serve each
+    * other's derived tables. Every version-keyed consumer must key
+    * through this. */
+  private[graft] def versionKey(dir: String, v: (Long, Long)): (Long, Long) = {
+    val d = scala.util.hashing.MurmurHash3.stringHash(
+      new java.io.File(dir).getAbsolutePath).toLong
+    (v._1 ^ java.lang.Long.rotateLeft(d, 13), v._2 ^ d)
+  }
+
   private def path(tag: String, fp: (Long, Long)): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_truth_${codeStamp}_${tag}_" +
       java.lang.Long.toHexString(fp._1 * 1000003L ^ fp._2)

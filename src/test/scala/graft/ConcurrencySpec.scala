@@ -86,6 +86,18 @@ class ConcurrencySpec extends AnyFunSuite {
         assert(h == expected(n), s"$n diverged under concurrency")
       }
     }
+    // the sequential "truth" above reads the same caches the racing pass
+    // built — a deterministically CORRUPTED artifact would agree with
+    // itself. Recompute the cache-consuming queries under a never-seen
+    // version key (fresh cache path, full rebuild from the corpus) and
+    // require agreement with what the raced caches served.
+    val freshVer = Some((0x51D0001L, 0x73570001L))
+    assert(hashOf(graft.ops.PageRank.triangles(spark, dir, freshVer)) ==
+      expected("graph_triangles"),
+      "raced triangle caches diverge from an independent rebuild")
+    assert(hashOf(graft.ops.PageRank.pagerank(spark, dir, freshVer)) ==
+      expected("graph_pagerank"),
+      "raced edge caches diverge from an independent rebuild")
   }
 
   test("function registration is once-per-session and race-free") {

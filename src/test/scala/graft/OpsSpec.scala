@@ -419,6 +419,15 @@ class OpsSpec extends AnyFunSuite {
     assert(AbiSchema.sparkType("uint256", wideIntsAsBinary = true) == BinaryType)
     assert(AbiSchema.sparkType("uint16", wideIntsAsBinary = true) == IntegerType)
     assert(AbiSchema.sparkType("uint256[]", wideIntsAsBinary = true) == ArrayType(BinaryType))
+    // the wide mapping RECURSES through array shapes — a fixed or nested
+    // wide array left at Decimal while the decoder emits raw words would
+    // silently corrupt rows at read time
+    assert(AbiSchema.sparkType("uint256[3]", wideIntsAsBinary = true) ==
+      ArrayType(BinaryType))
+    assert(AbiSchema.sparkType("uint256[][]", wideIntsAsBinary = true) ==
+      ArrayType(ArrayType(BinaryType)))
+    assert(AbiSchema.sparkType("uint32[3]", wideIntsAsBinary = true) ==
+      ArrayType(LongType))
   }
 
   test("generate_series table function (PG dialect shim)") {

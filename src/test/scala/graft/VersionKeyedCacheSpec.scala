@@ -74,9 +74,37 @@ class VersionKeyedCacheSpec extends AnyFunSuite {
   }
 
   test("distinct versions never alias: a bumped version recomputes, same result") {
+    // value-equality alone can't catch aliasing here (the corpus didn't
+    // change, so a wrongly-aliased read and an honest recompute hold the
+    // same rows) — require the MECHANICAL signal too: a bumped version
+    // must materialize fresh graft_truth_* cache entries
+    val tmpRoot = new java.io.File(System.getProperty("java.io.tmpdir"))
+    def truthDirs(): Int =
+      tmpRoot.listFiles().count(_.getName.startsWith("graft_truth_"))
     val v2 = (ver._1 + 1, ver._2)
+    val before = truthDirs()
     val h = hashOf(PageRank.triangles(spark, dir, Some(v2)))
+    assert(truthDirs() > before,
+      "bumped version created no fresh cache entry — version keys alias")
     assert(h == hashOf(PageRank.triangles(spark, dir)),
       "recomputed-under-new-version result must match")
+  }
+
+  test("same version, different corpus dir: keys never alias across corpora") {
+    // a bare store version is NOT globally unique — the cache key mixes
+    // the absolute corpus dir (TruthCache.versionKey), so two stores
+    // both at snapshot v7 resolve to different entries. Mechanical
+    // check: the same version pair against a different dir builds fresh
+    // entries instead of serving the first corpus's tables.
+    val tmpRoot = new java.io.File(System.getProperty("java.io.tmpdir"))
+    def truthDirs(): Int =
+      tmpRoot.listFiles().count(_.getName.startsWith("graft_truth_"))
+    val otherDir = "/root/testdata/sf0.01"
+    val before = truthDirs()
+    val h = hashOf(PageRank.triangles(spark, otherDir, Some(ver)))
+    assert(truthDirs() > before,
+      "same version on a different corpus served the first corpus's cache")
+    assert(h != hashOf(PageRank.triangles(spark, dir, Some(ver))),
+      "different corpora must not produce identical triangle stats")
   }
 }
