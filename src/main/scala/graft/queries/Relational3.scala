@@ -190,9 +190,43 @@ object Relational3 {
     FROM v GROUP BY event_type, k_mod
     ORDER BY event_type, k_mod""")
 
+  /** RUNTIME BLOOM-FILTER JOIN PRUNING (`q46_runtime_bloom`) — the
+    * 100 TB mechanism for shuffle joins with a selective build side:
+    * Catalyst's InjectRuntimeFilter plants a bloom_filter_agg over the
+    * filtered orders keys and a might_contain() predicate ON THE FACT
+    * SCAN SIDE, so lineitem rows whose orderkey cannot match are
+    * dropped BEFORE the join exchange — the shuffle carries survivors
+    * only. At the test scale the planner's size thresholds would never
+    * fire (creation side must be small, application side huge), so the
+    * gate pins them on a PRIVATE session clone (the PageRank conf
+    * discipline — global conf untouched) with broadcast disabled to
+    * force the shuffle-join shape the filter exists for. The filter is
+    * semantics-transparent: the result hash-matches the plain DuckDB
+    * join; the PLANS.md section asserts the might_contain predicate
+    * actually lands in the executed plan. */
+  def q46RuntimeBloom(s: SparkSession, dir: String): DataFrame = {
+    val sess = s.newSession()
+    sess.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sess.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    sess.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    sess.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    sql(sess, dir, """
+      SELECT o_orderpriority,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)))
+          AS DOUBLE) AS revenue,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'P'
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_recursive_cte" -> (q39RecursiveCte _),
     "q40_variant" -> (q40Variant _),
+    "q46_runtime_bloom" -> (q46RuntimeBloom _),
     "q37_skew_join" -> (q37SkewJoin _),
     "q36_range_join" -> (q36RangeJoin _),
     "q29_grouping_sets" -> (q29GroupingSets _),
@@ -204,6 +238,15 @@ object Relational3 {
     "q35_rank_family" -> (q35RankFamily _))
 
   val oracle: Map[String, String] = Map(
+    "q46_runtime_bloom" -> """
+      SELECT o_orderpriority,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)))
+          AS DOUBLE) AS revenue,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'P'
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
     "q39_recursive_cte" -> """
       WITH RECURSIVE ed AS (
         SELECT DISTINCT o_custkey AS src, 100000 + l_suppkey AS dst
