@@ -23,10 +23,9 @@ object Forget {
     * [[graft.ops.ExactIndex.gateRoot]] rule — alike-named dirs never
     * alias). */
   private[graft] def gateRoot(dir: String): String = {
-    val abs = new java.io.File(dir).getAbsolutePath
     s"${System.getProperty("java.io.tmpdir")}/graft_forget_store_" +
       new java.io.File(dir).getName + "_" +
-      java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(abs))
+      graft.ops.CorpusId.hex(dir)
   }
 
   /** Build (once per session) the gate store: ingest events in two

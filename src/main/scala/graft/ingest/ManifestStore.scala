@@ -292,7 +292,8 @@ final class ManifestStore(val root: String) extends Serializable {
     * with, and its key is visible to the check. Exactly one create of
     * each version file can succeed (O_EXCL / namenode-atomic). */
   private def commitWith(spark: SparkSession, key: Option[String],
-                         rangeCol: Option[String])
+                         rangeCol: Option[String],
+                         noopSkippableWithKey: Boolean = false)
                         (build: Option[Snapshot] => Seq[FileEntry]): Long = {
     val f = fs(spark)
     f.mkdirs(manifestsDir)
@@ -305,19 +306,25 @@ final class ManifestStore(val root: String) extends Serializable {
       val snap = snapshotFrom(f, versions)
       val files = build(snap)
       val rc = rangeCol.orElse(snap.flatMap(_.rangeCol))
-      // NO-OP SHORT-CIRCUIT: an UNKEYED commit that would publish the
-      // exact same file list (and range column) as the current snapshot
-      // changes nothing — publish nothing. Without this, every empty
-      // catch-up (an ingest tick with no new blocks), victimless delete,
-      // and straddle-free expiry bumped a version: at 100 TB that is a
+      // NO-OP SHORT-CIRCUIT: a commit that would publish the exact same
+      // file list (and range column) as the current snapshot changes
+      // nothing — publish nothing. Without this, every empty catch-up
+      // (an ingest tick with no new blocks), victimless delete, and
+      // straddle-free expiry bumped a version: at 100 TB that is a
       // steadily growing manifest log, spurious matview refreshes (the
       // delta is provably empty), and version churn in every consumer
-      // keyed on currentVersion. KEYED commits never short-circuit: the
-      // key IS the commit's idempotence marker — skipping a victimless
-      // keyed delete would leave the key unrecorded, and an
-      // at-least-once replay arriving after a backfill would re-apply
-      // the predicate to rows that did not exist the first time.
-      if (key.isEmpty && snap.exists(p => p.files == files && p.rangeCol == rc))
+      // keyed on currentVersion. KEYED commits short-circuit only when
+      // the operation declares it safe (noopSkippableWithKey): for
+      // APPEND, replaying an unrecorded empty batch re-appends nothing
+      // — itself a no-op — so skipping is sound and an empty keyed
+      // streaming micro-batch stops churning versions. For PREDICATE
+      // commits (delete/expire/merge/overwriteRange) the key IS the
+      // idempotence marker: skipping a victimless keyed delete would
+      // leave it unrecorded, and an at-least-once replay arriving after
+      // a backfill would re-apply the predicate to rows that did not
+      // exist the first time.
+      if ((key.isEmpty || noopSkippableWithKey) &&
+          snap.exists(p => p.files == files && p.rangeCol == rc))
         return snap.get.version
       val body = (key.map("#key:" + _).toSeq ++
         rc.map("#rangeCol:" + _).toSeq ++
@@ -530,7 +537,7 @@ final class ManifestStore(val root: String) extends Serializable {
     // data files are immutable — safe to reuse across commit attempts;
     // the file LIST re-merges against the then-current snapshot each try
     val newFiles = writeData(spark, df, partitionCols, rangeCol)
-    commitWith(spark, commitKey, rangeCol) { prev =>
+    commitWith(spark, commitKey, rangeCol, noopSkippableWithKey = true) { prev =>
       prev.map(_.files).getOrElse(Nil) ++ newFiles
     }
   }

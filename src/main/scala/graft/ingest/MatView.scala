@@ -129,9 +129,8 @@ object MatView {
 
   private[graft] def gateRoots(dir: String, kind: String = "source")
       : (String, String) = {
-    val abs = new java.io.File(dir).getAbsolutePath
     val tag = new java.io.File(dir).getName + "_" +
-      java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(abs))
+      graft.ops.CorpusId.hex(dir)
     val t = System.getProperty("java.io.tmpdir")
     (s"$t/graft_mv_${kind}_$tag", s"$t/graft_mv_view_${kind}_$tag")
   }

@@ -49,9 +49,8 @@ object Validated {
   private val builtRoots = scala.collection.mutable.Set[String]()
 
   private[graft] def gateRoots(dir: String): (String, String) = {
-    val abs = new java.io.File(dir).getAbsolutePath
     val tag = new java.io.File(dir).getName + "_" +
-      java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(abs))
+      graft.ops.CorpusId.hex(dir)
     val t = System.getProperty("java.io.tmpdir")
     (s"$t/graft_valid_main_$tag", s"$t/graft_valid_quar_$tag")
   }
@@ -143,10 +142,9 @@ object Validated {
     * split at event_id 500, rangeCol event_id; returns (root, version
     * after the first append) for the time-travel query. */
   private def tvfStore(s: SparkSession, dir: String): (String, Long) = {
-    val abs = new java.io.File(dir).getAbsolutePath
     val root = s"${System.getProperty("java.io.tmpdir")}/graft_tvf_store_" +
       new java.io.File(dir).getName + "_" +
-      java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(abs))
+      graft.ops.CorpusId.hex(dir)
     val v1 = tvfRoots.synchronized {
       tvfRoots.getOrElseUpdate(root, {
         val p = new Path(root)

@@ -37,10 +37,9 @@ object AnnIndex {
     * different directories with the same basename must never alias —
     * and the fingerprint, so staleness is structural. */
   def path(dir: String, tag: String, fp: (Long, Long)): String = {
-    val abs = new java.io.File(dir).getAbsolutePath
     s"${System.getProperty("java.io.tmpdir")}/graft_ann_${tag}_" +
       new java.io.File(dir).getName + "_" +
-      java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(abs)) +
+      graft.ops.CorpusId.hex(dir) +
       "_" + java.lang.Long.toHexString(fp._1 * 1000003L ^ fp._2)
   }
 

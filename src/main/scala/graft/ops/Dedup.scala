@@ -317,10 +317,9 @@ object Dedup {
     // root carries the ABSOLUTE path hash, not just the basename: two
     // dirs named alike (or a test fixture shadowing the sf dir) must
     // never alias to one index
-    val abs = new java.io.File(dir).getAbsolutePath
     val root = s"${System.getProperty("java.io.tmpdir")}/graft_lsh_index_" +
       new java.io.File(dir).getName + "_" +
-      java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(abs))
+      graft.ops.CorpusId.hex(dir)
     // serialize the first build per root: two concurrent first calls
     // would otherwise BOTH append and double every shingle/size row
     builtRoots.synchronized {

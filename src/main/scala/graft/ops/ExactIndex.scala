@@ -270,10 +270,9 @@ object ExactIndex {
   /** The gate's index root for `dir` — absolute-path-hashed so two dirs
     * named alike never alias (the [[Dedup.dedupIncremental]] rule). */
   private[graft] def gateRoot(dir: String): String = {
-    val abs = new java.io.File(dir).getAbsolutePath
     s"${System.getProperty("java.io.tmpdir")}/graft_exact_index_" +
       new java.io.File(dir).getName + "_" +
-      java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(abs))
+      graft.ops.CorpusId.hex(dir)
   }
 
   def dedupExactIncremental(s: SparkSession, dir: String): DataFrame = {

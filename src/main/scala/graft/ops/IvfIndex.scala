@@ -170,10 +170,9 @@ object IvfIndex {
     * over data the oracle no longer reads. */
   private def gateStoreRoot(prefix: String, dir: String,
                             fp: (Long, Long)): String = {
-    val abs = new java.io.File(dir).getAbsolutePath
     s"${System.getProperty("java.io.tmpdir")}/${prefix}_" +
       new java.io.File(dir).getName + "_" +
-      java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(abs)) +
+      graft.ops.CorpusId.hex(dir) +
       "_" + java.lang.Long.toHexString(fp._1 ^ java.lang.Long.rotateLeft(fp._2, 17))
   }
 

@@ -68,10 +68,9 @@ object IvfModel {
     * ABSOLUTE path hash so two corpora in different directories with the
     * same basename never alias to one store. */
   private def root(dir: String, tag: String): String = {
-    val abs = new java.io.File(dir).getAbsolutePath
     s"${System.getProperty("java.io.tmpdir")}/graft_ivf_model_${tag}_" +
       new java.io.File(dir).getName + "_" +
-      java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(abs))
+      graft.ops.CorpusId.hex(dir)
   }
 
   /** The fingerprint-unique model directory under `root`. */

@@ -55,8 +55,7 @@ private[graft] object TruthCache {
     * other's derived tables. Every version-keyed consumer must key
     * through this. */
   private[graft] def versionKey(dir: String, v: (Long, Long)): (Long, Long) = {
-    val d = scala.util.hashing.MurmurHash3.stringHash(
-      new java.io.File(dir).getAbsolutePath).toLong
+    val d = CorpusId.hash(dir).toLong
     (v._1 ^ java.lang.Long.rotateLeft(d, 13), v._2 ^ d)
   }
 

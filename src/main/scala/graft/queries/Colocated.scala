@@ -26,10 +26,7 @@ object Colocated {
 
   private val built = scala.collection.mutable.Set[String]()
 
-  private def tag(dir: String): String =
-    java.lang.Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(
-        new java.io.File(dir).getAbsolutePath))
+  private def tag(dir: String): String = graft.ops.CorpusId.hex(dir)
 
   /** Write orders+lineitem bucketed by the join key into the session
     * catalog (once per session per fixture dir). */

@@ -91,7 +91,10 @@ class ConcurrencySpec extends AnyFunSuite {
     // itself. Recompute the cache-consuming queries under a never-seen
     // version key (fresh cache path, full rebuild from the corpus) and
     // require agreement with what the raced caches served.
-    val freshVer = Some((0x51D0001L, 0x73570001L))
+    // unique per RUN: a constant key would resolve to a prior run's
+    // persisted cache on an unchanged build and silently skip the
+    // rebuild this check exists for
+    val freshVer = Some((System.nanoTime(), 0x73570001L))
     assert(hashOf(graft.ops.PageRank.triangles(spark, dir, freshVer)) ==
       expected("graph_triangles"),
       "raced triangle caches diverge from an independent rebuild")

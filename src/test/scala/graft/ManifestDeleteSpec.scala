@@ -65,6 +65,22 @@ class ManifestDeleteSpec extends AnyFunSuite {
       "'x' AS payload").limit(0), rangeCol = Some("event_id"))
     assert(store.currentVersion(spark) == vBefore,
       "an empty append must not bump the version")
+    // KEYED empty appends skip too (noopSkippableWithKey): replaying an
+    // unrecorded empty batch re-appends nothing, so an empty streaming
+    // micro-batch with a batch-id key must not churn versions either
+    store.append(spark, spark.emptyDataFrame.selectExpr(
+      "CAST(1 AS BIGINT) AS event_id", "CAST(1 AS BIGINT) AS user_id",
+      "'x' AS payload").limit(0), rangeCol = Some("event_id"),
+      commitKey = Some("empty-batch-1"))
+    assert(store.currentVersion(spark) == vBefore,
+      "a keyed empty append must not bump the version")
+    // ...but a keyed VICTIMLESS DELETE must still record its key (the
+    // replay-after-backfill hazard), which requires a commit
+    assert(store.delete(spark, col("user_id") === 999L,
+      commitKey = Some("forget-999")) == 0L)
+    assert(store.currentVersion(spark) == vBefore + 1,
+      "a keyed victimless delete must commit to record its key")
+    assert(store.currentFiles(spark).toSet == before)
   }
 
   test("merge upserts by key: matched rows replaced, new rows inserted, untouched files kept") {

@@ -36,6 +36,17 @@ class VersionKeyedCacheSpec extends AnyFunSuite {
     * is the store's, not this spec's. */
   private val ver = (7L, 0x5eed5eedL)
 
+  /** Unique-per-run version component: the mechanical "fresh cache entry
+    * appears" assertions below would fail spuriously on a re-run of an
+    * UNCHANGED build (graft_truth_* dirs persist in tmpdir across JVMs
+    * under one codeStamp), so the versions they probe must be new every
+    * run — exactly how a real store's snapshot versions behave. */
+  private val runTag = System.nanoTime()
+
+  private val tmpRoot = new java.io.File(System.getProperty("java.io.tmpdir"))
+  private def truthDirs(): Int =
+    tmpRoot.listFiles().count(_.getName.startsWith("graft_truth_"))
+
   test("graph consumers under a version key: zero fingerprint scans, same hashes") {
     // fingerprint-keyed baselines first (these DO scan — that's the
     // contract being replaced)
@@ -78,10 +89,7 @@ class VersionKeyedCacheSpec extends AnyFunSuite {
     // change, so a wrongly-aliased read and an honest recompute hold the
     // same rows) — require the MECHANICAL signal too: a bumped version
     // must materialize fresh graft_truth_* cache entries
-    val tmpRoot = new java.io.File(System.getProperty("java.io.tmpdir"))
-    def truthDirs(): Int =
-      tmpRoot.listFiles().count(_.getName.startsWith("graft_truth_"))
-    val v2 = (ver._1 + 1, ver._2)
+    val v2 = (runTag, ver._2)
     val before = truthDirs()
     val h = hashOf(PageRank.triangles(spark, dir, Some(v2)))
     assert(truthDirs() > before,
@@ -96,15 +104,14 @@ class VersionKeyedCacheSpec extends AnyFunSuite {
     // both at snapshot v7 resolve to different entries. Mechanical
     // check: the same version pair against a different dir builds fresh
     // entries instead of serving the first corpus's tables.
-    val tmpRoot = new java.io.File(System.getProperty("java.io.tmpdir"))
-    def truthDirs(): Int =
-      tmpRoot.listFiles().count(_.getName.startsWith("graft_truth_"))
+    val sharedVer = (runTag + 1, ver._2)
     val otherDir = "/root/testdata/sf0.01"
+    val hMine = hashOf(PageRank.triangles(spark, dir, Some(sharedVer)))
     val before = truthDirs()
-    val h = hashOf(PageRank.triangles(spark, otherDir, Some(ver)))
+    val h = hashOf(PageRank.triangles(spark, otherDir, Some(sharedVer)))
     assert(truthDirs() > before,
       "same version on a different corpus served the first corpus's cache")
-    assert(h != hashOf(PageRank.triangles(spark, dir, Some(ver))),
+    assert(h != hMine,
       "different corpora must not produce identical triangle stats")
   }
 }
