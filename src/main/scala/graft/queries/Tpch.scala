@@ -145,6 +145,111 @@ object Tpch {
     GROUP BY s_name
     ORDER BY numwait DESC, s_name LIMIT 100""")
 
+  /** TPC-H Q4 (order-priority checking) adapted: the fixture has no
+    * l_commitdate/l_receiptdate, so a "late" line is l_shipdate more
+    * than 30 days after its order date — the same re-join-orders trick
+    * as [[q44TpchQ21]] keeps the correlation equality-only (on
+    * l_orderkey), which both engines decorrelate to a clean left-semi
+    * join. One quarter of orders, priority distribution of those with
+    * at least one late line. */
+  def q47TpchQ4(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l JOIN orders o2 ON o2.o_orderkey = l.l_orderkey
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o2.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority""")
+
+  /** TPC-H Q13 (customer order-count distribution): the LEFT OUTER join
+    * with a predicate in the JOIN CONDITION (not a WHERE — that would
+    * turn it inner), then the classic double aggregation. Zero-order
+    * customers survive as c_count=0 — the shape that catches an
+    * outer-join-to-inner rewrite bug immediately. The join shuffles on
+    * the customer key; both rollups pre-aggregate map-side. */
+  def q48TpchQ13(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+          FROM customer LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC""")
+
+  /** TPC-H Q17 (small-quantity-order revenue): the correlated SCALAR
+    * AVG subquery — Catalyst decorrelates it to a per-part aggregate
+    * joined back on p_partkey. The threshold is computed identically in
+    * both engines: an exact DECIMAL sum cast to DOUBLE, divided by the
+    * exact count (one IEEE division, bit-deterministic), then one IEEE
+    * multiply by 0.2 — never a float sum, whose order-dependence would
+    * let a boundary-riding l_quantity flip between engines. Scan
+    * budget: TWO lineitem scans (outer + the decorrelated aggregate),
+    * asserted in PLANS.md. */
+  def q49TpchQ17(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23' AND p_type = 'SMALL'
+      AND l_quantity < 0.2 * (
+        SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+          / COUNT(*)
+        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""")
+
+  /** TPC-H Q20 (part-promotion suppliers) adapted: no partsupp table,
+    * so "supplier holds excess stock" becomes "supplier shipped more
+    * than half the 1997 volume of a small-part" — and because BOTH
+    * sides of that comparison derive from the same fact rows, the
+    * per-part total is a WINDOW sum over the per-(supplier,part) groups
+    * instead of a correlated re-scan: the IN-subquery reads lineitem
+    * exactly ONCE (plan-asserted). The qualifying supplier keyset
+    * reaches supplier as a left-semi join. */
+  def q50TpchQ20(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+    SELECT s_name, s_suppkey
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name LIKE 'NATION_1%'
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM (
+          SELECT l_suppkey, l_partkey,
+            SUM(CAST(l_quantity AS DECIMAL(18,2))) AS supp_qty,
+            SUM(SUM(CAST(l_quantity AS DECIMAL(18,2))))
+              OVER (PARTITION BY l_partkey) AS part_qty
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+          WHERE p_name LIKE 'small%'
+            AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+          GROUP BY l_suppkey, l_partkey) t
+        WHERE supp_qty * 2 > part_qty)
+    ORDER BY s_name, s_suppkey""")
+
+  /** TPC-H Q22 (global sales opportunity) adapted: country code is
+    * n_nationkey mod 7 (no phone column), and — because every customer
+    * has orders at these scale factors — the anti-join target is
+    * "never placed an URGENT order" so survivors exist. The
+    * above-average-balance test cross-multiplies (bal×n > Σbal) in
+    * exact DECIMAL instead of comparing against a float average; the
+    * two scalar subqueries broadcast as 1-row plans (Catalyst merges
+    * them into one customer aggregate). */
+  def q51TpchQ22(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+    SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+      CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM (
+      SELECT CAST(c_nationkey % 7 AS INT) AS cntrycode, c_acctbal, c_custkey
+      FROM customer
+      WHERE c_nationkey % 7 IN (1,2,3,5,6)
+        AND CAST(c_acctbal AS DECIMAL(18,2)) *
+            (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0)
+          > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer
+             WHERE c_acctbal > 0)
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderpriority = '1-URGENT')
+    ) t
+    GROUP BY cntrycode
+    ORDER BY cntrycode""")
+
   /** RFM customer segmentation — recency/frequency/monetary quintile
     * scores. NTILE would be a single-task global window (the
     * vocab_build lesson); instead the quintile THRESHOLDS come from one
@@ -207,6 +312,11 @@ object Tpch {
     "q43_tpch_q18" -> (q43TpchQ18 _),
     "q44_tpch_q21" -> (q44TpchQ21 _),
     "q45_tpch_q21_onescan" -> (q45TpchQ21OneScan _),
+    "q47_tpch_q4" -> (q47TpchQ4 _),
+    "q48_tpch_q13" -> (q48TpchQ13 _),
+    "q49_tpch_q17" -> (q49TpchQ17 _),
+    "q50_tpch_q20" -> (q50TpchQ20 _),
+    "q51_tpch_q22" -> (q51TpchQ22 _),
     "customers_rfm" -> (customersRfm _),
     "audit_ref_integrity" -> (auditRefIntegrity _))
 
@@ -289,6 +399,68 @@ object Tpch {
         HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
       GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
       ORDER BY o_totalprice DESC, orderdate_ms, o_orderkey LIMIT 100""",
+    "q47_tpch_q4" -> """
+      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+      FROM orders o
+      WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+        AND EXISTS (
+          SELECT 1 FROM lineitem l JOIN orders o2 ON o2.o_orderkey = l.l_orderkey
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o2.o_orderdate + INTERVAL 30 DAY)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+    "q48_tpch_q13" -> """
+      SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+      FROM (SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+            FROM customer LEFT OUTER JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey) c_orders
+      GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC""",
+    "q49_tpch_q17" -> """
+      SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        / 7.0 AS DOUBLE) AS avg_yearly
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#23' AND p_type = 'SMALL'
+        AND l_quantity < 0.2 * (
+          SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+            / COUNT(*)
+          FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""",
+    "q50_tpch_q20" -> """
+      SELECT s_name, s_suppkey
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name LIKE 'NATION_1%'
+        AND s_suppkey IN (
+          SELECT l_suppkey FROM (
+            SELECT l_suppkey, l_partkey,
+              SUM(CAST(l_quantity AS DECIMAL(18,2))) AS supp_qty,
+              SUM(SUM(CAST(l_quantity AS DECIMAL(18,2))))
+                OVER (PARTITION BY l_partkey) AS part_qty
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_name LIKE 'small%'
+              AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY l_suppkey, l_partkey) t
+          WHERE supp_qty * 2 > part_qty)
+      ORDER BY s_name, s_suppkey""",
+    "q51_tpch_q22" -> """
+      SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      FROM (
+        SELECT CAST(c_nationkey % 7 AS INT) AS cntrycode, c_acctbal, c_custkey
+        FROM customer
+        WHERE c_nationkey % 7 IN (1,2,3,5,6)
+          AND CAST(c_acctbal AS DECIMAL(18,2)) *
+              (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0)
+            > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer
+               WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
+      ) t
+      GROUP BY cntrycode
+      ORDER BY cntrycode""",
     "customers_rfm" -> """
       WITH m AS (
         SELECT o_custkey AS c_custkey,
