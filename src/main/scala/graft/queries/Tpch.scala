@@ -250,6 +250,81 @@ object Tpch {
     GROUP BY cntrycode
     ORDER BY cntrycode""")
 
+  /** TPC-H Q12 (shipping-mode priority) adapted: no l_shipmode, so the
+    * classification axis is l_returnflag and a "late" line ships more
+    * than 30 days after its order date. The classic conditional-
+    * aggregation-over-a-join shape: one fact⋈orders join, both CASE
+    * counts ride the same map-side partial aggregate. */
+  def q52TpchQ12(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+    SELECT l_returnflag,
+      CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag""")
+
+  /** TPC-H Q14 (promotion effect): conditional revenue share over one
+    * month — numerator and denominator from the SAME decimal partials
+    * in one aggregate (never two scans), the final ratio one IEEE
+    * division of two exactly-summed doubles. The month filter pushes to
+    * the lineitem scan; the part side broadcasts. */
+  def q53TpchQ14(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+    SELECT CAST(100.00 *
+        CAST(SUM(CASE WHEN p_type = 'PROMO'
+          THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))
+          ELSE CAST(0 AS DECIMAL(22,6)) END) AS DOUBLE)
+      / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)))
+          AS DOUBLE)
+      AS DOUBLE) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'""")
+
+  /** TPC-H Q16 (parts/supplier relationship) adapted: supplier variety
+    * per (brand, type, size) bucket from the fact table (no partsupp),
+    * excluding blacklisted suppliers via NOT IN — the null-aware anti
+    * join shape (s_suppkey is non-null, so it plans as a plain
+    * left-anti against the broadcast keyset). COUNT(DISTINCT) rides
+    * Spark's two-phase distinct aggregate; the size IN-list pushes to
+    * the part scan. Total ORDER BY makes the LIMIT deterministic. */
+  def q54TpchQ16(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+    SELECT p_brand, p_type, p_size,
+      CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#13' AND p_type <> 'STANDARD'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l_suppkey NOT IN
+        (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 50""")
+
+  /** TPC-H Q19 (discounted revenue, disjunctive predicate): the OR of
+    * per-(brand, size, quantity) conjunction groups spans BOTH join
+    * sides, so Catalyst cannot split it below the join on its own —
+    * the classic Q19 authoring move is the redundant per-table
+    * ENVELOPE conjuncts (brand IN-list, size and quantity bounds),
+    * semantically implied by the disjunction, which DO push to each
+    * scan (plan-asserted on both sides). At 100 TB that is the
+    * difference between scanning three brands' parts and scanning
+    * every part. */
+  def q55TpchQ19(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        AS DECIMAL(22,6))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+            AND l_quantity >= 1 AND l_quantity <= 15)
+        OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+            AND l_quantity >= 5 AND l_quantity <= 25)
+        OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+            AND l_quantity >= 15 AND l_quantity <= 40))
+      AND p_brand IN ('Brand#12', 'Brand#23', 'Brand#34')
+      AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 1 AND 40""")
+
   /** RFM customer segmentation — recency/frequency/monetary quintile
     * scores. NTILE would be a single-task global window (the
     * vocab_build lesson); instead the quintile THRESHOLDS come from one
@@ -317,6 +392,10 @@ object Tpch {
     "q49_tpch_q17" -> (q49TpchQ17 _),
     "q50_tpch_q20" -> (q50TpchQ20 _),
     "q51_tpch_q22" -> (q51TpchQ22 _),
+    "q52_tpch_q12" -> (q52TpchQ12 _),
+    "q53_tpch_q14" -> (q53TpchQ14 _),
+    "q54_tpch_q16" -> (q54TpchQ16 _),
+    "q55_tpch_q19" -> (q55TpchQ19 _),
     "customers_rfm" -> (customersRfm _),
     "audit_ref_integrity" -> (auditRefIntegrity _))
 
@@ -461,6 +540,51 @@ object Tpch {
       ) t
       GROUP BY cntrycode
       ORDER BY cntrycode""",
+    "q52_tpch_q12" -> """
+      SELECT l_returnflag,
+        CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+          THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+          THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+        AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+    "q53_tpch_q14" -> """
+      SELECT CAST(100.00 *
+          CAST(SUM(CASE WHEN p_type = 'PROMO'
+            THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))
+            ELSE CAST(0 AS DECIMAL(22,6)) END) AS DOUBLE)
+        / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)))
+            AS DOUBLE)
+        AS DOUBLE) AS promo_revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'""",
+    "q54_tpch_q16" -> """
+      SELECT p_brand, p_type, p_size,
+        CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand <> 'Brand#13' AND p_type <> 'STANDARD'
+        AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+        AND l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+      GROUP BY p_brand, p_type, p_size
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 50""",
+    "q55_tpch_q19" -> """
+      SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+          AS DECIMAL(22,6))) AS DOUBLE) AS revenue
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+              AND l_quantity >= 1 AND l_quantity <= 15)
+          OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+              AND l_quantity >= 5 AND l_quantity <= 25)
+          OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+              AND l_quantity >= 15 AND l_quantity <= 40))
+        AND p_brand IN ('Brand#12', 'Brand#23', 'Brand#34')
+        AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 1 AND 40""",
     "customers_rfm" -> """
       WITH m AS (
         SELECT o_custkey AS c_custkey,

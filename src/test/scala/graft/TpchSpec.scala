@@ -54,6 +54,38 @@ class TpchSpec extends AnyFunSuite {
       ("Supplier#000000002", 2L)))
   }
 
+  test("q52 (Q12): late-line priority split per returnflag") {
+    val rows = queries.Tpch.q52TpchQ12(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(("A", 47L, 63L), ("N", 44L, 60L),
+      ("R", 45L, 52L)))
+  }
+
+  test("q53 (Q14): promo revenue share, one-pass numerator/denominator") {
+    val v = queries.Tpch.q53TpchQ14(spark, dir).head().getDouble(0)
+    assert(math.abs(v - 28.456812045184485) < 1e-10, s"got $v")
+  }
+
+  test("q54 (Q16): blacklist anti-join + distinct supplier counts") {
+    val rows = queries.Tpch.q54TpchQ16(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    assert(rows.length == 33, s"got ${rows.length}")
+    assert(rows.take(3).toSeq == Seq(
+      ("Brand#11", "SMALL", 16, 9L), ("Brand#14", "PROMO", 1, 9L),
+      ("Brand#15", "SMALL", 4, 9L)))
+    // anti-join discipline: no surviving count may include a
+    // blacklisted supplier — the whole keyset is excluded, so every
+    // count is bounded by the non-blacklisted supplier population
+    val ok = spark.read.parquet(s"$dir/supplier.parquet")
+      .where("s_name NOT LIKE '%7'").count()
+    assert(rows.forall(_._4 <= ok), "a count exceeds the eligible pool")
+  }
+
+  test("q55 (Q19): disjunctive bands match the decimal-exact truth") {
+    val v = queries.Tpch.q55TpchQ19(spark, dir).head().getDouble(0)
+    assert(math.abs(v - 2309600.4557) < 1e-6, s"got $v")
+  }
+
   test("q51 (Q22): survivors are above-average AND urgent-free") {
     val rows = queries.Tpch.q51TpchQ22(spark, dir).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
