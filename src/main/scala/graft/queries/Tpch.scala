@@ -325,6 +325,184 @@ object Tpch {
       AND p_brand IN ('Brand#12', 'Brand#23', 'Brand#34')
       AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 1 AND 40""")
 
+  /** TPC-H Q6 (forecasting revenue change): the purest scan shape —
+    * every predicate (date range, discount band, quantity cap) pushes
+    * to the parquet scan and the revenue sum is one exact decimal
+    * aggregate over the survivors. No join, no shuffle beyond the
+    * 1-row gather. */
+  def q56TpchQ6(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        * CAST(l_discount AS DECIMAL(5,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""")
+
+  /** TPC-H Q7 (volume shipping): revenue between two nations in both
+    * directions — the 6-way join where the OR over the two nation-dim
+    * combinations must NOT break the equi-join (each nation table joins
+    * on its own key; the OR is a post-join filter over two broadcast
+    * dims, never a cartesian). */
+  def q57TpchQ7(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+    SELECT supp_nation, cust_nation, l_year,
+      CAST(SUM(CAST(volume AS DECIMAL(22,6))) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        CAST(year(l_shipdate) AS INT) AS l_year,
+        l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year""")
+
+  /** TPC-H Q8 (national market share): the widest classic join tree —
+    * 8 tables — feeding a conditional share per order year. Share =
+    * ratio of two exactly-summed decimals from the SAME aggregate
+    * (one fact pass), the division one IEEE op. Every dimension
+    * broadcasts; lineitem is scanned exactly once (plan-asserted). */
+  def q58TpchQ8(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+    SELECT o_year,
+      CAST(CAST(SUM(CASE WHEN nation = 'NATION_3'
+          THEN CAST(volume AS DECIMAL(22,6))
+          ELSE CAST(0 AS DECIMAL(22,6)) END) AS DOUBLE)
+        / CAST(SUM(CAST(volume AS DECIMAL(22,6))) AS DOUBLE)
+        AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        l_extendedprice * (1 - l_discount) AS volume,
+        n2.n_name AS nation
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'LARGE'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year""")
+
+  /** TPC-H Q9 (product-type profit) adapted: no partsupp supply cost,
+    * so profit = revenue − 0.6 × retail price × quantity (a fixed
+    * 60 % cost ratio against the part's list price). The profit rollup
+    * by (nation, year) over a name-substring part filter — the shape
+    * where the selective part side must broadcast into the fact scan
+    * rather than shuffling lineitem. */
+  def q59TpchQ9(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+    SELECT nation, o_year,
+      CAST(SUM(CAST(amount AS DECIMAL(22,6))) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+        l_extendedprice * (1 - l_discount)
+          - 0.6 * p_retailprice * l_quantity AS amount
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%gear%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC""")
+
+  /** TPC-H Q10 (returned-item reporting): top-20 customers by revenue
+    * lost to returns in one quarter — the classic top-k over a
+    * fact⋈orders⋈customer join with the returnflag filter pushed to the
+    * fact scan and the top-20 riding TakeOrderedAndProject. */
+  def q60TpchQ10(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+    SELECT c_custkey, c_name,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)))
+        AS DOUBLE) AS revenue,
+      CAST(c_acctbal AS DOUBLE) AS acctbal, n_name
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20""")
+
+  /** TPC-H Q15 (top supplier): the view-plus-global-max shape — the
+    * quarterly revenue CTE is consumed twice (once joined, once under
+    * MAX), and because the sums are exact DECIMAL the equality against
+    * the max is exact in both engines. Catalyst inlines the
+    * twice-referenced CTE, so the documented scan budget is TWO
+    * lineitem scans (the price of the literal form; a 100 TB run
+    * would checkpoint revenue0 — `ManifestStore`-materialize it —
+    * first). */
+  def q61TpchQ15(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+    WITH revenue0 AS (
+      SELECT l_suppkey AS supplier_no,
+        SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)))
+          AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue0 ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue0)
+    ORDER BY s_suppkey""")
+
+  /** TPC-H Q2 (minimum-cost supplier) adapted: no partsupp, so a
+    * supplier's unit cost for a part is its lifetime average unit
+    * price from the fact table (exact decimal sums, one IEEE
+    * division — bit-identical across engines, so the equality against
+    * the correlated MIN is exact). The classic correlated-MIN
+    * decorrelates to a per-part aggregate joined back; region
+    * restricts both the outer row and the MIN's candidate set. */
+  def q62TpchQ2(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+          / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+          AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey)
+    SELECT s_name, n_name, p_partkey, p_name
+    FROM part JOIN cost ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' AND p_size = 15 AND p_type = 'SMALL'
+      AND unit_cost = (
+        SELECT MIN(c2.unit_cost) FROM cost c2
+        JOIN supplier s2 ON s2.s_suppkey = c2.l_suppkey
+        JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        WHERE c2.l_partkey = p_partkey AND r2.r_name = 'ASIA')
+    ORDER BY s_name, p_partkey LIMIT 100""")
+
+  /** TPC-H Q11 (important stock) adapted: a part's "value" is the
+    * lineitem-derived extended-price mass from two nations' suppliers;
+    * keep parts holding more than 0.1 % of the total. The
+    * group-share-vs-global-scalar shape: the threshold is one 1-row
+    * scalar subquery over the same CTE (inlined → documented 2-scan
+    * budget), the comparison cross-multiplied in exact DECIMAL
+    * (value × 1000 > Σ) — no float division anywhere. */
+  def q63TpchQ11(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+    WITH pv AS (
+      SELECT l_partkey,
+        SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS pvalue
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_3', 'NATION_7')
+      GROUP BY l_partkey)
+    SELECT l_partkey, CAST(pvalue AS DOUBLE) AS pvalue
+    FROM pv
+    WHERE pvalue * 1000 > (SELECT SUM(pvalue) FROM pv)
+    ORDER BY pvalue DESC, l_partkey""")
+
   /** RFM customer segmentation — recency/frequency/monetary quintile
     * scores. NTILE would be a single-task global window (the
     * vocab_build lesson); instead the quintile THRESHOLDS come from one
@@ -396,6 +574,14 @@ object Tpch {
     "q53_tpch_q14" -> (q53TpchQ14 _),
     "q54_tpch_q16" -> (q54TpchQ16 _),
     "q55_tpch_q19" -> (q55TpchQ19 _),
+    "q56_tpch_q6" -> (q56TpchQ6 _),
+    "q57_tpch_q7" -> (q57TpchQ7 _),
+    "q58_tpch_q8" -> (q58TpchQ8 _),
+    "q59_tpch_q9" -> (q59TpchQ9 _),
+    "q60_tpch_q10" -> (q60TpchQ10 _),
+    "q61_tpch_q15" -> (q61TpchQ15 _),
+    "q62_tpch_q2" -> (q62TpchQ2 _),
+    "q63_tpch_q11" -> (q63TpchQ11 _),
     "customers_rfm" -> (customersRfm _),
     "audit_ref_integrity" -> (auditRefIntegrity _))
 
@@ -585,6 +771,129 @@ object Tpch {
               AND l_quantity >= 15 AND l_quantity <= 40))
         AND p_brand IN ('Brand#12', 'Brand#23', 'Brand#34')
         AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 1 AND 40""",
+    "q56_tpch_q6" -> """
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+          * CAST(l_discount AS DECIMAL(5,2))) AS DOUBLE) AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+    "q57_tpch_q7" -> """
+      SELECT supp_nation, cust_nation, l_year,
+        CAST(SUM(CAST(volume AS DECIMAL(22,6))) AS DOUBLE) AS revenue
+      FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          CAST(year(l_shipdate) AS INT) AS l_year,
+          l_extendedprice * (1 - l_discount) AS volume
+        FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+            OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      ) shipping
+      GROUP BY supp_nation, cust_nation, l_year
+      ORDER BY supp_nation, cust_nation, l_year""",
+    "q58_tpch_q8" -> """
+      SELECT o_year,
+        CAST(CAST(SUM(CASE WHEN nation = 'NATION_3'
+            THEN CAST(volume AS DECIMAL(22,6))
+            ELSE CAST(0 AS DECIMAL(22,6)) END) AS DOUBLE)
+          / CAST(SUM(CAST(volume AS DECIMAL(22,6))) AS DOUBLE)
+          AS DOUBLE) AS mkt_share
+      FROM (
+        SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+          l_extendedprice * (1 - l_discount) AS volume,
+          n2.n_name AS nation
+        FROM part JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA' AND p_type = 'LARGE'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      ) all_nations
+      GROUP BY o_year
+      ORDER BY o_year""",
+    "q59_tpch_q9" -> """
+      SELECT nation, o_year,
+        CAST(SUM(CAST(amount AS DECIMAL(22,6))) AS DOUBLE) AS sum_profit
+      FROM (
+        SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+          l_extendedprice * (1 - l_discount)
+            - 0.6 * p_retailprice * l_quantity AS amount
+        FROM part JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%gear%'
+      ) profit
+      GROUP BY nation, o_year
+      ORDER BY nation, o_year DESC""",
+    "q60_tpch_q10" -> """
+      SELECT c_custkey, c_name,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)))
+          AS DOUBLE) AS revenue,
+        CAST(c_acctbal AS DOUBLE) AS acctbal, n_name
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+        AND l_returnflag = 'R'
+      GROUP BY c_custkey, c_name, c_acctbal, n_name
+      ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q61_tpch_q15" -> """
+      WITH revenue0 AS (
+        SELECT l_suppkey AS supplier_no,
+          SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)))
+            AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+      FROM supplier JOIN revenue0 ON s_suppkey = supplier_no
+      WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue0)
+      ORDER BY s_suppkey""",
+    "q62_tpch_q2" -> """
+      WITH cost AS (
+        SELECT l_partkey, l_suppkey,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+            / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+            AS unit_cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey)
+      SELECT s_name, n_name, p_partkey, p_name
+      FROM part JOIN cost ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA' AND p_size = 15 AND p_type = 'SMALL'
+        AND unit_cost = (
+          SELECT MIN(c2.unit_cost) FROM cost c2
+          JOIN supplier s2 ON s2.s_suppkey = c2.l_suppkey
+          JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+          JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+          WHERE c2.l_partkey = p_partkey AND r2.r_name = 'ASIA')
+      ORDER BY s_name, p_partkey LIMIT 100""",
+    "q63_tpch_q11" -> """
+      WITH pv AS (
+        SELECT l_partkey,
+          SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS pvalue
+        FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name IN ('NATION_3', 'NATION_7')
+        GROUP BY l_partkey)
+      SELECT l_partkey, CAST(pvalue AS DOUBLE) AS pvalue
+      FROM pv
+      WHERE pvalue * 1000 > (SELECT SUM(pvalue) FROM pv)
+      ORDER BY pvalue DESC, l_partkey""",
     "customers_rfm" -> """
       WITH m AS (
         SELECT o_custkey AS c_custkey,

@@ -86,6 +86,81 @@ class TpchSpec extends AnyFunSuite {
     assert(math.abs(v - 2309600.4557) < 1e-6, s"got $v")
   }
 
+  test("q56 (Q6): pure-scan revenue forecast") {
+    val v = queries.Tpch.q56TpchQ6(spark, dir).head().getDouble(0)
+    assert(math.abs(v - 365888.5609) < 1e-6, s"got $v")
+  }
+
+  test("q57 (Q7): two-nation volume, both directions") {
+    val rows = queries.Tpch.q57TpchQ7(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getDouble(3)))
+    assert(rows.length == 2)
+    assert(rows(0)._1 == "NATION_3" && rows(0)._3 == 1996 &&
+      math.abs(rows(0)._4 - 137444.2596) < 1e-6)
+    assert(rows(1)._3 == 1997 && math.abs(rows(1)._4 - 114305.5872) < 1e-6)
+  }
+
+  test("q58 (Q8): market share per year from one fact pass") {
+    val rows = queries.Tpch.q58TpchQ8(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getDouble(1)))
+    assert(rows.length == 2)
+    assert(rows(0)._1 == 1996 &&
+      math.abs(rows(0)._2 - 0.028327670275518056) < 1e-12)
+    assert(rows(1)._1 == 1997 &&
+      math.abs(rows(1)._2 - 0.2219520123339681) < 1e-12)
+    // a share is a ratio of a conditional subtotal to its total
+    assert(rows.forall(r => r._2 >= 0.0 && r._2 <= 1.0))
+  }
+
+  test("q59 (Q9): profit rollup by nation and year") {
+    val rows = queries.Tpch.q59TpchQ9(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    assert(rows.length == 70, s"got ${rows.length}")
+    assert(rows(0)._1 == "NATION_12" && rows(0)._2 == 2001 &&
+      math.abs(rows(0)._3 - 129167.1782) < 1e-6)
+    assert(rows(1)._2 == 2000 && math.abs(rows(1)._3 - 573811.0162) < 1e-6)
+  }
+
+  test("q60 (Q10): top returned-revenue customers, one quarter") {
+    val rows = queries.Tpch.q60TpchQ10(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(rows.length == 20)
+    assert(rows.take(3).map(_._1).toSeq == Seq(13L, 148L, 111L))
+    assert(math.abs(rows(0)._2 - 363940.1659) < 1e-6)
+    // top-k discipline: revenue non-increasing
+    assert(rows.sliding(2).forall(p => p(0)._2 >= p(1)._2))
+  }
+
+  test("q61 (Q15): exact-decimal equality against the global max") {
+    val rows = queries.Tpch.q61TpchQ15(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(rows.toSeq.map(_._1) == Seq(1L))
+    assert(math.abs(rows(0)._2 - 1366928.0925) < 1e-6)
+  }
+
+  test("q62 (Q2): minimum-unit-cost supplier per qualifying part") {
+    val rows = queries.Tpch.q62TpchQ2(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    assert(rows.toSeq == Seq(("Supplier#000000007", 20L)),
+      s"got ${rows.mkString(", ")}")
+  }
+
+  test("q63 (Q11): parts above the 0.1% share threshold") {
+    val rows = queries.Tpch.q63TpchQ11(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.length == 186, s"got ${rows.length}")
+    assert(math.abs(rows.map(_._2).max - 537749.38) < 1e-9)
+    // share discipline: every survivor exceeds 0.1% of the grand total
+    // it was tested against — recompute the total independently
+    Tables.registerAll(spark, dir)
+    val total = spark.sql("""
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_3', 'NATION_7')""").head().getDouble(0)
+    assert(rows.forall(_._2 * 1000 > total - 1e-6))
+  }
+
   test("q51 (Q22): survivors are above-average AND urgent-free") {
     val rows = queries.Tpch.q51TpchQ22(spark, dir).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
