@@ -503,6 +503,50 @@ object Tpch {
     WHERE pvalue * 1000 > (SELECT SUM(pvalue) FROM pv)
     ORDER BY pvalue DESC, l_partkey""")
 
+  /** Q15 re-expressed with ONE lineitem scan — the 100 TB plan: the
+    * global max rides a window over the ~|suppliers| post-aggregate
+    * rows instead of a second consumption of the revenue CTE (which
+    * Catalyst inlines into a second fact scan). The window is global
+    * but over the GROUPED rows — cardinality |suppliers|, never the
+    * corpus. Hash-matches the same oracle as [[q61TpchQ15]]. */
+  def q64TpchQ15OneScan(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+    WITH revenue0 AS (
+      SELECT l_suppkey AS supplier_no,
+        SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)))
+          AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey),
+    ranked AS (
+      SELECT supplier_no, total_revenue,
+        MAX(total_revenue) OVER () AS max_rev
+      FROM revenue0)
+    SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier JOIN ranked ON s_suppkey = supplier_no
+    WHERE total_revenue = max_rev
+    ORDER BY s_suppkey""")
+
+  /** Q11 re-expressed with ONE lineitem scan: the share-of-total
+    * threshold is a window SUM over the ~|parts| post-aggregate rows
+    * instead of a scalar subquery re-consuming the CTE. Same exact
+    * DECIMAL cross-multiplication; hash-matches the same oracle as
+    * [[q63TpchQ11]]. */
+  def q65TpchQ11OneScan(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+    WITH pv AS (
+      SELECT l_partkey,
+        SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS pvalue
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_3', 'NATION_7')
+      GROUP BY l_partkey),
+    shared AS (
+      SELECT l_partkey, pvalue, SUM(pvalue) OVER () AS total FROM pv)
+    SELECT l_partkey, CAST(pvalue AS DOUBLE) AS pvalue
+    FROM shared
+    WHERE pvalue * 1000 > total
+    ORDER BY pvalue DESC, l_partkey""")
+
   /** RFM customer segmentation — recency/frequency/monetary quintile
     * scores. NTILE would be a single-task global window (the
     * vocab_build lesson); instead the quintile THRESHOLDS come from one
@@ -582,6 +626,8 @@ object Tpch {
     "q61_tpch_q15" -> (q61TpchQ15 _),
     "q62_tpch_q2" -> (q62TpchQ2 _),
     "q63_tpch_q11" -> (q63TpchQ11 _),
+    "q64_tpch_q15_onescan" -> (q64TpchQ15OneScan _),
+    "q65_tpch_q11_onescan" -> (q65TpchQ11OneScan _),
     "customers_rfm" -> (customersRfm _),
     "audit_ref_integrity" -> (auditRefIntegrity _))
 
@@ -883,6 +929,31 @@ object Tpch {
           WHERE c2.l_partkey = p_partkey AND r2.r_name = 'ASIA')
       ORDER BY s_name, p_partkey LIMIT 100""",
     "q63_tpch_q11" -> """
+      WITH pv AS (
+        SELECT l_partkey,
+          SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS pvalue
+        FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name IN ('NATION_3', 'NATION_7')
+        GROUP BY l_partkey)
+      SELECT l_partkey, CAST(pvalue AS DOUBLE) AS pvalue
+      FROM pv
+      WHERE pvalue * 1000 > (SELECT SUM(pvalue) FROM pv)
+      ORDER BY pvalue DESC, l_partkey""",
+    "q64_tpch_q15_onescan" -> """
+      WITH revenue0 AS (
+        SELECT l_suppkey AS supplier_no,
+          SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)))
+            AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+      FROM supplier JOIN revenue0 ON s_suppkey = supplier_no
+      WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue0)
+      ORDER BY s_suppkey""",
+    "q65_tpch_q11_onescan" -> """
       WITH pv AS (
         SELECT l_partkey,
           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS pvalue

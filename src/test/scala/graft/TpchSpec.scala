@@ -161,6 +161,17 @@ class TpchSpec extends AnyFunSuite {
     assert(rows.forall(_._2 * 1000 > total - 1e-6))
   }
 
+  test("q64/q65: one-scan forms equal their literal twins row-for-row") {
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    assert(rowsOf(queries.Tpch.q64TpchQ15OneScan(spark, dir)) ==
+      rowsOf(queries.Tpch.q61TpchQ15(spark, dir)),
+      "Q15 one-scan diverges from the literal CTE+max form")
+    assert(rowsOf(queries.Tpch.q65TpchQ11OneScan(spark, dir)) ==
+      rowsOf(queries.Tpch.q63TpchQ11(spark, dir)),
+      "Q11 one-scan diverges from the literal scalar-subquery form")
+  }
+
   test("q51 (Q22): survivors are above-average AND urgent-free") {
     val rows = queries.Tpch.q51TpchQ22(spark, dir).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
