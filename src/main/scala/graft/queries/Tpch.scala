@@ -152,7 +152,7 @@ object Tpch {
     * l_orderkey), which both engines decorrelate to a clean left-semi
     * join. One quarter of orders, priority distribution of those with
     * at least one late line. */
-  def q47TpchQ4(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+  private val q47Sql = """
     SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
     FROM orders o
     WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
@@ -162,7 +162,9 @@ object Tpch {
         WHERE l.l_orderkey = o.o_orderkey
           AND l.l_shipdate > o2.o_orderdate + INTERVAL 30 DAY)
     GROUP BY o_orderpriority
-    ORDER BY o_orderpriority""")
+    ORDER BY o_orderpriority"""
+
+  def q47TpchQ4(s: SparkSession, dir: String): DataFrame = sql(s, dir, q47Sql)
 
   /** TPC-H Q13 (customer order-count distribution): the LEFT OUTER join
     * with a predicate in the JOIN CONDITION (not a WHERE — that would
@@ -170,14 +172,16 @@ object Tpch {
     * customers survive as c_count=0 — the shape that catches an
     * outer-join-to-inner rewrite bug immediately. The join shuffles on
     * the customer key; both rollups pre-aggregate map-side. */
-  def q48TpchQ13(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+  private val q48Sql = """
     SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
     FROM (SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
           FROM customer LEFT OUTER JOIN orders
             ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
           GROUP BY c_custkey) c_orders
     GROUP BY c_count
-    ORDER BY custdist DESC, c_count DESC""")
+    ORDER BY custdist DESC, c_count DESC"""
+
+  def q48TpchQ13(s: SparkSession, dir: String): DataFrame = sql(s, dir, q48Sql)
 
   /** TPC-H Q17 (small-quantity-order revenue): the correlated SCALAR
     * AVG subquery — Catalyst decorrelates it to a per-part aggregate
@@ -188,7 +192,7 @@ object Tpch {
     * let a boundary-riding l_quantity flip between engines. Scan
     * budget: TWO lineitem scans (outer + the decorrelated aggregate),
     * asserted in PLANS.md. */
-  def q49TpchQ17(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+  private val q49Sql = """
     SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
       / 7.0 AS DOUBLE) AS avg_yearly
     FROM lineitem JOIN part ON p_partkey = l_partkey
@@ -196,7 +200,9 @@ object Tpch {
       AND l_quantity < 0.2 * (
         SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
           / COUNT(*)
-        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""")
+        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)"""
+
+  def q49TpchQ17(s: SparkSession, dir: String): DataFrame = sql(s, dir, q49Sql)
 
   /** TPC-H Q20 (part-promotion suppliers) adapted: no partsupp table,
     * so "supplier holds excess stock" becomes "supplier shipped more
@@ -206,7 +212,7 @@ object Tpch {
     * instead of a correlated re-scan: the IN-subquery reads lineitem
     * exactly ONCE (plan-asserted). The qualifying supplier keyset
     * reaches supplier as a left-semi join. */
-  def q50TpchQ20(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+  private val q50Sql = """
     SELECT s_name, s_suppkey
     FROM supplier JOIN nation ON s_nationkey = n_nationkey
     WHERE n_name LIKE 'NATION_1%'
@@ -222,7 +228,9 @@ object Tpch {
             AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
           GROUP BY l_suppkey, l_partkey) t
         WHERE supp_qty * 2 > part_qty)
-    ORDER BY s_name, s_suppkey""")
+    ORDER BY s_name, s_suppkey"""
+
+  def q50TpchQ20(s: SparkSession, dir: String): DataFrame = sql(s, dir, q50Sql)
 
   /** TPC-H Q22 (global sales opportunity) adapted: country code is
     * n_nationkey mod 7 (no phone column), and — because every customer
@@ -232,7 +240,7 @@ object Tpch {
     * exact DECIMAL instead of comparing against a float average; the
     * two scalar subqueries broadcast as 1-row plans (Catalyst merges
     * them into one customer aggregate). */
-  def q51TpchQ22(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+  private val q51Sql = """
     SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
     FROM (
@@ -248,14 +256,16 @@ object Tpch {
                           AND o_orderpriority = '1-URGENT')
     ) t
     GROUP BY cntrycode
-    ORDER BY cntrycode""")
+    ORDER BY cntrycode"""
+
+  def q51TpchQ22(s: SparkSession, dir: String): DataFrame = sql(s, dir, q51Sql)
 
   /** TPC-H Q12 (shipping-mode priority) adapted: no l_shipmode, so the
     * classification axis is l_returnflag and a "late" line ships more
     * than 30 days after its order date. The classic conditional-
     * aggregation-over-a-join shape: one fact⋈orders join, both CASE
     * counts ride the same map-side partial aggregate. */
-  def q52TpchQ12(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+  private val q52Sql = """
     SELECT l_returnflag,
       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
@@ -266,14 +276,16 @@ object Tpch {
       AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
     GROUP BY l_returnflag
-    ORDER BY l_returnflag""")
+    ORDER BY l_returnflag"""
+
+  def q52TpchQ12(s: SparkSession, dir: String): DataFrame = sql(s, dir, q52Sql)
 
   /** TPC-H Q14 (promotion effect): conditional revenue share over one
     * month — numerator and denominator from the SAME decimal partials
     * in one aggregate (never two scans), the final ratio one IEEE
     * division of two exactly-summed doubles. The month filter pushes to
     * the lineitem scan; the part side broadcasts. */
-  def q53TpchQ14(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+  private val q53Sql = """
     SELECT CAST(100.00 *
         CAST(SUM(CASE WHEN p_type = 'PROMO'
           THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))
@@ -283,7 +295,9 @@ object Tpch {
       AS DOUBLE) AS promo_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
-      AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'""")
+      AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'"""
+
+  def q53TpchQ14(s: SparkSession, dir: String): DataFrame = sql(s, dir, q53Sql)
 
   /** TPC-H Q16 (parts/supplier relationship) adapted: supplier variety
     * per (brand, type, size) bucket from the fact table (no partsupp),
@@ -292,7 +306,7 @@ object Tpch {
     * left-anti against the broadcast keyset). COUNT(DISTINCT) rides
     * Spark's two-phase distinct aggregate; the size IN-list pushes to
     * the part scan. Total ORDER BY makes the LIMIT deterministic. */
-  def q54TpchQ16(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+  private val q54Sql = """
     SELECT p_brand, p_type, p_size,
       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
     FROM lineitem JOIN part ON p_partkey = l_partkey
@@ -301,7 +315,9 @@ object Tpch {
       AND l_suppkey NOT IN
         (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
     GROUP BY p_brand, p_type, p_size
-    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 50""")
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 50"""
+
+  def q54TpchQ16(s: SparkSession, dir: String): DataFrame = sql(s, dir, q54Sql)
 
   /** TPC-H Q19 (discounted revenue, disjunctive predicate): the OR of
     * per-(brand, size, quantity) conjunction groups spans BOTH join
@@ -312,7 +328,7 @@ object Tpch {
     * scan (plan-asserted on both sides). At 100 TB that is the
     * difference between scanning three brands' parts and scanning
     * every part. */
-  def q55TpchQ19(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+  private val q55Sql = """
     SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
         AS DECIMAL(22,6))) AS DOUBLE) AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
@@ -323,27 +339,31 @@ object Tpch {
         OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
             AND l_quantity >= 15 AND l_quantity <= 40))
       AND p_brand IN ('Brand#12', 'Brand#23', 'Brand#34')
-      AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 1 AND 40""")
+      AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 1 AND 40"""
+
+  def q55TpchQ19(s: SparkSession, dir: String): DataFrame = sql(s, dir, q55Sql)
 
   /** TPC-H Q6 (forecasting revenue change): the purest scan shape —
     * every predicate (date range, discount band, quantity cap) pushes
     * to the parquet scan and the revenue sum is one exact decimal
     * aggregate over the survivors. No join, no shuffle beyond the
     * 1-row gather. */
-  def q56TpchQ6(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+  private val q56Sql = """
     SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
         * CAST(l_discount AS DECIMAL(5,2))) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
-      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""")
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""
+
+  def q56TpchQ6(s: SparkSession, dir: String): DataFrame = sql(s, dir, q56Sql)
 
   /** TPC-H Q7 (volume shipping): revenue between two nations in both
     * directions — the 6-way join where the OR over the two nation-dim
     * combinations must NOT break the equi-join (each nation table joins
     * on its own key; the OR is a post-join filter over two broadcast
     * dims, never a cartesian). */
-  def q57TpchQ7(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+  private val q57Sql = """
     SELECT supp_nation, cust_nation, l_year,
       CAST(SUM(CAST(volume AS DECIMAL(22,6))) AS DOUBLE) AS revenue
     FROM (
@@ -361,14 +381,16 @@ object Tpch {
         AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
     ) shipping
     GROUP BY supp_nation, cust_nation, l_year
-    ORDER BY supp_nation, cust_nation, l_year""")
+    ORDER BY supp_nation, cust_nation, l_year"""
+
+  def q57TpchQ7(s: SparkSession, dir: String): DataFrame = sql(s, dir, q57Sql)
 
   /** TPC-H Q8 (national market share): the widest classic join tree —
     * 8 tables — feeding a conditional share per order year. Share =
     * ratio of two exactly-summed decimals from the SAME aggregate
     * (one fact pass), the division one IEEE op. Every dimension
     * broadcasts; lineitem is scanned exactly once (plan-asserted). */
-  def q58TpchQ8(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+  private val q58Sql = """
     SELECT o_year,
       CAST(CAST(SUM(CASE WHEN nation = 'NATION_3'
           THEN CAST(volume AS DECIMAL(22,6))
@@ -391,7 +413,9 @@ object Tpch {
         AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
     ) all_nations
     GROUP BY o_year
-    ORDER BY o_year""")
+    ORDER BY o_year"""
+
+  def q58TpchQ8(s: SparkSession, dir: String): DataFrame = sql(s, dir, q58Sql)
 
   /** TPC-H Q9 (product-type profit) adapted: no partsupp supply cost,
     * so profit = revenue − 0.6 × retail price × quantity (a fixed
@@ -399,7 +423,7 @@ object Tpch {
     * by (nation, year) over a name-substring part filter — the shape
     * where the selective part side must broadcast into the fact scan
     * rather than shuffling lineitem. */
-  def q59TpchQ9(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+  private val q59Sql = """
     SELECT nation, o_year,
       CAST(SUM(CAST(amount AS DECIMAL(22,6))) AS DOUBLE) AS sum_profit
     FROM (
@@ -413,13 +437,15 @@ object Tpch {
       WHERE p_name LIKE '%gear%'
     ) profit
     GROUP BY nation, o_year
-    ORDER BY nation, o_year DESC""")
+    ORDER BY nation, o_year DESC"""
+
+  def q59TpchQ9(s: SparkSession, dir: String): DataFrame = sql(s, dir, q59Sql)
 
   /** TPC-H Q10 (returned-item reporting): top-20 customers by revenue
     * lost to returns in one quarter — the classic top-k over a
     * fact⋈orders⋈customer join with the returnflag filter pushed to the
     * fact scan and the top-20 riding TakeOrderedAndProject. */
-  def q60TpchQ10(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+  private val q60Sql = """
     SELECT c_custkey, c_name,
       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)))
         AS DOUBLE) AS revenue,
@@ -431,7 +457,9 @@ object Tpch {
       AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
       AND l_returnflag = 'R'
     GROUP BY c_custkey, c_name, c_acctbal, n_name
-    ORDER BY revenue DESC, c_custkey LIMIT 20""")
+    ORDER BY revenue DESC, c_custkey LIMIT 20"""
+
+  def q60TpchQ10(s: SparkSession, dir: String): DataFrame = sql(s, dir, q60Sql)
 
   /** TPC-H Q15 (top supplier): the view-plus-global-max shape — the
     * quarterly revenue CTE is consumed twice (once joined, once under
@@ -441,7 +469,7 @@ object Tpch {
     * lineitem scans (the price of the literal form; a 100 TB run
     * would checkpoint revenue0 — `ManifestStore`-materialize it —
     * first). */
-  def q61TpchQ15(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+  private val q61Sql = """
     WITH revenue0 AS (
       SELECT l_suppkey AS supplier_no,
         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)))
@@ -453,7 +481,9 @@ object Tpch {
     SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
     FROM supplier JOIN revenue0 ON s_suppkey = supplier_no
     WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue0)
-    ORDER BY s_suppkey""")
+    ORDER BY s_suppkey"""
+
+  def q61TpchQ15(s: SparkSession, dir: String): DataFrame = sql(s, dir, q61Sql)
 
   /** TPC-H Q2 (minimum-cost supplier) adapted: no partsupp, so a
     * supplier's unit cost for a part is its lifetime average unit
@@ -462,7 +492,7 @@ object Tpch {
     * the correlated MIN is exact). The classic correlated-MIN
     * decorrelates to a per-part aggregate joined back; region
     * restricts both the outer row and the MIN's candidate set. */
-  def q62TpchQ2(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+  private val q62Sql = """
     WITH cost AS (
       SELECT l_partkey, l_suppkey,
         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
@@ -481,7 +511,9 @@ object Tpch {
         JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
         JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
         WHERE c2.l_partkey = p_partkey AND r2.r_name = 'ASIA')
-    ORDER BY s_name, p_partkey LIMIT 100""")
+    ORDER BY s_name, p_partkey LIMIT 100"""
+
+  def q62TpchQ2(s: SparkSession, dir: String): DataFrame = sql(s, dir, q62Sql)
 
   /** TPC-H Q11 (important stock) adapted: a part's "value" is the
     * lineitem-derived extended-price mass from two nations' suppliers;
@@ -490,7 +522,7 @@ object Tpch {
     * scalar subquery over the same CTE (inlined → documented 2-scan
     * budget), the comparison cross-multiplied in exact DECIMAL
     * (value × 1000 > Σ) — no float division anywhere. */
-  def q63TpchQ11(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+  private val q63Sql = """
     WITH pv AS (
       SELECT l_partkey,
         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS pvalue
@@ -501,7 +533,9 @@ object Tpch {
     SELECT l_partkey, CAST(pvalue AS DOUBLE) AS pvalue
     FROM pv
     WHERE pvalue * 1000 > (SELECT SUM(pvalue) FROM pv)
-    ORDER BY pvalue DESC, l_partkey""")
+    ORDER BY pvalue DESC, l_partkey"""
+
+  def q63TpchQ11(s: SparkSession, dir: String): DataFrame = sql(s, dir, q63Sql)
 
   /** Q15 re-expressed with ONE lineitem scan — the 100 TB plan: the
     * global max rides a window over the ~|suppliers| post-aggregate
@@ -710,261 +744,25 @@ object Tpch {
         HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
       GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
       ORDER BY o_totalprice DESC, orderdate_ms, o_orderkey LIMIT 100""",
-    "q47_tpch_q4" -> """
-      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
-      FROM orders o
-      WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
-        AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
-        AND EXISTS (
-          SELECT 1 FROM lineitem l JOIN orders o2 ON o2.o_orderkey = l.l_orderkey
-          WHERE l.l_orderkey = o.o_orderkey
-            AND l.l_shipdate > o2.o_orderdate + INTERVAL 30 DAY)
-      GROUP BY o_orderpriority
-      ORDER BY o_orderpriority""",
-    "q48_tpch_q13" -> """
-      SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
-      FROM (SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
-            FROM customer LEFT OUTER JOIN orders
-              ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
-            GROUP BY c_custkey) c_orders
-      GROUP BY c_count
-      ORDER BY custdist DESC, c_count DESC""",
-    "q49_tpch_q17" -> """
-      SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-        / 7.0 AS DOUBLE) AS avg_yearly
-      FROM lineitem JOIN part ON p_partkey = l_partkey
-      WHERE p_brand = 'Brand#23' AND p_type = 'SMALL'
-        AND l_quantity < 0.2 * (
-          SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-            / COUNT(*)
-          FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""",
-    "q50_tpch_q20" -> """
-      SELECT s_name, s_suppkey
-      FROM supplier JOIN nation ON s_nationkey = n_nationkey
-      WHERE n_name LIKE 'NATION_1%'
-        AND s_suppkey IN (
-          SELECT l_suppkey FROM (
-            SELECT l_suppkey, l_partkey,
-              SUM(CAST(l_quantity AS DECIMAL(18,2))) AS supp_qty,
-              SUM(SUM(CAST(l_quantity AS DECIMAL(18,2))))
-                OVER (PARTITION BY l_partkey) AS part_qty
-            FROM lineitem JOIN part ON p_partkey = l_partkey
-            WHERE p_name LIKE 'small%'
-              AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-              AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
-            GROUP BY l_suppkey, l_partkey) t
-          WHERE supp_qty * 2 > part_qty)
-      ORDER BY s_name, s_suppkey""",
-    "q51_tpch_q22" -> """
-      SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
-        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
-      FROM (
-        SELECT CAST(c_nationkey % 7 AS INT) AS cntrycode, c_acctbal, c_custkey
-        FROM customer
-        WHERE c_nationkey % 7 IN (1,2,3,5,6)
-          AND CAST(c_acctbal AS DECIMAL(18,2)) *
-              (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0)
-            > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer
-               WHERE c_acctbal > 0)
-          AND NOT EXISTS (SELECT 1 FROM orders
-                          WHERE o_custkey = c_custkey
-                            AND o_orderpriority = '1-URGENT')
-      ) t
-      GROUP BY cntrycode
-      ORDER BY cntrycode""",
-    "q52_tpch_q12" -> """
-      SELECT l_returnflag,
-        CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-          THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-        CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
-          THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
-      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-      WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
-        AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
-      GROUP BY l_returnflag
-      ORDER BY l_returnflag""",
-    "q53_tpch_q14" -> """
-      SELECT CAST(100.00 *
-          CAST(SUM(CASE WHEN p_type = 'PROMO'
-            THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))
-            ELSE CAST(0 AS DECIMAL(22,6)) END) AS DOUBLE)
-        / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)))
-            AS DOUBLE)
-        AS DOUBLE) AS promo_revenue
-      FROM lineitem JOIN part ON l_partkey = p_partkey
-      WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
-        AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'""",
-    "q54_tpch_q16" -> """
-      SELECT p_brand, p_type, p_size,
-        CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
-      FROM lineitem JOIN part ON p_partkey = l_partkey
-      WHERE p_brand <> 'Brand#13' AND p_type <> 'STANDARD'
-        AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
-        AND l_suppkey NOT IN
-          (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
-      GROUP BY p_brand, p_type, p_size
-      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 50""",
-    "q55_tpch_q19" -> """
-      SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-          AS DECIMAL(22,6))) AS DOUBLE) AS revenue
-      FROM lineitem JOIN part ON p_partkey = l_partkey
-      WHERE ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
-              AND l_quantity >= 1 AND l_quantity <= 15)
-          OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
-              AND l_quantity >= 5 AND l_quantity <= 25)
-          OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
-              AND l_quantity >= 15 AND l_quantity <= 40))
-        AND p_brand IN ('Brand#12', 'Brand#23', 'Brand#34')
-        AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 1 AND 40""",
-    "q56_tpch_q6" -> """
-      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-          * CAST(l_discount AS DECIMAL(5,2))) AS DOUBLE) AS revenue
-      FROM lineitem
-      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
-        AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
-    "q57_tpch_q7" -> """
-      SELECT supp_nation, cust_nation, l_year,
-        CAST(SUM(CAST(volume AS DECIMAL(22,6))) AS DOUBLE) AS revenue
-      FROM (
-        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-          CAST(year(l_shipdate) AS INT) AS l_year,
-          l_extendedprice * (1 - l_discount) AS volume
-        FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
-        JOIN orders ON o_orderkey = l_orderkey
-        JOIN customer ON c_custkey = o_custkey
-        JOIN nation n1 ON s_nationkey = n1.n_nationkey
-        JOIN nation n2 ON c_nationkey = n2.n_nationkey
-        WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
-            OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
-          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
-      ) shipping
-      GROUP BY supp_nation, cust_nation, l_year
-      ORDER BY supp_nation, cust_nation, l_year""",
-    "q58_tpch_q8" -> """
-      SELECT o_year,
-        CAST(CAST(SUM(CASE WHEN nation = 'NATION_3'
-            THEN CAST(volume AS DECIMAL(22,6))
-            ELSE CAST(0 AS DECIMAL(22,6)) END) AS DOUBLE)
-          / CAST(SUM(CAST(volume AS DECIMAL(22,6))) AS DOUBLE)
-          AS DOUBLE) AS mkt_share
-      FROM (
-        SELECT CAST(year(o_orderdate) AS INT) AS o_year,
-          l_extendedprice * (1 - l_discount) AS volume,
-          n2.n_name AS nation
-        FROM part JOIN lineitem ON p_partkey = l_partkey
-        JOIN supplier ON s_suppkey = l_suppkey
-        JOIN orders ON l_orderkey = o_orderkey
-        JOIN customer ON o_custkey = c_custkey
-        JOIN nation n1 ON c_nationkey = n1.n_nationkey
-        JOIN region ON n1.n_regionkey = r_regionkey
-        JOIN nation n2 ON s_nationkey = n2.n_nationkey
-        WHERE r_name = 'ASIA' AND p_type = 'LARGE'
-          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
-      ) all_nations
-      GROUP BY o_year
-      ORDER BY o_year""",
-    "q59_tpch_q9" -> """
-      SELECT nation, o_year,
-        CAST(SUM(CAST(amount AS DECIMAL(22,6))) AS DOUBLE) AS sum_profit
-      FROM (
-        SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
-          l_extendedprice * (1 - l_discount)
-            - 0.6 * p_retailprice * l_quantity AS amount
-        FROM part JOIN lineitem ON p_partkey = l_partkey
-        JOIN supplier ON s_suppkey = l_suppkey
-        JOIN orders ON o_orderkey = l_orderkey
-        JOIN nation ON s_nationkey = n_nationkey
-        WHERE p_name LIKE '%gear%'
-      ) profit
-      GROUP BY nation, o_year
-      ORDER BY nation, o_year DESC""",
-    "q60_tpch_q10" -> """
-      SELECT c_custkey, c_name,
-        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)))
-          AS DOUBLE) AS revenue,
-        CAST(c_acctbal AS DOUBLE) AS acctbal, n_name
-      FROM customer JOIN orders ON c_custkey = o_custkey
-      JOIN lineitem ON l_orderkey = o_orderkey
-      JOIN nation ON c_nationkey = n_nationkey
-      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
-        AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
-        AND l_returnflag = 'R'
-      GROUP BY c_custkey, c_name, c_acctbal, n_name
-      ORDER BY revenue DESC, c_custkey LIMIT 20""",
-    "q61_tpch_q15" -> """
-      WITH revenue0 AS (
-        SELECT l_suppkey AS supplier_no,
-          SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)))
-            AS total_revenue
-        FROM lineitem
-        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-          AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
-        GROUP BY l_suppkey)
-      SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
-      FROM supplier JOIN revenue0 ON s_suppkey = supplier_no
-      WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue0)
-      ORDER BY s_suppkey""",
-    "q62_tpch_q2" -> """
-      WITH cost AS (
-        SELECT l_partkey, l_suppkey,
-          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-            / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-            AS unit_cost
-        FROM lineitem GROUP BY l_partkey, l_suppkey)
-      SELECT s_name, n_name, p_partkey, p_name
-      FROM part JOIN cost ON p_partkey = l_partkey
-      JOIN supplier ON s_suppkey = l_suppkey
-      JOIN nation ON s_nationkey = n_nationkey
-      JOIN region ON n_regionkey = r_regionkey
-      WHERE r_name = 'ASIA' AND p_size = 15 AND p_type = 'SMALL'
-        AND unit_cost = (
-          SELECT MIN(c2.unit_cost) FROM cost c2
-          JOIN supplier s2 ON s2.s_suppkey = c2.l_suppkey
-          JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
-          JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
-          WHERE c2.l_partkey = p_partkey AND r2.r_name = 'ASIA')
-      ORDER BY s_name, p_partkey LIMIT 100""",
-    "q63_tpch_q11" -> """
-      WITH pv AS (
-        SELECT l_partkey,
-          SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS pvalue
-        FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
-        JOIN nation ON s_nationkey = n_nationkey
-        WHERE n_name IN ('NATION_3', 'NATION_7')
-        GROUP BY l_partkey)
-      SELECT l_partkey, CAST(pvalue AS DOUBLE) AS pvalue
-      FROM pv
-      WHERE pvalue * 1000 > (SELECT SUM(pvalue) FROM pv)
-      ORDER BY pvalue DESC, l_partkey""",
-    "q64_tpch_q15_onescan" -> """
-      WITH revenue0 AS (
-        SELECT l_suppkey AS supplier_no,
-          SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)))
-            AS total_revenue
-        FROM lineitem
-        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-          AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
-        GROUP BY l_suppkey)
-      SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
-      FROM supplier JOIN revenue0 ON s_suppkey = supplier_no
-      WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue0)
-      ORDER BY s_suppkey""",
-    "q65_tpch_q11_onescan" -> """
-      WITH pv AS (
-        SELECT l_partkey,
-          SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS pvalue
-        FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
-        JOIN nation ON s_nationkey = n_nationkey
-        WHERE n_name IN ('NATION_3', 'NATION_7')
-        GROUP BY l_partkey)
-      SELECT l_partkey, CAST(pvalue AS DOUBLE) AS pvalue
-      FROM pv
-      WHERE pvalue * 1000 > (SELECT SUM(pvalue) FROM pv)
-      ORDER BY pvalue DESC, l_partkey""",
+    "q47_tpch_q4" -> q47Sql,
+    "q48_tpch_q13" -> q48Sql,
+    "q49_tpch_q17" -> q49Sql,
+    "q50_tpch_q20" -> q50Sql,
+    "q51_tpch_q22" -> q51Sql,
+    "q52_tpch_q12" -> q52Sql,
+    "q53_tpch_q14" -> q53Sql,
+    "q54_tpch_q16" -> q54Sql,
+    "q55_tpch_q19" -> q55Sql,
+    "q56_tpch_q6" -> q56Sql,
+    "q57_tpch_q7" -> q57Sql,
+    "q58_tpch_q8" -> q58Sql,
+    "q59_tpch_q9" -> q59Sql,
+    "q60_tpch_q10" -> q60Sql,
+    "q61_tpch_q15" -> q61Sql,
+    "q62_tpch_q2" -> q62Sql,
+    "q63_tpch_q11" -> q63Sql,
+    "q64_tpch_q15_onescan" -> q61Sql,
+    "q65_tpch_q11_onescan" -> q63Sql,
     "customers_rfm" -> """
       WITH m AS (
         SELECT o_custkey AS c_custkey,

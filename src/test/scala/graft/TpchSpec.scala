@@ -177,22 +177,30 @@ class TpchSpec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
     assert(rows.toSeq.map(t => (t._1, t._2)) == Seq((3, 2L), (5, 1L)))
     assert(math.abs(rows(0)._3 - 13122.94) < 1e-9)
-    // anti-join discipline: recompute the urgent-customer keyset and
-    // prove zero overlap with the survivors' codes' source rows
+    // anti-join discipline: recompute the whole distribution through a
+    // STRUCTURALLY DIFFERENT plan (LEFT JOIN … IS NULL instead of the
+    // production NOT EXISTS) and require identical counts — a semi-join
+    // rewrite or null-semantics regression in the production anti join
+    // diverges from this formulation immediately. (An earlier version
+    // re-included the NOT EXISTS in the check, which made it
+    // tautologically zero.)
     Tables.registerAll(spark, dir)
-    val leak = spark.sql("""
-      SELECT COUNT(*) FROM customer c
-      JOIN orders o ON o.o_custkey = c.c_custkey
-        AND o.o_orderpriority = '1-URGENT'
-      WHERE c.c_nationkey % 7 IN (3, 5)
-        AND CAST(c.c_acctbal AS DECIMAL(18,2)) *
+    val independent = spark.sql("""
+      SELECT CAST(c_nationkey % 7 AS INT) AS cntrycode,
+        CAST(COUNT(*) AS BIGINT) AS numcust
+      FROM customer c
+      LEFT JOIN (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderpriority = '1-URGENT') u
+        ON u.o_custkey = c.c_custkey
+      WHERE u.o_custkey IS NULL
+        AND c_nationkey % 7 IN (1, 2, 3, 5, 6)
+        AND CAST(c_acctbal AS DECIMAL(18,2)) *
             (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0)
           > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer
              WHERE c_acctbal > 0)
-        AND NOT EXISTS (SELECT 1 FROM orders o2
-                        WHERE o2.o_custkey = c.c_custkey
-                          AND o2.o_orderpriority = '1-URGENT')""")
-      .head().getLong(0)
-    assert(leak == 0L, "a survivor has an URGENT order — anti join leaked")
+      GROUP BY 1 ORDER BY 1""").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(rows.toSeq.map(t => (t._1, t._2)) == independent,
+      "production NOT EXISTS diverges from the LEFT JOIN ... IS NULL recompute")
   }
 }
