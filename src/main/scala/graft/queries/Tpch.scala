@@ -581,6 +581,38 @@ object Tpch {
     WHERE pvalue * 1000 > total
     ORDER BY pvalue DESC, l_partkey""")
 
+  /** Q2 re-expressed for scale, ONE lineitem scan: the literal form
+    * aggregates unit costs for EVERY (part, supplier) pair — the full
+    * fact table — and Catalyst inlines the twice-consumed cost CTE into
+    * a second fact scan. Here the part predicate joins BELOW the
+    * aggregate (only qualifying parts' lines are ever aggregated — at
+    * 100 TB the difference between aggregating a few parts and the
+    * whole fact) and the per-part minimum is a window over the
+    * post-aggregate (part, supplier) rows. p_size/p_type are constant
+    * per part key, so pre-filtering cannot change any qualifying
+    * pair's aggregate. Spec'd row-equal to [[q62TpchQ2]]; hash-matches
+    * the same oracle. */
+  def q66TpchQ2OneScan(s: SparkSession, dir: String): DataFrame = sql(s, dir, """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey, p_name,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+          / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+          AS unit_cost
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_size = 15 AND p_type = 'SMALL'
+      GROUP BY l_partkey, l_suppkey, p_name),
+    asia AS (
+      SELECT c.l_partkey, c.p_name, s_name, n_name, c.unit_cost,
+        MIN(c.unit_cost) OVER (PARTITION BY c.l_partkey) AS min_cost
+      FROM cost c JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA')
+    SELECT s_name, n_name, l_partkey AS p_partkey, p_name
+    FROM asia
+    WHERE unit_cost = min_cost
+    ORDER BY s_name, p_partkey LIMIT 100""")
+
   /** RFM customer segmentation — recency/frequency/monetary quintile
     * scores. NTILE would be a single-task global window (the
     * vocab_build lesson); instead the quintile THRESHOLDS come from one
@@ -662,6 +694,7 @@ object Tpch {
     "q63_tpch_q11" -> (q63TpchQ11 _),
     "q64_tpch_q15_onescan" -> (q64TpchQ15OneScan _),
     "q65_tpch_q11_onescan" -> (q65TpchQ11OneScan _),
+    "q66_tpch_q2_onescan" -> (q66TpchQ2OneScan _),
     "customers_rfm" -> (customersRfm _),
     "audit_ref_integrity" -> (auditRefIntegrity _))
 
@@ -763,6 +796,7 @@ object Tpch {
     "q63_tpch_q11" -> q63Sql,
     "q64_tpch_q15_onescan" -> q61Sql,
     "q65_tpch_q11_onescan" -> q63Sql,
+    "q66_tpch_q2_onescan" -> q62Sql,
     "customers_rfm" -> """
       WITH m AS (
         SELECT o_custkey AS c_custkey,

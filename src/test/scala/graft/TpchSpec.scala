@@ -170,6 +170,9 @@ class TpchSpec extends AnyFunSuite {
     assert(rowsOf(queries.Tpch.q65TpchQ11OneScan(spark, dir)) ==
       rowsOf(queries.Tpch.q63TpchQ11(spark, dir)),
       "Q11 one-scan diverges from the literal scalar-subquery form")
+    assert(rowsOf(queries.Tpch.q66TpchQ2OneScan(spark, dir)) ==
+      rowsOf(queries.Tpch.q62TpchQ2(spark, dir)),
+      "Q2 one-scan diverges from the literal correlated-MIN form")
   }
 
   test("q51 (Q22): survivors are above-average AND urgent-free") {
