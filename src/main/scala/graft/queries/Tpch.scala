@@ -613,6 +613,38 @@ object Tpch {
     WHERE unit_cost = min_cost
     ORDER BY s_name, p_partkey LIMIT 100""")
 
+  /** Q18 as a typed DataFrame-DSL pipeline — the API-parity twin of the
+    * SQL form [[q43TpchQ18]] (the engine's flagship query ships SQL,
+    * DSL and catalog ports; the hardest semi-join anchor deserves the
+    * same). Catalyst converges both to the same physical shapes
+    * (left-semi qualifying keyset, decimal partials, heap top-100 —
+    * plan-asserted), and the spec pins row-for-row equality. */
+  def q67TpchQ18Dsl(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.registerAll(s, dir)
+    val li = s.table("lineitem")
+    val qualifying = li.groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
+      .where(col("qty") > 300)
+      .select(col("l_orderkey").as("qual_orderkey"))
+    s.table("orders")
+      .join(qualifying, col("o_orderkey") === col("qual_orderkey"),
+        "left_semi")
+      .join(s.table("customer"), col("c_custkey") === col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+        .as("sum_qty"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        unix_millis(col("o_orderdate").cast("timestamp"))
+          .as("orderdate_ms"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("orderdate_ms"),
+        col("o_orderkey"))
+      .limit(100)
+  }
+
   /** RFM customer segmentation — recency/frequency/monetary quintile
     * scores. NTILE would be a single-task global window (the
     * vocab_build lesson); instead the quintile THRESHOLDS come from one
@@ -695,8 +727,25 @@ object Tpch {
     "q64_tpch_q15_onescan" -> (q64TpchQ15OneScan _),
     "q65_tpch_q11_onescan" -> (q65TpchQ11OneScan _),
     "q66_tpch_q2_onescan" -> (q66TpchQ2OneScan _),
+    "q67_tpch_q18_dsl" -> (q67TpchQ18Dsl _),
     "customers_rfm" -> (customersRfm _),
     "audit_ref_integrity" -> (auditRefIntegrity _))
+
+  /** Q18's DuckDB-dialect oracle (epoch_ms for the timestamp), shared
+    * by the SQL form and its DSL twin. */
+  private val q43OracleSql = """
+      SELECT c_name, c_custkey, o_orderkey,
+        epoch_ms(o_orderdate) AS orderdate_ms,
+        o_totalprice,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+      GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      ORDER BY o_totalprice DESC, orderdate_ms, o_orderkey LIMIT 100"""
 
   val oracle: Map[String, String] = Map(
     "q41_tpch_q3" -> """
@@ -764,19 +813,8 @@ object Tpch {
                     AND l3.l_shipdate > o2.o_orderdate + INTERVAL 60 DAY)
     GROUP BY s_name
     ORDER BY numwait DESC, s_name LIMIT 100""",
-    "q43_tpch_q18" -> """
-      SELECT c_name, c_custkey, o_orderkey,
-        epoch_ms(o_orderdate) AS orderdate_ms,
-        o_totalprice,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-      FROM customer
-      JOIN orders ON c_custkey = o_custkey
-      JOIN lineitem ON o_orderkey = l_orderkey
-      WHERE o_orderkey IN (
-        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
-        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
-      GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
-      ORDER BY o_totalprice DESC, orderdate_ms, o_orderkey LIMIT 100""",
+    "q43_tpch_q18" -> q43OracleSql,
+    "q67_tpch_q18_dsl" -> q43OracleSql,
     "q47_tpch_q4" -> q47Sql,
     "q48_tpch_q13" -> q48Sql,
     "q49_tpch_q17" -> q49Sql,

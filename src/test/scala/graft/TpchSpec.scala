@@ -173,6 +173,9 @@ class TpchSpec extends AnyFunSuite {
     assert(rowsOf(queries.Tpch.q66TpchQ2OneScan(spark, dir)) ==
       rowsOf(queries.Tpch.q62TpchQ2(spark, dir)),
       "Q2 one-scan diverges from the literal correlated-MIN form")
+    assert(rowsOf(queries.Tpch.q67TpchQ18Dsl(spark, dir)) ==
+      rowsOf(queries.Tpch.q43TpchQ18(spark, dir)),
+      "Q18 DSL twin diverges from the SQL form")
   }
 
   test("q51 (Q22): survivors are above-average AND urgent-free") {
