@@ -18,6 +18,27 @@ object CodecRuntime {
   def uintToDouble(b: Array[Byte]): Double =
     new java.math.BigDecimal(new java.math.BigInteger(1, b)).doubleValue
 
+  /** [[uintToDouble]] with a LOUD signedness guard: a set sign bit on a
+    * full 32-byte word means the column is almost certainly a SIGNED
+    * wide int (int256 dart/dink/rate) decoded as two's-complement raw
+    * words — reading it unsigned would silently turn a small negative
+    * into ~10^77 positive. A genuine uint256 quantity ≥ 2^255 (~5.8e76)
+    * does not occur in any token-quantity domain (rad-scale tops out
+    * ~10^45·balance), so failing is strictly safer than guessing. */
+  def uintToDoubleChecked(b: Array[Byte]): Double = {
+    if (b.length >= 32 && (b(0) & 0x80) != 0)
+      throw new ArithmeticException(
+        "rescale: binary word has its sign bit set - this looks like a signed " +
+          "(int256) wide int decoded as two's-complement; use the signed " +
+          "rescaler (wad_s/ray_s) instead of the unsigned wad/ray/rad")
+    uintToDouble(b)
+  }
+
+  /** Two's-complement signed counterpart of [[uintToDouble]] — for wide
+    * SIGNED ints (int256) carried as raw 32-byte words. */
+  def intToDouble(b: Array[Byte]): Double =
+    new java.math.BigDecimal(new java.math.BigInteger(b)).doubleValue
+
   /** Big-endian unsigned integer bytes → exact decimal digit string —
     * the DISPLAY/EXPORT form for wide ints kept as binary (rad-scale
     * values exceed every fixed-precision SQL type on both engines, so
@@ -142,28 +163,36 @@ case class IntToDecimalString(child: Expression) extends UnaryExpression {
   * the rad-safe representation: rad-scale values need up to 78 decimal
   * digits, overflowing Decimal(38), so `AbiSchema.tables(wideIntsAsBinary
   * = true)` keeps them as 32-byte big-endian and this expression rescales
-  * losslessly-to-double from either form. Binary input is interpreted
-  * UNSIGNED — the rad-scale vat quantities (dai/debt/tab) are uint256 in
-  * the reference schema; signed wide columns (int256 dart/dink/rate) fit
-  * the default Decimal(38,0) mapping at wad/ray scale, so the
-  * signed+binary combination does not arise. Display-form exact digits:
-  * [[UintToDecimalString]] / [[IntToDecimalString]]. */
-case class RescaleToDouble(child: Expression, digits: Int)
+  * losslessly-to-double from either form. Binary signedness is dispatched
+  * by the `signed` flag: the unsigned form (wad/ray/rad — the rad-scale
+  * vat quantities dai/debt/tab are uint256 in the reference schema) FAILS
+  * LOUDLY on a 32-byte word with its sign bit set instead of silently
+  * reading a negative int256 as ~10^77 positive, because `AbiSchema
+  * .sparkType(wideIntsAsBinary = true)` maps SIGNED wide ints (int256
+  * dart/dink/rate) to BinaryType too and the decoder emits their raw
+  * two's-complement words — for those use the signed form (wad_s/ray_s).
+  * Display-form exact digits: [[UintToDecimalString]] /
+  * [[IntToDecimalString]]. */
+case class RescaleToDouble(child: Expression, digits: Int,
+                           signed: Boolean = false)
   extends UnaryExpression {
   require(digits >= 0 && digits <= 45)
   private val divisor: Double = math.pow(10, digits)
   override def dataType: DataType = DoubleType
   override protected def nullSafeEval(input: Any): Any = input match {
     case d: Decimal => d.toDouble / divisor
-    case b: Array[Byte] => CodecRuntime.uintToDouble(b) / divisor
+    case b: Array[Byte] =>
+      (if (signed) CodecRuntime.intToDouble(b)
+       else CodecRuntime.uintToDoubleChecked(b)) / divisor
     case n: Long => n.toDouble / divisor
     case n: Int => n.toDouble / divisor
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     child.dataType match {
       case BinaryType =>
+        val fn = if (signed) "intToDouble" else "uintToDoubleChecked"
         defineCodeGen(ctx, ev, c =>
-          s"graft.codec.CodecRuntime.uintToDouble($c) / ${divisor}D")
+          s"graft.codec.CodecRuntime.$fn($c) / ${divisor}D")
       case _: DecimalType =>
         defineCodeGen(ctx, ev, c => s"$c.toDouble() / ${divisor}D")
       case _ =>
@@ -171,7 +200,8 @@ case class RescaleToDouble(child: Expression, digits: Int)
     }
   override protected def withNewChildInternal(newChild: Expression): RescaleToDouble =
     copy(child = newChild)
-  override def prettyName: String = s"rescale_e$digits"
+  override def prettyName: String =
+    s"rescale_e$digits${if (signed) "_s" else ""}"
 }
 
 private[codec] object CatalystConv {

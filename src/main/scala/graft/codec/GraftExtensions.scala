@@ -27,6 +27,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "wad" -> (es => RescaleToDouble(es.head, 18)),
       "ray" -> (es => RescaleToDouble(es.head, 27)),
       "rad" -> (es => RescaleToDouble(es.head, 45)),
+      "wad_s" -> (es => RescaleToDouble(es.head, 18, signed = true)),
+      "ray_s" -> (es => RescaleToDouble(es.head, 27, signed = true)),
       "dot_double" -> (es => graft.ops.DotDouble(es(0), es(1))),
       "minhash_agg" -> (es => graft.ops.MinHashAgg(es.head, 64, 1234).toAggregateExpression()),
       "simhash_agg" -> (es => graft.ops.SimHashAgg(es.head).toAggregateExpression()),

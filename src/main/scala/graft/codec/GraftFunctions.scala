@@ -29,6 +29,16 @@ object GraftFunctions {
   /** rad: debt at 10^-45. */
   def rad(c: Column): Column = Shim.column(RescaleToDouble(Shim.expression(c), 45))
 
+  /** Signed wad: for int256 wide-int columns (dart/dink) carried as raw
+    * two's-complement binary words (`wideIntsAsBinary = true`) — the
+    * unsigned [[wad]] fails loudly on a set sign bit. */
+  def wadSigned(c: Column): Column =
+    Shim.column(RescaleToDouble(Shim.expression(c), 18, signed = true))
+
+  /** Signed ray: the int256-binary counterpart of [[ray]] (rate deltas). */
+  def raySigned(c: Column): Column =
+    Shim.column(RescaleToDouble(Shim.expression(c), 27, signed = true))
+
   def decodeEvent(entryJson: String, topics: Column, data: Column,
                   wideIntsAsBinary: Boolean = false): Column =
     Shim.column(DecodeEvent(entryJson, Shim.expression(topics),
@@ -156,6 +166,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("wad", es => RescaleToDouble(es.head, 18), "scala_udf")
     reg.createOrReplaceTempFunction("ray", es => RescaleToDouble(es.head, 27), "scala_udf")
     reg.createOrReplaceTempFunction("rad", es => RescaleToDouble(es.head, 45), "scala_udf")
+    reg.createOrReplaceTempFunction("wad_s",
+      es => RescaleToDouble(es.head, 18, signed = true), "scala_udf")
+    reg.createOrReplaceTempFunction("ray_s",
+      es => RescaleToDouble(es.head, 27, signed = true), "scala_udf")
     // similarity/sketch surface (ops package): codegen'd dot product and
     // the map-side-combinable sketch aggregates
     reg.createOrReplaceTempFunction("dot_double",

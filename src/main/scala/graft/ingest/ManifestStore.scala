@@ -528,7 +528,19 @@ final class ManifestStore(val root: String) extends Serializable {
   /** Atomic append: new files + previous snapshot in one commit. A
     * `commitKey` already present in any manifest makes this a no-op
     * (exactly-once under replay). `rangeCol` records per-file min/max
-    * stats so later overwriteRange calls can prune. */
+    * stats so later overwriteRange calls can prune.
+    *
+    * Keyed EMPTY appends and replayability: when `df` is empty (and the
+    * snapshot is otherwise unchanged) the commit short-circuits WITHOUT
+    * recording `commitKey` — so no version churn on empty streaming
+    * micro-batches. Idempotence for that batch id then rests on the
+    * source replaying the SAME (still-empty) content: with a replayable
+    * source (the Structured Streaming contract) a retry re-appends
+    * nothing, itself a no-op. A NON-replayable or compacted source whose
+    * retry of the same batch id carries data will commit that data as
+    * new rather than be deduped by the key check — callers with such
+    * sources must not rely on an empty keyed append being durably marked
+    * committed. */
   def append(spark: SparkSession, df: DataFrame,
              partitionCols: Seq[String] = Nil,
              commitKey: Option[String] = None,

@@ -145,7 +145,7 @@ object Components {
   private[ops] def labelsFor(s: SparkSession, dir: String,
                              version: Option[(Long, Long)] = None): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
-    TruthCache.cached(s, "component_labels",
+    TruthCache.cached(s, TruthCache.vtag("component_labels", version),
       version.map(TruthCache.versionKey(dir, _))
         .getOrElse(Dedup.docsFingerprint(docs)),
       componentLabels(docs))

@@ -78,7 +78,7 @@ object PageRank {
     * iteration re-shuffles them. */
   private def edgesWithDeg(s: SparkSession, dir: String,
                            version: Option[(Long, Long)] = None): DataFrame =
-    TruthCache.cached(s, "pr_edges_sym",
+    TruthCache.cached(s, TruthCache.vtag("pr_edges_sym", version),
       version.map(TruthCache.versionKey(dir, _))
         .getOrElse(tradeFingerprint(s, dir)), {
       val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
@@ -216,7 +216,8 @@ object PageRank {
     // corpus functions — cached like the symmetric/triangle edge sets;
     // only the per-invocation repartition onto the loop's partitioning
     // (and the live rank iteration itself) recompute
-    val ed0 = TruthCache.cached(sess, "pr_edges_oneway", fp, {
+    val ed0 = TruthCache.cached(sess,
+      TruthCache.vtag("pr_edges_oneway", version), fp, {
       val o = Tables.load(sess, dir, "orders").select("o_orderkey", "o_custkey")
       val l = Tables.load(sess, dir, "lineitem").select("l_orderkey", "l_suppkey")
       val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
@@ -228,7 +229,8 @@ object PageRank {
     })
     // every node, flagged dangling when it has NO out-edges (here: all
     // suppliers) — partitioned on node with the ranks
-    val nodes0 = TruthCache.cached(sess, "pr_nodes_oneway", fp, {
+    val nodes0 = TruthCache.cached(sess,
+      TruthCache.vtag("pr_nodes_oneway", version), fp, {
       val srcs = ed0.select(col("src")).distinct()
       ed0.select(col("src").as("node"))
         .union(ed0.select(col("dst").as("node"))).distinct()
@@ -323,7 +325,7 @@ object PageRank {
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
     val fp = version.map(TruthCache.versionKey(dir, _)).getOrElse(
       IvfModel.fingerprintOf(li, xxhash64(col("ok"), col("p"))))
-    TruthCache.cached(s, "tri_pairs", fp,
+    TruthCache.cached(s, TruthCache.vtag("tri_pairs", version), fp,
       li.as("a").join(li.as("b"),
           col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
         .select(col("a.p").as("u"), col("b.p").as("v")).distinct())
@@ -338,7 +340,8 @@ object PageRank {
       IvfModel.fingerprintOf(li, xxhash64(col("ok"), col("p"))))
     val pairs = copurchaseEdges(s, dir, version)
     // orient: (s → t) with (d_s, s) < (d_t, t)
-    val oriented = TruthCache.cached(s, "tri_oriented", fp, {
+    val oriented = TruthCache.cached(s,
+      TruthCache.vtag("tri_oriented", version), fp, {
       val deg = pairs.select(explode(array(col("u"), col("v"))).as("n"))
         .groupBy("n").agg(count(lit(1)).as("d"))
       pairs

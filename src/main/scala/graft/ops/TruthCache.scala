@@ -59,6 +59,17 @@ private[graft] object TruthCache {
     (v._1 ^ java.lang.Long.rotateLeft(d, 13), v._2 ^ d)
   }
 
+  /** Tag namespace dispatch: version-derived keys live under "<tag>_v",
+    * content-fingerprint keys under the bare tag. The two key families
+    * fold different inputs into the same (Long, Long) space — a numeric
+    * collision between a version-derived key and a fingerprint-derived
+    * key for one tag would otherwise silently serve the wrong cached
+    * table with no detection; disjoint tag namespaces make aliasing
+    * structurally impossible. Every caller that passes a
+    * [[versionKey]]-derived fp must pass the version through here. */
+  private[graft] def vtag(tag: String, version: Option[(Long, Long)]): String =
+    if (version.isDefined) tag + "_v" else tag
+
   private def path(tag: String, fp: (Long, Long)): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_truth_${codeStamp}_${tag}_" +
       java.lang.Long.toHexString(fp._1 * 1000003L ^ fp._2)

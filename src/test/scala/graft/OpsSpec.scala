@@ -430,6 +430,47 @@ class OpsSpec extends AnyFunSuite {
       ArrayType(LongType))
   }
 
+  test("signed rescaler: negative int256 raw words; unsigned guard fails loudly") {
+    import spark.implicits._
+    import graft.codec.GraftFunctions
+    import org.apache.spark.sql.functions.col
+    // full 32-byte two's-complement word, as the decoder emits for int256
+    def word32(v: java.math.BigInteger): Array[Byte] = {
+      val raw = v.toByteArray
+      val out = Array.fill[Byte](32)(if (v.signum() < 0) -1 else 0)
+      System.arraycopy(raw, 0, out, 32 - raw.length, raw.length)
+      out
+    }
+    val negDart = new java.math.BigInteger("-2500000000000000000") // -2.5 wad
+    val posDart = new java.math.BigInteger("1500000000000000000")  //  1.5 wad
+    val df = Seq((1L, word32(negDart)), (2L, word32(posDart))).toDF("id", "w")
+    val out = df.orderBy("id")
+      .select(GraftFunctions.wadSigned(col("w")).as("v")).collect()
+    assert(out(0).getDouble(0) == -2.5)
+    assert(out(1).getDouble(0) == 1.5)
+    // SQL surface: wad_s registered next to wad
+    graft.codec.GraftFunctions.register(spark)
+    df.createOrReplaceTempView("signed_words")
+    val sql = spark.sql(
+      "SELECT wad_s(w) AS v FROM signed_words ORDER BY id").collect()
+    assert(sql(0).getDouble(0) == -2.5 && sql(1).getDouble(0) == 1.5)
+    // the UNSIGNED rescaler must fail loudly on a sign-bit-set word
+    // (int256 column wrongly fed to wad/ray/rad), not return ~1e58
+    val err = intercept[Exception] {
+      df.filter(col("id") === 1L)
+        .select(GraftFunctions.wad(col("w"))).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(causes(err).exists(_.getMessage != null) &&
+      causes(err).exists(c => String.valueOf(c.getMessage).contains("sign bit")),
+      s"expected the sign-bit guard, got: $err")
+    // positive words still pass the unsigned path unchanged
+    val ok = df.filter(col("id") === 2L)
+      .select(GraftFunctions.wad(col("w"))).collect()
+    assert(ok(0).getDouble(0) == 1.5)
+  }
+
   test("generate_series table function (PG dialect shim)") {
     graft.codec.GraftFunctions.register(spark)
     val rows = spark.sql("SELECT * FROM generate_series(1, 10, 2)")

@@ -98,6 +98,28 @@ class VersionKeyedCacheSpec extends AnyFunSuite {
       "recomputed-under-new-version result must match")
   }
 
+  test("version keys and content fingerprints occupy disjoint tag namespaces") {
+    // versionKey XOR-folds (version, dir) into the SAME (Long, Long)
+    // space content fingerprints use; a numeric collision for one tag
+    // would serve the wrong cached table. The vtag namespace ("tag_v"
+    // for version-derived keys) makes that structurally impossible —
+    // proven here by forcing the collision: one numeric key, two key
+    // families, two distinct cached tables.
+    import graft.ops.TruthCache
+    import spark.implicits._
+    val collidingKey = (runTag + 2, 0x600dcafeL)
+    val tag = s"ns_probe_$runTag"
+    val asVersion = TruthCache.cached(spark,
+      TruthCache.vtag(tag, Some(collidingKey)), collidingKey,
+      Seq(("version", 1L)).toDF("family", "v"))
+    val asFingerprint = TruthCache.cached(spark,
+      TruthCache.vtag(tag, None), collidingKey,
+      Seq(("fingerprint", 2L)).toDF("family", "v"))
+    assert(asVersion.collect().head.getString(0) == "version")
+    assert(asFingerprint.collect().head.getString(0) == "fingerprint",
+      "fingerprint-keyed read served the version-keyed entry — namespaces alias")
+  }
+
   test("same version, different corpus dir: keys never alias across corpora") {
     // a bare store version is NOT globally unique — the cache key mixes
     // the absolute corpus dir (TruthCache.versionKey), so two stores
