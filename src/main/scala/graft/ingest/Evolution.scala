@@ -1,0 +1,96 @@
+package graft.ingest
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Schema evolution end-to-end over the manifest store (round-11 agenda
+  * #3): the 100 TB warehouse operation of ADDING A COLUMN without
+  * rewriting history. The gate ingests events under the v1 schema,
+  * appends an evolved batch carrying a new `source` column, proves a
+  * TYPE-CONFLICTING append is rejected loudly (structurally, in the
+  * builder), and reads the store back across both schema generations —
+  * old rows surface the new column as null (merge-on-read union-by-name,
+  * [[ManifestStore.readFiles]]); the rollup is proven exactly against
+  * the DuckDB oracle's reconstruction. MERGE and matview behavior on
+  * evolved schemas is spec'd in SchemaEvolutionSpec. */
+object Evolution {
+
+  private val builtRoots = scala.collection.mutable.Set[String]()
+
+  private[graft] def gateRoot(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_evolve_store_" +
+      new java.io.File(dir).getName + "_" + graft.ops.CorpusId.hex(dir)
+
+  /** Build (once per session): v1 append (even event_ids, 4 columns),
+    * evolved append (odd event_ids, + `source`), conflict rejection. */
+  private[graft] def builtStore(s: SparkSession, dir: String): ManifestStore = {
+    val root = gateRoot(dir)
+    builtRoots.synchronized {
+      if (!builtRoots.contains(root)) {
+        val p = new Path(root)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        val store = new ManifestStore(root)
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        store.append(s, ev.filter(col("event_id") % 2 === 0),
+          rangeCol = Some("event_id"))
+        val filesBefore = store.currentFiles(s).toSet
+        // the evolved batch: same four columns plus a new `source`
+        store.append(s, ev.filter(col("event_id") % 2 === 1)
+            .withColumn("source",
+              concat(lit("s"), (col("user_id") % 3).cast("string"))),
+          rangeCol = Some("event_id"))
+        // old files survive the evolution by reference — adding a column
+        // must never rewrite history
+        require(filesBefore.subsetOf(store.currentFiles(s).toSet),
+          "schema evolution rewrote v1 files")
+        // the recorded schema is the union, new column appended last
+        require(store.currentSchema(s).exists(_.fieldNames.toSeq ==
+          Seq("event_id", "user_id", "event_type", "value", "source")),
+          s"evolved schema not recorded: ${store.currentSchema(s)}")
+        // a TYPE CONFLICT is rejected loudly at commit time, not at some
+        // future read: `value` arrives as string instead of double
+        val conflict = scala.util.Try(store.append(s,
+          ev.filter(col("event_id") === 0)
+            .withColumn("value", col("value").cast("string"))))
+        require(conflict.isFailure &&
+          conflict.failed.get.getMessage.contains("type conflict"),
+          s"type-conflicting append was not rejected: $conflict")
+        builtRoots.add(root)
+      }
+    }
+    new ManifestStore(root)
+  }
+
+  /** Gate: rollup by the EVOLVED column across both schema generations —
+    * null for every v1 row (read as 'legacy'), populated for the evolved
+    * batch. Equality with the oracle proves the merged read exactly. */
+  def storeSchemaEvolution(s: SparkSession, dir: String): DataFrame =
+    builtStore(s, dir).read(s).get
+      .groupBy(coalesce(col("source"), lit("legacy")).as("src"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("event_id")).as("id_sum"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("val_sum"))
+      .orderBy("src")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "store_schema_evolution" -> (storeSchemaEvolution _))
+
+  val oracle: Map[String, String] = Map(
+    "store_schema_evolution" -> """
+      WITH evolved AS (
+        SELECT event_id, user_id, event_type, value,
+          CAST(NULL AS VARCHAR) AS source
+        FROM events WHERE event_id % 2 = 0
+        UNION ALL
+        SELECT event_id, user_id, event_type, value,
+          's' || CAST(user_id % 3 AS VARCHAR) AS source
+        FROM events WHERE event_id % 2 = 1)
+      SELECT COALESCE(source, 'legacy') AS src, COUNT(*) AS n,
+        CAST(SUM(event_id) AS BIGINT) AS id_sum,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS val_sum
+      FROM evolved GROUP BY 1 ORDER BY 1""")
+}

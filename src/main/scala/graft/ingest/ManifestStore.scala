@@ -110,7 +110,8 @@ final class ManifestStore(val root: String) extends Serializable {
   }
 
   private case class Snapshot(version: Long, key: Option[String],
-                              rangeCol: Option[String], files: Seq[FileEntry])
+                              rangeCol: Option[String], files: Seq[FileEntry],
+                              schemaJson: Option[String] = None)
 
   /** None when the version has no complete manifest: either the manifest
     * file is missing (the claim's writer crashed before publishing, or is
@@ -133,7 +134,9 @@ final class ManifestStore(val root: String) extends Serializable {
       m.stripPrefix("#key:") }
     val rangeCol = meta.collectFirst { case m if m.startsWith("#rangeCol:") =>
       m.stripPrefix("#rangeCol:") }
-    Some(Snapshot(v, key, rangeCol, files.map(FileEntry.parse)))
+    val schemaJson = meta.collectFirst { case m if m.startsWith("#schema:") =>
+      m.stripPrefix("#schema:") }
+    Some(Snapshot(v, key, rangeCol, files.map(FileEntry.parse), schemaJson))
   }
 
   /** Highest complete snapshot within `versions`, walking past claimed-
@@ -293,7 +296,9 @@ final class ManifestStore(val root: String) extends Serializable {
     * each version file can succeed (O_EXCL / namenode-atomic). */
   private def commitWith(spark: SparkSession, key: Option[String],
                          rangeCol: Option[String],
-                         noopSkippableWithKey: Boolean = false)
+                         noopSkippableWithKey: Boolean = false,
+                         schema: Option[Snapshot] => Option[String] =
+                           _.flatMap(_.schemaJson))
                         (build: Option[Snapshot] => Seq[FileEntry]): Long = {
     val f = fs(spark)
     f.mkdirs(manifestsDir)
@@ -304,6 +309,15 @@ final class ManifestStore(val root: String) extends Serializable {
       if (key.exists(hasCommitKeyIn(f, versions, _)))
         return versions.lastOption.getOrElse(0L) // replay already published
       val snap = snapshotFrom(f, versions)
+      // schema evolution: the commit records the store's logical schema
+      // (default: carry the previous snapshot's forward). Data-writing
+      // commits pass an evolver that union-by-names the incoming schema
+      // and REJECTS type conflicts — evaluated BEFORE build, per attempt,
+      // against the then-current snapshot: the loud reject must fire
+      // before the build's own union can coerce the conflicting column
+      // (and before any rewrite work is paid), and a concurrent writer's
+      // evolution is seen before publishing.
+      val sj = schema(snap)
       val files = build(snap)
       val rc = rangeCol.orElse(snap.flatMap(_.rangeCol))
       // NO-OP SHORT-CIRCUIT: a commit that would publish the exact same
@@ -324,10 +338,12 @@ final class ManifestStore(val root: String) extends Serializable {
       // a backfill would re-apply the predicate to rows that did not
       // exist the first time.
       if ((key.isEmpty || noopSkippableWithKey) &&
-          snap.exists(p => p.files == files && p.rangeCol == rc))
+          snap.exists(p => p.files == files && p.rangeCol == rc &&
+            p.schemaJson == sj))
         return snap.get.version
       val body = (key.map("#key:" + _).toSeq ++
         rc.map("#rangeCol:" + _).toSeq ++
+        sj.map("#schema:" + _).toSeq ++
         files.map(_.serialized) ++ Seq(Terminator))
         .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)
       val v = versions.lastOption.getOrElse(0L) + 1
@@ -341,6 +357,59 @@ final class ManifestStore(val root: String) extends Serializable {
   /** Root-relative path of an absolute file URI path. */
   private def relOf(rootUriPath: String, uriPath: String): String =
     uriPath.stripPrefix(rootUriPath).stripPrefix("/")
+
+  private def schemaOf(snap: Option[Snapshot])
+  : Option[org.apache.spark.sql.types.StructType] =
+    snap.flatMap(_.schemaJson).map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  /** MERGE-ON-READ schema evolution (Delta's `mergeSchema` semantics on
+    * the write side): the store's schema after a commit is the previous
+    * schema with the incoming batch's genuinely-new columns APPENDED —
+    * old files keep their bytes and read the new columns as null
+    * ([[readFiles]] union-by-name). A same-name column with a DIFFERENT
+    * type is REJECTED LOUDLY here at commit time: Spark's union-by-name
+    * would otherwise coerce (long+int) or fail only at first read —
+    * either way the writer that introduced the conflict is long gone by
+    * the time anyone notices. Nullability is not a conflict (it widens
+    * naturally under null-filling); the check compares erased types.
+    *
+    * Pre-schema-tracking stores (manifests without a `#schema:` line)
+    * adopt the first new-code commit's schema as their baseline — the
+    * conflict check begins there; reconciling their legacy files stays
+    * the read path's union-by-name job. */
+  private[graft] def evolveSchema(
+      prev: Option[org.apache.spark.sql.types.StructType],
+      next: org.apache.spark.sql.types.StructType)
+  : org.apache.spark.sql.types.StructType = prev match {
+    case None => next
+    case Some(p) =>
+      val incoming = next.fields.map(f => f.name -> f).toMap
+      val conflicts = p.fields.flatMap { f =>
+        incoming.get(f.name)
+          .filter(_.dataType.simpleString != f.dataType.simpleString)
+          .map(n => s"${f.name}: stored ${f.dataType.simpleString} vs " +
+            s"incoming ${n.dataType.simpleString}")
+      }
+      require(conflicts.isEmpty,
+        s"ManifestStore($root): schema evolution rejected - type conflict " +
+          s"on ${conflicts.mkString("; ")}. Adding columns is supported " +
+          "(union-by-name, old rows read them as null); changing a " +
+          "column's type is a rewrite, not an append.")
+      val prevNames = p.fieldNames.toSet
+      org.apache.spark.sql.types.StructType(
+        p.fields ++ next.fields.filterNot(f => prevNames.contains(f.name)))
+  }
+
+  /** The commit-time schema evolver for a data-writing commit of `df`. */
+  private def evolver(df: DataFrame): Option[Snapshot] => Option[String] =
+    snap => Some(evolveSchema(schemaOf(snap), df.schema).json)
+
+  /** The store's recorded logical schema, when schema tracking has seen
+    * at least one commit (None on pre-tracking or empty stores). */
+  def currentSchema(spark: SparkSession)
+  : Option[org.apache.spark.sql.types.StructType] = schemaOf(snapshot(spark))
 
   /** Write `df` into a fresh commit directory; returns entries with
     * per-file min/max stats on `rangeCol` (when set — one small
@@ -394,7 +463,16 @@ final class ManifestStore(val root: String) extends Serializable {
           if (rows == 0L) None
           else Some(FileEntry(rel, stats.map(_._1), stats.map(_._2)))
         }
-      case _ => rels.toSeq.map(FileEntry(_, None, None))
+      case _ =>
+        // no range column: still drop zero-row part files (Spark emits
+        // them) — otherwise an empty append without stats commits a
+        // contentless version, breaking the publish-nothing-on-no-op
+        // contract the rangeCol branches already honor
+        val conf = spark.sparkContext.hadoopConfiguration
+        rels.toSeq.flatMap { rel =>
+          val (rows, _) = footerStats(new Path(root, rel), "", conf)
+          if (rows == 0L) None else Some(FileEntry(rel, None, None))
+        }
     }
   }
 
@@ -549,7 +627,8 @@ final class ManifestStore(val root: String) extends Serializable {
     // data files are immutable — safe to reuse across commit attempts;
     // the file LIST re-merges against the then-current snapshot each try
     val newFiles = writeData(spark, df, partitionCols, rangeCol)
-    commitWith(spark, commitKey, rangeCol, noopSkippableWithKey = true) { prev =>
+    commitWith(spark, commitKey, rangeCol, noopSkippableWithKey = true,
+      schema = evolver(df)) { prev =>
       prev.map(_.files).getOrElse(Nil) ++ newFiles
     }
   }
@@ -576,7 +655,10 @@ final class ManifestStore(val root: String) extends Serializable {
                  rangeCol: Option[String] = None): Unit = synchronized {
     if (commitKey.exists(hasCommitKey(spark, _))) return
     val newFiles = writeData(spark, df, partitionCols, rangeCol)
-    commitWith(spark, commitKey, rangeCol)(_ => newFiles)
+    // full replace: the new content's schema REPLACES the recorded one
+    // (no union with history — the history's files are gone)
+    commitWith(spark, commitKey, rangeCol,
+      schema = _ => Some(df.schema.json))(_ => newFiles)
   }
 
   /** Atomic overwrite-by-range (the manifest form of
@@ -597,7 +679,7 @@ final class ManifestStore(val root: String) extends Serializable {
     // the rewritten data depends on which files the window hits, so the
     // whole merge re-runs against the then-current snapshot on each
     // attempt (an abandoned attempt's data dir is unpublished, vacuumable)
-    commitWith(spark, commitKey, Some(rangeCol)) { prev =>
+    commitWith(spark, commitKey, Some(rangeCol), schema = evolver(df)) { prev =>
       val prevFiles = prev.map(_.files).getOrElse(Nil)
       val (hit, kept) = prevFiles.partition(_.overlaps(from, to))
       val merged =
@@ -703,7 +785,8 @@ final class ManifestStore(val root: String) extends Serializable {
             commitKey: Option[String] = None): Unit = synchronized {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     if (commitKey.exists(hasCommitKey(spark, _))) return
-    commitWith(spark, commitKey, currentRangeCol(spark)) { prev =>
+    commitWith(spark, commitKey, currentRangeCol(spark),
+      schema = evolver(updates)) { prev =>
       val files = prev.map(_.files).getOrElse(Nil)
       val rc = prev.flatMap(_.rangeCol).orElse(currentRangeCol(spark))
       if (files.isEmpty) writeData(spark, updates, partitionCols, rc)

@@ -7,13 +7,15 @@ import org.apache.spark.sql.functions._
   * opaque `binary` payloads with typed metadata, processed in batch-shaped
   * partition passes.
   *
-  * The actual byte→pixels/samples decode is STUBBED (`decodeStub`): the
-  * container has no image/audio codecs, so the stub derives deterministic
-  * pseudo-content from the payload bytes. Everything around it — schema,
-  * partitioning, batch iteration shape, feature vector contract — is the
-  * real engine plumbing a production codec would drop into (the Scala
-  * analogue of a `mapInPandas` batch UDF: mapPartitions over an iterator,
-  * amortizing per-batch setup).
+  * The byte→container decode is REAL ([[MediaCodec]]): spec-valid PNG
+  * encode/decode (zlib + CRC-validated chunks) and JPEG marker-stream
+  * header parsing, gated end-to-end in `multimodal_decode` (planted
+  * dimensions and pixel checksums recovered from the bytes alone). The
+  * feature EMBEDDING step ([[byteStripeFeatures]]) remains a
+  * content-agnostic byte featurizer — a production pipeline would swap
+  * in a learned encoder there; the engine plumbing around it (schema,
+  * partitioning, mapPartitions batch iteration amortizing per-batch
+  * setup, the mapInPandas analogue) is the contract under test.
   */
 object Multimodal {
 
@@ -41,10 +43,13 @@ object Multimodal {
       }
   }
 
-  /** STUB decode: a real implementation would decode payload → pixel/PCM
-    * buffers here; the deterministic fake averages byte stripes. The
-    * signature (bytes in, fixed-dim float vector out) is the contract. */
-  private[ops] def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
+  /** Content-agnostic byte featurizer: fixed-dim stripe averages over the
+    * payload bytes — the deterministic stand-in for a LEARNED embedding
+    * model (which no container ships); the real container decode lives in
+    * [[MediaCodec]] and is gated separately (`multimodal_decode`). The
+    * signature (bytes in, fixed-dim float vector out) is the embedding
+    * contract downstream ANN consumes. */
+  private[ops] def byteStripeFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     val stripe = math.max(1, payload.length / dim)
     var i = 0
@@ -67,7 +72,7 @@ object Multimodal {
     media.mapPartitions { it =>
       // per-partition setup would go here (codec/model initialization)
       it.map { m =>
-        val f = decodeStub(m.payload, dim)
+        val f = byteStripeFeatures(m.payload, dim)
         val norm = math.sqrt(f.map(x => x.toDouble * x).sum)
         MediaFeatures(m.media_id, m.kind, m.payload.length.toLong, f, norm)
       }
@@ -105,7 +110,7 @@ object Multimodal {
       val kind = Seq("image", "audio", "video")(rnd.nextInt(3))
       val payload = new Array[Byte](256 + rnd.nextInt(4096))
       rnd.nextBytes(payload)
-      val f = decodeStub(payload, 16)
+      val f = byteStripeFeatures(payload, 16)
       val norm = math.sqrt(f.map(x => x.toDouble * x).sum)
       val rounded = java.math.BigDecimal.valueOf(norm)
         .setScale(3, java.math.RoundingMode.HALF_UP)
@@ -176,7 +181,7 @@ object Multimodal {
       rnd.nextInt(3) // the kind draw — consumed to keep the stream aligned
       val payload = new Array[Byte](256 + rnd.nextInt(4096))
       rnd.nextBytes(payload)
-      decodeStub(payload, 16).map(_.toDouble - FeatureCenter)
+      byteStripeFeatures(payload, 16).map(_.toDouble - FeatureCenter)
     }
     def dot(a: Array[Double], b: Array[Double]): Double = {
       var d = 0.0; var j = 0
@@ -219,8 +224,118 @@ object Multimodal {
         (col("hits") >= expr("(n_expected*7 + 9) DIV 10")).as("recall_ok"))
   }
 
+  // ------------------------------------------------- real container decode
+
+  final case class ImageMedia(media_id: Long, payload: Array[Byte])
+
+  /** Deterministic REAL image files: even ids are spec-valid PNGs
+    * (seeded dims + pixels, encoded through [[MediaCodec.encodePng]] —
+    * zlib + CRC for real), odd ids are JPEG/JFIF marker streams with
+    * seeded dims. A distinct seed stream from [[syntheticMedia]] keeps
+    * the two fixtures independent. */
+  def syntheticImages(spark: SparkSession, n: Int): Dataset[ImageMedia] = {
+    import spark.implicits._
+    spark.range(0, n.toLong, 1L, spark.sparkContext.defaultParallelism)
+      .map { id =>
+        val rnd = new scala.util.Random(0xC0DEC0DEL ^ id)
+        val w = 16 + rnd.nextInt(120)
+        val h = 16 + rnd.nextInt(120)
+        val payload =
+          if (id % 2 == 0) {
+            val pixels = new Array[Byte](w * h)
+            rnd.nextBytes(pixels)
+            MediaCodec.encodePng(w, h, pixels)
+          } else {
+            val entropy = new Array[Byte](64 + rnd.nextInt(256))
+            rnd.nextBytes(entropy)
+            MediaCodec.encodeJpegShell(w, h, entropy)
+          }
+        ImageMedia(id, payload)
+      }
+  }
+
+  /** Decode metadata (and, for PNG, pixels) from the BYTES ALONE —
+    * format sniffed from the payload, never from a side column:
+    * (media_id, format, width, height, pix_sum). pix_sum is the pixel
+    * byte checksum recovered through the full inflate+unfilter path
+    * (0 for JPEG: header-only parse by design). */
+  def decodeImages(media: Dataset[ImageMedia]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val b = m.payload
+        if (b.length > 8 && MediaCodec.PngSignature.indices.forall(i =>
+            b(i) == MediaCodec.PngSignature(i))) {
+          val img = MediaCodec.decodePng(b)
+          var s = 0L
+          img.pixels.foreach(p => s += (p & 0xff))
+          (m.media_id, "png", img.width, img.height, s)
+        } else {
+          val (w, h, _) = MediaCodec.decodeJpegDims(b)
+          (m.media_id, "jpeg", w, h, 0L)
+        }
+      }
+    }.toDF("media_id", "format", "width", "height", "pix_sum")
+  }
+
+  val decodeTruthPath = "/root/repo/fixtures/truth/multimodal_decode.parquet"
+
+  /** Sequential PLANTED truth for the decode gate: the same seeded
+    * generator loop records what it PUT INTO each file (dims, pixel
+    * checksum) without ever running the decoder — so a hash-match
+    * proves the encode→bytes→decode roundtrip recovers the planted
+    * values, not that the decoder agrees with itself. */
+  def ensureDecodeTruth(spark: SparkSession): Unit = synchronized {
+    val marker = new java.io.File("/root/repo/fixtures/_MM_DECODE_TRUTH_v1")
+    if (marker.exists()) return
+    val acc = scala.collection.mutable.Map.empty[String, (Long, Long, Long, Long)]
+    (0 until 400).foreach { id =>
+      val rnd = new scala.util.Random(0xC0DEC0DEL ^ id.toLong) // mirrors syntheticImages
+      val w = 16 + rnd.nextInt(120)
+      val h = 16 + rnd.nextInt(120)
+      val (fmt, pixSum) =
+        if (id % 2 == 0) {
+          val pixels = new Array[Byte](w * h)
+          rnd.nextBytes(pixels)
+          var s = 0L
+          pixels.foreach(p => s += (p & 0xff))
+          ("png", s)
+        } else ("jpeg", 0L)
+      val (n, ws, hs, ps) = acc.getOrElse(fmt, (0L, 0L, 0L, 0L))
+      acc(fmt) = (n + 1, ws + w, hs + h, ps + pixSum)
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("format", StringType),
+      StructField("n", LongType), StructField("w_sum", LongType),
+      StructField("h_sum", LongType), StructField("pix_total", LongType)))
+    val rows = acc.toSeq.sortBy(_._1).map { case (f, (n, ws, hs, ps)) =>
+      org.apache.spark.sql.Row(f, n, ws, hs, ps)
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
+      .coalesce(1).write.mode("overwrite").parquet(decodeTruthPath)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/fixtures/_MM_DECODE_TRUTH_v1"), "ok")
+  }
+
+  /** Gate: per-format dimension and pixel-checksum rollup of the decoded
+    * image corpus — equality with the planted oracle proves real PNG
+    * decode (CRC walk, inflate, unfilter) and JPEG header parsing from
+    * the binary column alone. */
+  def mediaDecodeStats(s: SparkSession, dir: String): DataFrame = {
+    ensureDecodeTruth(s)
+    decodeImages(syntheticImages(s, 400))
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("width")).as("w_sum"),
+        sum(col("height")).as("h_sum"),
+        sum(col("pix_sum")).as("pix_total"))
+      .orderBy(col("format"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_features" -> (mediaFeatureStats _),
+    "multimodal_decode" -> (mediaDecodeStats _),
     "multimodal_ann" -> (mediaAnnRecall _))
 
   val oracle: Map[String, String] = Map(
@@ -228,6 +343,10 @@ object Multimodal {
       SELECT kind, n, total_bytes, norm_sum
       FROM read_parquet('$truthPath/*.parquet')
       ORDER BY kind""",
+    "multimodal_decode" -> s"""
+      SELECT format, n, w_sum, h_sum, pix_total
+      FROM read_parquet('$decodeTruthPath/*.parquet')
+      ORDER BY format""",
     "multimodal_ann" -> s"""
       SELECT 'media_ivf' AS method,
         CAST(COUNT(*) AS BIGINT) AS n_expected,

@@ -1,0 +1,127 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ingest.{ManifestStore, MatView}
+
+/** ManifestStore merge-on-read schema evolution (round-11 agenda #3):
+  * adding a column is an append (old files untouched, old rows read the
+  * new column as null); changing a column's type is rejected loudly at
+  * commit time; MERGE and incremental matviews keep working across the
+  * schema boundary. */
+class SchemaEvolutionSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_evolve_$tag").toString + "/store"
+
+  test("append with a new column: old rows null-filled, schema recorded, no rewrite") {
+    val store = new ManifestStore(freshRoot("add"))
+    store.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    val filesV1 = store.currentFiles(spark).toSet
+    store.append(spark,
+      Seq((3L, "c", 0.5), (4L, "d", 1.5)).toDF("id", "name", "score"))
+    // merge-on-read: one unioned table across both generations
+    val rows = store.read(spark).get
+      .select("id", "name", "score").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      (1L, "a", None), (2L, "b", None),
+      (3L, "c", Some(0.5)), (4L, "d", Some(1.5))))
+    // history untouched; recorded schema is the union with `score` last
+    assert(filesV1.subsetOf(store.currentFiles(spark).toSet))
+    assert(store.currentSchema(spark).map(_.fieldNames.toSeq)
+      .contains(Seq("id", "name", "score")))
+  }
+
+  test("type conflict: append and merge both rejected loudly at commit time") {
+    val store = new ManifestStore(freshRoot("conflict"))
+    store.append(spark, Seq((1L, 10.0)).toDF("id", "v"))
+    val appendErr = intercept[IllegalArgumentException] {
+      store.append(spark, Seq((2L, "not-a-double")).toDF("id", "v"))
+    }
+    assert(appendErr.getMessage.contains("type conflict") &&
+      appendErr.getMessage.contains("v"), appendErr.getMessage)
+    val mergeErr = intercept[IllegalArgumentException] {
+      store.merge(spark, Seq((1L, "clobber")).toDF("id", "v"), Seq("id"))
+    }
+    assert(mergeErr.getMessage.contains("type conflict"), mergeErr.getMessage)
+    // the store is intact after both rejections: same single row, same schema
+    assert(store.read(spark).get.collect().map(r =>
+      (r.getLong(0), r.getDouble(1))).toSeq == Seq((1L, 10.0)))
+    assert(store.currentSchema(spark).map(_.fieldNames.toSeq)
+      .contains(Seq("id", "v")))
+  }
+
+  test("MERGE with evolved updates: matched rows replaced, survivors null-filled") {
+    val store = new ManifestStore(freshRoot("merge"))
+    store.append(spark, Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"))
+    store.append(spark, Seq((3L, 30.0), (4L, 40.0)).toDF("id", "v"))
+    // updates carry a NEW column `flag`: update id=2, insert id=9
+    store.merge(spark,
+      Seq((2L, 200.0, "upd"), (9L, 900.0, "ins")).toDF("id", "v", "flag"),
+      Seq("id"))
+    val rows = store.read(spark).get
+      .select("id", "v", "flag").collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        if (r.isNullAt(2)) "null" else r.getString(2)))
+      .sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      (1L, 10.0, "null"), (2L, 200.0, "upd"), (3L, 30.0, "null"),
+      (4L, 40.0, "null"), (9L, 900.0, "ins")))
+    assert(store.currentSchema(spark).map(_.fieldNames.toSeq)
+      .contains(Seq("id", "v", "flag")))
+  }
+
+  test("incremental matview refresh across a schema-evolving append") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_evolve_mv")
+    val src = new ManifestStore(s"$tmp/src")
+    src.append(spark, (0L until 100L).map(i => (i, i % 5, 1.0)).toDF("id", "grp", "v"))
+    val view = new MatView(s"$tmp/view", Seq("grp"), "v")
+    view.refresh(spark, src)
+    // the evolved batch adds `origin`; the view's group/value columns are
+    // untouched, so the delta fold must work unchanged
+    src.append(spark, (100L until 160L).map(i => (i, i % 5, 2.0, "late"))
+      .toDF("id", "grp", "v", "origin"))
+    view.refresh(spark, src)
+    val st = view.state(spark).get
+      .select(col("grp"), col("n"), col("vsum").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    // per grp: 20 v1 rows at 1.0 + 12 evolved rows at 2.0
+    assert(st.toSeq == (0L until 5L).map(g => (g, 32L, 44.0)))
+    // and the source reads back whole with old rows null in `origin`
+    val nulls = src.read(spark).get.filter(col("origin").isNull).count()
+    assert(nulls == 100L)
+  }
+
+  test("replaceAll resets the recorded schema to the replacement's") {
+    val store = new ManifestStore(freshRoot("replace"))
+    store.append(spark, Seq((1L, "x", 0.1)).toDF("id", "name", "score"))
+    store.replaceAll(spark, Seq((7L, true)).toDF("id", "active"))
+    assert(store.currentSchema(spark).map(_.fieldNames.toSeq)
+      .contains(Seq("id", "active")),
+      s"replaceAll must not union with the replaced history: ${store.currentSchema(spark)}")
+    // a former column's type can now change freely — it is a new store
+    store.append(spark, Seq((8L, false, "re-added-as-string"))
+      .toDF("id", "active", "name"))
+    assert(store.read(spark).get.count() == 2L)
+  }
+
+  test("same-schema appends never churn the recorded schema or no-op versions") {
+    val store = new ManifestStore(freshRoot("stable"))
+    store.append(spark, Seq((1L, "a")).toDF("id", "name"))
+    val v1 = store.currentVersion(spark)
+    val s1 = store.currentSchema(spark)
+    // same schema, different column ORDER: recorded schema keeps the
+    // store's canonical order (no spurious schema commit)
+    store.append(spark, Seq(("b", 2L)).toDF("name", "id"))
+    assert(store.currentSchema(spark) == s1)
+    // empty same-schema append: still a complete no-op (no version bump)
+    store.append(spark, Seq.empty[(Long, String)].toDF("id", "name"))
+    assert(store.currentVersion(spark) == v1 + 1)
+  }
+}
