@@ -96,6 +96,61 @@ object Bench {
   private def loadAvg(): Double = java.lang.management.ManagementFactory
     .getOperatingSystemMXBean.getSystemLoadAverage
 
+  /** Order-insensitive distributed value hash of a result — NO collect:
+    * one xxhash64 per row over the full struct, summed in DECIMAL(38,0)
+    * (overflow-proof, commutative). Cheap enough to run per query in the
+    * concurrent mode. */
+  private def distHash(df: org.apache.spark.sql.DataFrame): String = {
+    import org.apache.spark.sql.functions._
+    val h = df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+      .agg(coalesce(sum(col("h").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO)).as("s"), count(lit(1)).as("n"))
+      .head()
+    s"${h.getDecimal(0)}/${h.getLong(1)}"
+  }
+
+  /** Concurrent throughput mode (opt-in via SPARK_GRAFT_CONCURRENCY=N):
+    * the full gate set executed from N threads against ONE session —
+    * what a multi-tenant cluster does by default, and what the
+    * strictly-sequential timed passes never measure. Every query's
+    * distributed hash is checked against a sequential reference computed
+    * first; a divergence is the silent-wrong-answer-under-concurrency
+    * bug class and fails the bench loudly. Returns
+    * (wallSeconds, queriesRun, mismatched names). */
+  private[graft] def concurrentPass(spark: SparkSession, sfDir: String,
+      threads: Int): (Double, Int, Seq[String]) = {
+    val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+    val reference: Map[String, String] =
+      qs.map { case (k, fn) => k -> distHash(fn(spark, sfDir)) }.toMap
+    spark.catalog.clearCache()
+    val queue = new java.util.concurrent.ConcurrentLinkedQueue[(String,
+      (SparkSession, String) => org.apache.spark.sql.DataFrame)]()
+    qs.foreach(queue.add)
+    val mismatches = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val t0 = System.nanoTime()
+    (0 until threads).foreach { _ =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          var e = queue.poll()
+          while (e != null) {
+            val (name, fn) = e
+            try {
+              if (distHash(fn(spark, sfDir)) != reference(name))
+                mismatches.add(name)
+            } catch { case _: Throwable => mismatches.add(name) }
+            e = queue.poll()
+          }
+        }
+      })
+    }
+    pool.shutdown()
+    pool.awaitTermination(3600, java.util.concurrent.TimeUnit.SECONDS)
+    val wall = (System.nanoTime() - t0) / 1e9
+    import scala.jdk.CollectionConverters._
+    (wall, qs.size, mismatches.asScala.toSeq.sorted)
+  }
+
   /** One pass's per-query map as JSON (3 dp), failed queries omitted.
     * Emitted per PASS into bench_out.json (stdout stays summary-only):
     * p1-vs-p2 deltas attribute cold one-time costs (index builds, page
@@ -213,6 +268,21 @@ object Bench {
       "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.2f", d)
     }.mkString("{", ",", "}")
     val coldExceeded = p2.nonEmpty && namedTotal > coldCeiling
+    // ---- optional concurrent throughput pass (r10 verdict #7): runs
+    // AFTER the sequential timed passes so it cannot contaminate them;
+    // opt-in, so the driver's default sequential numbers stay comparable
+    // across rounds.
+    val concurrentJson = sys.env.get("SPARK_GRAFT_CONCURRENCY")
+      .flatMap(_.toIntOption).filter(_ > 1).map { n =>
+        val (wall, ran, bad) = concurrentPass(spark, sfDir, n)
+        if (bad.nonEmpty)
+          System.err.println(s"[bench] CONCURRENT HASH MISMATCH: ${bad.mkString(",")}")
+        (s""""concurrent":{"threads":$n,"wall":${
+          String.format(java.util.Locale.ROOT, "%.2f", wall)},""" +
+          s""""qps":${String.format(java.util.Locale.ROOT, "%.2f", ran / wall)},""" +
+          s""""mismatches":${bad.map("\"" + _ + "\"").mkString("[", ",", "]")}},""",
+          bad)
+      }
     def f3(d: Double): String = String.format(java.util.Locale.ROOT, "%.3f", d)
     def f2(d: Double): String = String.format(java.util.Locale.ROOT, "%.2f", d)
     def qs(f: Double => String) = results.toSeq.sortBy(_._1)
@@ -251,6 +321,7 @@ object Bench {
       s""""unattributed":${f2(math.max(0.0, coldTotal - namedTotal))},""" +
       s""""ceiling":${f2(coldCeiling)},"exceeded":${coldExceeded},""" +
       s""""builds":$buildsJson,"top":$coldTopJson},""" +
+      concurrentJson.map(_._1).getOrElse("") +
       s"""$env,"metric":"total","value":${f3(total)},"unit":"sec"}"""
     val sfShort = new java.io.File(sfDir).getName
     val failedShown = failed.take(12)
@@ -308,5 +379,8 @@ object Bench {
       sys.exit(1)
     }
     if (coldExceeded && !contaminated) sys.exit(2)
+    // a concurrent-pass hash divergence is a wrong ANSWER, not a wrong
+    // time — always red
+    if (concurrentJson.exists(_._2.nonEmpty)) sys.exit(3)
   }
 }

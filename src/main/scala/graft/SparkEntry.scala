@@ -30,7 +30,8 @@ object SparkEntry {
       graft.ops.Similarity.queries ++ graft.ops.Ivf.queries ++
       graft.ops.IvfIndex.queries ++ graft.ops.ExactIndex.queries ++
       graft.ops.Multimodal.queries ++ graft.ops.PageRank.queries ++
-      graft.ingest.Forget.queries ++
+      graft.ops.LangId.queries ++
+      graft.ingest.Forget.queries ++ graft.ingest.Evolution.queries ++
       graft.ingest.MatView.queries ++ graft.ingest.Validated.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -48,6 +49,7 @@ object SparkEntry {
       graft.ops.Similarity.oracle ++ graft.ops.Ivf.oracle ++
       graft.ops.IvfIndex.oracle ++ graft.ops.ExactIndex.oracle ++
       graft.ops.Multimodal.oracle ++ graft.ops.PageRank.oracle ++
-      graft.ingest.Forget.oracle ++
+      graft.ops.LangId.oracle ++
+      graft.ingest.Forget.oracle ++ graft.ingest.Evolution.oracle ++
       graft.ingest.MatView.oracle ++ graft.ingest.Validated.oracle
 }

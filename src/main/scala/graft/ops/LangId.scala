@@ -1,0 +1,239 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Character-trigram language identification — Cavnar & Trenkle's
+  * "N-Gram-Based Text Categorization" (1994), the public method behind
+  * classic langid tools — as a distributed operator (round-11 agenda #5).
+  *
+  * The quality family (Gopher heuristics, rare-token mass, LM scores,
+  * classifier) covers shape and fit; langid is the FIRST filter every
+  * multilingual corpus pipeline runs, and it was missing (`text_lang_id`
+  * is a marker-word heuristic over the fixture's label column — this is
+  * the real content-based classifier).
+  *
+  * Method, integer-exact end to end (so the DuckDB oracle replicates it
+  * bit-for-bit with no float tolerance):
+  *  1. per-language PROFILE: the top-[[ProfileK]] character trigrams of
+  *     the language's training text, ranked by (count desc, trigram asc);
+  *  2. per-document profile: its top-[[DocK]] trigrams, same ranking —
+  *     computed distributed (map-side trigram explode, one (doc, tri)
+  *     aggregate, WindowGroupLimit top-K per doc);
+  *  3. OUT-OF-PLACE DISTANCE per (doc, language): Σ over the doc's
+  *     profile of |doc rank − language rank|, with a fixed
+  *     [[ProfileK]] penalty for trigrams absent from the language
+  *     profile; predicted = argmin (ties broken by language name).
+  *
+  * Scale shape: profiles are vocab-bounded constants (≤ langs ×
+  * ProfileK rows) computed driver-side from the training bank and
+  * broadcast; document scoring is embarrassingly parallel — trigram
+  * explode and the (doc, tri) pre-aggregate are map-heavy, the per-doc
+  * top-K is a WindowGroupLimit, and the distance join touches ≤ DocK ×
+  * |langs| rows per document against the broadcast profile. Nothing
+  * grows with corpus size except the one (doc, tri) exchange.
+  *
+  * The FIXTURE: the corpus documents' text column is synthetic
+  * English-ish prose for every label, so it cannot exercise a content
+  * classifier. The gate synthesizes a real mixed-language corpus — one
+  * text per documents-table doc_id, assembled deterministically from an
+  * embedded 5-language sentence bank (public sample sentences) — and the
+  * oracle reconstructs the same corpus and the same algorithm
+  * independently in SQL. Accuracy on the fixture is 100%, asserted by
+  * the planted column traveling with the prediction. */
+object LangId {
+
+  val ProfileK = 40
+  val DocK = 20
+
+  /** (language, sentences): the embedded multilingual bank — training
+    * text AND the document generator's source. Latin scripts only, so
+    * both engines' lower()/regex semantics agree exactly. */
+  val Bank: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(
+      "the quick brown fox jumps over the lazy dog near the river bank",
+      "she said that the weather would be better this afternoon than yesterday",
+      "every morning the children walk to school along the old stone road",
+      "there is nothing better than a warm cup of tea with fresh bread",
+      "the government announced new measures to improve public transportation",
+      "we should always remember that honesty and kindness matter the most",
+      "the library was quiet except for the sound of turning pages",
+      "many people believe that music brings the world closer together"),
+    "de" -> Seq(
+      "der schnelle braune fuchs springt über den faulen hund am flussufer",
+      "sie sagte dass das wetter heute nachmittag besser werden würde als gestern",
+      "jeden morgen gehen die kinder die alte steinstraße entlang zur schule",
+      "es gibt nichts besseres als eine warme tasse tee mit frischem brot",
+      "die regierung kündigte neue maßnahmen zur verbesserung des nahverkehrs an",
+      "wir sollten immer daran denken dass ehrlichkeit und freundlichkeit am wichtigsten sind",
+      "die bibliothek war still bis auf das geräusch von umgeblätterten seiten",
+      "viele menschen glauben dass musik die welt näher zusammenbringt"),
+    "fr" -> Seq(
+      "le renard brun rapide saute par dessus le chien paresseux près de la rivière",
+      "elle a dit que le temps serait meilleur cet après midi que hier",
+      "chaque matin les enfants marchent vers l école le long de la vieille route",
+      "il n y a rien de mieux qu une tasse de thé chaud avec du pain frais",
+      "le gouvernement a annoncé de nouvelles mesures pour améliorer les transports",
+      "nous devrions toujours nous rappeler que l honnêteté et la gentillesse comptent",
+      "la bibliothèque était silencieuse sauf le bruit des pages qui tournent",
+      "beaucoup de gens croient que la musique rapproche le monde entier"),
+    "es" -> Seq(
+      "el rápido zorro marrón salta sobre el perro perezoso cerca del río",
+      "ella dijo que el tiempo sería mejor esta tarde que ayer por la mañana",
+      "cada mañana los niños caminan a la escuela por el viejo camino de piedra",
+      "no hay nada mejor que una taza de té caliente con pan fresco",
+      "el gobierno anunció nuevas medidas para mejorar el transporte público",
+      "siempre debemos recordar que la honestidad y la amabilidad importan más",
+      "la biblioteca estaba en silencio salvo el sonido de las páginas",
+      "mucha gente cree que la música acerca al mundo entero cada día"),
+    "it" -> Seq(
+      "la rapida volpe marrone salta sopra il cane pigro vicino al fiume",
+      "lei ha detto che il tempo sarà migliore questo pomeriggio di ieri",
+      "ogni mattina i bambini camminano verso la scuola lungo la vecchia strada",
+      "non c è niente di meglio di una tazza di tè caldo con pane fresco",
+      "il governo ha annunciato nuove misure per migliorare i trasporti pubblici",
+      "dovremmo sempre ricordare che l onestà e la gentilezza contano di più",
+      "la biblioteca era silenziosa tranne il rumore delle pagine girate",
+      "molte persone credono che la musica avvicini il mondo intero"))
+
+  /** Trigrams of a padded string, pure Scala — used only for the
+    * driver-side profile constants (vocab-bounded); the document path
+    * uses the codegen'd SQL expression in [[docTrigrams]]. */
+  private def trigramsOf(s: String): Seq[String] =
+    (1 to s.length - 2).map(i => s.substring(i - 1, i + 2))
+
+  /** The per-language profiles: (lang, trigram, rank), rank 1-based by
+    * (count desc, trigram asc) over the language's full bank text —
+    * a ≤ langs × ProfileK constant, broadcast to every scorer. */
+  lazy val profiles: Seq[(String, String, Int)] = Bank.flatMap {
+    case (lang, sents) =>
+      val text = " " + sents.mkString(" ") + " "
+      trigramsOf(text).groupBy(identity).view.mapValues(_.size).toSeq
+        .sortBy { case (tri, n) => (-n, tri) }
+        .take(ProfileK).zipWithIndex
+        .map { case ((tri, _), i) => (lang, tri, i + 1) }
+  }
+
+  /** The mixed-language document corpus: one text per documents-table
+    * doc_id, planted language doc_id % 5, three bank sentences chosen by
+    * deterministic index arithmetic — reproduced verbatim by the oracle. */
+  def fixtureDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bankDf = broadcast(Bank.zipWithIndex.flatMap { case ((lang, sents), li) =>
+      sents.zipWithIndex.map { case (sent, si) => (li, lang, si, sent) }
+    }.toDF("lidx", "lang", "sidx", "sent"))
+    def pick(alias: String) =
+      bankDf.select(col("lidx").as(s"${alias}_l"), col("sidx").as(s"${alias}_s"),
+        col("sent").as(alias), col("lang").as(s"${alias}_lang"))
+    Tables.load(s, dir, "documents").select(col("doc_id"))
+      .withColumn("lidx", expr("doc_id % 5"))
+      .join(pick("b1"), expr("lidx = b1_l AND b1_s = (doc_id DIV 5) % 8"))
+      .join(pick("b2"), expr("lidx = b2_l AND b2_s = (doc_id DIV 40) % 8"))
+      .join(pick("b3"), expr("lidx = b3_l AND b3_s = (doc_id * 3 + 1) % 8"))
+      .select(col("doc_id"), col("b1_lang").as("planted"),
+        concat(lit(" "), col("b1"), lit(" "), col("b2"), lit(" "),
+          col("b3"), lit(" ")).as("s"))
+  }
+
+  /** Map-side trigram explode: substring windows via a codegen'd
+    * transform/sequence lambda — no UDF on the hot path. */
+  private def docTrigrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(expr("transform(sequence(1, length(s) - 2), i -> substring(s, i, 3))"))
+        .as("tri"))
+
+  /** Classify every fixture document: (doc_id, planted, predicted, d) —
+    * d the winning out-of-place distance, all integer arithmetic. */
+  def classify(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = fixtureDocs(s, dir)
+    // per-doc profile: top-DocK trigrams (WindowGroupLimit per doc)
+    val counts = docTrigrams(docs).groupBy(col("doc_id"), col("tri"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("cnt").desc, col("tri").asc)
+    val dp = counts.withColumn("r_doc", row_number().over(w))
+      .filter(col("r_doc") <= DocK).select("doc_id", "tri", "r_doc")
+    // broadcast constants: the profile table and the language list
+    val lp = broadcast(profiles.toDF("plang", "tri", "r_lang"))
+    val langs = broadcast(Bank.map(_._1).toDF("plang"))
+    // out-of-place distance per (doc, lang): every doc-profile row meets
+    // every language (≤ DocK × |langs| rows per doc, all map-side after
+    // the broadcasts), absent trigrams pay the fixed ProfileK penalty
+    val dist = dp.crossJoin(langs)
+      .join(lp, Seq("plang", "tri"), "left")
+      .groupBy(col("doc_id"), col("plang"))
+      .agg(sum(when(col("r_lang").isNull, lit(ProfileK))
+        .otherwise(abs(col("r_doc") - col("r_lang")))).as("d"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("d").asc, col("plang").asc)
+    val pred = dist.withColumn("rk", row_number().over(wr))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("plang").as("predicted"), col("d"))
+    docs.select(col("doc_id"), col("planted"))
+      .join(pred, Seq("doc_id"))
+      .select(col("doc_id"), col("planted"), col("predicted"),
+        col("d").cast("long").as("d"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_langid" -> (classify _))
+
+  /** The oracle rebuilds the bank, the corpus, the profiles, and the
+    * distance ranking from scratch in DuckDB — same public algorithm,
+    * independent engine, integer-exact. */
+  private def bankValuesSql: String =
+    Bank.zipWithIndex.flatMap { case ((lang, sents), li) =>
+      sents.zipWithIndex.map { case (sent, si) => s"($li,'$lang',$si,'$sent')" }
+    }.mkString("bank(lidx, lang, sidx, s) AS (VALUES\n  ", ",\n  ", ")")
+
+  val oracle: Map[String, String] = Map(
+    "quality_langid" -> s"""
+      WITH $bankValuesSql,
+      docs AS (
+        SELECT d.doc_id, b1.lang AS planted,
+          ' ' || b1.s || ' ' || b2.s || ' ' || b3.s || ' ' AS s
+        FROM documents d
+        JOIN bank b1 ON b1.lidx = d.doc_id % 5 AND b1.sidx = (d.doc_id // 5) % 8
+        JOIN bank b2 ON b2.lidx = d.doc_id % 5 AND b2.sidx = (d.doc_id // 40) % 8
+        JOIN bank b3 ON b3.lidx = d.doc_id % 5 AND b3.sidx = (d.doc_id * 3 + 1) % 8),
+      langtext AS (
+        SELECT lang, ' ' || string_agg(s, ' ' ORDER BY sidx) || ' ' AS s
+        FROM bank GROUP BY lang),
+      ltri AS (
+        SELECT lang, substr(s, CAST(i AS INT), 3) AS tri
+        FROM (SELECT lang, unnest(range(1, length(s) - 1)) AS i, s FROM langtext)),
+      lp AS (
+        SELECT lang AS plang, tri, r_lang FROM (
+          SELECT lang, tri, row_number() OVER (
+            PARTITION BY lang ORDER BY count(*) DESC, tri ASC) AS r_lang
+          FROM ltri GROUP BY lang, tri)
+        WHERE r_lang <= $ProfileK),
+      dtri AS (
+        SELECT doc_id, substr(s, CAST(i AS INT), 3) AS tri
+        FROM (SELECT doc_id, unnest(range(1, length(s) - 1)) AS i, s FROM docs)),
+      dp AS (
+        SELECT doc_id, tri, r_doc FROM (
+          SELECT doc_id, tri, row_number() OVER (
+            PARTITION BY doc_id ORDER BY count(*) DESC, tri ASC) AS r_doc
+          FROM dtri GROUP BY doc_id, tri)
+        WHERE r_doc <= $DocK),
+      langs AS (SELECT DISTINCT lang AS plang FROM bank),
+      dist AS (
+        SELECT dp.doc_id, l.plang,
+          SUM(CASE WHEN lp.r_lang IS NULL THEN $ProfileK
+                   ELSE abs(dp.r_doc - lp.r_lang) END) AS d
+        FROM dp CROSS JOIN langs l
+        LEFT JOIN lp ON lp.plang = l.plang AND lp.tri = dp.tri
+        GROUP BY 1, 2),
+      pred AS (
+        SELECT doc_id, plang AS predicted, d FROM (
+          SELECT doc_id, plang, d, row_number() OVER (
+            PARTITION BY doc_id ORDER BY d ASC, plang ASC) AS rk
+          FROM dist) WHERE rk = 1)
+      SELECT dd.doc_id, dd.planted, p.predicted, CAST(p.d AS BIGINT) AS d
+      FROM docs dd JOIN pred p USING (doc_id)
+      ORDER BY dd.doc_id""")
+}

@@ -645,6 +645,66 @@ object Tpch {
       .limit(100)
   }
 
+  private val q15MatRoots = scala.collection.mutable.Set[String]()
+
+  private def q15MatRoot(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_q15mat_store_" +
+      new java.io.File(dir).getName + "_" + graft.ops.CorpusId.hex(dir)
+
+  /** Q15 with the shared CTE MATERIALIZED through the manifest store —
+    * the documented 100 TB plan of [[q61TpchQ15]]'s scan-budget note
+    * ("a 100 TB run would checkpoint revenue0 first") as running code
+    * (round-11 agenda #6). The builder pays ONE lineitem scan to
+    * persist the quarterly revenue aggregate (~|suppliers| rows); the
+    * query itself then consumes the store TWICE (the global max and the
+    * join back) and touches the fact table ZERO times — plan-asserted
+    * in PLANS.md §q68: no lineitem scan, two store reads. Same rows,
+    * same oracle as the literal two-scan form. The materialization is
+    * BuildLog-named, so its one-time cost shows up as a named build in
+    * the bench's cold section, not as unattributed noise. */
+  def q68TpchQ15Mat(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = q15MatRoot(dir)
+    q15MatRoots.synchronized {
+      if (!q15MatRoots.contains(root)) {
+        graft.ops.BuildLog.timed("q15_mat_revenue0") {
+          val p = new org.apache.hadoop.fs.Path(root)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true)
+          val revenue0 = sql(s, dir, """
+            SELECT l_suppkey AS supplier_no,
+              SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)))
+                AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+            GROUP BY l_suppkey""")
+          new graft.ingest.ManifestStore(root).append(s, revenue0,
+            commitKey = Some("q15-revenue0"))
+        }
+        q15MatRoots.add(root)
+      }
+    }
+    q68Consumers(s, dir, root)
+  }
+
+  /** The post-materialization dataflow, shared with the PLANS.md §q68
+    * scan-budget assertion: both CTE consumers read the STORE. */
+  private[graft] def q68Consumers(s: SparkSession, dir: String,
+                                  root: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.registerAll(s, dir)
+    val store = new graft.ingest.ManifestStore(root)
+    val rev = store.read(s).get
+    val maxRev = rev.agg(max(col("total_revenue")).as("max_rev"))
+    s.table("supplier")
+      .join(rev, col("s_suppkey") === col("supplier_no"))
+      .join(broadcast(maxRev), col("total_revenue") === col("max_rev"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_revenue").cast("double").as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
   /** RFM customer segmentation — recency/frequency/monetary quintile
     * scores. NTILE would be a single-task global window (the
     * vocab_build lesson); instead the quintile THRESHOLDS come from one
@@ -728,6 +788,7 @@ object Tpch {
     "q65_tpch_q11_onescan" -> (q65TpchQ11OneScan _),
     "q66_tpch_q2_onescan" -> (q66TpchQ2OneScan _),
     "q67_tpch_q18_dsl" -> (q67TpchQ18Dsl _),
+    "q68_tpch_q15_mat" -> (q68TpchQ15Mat _),
     "customers_rfm" -> (customersRfm _),
     "audit_ref_integrity" -> (auditRefIntegrity _))
 
@@ -833,6 +894,7 @@ object Tpch {
     "q62_tpch_q2" -> q62Sql,
     "q63_tpch_q11" -> q63Sql,
     "q64_tpch_q15_onescan" -> q61Sql,
+    "q68_tpch_q15_mat" -> q61Sql,
     "q65_tpch_q11_onescan" -> q63Sql,
     "q66_tpch_q2_onescan" -> q62Sql,
     "customers_rfm" -> """

@@ -339,6 +339,73 @@ class SessionizeSpec extends AnyFunSuite {
         s"missing=${batch.diff(streamed).take(3)} extra=${streamed.diff(batch).take(3)}")
   }
 
+  test("backfill→tail handoff: batch bootstrap, streaming tail from the seam, exactly once") {
+    // The production bootstrap (r10 verdict #8): a BATCH backfill brings
+    // the store to head H, then the STREAMING tail takes over from the
+    // seam — with neither a gap nor a duplicate at the boundary. The
+    // seam discipline: the tail's start block derives from the STORE'S
+    // OWN watermark (statsMax + 1 — no operator memory, so a crash
+    // between backfill and tail start loses nothing), and every tail
+    // micro-batch commits as a range overwrite, so seam re-delivery of
+    // any shape replaces rather than duplicates.
+    import graft.ingest.{IngestJob, LogSource, ManifestStore}
+    MakerFixtures.ensure(spark)
+    val rpc = LogSource.replayFromParquet(spark, MakerFixtures.rawLogsPath)
+    val defs = MakerFixtures.fixtureDefs
+    val corpus = spark.read.parquet(MakerFixtures.rawLogsPath)
+    val creation = 8928160L
+    val maxBlock = corpus.agg(max("block_number")).head.getLong(0)
+    val seam = creation + 900000L
+    val tmp = java.nio.file.Files.createTempDirectory("graft_handoff")
+    val store = new ManifestStore(s"$tmp/store")
+
+    // 1. batch backfill to the seam head
+    IngestJob.runAtomic(spark, rpc, defs, None, store, creation, seam)
+    val backfilled = store.read(spark).get.count()
+    assert(backfilled > 0, "backfill ingested nothing — dead seam fixture")
+
+    // 2. the tail starts EXACTLY where the store's watermark says —
+    //    gap-free by construction, no shared state with the backfill job
+    val tailFrom = store.statsMax(spark).get + 1
+    assert(tailFrom <= seam + 1, "watermark ran past the backfill head")
+    def runTail(ckpt: String): Unit = {
+      val stream = ChainStream.rawLogStreamV2(spark, MakerFixtures.rawLogsPath,
+        from = tailFrom, to = maxBlock, blocksPerBatch = 400000L)
+      val q = ChainStream.ingestStreamAtomic(stream, defs, store, ckpt)
+      q.processAllAvailable()
+      q.stop()
+    }
+    runTail(s"$tmp/ckpt1")
+
+    // 3. seam exactness: the store equals the direct batch tag of the
+    //    WHOLE range — nothing missing at the boundary, nothing doubled
+    val truth = Demux.taggedKnown(corpus, defs)
+    assert(store.read(spark).get.count() == truth.count())
+    assert(store.read(spark).get
+      .groupBy("block_number", "log_index", "transaction_hash")
+      .count().filter(col("count") > 1).count() == 0,
+      "duplicate rows at or after the seam")
+    // the seam actually split the work: both sides contributed rows
+    assert(store.read(spark).get.filter(col("block_number") <= seam).count() == backfilled)
+    assert(store.read(spark).get.filter(col("block_number") > seam).count() ==
+      truth.filter(col("block_number") > seam).count())
+    // per-table rollup equality (the boundary cannot shift rows between tables)
+    val perTable = store.read(spark).get.groupBy("table_name").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(perTable == truth.groupBy("table_name").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet)
+
+    // 4. a RESTARTED tail from a fresh checkpoint re-delivers the seam
+    //    range under new batch ids — the range-overwrite commits replace
+    //    their previous copies, content unchanged
+    runTail(s"$tmp/ckpt2")
+    assert(store.read(spark).get.count() == truth.count(),
+      "tail replay across the seam duplicated rows")
+    assert(store.read(spark).get
+      .groupBy("block_number", "log_index", "transaction_hash")
+      .count().filter(col("count") > 1).count() == 0)
+  }
+
   test("chain-follow E2E: head advance → fetch → decode → demux → store → matview") {
     // EP1's streaming future as ONE flow (r9 verdict #7): a stub chain
     // whose head advances in steps; each step runs the atomic ingest
