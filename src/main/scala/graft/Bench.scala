@@ -118,14 +118,24 @@ object Bench {
     * bug class and fails the bench loudly. Returns
     * (wallSeconds, queriesRun, mismatched names). */
   private[graft] def concurrentPass(spark: SparkSession, sfDir: String,
-      threads: Int): (Double, Int, Seq[String]) = {
+      threads: Int): (Double, Int, Seq[String], Seq[String]) = {
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
-    val reference: Map[String, String] =
-      qs.map { case (k, fn) => k -> distHash(fn(spark, sfDir)) }.toMap
+    // reference failures are CRASHES, not divergences — record and keep
+    // going, so one flaky query cannot discard the completed timed passes
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val reference: Map[String, String] = qs.flatMap { case (k, fn) =>
+      try Some(k -> distHash(fn(spark, sfDir)))
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] concurrent reference FAILED $k: " +
+            s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+          errors.add(k); None
+      }
+    }.toMap
     spark.catalog.clearCache()
     val queue = new java.util.concurrent.ConcurrentLinkedQueue[(String,
       (SparkSession, String) => org.apache.spark.sql.DataFrame)]()
-    qs.foreach(queue.add)
+    qs.filter(e => reference.contains(e._1)).foreach(queue.add)
     val mismatches = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
     val t0 = System.nanoTime()
@@ -135,10 +145,18 @@ object Bench {
           var e = queue.poll()
           while (e != null) {
             val (name, fn) = e
+            // a crash and a divergence are different bug classes: a
+            // mismatch is a silent wrong ANSWER under concurrency (the
+            // worst case); a crash is loud and gets its exception logged
             try {
               if (distHash(fn(spark, sfDir)) != reference(name))
                 mismatches.add(name)
-            } catch { case _: Throwable => mismatches.add(name) }
+            } catch {
+              case t: Throwable =>
+                System.err.println(s"[bench] concurrent pass FAILED $name: " +
+                  s"${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).take(200)}")
+                errors.add(name)
+            }
             e = queue.poll()
           }
         }
@@ -148,7 +166,8 @@ object Bench {
     pool.awaitTermination(3600, java.util.concurrent.TimeUnit.SECONDS)
     val wall = (System.nanoTime() - t0) / 1e9
     import scala.jdk.CollectionConverters._
-    (wall, qs.size, mismatches.asScala.toSeq.sorted)
+    (wall, qs.size, mismatches.asScala.toSeq.sorted,
+      errors.asScala.toSeq.distinct.sorted)
   }
 
   /** One pass's per-query map as JSON (3 dp), failed queries omitted.
@@ -274,14 +293,15 @@ object Bench {
     // across rounds.
     val concurrentJson = sys.env.get("SPARK_GRAFT_CONCURRENCY")
       .flatMap(_.toIntOption).filter(_ > 1).map { n =>
-        val (wall, ran, bad) = concurrentPass(spark, sfDir, n)
+        val (wall, ran, bad, errs) = concurrentPass(spark, sfDir, n)
         if (bad.nonEmpty)
           System.err.println(s"[bench] CONCURRENT HASH MISMATCH: ${bad.mkString(",")}")
         (s""""concurrent":{"threads":$n,"wall":${
           String.format(java.util.Locale.ROOT, "%.2f", wall)},""" +
           s""""qps":${String.format(java.util.Locale.ROOT, "%.2f", ran / wall)},""" +
-          s""""mismatches":${bad.map("\"" + _ + "\"").mkString("[", ",", "]")}},""",
-          bad)
+          s""""mismatches":${bad.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+          s""""errors":${errs.map("\"" + _ + "\"").mkString("[", ",", "]")}},""",
+          bad, errs)
       }
     def f3(d: Double): String = String.format(java.util.Locale.ROOT, "%.3f", d)
     def f2(d: Double): String = String.format(java.util.Locale.ROOT, "%.2f", d)
@@ -380,7 +400,8 @@ object Bench {
     }
     if (coldExceeded && !contaminated) sys.exit(2)
     // a concurrent-pass hash divergence is a wrong ANSWER, not a wrong
-    // time — always red
+    // time — always red; crashes (errors) are loud but distinct (rc 4)
     if (concurrentJson.exists(_._2.nonEmpty)) sys.exit(3)
+    if (concurrentJson.exists(_._3.nonEmpty)) sys.exit(4)
   }
 }

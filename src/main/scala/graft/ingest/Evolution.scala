@@ -28,7 +28,10 @@ object Evolution {
   private[graft] def builtStore(s: SparkSession, dir: String): ManifestStore = {
     val root = gateRoot(dir)
     builtRoots.synchronized {
-      if (!builtRoots.contains(root)) {
+      // BuildLog-named like every other gate-side one-time build: the
+      // causal cold-cost gate only counts NAMED builds, so an un-named
+      // store build here would book as host noise and escape the ceiling
+      if (!builtRoots.contains(root)) graft.ops.BuildLog.timed("evolution_gate_store") {
         val p = new Path(root)
         val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (fs.exists(p)) fs.delete(p, true)

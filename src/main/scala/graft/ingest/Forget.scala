@@ -34,7 +34,9 @@ object Forget {
   private[graft] def builtStore(s: SparkSession, dir: String): ManifestStore = {
     val root = gateRoot(dir)
     builtRoots.synchronized {
-      if (!builtRoots.contains(root)) {
+      // BuildLog-named (causal cold-cost attribution): gate-side store
+      // builds must show up as named builds, not unattributed noise
+      if (!builtRoots.contains(root)) graft.ops.BuildLog.timed("forget_gate_store") {
         val p = new Path(root)
         val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (fs.exists(p)) fs.delete(p, true)
@@ -81,7 +83,7 @@ object Forget {
   def storeExpire(s: SparkSession, dir: String): DataFrame = {
     val root = gateRoot(dir) + "_ttl"
     expireRoots.synchronized {
-      if (!expireRoots.contains(root)) {
+      if (!expireRoots.contains(root)) graft.ops.BuildLog.timed("ttl_gate_store") {
         val p = new Path(root)
         val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (fs.exists(p)) fs.delete(p, true)
@@ -122,7 +124,7 @@ object Forget {
   def storeMerge(s: SparkSession, dir: String): DataFrame = {
     val root = gateRoot(dir) + "_merge"
     mergeRoots.synchronized {
-      if (!mergeRoots.contains(root)) {
+      if (!mergeRoots.contains(root)) graft.ops.BuildLog.timed("merge_gate_store") {
         val p = new Path(root)
         val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (fs.exists(p)) fs.delete(p, true)

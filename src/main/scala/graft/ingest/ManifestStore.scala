@@ -385,9 +385,15 @@ final class ManifestStore(val root: String) extends Serializable {
   : org.apache.spark.sql.types.StructType = prev match {
     case None => next
     case Some(p) =>
-      val incoming = next.fields.map(f => f.name -> f).toMap
+      // names match CASE-INSENSITIVELY: Spark's read-path resolution
+      // (unionByName under the default spark.sql.caseSensitive=false)
+      // is case-insensitive, so a case-variant of an existing column is
+      // the SAME column there — treating it as new here would let a
+      // `Value string` slide past a stored `value double` and defer the
+      // failure to first read, exactly what this check exists to prevent
+      val incoming = next.fields.map(f => f.name.toLowerCase -> f).toMap
       val conflicts = p.fields.flatMap { f =>
-        incoming.get(f.name)
+        incoming.get(f.name.toLowerCase)
           .filter(_.dataType.simpleString != f.dataType.simpleString)
           .map(n => s"${f.name}: stored ${f.dataType.simpleString} vs " +
             s"incoming ${n.dataType.simpleString}")
@@ -397,9 +403,10 @@ final class ManifestStore(val root: String) extends Serializable {
           s"on ${conflicts.mkString("; ")}. Adding columns is supported " +
           "(union-by-name, old rows read them as null); changing a " +
           "column's type is a rewrite, not an append.")
-      val prevNames = p.fieldNames.toSet
+      val prevNames = p.fieldNames.map(_.toLowerCase).toSet
       org.apache.spark.sql.types.StructType(
-        p.fields ++ next.fields.filterNot(f => prevNames.contains(f.name)))
+        p.fields ++ next.fields.filterNot(f =>
+          prevNames.contains(f.name.toLowerCase)))
   }
 
   /** The commit-time schema evolver for a data-writing commit of `df`. */
@@ -466,8 +473,11 @@ final class ManifestStore(val root: String) extends Serializable {
       case _ =>
         // no range column: still drop zero-row part files (Spark emits
         // them) — otherwise an empty append without stats commits a
-        // contentless version, breaking the publish-nothing-on-no-op
-        // contract the rangeCol branches already honor
+        // contentless version, breaking the publish-nothing-on-no-op and
+        // read()=None-when-empty contracts the rangeCol branches already
+        // honor. Costs one driver-side footer open per NEW file — the
+        // same bounded cost the stats branches pay (a handful of files
+        // per commit), now uniform across all three branches.
         val conf = spark.sparkContext.hadoopConfiguration
         rels.toSeq.flatMap { rel =>
           val (rows, _) = footerStats(new Path(root, rel), "", conf)
@@ -624,6 +634,12 @@ final class ManifestStore(val root: String) extends Serializable {
              commitKey: Option[String] = None,
              rangeCol: Option[String] = None): Unit = synchronized {
     if (commitKey.exists(hasCommitKey(spark, _))) return
+    // schema pre-check BEFORE the distributed write: a type-conflicting
+    // batch must fail before any part file is written, not after the
+    // whole write landed as orphans. commitWith re-evaluates the evolver
+    // per attempt (race-safe against a concurrent writer's evolution) —
+    // this early copy only moves the common-case failure ahead of the IO.
+    evolveSchema(schemaOf(snapshot(spark)), df.schema)
     // data files are immutable — safe to reuse across commit attempts;
     // the file LIST re-merges against the then-current snapshot each try
     val newFiles = writeData(spark, df, partitionCols, rangeCol)

@@ -171,8 +171,15 @@ object LangId {
     val pred = dist.withColumn("rk", row_number().over(wr))
       .filter(col("rk") === 1)
       .select(col("doc_id"), col("plang").as("predicted"), col("d"))
-    docs.select(col("doc_id"), col("planted"))
-      .join(pred, Seq("doc_id"))
+    // planted = bank language of doc_id % 5 by the fixture's definition —
+    // derive it from doc_id via a 5-row broadcast instead of re-joining
+    // `docs` (which would duplicate the documents scan and all three
+    // bank joins in the plan: the fixture-synthesis subtree runs once)
+    val plantedByIdx = broadcast(Bank.zipWithIndex
+      .map { case ((lang, _), li) => (li.toLong, lang) }
+      .toDF("lidx", "planted"))
+    pred.withColumn("lidx", expr("doc_id % 5"))
+      .join(plantedByIdx, Seq("lidx"))
       .select(col("doc_id"), col("planted"), col("predicted"),
         col("d").cast("long").as("d"))
       .orderBy(col("doc_id"))

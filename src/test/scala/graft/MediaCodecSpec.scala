@@ -54,6 +54,26 @@ class MediaCodecSpec extends AnyFunSuite {
       MediaCodec.encodeJpegShell(65535, 1, Array[Byte](1, 2))) == ((65535, 1, 1)))
   }
 
+  test("JPEG: 0xFF fill-byte padding before markers is legal and skipped") {
+    // T.81 allows any number of 0xFF fill bytes before a marker; a parser
+    // that treats the second 0xFF as the marker misreads the true marker
+    // as a segment-length byte
+    val jpeg = MediaCodec.encodeJpegShell(320, 200, Array[Byte](5, 6, 7))
+    val padded = jpeg.take(2) ++ Array.fill[Byte](4)(0xff.toByte) ++ jpeg.drop(2)
+    assert(MediaCodec.decodeJpegDims(padded) == ((320, 200, 1)))
+  }
+
+  test("JPEG: stream truncated inside the SOF header fails loudly, not with AIOOBE") {
+    val jpeg = MediaCodec.encodeJpegShell(320, 200, Array[Byte](1))
+    // cut right after the SOF0 marker+length (before height/width bytes)
+    val sofAt = jpeg.indices.find(i =>
+      jpeg(i) == 0xff.toByte && jpeg(i + 1) == 0xc0.toByte).get
+    val e = intercept[IllegalArgumentException] {
+      MediaCodec.decodeJpegDims(jpeg.take(sofAt + 4))
+    }
+    assert(e.getMessage.contains("truncated"), e.getMessage)
+  }
+
   test("JPEG: no SOI / no SOF fail loudly") {
     intercept[IllegalArgumentException] {
       MediaCodec.decodeJpegDims(Array[Byte](1, 2, 3, 4))

@@ -56,6 +56,38 @@ class SchemaEvolutionSpec extends AnyFunSuite {
       .contains(Seq("id", "v")))
   }
 
+  test("case-variant column names are the SAME column: conflict caught, not appended as new") {
+    // Spark's read-path resolution is case-insensitive by default, so a
+    // `Value string` against a stored `v double`... must reject at commit
+    // time, not surface as a read-time coercion of a 'new' column
+    val store = new ManifestStore(freshRoot("case"))
+    store.append(spark, Seq((1L, 10.0)).toDF("id", "value"))
+    val err = intercept[IllegalArgumentException] {
+      store.append(spark, Seq((2L, "oops")).toDF("id", "Value"))
+    }
+    assert(err.getMessage.contains("type conflict"), err.getMessage)
+    // a case-variant with the SAME type is fine and does NOT add a column
+    store.append(spark, Seq((3L, 30.0)).toDF("id", "VALUE"))
+    assert(store.currentSchema(spark).get.fieldNames.length == 2)
+    assert(store.read(spark).get.count() == 2L)
+  }
+
+  test("a type-conflicting append is rejected BEFORE any data file is written") {
+    val root = freshRoot("prewrite")
+    val store = new ManifestStore(root)
+    store.append(spark, Seq((1L, 10.0)).toDF("id", "v"))
+    def dataDirs(): Int = {
+      val d = new java.io.File(s"$root/data")
+      if (d.isDirectory) d.listFiles().length else 0
+    }
+    val before = dataDirs()
+    intercept[IllegalArgumentException] {
+      store.append(spark, Seq((2L, "not-a-double")).toDF("id", "v"))
+    }
+    assert(dataDirs() == before,
+      "the rejected append wrote orphan data files before the schema check")
+  }
+
   test("MERGE with evolved updates: matched rows replaced, survivors null-filled") {
     val store = new ManifestStore(freshRoot("merge"))
     store.append(spark, Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"))
