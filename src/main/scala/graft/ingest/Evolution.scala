@@ -79,8 +79,70 @@ object Evolution {
         sum(col("value").cast("decimal(18,6)")).cast("double").as("val_sum"))
       .orderBy("src")
 
+  private val dropRoots = scala.collection.mutable.Set[String]()
+
+  /** Build (once per session) the column-drop gate store: two stats-
+    * bearing appends of the 4-column events projection, then a
+    * METADATA-ONLY drop of `user_id` — structurally asserted: zero data
+    * files touched, the recorded schema loses the column, time travel
+    * to the pre-drop version still shows it, a replayed drop is a
+    * no-op, and re-adding the dropped name is tombstone-rejected. */
+  private[graft] def builtDropStore(s: SparkSession, dir: String): ManifestStore = {
+    val root = gateRoot(dir) + "_drop"
+    dropRoots.synchronized {
+      if (!dropRoots.contains(root)) graft.ops.BuildLog.timed("drop_gate_store") {
+        val p = new Path(root)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        val store = new ManifestStore(root)
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        store.append(s, ev.filter(col("event_id") % 2 === 0),
+          rangeCol = Some("event_id"))
+        store.append(s, ev.filter(col("event_id") % 2 === 1),
+          rangeCol = Some("event_id"))
+        val filesBefore = store.currentFiles(s).toSet
+        val vBefore = store.currentVersion(s)
+        store.dropColumns(s, Seq("user_id"), commitKey = Some("drop-user-id-1"))
+        // METADATA-ONLY: the drop touched zero data files
+        require(store.currentFiles(s).toSet == filesBefore,
+          "dropColumns rewrote data files - not metadata-only")
+        require(store.currentSchema(s).exists(_.fieldNames.toSeq ==
+          Seq("event_id", "event_type", "value")),
+          s"dropped schema wrong: ${store.currentSchema(s)}")
+        // replay of the same drop request is a no-op
+        store.dropColumns(s, Seq("user_id"), commitKey = Some("drop-user-id-1"))
+        require(store.currentVersion(s) == vBefore + 1, "drop replay committed")
+        // time travel to the pre-drop snapshot still shows the column
+        require(store.readVersion(s, vBefore).get.columns.contains("user_id"),
+          "pre-drop time travel lost the dropped column")
+        // re-adding the tombstoned name before a compaction is rejected
+        val readd = scala.util.Try(store.append(s,
+          ev.filter(col("event_id") === 0), rangeCol = Some("event_id")))
+        require(readd.isFailure &&
+          readd.failed.get.getMessage.contains("dropped"),
+          s"tombstoned column re-add was not rejected: $readd")
+        dropRoots.add(root)
+      }
+    }
+    new ManifestStore(root)
+  }
+
+  /** Gate: the post-drop read — `user_id` unreachable, everything else
+    * intact. The oracle reconstructs the same rollup from the fixture
+    * WITHOUT user_id; the driver's column compare proves the projection
+    * (a surviving user_id column would change the schema hash). */
+  def storeDropColumn(s: SparkSession, dir: String): DataFrame =
+    builtDropStore(s, dir).read(s).get
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("event_id")).as("id_sum"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("val_sum"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "store_schema_evolution" -> (storeSchemaEvolution _))
+    "store_schema_evolution" -> (storeSchemaEvolution _),
+    "store_drop_column" -> (storeDropColumn _))
 
   val oracle: Map[String, String] = Map(
     "store_schema_evolution" -> """
@@ -95,5 +157,10 @@ object Evolution {
       SELECT COALESCE(source, 'legacy') AS src, COUNT(*) AS n,
         CAST(SUM(event_id) AS BIGINT) AS id_sum,
         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS val_sum
-      FROM evolved GROUP BY 1 ORDER BY 1""")
+      FROM evolved GROUP BY 1 ORDER BY 1""",
+    "store_drop_column" -> """
+      SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(event_id) AS BIGINT) AS id_sum,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS val_sum
+      FROM events GROUP BY event_type ORDER BY event_type""")
 }

@@ -111,7 +111,8 @@ final class ManifestStore(val root: String) extends Serializable {
 
   private case class Snapshot(version: Long, key: Option[String],
                               rangeCol: Option[String], files: Seq[FileEntry],
-                              schemaJson: Option[String] = None)
+                              schemaJson: Option[String] = None,
+                              tombstones: Seq[String] = Nil)
 
   /** None when the version has no complete manifest: either the manifest
     * file is missing (the claim's writer crashed before publishing, or is
@@ -136,7 +137,11 @@ final class ManifestStore(val root: String) extends Serializable {
       m.stripPrefix("#rangeCol:") }
     val schemaJson = meta.collectFirst { case m if m.startsWith("#schema:") =>
       m.stripPrefix("#schema:") }
-    Some(Snapshot(v, key, rangeCol, files.map(FileEntry.parse), schemaJson))
+    val tombstones = meta.collectFirst { case m if m.startsWith("#tombstones:") =>
+      m.stripPrefix("#tombstones:").split(',').toSeq.filter(_.nonEmpty)
+    }.getOrElse(Nil)
+    Some(Snapshot(v, key, rangeCol, files.map(FileEntry.parse), schemaJson,
+      tombstones))
   }
 
   /** Highest complete snapshot within `versions`, walking past claimed-
@@ -298,7 +303,9 @@ final class ManifestStore(val root: String) extends Serializable {
                          rangeCol: Option[String],
                          noopSkippableWithKey: Boolean = false,
                          schema: Option[Snapshot] => Option[String] =
-                           _.flatMap(_.schemaJson))
+                           _.flatMap(_.schemaJson),
+                         tombstones: Option[Snapshot] => Seq[String] =
+                           _.map(_.tombstones).getOrElse(Nil))
                         (build: Option[Snapshot] => Seq[FileEntry]): Long = {
     val f = fs(spark)
     f.mkdirs(manifestsDir)
@@ -318,6 +325,7 @@ final class ManifestStore(val root: String) extends Serializable {
       // (and before any rewrite work is paid), and a concurrent writer's
       // evolution is seen before publishing.
       val sj = schema(snap)
+      val tomb = tombstones(snap)
       val files = build(snap)
       val rc = rangeCol.orElse(snap.flatMap(_.rangeCol))
       // NO-OP SHORT-CIRCUIT: a commit that would publish the exact same
@@ -339,11 +347,12 @@ final class ManifestStore(val root: String) extends Serializable {
       // exist the first time.
       if ((key.isEmpty || noopSkippableWithKey) &&
           snap.exists(p => p.files == files && p.rangeCol == rc &&
-            p.schemaJson == sj))
+            p.schemaJson == sj && p.tombstones == tomb))
         return snap.get.version
       val body = (key.map("#key:" + _).toSeq ++
         rc.map("#rangeCol:" + _).toSeq ++
         sj.map("#schema:" + _).toSeq ++
+        (if (tomb.nonEmpty) Seq("#tombstones:" + tomb.mkString(",")) else Nil) ++
         files.map(_.serialized) ++ Seq(Terminator))
         .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)
       val v = versions.lastOption.getOrElse(0L) + 1
@@ -381,10 +390,22 @@ final class ManifestStore(val root: String) extends Serializable {
     * the read path's union-by-name job. */
   private[graft] def evolveSchema(
       prev: Option[org.apache.spark.sql.types.StructType],
-      next: org.apache.spark.sql.types.StructType)
+      next: org.apache.spark.sql.types.StructType,
+      tombstones: Set[String] = Set.empty)
   : org.apache.spark.sql.types.StructType = prev match {
     case None => next
     case Some(p) =>
+      // a DROPPED column's bytes still live in old files until compact();
+      // re-adding the name would resurface those old values through
+      // union-by-name (or type-conflict against them) — reject until a
+      // compaction has physically removed them
+      val resurrected = next.fieldNames
+        .filter(n => tombstones.contains(n.toLowerCase))
+      require(resurrected.isEmpty,
+        s"ManifestStore($root): column(s) ${resurrected.mkString(",")} were " +
+          "dropped and their bytes may still exist in pre-drop files - " +
+          "run compact() (which physically removes them and clears the " +
+          "tombstone) before re-adding the name.")
       // names match CASE-INSENSITIVELY: Spark's read-path resolution
       // (unionByName under the default spark.sql.caseSensitive=false)
       // is case-insensitive, so a case-variant of an existing column is
@@ -411,12 +432,73 @@ final class ManifestStore(val root: String) extends Serializable {
 
   /** The commit-time schema evolver for a data-writing commit of `df`. */
   private def evolver(df: DataFrame): Option[Snapshot] => Option[String] =
-    snap => Some(evolveSchema(schemaOf(snap), df.schema).json)
+    snap => Some(evolveSchema(schemaOf(snap), df.schema,
+      snap.map(_.tombstones.toSet).getOrElse(Set.empty)).json)
 
   /** The store's recorded logical schema, when schema tracking has seen
     * at least one commit (None on pre-tracking or empty stores). */
   def currentSchema(spark: SparkSession)
   : Option[org.apache.spark.sql.types.StructType] = schemaOf(snapshot(spark))
+
+  /** Project a raw file-union read onto the snapshot's RECORDED schema —
+    * the read-side half of metadata-only column drops: dropped columns'
+    * bytes may still sit in pre-drop files, and this projection is what
+    * makes them unreachable. Columns the schema lists but no surviving
+    * file carries read as typed nulls; matching is case-insensitive
+    * (Spark's resolution default); pre-schema-tracking snapshots pass
+    * through untouched. */
+  private def projectToSchema(df: DataFrame, snap: Snapshot): DataFrame =
+    schemaOf(Some(snap)) match {
+      case None => df
+      case Some(sc) =>
+        val present = df.columns.map(c => c.toLowerCase -> c).toMap
+        df.select(sc.fields.toSeq.map { f =>
+          present.get(f.name.toLowerCase) match {
+            case Some(c) => col(c).as(f.name)
+            case None => lit(null).cast(f.dataType).as(f.name)
+          }
+        }: _*)
+    }
+
+  /** METADATA-ONLY column drop (Delta's `ALTER TABLE DROP COLUMN`
+    * shape): one manifest write, ZERO data IO — at 100 TB dropping a
+    * column from a petabyte table costs the same as from a megabyte
+    * one. The snapshot keeps its file list; the recorded schema loses
+    * the columns; every read path projects onto the recorded schema, so
+    * the dropped bytes are immediately unreachable (and GDPR-erased
+    * physically by the next [[compact]], which rewrites through the
+    * projection and clears the tombstones). The dropped NAMES are
+    * tombstoned: re-adding one before a compaction is rejected, because
+    * union-by-name would resurface the old values. Time travel to a
+    * pre-drop version still shows the column — each manifest carries
+    * its own schema. The range column cannot be dropped (stats pruning
+    * and overwriteRange depend on it). Replay-safe via `commitKey`. */
+  def dropColumns(spark: SparkSession, names: Seq[String],
+                  commitKey: Option[String] = None): Unit = synchronized {
+    require(names.nonEmpty, "dropColumns: no columns named")
+    if (commitKey.exists(hasCommitKey(spark, _))) return
+    val lower = names.map(_.toLowerCase).toSet
+    commitWith(spark, commitKey, currentRangeCol(spark),
+      schema = prev => {
+        val p = schemaOf(prev).getOrElse(throw new IllegalStateException(
+          s"ManifestStore($root): dropColumns needs a recorded schema " +
+            "(commit with schema-tracking code at least once first)"))
+        val known = p.fieldNames.map(_.toLowerCase).toSet
+        val missing = lower -- known
+        require(missing.isEmpty,
+          s"dropColumns: not in the store schema: ${missing.mkString(",")}")
+        val rc = prev.flatMap(_.rangeCol)
+        require(!rc.exists(r => lower.contains(r.toLowerCase)),
+          s"dropColumns: cannot drop the range column ${rc.get} - stats " +
+            "pruning and range overwrites depend on it")
+        val remaining = p.fields.filterNot(f => lower.contains(f.name.toLowerCase))
+        require(remaining.nonEmpty, "dropColumns: cannot drop every column")
+        Some(org.apache.spark.sql.types.StructType(remaining).json)
+      },
+      tombstones = prev =>
+        (prev.map(_.tombstones).getOrElse(Nil) ++ lower.toSeq.sorted).distinct
+    )(prev => prev.map(_.files).getOrElse(Nil))
+  }
 
   /** Write `df` into a fresh commit directory; returns entries with
     * per-file min/max stats on `rangeCol` (when set — one small
@@ -542,7 +624,7 @@ final class ManifestStore(val root: String) extends Serializable {
     * DataFrame). */
   def read(spark: SparkSession): Option[DataFrame] =
     snapshot(spark).filter(_.files.nonEmpty)
-      .map(s => readFiles(spark, s.files))
+      .map(s => projectToSchema(readFiles(spark, s.files), s))
 
   /** Resume watermark without a scan: the max range-column value recorded
     * in the current snapshot's file stats, when every file carries stats.
@@ -562,8 +644,10 @@ final class ManifestStore(val root: String) extends Serializable {
   def readVersion(spark: SparkSession, version: Long): Option[DataFrame] = {
     val f = fs(spark)
     if (!f.exists(new Path(manifestsDir, f"v$version%08d.manifest"))) None
+    // time travel projects onto THAT VERSION's schema: reading as of a
+    // pre-drop snapshot shows the dropped column, as it must
     else readManifest(f, version).filter(_.files.nonEmpty)
-      .map(s => readFiles(spark, s.files))
+      .map(s => projectToSchema(readFiles(spark, s.files), s))
   }
 
   /** Delta read for incremental consumers ([[MatView]]): rows in files
@@ -582,7 +666,8 @@ final class ManifestStore(val root: String) extends Serializable {
         .getOrElse(Set.empty)
     snapshot(spark).flatMap { s =>
       val added = s.files.filterNot(e => base.contains(e.rel))
-      if (added.isEmpty) None else Some(readFiles(spark, added))
+      if (added.isEmpty) None
+      else Some(projectToSchema(readFiles(spark, added), s))
     }
   }
 
@@ -609,7 +694,7 @@ final class ManifestStore(val root: String) extends Serializable {
       val rc = s.rangeCol.getOrElse("block_number")
       val overlapping = s.files.filter(_.overlaps(from, to))
       if (overlapping.isEmpty) None
-      else Some(readFiles(spark, overlapping)
+      else Some(projectToSchema(readFiles(spark, overlapping), s)
         .filter(col(rc) >= from && col(rc) <= to))
     }
 
@@ -639,7 +724,11 @@ final class ManifestStore(val root: String) extends Serializable {
     // whole write landed as orphans. commitWith re-evaluates the evolver
     // per attempt (race-safe against a concurrent writer's evolution) —
     // this early copy only moves the common-case failure ahead of the IO.
-    evolveSchema(schemaOf(snapshot(spark)), df.schema)
+    locally {
+      val snap = snapshot(spark)
+      evolveSchema(schemaOf(snap), df.schema,
+        snap.map(_.tombstones.toSet).getOrElse(Set.empty))
+    }
     // data files are immutable — safe to reuse across commit attempts;
     // the file LIST re-merges against the then-current snapshot each try
     val newFiles = writeData(spark, df, partitionCols, rangeCol)
@@ -672,9 +761,12 @@ final class ManifestStore(val root: String) extends Serializable {
     if (commitKey.exists(hasCommitKey(spark, _))) return
     val newFiles = writeData(spark, df, partitionCols, rangeCol)
     // full replace: the new content's schema REPLACES the recorded one
-    // (no union with history — the history's files are gone)
+    // (no union with history — the history's files are gone), and drop
+    // tombstones clear with it: no pre-drop file remains in the snapshot
+    // to resurface old values
     commitWith(spark, commitKey, rangeCol,
-      schema = _ => Some(df.schema.json))(_ => newFiles)
+      schema = _ => Some(df.schema.json),
+      tombstones = _ => Nil)(_ => newFiles)
   }
 
   /** Atomic overwrite-by-range (the manifest form of
@@ -856,7 +948,10 @@ final class ManifestStore(val root: String) extends Serializable {
       "zorderBy cannot combine with partitionCols: z-cluster within " +
         "partitions by compacting each partition's store separately")
     if (snapshot(spark).forall(_.files.isEmpty)) return
-    commitWith(spark, None, rangeCol) { prev =>
+    // compaction rewrites THROUGH the schema projection, so dropped
+    // columns' bytes are physically removed here — which is what lets
+    // it clear the tombstones (re-adding the names becomes safe)
+    commitWith(spark, None, rangeCol, tombstones = _ => Nil) { prev =>
       prev.map(_.files).getOrElse(Nil) match {
         case Nil => Nil
         case files =>
@@ -865,7 +960,8 @@ final class ManifestStore(val root: String) extends Serializable {
           val totalBytes = files.map(e =>
             f.getFileStatus(new Path(root, e.rel)).getLen).sum
           val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-          val df = readFiles(spark, files)
+          val df = prev.map(p => projectToSchema(readFiles(spark, files), p))
+            .getOrElse(readFiles(spark, files))
           val compacted =
             if (zorderBy.size >= 2)
               graft.ops.ZOrder.cluster(df, zorderBy, nFiles,

@@ -130,6 +130,68 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(nulls == 100L)
   }
 
+  test("metadata-only drop: column unreachable, zero data IO, stats pruning intact") {
+    val store = new ManifestStore(freshRoot("drop"))
+    store.append(spark, Seq((1L, "a", 0.1), (2L, "b", 0.2)).toDF("id", "name", "score"),
+      rangeCol = Some("id"))
+    val files = store.currentFiles(spark).toSet
+    store.dropColumns(spark, Seq("score"))
+    // metadata-only: same files, reduced schema, column gone from reads
+    assert(store.currentFiles(spark).toSet == files)
+    assert(store.read(spark).get.columns.toSeq == Seq("id", "name"))
+    assert(store.currentSchema(spark).map(_.fieldNames.toSeq)
+      .contains(Seq("id", "name")))
+    // the range machinery survives (rangeCol kept; projection in readRange)
+    assert(store.statsMax(spark).contains(2L))
+    assert(store.readRange(spark, 2L, 9L).get.columns.toSeq == Seq("id", "name"))
+    assert(store.readRange(spark, 2L, 9L).get.count() == 1L)
+    // dropping the range column itself is refused
+    val rcErr = intercept[IllegalArgumentException] {
+      store.dropColumns(spark, Seq("id"))
+    }
+    assert(rcErr.getMessage.contains("range column"), rcErr.getMessage)
+  }
+
+  test("drop → compact physically removes the bytes and clears the tombstone") {
+    val store = new ManifestStore(freshRoot("reclaim"))
+    store.append(spark, Seq((1L, "secret-a", 1.0), (2L, "secret-b", 2.0))
+      .toDF("id", "pii", "v"))
+    store.dropColumns(spark, Seq("pii"))
+    // before compaction: bytes still in the old files (raw read), but a
+    // re-add of the name is tombstone-rejected — union-by-name would
+    // resurface the old values
+    val rawBefore = spark.read.parquet(store.currentFiles(spark): _*)
+    assert(rawBefore.columns.contains("pii"),
+      "test setup: pre-compact files should still carry the dropped bytes")
+    val readdErr = intercept[IllegalArgumentException] {
+      store.append(spark, Seq((3L, "new", 3.0)).toDF("id", "pii", "v"))
+    }
+    assert(readdErr.getMessage.contains("compact"), readdErr.getMessage)
+    // compaction rewrites through the projection: bytes physically gone
+    store.compact(spark)
+    val rawAfter = spark.read.parquet(store.currentFiles(spark): _*)
+    assert(!rawAfter.columns.contains("pii"),
+      "compact did not physically remove the dropped column")
+    // tombstone cleared: the name is reusable, even with a NEW type
+    store.append(spark, Seq((3L, 42L, 3.0)).toDF("id", "pii", "v"))
+    val rows = store.read(spark).get.select("id", "pii").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, -1L), (2L, -1L), (3L, 42L)),
+      "old rows must read the re-added column as null, never old values")
+  }
+
+  test("time travel to a pre-drop version shows the dropped column's values") {
+    val store = new ManifestStore(freshRoot("travel"))
+    store.append(spark, Seq((1L, "keep", 9.5)).toDF("id", "name", "score"))
+    val vBefore = store.currentVersion(spark)
+    store.dropColumns(spark, Seq("score"))
+    assert(!store.read(spark).get.columns.contains("score"))
+    val old = store.readVersion(spark, vBefore).get
+    assert(old.columns.toSeq == Seq("id", "name", "score"))
+    assert(old.select("score").head().getDouble(0) == 9.5)
+  }
+
   test("replaceAll resets the recorded schema to the replacement's") {
     val store = new ManifestStore(freshRoot("replace"))
     store.append(spark, Seq((1L, "x", 0.1)).toDF("id", "name", "score"))
