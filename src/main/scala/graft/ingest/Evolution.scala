@@ -6,15 +6,19 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Schema evolution end-to-end over the manifest store (round-11 agenda
-  * #3): the 100 TB warehouse operation of ADDING A COLUMN without
-  * rewriting history. The gate ingests events under the v1 schema,
-  * appends an evolved batch carrying a new `source` column, proves a
-  * TYPE-CONFLICTING append is rejected loudly (structurally, in the
-  * builder), and reads the store back across both schema generations —
-  * old rows surface the new column as null (merge-on-read union-by-name,
-  * [[ManifestStore.readFiles]]); the rollup is proven exactly against
-  * the DuckDB oracle's reconstruction. MERGE and matview behavior on
-  * evolved schemas is spec'd in SchemaEvolutionSpec. */
+  * #3): the 100 TB warehouse operations of ADDING and DROPPING a column
+  * without rewriting history. `store_schema_evolution` ingests events
+  * under the v1 schema, appends an evolved batch carrying a new `source`
+  * column, proves a TYPE-CONFLICTING append is rejected loudly
+  * (structurally, in the builder), and reads the store back across both
+  * schema generations — old rows surface the new column as null
+  * (merge-on-read union-by-name, [[ManifestStore.readFiles]]).
+  * `store_drop_column` exercises [[ManifestStore.dropColumns]]:
+  * metadata-only (zero data files touched), tombstoned re-add, pre-drop
+  * time travel, replay no-op. Both rollups are proven exactly against
+  * the DuckDB oracle's reconstruction. MERGE/matview behavior on evolved
+  * schemas and the drop → compact → re-add lifecycle are spec'd in
+  * SchemaEvolutionSpec. */
 object Evolution {
 
   private val builtRoots = scala.collection.mutable.Set[String]()
@@ -23,50 +27,59 @@ object Evolution {
     s"${System.getProperty("java.io.tmpdir")}/graft_evolve_store_" +
       new java.io.File(dir).getName + "_" + graft.ops.CorpusId.hex(dir)
 
-  /** Build (once per session): v1 append (even event_ids, 4 columns),
-    * evolved append (odd event_ids, + `source`), conflict rejection. */
-  private[graft] def builtStore(s: SparkSession, dir: String): ManifestStore = {
-    val root = gateRoot(dir)
+  /** The 4-column events projection both gate stores ingest. */
+  private def events4(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+
+  /** Shared build-once scaffolding: per-session memo, fresh-root wipe,
+    * BuildLog naming (the causal cold-cost gate counts NAMED builds
+    * only — an un-named store build would book as host noise and escape
+    * the ceiling), then the gate-specific `build`. */
+  private def buildOnce(s: SparkSession, root: String, buildName: String)
+                       (build: ManifestStore => Unit): ManifestStore = {
     builtRoots.synchronized {
-      // BuildLog-named like every other gate-side one-time build: the
-      // causal cold-cost gate only counts NAMED builds, so an un-named
-      // store build here would book as host noise and escape the ceiling
-      if (!builtRoots.contains(root)) graft.ops.BuildLog.timed("evolution_gate_store") {
+      if (!builtRoots.contains(root)) graft.ops.BuildLog.timed(buildName) {
         val p = new Path(root)
         val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (fs.exists(p)) fs.delete(p, true)
-        val store = new ManifestStore(root)
-        val ev = Tables.load(s, dir, "events")
-          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-        store.append(s, ev.filter(col("event_id") % 2 === 0),
-          rangeCol = Some("event_id"))
-        val filesBefore = store.currentFiles(s).toSet
-        // the evolved batch: same four columns plus a new `source`
-        store.append(s, ev.filter(col("event_id") % 2 === 1)
-            .withColumn("source",
-              concat(lit("s"), (col("user_id") % 3).cast("string"))),
-          rangeCol = Some("event_id"))
-        // old files survive the evolution by reference — adding a column
-        // must never rewrite history
-        require(filesBefore.subsetOf(store.currentFiles(s).toSet),
-          "schema evolution rewrote v1 files")
-        // the recorded schema is the union, new column appended last
-        require(store.currentSchema(s).exists(_.fieldNames.toSeq ==
-          Seq("event_id", "user_id", "event_type", "value", "source")),
-          s"evolved schema not recorded: ${store.currentSchema(s)}")
-        // a TYPE CONFLICT is rejected loudly at commit time, not at some
-        // future read: `value` arrives as string instead of double
-        val conflict = scala.util.Try(store.append(s,
-          ev.filter(col("event_id") === 0)
-            .withColumn("value", col("value").cast("string"))))
-        require(conflict.isFailure &&
-          conflict.failed.get.getMessage.contains("type conflict"),
-          s"type-conflicting append was not rejected: $conflict")
+        build(new ManifestStore(root))
         builtRoots.add(root)
       }
     }
     new ManifestStore(root)
   }
+
+  /** Build (once per session): v1 append (even event_ids, 4 columns),
+    * evolved append (odd event_ids, + `source`), conflict rejection. */
+  private[graft] def builtStore(s: SparkSession, dir: String): ManifestStore =
+    buildOnce(s, gateRoot(dir), "evolution_gate_store") { store =>
+      val ev = events4(s, dir)
+      store.append(s, ev.filter(col("event_id") % 2 === 0),
+        rangeCol = Some("event_id"))
+      val filesBefore = store.currentFiles(s).toSet
+      // the evolved batch: same four columns plus a new `source`
+      store.append(s, ev.filter(col("event_id") % 2 === 1)
+          .withColumn("source",
+            concat(lit("s"), (col("user_id") % 3).cast("string"))),
+        rangeCol = Some("event_id"))
+      // old files survive the evolution by reference — adding a column
+      // must never rewrite history
+      require(filesBefore.subsetOf(store.currentFiles(s).toSet),
+        "schema evolution rewrote v1 files")
+      // the recorded schema is the union, new column appended last
+      require(store.currentSchema(s).exists(_.fieldNames.toSeq ==
+        Seq("event_id", "user_id", "event_type", "value", "source")),
+        s"evolved schema not recorded: ${store.currentSchema(s)}")
+      // a TYPE CONFLICT is rejected loudly at commit time, not at some
+      // future read: `value` arrives as string instead of double
+      val conflict = scala.util.Try(store.append(s,
+        ev.filter(col("event_id") === 0)
+          .withColumn("value", col("value").cast("string"))))
+      require(conflict.isFailure &&
+        conflict.failed.get.getMessage.contains("type conflict"),
+        s"type-conflicting append was not rejected: $conflict")
+    }
 
   /** Gate: rollup by the EVOLVED column across both schema generations —
     * null for every v1 row (read as 'legacy'), populated for the evolved
@@ -79,54 +92,41 @@ object Evolution {
         sum(col("value").cast("decimal(18,6)")).cast("double").as("val_sum"))
       .orderBy("src")
 
-  private val dropRoots = scala.collection.mutable.Set[String]()
-
   /** Build (once per session) the column-drop gate store: two stats-
     * bearing appends of the 4-column events projection, then a
     * METADATA-ONLY drop of `user_id` — structurally asserted: zero data
     * files touched, the recorded schema loses the column, time travel
     * to the pre-drop version still shows it, a replayed drop is a
     * no-op, and re-adding the dropped name is tombstone-rejected. */
-  private[graft] def builtDropStore(s: SparkSession, dir: String): ManifestStore = {
-    val root = gateRoot(dir) + "_drop"
-    dropRoots.synchronized {
-      if (!dropRoots.contains(root)) graft.ops.BuildLog.timed("drop_gate_store") {
-        val p = new Path(root)
-        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(p)) fs.delete(p, true)
-        val store = new ManifestStore(root)
-        val ev = Tables.load(s, dir, "events")
-          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-        store.append(s, ev.filter(col("event_id") % 2 === 0),
-          rangeCol = Some("event_id"))
-        store.append(s, ev.filter(col("event_id") % 2 === 1),
-          rangeCol = Some("event_id"))
-        val filesBefore = store.currentFiles(s).toSet
-        val vBefore = store.currentVersion(s)
-        store.dropColumns(s, Seq("user_id"), commitKey = Some("drop-user-id-1"))
-        // METADATA-ONLY: the drop touched zero data files
-        require(store.currentFiles(s).toSet == filesBefore,
-          "dropColumns rewrote data files - not metadata-only")
-        require(store.currentSchema(s).exists(_.fieldNames.toSeq ==
-          Seq("event_id", "event_type", "value")),
-          s"dropped schema wrong: ${store.currentSchema(s)}")
-        // replay of the same drop request is a no-op
-        store.dropColumns(s, Seq("user_id"), commitKey = Some("drop-user-id-1"))
-        require(store.currentVersion(s) == vBefore + 1, "drop replay committed")
-        // time travel to the pre-drop snapshot still shows the column
-        require(store.readVersion(s, vBefore).get.columns.contains("user_id"),
-          "pre-drop time travel lost the dropped column")
-        // re-adding the tombstoned name before a compaction is rejected
-        val readd = scala.util.Try(store.append(s,
-          ev.filter(col("event_id") === 0), rangeCol = Some("event_id")))
-        require(readd.isFailure &&
-          readd.failed.get.getMessage.contains("dropped"),
-          s"tombstoned column re-add was not rejected: $readd")
-        dropRoots.add(root)
-      }
+  private[graft] def builtDropStore(s: SparkSession, dir: String): ManifestStore =
+    buildOnce(s, gateRoot(dir) + "_drop", "drop_gate_store") { store =>
+      val ev = events4(s, dir)
+      store.append(s, ev.filter(col("event_id") % 2 === 0),
+        rangeCol = Some("event_id"))
+      store.append(s, ev.filter(col("event_id") % 2 === 1),
+        rangeCol = Some("event_id"))
+      val filesBefore = store.currentFiles(s).toSet
+      val vBefore = store.currentVersion(s)
+      store.dropColumns(s, Seq("user_id"), commitKey = Some("drop-user-id-1"))
+      // METADATA-ONLY: the drop touched zero data files
+      require(store.currentFiles(s).toSet == filesBefore,
+        "dropColumns rewrote data files - not metadata-only")
+      require(store.currentSchema(s).exists(_.fieldNames.toSeq ==
+        Seq("event_id", "event_type", "value")),
+        s"dropped schema wrong: ${store.currentSchema(s)}")
+      // replay of the same drop request is a no-op
+      store.dropColumns(s, Seq("user_id"), commitKey = Some("drop-user-id-1"))
+      require(store.currentVersion(s) == vBefore + 1, "drop replay committed")
+      // time travel to the pre-drop snapshot still shows the column
+      require(store.readVersion(s, vBefore).get.columns.contains("user_id"),
+        "pre-drop time travel lost the dropped column")
+      // re-adding the tombstoned name before a compaction is rejected
+      val readd = scala.util.Try(store.append(s,
+        ev.filter(col("event_id") === 0), rangeCol = Some("event_id")))
+      require(readd.isFailure &&
+        readd.failed.get.getMessage.contains("dropped"),
+        s"tombstoned column re-add was not rejected: $readd")
     }
-    new ManifestStore(root)
-  }
 
   /** Gate: the post-drop read — `user_id` unreachable, everything else
     * intact. The oracle reconstructs the same rollup from the fixture

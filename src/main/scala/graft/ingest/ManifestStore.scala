@@ -373,6 +373,20 @@ final class ManifestStore(val root: String) extends Serializable {
       org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
 
+  /** The evolution baseline for a data commit: the RECORDED schema when
+    * present; for a PRE-TRACKING store (files but no `#schema:` line)
+    * the baseline is inferred from the files themselves — adopting the
+    * incoming batch's schema alone would make every legacy column the
+    * batch doesn't carry vanish from all reads the moment the first
+    * new-code commit lands (the projection would hide real committed
+    * data with no drop and no tombstone). The inference costs one
+    * driver-side schema read, once, on the legacy-store upgrade path
+    * only. */
+  private def baselineSchema(spark: SparkSession, snap: Option[Snapshot])
+  : Option[org.apache.spark.sql.types.StructType] =
+    schemaOf(snap).orElse(snap.filter(_.files.nonEmpty)
+      .map(s => readFiles(spark, s.files).schema))
+
   /** MERGE-ON-READ schema evolution (Delta's `mergeSchema` semantics on
     * the write side): the store's schema after a commit is the previous
     * schema with the incoming batch's genuinely-new columns APPENDED —
@@ -432,7 +446,7 @@ final class ManifestStore(val root: String) extends Serializable {
 
   /** The commit-time schema evolver for a data-writing commit of `df`. */
   private def evolver(df: DataFrame): Option[Snapshot] => Option[String] =
-    snap => Some(evolveSchema(schemaOf(snap), df.schema,
+    snap => Some(evolveSchema(baselineSchema(df.sparkSession, snap), df.schema,
       snap.map(_.tombstones.toSet).getOrElse(Set.empty)).json)
 
   /** The store's recorded logical schema, when schema tracking has seen
@@ -476,6 +490,11 @@ final class ManifestStore(val root: String) extends Serializable {
   def dropColumns(spark: SparkSession, names: Seq[String],
                   commitKey: Option[String] = None): Unit = synchronized {
     require(names.nonEmpty, "dropColumns: no columns named")
+    // the tombstone manifest line is comma-separated; a comma inside a
+    // (backticked) column name would round-trip as several bogus
+    // tombstones — refuse loudly rather than mis-tombstone
+    require(names.forall(n => n.trim.nonEmpty && !n.contains(",")),
+      s"dropColumns: empty or comma-bearing column names unsupported: $names")
     if (commitKey.exists(hasCommitKey(spark, _))) return
     val lower = names.map(_.toLowerCase).toSet
     commitWith(spark, commitKey, currentRangeCol(spark),
@@ -487,10 +506,15 @@ final class ManifestStore(val root: String) extends Serializable {
         val missing = lower -- known
         require(missing.isEmpty,
           s"dropColumns: not in the store schema: ${missing.mkString(",")}")
-        val rc = prev.flatMap(_.rangeCol)
+        // the EFFECTIVE range column: the recorded one, or — when none
+        // is recorded — the implicit "block_number" default readRange
+        // falls back to, if the schema carries it (dropping that would
+        // break readRange's filter on a column the projection removed)
+        val rc = prev.flatMap(_.rangeCol).orElse(
+          p.fieldNames.find(_.equalsIgnoreCase("block_number")))
         require(!rc.exists(r => lower.contains(r.toLowerCase)),
           s"dropColumns: cannot drop the range column ${rc.get} - stats " +
-            "pruning and range overwrites depend on it")
+            "pruning and range reads depend on it")
         val remaining = p.fields.filterNot(f => lower.contains(f.name.toLowerCase))
         require(remaining.nonEmpty, "dropColumns: cannot drop every column")
         Some(org.apache.spark.sql.types.StructType(remaining).json)
@@ -726,7 +750,7 @@ final class ManifestStore(val root: String) extends Serializable {
     // this early copy only moves the common-case failure ahead of the IO.
     locally {
       val snap = snapshot(spark)
-      evolveSchema(schemaOf(snap), df.schema,
+      evolveSchema(baselineSchema(spark, snap), df.schema,
         snap.map(_.tombstones.toSet).getOrElse(Set.empty))
     }
     // data files are immutable — safe to reuse across commit attempts;
@@ -792,10 +816,11 @@ final class ManifestStore(val root: String) extends Serializable {
       val (hit, kept) = prevFiles.partition(_.overlaps(from, to))
       val merged =
         if (hit.isEmpty) df
-        else readFiles(spark, hit)
+        else projectToSchema(readFiles(spark, hit), prev.get)
           .filter(col(rangeCol) < from || col(rangeCol) > to)
           // schema evolution: an overwrite may add columns; surviving
-          // old rows read them as null
+          // old rows read them as null. The projection (see delete)
+          // keeps dropped-column bytes out of the rewritten window.
           .unionByName(df, allowMissingColumns = true)
       kept ++ writeData(spark, merged, partitionCols, Some(rangeCol))
     }
@@ -828,7 +853,14 @@ final class ManifestStore(val root: String) extends Serializable {
       val files = prev.map(_.files).getOrElse(Nil)
       if (files.isEmpty) files
       else {
-        val victims = readFiles(spark, files).filter(predicate)
+        // rewrites go THROUGH the schema projection: survivors of a hit
+        // file must never carry dropped-column bytes into fresh files
+        // (delete is the GDPR primitive — propagating dropped PII
+        // forward would outlive the pre-drop files' vacuum), and the
+        // predicate must resolve against the VISIBLE schema, not data
+        // the projection hides
+        def proj(df: DataFrame) = projectToSchema(df, prev.get)
+        val victims = proj(readFiles(spark, files)).filter(predicate)
           .select(input_file_name().as("f")).distinct()
           .collect().map(_.getString(0)).toSet
         // rel (data/<commit-uuid>/...) is a unique suffix of the URI —
@@ -837,9 +869,9 @@ final class ManifestStore(val root: String) extends Serializable {
         if (hit.isEmpty) files
         else {
           val rc = prev.flatMap(_.rangeCol)
-          deleted = readFiles(spark, hit).filter(predicate).count()
+          deleted = proj(readFiles(spark, hit)).filter(predicate).count()
           kept ++ writeData(spark,
-            readFiles(spark, hit).filter(!predicate), partitionCols, rc)
+            proj(readFiles(spark, hit)).filter(!predicate), partitionCols, rc)
         }
       }
     }
@@ -870,7 +902,9 @@ final class ManifestStore(val root: String) extends Serializable {
       dropped = dead.size; rewritten = straddle.size
       if (straddle.isEmpty) kept
       else kept ++ writeData(spark,
-        readFiles(spark, straddle).filter(col(rc) >= cutoff),
+        // straddler rewrite through the schema projection (see delete)
+        projectToSchema(readFiles(spark, straddle), prev.get)
+          .filter(col(rc) >= cutoff),
         partitionCols, prev.flatMap(_.rangeCol))
     }
     (dropped, rewritten)
@@ -899,15 +933,18 @@ final class ManifestStore(val root: String) extends Serializable {
       val rc = prev.flatMap(_.rangeCol).orElse(currentRangeCol(spark))
       if (files.isEmpty) writeData(spark, updates, partitionCols, rc)
       else {
+        // survivors rewrite through the schema projection (see delete):
+        // no dropped-column bytes travel into the fresh commit
+        def proj(df: DataFrame) = projectToSchema(df, prev.get)
         val keys = updates.select(keyCols.map(col): _*).distinct()
-        val victims = readFiles(spark, files)
+        val victims = proj(readFiles(spark, files))
           .withColumn("__f", input_file_name())
           .join(keys, keyCols, "left_semi")
           .select("__f").distinct().collect().map(_.getString(0)).toSet
         val (hit, kept) = files.partition(e => victims.exists(_.endsWith("/" + e.rel)))
         val fresh =
           if (hit.isEmpty) updates
-          else readFiles(spark, hit).join(keys, keyCols, "left_anti")
+          else proj(readFiles(spark, hit)).join(keys, keyCols, "left_anti")
             .unionByName(updates, allowMissingColumns = true)
         kept ++ writeData(spark, fresh, partitionCols, rc)
       }
@@ -947,7 +984,12 @@ final class ManifestStore(val root: String) extends Serializable {
     require(zorderBy.isEmpty || partitionCols.isEmpty,
       "zorderBy cannot combine with partitionCols: z-cluster within " +
         "partitions by compacting each partition's store separately")
-    if (snapshot(spark).forall(_.files.isEmpty)) return
+    // a zero-file snapshot must NOT short-circuit while tombstones
+    // exist: there are no bytes left to erase, and this commit is the
+    // documented way to clear them — early-returning here would leave
+    // the dropped names blocked forever ("run compact()" a no-op)
+    if (snapshot(spark).forall(s => s.files.isEmpty && s.tombstones.isEmpty))
+      return
     // compaction rewrites THROUGH the schema projection, so dropped
     // columns' bytes are physically removed here — which is what lets
     // it clear the tombstones (re-adding the names becomes safe)
@@ -960,8 +1002,9 @@ final class ManifestStore(val root: String) extends Serializable {
           val totalBytes = files.map(e =>
             f.getFileStatus(new Path(root, e.rel)).getLen).sum
           val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-          val df = prev.map(p => projectToSchema(readFiles(spark, files), p))
-            .getOrElse(readFiles(spark, files))
+          // prev is provably Some here (`files` is non-empty only when
+          // it came from a snapshot) — no unprojected compaction exists
+          val df = projectToSchema(readFiles(spark, files), prev.get)
           val compacted =
             if (zorderBy.size >= 2)
               graft.ops.ZOrder.cluster(df, zorderBy, nFiles,

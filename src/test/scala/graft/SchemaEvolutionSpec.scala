@@ -181,6 +181,79 @@ class SchemaEvolutionSpec extends AnyFunSuite {
       "old rows must read the re-added column as null, never old values")
   }
 
+  test("zero-file snapshot: compact still clears tombstones (the documented recovery)") {
+    val store = new ManifestStore(freshRoot("emptytomb"))
+    store.append(spark, Seq((1L, "x")).toDF("id", "pii"))
+    store.dropColumns(spark, Seq("pii"))
+    // delete EVERYTHING: the snapshot now lists zero files, tombstones
+    // carried forward — the dropped name must not be blocked forever
+    store.delete(spark, org.apache.spark.sql.functions.lit(true))
+    val blocked = intercept[IllegalArgumentException] {
+      store.append(spark, Seq((2L, "y")).toDF("id", "pii"))
+    }
+    assert(blocked.getMessage.contains("compact"), blocked.getMessage)
+    store.compact(spark) // no bytes left to erase; must clear the tombstone
+    store.append(spark, Seq((2L, "y")).toDF("id", "pii"))
+    assert(store.read(spark).get.count() == 1L)
+  }
+
+  test("comma-bearing column names are refused by dropColumns (tombstone encoding)") {
+    val store = new ManifestStore(freshRoot("comma"))
+    store.append(spark, Seq((1L, "x")).toDF("id", "name"))
+    val e = intercept[IllegalArgumentException] {
+      store.dropColumns(spark, Seq("a,b"))
+    }
+    assert(e.getMessage.contains("comma"), e.getMessage)
+  }
+
+  test("rewrites never copy dropped bytes forward: delete survivors are clean") {
+    val store = new ManifestStore(freshRoot("gdpr"))
+    // one file holding all three rows, so the delete's hit file HAS
+    // survivors to rewrite (a victim-only file is simply dropped)
+    store.append(spark, Seq((1L, "pii-a", 1.0), (2L, "pii-b", 2.0),
+      (3L, "pii-c", 3.0)).toDF("id", "pii", "v").coalesce(1))
+    store.dropColumns(spark, Seq("pii"))
+    // a post-drop delete rewrites the survivors of the hit files; the
+    // FRESH files must not physically carry the dropped column (files
+    // the delete never touched legitimately keep their bytes until
+    // compact() — the projection hides them meanwhile)
+    val before = store.currentFiles(spark).toSet
+    store.delete(spark, col("id") === 2L)
+    val fresh = (store.currentFiles(spark).toSet -- before).toSeq
+    assert(fresh.nonEmpty, "test setup: the delete rewrote no file")
+    val raw = spark.read.option("mergeSchema", "true").parquet(fresh: _*)
+    assert(!raw.columns.contains("pii"),
+      "delete propagated dropped-column bytes into the rewritten file")
+    assert(store.read(spark).get.select("id").collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("legacy pre-tracking store: first new-code append must not hide legacy columns") {
+    // simulate a store written before schema tracking: strip the
+    // #schema: line from its manifest, then append a NARROWER batch —
+    // the legacy column must stay readable (baseline inferred from the
+    // files, not adopted from the batch)
+    val root = freshRoot("legacy")
+    val store = new ManifestStore(root)
+    store.append(spark, Seq((1L, "legacy-val", 0.5)).toDF("id", "extra", "v"))
+    val mdir = new java.io.File(s"$root/_manifests")
+    val mf = mdir.listFiles().filter(_.getName.endsWith(".manifest")).head
+    val stripped = java.nio.file.Files.readAllLines(mf.toPath).toArray
+      .map(_.toString).filterNot(_.startsWith("#schema:")).mkString("\n") + "\n"
+    java.nio.file.Files.writeString(mf.toPath, stripped)
+    val legacy = new ManifestStore(root) // fresh instance, no caches
+    assert(legacy.currentSchema(spark).isEmpty, "test setup: schema line survived")
+    legacy.append(spark, Seq((2L, 1.5)).toDF("id", "v")) // narrower batch
+    val rows = legacy.read(spark).get.select("id", "extra", "v").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, Some("legacy-val"), 0.5), (2L, None, 1.5)),
+      s"legacy column lost or values wrong: ${rows.toSeq}")
+    // and the adopted baseline records the UNION, legacy columns included
+    assert(legacy.currentSchema(spark).get.fieldNames.toSet ==
+      Set("id", "extra", "v"))
+  }
+
   test("time travel to a pre-drop version shows the dropped column's values") {
     val store = new ManifestStore(freshRoot("travel"))
     store.append(spark, Seq((1L, "keep", 9.5)).toDF("id", "name", "score"))
