@@ -166,7 +166,10 @@ object Bench {
     pool.awaitTermination(3600, java.util.concurrent.TimeUnit.SECONDS)
     val wall = (System.nanoTime() - t0) / 1e9
     import scala.jdk.CollectionConverters._
-    (wall, qs.size, mismatches.asScala.toSeq.sorted,
+    // queriesRun = queries that actually executed concurrently: reference-
+    // phase crashes are excluded from the queue, so counting qs.size would
+    // overstate the reported qps on a run with reference errors
+    (wall, reference.size, mismatches.asScala.toSeq.sorted,
       errors.asScala.toSeq.distinct.sorted)
   }
 

@@ -439,9 +439,13 @@ final class ManifestStore(val root: String) extends Serializable {
           "(union-by-name, old rows read them as null); changing a " +
           "column's type is a rewrite, not an append.")
       val prevNames = p.fieldNames.map(_.toLowerCase).toSet
+      // evolved-in columns are ALWAYS recorded nullable: every
+      // pre-existing row reads the new column as null, so a
+      // non-nullable incoming field would make the recorded schema
+      // claim a constraint the data violates (Delta does the same)
       org.apache.spark.sql.types.StructType(
         p.fields ++ next.fields.filterNot(f =>
-          prevNames.contains(f.name.toLowerCase)))
+          prevNames.contains(f.name.toLowerCase)).map(_.copy(nullable = true)))
   }
 
   /** The commit-time schema evolver for a data-writing commit of `df`. */

@@ -85,6 +85,10 @@ object MediaCodec {
     while (!done) {
       require(off + 8 <= bytes.length, "decodePng: truncated chunk header")
       val len = readBe32(bytes, off)
+      // readBe32 is signed: a crafted length >= 2^31 arrives negative and
+      // would pass the bound check below, then blow up inside CRC32 with
+      // an index error instead of this diagnostic
+      require(len >= 0, "decodePng: invalid chunk length")
       val typ = new String(bytes, off + 4, 4,
         java.nio.charset.StandardCharsets.US_ASCII)
       require(off + 12 + len <= bytes.length, s"decodePng: truncated $typ")
