@@ -68,6 +68,27 @@ object CodecRuntime {
     }
     UTF8String.fromString(sb.toString)
   }
+
+  /** PG `encode(bytea, 'escape')`: printable ASCII as-is, `\` doubled,
+    * everything else `\` + 3-digit octal (see [[PgEncodeEscape]]). */
+  def pgEscape(b: Array[Byte]): UTF8String = {
+    val sb = new java.lang.StringBuilder(b.length + 8)
+    var i = 0
+    while (i < b.length) {
+      val c = b(i) & 0xff
+      if (c == '\\') sb.append("\\\\")
+      else if (c >= 0x20 && c <= 0x7e) sb.append(c.toChar)
+      else {
+        sb.append('\\')
+        val oct = Integer.toOctalString(c)
+        var pad = 3 - oct.length
+        while (pad > 0) { sb.append('0'); pad -= 1 }
+        sb.append(oct)
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
 }
 
 /** keccak256(binary) → 32-byte binary. Whole-stage-codegen friendly
@@ -314,4 +335,101 @@ case class DecodeCalldata(entryJson: String, data: Expression,
   override protected def withNewChildInternal(newChild: Expression): DecodeCalldata =
     copy(data = newChild)
   override def prettyName: String = "abi_decode_calldata"
+}
+
+/** pg_encode_escape(binary) → string: PostgreSQL's `encode(bytea,
+  * 'escape')` output format, byte-for-byte (PG datum/encode.c semantics,
+  * public format): printable ASCII (0x20..0x7e) passes through,
+  * backslash doubles to `\\`, every other byte becomes `\` + 3-digit
+  * octal. The PG front-end ([[graft.frontend.PgDialect]]) maps
+  * `encode(x, 'escape')` here so the reference's
+  * `replace(encode(ilk, 'escape'), '\000', '')` idiom
+  * (assets_per_type.sql:51) runs unmodified; [[Bytes32ToAscii]] remains
+  * the fused Spark-native form of that whole idiom. */
+case class PgEncodeEscape(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes()
+  : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"pg_encode_escape needs binary input, got ${child.dataType.simpleString}")
+  override protected def nullSafeEval(input: Any): Any =
+    CodecRuntime.pgEscape(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.codec.CodecRuntime.pgEscape($c)")
+  override protected def withNewChildInternal(newChild: Expression): PgEncodeEscape =
+    copy(child = newChild)
+  override def prettyName: String = "pg_encode_escape"
+}
+
+/** pg_div(a, b): PostgreSQL `/` semantics for the PG front-end
+  * ([[graft.frontend.PgDialect]] rule 3). Integral/integral divides as
+  * PG integer division — truncation toward zero (Java long semantics,
+  * identical to PG's int8div and to Spark's own `div`); any other
+  * numeric pairing divides as float8. Divide-by-zero yields NULL — the
+  * Spark house rule (PG raises; a gated oracle query never divides by
+  * zero, and NULL keeps the expression non-throwing under codegen).
+  * Decimal/decimal also takes the float8 path (PG would keep exact
+  * NUMERIC) — the same trade the reviewed hand ports make; every
+  * division the front-end's gated queries emit has a float8 or
+  * integer-typed operand. */
+case class PgDiv(left: Expression, right: Expression)
+  extends BinaryExpression {
+  private def isIntegral(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+  private def bothIntegral: Boolean =
+    isIntegral(left.dataType) && isIntegral(right.dataType)
+  override def dataType: DataType = if (bothIntegral) LongType else DoubleType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes()
+  : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (_: NumericType, _: NumericType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pg_div needs numeric inputs, got ${l.simpleString} / ${r.simpleString}")
+    }
+  private def asDouble(v: Any, t: DataType): Double = t match {
+    case _: DecimalType => v.asInstanceOf[Decimal].toDouble
+    case _ => v.asInstanceOf[Number].doubleValue()
+  }
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    if (bothIntegral) {
+      val rl = r.asInstanceOf[Number].longValue()
+      if (rl == 0L) null
+      else java.lang.Long.valueOf(l.asInstanceOf[Number].longValue() / rl)
+    } else {
+      val rd = asDouble(r, right.dataType)
+      if (rd == 0.0) null
+      else java.lang.Double.valueOf(asDouble(l, left.dataType) / rd)
+    }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      def dbl(t: DataType, x: String): String = t match {
+        case _: DecimalType => s"$x.toDouble()"
+        case DoubleType => x
+        case _ => s"(double)($x)"
+      }
+      if (bothIntegral) {
+        s"""
+           |if ((long)$r == 0L) { ${ev.isNull} = true; }
+           |else { ${ev.value} = (long)$l / (long)$r; }
+         """.stripMargin
+      } else {
+        val rd = ctx.freshName("pgDivR")
+        s"""
+           |double $rd = ${dbl(right.dataType, r)};
+           |if ($rd == 0.0D) { ${ev.isNull} = true; }
+           |else { ${ev.value} = ${dbl(left.dataType, l)} / $rd; }
+         """.stripMargin
+      }
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PgDiv =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "pg_div"
 }

@@ -170,6 +170,11 @@ object GraftFunctions {
       es => RescaleToDouble(es.head, 18, signed = true), "scala_udf")
     reg.createOrReplaceTempFunction("ray_s",
       es => RescaleToDouble(es.head, 27, signed = true), "scala_udf")
+    // PG-dialect front-end runtime (graft.frontend.PgDialect rules 3+5)
+    reg.createOrReplaceTempFunction("pg_div",
+      es => PgDiv(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("pg_encode_escape",
+      es => PgEncodeEscape(es.head), "scala_udf")
     // similarity/sketch surface (ops package): codegen'd dot product and
     // the map-side-combinable sketch aggregates
     reg.createOrReplaceTempFunction("dot_double",

@@ -120,6 +120,51 @@ object MakerDw {
     s.sql(assetsSqlText(t => s"makermcd.$t"))
   }
 
+  /** The reference's shipped query file on disk, executed UNMODIFIED. */
+  val referenceSqlPath = "/root/reference/queries/makerdao/assets_per_type.sql"
+
+  /** assets_per_type VERBATIM: the reference's one shipped query artifact
+    * (queries/makerdao/assets_per_type.sql:1-79) read from disk and run
+    * through the PG-dialect front-end ([[graft.frontend.PgDialect]] —
+    * `::` casts, `^` power, PG integer `/`, `encode(..,'escape')`,
+    * implicit-lateral generate_series) against the catalog-qualified
+    * `makermcd.*` warehouse — no hand edits, no per-query rewrites.
+    *
+    * Output canonicalization (and ONLY output — the query text executes
+    * as shipped): the raw query ends in float8 SUMs of values derived
+    * through `power()`, so bit-exact cross-engine comparison is
+    * physically impossible (JVM vs libm pow differ in the last ulp, and
+    * float sums are association-ordered). Each double column is rounded
+    * and round-tripped through DECIMAL — 2dp for the currency sums, 8dp
+    * for the rate — which both engines represent identically; the
+    * DuckDB oracle mirrors the identical wrapper around the identical
+    * raw semantics. PgDialectSpec proves the rounding is not on a knife
+    * edge (every pre-round value sits ≥ 1e-4 ulps-of-the-rounding-grid
+    * away from a .5 boundary) and ties this result to the three hand
+    * ports within the ports' own documented 3dp pre-sum rounding bound. */
+  def assetsPerTypeVerbatim(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    MakerFixtures.ensureDemuxed(s)
+    graft.catalog.Warehouse.materialize(s, MakerFixtures.demuxStorePath,
+      MakerFixtures.fixtureDefs)
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(referenceSqlPath)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    canonVerbatim(graft.frontend.PgDialect.run(s, raw))
+  }
+
+  /** The verbatim gate's cross-engine float canonicalization: round to a
+    * fixed grid, round-trip through DECIMAL (which also normalizes -0.0,
+    * reachable here as `negative_debt * 0.0 sf`), back to DOUBLE. */
+  private def canonVerbatim(df: DataFrame): DataFrame =
+    df.select(col("dt"), col("collateral"),
+      round(col("asset"), 2).cast("decimal(30,2)").cast("double").as("asset"),
+      round(col("annual_revenues"), 2).cast("decimal(30,2)").cast("double")
+        .as("annual_revenues"),
+      round(col("blended_rate"), 8).cast("decimal(20,8)").cast("double")
+        .as("blended_rate"))
+      .orderBy(col("dt").desc, col("collateral"))
+
   /** assets_per_type SQL text, parameterized over how table names resolve
     * (bare temp views vs catalog-qualified `makermcd.*`). */
   private def assetsSqlText(t: String => String): String = s"""
@@ -434,6 +479,7 @@ object MakerDw {
     "blocks_dsv2_agg_pushdown" -> (blocksDsv2AggPushdown _),
     "assets_per_type_dsl" -> (assetsPerTypeDsl _),
     "assets_per_type_catalog" -> (assetsPerTypeCatalog _),
+    "assets_per_type_verbatim" -> (assetsPerTypeVerbatim _),
     "abi_decode_frob" -> (decodeFrob _),
     "abi_decode_buygem" -> (decodeBuyGem _),
     "abi_demux_counts" -> (demuxCounts _),
@@ -445,7 +491,12 @@ object MakerDw {
   private def truthFrom(table: String): String =
     s"read_parquet('${truthGlob(table)}')"
 
-  private lazy val oracleAssetsSql: String = s"""
+  /** The oracle CTE chain shared by the port gates and the verbatim
+    * gate, parameterized over the one spot where their semantics differ:
+    * the ports stabilize `power()` at 9dp (libm/JVM last-ulp divergence
+    * absorbed before it compounds), the verbatim query computes raw
+    * float8 pow and absorbs the divergence at output rounding instead. */
+  private def oracleAssetsCte(sfExpr: String): String = s"""
       WITH lending_assets_1 AS (
         SELECT i AS ilk, block_number, dart, CAST(NULL AS DECIMAL(38,0)) AS rate
         FROM ${truthFrom("vat_call_frob")} WHERE dart <> 0
@@ -470,8 +521,7 @@ object MakerDw {
         FROM ilks_2
       ),
       rates AS (
-        SELECT block_number, ilk,
-          ROUND(POWER(CAST(data AS DOUBLE)/1e27, 31536000), 9) - 1 AS sf
+        SELECT block_number, ilk, $sfExpr AS sf
         FROM ${truthFrom("jug_call_file")}
       ),
       with_filling AS (
@@ -518,6 +568,10 @@ object MakerDw {
           debt AS asset, annual_revenues
         FROM group_by
       )
+  """
+
+  private lazy val oracleAssetsSql: String =
+    oracleAssetsCte("ROUND(POWER(CAST(data AS DOUBLE)/1e27, 31536000), 9) - 1") + s"""
       SELECT dt, collateral,
         CAST(SUM(CAST(ROUND(asset, 3) AS DECIMAL(30,3))) AS DOUBLE) AS asset,
         CAST(SUM(CAST(ROUND(annual_revenues, 3) AS DECIMAL(30,3))) AS DOUBLE) AS annual_revenues,
@@ -527,11 +581,30 @@ object MakerDw {
       GROUP BY 1, 2
       ORDER BY 1 DESC, 2"""
 
+  /** Ground truth for the VERBATIM gate: the reference query's own raw
+    * semantics (raw float8 pow, raw float8 SUMs) under the same output
+    * canonicalization [[canonVerbatim]] applies on the Spark side. */
+  private lazy val oracleAssetsVerbatimSql: String =
+    oracleAssetsCte("POWER(CAST(data AS DOUBLE)/1e27, 31536000) - 1") + s"""
+      SELECT dt, collateral,
+        CAST(CAST(ROUND(asset, 2) AS DECIMAL(30,2)) AS DOUBLE) AS asset,
+        CAST(CAST(ROUND(annual_revenues, 2) AS DECIMAL(30,2)) AS DOUBLE) AS annual_revenues,
+        CAST(CAST(ROUND(blended_rate, 8) AS DECIMAL(20,8)) AS DOUBLE) AS blended_rate
+      FROM (
+        SELECT dt, collateral, SUM(asset) AS asset,
+          SUM(annual_revenues) AS annual_revenues,
+          SUM(annual_revenues)/SUM(asset) AS blended_rate
+        FROM group_by_cat
+        GROUP BY 1, 2
+      )
+      ORDER BY dt DESC, collateral"""
+
   /** the DSL and catalog-qualified ports share the SQL port's oracle
     * verbatim — all three must hash-match the same DuckDB result */
   private lazy val assetsOracleAlias: Map[String, String] =
     Map("assets_per_type_dsl" -> oracleAssetsSql,
-        "assets_per_type_catalog" -> oracleAssetsSql)
+        "assets_per_type_catalog" -> oracleAssetsSql,
+        "assets_per_type_verbatim" -> oracleAssetsVerbatimSql)
 
   val oracle: Map[String, String] = assetsOracleAlias ++ Map(
     "maker_psm_flows" -> s"""

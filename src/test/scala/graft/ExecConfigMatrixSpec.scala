@@ -68,10 +68,13 @@ class ExecConfigMatrixSpec extends AnyFunSuite {
     *  - ann_topk_brute — DotDouble (codegen'd dot product)
     *  - rag_retrieve — hash-embed + sparse cosine composition
     *  - emb_semdedup — centroid/cosine math over array columns
+    *  - assets_per_type_verbatim — PgDiv (integral AND float8 branches),
+    *    PgEncodeEscape, through the PG front-end's translated text
     */
   private val gates = Seq(
     "abi_decode_buygem", "abi_decode_frob", "abi_demux_counts",
     "maker_wad_ray", "maker_rad_extreme", "assets_per_type",
+    "assets_per_type_verbatim",
     "q06_series_fill", "q26_sketches",
     "events_heavy_discover", "events_heavy_verified", "events_histogram",
     "store_matview_quantile", "store_matview_distinct",

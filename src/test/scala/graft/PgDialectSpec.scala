@@ -1,0 +1,157 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.frontend.PgDialect
+import graft.queries.MakerDw
+
+/** The PG-dialect front-end (round-12 agenda #1): translation rules in
+  * isolation, the dialect runtime expressions, and the verbatim gate's
+  * numeric ties — to the three hand ports (within the ports' own
+  * documented pre-sum rounding) and to its output canonicalization
+  * (proving the rounding grid is nowhere near a knife edge, so the
+  * cross-engine hash match in CORRECTNESS is structural, not luck). */
+class PgDialectSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def norm(s: String): String = s.replaceAll("\\s+", " ").trim
+
+  // ------------------------------------------------------- rule snippets
+
+  test("rule 2: ^ binds tighter than / and left-associates") {
+    assert(norm(PgDialect.translate("select data/10^27 as x")) ==
+      "select pg_div(data, POWER(10, 27)) as x")
+    assert(norm(PgDialect.translate("select 2^3^2")) ==
+      "select POWER(POWER(2, 3), 2)")
+  }
+
+  test("rule 3: / consumes the full multiplicative chain on its left") {
+    assert(norm(PgDialect.translate("select a*b/c")) ==
+      "select pg_div(a*b, c)")
+    assert(norm(PgDialect.translate("select a/b*c")) ==
+      "select pg_div(a, b)*c")
+    assert(norm(PgDialect.translate("select count(*)/n from t")) ==
+      "select pg_div(count(*), n) from t")
+  }
+
+  test("rule 3: window-suffixed aggregate is one division operand") {
+    assert(norm(PgDialect.translate(
+      "select sum(rate) over(partition by i order by b)/10^27 from t")) ==
+      "select pg_div(sum(rate) over(partition by i order by b), POWER(10, 27)) from t")
+  }
+
+  test("rule 4: '::' casts — default numeric, args kept, double precision") {
+    assert(norm(PgDialect.translate("select null::numeric as sf")) ==
+      "select CAST(null AS DECIMAL(38,0)) as sf")
+    assert(norm(PgDialect.translate("select x::numeric(10,2)")) ==
+      "select CAST(x AS DECIMAL(10,2))")
+    assert(norm(PgDialect.translate("select (block_number/10000)::int as dt")) ==
+      "select CAST((pg_div(block_number, 10000)) AS INT) as dt")
+    assert(norm(PgDialect.translate("select x::double precision")) ==
+      "select CAST(x AS DOUBLE)")
+    assert(norm(PgDialect.translate("select x::text::bytea")) ==
+      "select CAST(CAST(x AS STRING) AS BINARY)")
+  }
+
+  test("rule 1+5: literal backslashes doubled; encode→pg_encode_escape") {
+    assert(norm(PgDialect.translate(
+      raw"select replace(encode(ilk, 'escape'), '\000', '')")) ==
+      raw"select replace(pg_encode_escape(ilk), '\\000', '')")
+  }
+
+  test("rule 6: implicitly-lateral generate_series gains LATERAL + column alias") {
+    assert(norm(PgDialect.translate(
+      "from ilks_2 cross join generate_series(starting_use, end_use, 1000) d")) ==
+      "from ilks_2 cross join LATERAL generate_series(starting_use, end_use, 1000) AS d(d)")
+  }
+
+  test("comments and string literals are never rewritten from inside") {
+    val sql = "select 'a/b^c' as s, x -- d/e\nfrom t /* f::int */"
+    assert(norm(PgDialect.translate(sql)) == norm(sql))
+  }
+
+  // --------------------------------------------------- runtime functions
+
+  test("pg_div: PG integer division truncates toward zero; mixed is float8") {
+    graft.codec.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT pg_div(-7, 2) AS a, pg_div(7, 2) AS b,
+        |       pg_div(7.0D, 2) AS c, pg_div(CAST(10 AS DECIMAL(38,0)), 4.0D) AS d,
+        |       pg_div(7, 0) AS e, pg_div(7.0D, 0.0D) AS f""".stripMargin).head()
+    assert(r.getLong(0) == -3L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 3.5 && r.getDouble(3) == 2.5)
+    assert(r.isNullAt(4) && r.isNullAt(5))
+  }
+
+  test("pg_encode_escape: PG escape format — octal NULs, doubled backslash") {
+    graft.codec.GraftFunctions.register(spark)
+    import spark.implicits._
+    val bytes = "ETH-A".getBytes("US-ASCII") ++ Array[Byte](0, 0, 7, '\\'.toByte)
+    val r = Seq(Tuple1(bytes)).toDF("b")
+      .selectExpr("pg_encode_escape(b) AS e",
+        raw"replace(pg_encode_escape(b), '\\000', '') AS stripped")
+      .head()
+    assert(r.getString(0) == raw"ETH-A\000\000\007\\")
+    assert(r.getString(1) == raw"ETH-A\007\\")
+  }
+
+  // ------------------------------------------------------ verbatim gate
+
+  test("verbatim result ties to the hand ports within their pre-sum rounding") {
+    // the ports stabilize float sums by rounding each row to 3dp BEFORE
+    // summing (oracleAssetsSql) — per (dt,collateral) group of n rows
+    // that moves the sum by at most n*5e-4, and the fixture's groups
+    // stay small; the VALUES must agree inside that envelope and the
+    // (dt, collateral, null-structure) skeleton must agree exactly
+    val verb = MakerDw.queries("assets_per_type_verbatim")(spark, dir).collect()
+    val port = MakerDw.queries("assets_per_type")(spark, dir).collect()
+    assert(verb.length == port.length && verb.nonEmpty)
+    def key(r: org.apache.spark.sql.Row) = (r.getInt(0), r.getString(1))
+    def v(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    val pm = port.map(r => key(r) -> (v(r, 2), v(r, 3), v(r, 4))).toMap
+    verb.foreach { r =>
+      val (pa, pr, pb) = pm(key(r))
+      def close(x: Option[Double], y: Option[Double], tol: Double): Boolean =
+        (x, y) match {
+          case (Some(a), Some(b)) => math.abs(a - b) <= tol
+          case (None, None) => true
+          case _ => false
+        }
+      assert(close(v(r, 2), pa, 0.02), s"asset diverges at ${key(r)}: ${v(r, 2)} vs $pa")
+      assert(close(v(r, 3), pr, 0.02), s"revenues diverge at ${key(r)}")
+      assert(close(v(r, 4), pb, 1e-6), s"blended diverges at ${key(r)}")
+    }
+  }
+
+  test("verbatim canonicalization is nowhere near a rounding knife edge") {
+    // the gate rounds raw float8 sums onto a fixed grid so JVM-vs-libm
+    // pow ulps and sum association order cancel cross-engine; that only
+    // holds if no true value sits AT a grid boundary. Mechanical proof
+    // on the RAW (pre-canonicalization) verbatim execution: every value
+    // lands ≥1e-4 grid units from the nearest .5 — a 1e-6-grid-unit
+    // engine divergence cannot flip any rounded digit.
+    graft.codec.GraftFunctions.register(spark)
+    graft.fixtures.MakerFixtures.ensureDemuxed(spark)
+    graft.catalog.Warehouse.materialize(spark,
+      graft.fixtures.MakerFixtures.demuxStorePath,
+      graft.fixtures.MakerFixtures.fixtureDefs)
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(MakerDw.referenceSqlPath)), "UTF-8")
+    val rows = PgDialect.run(spark, raw).collect()
+    assert(rows.length > 1000)
+    def margin(value: Double, dp: Int): Double = {
+      val x = math.abs(value) * math.pow(10, dp)
+      math.abs(x - math.floor(x) - 0.5)
+    }
+    rows.foreach { r =>
+      Seq((2, 2), (3, 2), (4, 8)).foreach { case (i, dp) =>
+        if (!r.isNullAt(i)) {
+          val m = margin(r.getDouble(i), dp)
+          assert(m >= 1e-4,
+            s"knife-edge at row $r col $i: margin $m for ${r.getDouble(i)} at ${dp}dp")
+        }
+      }
+    }
+  }
+}
