@@ -45,6 +45,53 @@ object Bench {
     * a core; a competing Spark JVM burns many. */
   private[graft] val ForeignCoreFloor = 1.0
 
+  /** Cumulative JVM GC wall (seconds) across all collectors — sampled
+    * around each query so a GC-dominated window is attributable (r11
+    * verdict #2: graph_pagerank_dangling recorded a 13.4 s / 58.9 s
+    * pass swing with NEITHER pass CPU-contended; its per-round
+    * localCheckpoint materializations are exactly the shape GC and disk
+    * stalls inflate, and the CPU-only foreign-load detector is blind to
+    * both). */
+  private def gcSec(): Double = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum / 1e3
+  }
+
+  /** One small synced write to the checkpoint/tmp dir, in ms — the
+    * direct probe of the OTHER non-CPU interference channel: disk
+    * stall. localCheckpoint spills through the block manager's disk
+    * store under memory pressure, and external IO load (another
+    * container flushing, a dropped page cache) inflates exactly the
+    * checkpoint-heavy queries. A healthy tmp dir syncs 256 KiB in
+    * single-digit ms; hundreds of ms marks the window io-interfered. */
+  private[graft] val IoProbeFloorMs = 200.0
+  private def ioProbeMs(): Double =
+    try {
+      val f = java.io.File.createTempFile("graft_ioprobe", ".bin")
+      val t0 = System.nanoTime()
+      val out = new java.io.FileOutputStream(f)
+      try { out.write(new Array[Byte](256 * 1024)); out.getFD.sync() }
+      finally out.close()
+      val ms = (System.nanoTime() - t0) / 1e6
+      f.delete()
+      ms
+    } catch { case _: Throwable => -1.0 }
+
+  /** One query's timing evidence: wall seconds plus the three
+    * interference channels its window saw — foreign CPU (the r9
+    * detector), GC seconds inside the window, and the post-query disk
+    * probe. `interference` names the channels that fired, so a slow
+    * number either carries its mechanical explanation or provably has
+    * none (and then the median-of-3 rerun rule arbitrates). */
+  private[graft] case class QTime(wall: Double, contended: Boolean,
+                                  gc: Double, ioMs: Double) {
+    def interference: Seq[String] =
+      (if (contended) Seq("cpu") else Nil) ++
+        (if (gc > math.max(0.5, 0.2 * wall)) Seq("gc") else Nil) ++
+        (if (ioMs > IoProbeFloorMs) Seq("io") else Nil)
+  }
+
   /** One timed pass over `qs`. For each query: Some((wall, contended)),
     * None = the query FAILED — a failure must never post a wall time
     * (r7: two analysis-broken queries benched at 0.5 s and nobody
@@ -57,9 +104,9 @@ object Bench {
     * (BenchSpec). */
   private[graft] def timedPass(spark: SparkSession, sfDir: String,
       qs: Map[String, (SparkSession, String) =>
-        org.apache.spark.sql.DataFrame]): Map[String, Option[(Double, Boolean)]] =
+        org.apache.spark.sql.DataFrame]): Map[String, Option[QTime]] =
     qs.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (busy0, own0) = (hostBusySec(), ownCpuSec())
+      val (busy0, own0, gc0) = (hostBusySec(), ownCpuSec(), gcSec())
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>
@@ -68,14 +115,19 @@ object Bench {
           false
       }
       val dt = (System.nanoTime() - t0) / 1e9
-      val (busy1, own1) = (hostBusySec(), ownCpuSec())
+      val (busy1, own1, gc1) = (hostBusySec(), ownCpuSec(), gcSec())
       val contended =
         busy0 >= 0 && busy1 >= 0 && own0 >= 0 && own1 >= 0 && dt > 0.05 &&
           ((busy1 - busy0) - (own1 - own0)) / dt > ForeignCoreFloor
+      // the disk probe runs once, AFTER the query (so it never delays a
+      // healthy window) — it samples the same device localCheckpoint
+      // spills and shuffle files land on
+      val io = ioProbeMs()
       // queries persist intermediates (LSH bands, shingles); drop them so
       // accumulated storage doesn't steal execution memory from later ones
       spark.catalog.clearCache()
-      name -> (if (ok) Some((dt, contended)) else None)
+      name -> (if (ok) Some(QTime(dt, contended, math.max(0.0, gc1 - gc0), io))
+               else None)
     }.toMap
 
   /** Java processes on this host other than our own JVM (and our parent
@@ -178,15 +230,71 @@ object Bench {
     * p1-vs-p2 deltas attribute cold one-time costs (index builds, page
     * cache) per query mechanically, instead of the hand-run probe
     * passes the r8 q17 drift investigation needed (r8 ADVICE item 5). */
-  private[graft] def passJson(p: Map[String, Option[(Double, Boolean)]]): String =
-    p.toSeq.sortBy(_._1).collect { case (k, Some((v, _))) =>
-      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", v)
+  private[graft] def passJson(p: Map[String, Option[QTime]]): String =
+    p.toSeq.sortBy(_._1).collect { case (k, Some(q)) =>
+      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", q.wall)
     }.mkString("{", ",", "}")
 
   /** Queries marked contended in a pass, as a JSON array. */
-  private[graft] def contendedJson(p: Map[String, Option[(Double, Boolean)]]): String =
-    p.toSeq.sortBy(_._1).collect { case (k, Some((_, true))) => "\"" + k + "\"" }
+  private[graft] def contendedJson(p: Map[String, Option[QTime]]): String =
+    p.toSeq.sortBy(_._1).collect { case (k, Some(q)) if q.contended => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+
+  /** Per-query interference channels for a pass ({"name":["gc","io"]}),
+    * only queries where some channel fired — the mechanical explanation
+    * an unexplained pass swing previously lacked. */
+  private[graft] def interferenceJson(p: Map[String, Option[QTime]]): String =
+    p.toSeq.sortBy(_._1).collect {
+      case (k, Some(q)) if q.interference.nonEmpty =>
+        "\"" + k + "\":" + q.interference.map("\"" + _ + "\"").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+
+  /** The rerun rule (r11 verdict #2): two passes disagreeing by more
+    * than 2x with NEITHER window CPU-contended is exactly the signal
+    * the bench previously could not arbitrate — the suspect gets a
+    * third pass and its record becomes the MEDIAN of the three, so a
+    * one-off stall (GC, disk, scheduler) can neither inflate the record
+    * nor hide a real regression behind min-of-two luck. */
+  private[graft] def suspectsOf(p1: Map[String, Option[QTime]],
+                                p2: Map[String, Option[QTime]]): Seq[String] =
+    p1.keys.toSeq.sorted.filter { k =>
+      (p1.get(k).flatten, p2.get(k).flatten) match {
+        case (Some(a), Some(b)) =>
+          val hi = math.max(a.wall, b.wall)
+          val lo = math.min(a.wall, b.wall)
+          lo > 0.05 && hi / lo > 2.0 && !a.contended && !b.contended
+        case _ => false
+      }
+    }
+
+  private[graft] def median3(a: Double, b: Double, c: Double): Double =
+    Seq(a, b, c).sorted.apply(1)
+
+  /** The sf1 headline subset (r11 verdict #3): TPC-H anchors incl. the
+    * one-scan forms, the dedup family, brute + IVF vector search, text
+    * quality, and an iterative graph workload. Chosen to exercise every
+    * scaling-sensitive plan family while avoiding fixture-bound gates
+    * (maker_*) and the heaviest per-code-build index constructions (the
+    * lineitem self-join edge caches), whose one-time cost would drown
+    * the per-query signal in a single-pass tier.
+    *
+    * q17_assets_shape was MEASURED at sf1 once and then excluded: its
+    * series fill is keys × span by QUERY SEMANTICS, and this fixture
+    * scales both 10× (≈560× fill rows, ~0.8 B) — wall grew only 92.7×
+    * (2.87→266 s), so per-row throughput IMPROVED ~6× and the engine is
+    * sub-linear in its actual work; but 266 s of fixture-construction
+    * quadratics per bench run measures the fixture, not the engine (the
+    * reference's real warehouse holds ilk count FIXED as blocks grow,
+    * where that fill grows linearly). Full analysis: SURVEY §7.13. */
+  private[graft] val Sf1Queries: Set[String] = Set(
+    "q01_agg", "q02_filter_pushdown", "q10_join_star",
+    "q41_tpch_q3", "q42_tpch_q5", "q43_tpch_q18", "q52_tpch_q12",
+    "q56_tpch_q6", "q59_tpch_q9", "q44_tpch_q21",
+    "q45_tpch_q21_onescan", "q64_tpch_q15_onescan",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "quality_gopher", "quality_langid",
+    "ann_topk_brute", "ann_topk_ivf", "emb_semdedup",
+    "graph_pagerank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -223,7 +331,7 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => }
     }
-    def pass(): Map[String, Option[(Double, Boolean)]] =
+    def pass(): Map[String, Option[QTime]] =
       timedPass(spark, sfDir, SparkEntry.queries)
     // builds triggered by warmup/anything before pass 1 would misattribute
     graft.ops.BuildLog.drain()
@@ -235,7 +343,7 @@ object Bench {
     // the cold ceiling gates on; the deltas minus the named builds are
     // reported as unattributed noise (host weather), never as a failure.
     val builds1 = graft.ops.BuildLog.drain()
-    val p1Total = p1.values.flatten.map(_._1).sum
+    val p1Total = p1.values.flatten.map(_.wall).sum
     // a second timed pass absorbs residual one-off costs (page cache,
     // JIT, a transient competing load); per-query MIN is the standard
     // repeated-measurement reduction. An INFLATED pass 1 is precisely
@@ -246,11 +354,30 @@ object Bench {
     // must sit far above the honest cold total and only bound the truly
     // pathological case).
     val p2 = if (p1Total < 900.0) Some(pass()) else None
-    // per-query MIN over the passes a query SUCCEEDED in; a query with no
-    // successful pass lands in `failed`, not in the timings
+    // ---- rerun rule (r11 verdict #2): >2x pass disagreement with
+    // neither window CPU-contended gets a third, targeted pass; those
+    // queries report the MEDIAN of their three walls instead of the min.
+    // Cold one-time builds land here by design (p1 carries them) and
+    // resolve to the warm number; a genuinely bimodal query keeps its
+    // outlier VISIBLE in reran+p3_queries instead of silently winning
+    // or losing a two-sample coin flip.
+    val suspects: Seq[String] = p2.map(suspectsOf(p1, _)).getOrElse(Nil)
+    val p3: Option[Map[String, Option[QTime]]] =
+      if (suspects.nonEmpty)
+        Some(timedPass(spark, sfDir,
+          SparkEntry.queries.filter(kv => suspects.contains(kv._1))))
+      else None
+    // per-query MIN over the passes a query SUCCEEDED in (median-of-3
+    // for rerun suspects); a query with no successful pass lands in
+    // `failed`, not in the timings
     val merged: Map[String, Option[Double]] = p1.map { case (k, v1) =>
       val v2 = p2.flatMap(_.getOrElse(k, None))
-      k -> (v1.map(_._1).toSeq ++ v2.map(_._1).toSeq).reduceOption(_ min _)
+      val v3 = p3.flatMap(_.getOrElse(k, None))
+      val walls = (v1.toSeq ++ v2.toSeq ++ v3.toSeq).map(_.wall)
+      k -> (walls match {
+        case Seq(a, b, c) if suspects.contains(k) => Some(median3(a, b, c))
+        case ws => ws.reduceOption(_ min _)
+      })
     }
     val results: Map[String, Double] = merged.collect { case (k, Some(v)) => k -> v }
     val failed: Seq[String] = merged.collect { case (k, None) => k }.toSeq.sorted
@@ -260,8 +387,9 @@ object Bench {
     // the per-query min; one contended in EVERY successful pass carries a
     // potentially inflated best time — only those count as run evidence.
     val contendedBoth: Seq[String] = p1.keys.toSeq.sorted.filter { k =>
-      val passes = (p1.get(k).flatten.toSeq ++ p2.flatMap(_.get(k).flatten).toSeq)
-      passes.nonEmpty && passes.forall(_._2)
+      val passes = (p1.get(k).flatten.toSeq ++ p2.flatMap(_.get(k).flatten).toSeq ++
+        p3.flatMap(_.get(k).flatten).toSeq)
+      passes.nonEmpty && passes.forall(_.contended)
     }
     // ---- cold-cost budget (r9 verdict #8, made CAUSAL per r10 verdict
     // #2): the inferred Σ max(0, p1−p2) still reports the total one-time
@@ -276,9 +404,9 @@ object Bench {
     val coldCeiling = sys.env.getOrElse("SPARK_GRAFT_COLD_CEILING", "240").toDouble
     val coldDeltas: Seq[(String, Double)] = p2.toSeq.flatMap { pp2 =>
       p1.toSeq.collect {
-        case (k, Some((v1, contended1)))
-          if !contended1 && pp2.get(k).flatten.exists(v1 - _._1 > 0) =>
-          k -> (v1 - pp2(k).get._1)
+        case (k, Some(q1))
+          if !q1.contended && pp2.get(k).flatten.exists(q1.wall - _.wall > 0) =>
+          k -> (q1.wall - pp2(k).get.wall)
       }
     }.sortBy(-_._2)
     val coldTotal = coldDeltas.map(_._2).sum
@@ -290,12 +418,14 @@ object Bench {
       "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.2f", d)
     }.mkString("{", ",", "}")
     val coldExceeded = p2.nonEmpty && namedTotal > coldCeiling
-    // ---- optional concurrent throughput pass (r10 verdict #7): runs
-    // AFTER the sequential timed passes so it cannot contaminate them;
-    // opt-in, so the driver's default sequential numbers stay comparable
-    // across rounds.
-    val concurrentJson = sys.env.get("SPARK_GRAFT_CONCURRENCY")
-      .flatMap(_.toIntOption).filter(_ > 1).map { n =>
+    // ---- concurrent throughput pass: runs AFTER the sequential timed
+    // passes so it cannot contaminate them. DEFAULT-ON at 8 threads
+    // since r12 (r11 verdict #7: the 8-thread hash-checked record is
+    // the bench's best scale evidence and must trend round-over-round,
+    // not run once); SPARK_GRAFT_CONCURRENCY overrides the thread
+    // count, 0/1 disables.
+    val concurrentJson = Some(sys.env.get("SPARK_GRAFT_CONCURRENCY")
+      .flatMap(_.toIntOption).getOrElse(8)).filter(_ > 1).map { n =>
         val (wall, ran, bad, errs) = concurrentPass(spark, sfDir, n)
         if (bad.nonEmpty)
           System.err.println(s"[bench] CONCURRENT HASH MISMATCH: ${bad.mkString(",")}")
@@ -308,6 +438,48 @@ object Bench {
       }
     def f3(d: Double): String = String.format(java.util.Locale.ROOT, "%.3f", d)
     def f2(d: Double): String = String.format(java.util.Locale.ROOT, "%.2f", d)
+    // ---- sf1 scale tier (r11 verdict #3): ~20 headline queries re-run
+    // at 10× the data (self-generated, deterministic — ScaleFixtures),
+    // AFTER every sf0.1 measurement so it cannot contaminate them.
+    // `ratio` = sf1 wall / this run's best sf0.1 wall: ~10 is linear
+    // scan-bound scaling, well under 10 means fixed costs dominate,
+    // well OVER 10 is the super-linear cliff this tier exists to catch.
+    // Single pass; one-time builds it triggers are BuildLog-named and
+    // reported in `builds` below (the fixture itself builds once EVER —
+    // marker-guarded on disk). Disable with SPARK_GRAFT_SF1=0.
+    val sf1Json: String = if (sys.env.get("SPARK_GRAFT_SF1").contains("0")) ""
+      else try {
+        graft.ops.BuildLog.drain() // isolate sf1-attributed builds
+        val sf1Dir = graft.fixtures.ScaleFixtures.ensureSf1(spark)
+        Seq("lineitem", "documents", "embeddings").foreach { t =>
+          try spark.read.parquet(s"$sf1Dir/$t.parquet").count()
+          catch { case _: Throwable => }
+        }
+        val subset = SparkEntry.queries.filter(kv => Sf1Queries.contains(kv._1))
+        val t = timedPass(spark, sf1Dir, subset)
+        val builds = graft.ops.BuildLog.drain()
+        val ratios = t.toSeq.sortBy(_._1).collect {
+          case (k, Some(q)) if results.get(k).exists(_ > 0.01) =>
+            "\"" + k + "\":" + f2(q.wall / results(k))
+        }.mkString("{", ",", "}")
+        val buildsJson = builds.take(10).map { case (k, d) =>
+          "\"" + k + "\":" + f2(d)
+        }.mkString("{", ",", "}")
+        val failed1 = t.collect { case (k, None) => "\"" + k + "\"" }
+        s""""sf1":{"queries":${passJson(t)},"ratio":$ratios,""" +
+          s""""interference":${interferenceJson(t)},""" +
+          s""""failed":${failed1.mkString("[", ",", "]")},""" +
+          s""""builds":$buildsJson,"total":${
+            f2(t.values.flatten.map(_.wall).sum)}},"""
+      } catch {
+        // the sf1 tier is ADDITIVE evidence: a missing base fixture or
+        // a build failure reports loudly here but must never discard
+        // the sequential sf0.1 measurements above
+        case e: Throwable =>
+          System.err.println(s"[bench] sf1 tier failed: " +
+            s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+          s""""sf1":{"error":"${e.getClass.getSimpleName}"},"""
+      }
     def qs(f: Double => String) = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -325,7 +497,7 @@ object Bench {
       s""""load":[${f2(loadAtStart)},${f2(loadBefore)},${f2(loadAvg())}],""" +
       s""""wait_s":${settledMs / 1000},""" +
       s""""passes":${1 + p2.size},"p1":${f2(p1Total)},""" +
-      s""""p2":${f2(p2.map(_.values.flatten.map(_._1).sum).getOrElse(-1.0))},""" +
+      s""""p2":${f2(p2.map(_.values.flatten.map(_.wall).sum).getOrElse(-1.0))},""" +
       s""""cpus":$cpus,"contaminated":$contaminated}"""
     // Two copies on purpose (the r5→r7 lesson: the harness reads a
     // ~2000-char tail of stdout, and a 106-query map overflows it even
@@ -336,6 +508,11 @@ object Bench {
     val full = s"""{"queries":${qs(f3)},"failed":$failedJson,"sf":"$sfDir",""" +
       s""""p1_queries":${passJson(p1)},""" +
       s""""p2_queries":${p2.map(passJson).getOrElse("{}")},""" +
+      s""""p3_queries":${p3.map(passJson).getOrElse("{}")},""" +
+      s""""reran":${suspects.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""p1_interference":${interferenceJson(p1)},""" +
+      s""""p2_interference":${p2.map(interferenceJson).getOrElse("{}")},""" +
+      s""""p3_interference":${p3.map(interferenceJson).getOrElse("{}")},""" +
       s""""p1_contended":${contendedJson(p1)},""" +
       s""""p2_contended":${p2.map(contendedJson).getOrElse("[]")},""" +
       s""""contended_all_passes":${
@@ -344,7 +521,7 @@ object Bench {
       s""""unattributed":${f2(math.max(0.0, coldTotal - namedTotal))},""" +
       s""""ceiling":${f2(coldCeiling)},"exceeded":${coldExceeded},""" +
       s""""builds":$buildsJson,"top":$coldTopJson},""" +
-      concurrentJson.map(_._1).getOrElse("") +
+      concurrentJson.map(_._1).getOrElse("") + sf1Json +
       s"""$env,"metric":"total","value":${f3(total)},"unit":"sec"}"""
     val sfShort = new java.io.File(sfDir).getName
     val failedShown = failed.take(12)

@@ -140,9 +140,132 @@ object Evolution {
         sum(col("value").cast("decimal(18,6)")).cast("double").as("val_sum"))
       .orderBy("event_type")
 
+  /** Build (once per session) the TYPE-WIDENING gate store (round-12
+    * agenda #4): v1 appends `cnt` as INT and `amt` as DECIMAL(12,4);
+    * the widened batch appends `cnt` as LONG with values past
+    * Int.MaxValue — the counter-outgrows-int moment every production
+    * ingest eventually hits — and `amt` as DECIMAL(24,4). Structurally
+    * asserted: v1 files survive by reference (widening rewrites
+    * nothing), the recorded schema takes the WIDER types, and the
+    * NON-widening changes stay loudly rejected (decimal scale change,
+    * numeric→string). A post-widening narrow append (upcast-on-read,
+    * record unchanged) is spec'd in SchemaEvolutionSpec, where its
+    * extra rows don't complicate this gate's oracle. */
+  private[graft] def builtWideningStore(s: SparkSession, dir: String): ManifestStore =
+    buildOnce(s, gateRoot(dir) + "_widen", "widening_gate_store") { store =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"))
+      store.append(s, ev.filter(col("event_id") % 2 === 0)
+          .withColumn("cnt", col("event_id").cast("int"))
+          .withColumn("amt", (col("event_id") * lit(0.0625)).cast("decimal(12,4)")),
+        rangeCol = Some("event_id"))
+      val filesBefore = store.currentFiles(s).toSet
+      store.append(s, ev.filter(col("event_id") % 2 === 1)
+          .withColumn("cnt", col("event_id") + lit(3000000000L))
+          .withColumn("amt", (col("event_id") * lit(0.0625) + lit(1.0e10))
+            .cast("decimal(24,4)")),
+        rangeCol = Some("event_id"))
+      // widening is metadata-only: every narrow file survives by reference
+      require(filesBefore.subsetOf(store.currentFiles(s).toSet),
+        "type widening rewrote v1 files")
+      val sc = store.currentSchema(s).get
+      require(sc("cnt").dataType == org.apache.spark.sql.types.LongType &&
+        sc("amt").dataType == org.apache.spark.sql.types.DecimalType(24, 4),
+        s"widened schema not recorded: $sc")
+      // NON-widening changes stay loud: a decimal SCALE change...
+      val scaled = scala.util.Try(store.append(s,
+        ev.filter(col("event_id") === 0)
+          .withColumn("cnt", col("event_id").cast("int"))
+          .withColumn("amt", (col("event_id") * lit(0.0625)).cast("decimal(24,2)"))))
+      require(scaled.isFailure &&
+        scaled.failed.get.getMessage.contains("type conflict"),
+        s"decimal scale change was not rejected: $scaled")
+      // ...and a numeric→string flip
+      val flipped = scala.util.Try(store.append(s,
+        ev.filter(col("event_id") === 0)
+          .withColumn("cnt", col("event_id").cast("string"))
+          .withColumn("amt", (col("event_id") * lit(0.0625)).cast("decimal(24,4)"))))
+      require(flipped.isFailure &&
+        flipped.failed.get.getMessage.contains("type conflict"),
+        s"numeric->string change was not rejected: $flipped")
+    }
+
+  /** Gate: rollup across the widening boundary — old int/narrow-decimal
+    * files and new long/wide-decimal files read back as ONE table at
+    * the widened types; equality with the oracle's reconstruction
+    * proves the upcast read exactly (a single value read at the wrong
+    * width breaks the hash; cnt_max > Int.MaxValue proves the fixture
+    * actually exercises the overflow regime). */
+  def storeTypeWidening(s: SparkSession, dir: String): DataFrame =
+    builtWideningStore(s, dir).read(s).get
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cnt")).as("cnt_sum"),
+        max(col("cnt")).as("cnt_max"),
+        sum(col("amt")).cast("double").as("amt_sum"))
+      .orderBy("event_type")
+
+  /** Build (once per session) the RENAME gate store (round-12 agenda
+    * #6): two appends under the v1 name, a METADATA-ONLY
+    * `user_id`→`uid` rename, then a post-rename append already carrying
+    * `uid` — so the gate's read spans files with BOTH physical names.
+    * Structurally asserted: zero data files touched by the rename, the
+    * recorded schema shows the new name in the old position, pre-rename
+    * time travel shows the old name, a replayed rename is a no-op, and
+    * re-adding the retired name is alias-rejected until compact(). */
+  private[graft] def builtRenameStore(s: SparkSession, dir: String): ManifestStore =
+    buildOnce(s, gateRoot(dir) + "_rename", "rename_gate_store") { store =>
+      val ev = events4(s, dir)
+      store.append(s, ev.filter(col("event_id") % 3 === 0),
+        rangeCol = Some("event_id"))
+      store.append(s, ev.filter(col("event_id") % 3 === 1),
+        rangeCol = Some("event_id"))
+      val filesBefore = store.currentFiles(s).toSet
+      val vBefore = store.currentVersion(s)
+      store.renameColumn(s, "user_id", "uid", commitKey = Some("ren-uid-1"))
+      // METADATA-ONLY: the rename touched zero data files
+      require(store.currentFiles(s).toSet == filesBefore,
+        "renameColumn rewrote data files - not metadata-only")
+      require(store.currentSchema(s).exists(_.fieldNames.toSeq ==
+        Seq("event_id", "uid", "event_type", "value")),
+        s"renamed schema wrong: ${store.currentSchema(s)}")
+      // replay of the same rename request is a no-op
+      store.renameColumn(s, "user_id", "uid", commitKey = Some("ren-uid-1"))
+      require(store.currentVersion(s) == vBefore + 1, "rename replay committed")
+      // pre-rename time travel shows the OLD name
+      require(store.readVersion(s, vBefore).get.columns.contains("user_id"),
+        "pre-rename time travel lost the old name")
+      // the post-rename generation writes the NEW physical name
+      store.append(s, ev.filter(col("event_id") % 3 === 2)
+        .withColumnRenamed("user_id", "uid"), rangeCol = Some("event_id"))
+      // re-adding the retired physical name pre-compact is rejected:
+      // a new `user_id` would merge with pre-rename bytes in the union
+      val readd = scala.util.Try(store.append(s,
+        ev.filter(col("event_id") === 0)
+          .withColumnRenamed("user_id", "uid")
+          .withColumn("user_id", lit(-1L))))
+      require(readd.isFailure &&
+        readd.failed.get.getMessage.contains("retired"),
+        s"retired-name re-add was not rejected: $readd")
+    }
+
+  /** Gate: rollup by the RENAMED column across all three generations —
+    * pre-rename files (physical `user_id`) and post-rename files
+    * (physical `uid`) must read back as ONE `uid` column, value-exact
+    * against the oracle's reconstruction from the fixture. */
+  def storeRenameColumn(s: SparkSession, dir: String): DataFrame =
+    builtRenameStore(s, dir).read(s).get
+      .groupBy((col("uid") % 7).as("uid_bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("uid")).as("uid_sum"),
+        sum(col("event_id")).as("id_sum"))
+      .orderBy("uid_bucket")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "store_schema_evolution" -> (storeSchemaEvolution _),
-    "store_drop_column" -> (storeDropColumn _))
+    "store_drop_column" -> (storeDropColumn _),
+    "store_type_widening" -> (storeTypeWidening _),
+    "store_rename_column" -> (storeRenameColumn _))
 
   val oracle: Map[String, String] = Map(
     "store_schema_evolution" -> """
@@ -162,5 +285,24 @@ object Evolution {
       SELECT event_type, COUNT(*) AS n,
         CAST(SUM(event_id) AS BIGINT) AS id_sum,
         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS val_sum
-      FROM events GROUP BY event_type ORDER BY event_type""")
+      FROM events GROUP BY event_type ORDER BY event_type""",
+    "store_type_widening" -> """
+      WITH w AS (
+        SELECT event_type, CAST(event_id AS BIGINT) AS cnt,
+          CAST(event_id * CAST(0.0625 AS DOUBLE) AS DECIMAL(12,4)) AS amt
+        FROM events WHERE event_id % 2 = 0
+        UNION ALL
+        SELECT event_type, event_id + 3000000000,
+          CAST(event_id * CAST(0.0625 AS DOUBLE) + 10000000000 AS DECIMAL(24,4))
+        FROM events WHERE event_id % 2 = 1)
+      SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(cnt) AS BIGINT) AS cnt_sum,
+        CAST(MAX(cnt) AS BIGINT) AS cnt_max,
+        CAST(SUM(amt) AS DOUBLE) AS amt_sum
+      FROM w GROUP BY event_type ORDER BY event_type""",
+    "store_rename_column" -> """
+      SELECT user_id % 7 AS uid_bucket, COUNT(*) AS n,
+        CAST(SUM(user_id) AS BIGINT) AS uid_sum,
+        CAST(SUM(event_id) AS BIGINT) AS id_sum
+      FROM events GROUP BY 1 ORDER BY 1""")
 }

@@ -112,7 +112,8 @@ final class ManifestStore(val root: String) extends Serializable {
   private case class Snapshot(version: Long, key: Option[String],
                               rangeCol: Option[String], files: Seq[FileEntry],
                               schemaJson: Option[String] = None,
-                              tombstones: Seq[String] = Nil)
+                              tombstones: Seq[String] = Nil,
+                              renames: Seq[(String, String)] = Nil)
 
   /** None when the version has no complete manifest: either the manifest
     * file is missing (the claim's writer crashed before publishing, or is
@@ -140,8 +141,17 @@ final class ManifestStore(val root: String) extends Serializable {
     val tombstones = meta.collectFirst { case m if m.startsWith("#tombstones:") =>
       m.stripPrefix("#tombstones:").split(',').toSeq.filter(_.nonEmpty)
     }.getOrElse(Nil)
+    // rename aliases: `retiredPhysical>currentLogical` entries, ordered
+    // by retirement time (a renamed column's old files keep its old
+    // physical name until compact() rewrites them)
+    val renames = meta.collectFirst { case m if m.startsWith("#renames:") =>
+      m.stripPrefix("#renames:").split(',').toSeq.filter(_.nonEmpty).map { e =>
+        val i = e.indexOf('>')
+        (e.substring(0, i), e.substring(i + 1))
+      }
+    }.getOrElse(Nil)
     Some(Snapshot(v, key, rangeCol, files.map(FileEntry.parse), schemaJson,
-      tombstones))
+      tombstones, renames))
   }
 
   /** Highest complete snapshot within `versions`, walking past claimed-
@@ -305,7 +315,9 @@ final class ManifestStore(val root: String) extends Serializable {
                          schema: Option[Snapshot] => Option[String] =
                            _.flatMap(_.schemaJson),
                          tombstones: Option[Snapshot] => Seq[String] =
-                           _.map(_.tombstones).getOrElse(Nil))
+                           _.map(_.tombstones).getOrElse(Nil),
+                         renames: Option[Snapshot] => Seq[(String, String)] =
+                           _.map(_.renames).getOrElse(Nil))
                         (build: Option[Snapshot] => Seq[FileEntry]): Long = {
     val f = fs(spark)
     f.mkdirs(manifestsDir)
@@ -326,6 +338,7 @@ final class ManifestStore(val root: String) extends Serializable {
       // evolution is seen before publishing.
       val sj = schema(snap)
       val tomb = tombstones(snap)
+      val ren = renames(snap)
       val files = build(snap)
       val rc = rangeCol.orElse(snap.flatMap(_.rangeCol))
       // NO-OP SHORT-CIRCUIT: a commit that would publish the exact same
@@ -347,12 +360,15 @@ final class ManifestStore(val root: String) extends Serializable {
       // exist the first time.
       if ((key.isEmpty || noopSkippableWithKey) &&
           snap.exists(p => p.files == files && p.rangeCol == rc &&
-            p.schemaJson == sj && p.tombstones == tomb))
+            p.schemaJson == sj && p.tombstones == tomb && p.renames == ren))
         return snap.get.version
       val body = (key.map("#key:" + _).toSeq ++
         rc.map("#rangeCol:" + _).toSeq ++
         sj.map("#schema:" + _).toSeq ++
         (if (tomb.nonEmpty) Seq("#tombstones:" + tomb.mkString(",")) else Nil) ++
+        (if (ren.nonEmpty)
+          Seq("#renames:" + ren.map { case (o, n) => s"$o>$n" }.mkString(","))
+        else Nil) ++
         files.map(_.serialized) ++ Seq(Terminator))
         .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)
       val v = versions.lastOption.getOrElse(0L) + 1
@@ -405,7 +421,8 @@ final class ManifestStore(val root: String) extends Serializable {
   private[graft] def evolveSchema(
       prev: Option[org.apache.spark.sql.types.StructType],
       next: org.apache.spark.sql.types.StructType,
-      tombstones: Set[String] = Set.empty)
+      tombstones: Set[String] = Set.empty,
+      retired: Set[String] = Set.empty)
   : org.apache.spark.sql.types.StructType = prev match {
     case None => next
     case Some(p) =>
@@ -420,6 +437,18 @@ final class ManifestStore(val root: String) extends Serializable {
           "dropped and their bytes may still exist in pre-drop files - " +
           "run compact() (which physically removes them and clears the " +
           "tombstone) before re-adding the name.")
+      // same hazard for a RENAMED column's retired physical name:
+      // pre-rename files still carry it, and a new column under that
+      // name would MERGE with those bytes in the read union
+      val shadowed = next.fieldNames
+        .filter(n => retired.contains(n.toLowerCase) &&
+          !p.fieldNames.exists(_.equalsIgnoreCase(n)))
+      require(shadowed.isEmpty,
+        s"ManifestStore($root): column(s) ${shadowed.mkString(",")} are " +
+          "retired physical names of renamed columns and their bytes may " +
+          "still exist in pre-rename files - run compact() (which " +
+          "physically renames them and clears the alias) before reusing " +
+          "the name.")
       // names match CASE-INSENSITIVELY: Spark's read-path resolution
       // (unionByName under the default spark.sql.caseSensitive=false)
       // is case-insensitive, so a case-variant of an existing column is
@@ -429,29 +458,66 @@ final class ManifestStore(val root: String) extends Serializable {
       val incoming = next.fields.map(f => f.name.toLowerCase -> f).toMap
       val conflicts = p.fields.flatMap { f =>
         incoming.get(f.name.toLowerCase)
-          .filter(_.dataType.simpleString != f.dataType.simpleString)
+          .filter(n => n.dataType.simpleString != f.dataType.simpleString &&
+            !widens(f.dataType, n.dataType) && !widens(n.dataType, f.dataType))
           .map(n => s"${f.name}: stored ${f.dataType.simpleString} vs " +
             s"incoming ${n.dataType.simpleString}")
       }
       require(conflicts.isEmpty,
         s"ManifestStore($root): schema evolution rejected - type conflict " +
-          s"on ${conflicts.mkString("; ")}. Adding columns is supported " +
-          "(union-by-name, old rows read them as null); changing a " +
-          "column's type is a rewrite, not an append.")
+          s"on ${conflicts.mkString("; ")}. Adding columns and LOSSLESS " +
+          "widenings (int->long, float->double, decimal(p,s)->(p+k,s)) " +
+          "are supported; any other type change is a rewrite, not an " +
+          "append.")
       val prevNames = p.fieldNames.map(_.toLowerCase).toSet
+      // safe type widening (round-12 agenda #4, the Delta/Iceberg
+      // lattice): a matching column whose incoming type strictly WIDENS
+      // the stored one evolves the recorded schema to the wider type —
+      // old files keep their narrow physical type and the read path's
+      // unionByName + recorded-schema projection upcasts them. An
+      // incoming NARROWER batch (int arriving at a long column) is
+      // accepted without changing the record: upcast-on-read covers it.
+      val widened = p.fields.map { f =>
+        incoming.get(f.name.toLowerCase) match {
+          case Some(n) if widens(f.dataType, n.dataType) =>
+            f.copy(dataType = n.dataType, nullable = f.nullable || n.nullable)
+          case _ => f
+        }
+      }
       // evolved-in columns are ALWAYS recorded nullable: every
       // pre-existing row reads the new column as null, so a
       // non-nullable incoming field would make the recorded schema
       // claim a constraint the data violates (Delta does the same)
       org.apache.spark.sql.types.StructType(
-        p.fields ++ next.fields.filterNot(f =>
+        widened ++ next.fields.filterNot(f =>
           prevNames.contains(f.name.toLowerCase)).map(_.copy(nullable = true)))
+  }
+
+  /** The lossless widening lattice (what Delta's type widening and
+    * Iceberg's schema evolution both accept): every value of `from` is
+    * exactly representable in `to`, so no rewrite is needed — old files
+    * stay narrow and upcast on read. Everything else (narrowing,
+    * int->double's 2^53 cliff, decimal scale changes, string<->numeric)
+    * stays a LOUD commit-time rejection. */
+  private[graft] def widens(from: org.apache.spark.sql.types.DataType,
+                            to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale == f.scale && t.precision > f.precision
+      case _ => false
+    }
   }
 
   /** The commit-time schema evolver for a data-writing commit of `df`. */
   private def evolver(df: DataFrame): Option[Snapshot] => Option[String] =
     snap => Some(evolveSchema(baselineSchema(df.sparkSession, snap), df.schema,
-      snap.map(_.tombstones.toSet).getOrElse(Set.empty)).json)
+      snap.map(_.tombstones.toSet).getOrElse(Set.empty),
+      snap.map(_.renames.map(_._1.toLowerCase).toSet).getOrElse(Set.empty)).json)
 
   /** The store's recorded logical schema, when schema tracking has seen
     * at least one commit (None on pre-tracking or empty stores). */
@@ -469,11 +535,31 @@ final class ManifestStore(val root: String) extends Serializable {
     schemaOf(Some(snap)) match {
       case None => df
       case Some(sc) =>
-        val present = df.columns.map(c => c.toLowerCase -> c).toMap
+        val present = df.schema.fields.map(f => f.name.toLowerCase -> f).toMap
         df.select(sc.fields.toSeq.map { f =>
-          present.get(f.name.toLowerCase) match {
-            case Some(c) => col(c).as(f.name)
-            case None => lit(null).cast(f.dataType).as(f.name)
+          // physical candidates for this logical column: its own name
+          // plus every RETIRED name renameColumn aliased onto it (old
+          // files keep the pre-rename physical name until compact).
+          // Any row comes from exactly one file, which carries at most
+          // one candidate, so coalesce order cannot change a value —
+          // newest-first is just the cheapest common case.
+          val candidates = (f.name +:
+            snap.renames.reverse.collect {
+              case (old, cur) if cur.equalsIgnoreCase(f.name) => old
+            }).flatMap(n => present.get(n.toLowerCase)).distinct
+          // upcast-on-read half of type widening: a snapshot whose
+          // surviving files all predate a widening still reads at the
+          // RECORDED (wide) type. Cast ONLY on a genuine type change —
+          // simpleString ignores nullability, and Catalyst REJECTS e.g.
+          // array<double> → array<double> casts that differ only in
+          // containsNull (observed: ann_* gates)
+          def read(pf: org.apache.spark.sql.types.StructField) =
+            if (pf.dataType.simpleString == f.dataType.simpleString) col(pf.name)
+            else col(pf.name).cast(f.dataType)
+          candidates match {
+            case Seq() => lit(null).cast(f.dataType).as(f.name)
+            case Seq(pf) => read(pf).as(f.name)
+            case many => coalesce(many.map(read): _*).as(f.name)
           }
         }: _*)
     }
@@ -525,6 +611,68 @@ final class ManifestStore(val root: String) extends Serializable {
       },
       tombstones = prev =>
         (prev.map(_.tombstones).getOrElse(Nil) ++ lower.toSeq.sorted).distinct
+    )(prev => prev.map(_.files).getOrElse(Nil))
+  }
+
+  /** METADATA-ONLY column rename (round-12 agenda #6; the third
+    * metadata-only DDL next to evolve-add and tombstoned drop): one
+    * manifest write, ZERO data IO at any table size. Old files keep the
+    * old PHYSICAL name; the manifest records a rename alias
+    * (`old>new`), and the read-side projection coalesces the retired
+    * physical onto the logical column — a row comes from exactly one
+    * file, which carries exactly one of the names, so the coalesce is
+    * value-exact. New appends write the new name. Chained renames
+    * flatten (a→b then b→c leaves aliases a→c, b→c). The OLD name
+    * stays RESERVED until [[compact]] (which rewrites files under
+    * logical names and clears the aliases): re-adding it would merge a
+    * new column with the pre-rename bytes in the read union — the
+    * drop-tombstone hazard in rename clothing — so [[evolveSchema]]
+    * rejects it loudly. Time travel shows the pre-rename name (each
+    * manifest carries its own schema + aliases). The range column
+    * cannot be renamed (stats pruning and readRange filter by its
+    * recorded name). Replay-safe via `commitKey`. */
+  def renameColumn(spark: SparkSession, from: String, to: String,
+                   commitKey: Option[String] = None): Unit = synchronized {
+    require(from.trim.nonEmpty && to.trim.nonEmpty &&
+      !Seq(from, to).exists(n => n.contains(",") || n.contains(">")),
+      s"renameColumn: empty or ,/>-bearing column names unsupported: " +
+        s"'$from' -> '$to'")
+    require(!from.equalsIgnoreCase(to),
+      s"renameColumn: '$from' -> '$to' is a no-op")
+    if (commitKey.exists(hasCommitKey(spark, _))) return
+    commitWith(spark, commitKey, currentRangeCol(spark),
+      schema = prev => {
+        val p = schemaOf(prev).getOrElse(throw new IllegalStateException(
+          s"ManifestStore($root): renameColumn needs a recorded schema " +
+            "(commit with schema-tracking code at least once first)"))
+        require(p.fieldNames.exists(_.equalsIgnoreCase(from)),
+          s"renameColumn: '$from' is not in the store schema")
+        require(!p.fieldNames.exists(_.equalsIgnoreCase(to)),
+          s"renameColumn: '$to' already exists in the store schema")
+        require(!prev.exists(_.tombstones.exists(_.equalsIgnoreCase(to))),
+          s"renameColumn: '$to' was dropped and its bytes may still exist " +
+            "in pre-drop files - run compact() before reusing the name")
+        require(!prev.exists(_.renames.exists(_._1.equalsIgnoreCase(to))),
+          s"renameColumn: '$to' is the retired physical name of an earlier " +
+            "rename - run compact() before reusing the name")
+        val rc = prev.flatMap(_.rangeCol).orElse(
+          p.fieldNames.find(_.equalsIgnoreCase("block_number")))
+        require(!rc.exists(_.equalsIgnoreCase(from)),
+          s"renameColumn: cannot rename the range column ${rc.get} - stats " +
+            "pruning and range reads depend on its recorded name")
+        Some(org.apache.spark.sql.types.StructType(p.fields.map { f =>
+          if (f.name.equalsIgnoreCase(from)) f.copy(name = to) else f
+        }).json)
+      },
+      renames = prev => {
+        val carried = prev.map(_.renames).getOrElse(Nil).map {
+          // flatten chains: every alias that pointed at `from` now
+          // points at `to` (its files' physical name is unchanged)
+          case (old, cur) if cur.equalsIgnoreCase(from) => (old, to)
+          case e => e
+        }
+        carried :+ (from -> to)
+      }
     )(prev => prev.map(_.files).getOrElse(Nil))
   }
 
@@ -755,7 +903,8 @@ final class ManifestStore(val root: String) extends Serializable {
     locally {
       val snap = snapshot(spark)
       evolveSchema(baselineSchema(spark, snap), df.schema,
-        snap.map(_.tombstones.toSet).getOrElse(Set.empty))
+        snap.map(_.tombstones.toSet).getOrElse(Set.empty),
+        snap.map(_.renames.map(_._1.toLowerCase).toSet).getOrElse(Set.empty))
     }
     // data files are immutable — safe to reuse across commit attempts;
     // the file LIST re-merges against the then-current snapshot each try
@@ -794,7 +943,7 @@ final class ManifestStore(val root: String) extends Serializable {
     // to resurface old values
     commitWith(spark, commitKey, rangeCol,
       schema = _ => Some(df.schema.json),
-      tombstones = _ => Nil)(_ => newFiles)
+      tombstones = _ => Nil, renames = _ => Nil)(_ => newFiles)
   }
 
   /** Atomic overwrite-by-range (the manifest form of
@@ -992,12 +1141,16 @@ final class ManifestStore(val root: String) extends Serializable {
     // exist: there are no bytes left to erase, and this commit is the
     // documented way to clear them — early-returning here would leave
     // the dropped names blocked forever ("run compact()" a no-op)
-    if (snapshot(spark).forall(s => s.files.isEmpty && s.tombstones.isEmpty))
+    if (snapshot(spark).forall(s => s.files.isEmpty && s.tombstones.isEmpty &&
+        s.renames.isEmpty))
       return
     // compaction rewrites THROUGH the schema projection, so dropped
     // columns' bytes are physically removed here — which is what lets
     // it clear the tombstones (re-adding the names becomes safe)
-    commitWith(spark, None, rangeCol, tombstones = _ => Nil) { prev =>
+    // compaction rewrites files under their LOGICAL names, so rename
+    // aliases clear together with drop tombstones
+    commitWith(spark, None, rangeCol, tombstones = _ => Nil,
+        renames = _ => Nil) { prev =>
       prev.map(_.files).getOrElse(Nil) match {
         case Nil => Nil
         case files =>
@@ -1098,7 +1251,35 @@ final class ManifestStore(val root: String) extends Serializable {
           file.getModificationTime <= ageFloor)
           dead += file.getPath
       }
+      // commit-dir mtimes SNAPSHOTTED BEFORE the file deletions below:
+      // deleting a child updates the parent directory's mtime, which
+      // would make every just-reclaimed dead dir look freshly-written
+      val dirAges: Seq[(Path, Long)] = f.listStatus(dataDir).toSeq
+        .filter(_.isDirectory).map(d => d.getPath -> d.getModificationTime)
       dead.foreach(f.delete(_, false))
+      // reclaim whole DEAD COMMIT DIRECTORIES — the residue of a writer
+      // that crashed between data-write and manifest-commit (its files
+      // were never live, so the loop above emptied it down to writer
+      // bookkeeping like _SUCCESS). A million-commit store must not
+      // accumulate a million empty directories in its data/ listing.
+      // Liveness is re-checked per directory and the age floor applies
+      // to the directory AND everything in it, so an in-flight writer's
+      // still-filling commit dir (younger than the floor) is never
+      // touched.
+      dirAges.foreach { case (dir, mtime) =>
+        if (mtime <= ageFloor && f.exists(dir)) {
+          val kids = f.listFiles(dir, true)
+          var hasLive = false
+          var young = false
+          while (kids.hasNext) {
+            val k = kids.next()
+            val rel = relOf(rootUriPath, k.getPath.toUri.getPath)
+            if (live.contains(rel)) hasLive = true
+            if (k.getModificationTime > ageFloor) young = true
+          }
+          if (!hasLive && !young) f.delete(dir, true)
+        }
+      }
     }
     old.foreach { v =>
       f.delete(new Path(manifestsDir, f"v$v%08d.manifest"), false)

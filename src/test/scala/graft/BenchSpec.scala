@@ -20,7 +20,7 @@ class BenchSpec extends AnyFunSuite {
         Seq("x").toDF("v").selectExpr("CAST(assert_true(v = 'y') AS STRING)")
       }))
     val timed = Bench.timedPass(spark, "/root/testdata/sf0.001", qs)
-    assert(timed("ok_query").exists(_._1 >= 0.0))
+    assert(timed("ok_query").exists(_.wall >= 0.0))
     assert(timed("broken_analysis").isEmpty,
       "an analysis-broken query must not post a wall time")
     assert(timed("broken_runtime").isEmpty,
@@ -29,9 +29,12 @@ class BenchSpec extends AnyFunSuite {
     assert(failed == Seq("broken_analysis", "broken_runtime"))
   }
 
+  private def qt(wall: Double, contended: Boolean = false, gc: Double = 0.0,
+                 ioMs: Double = 1.0) = Some(Bench.QTime(wall, contended, gc, ioMs))
+
   test("per-pass JSON carries only succeeded queries, sorted, 3 dp") {
     val json = Bench.passJson(Map(
-      "b_ok" -> Some((1.23456, false)), "a_ok" -> Some((0.5, true)),
+      "b_ok" -> qt(1.23456), "a_ok" -> qt(0.5, contended = true),
       "broken" -> None))
     assert(json == """{"a_ok":0.500,"b_ok":1.235}""",
       s"per-pass map malformed: $json")
@@ -39,9 +42,46 @@ class BenchSpec extends AnyFunSuite {
 
   test("contended markers surface per query, sorted") {
     val json = Bench.contendedJson(Map(
-      "b_cont" -> Some((1.0, true)), "a_ok" -> Some((0.5, false)),
-      "a_cont" -> Some((2.0, true)), "broken" -> None))
+      "b_cont" -> qt(1.0, contended = true), "a_ok" -> qt(0.5),
+      "a_cont" -> qt(2.0, contended = true), "broken" -> None))
     assert(json == """["a_cont","b_cont"]""", s"contended list malformed: $json")
+  }
+
+  test("interference channels: cpu/gc/io fire on their own evidence only") {
+    assert(Bench.QTime(10.0, contended = false, gc = 0.1, ioMs = 5.0)
+      .interference.isEmpty)
+    assert(Bench.QTime(10.0, contended = true, gc = 0.1, ioMs = 5.0)
+      .interference == Seq("cpu"))
+    // gc fires above max(0.5s, 20% of wall): 3s of GC in a 10s window
+    assert(Bench.QTime(10.0, contended = false, gc = 3.0, ioMs = 5.0)
+      .interference == Seq("gc"))
+    // a short window with trivial absolute GC does NOT fire (0.3s > 20%
+    // of 1s but below the 0.5s floor)
+    assert(Bench.QTime(1.0, contended = false, gc = 0.3, ioMs = 5.0)
+      .interference.isEmpty)
+    assert(Bench.QTime(10.0, contended = false, gc = 0.1, ioMs = 500.0)
+      .interference == Seq("io"))
+    val json = Bench.interferenceJson(Map(
+      "slow_gc" -> qt(10.0, gc = 9.0), "clean" -> qt(1.0), "broken" -> None))
+    assert(json == """{"slow_gc":["gc"]}""", s"interference map malformed: $json")
+  }
+
+  test("sf1 subset names are all declared gates (typo guard)") {
+    val unknown = Bench.Sf1Queries -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"sf1 subset names not in SparkEntry: $unknown")
+  }
+
+  test("rerun rule: >2x uncontended pass swings are suspects; median-of-3") {
+    val p1 = Map("swing" -> qt(13.4), "steady" -> qt(1.0),
+      "contended_swing" -> qt(20.0, contended = true), "broken" -> None)
+    val p2 = Map("swing" -> qt(58.9), "steady" -> qt(1.1),
+      "contended_swing" -> qt(2.0), "broken" -> qt(1.0))
+    // swing: 58.9/13.4 > 2x, both clean -> suspect. steady: 1.1x -> no.
+    // contended_swing: the slow pass WAS cpu-contended -> already
+    // explained, no rerun. broken: no p1 time -> not arbitrable.
+    assert(Bench.suspectsOf(p1, p2) == Seq("swing"))
+    assert(Bench.median3(13.4, 58.9, 13.6) == 13.6)
+    assert(Bench.median3(58.9, 13.4, 13.6) == 13.6)
   }
 
   test("BuildLog: per-name sums, cost-descending, drain empties, records on failure") {

@@ -8,7 +8,15 @@ import graft.ops.{Dedup, Similarity}
 object TestSpark {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      // local[4, 2]: 4 threads, maxFailures=2 — ONE task retry, the
+      // cluster default every 100 TB job runs under (local[N]'s
+      // maxFailures=1 would abort the whole job on the first attempt
+      // failure, making the exactly-once-under-retry contract —
+      // FaultInjectionSpec — untestable). Deterministically-broken
+      // tasks still fail every attempt, so loud-failure tests keep
+      // failing loudly; a retry that silently "fixes" a flaky test
+      // would itself be the bug worth catching.
+      .master("local[4, 2]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh").toString)

@@ -406,4 +406,42 @@ class DemuxVolumeSpec extends AnyFunSuite {
       "labels-side remap degenerated to a sort-merge join — the batch " +
         s"remap must stay broadcast-sized\n$plan")
   }
+  test("sf1 tier: deterministic 10x fixtures — disjoint keys, salted docs, stable fingerprint") {
+    val dir = graft.fixtures.ScaleFixtures.ensureSf1(spark)
+    // idempotent: a second call is marker-guarded (no rebuild)
+    val t0 = System.nanoTime()
+    assert(graft.fixtures.ScaleFixtures.ensureSf1(spark) == dir)
+    assert((System.nanoTime() - t0) / 1e9 < 1.0, "ensureSf1 rebuilt under the marker")
+    // 10x row counts with fully disjoint key spaces
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    assert(li.count() == 6000000L)
+    assert(li.select("l_orderkey").distinct().count() ==
+      10 * spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+        .select("l_orderkey").distinct().count())
+    // referential integrity survives the shifts: every lineitem joins
+    // its order and part in the SAME replica
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    assert(li.join(orders, li("l_orderkey") === orders("o_orderkey"), "left_anti")
+      .count() == 0L, "orphan lineitems after replication")
+    // docs: replicas are NOT near-dups of each other (salting works) —
+    // the dedup family keys on 3-gram SHINGLES, and every-5th-word
+    // salting touches ~60% of them, far below the 0.7/0.9 thresholds
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    assert(d.count() == 50000L)
+    def shingles(t: String): Set[Seq[String]] =
+      t.split(" ").toSeq.sliding(3).map(_.toSeq).toSet
+    val base = shingles(d.filter(col("doc_id") === 7L).head().getString(1))
+    val rep = shingles(d.filter(col("doc_id") === 100007L).head().getString(1))
+    val overlap = base.intersect(rep).size.toDouble / base.union(rep).size
+    assert(overlap < 0.4, f"cross-replica shingle jaccard $overlap%.2f — salting too weak")
+    assert(d.filter(length(col("text")) =!= col("n_chars")).count() == 0L)
+    // embeddings: perturbed but close (same cluster geometry)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    assert(e.count() == 20000L)
+    val v0 = e.filter(col("vec_id") === 5L).head().getSeq[Float](1)
+    val v1 = e.filter(col("vec_id") === 100005L).head().getSeq[Float](1)
+    assert(v0 != v1, "replica embedding identical — perturbation missing")
+    val maxd = v0.zip(v1).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxd <= 0.021f, s"perturbation too large: $maxd")
+  }
 }

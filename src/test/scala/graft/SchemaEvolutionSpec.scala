@@ -88,6 +88,170 @@ class SchemaEvolutionSpec extends AnyFunSuite {
       "the rejected append wrote orphan data files before the schema check")
   }
 
+  test("type widening: int→long + decimal growth widen the record; narrow appends upcast on read") {
+    import org.apache.spark.sql.types.{LongType, DecimalType}
+    val store = new ManifestStore(freshRoot("widen"))
+    store.append(spark, Seq((1L, 10), (2L, 20)).toDF("id", "cnt"))
+    // the int generation: cast down explicitly
+    val store2 = new ManifestStore(freshRoot("widen2"))
+    store2.append(spark, Seq((1L, 10), (2L, 20)).toDF("id", "cnt")
+      .withColumn("cnt", col("cnt").cast("int"))
+      .withColumn("amt", lit(1.5).cast("decimal(10,2)")))
+    val filesV1 = store2.currentFiles(spark).toSet
+    // the widened generation: cnt outgrows int, amt outgrows (10,2)
+    store2.append(spark, Seq((3L, 5000000000L), (4L, 6000000000L)).toDF("id", "cnt")
+      .withColumn("amt", lit(123456789.25).cast("decimal(20,2)")))
+    assert(filesV1.subsetOf(store2.currentFiles(spark).toSet),
+      "widening must not rewrite old files")
+    val sc = store2.currentSchema(spark).get
+    assert(sc("cnt").dataType == LongType && sc("amt").dataType == DecimalType(20, 2))
+    // both generations read at the widened types
+    val rows = store2.read(spark).get.select("id", "cnt").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, 10L), (2L, 20L), (3L, 5000000000L), (4L, 6000000000L)))
+    // a post-widening NARROW batch is accepted and the record stays wide
+    store2.append(spark, Seq((5L, 50)).toDF("id", "cnt")
+      .withColumn("cnt", col("cnt").cast("int"))
+      .withColumn("amt", lit(2.5).cast("decimal(10,2)")))
+    assert(store2.currentSchema(spark).get("cnt").dataType == LongType,
+      "a narrow append must not narrow the recorded schema")
+    assert(store2.read(spark).get.schema("cnt").dataType == LongType)
+    assert(store2.read(spark).get.count() == 5)
+    // time travel to the pre-widening version keeps the NARROW schema
+    assert(store2.readVersion(spark, 1).get.schema("cnt").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+  }
+
+  test("type widening rejects the lossy neighbors of the lattice") {
+    val store = new ManifestStore(freshRoot("widen_reject"))
+    store.append(spark, Seq((1L, 10L)).toDF("id", "cnt")
+      .withColumn("amt", lit(1.5).cast("decimal(10,2)")))
+    // long -> double: 2^53 cliff, NOT lossless
+    val toDouble = scala.util.Try(store.append(spark,
+      Seq((2L, 2.0)).toDF("id", "cnt")
+        .withColumn("amt", lit(1.5).cast("decimal(10,2)"))))
+    assert(toDouble.isFailure &&
+      toDouble.failed.get.getMessage.contains("type conflict"))
+    // decimal scale change: values need rescaling, a rewrite
+    val rescale = scala.util.Try(store.append(spark,
+      Seq((2L, 2L)).toDF("id", "cnt")
+        .withColumn("amt", lit(1.5).cast("decimal(12,4)"))))
+    assert(rescale.isFailure &&
+      rescale.failed.get.getMessage.contains("type conflict"))
+  }
+
+  test("MERGE across the widening boundary rewrites narrow files at the wide type") {
+    import org.apache.spark.sql.types.LongType
+    val store = new ManifestStore(freshRoot("widen_merge"))
+    store.append(spark, Seq((1L, 10), (2L, 20)).toDF("id", "cnt")
+      .withColumn("cnt", col("cnt").cast("int")))
+    store.append(spark, Seq((3L, 5000000000L)).toDF("id", "cnt"))
+    // the update targets a row living in an INT file; the CoW rewrite
+    // must project that file through the widened schema
+    store.merge(spark, Seq((1L, 7000000000L)).toDF("id", "cnt"), Seq("id"))
+    val rows = store.read(spark).get.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, 7000000000L), (2L, 20L), (3L, 5000000000L)))
+    assert(store.currentSchema(spark).get("cnt").dataType == LongType)
+  }
+
+  test("incremental matview refresh across a widening append") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_widen_mv")
+    val src = new ManifestStore(s"$tmp/src")
+    src.append(spark, (0L until 100L).map(i => (i, i % 5, (i % 7).toInt))
+      .toDF("id", "grp", "v").withColumn("v", col("v").cast("int")))
+    val view = new MatView(s"$tmp/view", Seq("grp"), "v")
+    view.refresh(spark, src)
+    // the widened batch carries v as LONG with values past Int.MaxValue
+    src.append(spark, (100L until 110L).map(i => (i, i % 5, 3000000000L))
+      .toDF("id", "grp", "v"))
+    view.refresh(spark, src)
+    val st = view.state(spark).get
+      .select(col("grp"), col("n"), col("vsum").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // per grp: 20 v1 rows summing (i%7 over its ids) + 2 widened rows
+    val expect = (0L until 5L).map { g =>
+      val v1 = (0L until 100L).filter(_ % 5 == g).map(_ % 7).sum
+      (g, 22L, v1 + 2L * 3000000000L)
+    }
+    assert(st.toSeq == expect)
+  }
+
+  test("rename: chained a→b→c flattens; both physical generations read as c") {
+    val store = new ManifestStore(freshRoot("rename_chain"))
+    store.append(spark, Seq((1L, 10.0), (2L, 20.0)).toDF("id", "a"))
+    store.renameColumn(spark, "a", "b")
+    // a file written under the INTERMEDIATE name joins the mix
+    store.append(spark, Seq((3L, 30.0)).toDF("id", "b"))
+    store.renameColumn(spark, "b", "c")
+    store.append(spark, Seq((4L, 40.0)).toDF("id", "c"))
+    assert(store.currentSchema(spark).map(_.fieldNames.toSeq)
+      .contains(Seq("id", "c")))
+    val rows = store.read(spark).get.select("id", "c").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0)))
+    // BOTH retired names stay reserved until compact
+    Seq("a", "b").foreach { n =>
+      val readd = scala.util.Try(store.append(spark,
+        Seq((9L, 1.0, -1.0)).toDF("id", "c", n)))
+      assert(readd.isFailure && readd.failed.get.getMessage.contains("retired"),
+        s"retired name '$n' re-add not rejected: $readd")
+    }
+  }
+
+  test("rename → compact physically renames files and clears the aliases") {
+    val store = new ManifestStore(freshRoot("rename_compact"))
+    store.append(spark, Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"))
+    store.renameColumn(spark, "v", "w")
+    store.compact(spark)
+    // the compacted files carry the LOGICAL name physically: a raw read
+    // of the current files (no projection) must show `w`, not `v`
+    val raw = spark.read.parquet(store.currentFiles(spark): _*)
+    assert(raw.columns.toSeq.contains("w") && !raw.columns.toSeq.contains("v"))
+    // aliases cleared: the retired name is reusable as a NEW column
+    store.append(spark, Seq((3L, 30.0, 99.0)).toDF("id", "w", "v"))
+    val rows = store.read(spark).get.select("id", "w", "v").collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2))).sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, 10.0, -1.0), (2L, 20.0, -1.0),
+      (3L, 30.0, 99.0)))
+  }
+
+  test("rename guards: range column, existing/tombstoned/retired targets") {
+    val store = new ManifestStore(freshRoot("rename_guards"))
+    store.append(spark, Seq((1L, 10.0, 1.0)).toDF("block_number", "v", "x"),
+      rangeCol = Some("block_number"))
+    val rc = scala.util.Try(store.renameColumn(spark, "block_number", "bn"))
+    assert(rc.isFailure && rc.failed.get.getMessage.contains("range column"))
+    val dup = scala.util.Try(store.renameColumn(spark, "v", "x"))
+    assert(dup.isFailure && dup.failed.get.getMessage.contains("already exists"))
+    store.dropColumns(spark, Seq("x"))
+    val ontoTomb = scala.util.Try(store.renameColumn(spark, "v", "x"))
+    assert(ontoTomb.isFailure && ontoTomb.failed.get.getMessage.contains("dropped"))
+    store.renameColumn(spark, "v", "w")
+    val ontoRetired = scala.util.Try(store.renameColumn(spark, "w", "v"))
+    assert(ontoRetired.isFailure &&
+      ontoRetired.failed.get.getMessage.contains("retired"))
+  }
+
+  test("MERGE across the rename boundary rewrites old files under the new name") {
+    val store = new ManifestStore(freshRoot("rename_merge"))
+    store.append(spark, Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"))
+    store.renameColumn(spark, "v", "w")
+    // the update targets a row living in a pre-rename file; the CoW
+    // rewrite must project that file through the renamed schema
+    store.merge(spark, Seq((1L, 100.0)).toDF("id", "w"), Seq("id"))
+    val rows = store.read(spark).get.select("id", "w").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, 100.0), (2L, 20.0)))
+    // time travel to the pre-rename version reads the OLD name's values
+    val v1 = store.readVersion(spark, 1).get
+    assert(v1.columns.toSeq == Seq("id", "v"))
+    assert(v1.select("v").collect().map(_.getDouble(0)).sorted.toSeq ==
+      Seq(10.0, 20.0))
+  }
+
   test("MERGE with evolved updates: matched rows replaced, survivors null-filled") {
     val store = new ManifestStore(freshRoot("merge"))
     store.append(spark, Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"))
