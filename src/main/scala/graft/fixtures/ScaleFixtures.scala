@@ -89,14 +89,12 @@ object ScaleFixtures {
                 baseDir: String = "/root/testdata/sf0.1"): String =
     lock.synchronized {
       if (new java.io.File(marker).exists()) return dir
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
       graft.ops.BuildLog.timed("sf1_fixture_build") {
         val out = new java.io.File(dir)
-        if (out.exists()) {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-          }
-          rm(out)
-        }
+        if (out.exists()) rm(out)
         out.mkdirs()
         tables.foreach { t =>
           val base = spark.read.parquet(s"$baseDir/$t.parquet")
@@ -113,9 +111,6 @@ object ScaleFixtures {
           java.nio.file.Files.move(part.toPath,
             java.nio.file.Paths.get(s"$dir/$t.parquet"),
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-          }
           rm(new java.io.File(tmp))
         }
         java.nio.file.Files.write(java.nio.file.Paths.get(marker),

@@ -60,9 +60,15 @@ object PgDialect {
     var ts = lex(pgSql)
     ts = ts.map { case Lit(t) => Lit(escapeLiteral(t)); case t => t }
     ts = rewriteEncodeEscape(ts)
-    ts = rewriteBinOp(ts, "^", (v, le) => primaryBack(v, le), "POWER")
-    ts = rewriteBinOp(ts, "/", divLeftStart, "pg_div")
+    // casts FIRST: `::` binds tighter than every arithmetic operator in
+    // PG, so `7 / 2::numeric` must become pg_div(7, CAST(2 AS ...)) —
+    // rewritten casts are ordinary call primaries for the scans below
     ts = rewriteCasts(ts)
+    // then `^` (tighter than * / %), with the left operand absorbing a
+    // unary sign: PG puts unary minus ABOVE `^`, so -2^2 = (-2)^2 = 4
+    ts = rewriteBinOp(ts, "^",
+      (v, le) => absorbUnary(v, primaryBack(v, le)), "POWER")
+    ts = rewriteBinOp(ts, "/", divLeftStart, "pg_div")
     ts = rewriteLateralTvfs(ts)
     ts.map(_.text).mkString
   }
@@ -285,17 +291,36 @@ object PgDialect {
       s"PgDialect: cannot scan operand starting at '${t.text}'")
   }
 
+  /** Include a leading unary sign in the operand starting at `start`
+    * when whatever precedes the sign cannot END an operand (so the sign
+    * is unary, not binary). PG's unary +/- binds tighter than `^`, `*`,
+    * `/` and `%`, so it always travels with the primary it prefixes. */
+  private def absorbUnary(ts: Vector[Tok], start: Int): Int = {
+    val p = prevIdx(ts, start)
+    if (p >= 0 && (ts(p) == Op("-") || ts(p) == Op("+"))) {
+      val q = prevIdx(ts, p)
+      val unary = q < 0 || (ts(q) match {
+        case Op(")") | Num(_) | Lit(_) => false
+        case Ident(x) => keywords.contains(x.toLowerCase)
+        case _ => true
+      })
+      if (unary) p else start
+    } else start
+  }
+
   /** Left-operand start for `/`: the full multiplicative chain
-    * (`a*b/c` = `(a*b)/c` — `*` and `/` share precedence and associate
-    * left), plus a leading unary sign when nothing before it could end
-    * an operand. A `*` whose left context cannot end an operand is a
-    * star (SELECT *, COUNT(*)) and stops the chain. */
+    * (`a*b/c` = `(a*b)/c`, `a%b/c` = `(a%b)/c` — `*`, `/` and `%` share
+    * precedence and associate left; `%` needs no rewrite of its own,
+    * Spark's mod matches PG's), plus a leading unary sign when nothing
+    * before it could end an operand. A `*` whose left context cannot
+    * end an operand is a star (SELECT *, COUNT(*)) and stops the
+    * chain. */
   private def divLeftStart(ts: Vector[Tok], end: Int): Int = {
     var start = primaryBack(ts, end)
     var done = false
     while (!done) {
       val p = prevIdx(ts, start)
-      if (p >= 0 && ts(p) == Op("*")) {
+      if (p >= 0 && (ts(p) == Op("*") || ts(p) == Op("%"))) {
         val q = prevIdx(ts, p)
         val operandBefore = q >= 0 && (ts(q) match {
           case Op(")") | Num(_) | Lit(_) => true
@@ -304,15 +329,7 @@ object PgDialect {
         })
         if (operandBefore) start = primaryBack(ts, q) else done = true
       } else {
-        if (p >= 0 && (ts(p) == Op("-") || ts(p) == Op("+"))) {
-          val q = prevIdx(ts, p)
-          val unary = q < 0 || (ts(q) match {
-            case Op(")") | Num(_) | Lit(_) => false
-            case Ident(x) => keywords.contains(x.toLowerCase)
-            case _ => true
-          })
-          if (unary) start = p
-        }
+        start = absorbUnary(ts, start)
         done = true
       }
     }

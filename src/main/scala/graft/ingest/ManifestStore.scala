@@ -1268,15 +1268,20 @@ final class ManifestStore(val root: String) extends Serializable {
       // touched.
       dirAges.foreach { case (dir, mtime) =>
         if (mtime <= ageFloor && f.exists(dir)) {
-          val kids = f.listFiles(dir, true)
           var hasLive = false
           var young = false
-          while (kids.hasNext) {
-            val k = kids.next()
-            val rel = relOf(rootUriPath, k.getPath.toUri.getPath)
-            if (live.contains(rel)) hasLive = true
-            if (k.getModificationTime > ageFloor) young = true
+          // walk FILES AND DIRECTORIES: a stalled writer's commit dir
+          // can be file-less but carry fresh _temporary scaffolding —
+          // its subdirectory mtimes are the only youth evidence, and
+          // listFiles alone would miss them (then this reclaim would
+          // delete the dir out from under the writer)
+          def walk(p: Path): Unit = f.listStatus(p).foreach { st =>
+            if (st.getModificationTime > ageFloor) young = true
+            if (st.isDirectory) walk(st.getPath)
+            else if (live.contains(relOf(rootUriPath, st.getPath.toUri.getPath)))
+              hasLive = true
           }
+          walk(dir)
           if (!hasLive && !young) f.delete(dir, true)
         }
       }

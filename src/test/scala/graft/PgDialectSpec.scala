@@ -65,6 +65,24 @@ class PgDialectSpec extends AnyFunSuite {
       "from ilks_2 cross join LATERAL generate_series(starting_use, end_use, 1000) AS d(d)")
   }
 
+  test("precedence corners: :: above arithmetic, % in the chain, unary minus above ^") {
+    // `::` binds tighter than `/` — the cast applies BEFORE the division
+    assert(norm(PgDialect.translate("select 7 / 2::numeric")) ==
+      "select pg_div(7, CAST(2 AS DECIMAL(38,0)))")
+    assert(norm(PgDialect.translate("select x::numeric / y")) ==
+      "select pg_div(CAST(x AS DECIMAL(38,0)), y)")
+    // `%` shares the multiplicative level: a%b/c = (a%b)/c
+    assert(norm(PgDialect.translate("select 5 % 3 / 2")) ==
+      "select pg_div(5 % 3, 2)")
+    // PG's unary minus binds ABOVE ^: -2^2 = (-2)^2 = 4
+    assert(norm(PgDialect.translate("select -2^2")) ==
+      "select POWER(-2, 2)")
+    graft.codec.GraftFunctions.register(spark)
+    val r = spark.sql(PgDialect.translate(
+      "select 7 / 2::numeric as a, 5 % 3 / 2 as b, -2^2 as c")).head()
+    assert(r.getDouble(0) == 3.5 && r.getLong(1) == 1L && r.getDouble(2) == 4.0)
+  }
+
   test("comments and string literals are never rewritten from inside") {
     val sql = "select 'a/b^c' as s, x -- d/e\nfrom t /* f::int */"
     assert(norm(PgDialect.translate(sql)) == norm(sql))
