@@ -291,21 +291,35 @@ object PgDialect {
       s"PgDialect: cannot scan operand starting at '${t.text}'")
   }
 
-  /** Include a leading unary sign in the operand starting at `start`
-    * when whatever precedes the sign cannot END an operand (so the sign
-    * is unary, not binary). PG's unary +/- binds tighter than `^`, `*`,
-    * `/` and `%`, so it always travels with the primary it prefixes. */
+  /** Keywords that END an operand when read backwards: a `-`/`*`/`%`
+    * after one of these is binary arithmetic on that operand, not a
+    * unary sign or a SELECT star (END closes a CASE primary; NULL,
+    * TRUE, FALSE are literals). Every other keyword (WHEN, THEN, AND,
+    * SELECT, ',', ...) cannot end an operand. */
+  private def endsOperand(t: Tok): Boolean = t match {
+    case Op(")") | Num(_) | Lit(_) => true
+    case Ident(x) =>
+      val l = x.toLowerCase
+      !keywords.contains(l) || l == "end" || l == "null" ||
+        l == "true" || l == "false"
+    case _ => false
+  }
+
+  /** Include leading unary sign(s) in the operand starting at `start`
+    * when whatever precedes each sign cannot END an operand (so the
+    * sign is unary, not binary). PG's unary +/- binds tighter than `^`,
+    * `*`, `/` and `%`, and STACKS (`- -2^2` = (- -2)^2), so every
+    * consecutive unary sign travels with the primary it prefixes. */
   private def absorbUnary(ts: Vector[Tok], start: Int): Int = {
-    val p = prevIdx(ts, start)
-    if (p >= 0 && (ts(p) == Op("-") || ts(p) == Op("+"))) {
-      val q = prevIdx(ts, p)
-      val unary = q < 0 || (ts(q) match {
-        case Op(")") | Num(_) | Lit(_) => false
-        case Ident(x) => keywords.contains(x.toLowerCase)
-        case _ => true
-      })
-      if (unary) p else start
-    } else start
+    var s = start
+    var done = false
+    while (!done) {
+      val p = prevIdx(ts, s)
+      if (p >= 0 && (ts(p) == Op("-") || ts(p) == Op("+")) &&
+        (prevIdx(ts, p) < 0 || !endsOperand(ts(prevIdx(ts, p))))) s = p
+      else done = true
+    }
+    s
   }
 
   /** Left-operand start for `/`: the full multiplicative chain
@@ -322,12 +336,8 @@ object PgDialect {
       val p = prevIdx(ts, start)
       if (p >= 0 && (ts(p) == Op("*") || ts(p) == Op("%"))) {
         val q = prevIdx(ts, p)
-        val operandBefore = q >= 0 && (ts(q) match {
-          case Op(")") | Num(_) | Lit(_) => true
-          case Ident(x) => !keywords.contains(x.toLowerCase)
-          case _ => false
-        })
-        if (operandBefore) start = primaryBack(ts, q) else done = true
+        if (q >= 0 && endsOperand(ts(q))) start = primaryBack(ts, q)
+        else done = true // a `*` here is a star (SELECT *, COUNT(*))
       } else {
         start = absorbUnary(ts, start)
         done = true

@@ -1242,48 +1242,48 @@ final class ManifestStore(val root: String) extends Serializable {
       val rootUriPath =
         new Path(root).makeQualified(f.getUri, f.getWorkingDirectory).toUri.getPath
       val ageFloor = System.currentTimeMillis() - minDataAgeMs
-      val it = f.listFiles(dataDir, true)
-      val dead = scala.collection.mutable.ArrayBuffer.empty[Path]
-      while (it.hasNext) {
-        val file = it.next()
-        val rel = relOf(rootUriPath, file.getPath.toUri.getPath)
-        if (file.getPath.getName.endsWith(".parquet") && !live.contains(rel) &&
-          file.getModificationTime <= ageFloor)
-          dead += file.getPath
+      // ONE recursive status snapshot of data/ BEFORE any deletion:
+      // every decision below (dead files, dir youth, dir liveness)
+      // reads these statuses — our own deletes bump parent-directory
+      // mtimes, and a post-delete re-listing would classify every
+      // just-emptied dead dir (or its partition/_temporary subdirs) as
+      // freshly written, deferring the reclaim a full age window.
+      case class Ent(path: Path, rel: String, isDir: Boolean, mtime: Long)
+      def snapshotTree(p: Path): Seq[Ent] = f.listStatus(p).toSeq.flatMap { st =>
+        val e = Ent(st.getPath, relOf(rootUriPath, st.getPath.toUri.getPath),
+          st.isDirectory, st.getModificationTime)
+        if (st.isDirectory) e +: snapshotTree(st.getPath) else Seq(e)
       }
-      // commit-dir mtimes SNAPSHOTTED BEFORE the file deletions below:
-      // deleting a child updates the parent directory's mtime, which
-      // would make every just-reclaimed dead dir look freshly-written
-      val dirAges: Seq[(Path, Long)] = f.listStatus(dataDir).toSeq
-        .filter(_.isDirectory).map(d => d.getPath -> d.getModificationTime)
-      dead.foreach(f.delete(_, false))
+      val top = f.listStatus(dataDir).toSeq
+      val byDir: Seq[(Ent, Seq[Ent])] = top.filter(_.isDirectory).map { d =>
+        (Ent(d.getPath, relOf(rootUriPath, d.getPath.toUri.getPath), true,
+          d.getModificationTime), snapshotTree(d.getPath))
+      }
+      val loose = top.filterNot(_.isDirectory).map(st =>
+        Ent(st.getPath, relOf(rootUriPath, st.getPath.toUri.getPath), false,
+          st.getModificationTime))
+      // dead data files: unreferenced by any kept snapshot AND past the
+      // age floor (younger ones may belong to an in-flight commit)
+      val allFiles = byDir.flatMap(_._2).filterNot(_.isDir) ++ loose
+      val dead = allFiles.filter(e => e.path.getName.endsWith(".parquet") &&
+        !live.contains(e.rel) && e.mtime <= ageFloor)
+      dead.foreach(e => f.delete(e.path, false))
+      val deadPaths = dead.map(_.path).toSet
       // reclaim whole DEAD COMMIT DIRECTORIES — the residue of a writer
       // that crashed between data-write and manifest-commit (its files
-      // were never live, so the loop above emptied it down to writer
+      // were never live; the deletes above emptied it down to writer
       // bookkeeping like _SUCCESS). A million-commit store must not
       // accumulate a million empty directories in its data/ listing.
-      // Liveness is re-checked per directory and the age floor applies
-      // to the directory AND everything in it, so an in-flight writer's
-      // still-filling commit dir (younger than the floor) is never
-      // touched.
-      dirAges.foreach { case (dir, mtime) =>
-        if (mtime <= ageFloor && f.exists(dir)) {
-          var hasLive = false
-          var young = false
-          // walk FILES AND DIRECTORIES: a stalled writer's commit dir
-          // can be file-less but carry fresh _temporary scaffolding —
-          // its subdirectory mtimes are the only youth evidence, and
-          // listFiles alone would miss them (then this reclaim would
-          // delete the dir out from under the writer)
-          def walk(p: Path): Unit = f.listStatus(p).foreach { st =>
-            if (st.getModificationTime > ageFloor) young = true
-            if (st.isDirectory) walk(st.getPath)
-            else if (live.contains(relOf(rootUriPath, st.getPath.toUri.getPath)))
-              hasLive = true
-          }
-          walk(dir)
-          if (!hasLive && !young) f.delete(dir, true)
-        }
+      // Youth comes from the PRE-delete snapshot over files AND
+      // subdirectories (a stalled writer's dir can be file-less with
+      // fresh _temporary scaffolding — its subdir mtimes are the only
+      // evidence), minus the dead files just deleted; anything young
+      // keeps the whole dir untouched.
+      byDir.foreach { case (d, entries) =>
+        val kept = entries.filterNot(e => deadPaths.contains(e.path))
+        val hasLive = kept.exists(e => !e.isDir && live.contains(e.rel))
+        val young = d.mtime > ageFloor || kept.exists(_.mtime > ageFloor)
+        if (!hasLive && !young) f.delete(d.path, true)
       }
     }
     old.foreach { v =>

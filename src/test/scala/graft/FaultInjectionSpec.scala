@@ -103,4 +103,22 @@ class FaultInjectionSpec extends AnyFunSuite {
     assert(store.read(spark).get.count() == 100,
       "vacuum touched committed data")
   }
+
+  test("a NESTED dead commit dir (partitioned orphan) is reclaimed by ONE vacuum") {
+    // dead files live in partition SUBDIRS: deleting them bumps the
+    // subdir mtimes, so a naive post-delete youth re-listing would keep
+    // the dir alive for an extra age window — the pre-delete snapshot
+    // must not mistake the vacuum's own deletions for writer activity
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_fault_nested").toString + "/store"
+    val store = new ManifestStore(root)
+    store.append(spark, spark.range(0, 50).toDF("id"), rangeCol = Some("id"))
+    val orphanDir = s"$root/data/${java.util.UUID.randomUUID()}"
+    spark.range(0, 40).toDF("id").withColumn("k", col("id") % 4)
+      .write.partitionBy("k").parquet(orphanDir)
+    store.vacuum(spark, keepVersions = 1, minDataAgeMs = 0L)
+    assert(!new java.io.File(orphanDir).exists(),
+      "nested orphan dir survived the vacuum that emptied it")
+    assert(store.read(spark).get.count() == 50)
+  }
 }

@@ -83,6 +83,26 @@ class PgDialectSpec extends AnyFunSuite {
     assert(r.getDouble(0) == 3.5 && r.getLong(1) == 1L && r.getDouble(2) == 4.0)
   }
 
+  test("operand-ending keywords: CASE...END, NULL, stacked unary signs") {
+    // END closes a CASE primary — a % or binary - after it operates ON it
+    assert(norm(PgDialect.translate(
+      "select case when x then 10 else 20 end % 7 / 2 from t")) ==
+      "select pg_div(case when x then 10 else 20 end % 7, 2) from t")
+    assert(norm(PgDialect.translate(
+      "select case when x then 1 else 3 end - 2^2 from t")) ==
+      "select case when x then 1 else 3 end - POWER(2, 2) from t")
+    // NULL is a literal operand, not a keyword context
+    assert(norm(PgDialect.translate("select null % 7 / 2")) ==
+      "select pg_div(null % 7, 2)")
+    // PG stacks unary signs above ^: - -2^2 = (- -2)^2 = 4
+    assert(norm(PgDialect.translate("select - -2^2")) ==
+      "select POWER(- -2, 2)")
+    graft.codec.GraftFunctions.register(spark)
+    val r = spark.sql(PgDialect.translate(
+      "select case when true then 20 else 1 end % 7 / 2 as a, - -2^2 as b")).head()
+    assert(r.getLong(0) == 3L && r.getDouble(1) == 4.0)
+  }
+
   test("comments and string literals are never rewritten from inside") {
     val sql = "select 'a/b^c' as s, x -- d/e\nfrom t /* f::int */"
     assert(norm(PgDialect.translate(sql)) == norm(sql))
