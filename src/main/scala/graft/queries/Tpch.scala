@@ -358,6 +358,26 @@ object Tpch {
 
   def q56TpchQ6(s: SparkSession, dir: String): DataFrame = sql(s, dir, q56Sql)
 
+  /** TPC-H Q6 WRITTEN IN POSTGRES DIALECT and executed through the PG
+    * front-end ([[graft.frontend.PgDialect]]) — evidence the dialect
+    * layer generalizes past the reference's one shipped artifact:
+    * `::numeric(p,s)` casts with precision args, `::timestamp` on
+    * string literals, a parenthesized `::float8` over an aggregate, and
+    * BETWEEN all translate, and the result must hash-match the SAME
+    * DuckDB oracle as [[q56TpchQ6]] (identical semantics, two syntaxes,
+    * one truth). */
+  private val q69PgSql = """
+    select (sum(l_extendedprice::numeric(18,2) * l_discount::numeric(5,2)))::float8 as revenue
+    from lineitem
+    where l_shipdate >= '1997-01-01 00:00:00'::timestamp
+      and l_shipdate <  '1998-01-01 00:00:00'::timestamp
+      and l_discount between 0.05 and 0.07 and l_quantity < 24"""
+
+  def q69PgTpchQ6(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    graft.frontend.PgDialect.run(s, q69PgSql)
+  }
+
   /** TPC-H Q7 (volume shipping): revenue between two nations in both
     * directions — the 6-way join where the OR over the two nation-dim
     * combinations must NOT break the equi-join (each nation table joins
@@ -777,6 +797,7 @@ object Tpch {
     "q54_tpch_q16" -> (q54TpchQ16 _),
     "q55_tpch_q19" -> (q55TpchQ19 _),
     "q56_tpch_q6" -> (q56TpchQ6 _),
+    "q69_pg_tpch_q6" -> (q69PgTpchQ6 _),
     "q57_tpch_q7" -> (q57TpchQ7 _),
     "q58_tpch_q8" -> (q58TpchQ8 _),
     "q59_tpch_q9" -> (q59TpchQ9 _),
@@ -886,6 +907,7 @@ object Tpch {
     "q54_tpch_q16" -> q54Sql,
     "q55_tpch_q19" -> q55Sql,
     "q56_tpch_q6" -> q56Sql,
+    "q69_pg_tpch_q6" -> q56Sql,
     "q57_tpch_q7" -> q57Sql,
     "q58_tpch_q8" -> q58Sql,
     "q59_tpch_q9" -> q59Sql,
