@@ -66,9 +66,16 @@ object Bench {
     * checkpoint-heavy queries. A healthy tmp dir syncs 256 KiB in
     * single-digit ms; hundreds of ms marks the window io-interfered. */
   private[graft] val IoProbeFloorMs = 200.0
-  private def ioProbeMs(): Double =
+  private def ioProbeMs(spark: SparkSession): Double =
     try {
-      val f = java.io.File.createTempFile("graft_ioprobe", ".bin")
+      // probe the device block-manager spills and shuffle files actually
+      // land on: spark.local.dir's first entry when set (the comment's
+      // claim was only true while they coincided — a diverging
+      // spark.local.dir would make the probe mis-attribute 'io')
+      val dir = new java.io.File(
+        spark.sparkContext.getConf.get("spark.local.dir",
+          System.getProperty("java.io.tmpdir")).split(',').head.trim)
+      val f = java.io.File.createTempFile("graft_ioprobe", ".bin", dir)
       val t0 = System.nanoTime()
       val out = new java.io.FileOutputStream(f)
       try { out.write(new Array[Byte](256 * 1024)); out.getFD.sync() }
@@ -122,7 +129,7 @@ object Bench {
       // the disk probe runs once, AFTER the query (so it never delays a
       // healthy window) — it samples the same device localCheckpoint
       // spills and shuffle files land on
-      val io = ioProbeMs()
+      val io = ioProbeMs(spark)
       // queries persist intermediates (LSH bands, shingles); drop them so
       // accumulated storage doesn't steal execution memory from later ones
       spark.catalog.clearCache()
@@ -370,12 +377,21 @@ object Bench {
     // per-query MIN over the passes a query SUCCEEDED in (median-of-3
     // for rerun suspects); a query with no successful pass lands in
     // `failed`, not in the timings
+    val rerunFailed = scala.collection.mutable.ArrayBuffer[String]()
     val merged: Map[String, Option[Double]] = p1.map { case (k, v1) =>
       val v2 = p2.flatMap(_.getOrElse(k, None))
       val v3 = p3.flatMap(_.getOrElse(k, None))
       val walls = (v1.toSeq ++ v2.toSeq ++ v3.toSeq).map(_.wall)
       k -> (walls match {
         case Seq(a, b, c) if suspects.contains(k) => Some(median3(a, b, c))
+        case ws if suspects.contains(k) =>
+          // the targeted p3 pass FAILED for this suspect: falling back to
+          // the min of the two >2x-divergent walls would be exactly the
+          // two-sample coin flip the median rule exists to break — report
+          // the MAX (conservative) and mark the failed arbitration
+          // visibly in `rerun_failed`
+          rerunFailed += k
+          ws.reduceOption(_ max _)
         case ws => ws.reduceOption(_ min _)
       })
     }
@@ -510,6 +526,8 @@ object Bench {
       s""""p2_queries":${p2.map(passJson).getOrElse("{}")},""" +
       s""""p3_queries":${p3.map(passJson).getOrElse("{}")},""" +
       s""""reran":${suspects.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""rerun_failed":${
+        rerunFailed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""p1_interference":${interferenceJson(p1)},""" +
       s""""p2_interference":${p2.map(interferenceJson).getOrElse("{}")},""" +
       s""""p3_interference":${p3.map(interferenceJson).getOrElse("{}")},""" +

@@ -481,7 +481,14 @@ final class ManifestStore(val root: String) extends Serializable {
         incoming.get(f.name.toLowerCase) match {
           case Some(n) if widens(f.dataType, n.dataType) =>
             f.copy(dataType = n.dataType, nullable = f.nullable || n.nullable)
-          case _ => f
+          case Some(n) =>
+            // same-type or accepted-NARROWER batch: the data may still
+            // carry nulls, so nullability merges here too — a non-null
+            // record over nullable bytes would claim a constraint the
+            // store violates (the conflict check above already rejected
+            // every other type pairing)
+            f.copy(nullable = f.nullable || n.nullable)
+          case None => f
         }
       }
       // evolved-in columns are ALWAYS recorded nullable: every

@@ -33,9 +33,15 @@ def main():
             results[name] = f"TIMEOUT>{timeout}s (oracle infeasible at this sf)"
         print(name, "->", results[name], flush=True)
     n_pass = sum(1 for v in results.values() if v.startswith("PASS"))
-    print(f"\n{n_pass}/{len(results)} pass")
-    sys.exit(0 if all(v.startswith(("PASS", "TIMEOUT")) for v in results.values())
-             else 1)
+    n_to = sum(1 for v in results.values() if v.startswith("TIMEOUT"))
+    print(f"\n{n_pass}/{len(results)} pass" +
+          (f" ({n_to} TIMEOUT - oracle infeasible, NOT verified)" if n_to else ""))
+    # exit codes: 0 = all verified PASS; 3 = no failure but some oracles
+    # timed out (a diverging gate could hide behind a slow oracle — the
+    # caller must explicitly acknowledge, never fold into green); 1 = FAIL
+    if not all(v.startswith(("PASS", "TIMEOUT")) for v in results.values()):
+        sys.exit(1)
+    sys.exit(3 if n_to else 0)
 
 if __name__ == "__main__":
     main()
