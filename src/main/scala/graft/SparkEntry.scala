@@ -21,7 +21,7 @@ object SparkEntry {
     graft.queries.Relational.queries ++ graft.queries.Relational2.queries ++
       graft.queries.Relational3.queries ++ graft.queries.Events.queries ++
       graft.queries.Colocated.queries ++ graft.queries.Tpch.queries ++
-      graft.queries.MakerDw.queries ++
+      graft.queries.MakerDw.queries ++ graft.queries.PgQueries.queries ++
       graft.ops.TextAnalysis.queries ++ graft.ops.Dedup.queries ++
       graft.ops.Components.queries ++ graft.ops.Sampling.queries ++
       graft.ops.Curation.queries ++ graft.ops.Decontam.queries ++
@@ -40,7 +40,7 @@ object SparkEntry {
     graft.queries.Relational.oracle ++ graft.queries.Relational2.oracle ++
       graft.queries.Relational3.oracle ++ graft.queries.Events.oracle ++
       graft.queries.Colocated.oracle ++ graft.queries.Tpch.oracle ++
-      graft.queries.MakerDw.oracle ++
+      graft.queries.MakerDw.oracle ++ graft.queries.PgQueries.oracle ++
       graft.ops.TextAnalysis.oracle ++ graft.ops.Dedup.oracle ++
       graft.ops.Components.oracle ++ graft.ops.Sampling.oracle ++
       graft.ops.Curation.oracle ++ graft.ops.Decontam.oracle ++

@@ -44,21 +44,57 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *      generate_series(a,b,s) d` → `cross join LATERAL
   *      generate_series(a,b,s) AS d(d)` (assets_per_type.sql:27); the
   *      `generate_series` TVF itself is registered by
-  *      [[graft.codec.GraftFunctions.registerGenerateSeries]].
+  *      [[graft.codec.GraftFunctions.registerGenerateSeries]]. A
+  *      set-returning function OUTSIDE a FROM item (SELECT list,
+  *      expression position) is REJECTED loudly — Spark has no
+  *      SRF-in-expression semantics to map it onto.
+  *   7. `E'...'` escape-string literals: decoded with PG's escape rules
+  *      (\n \t \r \b \f, octal \o[oo], hex \x[h]h, \uXXXX, \UXXXXXXXX,
+  *      backslash-any = any) and re-encoded as a Spark literal.
+  *   8. Dollar-quoted literals (`$$...$$`, `$tag$...$tag$`): raw body,
+  *      no escape processing, re-encoded as a Spark literal.
+  *   9. `SELECT DISTINCT ON (p…) list FROM … ORDER BY p…, o…` → a
+  *      ROW_NUMBER() window over (PARTITION BY p… ORDER BY the query's
+  *      own ORDER BY items) + rk=1 filter — Spark has no DISTINCT ON.
+  *      Strict preconditions, each rejected loudly when unmet: a FROM
+  *      clause and a same-level ORDER BY must exist, no set operation
+  *      at that level, every select item must carry a determinable
+  *      output name, and every ORDER BY item must be a (qualified)
+  *      column resolvable against those names.
+  *  10. Implicit null ordering: PG sorts ASC→NULLS LAST / DESC→NULLS
+  *      FIRST; Spark defaults to the MIRROR IMAGE. Every ORDER BY item
+  *      (query-level, window-spec, and synthesized) without an explicit
+  *      NULLS spec gets PG's default spelled out — without this, every
+  *      null-bearing sort silently reorders.
   *
-  * Documented non-goals (none appear in the reference's artifacts):
-  * `E'...'` escape-string literals, dollar-quoting, `FILTER (WHERE ...)`
-  * aggregate suffixes as division operands, and PG exact-NUMERIC
-  * arithmetic for `^`/`/` on two decimals (float8 semantics apply, the
-  * same trade the three reviewed hand ports make — every rewrite is
-  * oracle-covered by `assets_per_type*` gates).
+  * Constructs with IDENTICAL semantics pass through untranslated:
+  * `FILTER (WHERE …)` aggregate suffixes (the operand scanners treat
+  * them as part of the aggregate primary), `ILIKE`, `IS DISTINCT
+  * FROM`, `||` concatenation, `%` modulo.
+  *
+  * Documented non-goals — [[translate]] REJECTS each loudly rather than
+  * mistranslating: operators outside the arithmetic/comparison set
+  * (regex `~`, array `@>`/`[…]`, factorial, …), positional parameters
+  * (`$1`), `SIMILAR TO`, `COLLATE`, and set-returning functions outside
+  * FROM. PG exact-NUMERIC arithmetic for `^`/`/` on two decimals stays
+  * a documented semantic trade (float8 semantics apply, the same trade
+  * the three reviewed hand ports make — every rewrite is oracle-covered
+  * by the `assets_per_type*` and `pg_*` gates).
   */
 object PgDialect {
 
   /** Translate PG-dialect SQL text to Spark SQL text. Pure function. */
   def translate(pgSql: String): String = {
     var ts = lex(pgSql)
-    ts = ts.map { case Lit(t) => Lit(escapeLiteral(t)); case t => t }
+    // loud-rejection scan FIRST, over the raw tokens, so unsupported PG
+    // surface can never reach a rewrite (silent mistranslation is the
+    // risk class; a raised error names the construct)
+    rejectUnsupported(ts)
+    ts = ts.map {
+      case Lit(t) => Lit(escapeLiteral(t))
+      case RawLit(v) => Lit(sparkLiteral(v)) // E'…' / $$…$$, already decoded
+      case t => t
+    }
     ts = rewriteEncodeEscape(ts)
     // casts FIRST: `::` binds tighter than every arithmetic operator in
     // PG, so `7 / 2::numeric` must become pg_div(7, CAST(2 AS ...)) —
@@ -69,7 +105,11 @@ object PgDialect {
     ts = rewriteBinOp(ts, "^",
       (v, le) => absorbUnary(v, primaryBack(v, le)), "POWER")
     ts = rewriteBinOp(ts, "/", divLeftStart, "pg_div")
+    // DISTINCT ON before the lateral/nulls passes: it synthesizes an
+    // OVER (... ORDER BY ...) clause that the nulls pass must also see
+    ts = rewriteDistinctOn(ts)
     ts = rewriteLateralTvfs(ts)
+    ts = normalizeNullsOrdering(ts)
     ts.map(_.text).mkString
   }
 
@@ -87,6 +127,12 @@ object PgDialect {
   private[frontend] case class Num(text: String) extends Tok
   private[frontend] case class Lit(text: String) extends Tok // '...' incl quotes
   private[frontend] case class Op(text: String) extends Tok
+  /** A literal whose VALUE is already decoded (E'…' escape strings,
+    * dollar-quoted bodies); converted to a Spark-encoded [[Lit]] before
+    * any operand scan runs, so the scans only ever see Lit. */
+  private[frontend] case class RawLit(value: String) extends Tok {
+    def text: String = sparkLiteral(value)
+  }
 
   private val twoCharOps = Set("::", "<>", "<=", ">=", "!=", "||")
 
@@ -109,6 +155,22 @@ object PgDialect {
         while (i + 1 < n && !(s.charAt(i) == '*' && s.charAt(i + 1) == '/')) i += 1
         require(i + 1 < n, "PgDialect: unterminated /* comment")
         i += 2; out += Ws(s.substring(j, i))
+      } else if ((c == 'E' || c == 'e') && i + 1 < n && s.charAt(i + 1) == '\'') {
+        // rule 7: E'...' escape string — decode PG escapes to the VALUE
+        val (v, end) = lexEString(s, i + 1)
+        out += RawLit(v); i = end
+      } else if (c == '$') {
+        // rule 8: dollar-quoted literal ($$...$$ / $tag$...$tag$); a $
+        // that opens no quote is either a positional parameter (rejected
+        // here, by name) or a stray operator (rejected by the op scan)
+        lexDollar(s, i) match {
+          case Some((v, end)) => out += RawLit(v); i = end
+          case None =>
+            require(!(i + 1 < n && s.charAt(i + 1).isDigit),
+              "PgDialect: positional parameter placeholders ($1, $2, …) " +
+                "are unsupported — inline the values")
+            out += Op("$"); i += 1
+        }
       } else if (c == '\'') {
         // PG standard_conforming_strings: backslash is plain, '' escapes a quote
         val j = i; i += 1
@@ -155,6 +217,115 @@ object PgDialect {
     * quote-doubling is shared syntax and passes through). */
   private def escapeLiteral(withQuotes: String): String =
     withQuotes.replace("\\", "\\\\")
+
+  /** Encode a decoded string VALUE as a Spark SQL literal: backslash and
+    * quote escaped, common control chars as named escapes, the rest of
+    * the control range as \\uXXXX (all understood by Spark's
+    * unescapeSQLString). */
+  private[frontend] def sparkLiteral(v: String): String =
+    "'" + v.flatMap {
+      case '\\' => "\\\\"
+      case '\'' => "\\'"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' || c.toInt == 0x7f => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "'"
+
+  /** Decode a PG `E'...'` escape string starting at the opening quote;
+    * returns (value, index past the closing quote). PG rules: \b \f \n
+    * \r \t, \o up to \ooo octal, \x[h]h hex, \uXXXX, \UXXXXXXXX,
+    * backslash before anything else is that character; '' doubles a
+    * quote. */
+  private def lexEString(s: String, start: Int): (String, Int) = {
+    val n = s.length
+    val sb = new StringBuilder
+    var i = start + 1
+    var closed = false
+    def hexAt(j: Int) = j < n && Character.digit(s.charAt(j), 16) >= 0
+    while (i < n && !closed) {
+      val c = s.charAt(i)
+      if (c == '\'') {
+        if (i + 1 < n && s.charAt(i + 1) == '\'') { sb.append('\''); i += 2 }
+        else { closed = true; i += 1 }
+      } else if (c == '\\') {
+        require(i + 1 < n, "PgDialect: unterminated escape in E'...' string")
+        s.charAt(i + 1) match {
+          case 'b' => sb.append('\b'); i += 2
+          case 'f' => sb.append('\f'); i += 2
+          case 'n' => sb.append('\n'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'x' =>
+            var j = i + 2
+            while (j < n && j < i + 4 && hexAt(j)) j += 1
+            require(j > i + 2, "PgDialect: \\x escape with no hex digits")
+            sb.append(Integer.parseInt(s.substring(i + 2, j), 16).toChar)
+            i = j
+          case 'u' =>
+            require(i + 6 <= n && (i + 2 until i + 6).forall(hexAt),
+              "PgDialect: \\u escape needs 4 hex digits")
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case 'U' =>
+            require(i + 10 <= n && (i + 2 until i + 10).forall(hexAt),
+              "PgDialect: \\U escape needs 8 hex digits")
+            sb.appendAll(Character.toChars(
+              Integer.parseInt(s.substring(i + 2, i + 10), 16)))
+            i += 10
+          case o if o >= '0' && o <= '7' =>
+            var j = i + 1
+            while (j < n && j < i + 4 && s.charAt(j) >= '0' && s.charAt(j) <= '7') j += 1
+            sb.append(Integer.parseInt(s.substring(i + 1, j), 8).toChar)
+            i = j
+          case other => sb.append(other); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    require(closed, "PgDialect: unterminated E'...' string")
+    (sb.toString, i)
+  }
+
+  /** Try to lex a dollar-quoted literal at `i` (which holds '$'):
+    * Some((raw body, index past the closing tag)) when `$tag$` opens
+    * here (tag = [A-Za-z_][A-Za-z0-9_]* or empty), None otherwise. An
+    * OPENED quote with no closing tag is an error, not a fallthrough. */
+  private def lexDollar(s: String, i: Int): Option[(String, Int)] = {
+    val n = s.length
+    var j = i + 1
+    while (j < n && (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_')) j += 1
+    if (j >= n || s.charAt(j) != '$') return None
+    if (j > i + 1 && !(s.charAt(i + 1).isLetter || s.charAt(i + 1) == '_'))
+      return None // $1$ etc: not a valid tag — positional-param path
+    val tag = s.substring(i, j + 1)
+    val close = s.indexOf(tag, j + 1)
+    require(close >= 0, s"PgDialect: unterminated dollar-quoted string $tag")
+    Some((s.substring(j + 1, close), close + tag.length))
+  }
+
+  /** The loud-rejection scan (documented non-goals must RAISE, never
+    * mistranslate): any operator outside the translated/shared set, and
+    * keyword-led constructs with no Spark mapping. */
+  private val allowedOps = Set("(", ")", ",", ".", ";", "+", "-", "*", "/",
+    "%", "^", "<", ">", "=", "<>", "<=", ">=", "!=", "::", "||")
+
+  private def rejectUnsupported(ts: Vector[Tok]): Unit = ts.foreach {
+    case Op(o) if !allowedOps.contains(o) =>
+      throw new IllegalArgumentException(
+        s"PgDialect: unsupported operator '$o' — only arithmetic, " +
+          "comparison, '::' casts and '||' translate; PG regex/array/" +
+          "geometric operators have no faithful Spark mapping")
+    case Ident(k) if k.equalsIgnoreCase("similar") =>
+      throw new IllegalArgumentException(
+        "PgDialect: SIMILAR TO is unsupported (its regex dialect has no " +
+          "exact Spark equivalent) — rewrite with LIKE, or RLIKE natively")
+    case Ident(k) if k.equalsIgnoreCase("collate") =>
+      throw new IllegalArgumentException(
+        "PgDialect: COLLATE is unsupported — Spark string comparison is " +
+          "binary; a PG collation cannot be honored silently")
+    case _ =>
+  }
 
   // ------------------------------------------------ operand-extent scans
 
@@ -229,10 +400,12 @@ object PgDialect {
       val p = prevIdx(ts, open)
       if (p < 0) open
       else ts(p) match {
-        case Ident(name) if name.equalsIgnoreCase("over") =>
-          // window suffix: the operand is the whole `agg(...) over (...)`
+        case Ident(name) if name.equalsIgnoreCase("over") ||
+          name.equalsIgnoreCase("filter") =>
+          // window / FILTER (WHERE …) suffix: the operand is the whole
+          // `agg(...) [filter (...)] [over (...)]` — chains recurse
           val q = prevIdx(ts, p)
-          require(q >= 0, "PgDialect: OVER with no preceding aggregate")
+          require(q >= 0, s"PgDialect: ${ts(p).text} with no preceding aggregate")
           primaryBack(ts, q)
         case Ident(name) if !keywords.contains(name.toLowerCase) =>
           qualStart(ts, p) // function call: include the (qualified) name
@@ -284,9 +457,28 @@ object PgDialect {
         ts(nextIdx(ts, p)).isInstanceOf[Ident]) {
         last = nextIdx(ts, p); p = nextIdx(ts, last)
       }
-      if (p >= 0 && ts(p) == Op("(") && !keywords.contains(name.toLowerCase))
-        matchFwd(ts, p)
-      else last
+      if (p >= 0 && ts(p) == Op("(") && !keywords.contains(name.toLowerCase)) {
+        // absorb FILTER (WHERE …) / OVER (…) / OVER w suffixes: they are
+        // part of the aggregate primary, so a binary operator whose RIGHT
+        // operand is a suffixed aggregate takes the whole thing
+        var end = matchFwd(ts, p)
+        var done = false
+        while (!done) {
+          val nx = nextIdx(ts, end)
+          val kw = if (nx >= 0) ts(nx) match {
+            case Ident(k) => k.toLowerCase
+            case _ => ""
+          } else ""
+          if (kw == "filter" || kw == "over") {
+            val arg = nextIdx(ts, nx)
+            if (arg >= 0 && ts(arg) == Op("(")) end = matchFwd(ts, arg)
+            else if (kw == "over" && arg >= 0 && ts(arg).isInstanceOf[Ident])
+              end = arg // named window: `over w`
+            else done = true
+          } else done = true
+        }
+        end
+      } else last
     case t => throw new IllegalArgumentException(
       s"PgDialect: cannot scan operand starting at '${t.text}'")
   }
@@ -479,8 +671,275 @@ object PgDialect {
     ts
   }
 
+  // ------------------------------------------------------- DISTINCT ON
+
+  /** Top-level comma split of [from, to) as (start, endExclusive) pairs. */
+  private def splitTopLevel(ts: Vector[Tok], from: Int, to: Int): Seq[(Int, Int)] = {
+    val out = Seq.newBuilder[(Int, Int)]
+    var depth = 0
+    var start = from
+    var j = from
+    while (j < to) {
+      ts(j) match {
+        case Op("(") => depth += 1
+        case Op(")") => depth -= 1
+        case Op(",") if depth == 0 => out += ((start, j)); start = j + 1
+        case _ =>
+      }
+      j += 1
+    }
+    out += ((start, to))
+    out.result()
+  }
+
+  /** Trailing `[ASC|DESC] [NULLS FIRST|LAST]` token count of a ws-free
+    * sort item. */
+  private def suffixLen(core: Vector[Tok]): Int = {
+    def lc(i: Int) = core(core.length - 1 - i) match {
+      case Ident(x) => x.toLowerCase
+      case _ => ""
+    }
+    var n = 0
+    if (core.length >= 2 && (lc(0) == "first" || lc(0) == "last") &&
+      lc(1) == "nulls") n = 2
+    if (core.length > n && (lc(n) == "asc" || lc(n) == "desc")) n += 1
+    n
+  }
+
+  /** Output name of a select-list item: bare/qualified column, `AS x`,
+    * or implicit trailing alias. Loud when undeterminable (DISTINCT ON
+    * needs it for the outer projection). */
+  private def outName(ts: Vector[Tok], range: (Int, Int)): String = {
+    val toks = ts.slice(range._1, range._2).filterNot(isWsTok)
+    require(toks.nonEmpty, "PgDialect: empty select item")
+    toks.last match {
+      case Ident(n) if toks.length == 1 || !keywords.contains(n.toLowerCase) => n
+      case _ => throw new IllegalArgumentException(
+        "PgDialect: DISTINCT ON needs a determinable output name for every " +
+          s"select item — add AS to '${toks.map(_.text).mkString(" ")}'")
+    }
+  }
+
+  /** Rule 9: rewrite every `SELECT DISTINCT ON (…) … ORDER BY …` into a
+    * ROW_NUMBER window + rk=1 filter, leftmost-first (a nested one inside
+    * a subquery is found on the next iteration). */
+  private def rewriteDistinctOn(ts0: Vector[Tok]): Vector[Tok] = {
+    var ts = ts0
+    var hit = true
+    while (hit) {
+      hit = false
+      val di = ts.indices.find { i =>
+        ts(i) match {
+          case Ident(d) if d.equalsIgnoreCase("distinct") =>
+            val nx = nextIdx(ts, i)
+            nx >= 0 && (ts(nx) match {
+              case Ident(o) => o.equalsIgnoreCase("on")
+              case _ => false
+            })
+          case _ => false
+        }
+      }
+      di.foreach { i => ts = rewriteOneDistinctOn(ts, i); hit = true }
+    }
+    ts
+  }
+
+  private def rewriteOneDistinctOn(ts: Vector[Tok], di: Int): Vector[Tok] = {
+    val si = prevIdx(ts, di)
+    require(si >= 0 && ts(si).text.equalsIgnoreCase("select"),
+      "PgDialect: DISTINCT ON outside a SELECT head")
+    val onIdx = nextIdx(ts, di)
+    val open = nextIdx(ts, onIdx)
+    require(open >= 0 && ts(open) == Op("("),
+      "PgDialect: DISTINCT ON needs a parenthesized expression list")
+    val close = matchFwd(ts, open)
+    val partToks = ts.slice(open + 1, close)
+    val listStart = close + 1
+    // clause boundaries at THIS select's nesting level
+    var j = listStart
+    var depth = 0
+    var fromIdx = -1
+    var orderIdx = -1
+    var tailIdx = -1
+    var endIdx = ts.length
+    while (j < ts.length && endIdx == ts.length) {
+      ts(j) match {
+        case Op("(") => depth += 1
+        case Op(")") => depth -= 1; if (depth < 0) endIdx = j
+        case Op(";") if depth == 0 => endIdx = j
+        case Ident(k) if depth == 0 =>
+          k.toLowerCase match {
+            case "from" if fromIdx < 0 => fromIdx = j
+            case "union" | "intersect" | "except" =>
+              throw new IllegalArgumentException(
+                "PgDialect: DISTINCT ON combined with a set operation at " +
+                  "the same level is unsupported — wrap it in a subquery")
+            case "order" if orderIdx < 0 && nextIdx(ts, j) >= 0 &&
+              ts(nextIdx(ts, j)).text.equalsIgnoreCase("by") => orderIdx = j
+            case "limit" | "offset" | "fetch" if tailIdx < 0 => tailIdx = j
+            case _ =>
+          }
+        case _ =>
+      }
+      if (endIdx == ts.length) j += 1
+    }
+    require(fromIdx > 0, "PgDialect: DISTINCT ON without FROM is unsupported")
+    require(orderIdx > fromIdx,
+      "PgDialect: DISTINCT ON requires a same-level ORDER BY starting " +
+        "with the ON expressions (PG's own precondition)")
+    if (tailIdx < 0) tailIdx = endIdx
+    val names = splitTopLevel(ts, listStart, fromIdx).map(outName(ts, _))
+    val obStart = nextIdx(ts, nextIdx(ts, orderIdx)) // first item after BY
+    val orderToks = ts.slice(obStart, tailIdx)
+    // outer ORDER BY re-sorts the survivors; every item must resolve
+    // against the projected output names
+    val outerOrder: Vector[Tok] =
+      splitTopLevel(ts, obStart, tailIdx).map { r =>
+        val core = ts.slice(r._1, r._2).filterNot(isWsTok)
+        val sl = suffixLen(core)
+        val expr = core.dropRight(sl)
+        val nm = expr match {
+          case Vector(Ident(n)) => n
+          case v if v.length >= 3 && v(v.length - 2) == Op(".") =>
+            v.last match { case Ident(n) => n; case _ => null }
+          case _ => null
+        }
+        require(nm != null && names.exists(_.equalsIgnoreCase(nm)),
+          "PgDialect: DISTINCT ON outer ORDER BY item '" +
+            core.map(_.text).mkString(" ") + "' is not a named output column")
+        Vector[Tok](Ident(nm)) ++ core.takeRight(sl).flatMap(t =>
+          Vector[Tok](Ws(" "), t))
+      }.reduce((a, b) => a ++ Vector[Tok](Op(","), Ws(" ")) ++ b)
+    val repl = Vector.newBuilder[Tok]
+    def id(s: String): Unit = { repl += Ident(s); repl += Ws(" ") }
+    repl += Ident("SELECT"); repl += Ws(" ")
+    names.zipWithIndex.foreach { case (nm, k) =>
+      if (k > 0) { repl += Op(","); repl += Ws(" ") }
+      repl += Ident(nm)
+    }
+    repl += Ws(" "); id("FROM"); repl += Op("(")
+    id("SELECT")
+    repl ++= ts.slice(listStart, fromIdx) // original select list, verbatim
+    repl += Op(","); repl += Ws(" ")
+    repl += Ident("ROW_NUMBER"); repl += Op("("); repl += Op(")")
+    repl += Ws(" "); id("OVER"); repl += Op("(")
+    id("PARTITION"); id("BY")
+    repl ++= partToks
+    repl += Ws(" "); id("ORDER"); id("BY")
+    repl ++= orderToks
+    repl += Op(")"); repl += Ws(" "); id("AS"); repl += Ident("__rn")
+    repl += Ws(" ")
+    repl ++= ts.slice(fromIdx, orderIdx) // FROM … WHERE … GROUP BY …
+    repl += Op(")"); repl += Ws(" "); repl += Ident("__distinct_on")
+    repl += Ws(" "); id("WHERE"); repl += Ident("__rn"); repl += Ws(" ")
+    repl += Op("="); repl += Ws(" "); repl += Num("1"); repl += Ws(" ")
+    id("ORDER"); id("BY")
+    repl ++= outerOrder
+    if (tailIdx < endIdx) { repl += Ws(" "); repl ++= ts.slice(tailIdx, endIdx) }
+    splice(ts, si, endIdx - 1, repl.result())
+  }
+
+  // ------------------------------------------------- implicit null order
+
+  /** Sort-item terminators: keywords that can follow the last ORDER BY
+    * item at its own nesting level. */
+  private val orderEnders = Set("limit", "offset", "fetch", "for", "union",
+    "intersect", "except", "rows", "range", "groups", "window")
+
+  private def findOrderBy(ts: Vector[Tok], from: Int): Int =
+    (from until ts.length).find { i =>
+      ts(i) match {
+        case Ident(o) if o.equalsIgnoreCase("order") =>
+          val nx = nextIdx(ts, i)
+          nx >= 0 && (ts(nx) match {
+            case Ident(b) => b.equalsIgnoreCase("by")
+            case _ => false
+          })
+        case _ => false
+      }
+    }.getOrElse(-1)
+
+  /** Rule 10: append PG's implicit null ordering (ASC→NULLS LAST,
+    * DESC→NULLS FIRST) to every ORDER BY item without an explicit NULLS
+    * spec — Spark's defaults are the mirror image, so leaving it
+    * implicit silently reorders every null-bearing sort. */
+  private def normalizeNullsOrdering(ts0: Vector[Tok]): Vector[Tok] = {
+    var ts = ts0
+    var from = 0
+    var ob = findOrderBy(ts, from)
+    while (ob >= 0) {
+      val byIdx = nextIdx(ts, ob)
+      val start = nextIdx(ts, byIdx)
+      var itemStart = start
+      var j = start
+      var depth = 0
+      var endIdx = -1
+      val inserts = Vector.newBuilder[(Int, String)]
+      def finish(endEx: Int): Unit = {
+        var last = endEx - 1
+        while (last >= itemStart && isWsTok(ts(last))) last -= 1
+        if (last >= itemStart) {
+          val core = ts.slice(itemStart, last + 1).filterNot(isWsTok)
+          val sl = suffixLen(core)
+          if (sl < 2) { // no explicit NULLS spec on this item
+            val dir = core.takeRight(sl).headOption.collect {
+              case Ident(d) => d.toLowerCase
+            }.getOrElse("asc")
+            inserts += ((last + 1,
+              if (dir == "desc") "NULLS FIRST" else "NULLS LAST"))
+          }
+        }
+      }
+      while (j < ts.length && endIdx < 0) {
+        ts(j) match {
+          case Op("(") => depth += 1
+          case Op(")") => depth -= 1; if (depth < 0) endIdx = j
+          case Op(";") if depth == 0 => endIdx = j
+          case Op(",") if depth == 0 => finish(j); itemStart = j + 1
+          case Ident(k) if depth == 0 && orderEnders.contains(k.toLowerCase) =>
+            endIdx = j
+          case _ =>
+        }
+        if (endIdx < 0) j += 1
+      }
+      finish(if (endIdx < 0) ts.length else endIdx)
+      inserts.result().sortBy(-_._1).foreach { case (pos, spec) =>
+        val words = spec.split(' ')
+        ts = ts.take(pos) ++ Vector[Tok](Ws(" "), Ident(words(0)), Ws(" "),
+          Ident(words(1))) ++ ts.drop(pos)
+      }
+      from = byIdx + 1
+      ob = findOrderBy(ts, from)
+    }
+    ts
+  }
+
   /** Table functions PG lets stand as (implicitly lateral) FROM items. */
   private val lateralTvfs = Set("generate_series")
+
+  /** Nearest enclosing clause keyword at `i`'s own nesting level,
+    * scanning backward: Some("from"), Some("select"), …; None when the
+    * scan leaves the current parenthesized expression first (function
+    * argument / scalar-expression context). */
+  private def clauseContext(ts: Vector[Tok], i: Int): Option[String] = {
+    val clauses = Set("select", "from", "where", "having", "values", "by",
+      "on", "when", "then", "set")
+    var depth = 0
+    var j = i - 1
+    while (j >= 0) {
+      ts(j) match {
+        case Op(")") => depth += 1
+        case Op("(") =>
+          depth -= 1
+          if (depth < 0) return None
+        case Ident(w) if depth == 0 && clauses.contains(w.toLowerCase) =>
+          return Some(w.toLowerCase)
+        case _ =>
+      }
+      j -= 1
+    }
+    None
+  }
 
   /** Rule 6: `join generate_series(...) d` / `, generate_series(...) d`
     * → `join LATERAL generate_series(...) AS d(d)`. A PG function FROM
@@ -493,6 +952,20 @@ object PgDialect {
       ts(i) match {
         case Ident(n) if lateralTvfs.contains(n.toLowerCase) =>
           val p = prevIdx(ts, i)
+          // a comma-preceded SRF is a FROM item ONLY when the nearest
+          // enclosing clause keyword is FROM — in a SELECT list (or any
+          // expression position) PG's SRF-in-expression semantics have
+          // no Spark mapping and must reject loudly, not mistranslate
+          val commaCase = p >= 0 && ts(p) == Op(",")
+          if ((commaCase && !clauseContext(ts, i).contains("from")) ||
+            (p >= 0 && ts(p).text.equalsIgnoreCase("select"))) {
+            val call = nextIdx(ts, i)
+            if (call >= 0 && ts(call) == Op("("))
+              throw new IllegalArgumentException(
+                s"PgDialect: set-returning function '$n' outside a FROM " +
+                  "item (SELECT-list/expression SRFs are unsupported) — " +
+                  "move it to a LATERAL FROM item")
+          }
           // a join operand can (and in Spark must) take LATERAL; a
           // leading `FROM tvf(...)` item is uncorrelated and may not
           val needsLateral = p >= 0 && (ts(p) == Op(",") ||

@@ -35,9 +35,11 @@ class PgDialectSpec extends AnyFunSuite {
   }
 
   test("rule 3: window-suffixed aggregate is one division operand") {
+    // (rule 10 also spells out the window sort's implicit null order)
     assert(norm(PgDialect.translate(
       "select sum(rate) over(partition by i order by b)/10^27 from t")) ==
-      "select pg_div(sum(rate) over(partition by i order by b), POWER(10, 27)) from t")
+      "select pg_div(sum(rate) over(partition by i order by b NULLS LAST), " +
+        "POWER(10, 27)) from t")
   }
 
   test("rule 4: '::' casts — default numeric, args kept, double precision") {
@@ -106,6 +108,94 @@ class PgDialectSpec extends AnyFunSuite {
   test("comments and string literals are never rewritten from inside") {
     val sql = "select 'a/b^c' as s, x -- d/e\nfrom t /* f::int */"
     assert(norm(PgDialect.translate(sql)) == norm(sql))
+  }
+
+  // ------------------------------------ round-13 rules: 7..10 + rejection
+
+  test("rule 7: E'...' escape strings decode PG escapes and re-encode for Spark") {
+    // named, octal, hex escapes; '' doubling; backslash-any = any
+    assert(norm(PgDialect.translate(raw"select E'a\tb\n\x21\101''q\z'")) ==
+      raw"select 'a\tb\n!A\'qz'")
+    graft.codec.GraftFunctions.register(spark)
+    val r = spark.sql(PgDialect.translate(
+      raw"select E'a\tb' as x, length(E'\x21\101') as n, E'it''s \z' as q")).head()
+    assert(r.getString(0) == "a\tb")
+    assert(r.getInt(1) == 2) // "!A"
+    assert(r.getString(2) == "it's z")
+  }
+
+  test("rule 8: dollar-quoted literals are raw bodies") {
+    val r = spark.sql(PgDialect.translate(
+      """select $$it's a "weird" \ literal$$ as a, $tag$a$x$b$tag$ as b""")).head()
+    assert(r.getString(0) == """it's a "weird" \ literal""")
+    assert(r.getString(1) == "a$x$b")
+  }
+
+  test("FILTER (WHERE ...) suffix is part of the aggregate operand") {
+    assert(norm(PgDialect.translate(
+      "select sum(x) filter (where y) / 2 from t")) ==
+      "select pg_div(sum(x) filter (where y), 2) from t")
+    assert(norm(PgDialect.translate(
+      "select 100 / count(*) filter (where y) from t")) ==
+      "select pg_div(100, count(*) filter (where y)) from t")
+  }
+
+  test("rule 9: DISTINCT ON becomes a row_number window + rk=1 filter") {
+    val out = PgDialect.translate(
+      "select distinct on (u) u, e, v from t order by u, e desc")
+    assert(!out.toLowerCase.contains("distinct on")) // __distinct_on alias stays
+    assert(out.contains("ROW_NUMBER") && out.contains("PARTITION BY u") &&
+      out.contains("__rn = 1"))
+    // runtime equivalence against the explicit window form, on real data
+    import spark.implicits._
+    Seq((1, 10, "a"), (1, 20, "b"), (2, 5, "c"), (2, 1, "d"))
+      .toDF("u", "e", "v").createOrReplaceTempView("don_t")
+    val got = spark.sql(PgDialect.translate(
+      "select distinct on (u) u, e, v from don_t order by u, e desc")).collect()
+    assert(got.map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSeq ==
+      Seq((1, 20, "b"), (2, 5, "c")))
+  }
+
+  test("rule 10: PG implicit null ordering is spelled out (Spark's is the mirror)") {
+    assert(norm(PgDialect.translate(
+      "select * from t order by a, b desc, c nulls first, d asc")) ==
+      "select * from t order by a NULLS LAST, b desc NULLS FIRST, " +
+        "c nulls first, d asc NULLS LAST")
+    // window ORDER BY gets the same treatment; frames stay intact
+    assert(norm(PgDialect.translate(
+      "select sum(x) over (order by v desc) from t")) ==
+      "select sum(x) over (order by v desc NULLS FIRST) from t")
+    assert(norm(PgDialect.translate(
+      "select sum(x) over (order by v rows between 1 preceding and current row) from t")) ==
+      "select sum(x) over (order by v NULLS LAST rows between 1 preceding " +
+        "and current row) from t")
+    // runtime: nulls sort LAST under implicit ASC, as PG does
+    import spark.implicits._
+    Seq(Some(2), None, Some(1)).toDF("v").createOrReplaceTempView("nulls_t")
+    val got = spark.sql(PgDialect.translate(
+      "select v from nulls_t order by v")).collect()
+    assert(got.map(r => if (r.isNullAt(0)) None else Some(r.getInt(0))).toSeq ==
+      Seq(Some(1), Some(2), None))
+  }
+
+  test("documented non-goals REJECT loudly, never mistranslate") {
+    def rejects(sql: String, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException](PgDialect.translate(sql))
+      assert(e.getMessage.contains(needle), s"for [$sql]: ${e.getMessage}")
+    }
+    rejects("select a ~ 'x' from t", "unsupported operator '~'")
+    rejects("select arr[1] from t", "unsupported operator '['")
+    rejects("select a @> b from t", "unsupported operator")
+    rejects("select * from t where id = $1", "positional parameter")
+    rejects("select a similar to 'b%' from t", "SIMILAR TO")
+    rejects("""select x collate "C" from t""", "COLLATE")
+    rejects("select a, generate_series(1,3) from t", "set-returning function")
+    rejects("select generate_series(1,3)", "set-returning function")
+    rejects("select distinct on (u) u from t", "requires a same-level ORDER BY")
+    rejects("select distinct on (u) count(*) from t order by u",
+      "determinable output name")
+    rejects("select distinct on (u) u, e from t order by u union all select 1, 2",
+      "set operation")
   }
 
   // --------------------------------------------------- runtime functions
