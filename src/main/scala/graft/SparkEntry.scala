@@ -32,7 +32,8 @@ object SparkEntry {
       graft.ops.Multimodal.queries ++ graft.ops.PageRank.queries ++
       graft.ops.LangId.queries ++
       graft.ingest.Forget.queries ++ graft.ingest.Evolution.queries ++
-      graft.ingest.MatView.queries ++ graft.ingest.Validated.queries
+      graft.ingest.MatView.queries ++ graft.ingest.Validated.queries ++
+      graft.ingest.Skipping.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -51,5 +52,6 @@ object SparkEntry {
       graft.ops.Multimodal.oracle ++ graft.ops.PageRank.oracle ++
       graft.ops.LangId.oracle ++
       graft.ingest.Forget.oracle ++ graft.ingest.Evolution.oracle ++
-      graft.ingest.MatView.oracle ++ graft.ingest.Validated.oracle
+      graft.ingest.MatView.oracle ++ graft.ingest.Validated.oracle ++
+      graft.ingest.Skipping.oracle
 }

@@ -36,7 +36,7 @@ object Evolution {
     * BuildLog naming (the causal cold-cost gate counts NAMED builds
     * only — an un-named store build would book as host noise and escape
     * the ceiling), then the gate-specific `build`. */
-  private def buildOnce(s: SparkSession, root: String, buildName: String)
+  private[ingest] def buildOnce(s: SparkSession, root: String, buildName: String)
                        (build: ManifestStore => Unit): ManifestStore = {
     builtRoots.synchronized {
       if (!builtRoots.contains(root)) graft.ops.BuildLog.timed(buildName) {

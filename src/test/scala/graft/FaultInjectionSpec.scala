@@ -104,6 +104,129 @@ class FaultInjectionSpec extends AnyFunSuite {
       "vacuum touched committed data")
   }
 
+  /** Round-12 verdict #4: the OTHER exactly-once race — two attempts of
+    * the same logical write BOTH running to completion (speculation /
+    * zombie executors). Local mode cannot enable real speculation on the
+    * shared TestSpark scheduler, so the test injects the zombie's
+    * observable effect directly: part files FLUSHED into the commit
+    * directory outside the committed output set, while the write is in
+    * flight. Three layers kill a duplicate, and each is pinned here or
+    * in the test below:
+    *
+    *  1. racing attempts of one TASK — Spark's OutputCommitCoordinator
+    *     grants commit rights to one attempt; the committer's cleanupJob
+    *     removes the loser's `_temporary` workspace (zombie z1);
+    *  2. a zombie flush that OUTLIVES the committer (late write after
+    *     cleanup, or a custom-committer staging dir) — writeData's
+    *     manifest listing refuses any path with a hidden segment, so
+    *     the duplicate is never blessed (zombie z2), and vacuum reclaims
+    *     its bytes;
+    *  3. racing WRITERS of one logical COMMIT — the manifest's
+    *     exclusive-create plus the per-attempt commit-key re-check (next
+    *     test). */
+  test("zombie attempt files flushed into the commit dir are never manifested; vacuum reclaims them") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_fault_zombie").toString + "/store"
+    val store = new ManifestStore(root)
+    // pre-built duplicate payload the zombie "flushes" (plain file copy
+    // in the watcher thread — no concurrent Spark job needed)
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_zombie_src").toString
+    spark.range(0, 100).toDF("id").coalesce(1).write
+      .mode("overwrite").parquet(srcDir)
+    val srcPart = new java.io.File(srcDir).listFiles()
+      .find(_.getName.endsWith(".parquet")).get.toPath
+    // watcher: the instant the append's commit dir appears, drop two
+    // zombie part files — one inside the committer's workspace (z1), one
+    // in a staging dir the committer does not own (z2)
+    @volatile var zombiePaths: Seq[java.io.File] = Nil
+    val dataDir = new java.io.File(s"$root/data")
+    val watcher = new Thread(() => {
+      var commit: Option[java.io.File] = None
+      val deadline = System.currentTimeMillis() + 10000
+      while (commit.isEmpty && System.currentTimeMillis() < deadline) {
+        commit = Option(dataDir.listFiles()).flatMap(_.find(_.isDirectory))
+        if (commit.isEmpty) Thread.sleep(10)
+      }
+      commit.foreach { c =>
+        val z1 = new java.io.File(c,
+          "_temporary/0/_temporary/attempt_zombie_m_000002_9/part-00002-zombie.parquet")
+        val z2 = new java.io.File(c, "_zombie_staging/part-00002-zombie.parquet")
+        Seq(z1, z2).foreach { z =>
+          z.getParentFile.mkdirs()
+          java.nio.file.Files.copy(srcPart, z.toPath)
+        }
+        zombiePaths = Seq(z1, z2)
+      }
+    })
+    watcher.start()
+    // the slow partition keeps the job in flight long enough for the
+    // watcher to land its zombies before the committer finishes
+    val slow = spark.range(0, 1000).repartition(4).mapPartitions { it =>
+      val tc = TaskContext.get()
+      if (tc != null && tc.partitionId() == 3) Thread.sleep(2000)
+      it
+    }
+    store.append(spark, slow.toDF("id"), rangeCol = Some("id"))
+    watcher.join(12000)
+    assert(zombiePaths.nonEmpty, "watcher never saw the commit dir")
+    val Seq(z1, z2) = zombiePaths
+    // layer 1: the committer's cleanupJob removed its own workspace —
+    // and the in-workspace zombie with it
+    assert(!z1.exists(), "committer left its _temporary workspace behind")
+    // layer 2: the out-of-workspace zombie survived on disk but was NOT
+    // manifested — no duplicate rows, exact content
+    assert(z2.exists(), "test setup: staging zombie should survive the committer")
+    val got = store.read(spark).get.select("id").as[Long].collect().sorted
+    assert(got.toSeq == (0L until 1000L),
+      s"zombie flush broke exactly-once: ${got.length} rows, " +
+        s"dups=${got.length - got.distinct.length}")
+    assert(!store.currentFiles(spark).exists(_.contains("_zombie_staging")),
+      "manifest blessed a zombie staging file")
+    // ...and vacuum reclaims the zombie's bytes without touching live data
+    store.vacuum(spark, keepVersions = 1, minDataAgeMs = 0L)
+    assert(!z2.exists(), "vacuum left the zombie staging file")
+    assert(store.read(spark).get.count() == 1000)
+  }
+
+  test("two complete writers racing the SAME commit key publish exactly one copy") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_fault_dupkey").toString + "/store"
+    // two INDEPENDENT store instances (per-instance locks — the race is
+    // real), same root, same logical commit: the speculative-job shape,
+    // where both runs complete and both try to publish
+    val a = new ManifestStore(root)
+    val b = new ManifestStore(root)
+    val df = spark.range(0, 500).toDF("id")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = Seq(a, b).map { st =>
+      new Thread(() => {
+        try st.append(spark, df, rangeCol = Some("id"),
+          commitKey = Some("batch-42"))
+        catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join(60000))
+    assert(errs.isEmpty, s"racing writer threw: ${errs.peek()}")
+    // exactly one copy of the batch is visible — the loser's complete,
+    // fully-written attempt was disarmed by the commit-key re-check
+    // inside the manifest's exclusive-create retry loop
+    val got = a.read(spark).get.select("id").as[Long].collect().sorted
+    assert(got.toSeq == (0L until 500L),
+      s"duplicate-commit race broke exactly-once: ${got.length} rows")
+    // a replay AFTER the race is still a no-op
+    a.append(spark, df, rangeCol = Some("id"), commitKey = Some("batch-42"))
+    assert(a.read(spark).get.count() == 500)
+    // the loser's data directory is an invisible orphan; one vacuum
+    // reclaims it and data/ converges to the single winning commit
+    a.vacuum(spark, keepVersions = 1, minDataAgeMs = 0L)
+    val commitDirs = Option(new java.io.File(s"$root/data").listFiles())
+      .map(_.count(_.isDirectory)).getOrElse(0)
+    assert(commitDirs == 1,
+      s"expected 1 surviving commit dir after vacuum, found $commitDirs")
+    assert(a.read(spark).get.count() == 500)
+  }
+
   test("a NESTED dead commit dir (partitioned orphan) is reclaimed by ONE vacuum") {
     // dead files live in partition SUBDIRS: deleting them bumps the
     // subdir mtimes, so a naive post-delete youth re-listing would keep
