@@ -116,13 +116,105 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** SQL-surface curation (round-12 verdict stretch #8): the
+    * quality-filter → exact-dedup → token-budget pipeline as ONE SQL
+    * text — zero DataFrame-API calls in the pipeline logic, so a
+    * warehouse user with nothing but SELECT access runs curation
+    * end-to-end. Every computed value is INTEGER arithmetic (word/stop
+    * counts, an integer-scaled density threshold `n_stop * 25 <
+    * n_words` ≡ density < 4%, an integer cumulative token budget), so
+    * the DuckDB oracle is hash-exact with no float bridge anywhere.
+    * Exact dedup partitions on the text VALUE itself (no engine hash),
+    * keeping the lowest doc_id; the UNION plants deterministic
+    * duplicates (every doc_id % 3 = 0 re-appears shifted) so the dedup
+    * stage provably fires. The budget stage keeps the doc_id-ordered
+    * prefix holding at most half the surviving corpus' words — the
+    * "curate then cut to a token budget" tail every training-data run
+    * ends with. */
+  private val sqlCurationText = """
+      WITH docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0),
+      metrics AS (
+        SELECT doc_id, text,
+          CAST(size(filter(split(text, ' '), w -> w <> '')) AS BIGINT) AS n_words,
+          CAST(length(text) AS BIGINT) AS n_chars,
+          CAST(size(filter(split(lower(text), ' '),
+            w -> w IN ('the','be','to','of','and','a','in','that'))) AS BIGINT) AS n_stop
+        FROM docs),
+      quality AS (
+        SELECT doc_id, text, n_words, n_chars,
+          CASE WHEN n_words < 20 THEN 'too_short'
+               WHEN n_stop * 25 < n_words THEN 'few_stopwords'
+               ELSE 'ok' END AS verdict
+        FROM metrics),
+      survivors AS (
+        SELECT doc_id, text, n_words, n_chars,
+          ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rk
+        FROM quality WHERE verdict = 'ok'),
+      deduped AS (
+        SELECT doc_id, n_words, n_chars FROM survivors WHERE rk = 1),
+      budget AS (
+        SELECT doc_id, n_words, n_chars,
+          SUM(n_words) OVER (ORDER BY doc_id) AS cum_words
+        FROM deduped)
+      SELECT doc_id, n_words, n_chars, cum_words
+      FROM budget
+      WHERE cum_words * 2 <= (SELECT SUM(n_words) FROM deduped)
+      ORDER BY doc_id"""
+
+  /** Gate: [[sqlCurationText]] through `spark.sql` alone. */
+  def sqlCuration(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(sqlCurationText)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_curated" -> (corpusCurated _),
-    "corpus_split" -> (corpusSplit _))
+    "corpus_split" -> (corpusSplit _),
+    "sql_curation" -> (sqlCuration _))
 
   /** The same four stages as a DuckDB CTE chain: quality keep → exact
     * dedup keep → recursive-CTE components keep → sample predicate. */
+  /** DuckDB form of [[sqlCurationText]] — list_filter/string_split/len
+    * for the Spark collection HOFs; all comparisons integer, so the
+    * match is hash-exact by construction. */
+  private val sqlCurationOracle = """
+      WITH docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0),
+      metrics AS (
+        SELECT doc_id, text,
+          CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_words,
+          CAST(length(text) AS BIGINT) AS n_chars,
+          CAST(len(list_filter(string_split(lower(text), ' '),
+            w -> w IN ('the','be','to','of','and','a','in','that'))) AS BIGINT) AS n_stop
+        FROM docs),
+      quality AS (
+        SELECT doc_id, text, n_words, n_chars,
+          CASE WHEN n_words < 20 THEN 'too_short'
+               WHEN n_stop * 25 < n_words THEN 'few_stopwords'
+               ELSE 'ok' END AS verdict
+        FROM metrics),
+      survivors AS (
+        SELECT doc_id, text, n_words, n_chars,
+          ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rk
+        FROM quality WHERE verdict = 'ok'),
+      deduped AS (
+        SELECT doc_id, n_words, n_chars FROM survivors WHERE rk = 1),
+      budget AS (
+        SELECT doc_id, n_words, n_chars,
+          CAST(SUM(n_words) OVER (ORDER BY doc_id) AS BIGINT) AS cum_words
+        FROM deduped)
+      SELECT doc_id, n_words, n_chars, cum_words
+      FROM budget
+      WHERE cum_words * 2 <= (SELECT SUM(n_words) FROM deduped)
+      ORDER BY doc_id"""
+
   val oracle: Map[String, String] = Map(
+    "sql_curation" -> sqlCurationOracle,
     "corpus_curated" -> s"""
       WITH RECURSIVE ${TextAnalysis.qualityCtesBody},
       qkeep AS (

@@ -259,7 +259,72 @@ object Relational {
     * result is bit-identical across engines (pow() is libm-dependent). */
   def q17AssetsShape(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
-    s.sql("""
+    s.sql(assetsShapeSql)
+  }
+
+  /** The same flagship chain with ONLY the events table registered —
+    * for fixture dirs that ship just events (the sf1 LINEAR scale tier,
+    * which holds the ilk set fixed while the block span grows 10×: the
+    * reference's production scaling axis, where the series fill grows
+    * linearly instead of ilks × span). */
+  def q17AssetsShapeEventsOnly(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("events")
+    s.sql(assetsShapeSql)
+  }
+
+  /** The flagship chain with the per-row 3 dp rounding expressed as an
+    * ENGINE-NEUTRAL bridge — `FLOOR(x*1000 + 0.5)` over integral
+    * thousandths — instead of `ROUND(double, 3)`. Every double upstream
+    * is bit-identical across engines (the chain is pure IEEE arithmetic
+    * over the same inputs); the ONLY cross-engine divergence q17 has is
+    * the round-to-3dp IMPLEMENTATION (Spark rounds the shortest decimal
+    * representation HALF_UP, DuckDB rounds the binary value), which puts
+    * values landing exactly on the .0005 grid — common here, because
+    * dart/rate are exact 3/4 dp decimals so debt is an exact 7 dp
+    * decimal — on a knife edge (measured at the sf1 linear tier: 379 of
+    * 49 964 rows off by exactly ±0.001, both directions). FLOOR, `*`,
+    * and `+` are all single IEEE ops both engines evaluate identically,
+    * so the bridge makes the gate hash-exact AT ANY SCALE while keeping
+    * the identical plan shape (one scalar expression swapped). Reads
+    * only `events`, so it runs unchanged on the events-only linear
+    * fixture. */
+  def q17AssetsLinear(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("events")
+    s.sql(assetsLinearSql)
+  }
+
+  /** Final rollup with per-row ROUND(x, 3) — the literal reference
+    * shape; dialect-shared (the text is valid Spark AND DuckDB SQL). */
+  private val assetsFinalRound = """
+      SELECT dt, collateral,
+        CAST(SUM(CAST(ROUND(asset, 3) AS DECIMAL(30,3))) AS DOUBLE) AS asset,
+        CAST(SUM(CAST(ROUND(annual_revenues, 3) AS DECIMAL(30,3))) AS DOUBLE) AS annual_revenues,
+        CAST(SUM(CAST(ROUND(annual_revenues, 3) AS DECIMAL(30,3))) AS DOUBLE)
+          / CAST(SUM(CAST(ROUND(asset, 3) AS DECIMAL(30,3))) AS DOUBLE) AS blended_rate
+      FROM group_by_cat
+      GROUP BY 1, 2
+      ORDER BY 1 DESC, 2"""
+
+  /** Final rollup with the engine-neutral rounding bridge (see
+    * [[q17AssetsLinear]]): integral thousandths via FLOOR(x*1000+0.5)
+    * (pure IEEE ops), summed exactly in DECIMAL(30,0); blended_rate is
+    * the ratio of the thousandths sums (the /1000 cancels), so every
+    * output value is derived from engine-identical integers. Dialect-
+    * shared text. */
+  private val assetsFinalBridge = """
+      SELECT dt, collateral,
+        CAST(SUM(CAST(FLOOR(asset * 1000 + 0.5) AS DECIMAL(30,0))) AS DOUBLE) / 1000 AS asset,
+        CAST(SUM(CAST(FLOOR(annual_revenues * 1000 + 0.5) AS DECIMAL(30,0))) AS DOUBLE) / 1000 AS annual_revenues,
+        CAST(SUM(CAST(FLOOR(annual_revenues * 1000 + 0.5) AS DECIMAL(30,0))) AS DOUBLE)
+          / CAST(SUM(CAST(FLOOR(asset * 1000 + 0.5) AS DECIMAL(30,0))) AS DOUBLE) AS blended_rate
+      FROM group_by_cat
+      GROUP BY 1, 2
+      ORDER BY 1 DESC, 2"""
+
+  private[graft] lazy val assetsShapeSql = assetsShapeCtes + assetsFinalRound
+  private[graft] lazy val assetsLinearSql = assetsShapeCtes + assetsFinalBridge
+
+  private val assetsShapeCtes = """
       WITH lending_assets_1 AS (
         SELECT user_id AS ilk, event_id AS block_number, value AS dart,
                CAST(NULL AS DOUBLE) AS rate
@@ -330,17 +395,7 @@ object Relational {
                ELSE 'Others' END AS collateral,
           debt AS asset, annual_revenues
         FROM group_by
-      )
-      SELECT dt, collateral,
-        CAST(SUM(CAST(ROUND(asset, 3) AS DECIMAL(30,3))) AS DOUBLE) AS asset,
-        CAST(SUM(CAST(ROUND(annual_revenues, 3) AS DECIMAL(30,3))) AS DOUBLE) AS annual_revenues,
-        CAST(SUM(CAST(ROUND(annual_revenues, 3) AS DECIMAL(30,3))) AS DOUBLE)
-          / CAST(SUM(CAST(ROUND(asset, 3) AS DECIMAL(30,3))) AS DOUBLE) AS blended_rate
-      FROM group_by_cat
-      GROUP BY 1, 2
-      ORDER BY 1 DESC, 2
-    """)
-  }
+      )"""
 
   // ----------------------------------------------------------------- maps
 
@@ -362,10 +417,13 @@ object Relational {
     "q15_agg_stats" -> (q15AggStats _),
     "q16_dates" -> (q16Dates _),
     "q17_assets_shape" -> (q17AssetsShape _),
+    "q17_assets_linear" -> (q17AssetsLinear _),
     "q18_strings" -> (q18Strings _),
     "q19_json" -> (q19Json _))
 
-  val oracle: Map[String, String] = Map(
+  // lazy: composes private vals declared later in the file (the q17
+  // CTE/final-select split) — eager init would read them as null
+  lazy val oracle: Map[String, String] = Map(
     "q01_agg" -> """
       SELECT l_returnflag, l_linestatus,
         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -466,7 +524,14 @@ object Relational {
         COUNT(*) AS n,
         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders GROUP BY 1, 2 ORDER BY 1, 2""",
-    "q17_assets_shape" -> """
+    "q17_assets_shape" -> (assetsShapeOracleCtes + assetsFinalRound),
+    "q17_assets_linear" -> (assetsShapeOracleCtes + assetsFinalBridge),
+  ) ++ oracle2
+
+  /** DuckDB-dialect form of [[assetsShapeCtes]] (unnest/generate_series,
+    * `//` integer division, VARCHAR). The two FINAL selects are
+    * dialect-shared and appended per gate. */
+  private val assetsShapeOracleCtes = """
       WITH lending_assets_1 AS (
         SELECT user_id AS ilk, event_id AS block_number, value AS dart,
                CAST(NULL AS DOUBLE) AS rate
@@ -537,15 +602,9 @@ object Relational {
                ELSE 'Others' END AS collateral,
           debt AS asset, annual_revenues
         FROM group_by
-      )
-      SELECT dt, collateral,
-        CAST(SUM(CAST(ROUND(asset, 3) AS DECIMAL(30,3))) AS DOUBLE) AS asset,
-        CAST(SUM(CAST(ROUND(annual_revenues, 3) AS DECIMAL(30,3))) AS DOUBLE) AS annual_revenues,
-        CAST(SUM(CAST(ROUND(annual_revenues, 3) AS DECIMAL(30,3))) AS DOUBLE)
-          / CAST(SUM(CAST(ROUND(asset, 3) AS DECIMAL(30,3))) AS DOUBLE) AS blended_rate
-      FROM group_by_cat
-      GROUP BY 1, 2
-      ORDER BY 1 DESC, 2""",
+      )"""
+
+  private val oracle2: Map[String, String] = Map(
     "q18_strings" -> """
       SELECT c_custkey,
         UPPER(c_name) AS uname,

@@ -84,6 +84,25 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.median3(58.9, 13.4, 13.6) == 13.6)
   }
 
+  test("mergePasses: median-of-3 for suspects, conservative max on rerun failure, min otherwise") {
+    val p1 = Map("swing" -> qt(13.4), "steady" -> qt(2.0),
+      "lost" -> qt(30.0), "broken" -> (None: Option[Bench.QTime]))
+    val p2 = Map("swing" -> qt(58.9), "steady" -> qt(1.0),
+      "lost" -> qt(3.0), "broken" -> None)
+    val p3 = Map("swing" -> qt(13.6), "lost" -> None) // lost's p3 FAILED
+    val (merged, rerunFailed) = Bench.mergePasses(
+      p1, Some(p2), Some(p3), suspects = Seq("swing", "lost"))
+    assert(merged("swing").contains(13.6), "suspect must take the median")
+    assert(merged("steady").contains(1.0), "non-suspect must take the min")
+    assert(merged("lost").contains(30.0),
+      "a suspect whose p3 failed must report the conservative MAX")
+    assert(merged("broken").isEmpty)
+    assert(rerunFailed == Seq("lost"))
+    // single-pass degenerate form (the p1Total>900 skip path)
+    val (solo, noFails) = Bench.mergePasses(p1, None, None, Nil)
+    assert(solo("swing").contains(13.4) && noFails.isEmpty)
+  }
+
   test("BuildLog: per-name sums, cost-descending, drain empties, records on failure") {
     import graft.ops.BuildLog
     BuildLog.drain() // isolate from builds other suites triggered

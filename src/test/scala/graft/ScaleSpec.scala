@@ -444,4 +444,41 @@ class DemuxVolumeSpec extends AnyFunSuite {
     val maxd = v0.zip(v1).map { case (a, b) => math.abs(a - b) }.max
     assert(maxd <= 0.021f, s"perturbation too large: $maxd")
   }
+
+  test("sf1 LINEAR tier: ilks fixed, 10x contiguous block span — flagship fill scales linearly") {
+    val baseDir = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_sf1lin").toString
+    graft.fixtures.ScaleFixtures.buildLinear(spark, baseDir, out)
+    val base = spark.read.parquet(s"$baseDir/events.parquet")
+    val lin = spark.read.parquet(s"$out/events.parquet")
+    // 10x rows; the ilk (user) set is FIXED — the production axis
+    assert(lin.count() == 10 * base.count())
+    assert(lin.select("user_id").distinct().count() ==
+      base.select("user_id").distinct().count(),
+      "linear tier changed the ilk set")
+    // span-contiguous replicas: one dense 10x block window, no holes
+    // inflating the series fill (stride = base max + 1)
+    val bmax = base.agg(max("event_id")).head().getLong(0)
+    assert(lin.agg(min("event_id")).head().getLong(0) ==
+      base.agg(min("event_id")).head().getLong(0))
+    assert(lin.agg(max("event_id")).head().getLong(0) == 10 * (bmax + 1) - 1)
+    assert(lin.select("event_id").distinct().count() == lin.count(),
+      "replica id windows overlap")
+    // the events-only flagship form is the SAME query: identical result
+    // on the same dir as the registerAll form
+    val viaAll = graft.queries.Relational.q17AssetsShape(spark, baseDir)
+      .collect().toSeq
+    val viaEvents = graft.queries.Relational
+      .q17AssetsShapeEventsOnly(spark, baseDir).collect().toSeq
+    assert(viaAll == viaEvents, "events-only flagship form diverged")
+    // and on the linear tier its output span (dt buckets ≈ fill rows /
+    // ilk) grows ~10x — the linear scaling the quadratic fixture lacked
+    val bdt = graft.queries.Relational.q17AssetsShapeEventsOnly(spark, baseDir)
+      .agg(countDistinct(col("dt"))).head().getLong(0)
+    val ldt = graft.queries.Relational.q17AssetsShapeEventsOnly(spark, out)
+      .agg(countDistinct(col("dt"))).head().getLong(0)
+    assert(ldt >= 9 * bdt && ldt <= 11 * bdt,
+      s"linear tier dt span scaled ${ldt}x/${bdt}x — not ~10x")
+  }
 }

@@ -1,0 +1,183 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.abi.{AbiJson, AbiSchema}
+import graft.codec.AbiDecoder
+import graft.ingest.{Demux, ManifestStore}
+import java.math.{BigDecimal => JBigDecimal, BigInteger}
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+/** Full-universe physical ingest E2E (round-12 verdict stretch #7): the
+  * reference's EP1 at FULL breadth. Schema derivation, decode roundtrip
+  * and dispatch were already spec'd over the whole 412-table config
+  * tree (AbiSpec, DemuxSpec); this test physically WRITES the universe:
+  * one synthetic log batch carrying rows for EVERY table derived from
+  * /root/reference/conf, chunk-committed through the manifest store
+  * partitioned by table_name, then resumed and replayed.
+  *
+  * Dispatch-key collisions are first-class here: distinct ABIs share
+  * event shapes (same signature → same topic0), so a log legitimately
+  * lands in every table whose key matches — per-table expectations are
+  * computed from the key-collision groups, not assumed 1:1. */
+class UniverseIngestSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("412-table universe: one batch writes every table; resume + replay are exact") {
+    val confDir = new java.io.File("/root/reference/conf")
+    assume(confDir.isDirectory, "reference config tree not present")
+    val defs = confDir.listFiles.filter(_.isDirectory).flatMap(_.listFiles)
+      .filter(_.getName.endsWith(".abi"))
+      .flatMap(f => AbiSchema.tables(f.getName.stripSuffix(".abi"),
+        AbiJson.parseFile(f.getPath))).toSeq
+    assert(defs.size >= 400, s"universe shrank: ${defs.size} tables")
+
+    // deterministic value generator (the AbiSpec corpus-roundtrip shapes)
+    val rnd = new scala.util.Random(42)
+    def valueFor(t: String, indexed: Boolean): Any =
+      if (indexed && (t == "string" || t == "bytes" || t.endsWith("[]")))
+        Array.fill[Byte](32)(rnd.nextInt().toByte) // pre-hashed topic
+      else t match {
+        case "address" => Array.fill[Byte](20)(rnd.nextInt().toByte)
+        case "bool" => rnd.nextBoolean()
+        case "string" => rnd.alphanumeric.take(rnd.nextInt(24)).mkString
+        case "bytes" => Array.fill[Byte](rnd.nextInt(64))(rnd.nextInt().toByte)
+        case b if b.startsWith("bytes") =>
+          Array.fill[Byte](b.drop(5).toInt)(rnd.nextInt().toByte)
+        case "uint8" => rnd.nextInt(256).toShort
+        case "uint16" => rnd.nextInt(65536)
+        case a if a.endsWith("[]") =>
+          Seq.fill(rnd.nextInt(3))(valueFor(a.dropRight(2), indexed = false))
+        case t if t.startsWith("uint") || t.startsWith("int") =>
+          // width-aware magnitudes: unlike the raw-roundtrip spec, these
+          // values pass through the SCHEMA types (uint24..56 → LongType,
+          // wider → DECIMAL(38,0)), so they must fit what they decode into
+          val digits = t.dropWhile(_.isLetter)
+          val bits = if (digits.isEmpty) 256 else digits.toInt
+          val width = math.min(bits - 1, 120) // signed slots AND 38 digits
+          new JBigDecimal(new BigInteger(width, rnd.self))
+        case other => fail(s"no generator for ABI type $other")
+      }
+
+    // one raw batch: 2 rows per def, strictly increasing block numbers;
+    // remember the generated values per def for the spot-decode check
+    val truth = scala.collection.mutable.Map[String, Seq[Seq[Any]]]()
+    val rawRows = ArrayBuffer.empty[Row]
+    var blockNo = 1_000_000L
+    var txIndex = 0
+    def bytes(n: Int) = Array.fill[Byte](n)(rnd.nextInt().toByte)
+    defs.foreach { d =>
+      val rows = (0 until 2).map { i =>
+        blockNo += 1; txIndex += 1
+        val values = d.entry.inputs.map(p => valueFor(p.abiType, p.indexed))
+        val (topics, data) =
+          if (d.isEvent) AbiDecoder.encodeEvent(d.entry, values)
+          else (Seq(java.util.Arrays.copyOf(d.dispatchKey.toArray, 32)),
+            AbiDecoder.encodeCall(d.entry, values))
+        rawRows += Row.fromSeq(Seq[Any](bytes(20), topics, data,
+          blockNo, bytes(32), i, txIndex, bytes(32)))
+        values
+      }
+      truth(d.table) = rows
+    }
+    val raw = spark.createDataFrame(rawRows.asJava, Demux.rawLogSchema)
+    val mid = 1_000_000L + rawRows.size / 2
+
+    // chunk-committed ingest through the manifest store (EP1 cadence)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_universe").toString + "/store"
+    val store = new ManifestStore(root)
+    store.overwriteRange(spark,
+      Demux.taggedKnown(raw.filter(col("block_number") <= mid), defs),
+      1_000_000L, mid, "block_number", Seq("table_name"))
+    store.overwriteRange(spark,
+      Demux.taggedKnown(raw.filter(col("block_number") > mid), defs),
+      mid + 1, blockNo, "block_number", Seq("table_name"))
+
+    // every distinct table of the universe physically landed
+    val snap = store.read(spark).get
+    val landed = snap.select("table_name").distinct()
+      .collect().map(_.getString(0)).toSet
+    val expected = defs.map(_.table).toSet
+    assert(landed == expected,
+      s"missing tables: ${(expected -- landed).take(5)}; " +
+        s"spurious: ${(landed -- expected).take(5)}")
+
+    // per-table row counts follow the dispatch-key collision groups
+    // EXACTLY: table names repeat across ABIs (overloads → same snake
+    // name, different selector) and keys repeat across tables (shared
+    // event shapes), so a table's expectation is the sum over its
+    // (table, key) dispatch rows of that key's total log count
+    val byKey = defs.groupBy(d => Demux.topic0Key(d).toSeq)
+    val logsPerKey = byKey.view.mapValues(2L * _.size).toMap
+    val expectedCount: Map[String, Long] =
+      defs.groupBy(_.table).view.mapValues { ds =>
+        ds.groupBy(d => Demux.topic0Key(d).toSeq)
+          .map { case (k, dups) => dups.size.toLong * logsPerKey(k) }.sum
+      }.toMap
+    val counts = snap.groupBy("table_name").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    expectedCount.foreach { case (t, want) =>
+      assert(counts(t) == want, s"$t: ${counts(t)} rows, expected $want")
+    }
+    val total = snap.count()
+
+    // resume watermark comes straight from manifest stats — no scan
+    assert(store.statsMax(spark).contains(blockNo),
+      s"resume watermark ${store.statsMax(spark)} != $blockNo")
+
+    // replayed second chunk (same range) is replaced, not duplicated
+    store.overwriteRange(spark,
+      Demux.taggedKnown(raw.filter(col("block_number") > mid), defs),
+      mid + 1, blockNo, "block_number", Seq("table_name"))
+    assert(store.read(spark).get.count() == total,
+      "replaying a chunk changed the row count")
+    // ...and a zero-row incremental tick (nothing past the watermark)
+    // publishes nothing
+    val vBefore = store.currentVersion(spark)
+    store.overwriteRange(spark,
+      Demux.taggedKnown(raw.filter(col("block_number") > blockNo), defs),
+      blockNo + 1, blockNo + 1000, "block_number", Seq("table_name"))
+    assert(store.currentVersion(spark) == vBefore,
+      "an empty catch-up tick bumped the version")
+
+    // spot decode: tables with a single def whose topic0 is UNIQUE in
+    // the universe and whose params are all static+non-indexed decode
+    // back to the exact generated values through the store's pruned
+    // read path
+    val soloTables = defs.groupBy(_.table).filter(_._2.size == 1).keySet
+    val unique = defs.filter(d => soloTables(d.table) &&
+      byKey(Demux.topic0Key(d).toSeq).size == 1)
+    val simple = unique.filter(_.entry.inputs.forall(p => !p.indexed &&
+      (p.abiType == "address" || p.abiType.startsWith("uint") ||
+        p.abiType == "bool") && !p.abiType.endsWith("[]")))
+    assert(simple.size >= 5, s"too few spot-decodable tables: ${simple.size}")
+    simple.take(5).foreach { d =>
+      val got = Demux.readTable(spark, store, d)
+        .orderBy("block_number").collect()
+      assert(got.length == 2, s"${d.table}: decoded ${got.length} rows")
+      got.zip(truth(d.table)).foreach { case (row, vals) =>
+        // decoded columns follow the 6 commonCols, in param order; the
+        // comparison is numeric-type-tolerant (a uint40 decodes to LONG
+        // per the schema while the generator held a BigDecimal)
+        def num(a: Any): Option[JBigDecimal] = a match {
+          case x: JBigDecimal => Some(x)
+          case x: java.lang.Number => Some(new JBigDecimal(x.toString))
+          case _ => None
+        }
+        d.entry.inputs.zip(vals).zipWithIndex.foreach { case ((p, v), i) =>
+          val dec = row.get(6 + i)
+          val same = (dec, v) match {
+            case (x: Array[Byte], y: Array[Byte]) => x.sameElements(y)
+            case (x, y) if num(x).isDefined && num(y).isDefined =>
+              num(x).get.compareTo(num(y).get) == 0
+            case (x, y) => x == y
+          }
+          assert(same, s"${d.table}.${p.name} (${p.abiType}): $dec != $v")
+        }
+      }
+    }
+  }
+}
