@@ -453,28 +453,25 @@ object Bench {
     // reported but never red. Contended-in-p1 queries stay excluded from
     // the inferred deltas.
     val coldCeiling = sys.env.getOrElse("SPARK_GRAFT_COLD_CEILING", "240").toDouble
-    val coldDeltas: Seq[(String, Double)] = p2.toSeq.flatMap { pp2 =>
+    // each entry also carries the window's excess JIT compile seconds
+    // (r12 verdict #6): computed in the SAME collect as the wall delta,
+    // so the jit attribution can never desynchronize from the delta set
+    // it splits — `cold.jit` is the measured share of the p1−p2 residue
+    // that is the JVM compiling generated query classes (compile-THREAD
+    // seconds, concurrent with execution: an explanatory bound, not a
+    // wall equality)
+    val coldDeltas: Seq[(String, Double, Double)] = p2.toSeq.flatMap { pp2 =>
       p1.toSeq.collect {
         case (k, Some(q1))
           if !q1.contended && pp2.get(k).flatten.exists(q1.wall - _.wall > 0) =>
-          k -> (q1.wall - pp2(k).get.wall)
+          val q2 = pp2(k).get
+          (k, q1.wall - q2.wall, math.max(0.0, q1.jit - q2.jit))
       }
     }.sortBy(-_._2)
     val coldTotal = coldDeltas.map(_._2).sum
+    val jitExcess = coldDeltas.map(_._3).sum
     val namedTotal = builds1.map(_._2).sum
-    // process-level JIT attribution (r12 verdict #6): excess JIT compile
-    // seconds inside pass-1 windows versus the same query's pass-2
-    // window — the measured share of the p1−p2 delta that is the JVM
-    // compiling the generated query classes, not host weather. Summed
-    // over the SAME query set as coldDeltas (uncontended, p1 > p2).
-    val jitExcess = p2.map { pp2 =>
-      p1.toSeq.collect {
-        case (k, Some(q1))
-          if !q1.contended && pp2.get(k).flatten.exists(q1.wall - _.wall > 0) =>
-          math.max(0.0, q1.jit - pp2(k).get.jit)
-      }.sum
-    }.getOrElse(0.0)
-    val coldTopJson = coldDeltas.take(10).map { case (k, d) =>
+    val coldTopJson = coldDeltas.take(10).map { case (k, d, _) =>
       "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.2f", d)
     }.mkString("{", ",", "}")
     val buildsJson = builds1.take(15).map { case (k, d) =>
@@ -512,8 +509,8 @@ object Bench {
     // median-of-3 rerun rule, per-pass interference channels, cold
     // builds attributed to pass 1 — plus the flagship's LINEAR-axis
     // variant q17_assets_linear (fixed ilks, 10× block span — the
-    // production scaling shape; its ratio is against q17_assets_shape's
-    // sf0.1 record), and a trend line appended to sf1_trend.jsonl so
+    // production scaling shape; like every entry, its ratio is against
+    // its OWN sf0.1 record), and a trend line appended to sf1_trend.jsonl so
     // ratio drift is visible round-over-round. Disable with
     // SPARK_GRAFT_SF1=0.
     val sf1Json: String = if (sys.env.get("SPARK_GRAFT_SF1").contains("0")) ""

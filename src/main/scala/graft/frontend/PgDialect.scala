@@ -423,7 +423,17 @@ object PgDialect {
       }
       require(j >= 0, "PgDialect: END with no CASE")
       j
-    case Ident(_) => qualStart(ts, end)
+    case Ident(_) =>
+      val s = qualStart(ts, end)
+      val p = prevIdx(ts, s)
+      // named-window suffix `agg(...) over w`: the operand is the whole
+      // suffixed aggregate (the forward twin already supports `over w`;
+      // without this, the LEFT operand of / or ^ scanned as just `w`)
+      if (s == end && p >= 0 && ts(p).text.equalsIgnoreCase("over")) {
+        val q = prevIdx(ts, p)
+        require(q >= 0, "PgDialect: OVER with no preceding aggregate")
+        primaryBack(ts, q)
+      } else s
     case Num(_) | Lit(_) => end
     case t => throw new IllegalArgumentException(
       s"PgDialect: cannot scan operand ending at '${t.text}'")
@@ -769,7 +779,12 @@ object PgDialect {
         case Op(";") if depth == 0 => endIdx = j
         case Ident(k) if depth == 0 =>
           k.toLowerCase match {
-            case "from" if fromIdx < 0 => fromIdx = j
+            case "from" if fromIdx < 0 =>
+              // not the FROM clause when it is the tail of
+              // `IS [NOT] DISTINCT FROM` in a select-list expression
+              val pv = prevIdx(ts, j)
+              if (!(pv >= 0 && ts(pv).text.equalsIgnoreCase("distinct")))
+                fromIdx = j
             case "union" | "intersect" | "except" =>
               throw new IllegalArgumentException(
                 "PgDialect: DISTINCT ON combined with a set operation at " +
@@ -789,6 +804,15 @@ object PgDialect {
         "with the ON expressions (PG's own precondition)")
     if (tailIdx < 0) tailIdx = endIdx
     val names = splitTopLevel(ts, listStart, fromIdx).map(outName(ts, _))
+    // duplicate output names would make the outer projection silently
+    // resolve both to the same inner column (an unaliased expression
+    // ending in a column name is the typical collision) — the dialect's
+    // contract is never-silent mistranslation, so reject loudly
+    val dupNames = names.groupBy(_.toLowerCase)
+      .collect { case (_, vs) if vs.size > 1 => vs.head }
+    require(dupNames.isEmpty,
+      "PgDialect: DISTINCT ON select items produce duplicate output " +
+        s"names (${dupNames.mkString(", ")}) — add distinct AS aliases")
     val obStart = nextIdx(ts, nextIdx(ts, orderIdx)) // first item after BY
     val orderToks = ts.slice(obStart, tailIdx)
     // outer ORDER BY re-sorts the survivors; every item must resolve
@@ -933,7 +957,12 @@ object PgDialect {
           depth -= 1
           if (depth < 0) return None
         case Ident(w) if depth == 0 && clauses.contains(w.toLowerCase) =>
-          return Some(w.toLowerCase)
+          // `from` as the tail of IS [NOT] DISTINCT FROM is an operator,
+          // not the FROM clause — keep scanning past it
+          val pv = prevIdx(ts, j)
+          if (!(w.equalsIgnoreCase("from") && pv >= 0 &&
+              ts(pv).text.equalsIgnoreCase("distinct")))
+            return Some(w.toLowerCase)
         case _ =>
       }
       j -= 1
@@ -952,32 +981,34 @@ object PgDialect {
       ts(i) match {
         case Ident(n) if lateralTvfs.contains(n.toLowerCase) =>
           val p = prevIdx(ts, i)
-          // a comma-preceded SRF is a FROM item ONLY when the nearest
-          // enclosing clause keyword is FROM — in a SELECT list (or any
-          // expression position) PG's SRF-in-expression semantics have
-          // no Spark mapping and must reject loudly, not mistranslate
-          val commaCase = p >= 0 && ts(p) == Op(",")
-          if ((commaCase && !clauseContext(ts, i).contains("from")) ||
-            (p >= 0 && ts(p).text.equalsIgnoreCase("select"))) {
-            val call = nextIdx(ts, i)
-            if (call >= 0 && ts(call) == Op("("))
-              throw new IllegalArgumentException(
-                s"PgDialect: set-returning function '$n' outside a FROM " +
-                  "item (SELECT-list/expression SRFs are unsupported) — " +
-                  "move it to a LATERAL FROM item")
-          }
+          // an SRF CALL is translatable ONLY as a FROM item: directly
+          // after FROM / JOIN / LATERAL, or comma-separated while the
+          // nearest enclosing clause is FROM. EVERY other call position
+          // (select head, after an operator, in WHERE/HAVING, …) is
+          // PG's SRF-in-expression semantics, which has no Spark
+          // mapping and must reject loudly, not mistranslate
+          val isCall = { val c = nextIdx(ts, i); c >= 0 && ts(c) == Op("(") }
+          val fromItem = p >= 0 && (ts(p) match {
+            case Op(",") => clauseContext(ts, i).contains("from")
+            case Ident(w) => Seq("from", "join", "lateral")
+              .contains(w.toLowerCase)
+            case _ => false
+          })
+          if (isCall && !fromItem)
+            throw new IllegalArgumentException(
+              s"PgDialect: set-returning function '$n' outside a FROM " +
+                "item (SELECT-list/expression SRFs are unsupported) — " +
+                "move it to a LATERAL FROM item")
           // a join operand can (and in Spark must) take LATERAL; a
-          // leading `FROM tvf(...)` item is uncorrelated and may not
+          // leading `FROM tvf(...)` item (or one already marked
+          // LATERAL) is/stays uncorrelated-or-marked and only needs
+          // the alias column list
           val needsLateral = p >= 0 && (ts(p) == Op(",") ||
             (ts(p) match {
               case Ident(w) => w.equalsIgnoreCase("join")
               case _ => false
             }))
-          val isFromItem = needsLateral ||
-            (p >= 0 && (ts(p) match {
-              case Ident(w) => w.equalsIgnoreCase("from")
-              case _ => false
-            }))
+          val isFromItem = fromItem
           val open = nextIdx(ts, i)
           if (isFromItem && open >= 0 && ts(open) == Op("(")) {
             val close = matchFwd(ts, open)

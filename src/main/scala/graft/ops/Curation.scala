@@ -175,8 +175,6 @@ object Curation {
     "corpus_split" -> (corpusSplit _),
     "sql_curation" -> (sqlCuration _))
 
-  /** The same four stages as a DuckDB CTE chain: quality keep → exact
-    * dedup keep → recursive-CTE components keep → sample predicate. */
   /** DuckDB form of [[sqlCurationText]] — list_filter/string_split/len
     * for the Spark collection HOFs; all comparisons integer, so the
     * match is hash-exact by construction. */
@@ -215,6 +213,9 @@ object Curation {
 
   val oracle: Map[String, String] = Map(
     "sql_curation" -> sqlCurationOracle,
+    // corpus_curated: the same four stages as a DuckDB CTE chain —
+    // quality keep → exact dedup keep → recursive-CTE components keep →
+    // sample predicate
     "corpus_curated" -> s"""
       WITH RECURSIVE ${TextAnalysis.qualityCtesBody},
       qkeep AS (

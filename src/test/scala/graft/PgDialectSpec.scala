@@ -198,6 +198,41 @@ class PgDialectSpec extends AnyFunSuite {
       "set operation")
   }
 
+  test("review fixes: SRF positions, IS DISTINCT FROM, over w operand, duplicate names") {
+    def rejects(sql: String, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException](PgDialect.translate(sql))
+      assert(e.getMessage.contains(needle), s"for [$sql]: ${e.getMessage}")
+    }
+    // an SRF call in ANY expression position rejects loudly — not just
+    // select-head and comma-in-select (previously fell through to a
+    // generic Spark error, against the never-silent contract)
+    rejects("select x + generate_series(1,3) from t", "set-returning function")
+    rejects("select * from t where generate_series(1,3) = 2",
+      "set-returning function")
+    // duplicate derived output names would silently mis-project through
+    // the DISTINCT ON rewrite (both outer 'v's resolving to column v)
+    rejects("select distinct on (u) u, v, u + v from t order by u",
+      "duplicate output names")
+    // IS DISTINCT FROM in the select list is an operator, not the FROM
+    // clause — the rewrite's clause scan must skip it
+    val ok = norm(PgDialect.translate(
+      "select distinct on (u) u, a is distinct from b as flag " +
+        "from t order by u"))
+    assert(ok.toLowerCase.contains("row_number") &&
+      ok.toLowerCase.contains("is distinct from b as flag"), ok)
+    // ...and the same guard in clauseContext: a comma-SRF in a select
+    // list containing IS DISTINCT FROM still rejects (not treated as a
+    // FROM item because the operator's 'from' matched first)
+    rejects("select a is distinct from b, generate_series(1,3) from t",
+      "set-returning function")
+    // named-window aggregate is ONE operand on the LEFT of / too (the
+    // forward scanner already knew `over w`; the backward one did not)
+    assert(norm(PgDialect.translate(
+      "select sum(x) over w / 10^27 from t window w as (order by y)")) ==
+      "select pg_div(sum(x) over w, POWER(10, 27)) from t " +
+        "window w as (order by y NULLS LAST)")
+  }
+
   // --------------------------------------------------- runtime functions
 
   test("pg_div: PG integer division truncates toward zero; mixed is float8") {
