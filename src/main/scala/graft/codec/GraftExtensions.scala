@@ -60,5 +60,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_store_range"), GraftFunctions.storeRangeBuilder))
     ext.injectTableFunction((FunctionIdentifier("graft_store_version"),
       info("graft_store_version"), GraftFunctions.storeVersionBuilder))
+    ext.injectTableFunction((FunctionIdentifier("graft_store_box"),
+      info("graft_store_box"), GraftFunctions.storeBoxBuilder))
   }
 }

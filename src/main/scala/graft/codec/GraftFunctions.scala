@@ -120,12 +120,33 @@ object GraftFunctions {
       .queryExecution.analyzed
   }
 
+  /** `graft_store_box('/store', 'c1', lo1, hi1 [, 'c2', lo2, hi2, …])`
+    * — SQL access to multi-column data skipping over a Z-order-compacted
+    * store ([[graft.ingest.ManifestStore.readBox]]): only files whose
+    * per-column stat rectangles intersect the probe box are planned. */
+  private[codec] val storeBoxBuilder
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = { es =>
+    val s = SparkSession.active
+    require(es.size >= 4 && (es.size - 1) % 3 == 0,
+      "graft_store_box(path, col, lo, hi [, col, lo, hi]...)")
+    val bounds = es.drop(1).grouped(3)
+      .map(g => (tvfStr(g(0)), tvfLng(g(1)), tvfLng(g(2)))).toSeq
+    new graft.ingest.ManifestStore(tvfStr(es(0)))
+      .readBox(s, bounds)
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft_store_box: empty store or provably-empty box at ${tvfStr(es(0))}"))
+      .queryExecution.analyzed
+  }
+
   def registerStoreTvfs(spark: SparkSession): Unit = {
     val treg = Shim.tableRegistry(spark)
     treg.createOrReplaceTempFunction("graft_store_range",
       storeRangeBuilder, "scala_udf")
     treg.createOrReplaceTempFunction("graft_store_version",
       storeVersionBuilder, "scala_udf")
+    treg.createOrReplaceTempFunction("graft_store_box",
+      storeBoxBuilder, "scala_udf")
   }
 
   /** Sessions already registered — weak keys so a discarded session (test

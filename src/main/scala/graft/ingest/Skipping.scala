@@ -113,8 +113,25 @@ object Skipping {
       .orderBy("event_type")
   }
 
+  /** Gate: the same box probe through plain SQL — the `graft_store_box`
+    * table function resolves to the SAME stat-pruned file set
+    * [[ManifestStore.readBox]] plans, so a warehouse user gets
+    * multi-column skipping from SELECT alone. */
+  def storeSqlBox(s: SparkSession, dir: String): DataFrame = {
+    val store = builtStore(s, dir)
+    graft.codec.GraftFunctions.register(s)
+    val (elo, ehi, ulo, uhi) = probeBounds(s, dir)
+    s.sql(s"""
+      SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(event_id) AS BIGINT) AS id_sum
+      FROM graft_store_box('${store.root}',
+        'event_id', $elo, $ehi, 'user_id', $ulo, $uhi)
+      GROUP BY event_type ORDER BY event_type""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "store_zorder_skipping" -> (storeZorderSkipping _))
+    "store_zorder_skipping" -> (storeZorderSkipping _),
+    "store_sql_box" -> (storeSqlBox _))
 
   val oracle: Map[String, String] = Map(
     "store_zorder_skipping" -> """
@@ -127,6 +144,19 @@ object Skipping {
       SELECT event_type, COUNT(*) AS n,
         CAST(SUM(event_id) AS BIGINT) AS id_sum,
         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS val_sum
+      FROM events, b
+      WHERE event_id BETWEEN b.elo AND b.ehi
+        AND user_id BETWEEN b.ulo AND b.uhi
+      GROUP BY event_type ORDER BY event_type""",
+    "store_sql_box" -> """
+      WITH b AS (
+        SELECT min(event_id) + (max(event_id) - min(event_id)) * 45 // 100 AS elo,
+               min(event_id) + (max(event_id) - min(event_id)) * 55 // 100 AS ehi,
+               min(user_id) + (max(user_id) - min(user_id)) * 45 // 100 AS ulo,
+               min(user_id) + (max(user_id) - min(user_id)) * 55 // 100 AS uhi
+        FROM events)
+      SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(event_id) AS BIGINT) AS id_sum
       FROM events, b
       WHERE event_id BETWEEN b.elo AND b.ehi
         AND user_id BETWEEN b.ulo AND b.uhi

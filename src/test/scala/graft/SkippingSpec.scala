@@ -112,6 +112,29 @@ class SkippingSpec extends AnyFunSuite {
     assert(reread.readBox(spark, Seq(("a=b", 3L, 4L))).get.count() == 20)
   }
 
+  test("graft_store_box TVF: SQL probe plans exactly the pruned file set") {
+    val store = new ManifestStore(fresh("tvfbox"))
+    store.append(spark, grid(100), rangeCol = Some("id"))
+    val bytes = store.currentFiles(spark)
+      .map(f => new java.io.File(f).length()).sum
+    store.compact(spark, targetBytes = math.max(1L, bytes / 16),
+      zorderBy = Seq("x", "y"))
+    graft.codec.GraftFunctions.register(spark)
+    val sql = spark.sql(s"SELECT * FROM graft_store_box('${store.root}', " +
+      "'x', 40, 49, 'y', 40, 49)")
+    // same rows as the API, and the plan holds only the pruned files
+    val api = store.readBox(spark, Seq(("x", 40L, 49L), ("y", 40L, 49L))).get
+    assert(sql.orderBy("id").collect().toSeq ==
+      api.orderBy("id").collect().toSeq)
+    val pruned = store.filesForBox(spark,
+      Seq(("x", 40L, 49L), ("y", 40L, 49L))).size
+    assert(sql.inputFiles.length == pruned &&
+      pruned < store.currentFiles(spark).size)
+    // malformed arity rejects loudly
+    intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_store_box('${store.root}', 'x', 1)").collect())
+  }
+
   test("store_zorder_skipping gate matches a direct computation at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val got = Skipping.storeZorderSkipping(spark, dir).collect().toSeq
