@@ -132,10 +132,15 @@ object GraftFunctions {
       "graft_store_box(path, col, lo, hi [, col, lo, hi]...)")
     val bounds = es.drop(1).grouped(3)
       .map(g => (tvfStr(g(0)), tvfLng(g(1)), tvfLng(g(2)))).toSeq
+    // readBoxOrEmpty, not readBox: a provably-empty box must plan as an
+    // empty relation at the snapshot schema, matching graft_store_range's
+    // posture that only a missing/empty STORE is an error — query success
+    // cannot depend on whether stats happened to prove emptiness (r13
+    // ADVICE #1)
     new graft.ingest.ManifestStore(tvfStr(es(0)))
-      .readBox(s, bounds)
+      .readBoxOrEmpty(s, bounds)
       .getOrElse(throw new IllegalArgumentException(
-        s"graft_store_box: empty store or provably-empty box at ${tvfStr(es(0))}"))
+        s"graft_store_box: empty or missing store at ${tvfStr(es(0))}"))
       .queryExecution.analyzed
   }
 

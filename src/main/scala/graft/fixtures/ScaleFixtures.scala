@@ -81,7 +81,7 @@ object ScaleFixtures {
     f(df)
   }
 
-  private val tables = Seq("region", "nation", "customer", "supplier",
+  private[graft] val tables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
   /** Build once (marker-guarded, persists across JVMs); returns `dir`. */
@@ -133,7 +133,7 @@ object ScaleFixtures {
     * oracle-checked — at scale without measuring fixture construction.
     *
     * Replicas are span-contiguous: event_id shifts by the base span
-    * (max+1) per replica, so the global id range is one dense 10× block
+    * (max-min+1) per replica, so the global id range is one dense 10× block
     * window with no inter-replica holes inflating the fill. user_id,
     * event_type, value, ts, props are untouched — per-ilk event depth
     * grows 10×, matching "same collaterals, ten times the history".
@@ -162,7 +162,12 @@ object ScaleFixtures {
     if (out.exists()) rm(out)
     out.mkdirs()
     val base = spark.read.parquet(s"$baseDir/events.parquet")
-    val stride = base.agg(max(col("event_id"))).head().getLong(0) + 1
+    // stride = SPAN (max-min+1), not max+1: a base fixture whose min
+    // event_id is nonzero would otherwise leave min-sized holes between
+    // replica windows, contradicting the dense-window contract (r13
+    // ADVICE #4); replicas shift to min + i*span
+    val mm = base.agg(min(col("event_id")), max(col("event_id"))).head()
+    val stride = mm.getLong(1) - mm.getLong(0) + 1
     val full = (0 until Replicas)
       .map(i => base.withColumn("event_id",
         col("event_id") + lit(stride * i)))

@@ -1,0 +1,142 @@
+package graft.ingest
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
+import org.apache.spark.sql.types._
+
+/** One manifest data file plus its per-column integer stat rectangle
+  * (colStats merged with the range column's min/max — one lookup map,
+  * one pruning rule). */
+private[graft] case class PrunableFile(status: FileStatus,
+                                       stats: Map[String, (Long, Long)])
+
+/** AUTOMATIC manifest-stats pruning for the ordinary read path (round-13
+  * verdict, Next #2): a Catalyst [[FileIndex]] over one manifest commit
+  * group whose `listFiles` intersects the query's own pushed-down data
+  * predicates with the per-file stat rectangles the manifest records.
+  *
+  * Through round 13 the Z-order machinery pruned only when the CALLER
+  * named the box (`readBox` / `graft_store_box`); a plain
+  * `store.read().filter($"event_id".between(a,b) && $"user_id".between(c,d))`
+  * — or the same WHERE through `graft_store_range` — listed every file.
+  * `listFiles(partitionFilters, dataFilters)` is exactly the hook Spark
+  * gives a source to see those predicates at physical-planning time, so
+  * the pruning needs zero API change and composes with every downstream
+  * consumer (TVFs, matviews, decode reads).
+  *
+  * Semantics are conservative by construction, the same rule as
+  * [[ManifestStore.readBox]]:
+  *
+  *  - only top-level AND-ed comparisons between a bare column and an
+  *    integral literal contribute bounds (`>=`, `>`, `<=`, `<`, `=`,
+  *    both operand orders); anything else — OR, IN, casts, expressions —
+  *    contributes nothing and the file is kept;
+  *  - a file lacking stats for a bounded column is kept;
+  *  - the exact predicate still executes on top (Spark keeps its Filter),
+  *    so pruning can never change an answer, only skip provably-dead IO.
+  *
+  * At 100 TB this is the difference between "the engine prunes when the
+  * analyst knows the incantation" and "every BETWEEN on a clustered
+  * column opens a handful of files" — the latter is what a warehouse
+  * means by data skipping. */
+private[graft] class ManifestFileIndex(
+    val rootPath: Path,
+    val files: Seq[PrunableFile]) extends FileIndex {
+
+  override def rootPaths: Seq[Path] = Seq(rootPath)
+
+  override def partitionSchema: StructType = StructType(Nil)
+
+  override def sizeInBytes: Long = files.map(_.status.getLen).sum
+
+  override def inputFiles: Array[String] =
+    files.map(_.status.getPath.toString).toArray
+
+  override def refresh(): Unit = ()
+
+  // value equality on (root, file list) — the same contract
+  // InMemoryFileIndex ships (it compares rootPaths): without it, two
+  // reads of one snapshot canonicalize UNEQUAL (reference equality on a
+  // case-class field), which breaks ReuseExchange and any
+  // canonicalized-plan matching (the matview router) over store reads
+  override def equals(other: Any): Boolean = other match {
+    case m: ManifestFileIndex =>
+      rootPath == m.rootPath &&
+        files.map(_.status.getPath) == m.files.map(_.status.getPath)
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    31 * rootPath.hashCode + files.map(_.status.getPath).hashCode
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression])
+  : Seq[PartitionDirectory] = {
+    val bounds = ManifestFileIndex.boundsOf(dataFilters)
+    val kept =
+      if (bounds.isEmpty) files
+      else files.filter(f => bounds.forall { case (c, (lo, hi)) =>
+        f.stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+      })
+    Seq(PartitionDirectory(InternalRow.empty, kept.map(_.status).toArray))
+  }
+}
+
+private[graft] object ManifestFileIndex {
+
+  /** Extract per-column [lo, hi] windows from pushed-down data filters.
+    * Only shapes whose bounds are PROVABLY implied contribute; a column
+    * with contradictory bounds (lo > hi) simply prunes everything —
+    * correct, since no row can satisfy the conjunction. */
+  private[graft] def boundsOf(filters: Seq[Expression])
+  : Map[String, (Long, Long)] = {
+    val acc = scala.collection.mutable.Map[String, (Long, Long)]()
+    def add(name: String, lo: Long, hi: Long): Unit = {
+      val (clo, chi) = acc.getOrElse(name, (Long.MinValue, Long.MaxValue))
+      acc(name) = (math.max(clo, lo), math.min(chi, hi))
+    }
+    def litLong(e: Expression): Option[Long] = e match {
+      case Literal(v, dt) => dt match {
+        case ByteType => Some(v.asInstanceOf[Byte].toLong)
+        case ShortType => Some(v.asInstanceOf[Short].toLong)
+        case IntegerType => Some(v.asInstanceOf[Int].toLong)
+        case LongType => Some(v.asInstanceOf[Long])
+        case _ => None // non-integral literal types: contribute nothing
+      }
+      case _ => None
+    }
+    // x > v strengthens to x >= v+1 on integers; clamp at the extremes
+    // rather than overflow (a bound AT Long.MaxValue is simply vacuous)
+    def inc(v: Long) = if (v == Long.MaxValue) v else v + 1
+    def dec(v: Long) = if (v == Long.MinValue) v else v - 1
+    def walk(e: Expression): Unit = e match {
+      case And(l, r) => walk(l); walk(r)
+      case GreaterThanOrEqual(a: AttributeReference, v) =>
+        litLong(v).foreach(add(a.name, _, Long.MaxValue))
+      case GreaterThan(a: AttributeReference, v) =>
+        litLong(v).foreach(x => add(a.name, inc(x), Long.MaxValue))
+      case LessThanOrEqual(a: AttributeReference, v) =>
+        litLong(v).foreach(add(a.name, Long.MinValue, _))
+      case LessThan(a: AttributeReference, v) =>
+        litLong(v).foreach(x => add(a.name, Long.MinValue, dec(x)))
+      case EqualTo(a: AttributeReference, v) =>
+        litLong(v).foreach(x => add(a.name, x, x))
+      // literal-first mirrors (Catalyst does not always normalize order)
+      case GreaterThanOrEqual(v, a: AttributeReference) =>
+        litLong(v).foreach(add(a.name, Long.MinValue, _))
+      case GreaterThan(v, a: AttributeReference) =>
+        litLong(v).foreach(x => add(a.name, Long.MinValue, dec(x)))
+      case LessThanOrEqual(v, a: AttributeReference) =>
+        litLong(v).foreach(add(a.name, _, Long.MaxValue))
+      case LessThan(v, a: AttributeReference) =>
+        litLong(v).foreach(x => add(a.name, inc(x), Long.MaxValue))
+      case EqualTo(v, a: AttributeReference) =>
+        litLong(v).foreach(x => add(a.name, x, x))
+      case _ => () // OR / IN / casts / UDFs: no bound, conservative
+    }
+    filters.foreach(walk)
+    acc.toMap
+  }
+}

@@ -762,8 +762,16 @@ final class ManifestStore(val root: String) extends Serializable {
       // (FaultInjectionSpec "zombie attempt"). Hidden-prefixed segments
       // are committer workspace by the Hadoop convention, never output.
       val segs = filePath.stripPrefix(dirUriPath).split('/').filter(_.nonEmpty)
-      if (segs.nonEmpty && segs.last.endsWith(".parquet") &&
-          !segs.exists(s => s.startsWith("_") || s.startsWith(".")))
+      // a `name=value` DIRECTORY segment is partitionBy output, never
+      // committer workspace — a partition COLUMN whose name starts with
+      // '_' (Spark's auto-generated _c0, user `_date`, ...) must not make
+      // its committed files vanish from the manifest (r13 ADVICE #2).
+      // The FILE name itself (last segment) stays subject to the hidden
+      // check unconditionally: part files never contain '='.
+      val hiddenDir = segs.init.exists(s =>
+        (s.startsWith("_") || s.startsWith(".")) && !s.contains('='))
+      if (segs.nonEmpty && segs.last.endsWith(".parquet") && !hiddenDir &&
+          !segs.last.startsWith("_") && !segs.last.startsWith("."))
         rels += relOf(rootUriPath, filePath)
     }
     // Per-file row counts and min/max come straight from each file's own
@@ -848,13 +856,44 @@ final class ManifestStore(val root: String) extends Serializable {
     * snapshots' files, old rows reading the new columns as null
     * (Delta-style mergeSchema semantics). Compaction collapses the
     * groups — and the schemas — back to one. */
-  private def readFiles(spark: SparkSession, files: Seq[FileEntry]): DataFrame = {
+  private def readFiles(spark: SparkSession, files: Seq[FileEntry],
+                        rangeCol: Option[String] = None): DataFrame = {
     // rel path shape: data/<commit-uuid>/[partition dirs/]file.parquet
     val byCommit = files.groupBy(_.rel.split('/').take(2).mkString("/"))
     byCommit.toSeq.sortBy(_._1).map { case (commitDir, entries) =>
-      val abs = entries.map(e => new Path(root, e.rel).toString)
-      spark.read.option("basePath", new Path(root, commitDir).toString)
-        .parquet(abs: _*)
+      def fallback = {
+        val abs = entries.map(e => new Path(root, e.rel).toString)
+        spark.read.option("basePath", new Path(root, commitDir).toString)
+          .parquet(abs: _*)
+      }
+      // AUTOMATIC stat pruning (round-13 verdict, Next #2): a FLAT commit
+      // group (no partition dirs) with recorded stats reads through a
+      // ManifestFileIndex, so the query's own pushed-down predicates
+      // prune files at the manifest level with zero API change — a plain
+      // `WHERE event_id BETWEEN … AND user_id BETWEEN …` opens the same
+      // file set readBox would. Partitioned groups keep the basePath
+      // read: they already prune via Spark's partition pruning, and the
+      // hidden-partition recovery is the part a flat index cannot do.
+      val flat = entries.forall(_.rel.split('/').length == 3)
+      val hasStats = entries.exists(e => e.colStats.nonEmpty || e.min.isDefined)
+      if (!flat || !hasStats) fallback
+      else try {
+        val f = fs(spark)
+        val pruned = entries.map { e =>
+          val stats = e.colStats ++
+            rangeCol.flatMap(rc => e.min.zip(e.max).map(rc -> _)).toMap
+          PrunableFile(f.getFileStatus(new Path(root, e.rel)), stats)
+        }
+        // one commit = one writer = one physical schema: first footer
+        val schema = spark.read
+          .parquet(new Path(root, entries.head.rel).toString).schema
+        org.apache.spark.sql.graftshim.Shim.parquetFrame(spark,
+          new ManifestFileIndex(new Path(root, commitDir), pruned), schema)
+      } catch {
+        // pruning is an optimization; a stat/status hiccup must degrade
+        // to the plain read, never to a failed query
+        case _: Exception => fallback
+      }
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
@@ -863,7 +902,7 @@ final class ManifestStore(val root: String) extends Serializable {
     * DataFrame). */
   def read(spark: SparkSession): Option[DataFrame] =
     snapshot(spark).filter(_.files.nonEmpty)
-      .map(s => projectToSchema(readFiles(spark, s.files), s))
+      .map(s => projectToSchema(readFiles(spark, s.files, s.rangeCol), s))
 
   /** Resume watermark without a scan: the max range-column value recorded
     * in the current snapshot's file stats, when every file carries stats.
@@ -886,7 +925,7 @@ final class ManifestStore(val root: String) extends Serializable {
     // time travel projects onto THAT VERSION's schema: reading as of a
     // pre-drop snapshot shows the dropped column, as it must
     else readManifest(f, version).filter(_.files.nonEmpty)
-      .map(s => projectToSchema(readFiles(spark, s.files), s))
+      .map(s => projectToSchema(readFiles(spark, s.files, s.rangeCol), s))
   }
 
   /** Delta read for incremental consumers ([[MatView]]): rows in files
@@ -906,7 +945,7 @@ final class ManifestStore(val root: String) extends Serializable {
     snapshot(spark).flatMap { s =>
       val added = s.files.filterNot(e => base.contains(e.rel))
       if (added.isEmpty) None
-      else Some(projectToSchema(readFiles(spark, added), s))
+      else Some(projectToSchema(readFiles(spark, added, s.rangeCol), s))
     }
   }
 
@@ -933,7 +972,7 @@ final class ManifestStore(val root: String) extends Serializable {
       val rc = s.rangeCol.getOrElse("block_number")
       val overlapping = s.files.filter(_.overlaps(from, to))
       if (overlapping.isEmpty) None
-      else Some(projectToSchema(readFiles(spark, overlapping), s)
+      else Some(projectToSchema(readFiles(spark, overlapping, s.rangeCol), s)
         .filter(col(rc) >= from && col(rc) <= to))
     }
 
@@ -974,9 +1013,34 @@ final class ManifestStore(val root: String) extends Serializable {
   : Option[DataFrame] =
     boxEntries(spark, bounds).flatMap { case (s, hit) =>
       if (hit.isEmpty) None
-      else Some(bounds.foldLeft(projectToSchema(readFiles(spark, hit), s)) {
+      else Some(bounds.foldLeft(
+        projectToSchema(readFiles(spark, hit, s.rangeCol), s)) {
         case (df, (c, lo, hi)) => df.filter(col(c) >= lo && col(c) <= hi)
       })
+    }
+
+  /** [[readBox]] with the surface semantics `graft_store_box` needs
+    * (r13 ADVICE #1): a snapshot whose file stats provably EXCLUDE the
+    * box returns an EMPTY DataFrame with the snapshot's schema — the
+    * same valid query must not error or succeed depending on whether
+    * pruning could prove emptiness (physical layout). None only when
+    * the store itself is missing or lists no files. */
+  def readBoxOrEmpty(spark: SparkSession, bounds: Seq[(String, Long, Long)])
+  : Option[DataFrame] =
+    boxEntries(spark, bounds).filter(_._1.files.nonEmpty).map { case (s, hit) =>
+      if (hit.nonEmpty)
+        bounds.foldLeft(projectToSchema(readFiles(spark, hit, s.rangeCol), s)) {
+          case (df, (c, lo, hi)) => df.filter(col(c) >= lo && col(c) <= hi)
+        }
+      else {
+        // provably-empty box: an empty LocalRelation at the snapshot
+        // schema (recorded schema when tracked; one driver-side file
+        // schema read on legacy stores)
+        val schema = schemaOf(Some(s))
+          .getOrElse(readFiles(spark, s.files).schema)
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+      }
     }
 
   /** Atomic append: new files + previous snapshot in one commit. A

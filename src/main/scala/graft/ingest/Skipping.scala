@@ -129,12 +129,49 @@ object Skipping {
       GROUP BY event_type ORDER BY event_type""")
   }
 
+  /** Gate (round-14 agenda #2): the SAME box probe as
+    * `store_zorder_skipping`, but written the way a warehouse user
+    * writes it — `store.read().filter(BETWEEN … AND BETWEEN …)`, no
+    * readBox, no named box. The [[ManifestFileIndex]] read path extracts
+    * the (col, lo, hi) windows from the query's own pushed-down
+    * predicates at planning time, so the implicit form plans the SAME
+    * pruned file set as the explicit one (asserted with file counts in
+    * SkippingSpec and PLANS.md §store-skipping-auto); hash-equality with
+    * the full-scan oracle proves pruning never changes answers. */
+  def storeSkippingAuto(s: SparkSession, dir: String): DataFrame = {
+    val store = builtStore(s, dir)
+    val (elo, ehi, ulo, uhi) = probeBounds(s, dir)
+    store.read(s).get
+      .filter(col("event_id").between(elo, ehi) &&
+        col("user_id").between(ulo, uhi))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("event_id")).as("id_sum"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("val_sum"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "store_zorder_skipping" -> (storeZorderSkipping _),
-    "store_sql_box" -> (storeSqlBox _))
+    "store_sql_box" -> (storeSqlBox _),
+    "store_skipping_auto" -> (storeSkippingAuto _))
 
   val oracle: Map[String, String] = Map(
     "store_zorder_skipping" -> """
+      WITH b AS (
+        SELECT min(event_id) + (max(event_id) - min(event_id)) * 45 // 100 AS elo,
+               min(event_id) + (max(event_id) - min(event_id)) * 55 // 100 AS ehi,
+               min(user_id) + (max(user_id) - min(user_id)) * 45 // 100 AS ulo,
+               min(user_id) + (max(user_id) - min(user_id)) * 55 // 100 AS uhi
+        FROM events)
+      SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(event_id) AS BIGINT) AS id_sum,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS val_sum
+      FROM events, b
+      WHERE event_id BETWEEN b.elo AND b.ehi
+        AND user_id BETWEEN b.ulo AND b.uhi
+      GROUP BY event_type ORDER BY event_type""",
+    "store_skipping_auto" -> """
       WITH b AS (
         SELECT min(event_id) + (max(event_id) - min(event_id)) * 45 // 100 AS elo,
                min(event_id) + (max(event_id) - min(event_id)) * 55 // 100 AS ehi,

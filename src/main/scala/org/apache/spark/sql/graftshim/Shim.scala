@@ -22,4 +22,20 @@ object Shim {
       : org.apache.spark.sql.catalyst.analysis.TableFunctionRegistry =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.tableFunctionRegistry
+
+  /** DataFrame over a parquet [[org.apache.spark.sql.execution.datasources.FileIndex]]
+    * — the hook a custom stat-pruning index needs (HadoopFsRelation's
+    * constructor takes the classic session). Keeps the full vectorized
+    * parquet scan + pushdown; only file LISTING is customized. */
+  def parquetFrame(spark: org.apache.spark.sql.SparkSession,
+      index: org.apache.spark.sql.execution.datasources.FileIndex,
+      dataSchema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      index, new org.apache.spark.sql.types.StructType(), dataSchema, None,
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
+      Map.empty)(cs)
+    cs.baseRelationToDataFrame(rel)
+  }
 }

@@ -244,4 +244,22 @@ class FaultInjectionSpec extends AnyFunSuite {
       "nested orphan dir survived the vacuum that emptied it")
     assert(store.read(spark).get.count() == 50)
   }
+
+  test("a '_'-prefixed partition COLUMN keeps its committed files (partition dirs are not committer workspace)") {
+    // r13 ADVICE #2: the zombie-attempt filter rejects hidden-prefixed
+    // path SEGMENTS, but `_c0=value` is legitimate partitionBy output —
+    // a partition column named with Spark's auto-generated `_c0` (or any
+    // user `_name`) must not make its committed data silently vanish
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_fault_hidden_part").toString + "/store"
+    val store = new ManifestStore(root)
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "_c0")
+    store.append(spark, df, partitionCols = Seq("_c0"))
+    val got = store.read(spark).get
+    assert(got.count() == 3, "files under _c0=... vanished from the manifest")
+    assert(got.select("_c0").distinct().count() == 2)
+    // while genuinely hidden COMMITTER segments still never manifest
+    assert(store.currentFiles(spark).forall(f =>
+      !f.contains("/_temporary/") && !f.contains("/.staging/")))
+  }
 }

@@ -458,13 +458,35 @@ class DemuxVolumeSpec extends AnyFunSuite {
       base.select("user_id").distinct().count(),
       "linear tier changed the ilk set")
     // span-contiguous replicas: one dense 10x block window, no holes
-    // inflating the series fill (stride = base max + 1)
-    val bmax = base.agg(max("event_id")).head().getLong(0)
-    assert(lin.agg(min("event_id")).head().getLong(0) ==
-      base.agg(min("event_id")).head().getLong(0))
-    assert(lin.agg(max("event_id")).head().getLong(0) == 10 * (bmax + 1) - 1)
+    // inflating the series fill (stride = SPAN = max-min+1, r13 ADVICE #4)
+    val mm = base.agg(min("event_id"), max("event_id")).head()
+    val (bmin, bmax) = (mm.getLong(0), mm.getLong(1))
+    val span = bmax - bmin + 1
+    assert(lin.agg(min("event_id")).head().getLong(0) == bmin)
+    assert(lin.agg(max("event_id")).head().getLong(0) == bmin + 10 * span - 1)
     assert(lin.select("event_id").distinct().count() == lin.count(),
       "replica id windows overlap")
+    // NONZERO-min base: the dense-window contract must hold there too —
+    // the old stride (max+1) left min-sized holes between replicas
+    val shiftDir = java.nio.file.Files
+      .createTempDirectory("graft_sf1lin_shift").toString
+    graft.fixtures.ScaleFixtures.tables.foreach { t =>
+      if (t != "events")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$baseDir/$t.parquet"),
+          java.nio.file.Paths.get(s"$shiftDir/$t.parquet"))
+    }
+    base.withColumn("event_id", col("event_id") + 500L)
+      .write.parquet(s"$shiftDir/events.parquet")
+    val out2 = java.nio.file.Files
+      .createTempDirectory("graft_sf1lin_shift_out").toString
+    graft.fixtures.ScaleFixtures.buildLinear(spark, shiftDir, out2)
+    val lin2 = spark.read.parquet(s"$out2/events.parquet")
+    assert(lin2.count() == 10 * base.count())
+    assert(lin2.agg(min("event_id")).head().getLong(0) == bmin + 500L)
+    assert(lin2.agg(max("event_id")).head().getLong(0) ==
+      bmin + 500L + 10 * span - 1, "shifted base left holes or overflowed")
+    assert(lin2.select("event_id").distinct().count() == lin2.count())
     // the events-only flagship form is the SAME query: identical result
     // on the same dir as the registerAll form
     val viaAll = graft.queries.Relational.q17AssetsShape(spark, baseDir)

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.ingest.{ManifestStore, Skipping}
+import graft.ingest.{ManifestFileIndex, ManifestStore, Skipping}
 
 /** Multi-column data skipping (round-12 verdict #5): per-file colStats
   * in the manifest, [[ManifestStore.readBox]] pruning, and the
@@ -149,5 +149,112 @@ class SkippingSpec extends AnyFunSuite {
       .orderBy("event_type").collect().toSeq
     assert(got == want)
     assert(got.nonEmpty)
+  }
+
+  test("a provably-empty box is an empty result at the store schema, not an error") {
+    // r13 ADVICE #1: the same valid SQL must not error or succeed
+    // depending on whether file stats happened to prove emptiness
+    val store = new ManifestStore(fresh("emptybox"))
+    store.append(spark, grid(20), rangeCol = Some("id"),
+      statsCols = Seq("x", "y"))
+    // the probe box lies entirely outside every file's stat rectangle
+    assert(store.readBox(spark, Seq(("x", 1000L, 2000L))).isEmpty,
+      "readBox keeps its provably-empty → None contract")
+    val empty = store.readBoxOrEmpty(spark, Seq(("x", 1000L, 2000L))).get
+    assert(empty.count() == 0L)
+    assert(empty.columns.toSeq == Seq("id", "x", "y"),
+      "empty-box result must carry the snapshot schema")
+    graft.codec.GraftFunctions.register(spark)
+    // SQL surface: zero rows, aggregates still answer
+    val n = spark.sql("SELECT count(*) AS n FROM graft_store_box(" +
+      s"'${store.root}', 'x', 1000, 2000)").head().getLong(0)
+    assert(n == 0L)
+    // an overlapping box still answers through the same refactored path
+    val n2 = spark.sql("SELECT count(*) AS n FROM graft_store_box(" +
+      s"'${store.root}', 'x', 5, 5)").head().getLong(0)
+    assert(n2 == 20L)
+    // only a missing/empty STORE is an error
+    intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_store_box('${fresh("absent")}', 'x', 1, 2)")
+      .collect())
+  }
+
+  private def scans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      scans(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      scans(q.plan)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      scans(r.child)
+    case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+    case other => other.children.flatMap(scans)
+  }
+
+  private def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+    // collect(), not count(): count() builds a SEPARATE QueryExecution,
+    // so this df's own scan metrics would stay zero
+    df.collect()
+    scans(df.queryExecution.executedPlan).map(_.metrics("numFiles").value).sum
+  }
+
+  test("AUTOMATIC pruning: a plain BETWEEN filter opens the explicit box's file set") {
+    // round-14 agenda #2: no readBox, no named box — the ordinary read
+    // path must consult the manifest stats through the query's own
+    // pushed-down predicates
+    val store = new ManifestStore(fresh("autoprune"))
+    store.append(spark, grid(100), rangeCol = Some("id"))
+    val bytes = store.currentFiles(spark)
+      .map(f => new java.io.File(f).length()).sum
+    store.compact(spark, targetBytes = math.max(1L, bytes / 16),
+      zorderBy = Seq("x", "y"))
+    val total = store.currentFiles(spark).size
+    val explicit = store.filesForBox(spark,
+      Seq(("x", 40L, 49L), ("y", 40L, 49L))).size
+    val implicitBox = store.read(spark).get
+      .filter(col("x").between(40, 49) && col("y").between(40, 49))
+    val read = filesRead(implicitBox)
+    assert(read == explicit && read < total,
+      s"implicit filter read $read files; explicit box opens $explicit of $total")
+    // answers are EXACTLY the full-scan filter's (pruning is invisible)
+    val viaBox = store.readBox(spark,
+      Seq(("x", 40L, 49L), ("y", 40L, 49L))).get
+    assert(implicitBox.orderBy("id").collect().toSeq ==
+      viaBox.orderBy("id").collect().toSeq)
+    // the RANGE column's stats prune automatically too (strict > / <
+    // strengthen to closed integer bounds)
+    val idMax = store.read(spark).get.agg(max("id")).head().getLong(0)
+    val rangeFiles = store.filesForBox(spark, Seq(("id", 0L, idMax / 10))).size
+    val viaFilter = store.read(spark).get
+      .filter(col("id") < idMax / 10 + 1 && col("id") >= 0)
+    assert(filesRead(viaFilter) == rangeFiles,
+      "range-column stats must prune the plain read path")
+    // an UNPRUNABLE predicate (OR at top level) conservatively reads all
+    val orRead = filesRead(store.read(spark).get
+      .filter(col("x") === 5 || col("y") === 7))
+    assert(orRead == total, s"OR must not prune (read $orRead of $total)")
+    // contradictory bounds prune everything, zero rows, no error
+    val none = store.read(spark).get.filter(col("x") > 10 && col("x") < 5)
+    assert(none.count() == 0L)
+  }
+
+  test("boundsOf: only provable AND-ed integral comparisons contribute") {
+    import org.apache.spark.sql.catalyst.dsl.expressions._
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.LongType
+    val x = AttributeReference("x", LongType)()
+    val y = AttributeReference("y", LongType)()
+    def L(v: Long) = Literal(v, LongType)
+    val b = ManifestFileIndex.boundsOf(Seq(
+      And(GreaterThan(x, L(5)), LessThan(x, L(10))),
+      GreaterThanOrEqual(y, L(0)), LessThanOrEqual(L(7), y)))
+    assert(b("x") == (6L, 9L), s"strict bounds must strengthen: $b")
+    assert(b("y") == (7L, Long.MaxValue), s"literal-first <= must flip: $b")
+    // OR contributes nothing
+    assert(ManifestFileIndex.boundsOf(Seq(
+      Or(EqualTo(x, L(1)), EqualTo(x, L(2))))).isEmpty)
+    // non-integral literals contribute nothing
+    assert(ManifestFileIndex.boundsOf(Seq(
+      GreaterThan(x, Literal(1.5)))).isEmpty)
   }
 }
