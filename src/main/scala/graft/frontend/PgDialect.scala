@@ -72,10 +72,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * them as part of the aggregate primary), `ILIKE`, `IS DISTINCT
   * FROM`, `||` concatenation, `%` modulo.
   *
+  *  11. Double-quoted identifiers → backticks (Spark parses `"…"` as a
+  *      STRING literal), case preserved — PG quoted-identifier
+  *      semantics.
+  *  12. PG regex surface (round-14 agenda #3): `a ~ p` →
+  *      `regexp_like(a, p)` (both partial-match), `~*` via an embedded
+  *      `(?i)` flag, `!~`/`!~*` the NOT forms; `[NOT] SIMILAR TO
+  *      'pat'` → anchored `regexp_like` with the SQL pattern dialect
+  *      (`%`/`_`, literal `.`) translated to Java regex. LITERAL
+  *      patterns carrying constructs Java regex lacks ([[:class:]],
+  *      `\m`/`\M`/`\y`) REJECT loudly; computed SIMILAR TO patterns and
+  *      explicit ESCAPE likewise. PG compiles POSIX ERE and Spark Java
+  *      regex — the translated subset is the shared core.
+  *
   * Documented non-goals — [[translate]] REJECTS each loudly rather than
-  * mistranslating: operators outside the arithmetic/comparison set
-  * (regex `~`, array `@>`/`[…]`, factorial, …), positional parameters
-  * (`$1`), `SIMILAR TO`, `COLLATE`, and set-returning functions outside
+  * mistranslating: operators outside the arithmetic/comparison/regex
+  * set (array `@>`/`[…]`, factorial, …), positional parameters
+  * (`$1`), `COLLATE`, and set-returning functions outside
   * FROM. PG exact-NUMERIC arithmetic for `^`/`/` on two decimals stays
   * a documented semantic trade (float8 semantics apply, the same trade
   * the three reviewed hand ports make — every rewrite is oracle-covered
@@ -90,9 +103,17 @@ object PgDialect {
     // surface can never reach a rewrite (silent mistranslation is the
     // risk class; a raised error names the construct)
     rejectUnsupported(ts)
+    // rule 12b: SIMILAR TO runs BEFORE literal re-encoding — it needs the
+    // pattern's PG VALUE to translate the %/_ dialect into a Java regex
+    ts = rewriteSimilarTo(ts)
     ts = ts.map {
       case Lit(t) => Lit(escapeLiteral(t))
       case RawLit(v) => Lit(sparkLiteral(v)) // E'…' / $$…$$, already decoded
+      // rule 11: PG double-quoted identifiers → Spark backticks. Spark
+      // parses "..." as a STRING LITERAL by default, so passing the PG
+      // quoting through would silently turn a column reference into a
+      // constant — exactly the mistranslation class this dialect rejects
+      case Ident(t) if t.startsWith("\"") => Ident(quotedToBacktick(t))
       case t => t
     }
     ts = rewriteEncodeEscape(ts)
@@ -105,6 +126,11 @@ object PgDialect {
     ts = rewriteBinOp(ts, "^",
       (v, le) => absorbUnary(v, primaryBack(v, le)), "POWER")
     ts = rewriteBinOp(ts, "/", divLeftStart, "pg_div")
+    // rule 12a: regex match operators, AFTER ^ and / (their operands are
+    // call primaries by now) — PG's ~ family binds below arithmetic and
+    // above comparison, so the left operand is the full arithmetic/concat
+    // chain
+    ts = rewriteRegexOps(ts)
     // DISTINCT ON before the lateral/nulls passes: it synthesizes an
     // OVER (... ORDER BY ...) clause that the nulls pass must also see
     ts = rewriteDistinctOn(ts)
@@ -134,7 +160,8 @@ object PgDialect {
     def text: String = sparkLiteral(value)
   }
 
-  private val twoCharOps = Set("::", "<>", "<=", ">=", "!=", "||")
+  private val twoCharOps = Set("::", "<>", "<=", ">=", "!=", "||", "~*", "!~")
+  private val threeCharOps = Set("!~*")
 
   private[frontend] def lex(s: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -205,7 +232,9 @@ object PgDialect {
         val j = i; while (i < n && isIdentPart(s.charAt(i))) i += 1
         out += Ident(s.substring(j, i))
       } else {
-        if (i + 1 < n && twoCharOps.contains(s.substring(i, i + 2))) {
+        if (i + 2 < n && threeCharOps.contains(s.substring(i, i + 3))) {
+          out += Op(s.substring(i, i + 3)); i += 3
+        } else if (i + 1 < n && twoCharOps.contains(s.substring(i, i + 2))) {
           out += Op(s.substring(i, i + 2)); i += 2
         } else { out += Op(c.toString); i += 1 }
       }
@@ -217,6 +246,13 @@ object PgDialect {
     * quote-doubling is shared syntax and passes through). */
   private def escapeLiteral(withQuotes: String): String =
     withQuotes.replace("\\", "\\\\")
+
+  /** Rule 11: `"Quoted Name"` → `` `Quoted Name` `` (undouble PG's ""
+    * escape, double any literal backtick) — case is PRESERVED, matching
+    * PG's quoted-identifier semantics. */
+  private[frontend] def quotedToBacktick(q: String): String =
+    "`" + q.substring(1, q.length - 1).replace("\"\"", "\"")
+      .replace("`", "``") + "`"
 
   /** Encode a decoded string VALUE as a Spark SQL literal: backslash and
     * quote escaped, common control chars as named escapes, the rest of
@@ -308,18 +344,16 @@ object PgDialect {
     * mistranslate): any operator outside the translated/shared set, and
     * keyword-led constructs with no Spark mapping. */
   private val allowedOps = Set("(", ")", ",", ".", ";", "+", "-", "*", "/",
-    "%", "^", "<", ">", "=", "<>", "<=", ">=", "!=", "::", "||")
+    "%", "^", "<", ">", "=", "<>", "<=", ">=", "!=", "::", "||",
+    "~", "~*", "!~", "!~*")
 
   private def rejectUnsupported(ts: Vector[Tok]): Unit = ts.foreach {
     case Op(o) if !allowedOps.contains(o) =>
       throw new IllegalArgumentException(
         s"PgDialect: unsupported operator '$o' — only arithmetic, " +
-          "comparison, '::' casts and '||' translate; PG regex/array/" +
-          "geometric operators have no faithful Spark mapping")
-    case Ident(k) if k.equalsIgnoreCase("similar") =>
-      throw new IllegalArgumentException(
-        "PgDialect: SIMILAR TO is unsupported (its regex dialect has no " +
-          "exact Spark equivalent) — rewrite with LIKE, or RLIKE natively")
+          "comparison, regex matches (~, ~*, !~, !~*), '::' casts and " +
+          "'||' translate; PG array/geometric operators have no faithful " +
+          "Spark mapping")
     case Ident(k) if k.equalsIgnoreCase("collate") =>
       throw new IllegalArgumentException(
         "PgDialect: COLLATE is unsupported — Spark string comparison is " +
@@ -434,7 +468,7 @@ object PgDialect {
         require(q >= 0, "PgDialect: OVER with no preceding aggregate")
         primaryBack(ts, q)
       } else s
-    case Num(_) | Lit(_) => end
+    case Num(_) | Lit(_) | RawLit(_) => end
     case t => throw new IllegalArgumentException(
       s"PgDialect: cannot scan operand ending at '${t.text}'")
   }
@@ -447,7 +481,7 @@ object PgDialect {
       require(n >= 0, "PgDialect: dangling unary sign")
       primaryFwd(ts, n)
     case Op("(") => matchFwd(ts, start)
-    case Num(_) | Lit(_) => start
+    case Num(_) | Lit(_) | RawLit(_) => start
     case Ident(c) if c.equalsIgnoreCase("case") =>
       var depth = 1; var j = start + 1
       while (j < ts.length && depth > 0) {
@@ -499,7 +533,7 @@ object PgDialect {
     * TRUE, FALSE are literals). Every other keyword (WHEN, THEN, AND,
     * SELECT, ',', ...) cannot end an operand. */
   private def endsOperand(t: Tok): Boolean = t match {
-    case Op(")") | Num(_) | Lit(_) => true
+    case Op(")") | Num(_) | Lit(_) | RawLit(_) => true
     case Ident(x) =>
       val l = x.toLowerCase
       !keywords.contains(l) || l == "end" || l == "null" ||
@@ -551,6 +585,187 @@ object PgDialect {
   private def splice(ts: Vector[Tok], from: Int, to: Int,
                      repl: Vector[Tok]): Vector[Tok] =
     ts.take(from) ++ repl ++ ts.drop(to + 1)
+
+  // --------------------------------------------------- rule 12: PG regex
+
+  /** Left-operand start for the `~` family: PG's regex operators sit at
+    * the "any other operator" precedence — below `+`/`-`/`*`/`/`/`%`
+    * and at the same (left-associative) level as `||` — so the left
+    * operand is the full arithmetic/concatenation chain (`a || b ~ 'x'`
+    * = `(a || b) ~ 'x'`). `^` and `/` are already rewritten into call
+    * primaries when this runs. */
+  private def regexLeftStart(ts: Vector[Tok], end: Int): Int = {
+    var start = absorbUnary(ts, primaryBack(ts, end))
+    var done = false
+    while (!done) {
+      val p = prevIdx(ts, start)
+      val chainOp = p >= 0 && (ts(p) == Op("*") || ts(p) == Op("%") ||
+        ts(p) == Op("+") || ts(p) == Op("-") || ts(p) == Op("||"))
+      if (chainOp) {
+        val q = prevIdx(ts, p)
+        if (q >= 0 && endsOperand(ts(q)))
+          start = absorbUnary(ts, primaryBack(ts, q))
+        else done = true // a sign/star here is unary/SELECT-star context
+      } else done = true
+    }
+    start
+  }
+
+  /** PG regex constructs with NO Java-regex equivalent: translating them
+    * silently would change match semantics, so a LITERAL pattern
+    * carrying one rejects loudly (the dialect's never-silent contract).
+    * Non-literal patterns can't be checked and translate as-is —
+    * documented. */
+  private def rejectPosixOnly(pat: String, op: String): Unit = {
+    require(!pat.contains("[["),
+      s"PgDialect: '$op' pattern uses a POSIX bracket class ([[:alpha:]] " +
+        "style) — Java regex has no equivalent; spell the class out")
+    val posixEsc = Seq("\\m", "\\M", "\\y", "\\Y")
+    posixEsc.find(pat.contains).foreach { e =>
+      throw new IllegalArgumentException(
+        s"PgDialect: '$op' pattern uses the PG-only escape '$e' — use \\b")
+    }
+  }
+
+  /** Rule 12a: `a ~ p` → `regexp_like(a, p)` (PG partial-match semantics
+    * = Spark's), `a ~* p` → case-insensitive via an embedded `(?i)`
+    * flag, `!~`/`!~*` → the NOT forms, parenthesized so the result is a
+    * primary in any surrounding context. */
+  private def rewriteRegexOps(ts0: Vector[Tok]): Vector[Tok] = {
+    val ops = Seq("~", "~*", "!~", "!~*")
+    var ts = ts0
+    var i = ts.indexWhere(t => ops.contains(t.text) && t.isInstanceOf[Op])
+    while (i >= 0) {
+      val op = ts(i).text
+      val le = prevIdx(ts, i)
+      require(le >= 0, s"PgDialect: '$op' with no left operand")
+      val ls = regexLeftStart(ts, le)
+      val rs = nextIdx(ts, i)
+      require(rs >= 0, s"PgDialect: '$op' with no right operand")
+      val re = primaryFwd(ts, rs)
+      // literal patterns get the POSIX-only screen (loud, never silent)
+      ts.slice(rs, re + 1).foreach {
+        case Lit(t) => rejectPosixOnly(pgLitValue(t), op)
+        case RawLit(v) => rejectPosixOnly(v, op)
+        case _ =>
+      }
+      val neg = op.startsWith("!")
+      val ci = op.endsWith("*")
+      val left = ts.slice(ls, le + 1)
+      val right = ts.slice(rs, re + 1)
+      val call = Vector[Tok](Ident("regexp_like"), Op("(")) ++ left ++
+        Vector[Tok](Op(","), Ws(" ")) ++
+        (if (ci) Vector[Tok](Ident("CONCAT"), Op("("), Lit("'(?i)'"),
+          Op(","), Ws(" ")) ++ right :+ Op(")")
+         else right) :+ Op(")")
+      val repl =
+        if (neg) Vector[Tok](Op("("), Ident("NOT"), Ws(" ")) ++ call :+ Op(")")
+        else call
+      ts = splice(ts, ls, re, repl)
+      i = ts.indexWhere(t => ops.contains(t.text) && t.isInstanceOf[Op])
+    }
+    ts
+  }
+
+  /** Decode an ordinary PG literal's VALUE (strip quotes, undouble '';
+    * standard_conforming_strings: backslash is a plain character). */
+  private def pgLitValue(withQuotes: String): String =
+    withQuotes.substring(1, withQuotes.length - 1).replace("''", "'")
+
+  /** Rule 12b: `expr [NOT] SIMILAR TO 'pattern'` → anchored
+    * `regexp_like(expr, '^(?:regex)$')` with the SQL pattern dialect
+    * translated: `%`→`.*`, `_`→`.`, the shared metacharacters
+    * (`| * + ? ( ) { }`) pass through, `.`/`^`/`$` (literals in SIMILAR
+    * TO) are escaped, `\x` escapes its character, bracket expressions
+    * copy verbatim (minus POSIX classes, which reject loudly). The
+    * pattern must be a LITERAL — a computed pattern cannot be dialect-
+    * translated at plan time and rejects rather than mistranslates; an
+    * explicit ESCAPE clause likewise. */
+  private[graft] def similarToRegex(p: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    val n = p.length
+    while (i < n) {
+      p.charAt(i) match {
+        case '%' => sb.append(".*"); i += 1
+        case '_' => sb.append('.'); i += 1
+        case '\\' =>
+          require(i + 1 < n,
+            "PgDialect: SIMILAR TO pattern ends in a dangling escape")
+          val c = p.charAt(i + 1)
+          if ("\\^$.|?*+()[]{}".indexOf(c) >= 0) sb.append('\\').append(c)
+          else sb.append(c)
+          i += 2
+        case '[' =>
+          var j = i + 1
+          if (j < n && p.charAt(j) == '^') j += 1
+          if (j < n && p.charAt(j) == ']') j += 1
+          while (j < n && p.charAt(j) != ']') j += 1
+          require(j < n,
+            "PgDialect: unterminated bracket expression in SIMILAR TO pattern")
+          val body = p.substring(i, j + 1)
+          require(!body.contains("[:"),
+            "PgDialect: POSIX character classes ([[:alpha:]]) have no " +
+              "exact Java-regex equivalent — spell the class out")
+          sb.append(body); i = j + 1
+        case '.' => sb.append("\\."); i += 1
+        case '^' => sb.append("\\^"); i += 1
+        case '$' => sb.append("\\$"); i += 1
+        case c if "|*+?(){}".indexOf(c) >= 0 => sb.append(c); i += 1
+        case ']' => sb.append("\\]"); i += 1
+        case c => sb.append(c); i += 1
+      }
+    }
+    sb.toString
+  }
+
+  private def rewriteSimilarTo(ts0: Vector[Tok]): Vector[Tok] = {
+    var ts = ts0
+    var hit = true
+    while (hit) {
+      hit = false
+      val si = ts.indices.find { i =>
+        ts(i) match {
+          case Ident(s) if s.equalsIgnoreCase("similar") =>
+            val nx = nextIdx(ts, i)
+            nx >= 0 && ts(nx).text.equalsIgnoreCase("to")
+          case _ => false
+        }
+      }
+      si.foreach { i => ts = rewriteOneSimilarTo(ts, i); hit = true }
+    }
+    ts
+  }
+
+  private def rewriteOneSimilarTo(ts: Vector[Tok], si: Int): Vector[Tok] = {
+    val ti = nextIdx(ts, si) // TO
+    val pi = nextIdx(ts, ti)
+    require(pi >= 0, "PgDialect: SIMILAR TO with no pattern")
+    val pat = ts(pi) match {
+      case Lit(t) => pgLitValue(t)
+      case RawLit(v) => v
+      case t => throw new IllegalArgumentException(
+        "PgDialect: SIMILAR TO needs a LITERAL pattern (its %/_ dialect " +
+          s"is translated at plan time) — got '${t.text}'")
+    }
+    val after = nextIdx(ts, pi)
+    require(after < 0 || !ts(after).text.equalsIgnoreCase("escape"),
+      "PgDialect: SIMILAR TO ... ESCAPE is unsupported — the default " +
+        "backslash escape translates; rewrite the pattern with it")
+    val np = prevIdx(ts, si)
+    val neg = np >= 0 && ts(np).text.equalsIgnoreCase("not")
+    val le = if (neg) prevIdx(ts, np) else np
+    require(le >= 0, "PgDialect: SIMILAR TO with no left operand")
+    val ls = regexLeftStart(ts, le)
+    val anchored = "^(?:" + similarToRegex(pat) + ")$"
+    val left = ts.slice(ls, le + 1)
+    val call = Vector[Tok](Ident("regexp_like"), Op("(")) ++ left ++
+      Vector[Tok](Op(","), Ws(" "), RawLit(anchored), Op(")"))
+    val repl =
+      if (neg) Vector[Tok](Op("("), Ident("NOT"), Ws(" ")) ++ call :+ Op(")")
+      else call
+    splice(ts, ls, pi, repl)
+  }
 
   /** Rules 2+3: rewrite the leftmost `opText` into `fname(l, r)` until
     * none remain. Leftmost-first reproduces left-associativity, and a
@@ -808,7 +1023,17 @@ object PgDialect {
     // resolve both to the same inner column (an unaliased expression
     // ending in a column name is the typical collision) — the dialect's
     // contract is never-silent mistranslation, so reject loudly
-    val dupNames = names.groupBy(_.toLowerCase)
+    // PG name semantics for the collision key: an UNQUOTED identifier
+    // folds to lowercase; a QUOTED one keeps its case — so "A" and "a"
+    // are distinct outputs and must not be rejected as duplicates (r13
+    // ADVICE #5), while bare A vs bare a (and bare v vs quoted "v")
+    // still collide. Quoted idents arrive here already backtick-form
+    // (rule 11 runs first).
+    def nameKey(n: String): String =
+      if (n.startsWith("`") && n.length >= 2)
+        n.substring(1, n.length - 1).replace("``", "`")
+      else n.toLowerCase
+    val dupNames = names.groupBy(nameKey)
       .collect { case (_, vs) if vs.size > 1 => vs.head }
     require(dupNames.isEmpty,
       "PgDialect: DISTINCT ON select items produce duplicate output " +

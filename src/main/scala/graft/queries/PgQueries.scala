@@ -115,6 +115,30 @@ object PgQueries {
     from generate_series(1::bigint, 50::bigint) d
     where d.d % 2 = 1 order by d.d"""
 
+  /** Rule 12a: the PG regex operator family — `~` (partial match), `~*`
+    * (case-insensitive), `!~*` (negated) — translated to regexp_like
+    * forms; day-one constructs for a migrating PG user (r13 Next #3).
+    * The CASE makes match results VALUE-visible per row. */
+  private val regexSql = """
+    select p_partkey,
+      case when p_name ~ '^(blue|red) ' then 1 else 0 end as starts_color,
+      case when p_name ~* 'WIDGET$' then 1 else 0 end as ci_widget,
+      case when p_name !~* 'BO(LT|X)' then 1 else 0 end as no_bolt
+    from part
+    where p_name ~ '(rod|bolt|widget)'
+    order by p_partkey"""
+
+  /** Rule 12b: SIMILAR TO's SQL-pattern dialect (%, _, alternation,
+    * bracket class) translated to an anchored regex; includes NOT
+    * SIMILAR TO and a literal-dot escape. */
+  private val similarToSql = """
+    select c_custkey, c_mktsegment
+    from customer
+    where c_mktsegment similar to '%(MACH|BUILD)%'
+      and c_mktsegment not similar to 'AUTO%'
+      and c_name similar to 'Customer#[0-9]+'
+    order by c_custkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pg_estring" -> ((s, d) => pg(s, d, estringSql)),
     "pg_dollar_quote" -> ((s, d) => pg(s, d, dollarSql)),
@@ -125,7 +149,9 @@ object PgQueries {
     "pg_cast_positions" -> ((s, d) => pg(s, d, castPositionsSql)),
     "pg_nulls_order" -> ((s, d) => pg(s, d, nullsOrderSql)),
     "pg_tpch_q3" -> ((s, d) => pg(s, d, tpchQ3Sql)),
-    "pg_series_where" -> ((s, d) => pg(s, d, seriesWhereSql)))
+    "pg_series_where" -> ((s, d) => pg(s, d, seriesWhereSql)),
+    "pg_regex" -> ((s, d) => pg(s, d, regexSql)),
+    "pg_similar_to" -> ((s, d) => pg(s, d, similarToSql)))
 
   val oracle: Map[String, String] = Map(
     "pg_estring" -> """
@@ -186,5 +212,23 @@ object PgQueries {
     "pg_series_where" -> """
       SELECT generate_series AS d, generate_series % 3 AS m
       FROM generate_series(1, 50)
-      WHERE generate_series % 2 = 1 ORDER BY 1""")
+      WHERE generate_series % 2 = 1 ORDER BY 1""",
+    "pg_regex" -> """
+      SELECT p_partkey,
+        CASE WHEN regexp_matches(p_name, '^(blue|red) ') THEN 1 ELSE 0 END
+          AS starts_color,
+        CASE WHEN regexp_matches(p_name, 'WIDGET$', 'i') THEN 1 ELSE 0 END
+          AS ci_widget,
+        CASE WHEN NOT regexp_matches(p_name, 'BO(LT|X)', 'i') THEN 1 ELSE 0 END
+          AS no_bolt
+      FROM part
+      WHERE regexp_matches(p_name, '(rod|bolt|widget)')
+      ORDER BY p_partkey""",
+    "pg_similar_to" -> """
+      SELECT c_custkey, c_mktsegment
+      FROM customer
+      WHERE regexp_full_match(c_mktsegment, '.*(MACH|BUILD).*')
+        AND NOT regexp_full_match(c_mktsegment, 'AUTO.*')
+        AND regexp_full_match(c_name, 'Customer#[0-9]+')
+      ORDER BY c_custkey""")
 }

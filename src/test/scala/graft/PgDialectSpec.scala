@@ -183,11 +183,17 @@ class PgDialectSpec extends AnyFunSuite {
       val e = intercept[IllegalArgumentException](PgDialect.translate(sql))
       assert(e.getMessage.contains(needle), s"for [$sql]: ${e.getMessage}")
     }
-    rejects("select a ~ 'x' from t", "unsupported operator '~'")
     rejects("select arr[1] from t", "unsupported operator '['")
     rejects("select a @> b from t", "unsupported operator")
     rejects("select * from t where id = $1", "positional parameter")
-    rejects("select a similar to 'b%' from t", "SIMILAR TO")
+    // regex ops now TRANSLATE (rule 12) — what still rejects is the
+    // untranslatable inside: PG-only regex constructs, computed SIMILAR
+    // TO patterns, explicit ESCAPE
+    rejects("select a ~ '[[:alpha:]]+' from t", "POSIX bracket class")
+    rejects("""select a ~ '\mword\M' from t""", "PG-only escape")
+    rejects("select a similar to b from t", "LITERAL pattern")
+    rejects("select a similar to 'x%' escape '#' from t", "ESCAPE is unsupported")
+    rejects("select a similar to '[[:digit:]]' from t", "POSIX character classes")
     rejects("""select x collate "C" from t""", "COLLATE")
     rejects("select a, generate_series(1,3) from t", "set-returning function")
     rejects("select generate_series(1,3)", "set-returning function")
@@ -316,5 +322,80 @@ class PgDialectSpec extends AnyFunSuite {
         }
       }
     }
+  }
+
+  test("rule 11: double-quoted identifiers become backticks, case preserved") {
+    // Spark parses "..." as a STRING LITERAL — passthrough would turn a
+    // column reference into a constant silently
+    val t = PgDialect.translate(
+      """select c_name as "Name", 1 as "x y" from customer where "Name" <> 'x'""")
+    assert(t.contains("`Name`") && t.contains("`x y`") && !t.contains("\"Name\""), t)
+    // embedded "" undoubles to a single quote inside the backtick name
+    assert(PgDialect.translate("""select 1 as "a""b" from t""").contains("`a\"b`"))
+    // runtime: the quoted alias resolves as an identifier, not a constant
+    import spark.implicits._
+    Seq((1, 5), (2, 9)).toDF("u", "e").createOrReplaceTempView("qid_t")
+    val got = spark.sql(PgDialect.translate(
+      """select u as "U x", e from qid_t order by "U x" desc"""))
+    assert(got.columns.toSeq == Seq("U x", "e"))
+    assert(got.collect().map(_.getInt(1)).toSeq == Seq(9, 5))
+  }
+
+  test("rule 12a: regex operators translate to regexp_like forms") {
+    assert(norm(PgDialect.translate("select a ~ 'x.*y' from t")) ==
+      "select regexp_like(a, 'x.*y') from t")
+    assert(norm(PgDialect.translate("select a ~* 'x' from t")) ==
+      "select regexp_like(a, CONCAT('(?i)', 'x')) from t")
+    assert(norm(PgDialect.translate("select a !~ 'x' from t")) ==
+      "select (NOT regexp_like(a, 'x')) from t")
+    assert(norm(PgDialect.translate("select a !~* 'x' from t")) ==
+      "select (NOT regexp_like(a, CONCAT('(?i)', 'x'))) from t")
+    // the left operand is the full concat chain (PG: || and ~ share the
+    // "any other operator" precedence, left-associative)
+    assert(norm(PgDialect.translate("select a || b ~ 'x' from t")) ==
+      "select regexp_like(a || b, 'x') from t")
+    // runtime semantics: partial match, case flag honored
+    import spark.implicits._
+    Seq(("cold widget", 1L), ("blue rod", 2L)).toDF("s", "id")
+      .createOrReplaceTempView("re_t")
+    val got = spark.sql(PgDialect.translate(
+      "select id from re_t where s ~ 'widg' or s ~* 'ROD$' order by id"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 2L))
+  }
+
+  test("rule 12b: SIMILAR TO pattern dialect translates to an anchored regex") {
+    assert(PgDialect.similarToRegex("%(M|B)%") == ".*(M|B).*")
+    assert(PgDialect.similarToRegex("B_ILD") == "B.ILD")
+    assert(PgDialect.similarToRegex("a.b") == "a\\.b", "dot is literal in SIMILAR TO")
+    assert(PgDialect.similarToRegex("x[0-9]+") == "x[0-9]+")
+    assert(PgDialect.similarToRegex("""a\%b""") == "a%b", "escaped % is literal")
+    assert(norm(PgDialect.translate("select a similar to 'B%' from t")) ==
+      "select regexp_like(a, '^(?:B.*)$') from t")
+    assert(norm(PgDialect.translate("select a not similar to 'B%' from t")) ==
+      "select (NOT regexp_like(a, '^(?:B.*)$')) from t")
+    // runtime: anchored full-match, unlike ~
+    import spark.implicits._
+    Seq("BUILDING", "REBUILD", "MACHINERY").toDF("s")
+      .createOrReplaceTempView("sim_t")
+    val got = spark.sql(PgDialect.translate(
+      "select s from sim_t where s similar to '%BUILD%' " +
+        "and s not similar to 'RE%' order by s")).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("BUILDING"))
+  }
+
+  test("DISTINCT ON: quoted case-distinct names accepted; folded collisions still reject") {
+    // r13 ADVICE #5: "A" and "a" are DISTINCT outputs in PG — accept
+    val ok = PgDialect.translate(
+      """select distinct on (u) u, e as "A", v as "a" from t order by u, "A" desc""")
+    assert(ok.contains("`A`") && ok.contains("`a`"), ok)
+    // quoted "A" twice is a genuine duplicate — still loud
+    val e1 = intercept[IllegalArgumentException](PgDialect.translate(
+      """select distinct on (u) u, e as "A", v as "A" from t order by u"""))
+    assert(e1.getMessage.contains("duplicate output names"))
+    // bare V folds to v; quoted "v" is v — PG considers them the SAME
+    val e2 = intercept[IllegalArgumentException](PgDialect.translate(
+      """select distinct on (u) u, e as V, v as "v" from t order by u"""))
+    assert(e2.getMessage.contains("duplicate output names"))
   }
 }
