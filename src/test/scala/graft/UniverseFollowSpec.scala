@@ -1,0 +1,121 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.abi.{AbiJson, AbiSchema}
+import graft.catalog.Contracts
+import graft.ingest.{Demux, IngestJob, ManifestStore, RawLog, ReplayLogRpc}
+
+/** Chain-follow at UNIVERSE breadth (round-13 verdict, stretch #8):
+  * EVERY contract of `conf/graft.conf` (the reference's full config
+  * tree plus the jug overlay) follows ONE synthetic chain through the
+  * replay RPC stub — backfill tick, idle tick, catch-up tick — each
+  * contract with its own manifest store, its own configured address and
+  * blocksStep, and its own ABI's dispatch keys.
+  *
+  * Asserted per tick:
+  *  - LOCKSTEP: every contract's resume watermark (manifest statsMax,
+  *    no scan) equals the tick's chain head;
+  *  - EXACTLY-ONCE: an idle tick at an unchanged head appends nothing
+  *    and publishes no version; after the catch-up tick every store
+  *    holds exactly the collision-group-expected row count with zero
+  *    duplicate (table, block, log_index) triples. */
+class UniverseFollowSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def hexBytes(s: String): Array[Byte] = {
+    val h = s.stripPrefix("0x")
+    Array.tabulate(h.length / 2)(i =>
+      Integer.parseInt(h.substring(2 * i, 2 * i + 2), 16).toByte)
+  }
+
+  test("every configured contract chain-follows in lockstep, exactly once") {
+    val reg = Contracts.load("/root/repo/conf/graft.conf")
+    assume(reg.contracts.nonEmpty, "config tree not present")
+    val confDir = "/root/reference/conf"
+    // every contract with a parseable ABI and a configured address —
+    // the whole shipped universe, not a sample
+    val followed = reg.contracts.sortBy(c => (c.schema, c.name)).flatMap { c =>
+      val f = new java.io.File(s"$confDir/${c.schema}/${c.name}.abi")
+      val defs = if (f.isFile)
+        AbiSchema.tables(c.name, AbiJson.parseFile(f.getPath)) else Nil
+      c.addresses.headOption.filter(_ => defs.nonEmpty)
+        .map(a => (c, defs, hexBytes(a)))
+    }
+    assert(followed.size >= 20, s"universe shrank: ${followed.size} contracts")
+
+    // one synthetic chain: per contract, one log per block, the log's
+    // topic0 cycling through the contract's own dispatch keys. The
+    // backfill base is synthetic (real creationBlocks span millions of
+    // empty mainnet blocks — planning noise, not signal); addresses,
+    // blocksStep, and dispatch keys are the configured ones.
+    val Base = 20_000_000L
+    val T1 = Base + 30L // backfill head
+    val T2 = Base + 60L // catch-up head
+    val corpus: Array[RawLog] = (for {
+      ((c, defs, addr), ci) <- followed.zipWithIndex
+      b <- (Base + 1) to T2
+    } yield {
+      val d = defs(((b - Base - 1) % defs.size).toInt)
+      RawLog(addr, Seq(Demux.topic0Key(d)), new Array[Byte](32), b,
+        new Array[Byte](32), ci, ci, new Array[Byte](32))
+    }).toArray
+    val rpc = new ReplayLogRpc(corpus)
+
+    // per-contract expected rows in (lo, hi]: each block's log lands in
+    // every table of the SAME contract whose dispatch key matches — the
+    // collision-group arithmetic, never assumed 1:1
+    def expected(defs: Seq[AbiSchema.TableDef], lo: Long, hi: Long): Long = {
+      val byKey = defs.groupBy(d => Demux.topic0Key(d).toSeq)
+      (lo + 1 to hi).iterator.map { b =>
+        val d = defs(((b - Base - 1) % defs.size).toInt)
+        byKey(Demux.topic0Key(d).toSeq).size.toLong
+      }.sum
+    }
+
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_universe_follow").toString
+    val stores = followed.map { case (c, _, _) =>
+      new ManifestStore(s"$tmp/${c.schema}.${c.name}")
+    }
+
+    // ---- tick 1: backfill to T1
+    followed.zip(stores).foreach { case ((c, defs, addr), store) =>
+      IngestJob.runAtomic(spark, rpc, defs, Some(addr), store,
+        creationBlock = Base + 1, chainHead = T1, blocksStep = c.blocksStep)
+    }
+    stores.zip(followed).foreach { case (store, ((c, defs, _))) =>
+      assert(store.statsMax(spark).contains(T1),
+        s"${c.schema}.${c.name}: watermark ${store.statsMax(spark)} != $T1")
+      assert(store.read(spark).get.count() == expected(defs, Base, T1),
+        s"${c.schema}.${c.name}: backfill count off")
+    }
+
+    // ---- idle tick: unchanged head appends nothing, publishes nothing
+    val versions = stores.map(_.currentVersion(spark))
+    followed.zip(stores).foreach { case ((c, defs, addr), store) =>
+      val n = IngestJob.runAtomic(spark, rpc, defs, Some(addr), store,
+        creationBlock = Base + 1, chainHead = T1, blocksStep = c.blocksStep)
+      assert(n == 0L, s"${c.schema}.${c.name}: idle tick appended $n rows")
+    }
+    assert(stores.map(_.currentVersion(spark)) == versions,
+      "an idle tick published a version")
+
+    // ---- tick 2: catch up to T2; lockstep + exactly-once
+    followed.zip(stores).foreach { case ((c, defs, addr), store) =>
+      IngestJob.runAtomic(spark, rpc, defs, Some(addr), store,
+        creationBlock = Base + 1, chainHead = T2, blocksStep = c.blocksStep)
+    }
+    stores.zip(followed).foreach { case (store, ((c, defs, _))) =>
+      assert(store.statsMax(spark).contains(T2),
+        s"${c.schema}.${c.name}: watermark ${store.statsMax(spark)} != $T2")
+      val snap = store.read(spark).get
+      val total = snap.count()
+      assert(total == expected(defs, Base, T2),
+        s"${c.schema}.${c.name}: catch-up count off")
+      assert(snap.select("table_name", "block_number", "log_index")
+        .distinct().count() == total,
+        s"${c.schema}.${c.name}: duplicate rows after catch-up")
+    }
+  }
+}

@@ -1,13 +1,9 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
-import graft.abi.{AbiJson, AbiSchema}
-import graft.codec.AbiDecoder
 import graft.ingest.{Demux, ManifestStore}
-import java.math.{BigDecimal => JBigDecimal, BigInteger}
-import scala.collection.mutable.ArrayBuffer
+import java.math.{BigDecimal => JBigDecimal}
 import scala.jdk.CollectionConverters._
 
 /** Full-universe physical ingest E2E (round-12 verdict stretch #7): the
@@ -26,64 +22,17 @@ class UniverseIngestSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
 
   test("412-table universe: one batch writes every table; resume + replay are exact") {
-    val confDir = new java.io.File("/root/reference/conf")
-    assume(confDir.isDirectory, "reference config tree not present")
-    val defs = confDir.listFiles.filter(_.isDirectory).flatMap(_.listFiles)
-      .filter(_.getName.endsWith(".abi"))
-      .flatMap(f => AbiSchema.tables(f.getName.stripSuffix(".abi"),
-        AbiJson.parseFile(f.getPath))).toSeq
+    // generator shared with the bench's universe_demux throughput section
+    // (graft.fixtures.UniverseFixture): one code path for the spec's
+    // correctness evidence and the bench's rows/s
+    val defs = graft.fixtures.UniverseFixture.defs()
+    assume(defs.nonEmpty, "reference config tree not present")
     assert(defs.size >= 400, s"universe shrank: ${defs.size} tables")
-
-    // deterministic value generator (the AbiSpec corpus-roundtrip shapes)
-    val rnd = new scala.util.Random(42)
-    def valueFor(t: String, indexed: Boolean): Any =
-      if (indexed && (t == "string" || t == "bytes" || t.endsWith("[]")))
-        Array.fill[Byte](32)(rnd.nextInt().toByte) // pre-hashed topic
-      else t match {
-        case "address" => Array.fill[Byte](20)(rnd.nextInt().toByte)
-        case "bool" => rnd.nextBoolean()
-        case "string" => rnd.alphanumeric.take(rnd.nextInt(24)).mkString
-        case "bytes" => Array.fill[Byte](rnd.nextInt(64))(rnd.nextInt().toByte)
-        case b if b.startsWith("bytes") =>
-          Array.fill[Byte](b.drop(5).toInt)(rnd.nextInt().toByte)
-        case "uint8" => rnd.nextInt(256).toShort
-        case "uint16" => rnd.nextInt(65536)
-        case a if a.endsWith("[]") =>
-          Seq.fill(rnd.nextInt(3))(valueFor(a.dropRight(2), indexed = false))
-        case t if t.startsWith("uint") || t.startsWith("int") =>
-          // width-aware magnitudes: unlike the raw-roundtrip spec, these
-          // values pass through the SCHEMA types (uint24..56 → LongType,
-          // wider → DECIMAL(38,0)), so they must fit what they decode into
-          val digits = t.dropWhile(_.isLetter)
-          val bits = if (digits.isEmpty) 256 else digits.toInt
-          val width = math.min(bits - 1, 120) // signed slots AND 38 digits
-          new JBigDecimal(new BigInteger(width, rnd.self))
-        case other => fail(s"no generator for ABI type $other")
-      }
-
-    // one raw batch: 2 rows per def, strictly increasing block numbers;
-    // remember the generated values per def for the spot-decode check
-    val truth = scala.collection.mutable.Map[String, Seq[Seq[Any]]]()
-    val rawRows = ArrayBuffer.empty[Row]
-    var blockNo = 1_000_000L
-    var txIndex = 0
-    def bytes(n: Int) = Array.fill[Byte](n)(rnd.nextInt().toByte)
-    defs.foreach { d =>
-      val rows = (0 until 2).map { i =>
-        blockNo += 1; txIndex += 1
-        val values = d.entry.inputs.map(p => valueFor(p.abiType, p.indexed))
-        val (topics, data) =
-          if (d.isEvent) AbiDecoder.encodeEvent(d.entry, values)
-          else (Seq(java.util.Arrays.copyOf(d.dispatchKey.toArray, 32)),
-            AbiDecoder.encodeCall(d.entry, values))
-        rawRows += Row.fromSeq(Seq[Any](bytes(20), topics, data,
-          blockNo, bytes(32), i, txIndex, bytes(32)))
-        values
-      }
-      truth(d.table) = rows
-    }
-    val raw = spark.createDataFrame(rawRows.asJava, Demux.rawLogSchema)
-    val mid = 1_000_000L + rawRows.size / 2
+    val b = graft.fixtures.UniverseFixture.batch(defs)
+    val truth = b.truth
+    val blockNo = b.lastBlock
+    val raw = spark.createDataFrame(b.rows.asJava, Demux.rawLogSchema)
+    val mid = 1_000_000L + b.rows.size / 2
 
     // chunk-committed ingest through the manifest store (EP1 cadence)
     val root = java.nio.file.Files
