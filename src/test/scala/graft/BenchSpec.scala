@@ -71,36 +71,105 @@ class BenchSpec extends AnyFunSuite {
     assert(unknown.isEmpty, s"sf1 subset names not in SparkEntry: $unknown")
   }
 
-  test("rerun rule: >2x uncontended pass swings are suspects; median-of-3") {
+  test("rerun rule: >2x pass swings are suspects even when one window was contended") {
     val p1 = Map("swing" -> qt(13.4), "steady" -> qt(1.0),
       "contended_swing" -> qt(20.0, contended = true), "broken" -> None)
     val p2 = Map("swing" -> qt(58.9), "steady" -> qt(1.1),
       "contended_swing" -> qt(2.0), "broken" -> qt(1.0))
-    // swing: 58.9/13.4 > 2x, both clean -> suspect. steady: 1.1x -> no.
-    // contended_swing: the slow pass WAS cpu-contended -> already
-    // explained, no rerun. broken: no p1 time -> not arbitrable.
-    assert(Bench.suspectsOf(p1, p2) == Seq("swing"))
-    assert(Bench.median3(13.4, 58.9, 13.6) == 13.6)
-    assert(Bench.median3(58.9, 13.4, 13.6) == 13.6)
+    // swing: 58.9/13.4 > 2x -> suspect. steady: 1.1x -> no.
+    // contended_swing: >2x swing — the r13 lesson is that a contended
+    // sample can't CORROBORATE the slow clean one, so it IS a suspect
+    // now (the old rule's blindness recorded graph_pagerank at 16.7 s).
+    // broken: no p1 time -> not arbitrable.
+    assert(Bench.suspectsOf(p1, p2) == Seq("contended_swing", "swing"))
+    assert(Bench.medianOf(Seq(13.4, 58.9, 13.6)) == 13.6)
+    assert(Bench.medianOf(Seq(58.9, 13.4)) == 58.9,
+      "even-count median must resolve conservatively (upper middle)")
+    assert(Bench.medianOf(Seq(4.5)) == 4.5)
   }
 
-  test("mergePasses: median-of-3 for suspects, conservative max on rerun failure, min otherwise") {
-    val p1 = Map("swing" -> qt(13.4), "steady" -> qt(2.0),
-      "lost" -> qt(30.0), "broken" -> (None: Option[Bench.QTime]))
-    val p2 = Map("swing" -> qt(58.9), "steady" -> qt(1.0),
-      "lost" -> qt(3.0), "broken" -> None)
-    val p3 = Map("swing" -> qt(13.6), "lost" -> None) // lost's p3 FAILED
-    val (merged, rerunFailed) = Bench.mergePasses(
-      p1, Some(p2), Some(p3), suspects = Seq("swing", "lost"))
-    assert(merged("swing").contains(13.6), "suspect must take the median")
+  test("candidateWalls: contended samples never become the record when a clean one exists") {
+    def q(w: Double, c: Boolean) = Bench.QTime(w, c, 0.0, 1.0)
+    // corpus_ngrams r13: a CONTENDED p1 min was recorded — must not be
+    assert(Bench.candidateWalls(Seq(q(1.2, true), q(4.8, false))) == Seq(4.8))
+    assert(Bench.candidateWalls(Seq(q(1.2, false), q(4.8, false))) == Seq(1.2, 4.8))
+    // all-contended degrades to all samples (flagged elsewhere)
+    assert(Bench.candidateWalls(Seq(q(3.0, true), q(5.0, true))) == Seq(3.0, 5.0))
+  }
+
+  test("mergePasses: clean median for suspects, clean min otherwise, short list on <3 clean") {
+    val p1 = Map("swing" -> qt(47.9, contended = true), "steady" -> qt(2.0),
+      "lost" -> qt(30.0), "broken" -> (None: Option[Bench.QTime]),
+      "cmin" -> qt(1.2, contended = true))
+    val p2 = Map("swing" -> qt(16.7), "steady" -> qt(1.0),
+      "lost" -> qt(3.0), "broken" -> None, "cmin" -> qt(4.8))
+    val p3 = Map("swing" -> qt(4.5), "lost" -> None) // lost's p3 FAILED
+    val p4 = Map("swing" -> qt(4.6), "lost" -> None)
+    val (merged, short) = Bench.mergePasses(
+      Seq(p1, p2, p3, p4), suspects = Seq("swing", "lost"))
+    // the r13 graph_pagerank shape: contended 47.9 EXCLUDED, median of
+    // clean {16.7, 4.5, 4.6} = 4.6 — not 16.7
+    assert(merged("swing").contains(4.6),
+      s"suspect must take the CLEAN median, got ${merged("swing")}")
     assert(merged("steady").contains(1.0), "non-suspect must take the min")
     assert(merged("lost").contains(30.0),
-      "a suspect whose p3 failed must report the conservative MAX")
+      "a suspect with 2 clean samples resolves to the conservative MAX")
     assert(merged("broken").isEmpty)
-    assert(rerunFailed == Seq("lost"))
+    // non-suspect with a contended min: record the clean value
+    assert(merged("cmin").contains(4.8),
+      "a contended wall must never be recorded as the min")
+    assert(short == Seq("lost"),
+      "suspects ending under 3 clean samples must be visible")
     // single-pass degenerate form (the p1Total>900 skip path)
-    val (solo, noFails) = Bench.mergePasses(p1, None, None, Nil)
-    assert(solo("swing").contains(13.4) && noFails.isEmpty)
+    val (solo, noShort) = Bench.mergePasses(Seq(p1), Nil)
+    assert(solo("swing").contains(47.9) && noShort.isEmpty)
+  }
+
+  test("trend baseline: min over last window lines; trigger fires on correlated slowness") {
+    val f = java.nio.file.Files.createTempFile("graft_trend", ".jsonl")
+    Bench.appendTrend(f.toString,
+      """{"epoch_ms":1,"total":10.0,"queries":{"pagerank":4.500,"ngrams":1.070}}""")
+    Bench.appendTrend(f.toString,
+      """{"epoch_ms":2,"total":30.0,"queries":{"pagerank":16.700,"ngrams":1.200}}""")
+    val base = Bench.trendBaseline(f.toString)
+    // min over the window: one poisoned recorded line cannot raise it
+    assert(base("pagerank") == 4.5 && base("ngrams") == 1.07)
+    // correlated slowness: BOTH passes slow, intra-run rule silent —
+    // the r13 graph_pagerank_dangling hole. The trend trigger fires.
+    val p1 = Map("pagerank" -> qt(21.3), "ngrams" -> qt(1.1))
+    val p2 = Map("pagerank" -> qt(16.2), "ngrams" -> qt(1.2))
+    assert(Bench.suspectsOf(p1, p2).isEmpty, "intra-run rule stays silent")
+    assert(Bench.trendSuspectsOf(base, Seq(p1, p2)) == Seq("pagerank"))
+    // a missing file degrades to an empty baseline, not an error
+    assert(Bench.trendBaseline("/no/such/file.jsonl").isEmpty)
+  }
+
+  test("arbitrated: targeted passes run until suspects hold 3 clean samples, capped") {
+    val p1 = Map("swing" -> qt(13.4, contended = true), "ok" -> qt(1.0))
+    val p2 = Map("swing" -> qt(58.9), "ok" -> qt(1.1))
+    var calls = 0
+    val targeted: Set[String] => Map[String, Option[Bench.QTime]] = { need =>
+      calls += 1
+      assert(need == Set("swing"), s"targeted pass must be suspects-only: $need")
+      Map("swing" -> qt(14.0))
+    }
+    val (rec, suspects, short, extras) =
+      Bench.arbitrated(p1, Some(p2), Map.empty, targeted)
+    assert(suspects == Seq("swing") && calls == 2 && extras.size == 2,
+      s"needs exactly 2 targeted passes for 3 clean samples (got $calls)")
+    // clean samples {58.9, 14.0, 14.0} -> median 14.0; contended excluded
+    assert(rec("swing").contains(14.0) && short.isEmpty)
+    assert(rec("ok").contains(1.0))
+    // a targeted pass that keeps failing caps at maxExtra
+    var failCalls = 0
+    val failing: Set[String] => Map[String, Option[Bench.QTime]] = { _ =>
+      failCalls += 1; Map("swing" -> None)
+    }
+    val (rec2, _, short2, _) =
+      Bench.arbitrated(p1, Some(p2), Map.empty, failing)
+    assert(failCalls == 3 && short2 == Seq("swing"))
+    // one clean sample {58.9}: median of it
+    assert(rec2("swing").contains(58.9))
   }
 
   test("BuildLog: per-name sums, cost-descending, drain empties, records on failure") {
