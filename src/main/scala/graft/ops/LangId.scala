@@ -136,52 +136,27 @@ object LangId {
           col("b3"), lit(" ")).as("s"))
   }
 
-  /** Map-side trigram explode: substring windows via a codegen'd
-    * transform/sequence lambda — no UDF on the hot path. */
-  private def docTrigrams(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      explode(expr("transform(sequence(1, length(s) - 2), i -> substring(s, i, 3))"))
-        .as("tri"))
-
   /** Classify every fixture document: (doc_id, planted, predicted, d) —
-    * d the winning out-of-place distance, all integer arithmetic. */
+    * d the winning out-of-place distance, all integer arithmetic.
+    *
+    * Execution shape (round-14 agenda #6): through round 13 this ran as
+    * trigram-explode → (doc, tri) exchange → per-doc WindowGroupLimit →
+    * distance aggregate → second per-doc window — FOUR exchanges of
+    * O(docs × trigrams) rows and two per-doc sorts, and the one member
+    * of the quality family whose sf1 ratio (6.49× for 10× data) sat far
+    * above its siblings. A document's score depends on NOTHING outside
+    * the document, so the whole pipeline is now [[LangIdScore]] — one
+    * codegen'd map-side expression per row (count trigrams, heap the
+    * top-[[DocK]], distance against the 5 broadcast-constant profiles).
+    * The only exchange left is the final ORDER BY. Same integers, same
+    * oracle, hash-identical output. */
   def classify(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+    import org.apache.spark.sql.graftshim.Shim
     val docs = fixtureDocs(s, dir)
-    // per-doc profile: top-DocK trigrams (WindowGroupLimit per doc)
-    val counts = docTrigrams(docs).groupBy(col("doc_id"), col("tri"))
-      .agg(count(lit(1)).as("cnt"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("cnt").desc, col("tri").asc)
-    val dp = counts.withColumn("r_doc", row_number().over(w))
-      .filter(col("r_doc") <= DocK).select("doc_id", "tri", "r_doc")
-    // broadcast constants: the profile table and the language list
-    val lp = broadcast(profiles.toDF("plang", "tri", "r_lang"))
-    val langs = broadcast(Bank.map(_._1).toDF("plang"))
-    // out-of-place distance per (doc, lang): every doc-profile row meets
-    // every language (≤ DocK × |langs| rows per doc, all map-side after
-    // the broadcasts), absent trigrams pay the fixed ProfileK penalty
-    val dist = dp.crossJoin(langs)
-      .join(lp, Seq("plang", "tri"), "left")
-      .groupBy(col("doc_id"), col("plang"))
-      .agg(sum(when(col("r_lang").isNull, lit(ProfileK))
-        .otherwise(abs(col("r_doc") - col("r_lang")))).as("d"))
-    val wr = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("d").asc, col("plang").asc)
-    val pred = dist.withColumn("rk", row_number().over(wr))
-      .filter(col("rk") === 1)
-      .select(col("doc_id"), col("plang").as("predicted"), col("d"))
-    // planted = bank language of doc_id % 5 by the fixture's definition —
-    // derive it from doc_id via a 5-row broadcast instead of re-joining
-    // `docs` (which would duplicate the documents scan and all three
-    // bank joins in the plan: the fixture-synthesis subtree runs once)
-    val plantedByIdx = broadcast(Bank.zipWithIndex
-      .map { case ((lang, _), li) => (li.toLong, lang) }
-      .toDF("lidx", "planted"))
-    pred.withColumn("lidx", expr("doc_id % 5"))
-      .join(plantedByIdx, Seq("lidx"))
-      .select(col("doc_id"), col("planted"), col("predicted"),
-        col("d").cast("long").as("d"))
+    val sc = Shim.column(LangIdScore(Shim.expression(col("s"))))
+    docs.select(col("doc_id"), col("planted"), sc.as("sc"))
+      .select(col("doc_id"), col("planted"),
+        col("sc.predicted").as("predicted"), col("sc.d").as("d"))
       .orderBy(col("doc_id"))
   }
 
@@ -243,4 +218,99 @@ object LangId {
       SELECT dd.doc_id, dd.planted, p.predicted, CAST(p.d AS BIGINT) AS d
       FROM docs dd JOIN pred p USING (doc_id)
       ORDER BY dd.doc_id""")
+}
+
+/** The whole Cavnar-Trenkle document side as ONE codegen'd map-side
+  * expression: `langid_score(s)` → struct(predicted string, d long).
+  * Per row: count the text's character trigrams, rank the top-
+  * [[LangId.DocK]] by (count desc, trigram asc), and take the minimum
+  * out-of-place distance against the [[LangId.profiles]] constants
+  * (ties by language name asc) — integer-for-integer the ranking the
+  * old window/aggregate pipeline computed, minus its four exchanges.
+  * Trigram windows and orderings match the SQL the oracle runs: both
+  * sides see BMP-only bank text, where Java's UTF-16 substring/compare
+  * and SQL's codepoint semantics coincide. Documents shorter than one
+  * trigram never occur in the fixture (three bank sentences each);
+  * they would score d=0 here where the explode pipeline dropped them —
+  * documented, not reachable. */
+case class LangIdScore(child: org.apache.spark.sql.catalyst.expressions.Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("predicted", StringType, nullable = false),
+    StructField("d", LongType, nullable = false)))
+
+  override def checkInputDataTypes()
+  : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"langid_score needs string input, got ${child.dataType.simpleString}")
+
+  /** (language asc, trigram → rank) — alphabetical order IS the
+    * tie-break (the old pipeline's ORDER BY d ASC, plang ASC). */
+  @transient private lazy val langRanks
+  : Array[(String, java.util.HashMap[String, Integer])] =
+    LangId.profiles.groupBy(_._1).toSeq.sortBy(_._1).map { case (lang, rows) =>
+      val m = new java.util.HashMap[String, Integer]()
+      rows.foreach { case (_, tri, r) => m.put(tri, Integer.valueOf(r)) }
+      (lang, m)
+    }.toArray
+
+  def score(u: UTF8String): InternalRow = {
+    val s = u.toString
+    val counts = new java.util.HashMap[String, Integer]()
+    var i = 0
+    while (i + 3 <= s.length) {
+      val t = s.substring(i, i + 3)
+      val c = counts.get(t)
+      counts.put(t, if (c == null) 1 else Integer.valueOf(c.intValue + 1))
+      i += 1
+    }
+    val top = {
+      import scala.jdk.CollectionConverters._
+      counts.entrySet().asScala.toArray
+        .map(e => (e.getKey, e.getValue.intValue))
+        .sortBy { case (tri, n) => (-n, tri) }
+        .take(LangId.DocK)
+    }
+    var bestLang: String = null
+    var bestD = Long.MaxValue
+    var li = 0
+    while (li < langRanks.length) {
+      val (lang, ranks) = langRanks(li)
+      var d = 0L
+      var j = 0
+      while (j < top.length) {
+        val r = ranks.get(top(j)._1)
+        d += (if (r == null) LangId.ProfileK.toLong
+              else math.abs((j + 1).toLong - r.intValue))
+        j += 1
+      }
+      if (d < bestD) { bestD = d; bestLang = lang }
+      li += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(bestLang), bestD))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    score(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+  : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("langidScore", this, classOf[LangIdScore].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.score($c);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+  : LangIdScore = copy(child = newChild)
+
+  override def prettyName: String = "langid_score"
 }
