@@ -166,6 +166,53 @@ object MatView {
       .orderBy("event_type")
   }
 
+  /** Gate (round-14 stretch #7): MATVIEW ROUTING. The user writes the
+    * BASE-TABLE aggregate (`definingQuery` — groupBy event_type,
+    * count + exact decimal sum over the source store); the registered
+    * optimizer rule answers it from the view's store instead. The gate
+    * asserts the rewrite STRUCTURALLY (the executed plan's input files
+    * are the view's, and none are the source's) and the DuckDB oracle
+    * asserts VALUES (the routed answer equals the direct aggregate over
+    * the fixture rows — routing that changed an answer would
+    * hash-mismatch). The stale-view and unrouted paths are MatViewSpec's
+    * cases. */
+  def matviewRoutedGate(s: SparkSession, dir: String): DataFrame = {
+    val (srcRoot, viewRoot) = gateRoots(dir, "route")
+    builtRoots.synchronized {
+      if (!builtRoots.contains(srcRoot)) {
+        for (r <- Seq(srcRoot, viewRoot)) {
+          val p = new Path(r)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+        val src = new ManifestStore(srcRoot)
+        val mv = new MatView(viewRoot, Seq("event_type"), "value")
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value"))
+        src.append(s, ev.filter(col("event_id") % 2 === 0),
+          rangeCol = Some("event_id"))
+        mv.refresh(s, src) // delta 1
+        src.append(s, ev.filter(col("event_id") % 2 === 1),
+          rangeCol = Some("event_id"))
+        mv.refresh(s, src) // delta 2: view ≡ full aggregate, fresh
+        builtRoots.add(srcRoot)
+      }
+    }
+    val src = new ManifestStore(srcRoot)
+    MatViewRouter.register(s, viewRoot, src, Seq("event_type"), "value")
+    val routed = MatViewRouter
+      .definingQuery(s, src, Seq("event_type"), "value")
+    // structural proof the rule fired: the plan reads the VIEW's files
+    val inputs = routed.inputFiles
+    require(inputs.nonEmpty && inputs.forall(_.contains("graft_mv_view_route_")),
+      s"matview routing did not rewrite to the view store: " +
+        inputs.take(3).mkString(","))
+    routed
+      .select(col("event_type"), col("n"),
+        col("vsum").cast("double").as("value_sum"))
+      .orderBy("event_type")
+  }
+
   /** Gate: incremental COUNT DISTINCT. The view maintains a mergeable
     * HLL sketch of `user_id` per event_type across the same commit mix
     * as the flows gate (two delta refreshes + a rewrite-detected
@@ -373,12 +420,21 @@ object MatView {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "store_matview_flows" -> (matviewGate _),
+    "store_matview_routed" -> (matviewRoutedGate _),
     "store_matview_distinct" -> (matviewDistinctGate _),
     "store_matview_topk" -> (matviewTopkGate _),
     "store_matview_quantile" -> (matviewQuantileGate _),
     "store_cdc_diff" -> (cdcDiffGate _))
 
   val oracle: Map[String, String] = Map(
+    // the routed answer must equal the direct aggregate over the whole
+    // fixture (both halves appended, nothing deleted): routing that
+    // changed an answer would hash-mismatch here
+    "store_matview_routed" -> """
+      SELECT event_type, COUNT(*) AS n,
+        CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+          AS DOUBLE) AS value_sum
+      FROM events GROUP BY event_type ORDER BY event_type""",
     // per-event_type exact top-3 users (count desc, user_id tie-break)
     // over the post-forget survivors; est_ok is the CMS envelope, a
     // literal TRUE on the oracle side

@@ -227,4 +227,46 @@ class MatViewSpec extends AnyFunSuite {
     mv.refresh(spark, src)
     assert(stateMap(mv) == Map("a" -> ((2L, BigDecimal("3.5")))))
   }
+
+  test("router: a fresh view answers the base-table aggregate; a stale one never does") {
+    import graft.ingest.MatViewRouter
+    val (src, mv) = fresh()
+    src.append(spark, Seq(("a", 1.0), ("b", 2.0), ("b", 4.0)).toDF("k", "v"))
+    mv.refresh(spark, src)
+    def userQuery() = MatViewRouter.definingQuery(spark, src, Seq("k"), "v")
+    // BEFORE registration: the same query reads the SOURCE
+    val unrouted = userQuery()
+    val direct = unrouted.collect().map(r =>
+      (r.getString(0), r.getLong(1), BigDecimal(r.getDecimal(2)))).toSet
+    assert(unrouted.inputFiles.forall(_.contains("/src/")),
+      "unregistered query must read the source store")
+    try {
+      assert(MatViewRouter.register(spark, mv.root, src, Seq("k"), "v"))
+      // ROUTED: identical answer, but the plan reads the VIEW's store
+      val routed = userQuery()
+      assert(routed.inputFiles.nonEmpty &&
+        routed.inputFiles.forall(_.contains("/view/")),
+        s"routing did not rewrite: ${routed.inputFiles.take(3).mkString(",")}")
+      val got = routed.collect().map(r =>
+        (r.getString(0), r.getLong(1), BigDecimal(r.getDecimal(2)))).toSet
+      assert(got == direct, "routing changed the answer")
+      // STALE: one more source commit disables routing until re-register
+      src.append(spark, Seq(("c", 9.0)).toDF("k", "v"))
+      val afterCommit = userQuery()
+      assert(afterCommit.inputFiles.forall(_.contains("/src/")),
+        "a stale view must never answer")
+      assert(afterCommit.filter(col("k") === "c").count() == 1L)
+      // refresh + re-register: routing resumes with the new contents
+      mv.refresh(spark, src)
+      assert(MatViewRouter.register(spark, mv.root, src, Seq("k"), "v"))
+      val rerouted = userQuery()
+      assert(rerouted.inputFiles.forall(_.contains("/view/")))
+      assert(rerouted.filter(col("k") === "c").head().getLong(1) == 1L)
+      // a DIFFERENT aggregate shape over the same source never routes
+      val other = src.read(spark).get.groupBy("k")
+        .agg(count(lit(1)).as("n"))
+      assert(other.inputFiles.forall(_.contains("/src/")),
+        "a non-matching aggregate must not route")
+    } finally MatViewRouter.unregister(mv.root)
+  }
 }
