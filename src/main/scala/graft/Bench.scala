@@ -539,7 +539,13 @@ object Bench {
     // design and resolve to the warm number; a genuinely bimodal query
     // keeps its outlier VISIBLE in reran instead of winning or losing a
     // two-sample coin flip.
-    val sf01TrendPath = "/root/repo/sf01_trend.jsonl"
+    // trend files are PER SCALE FACTOR: an sf0.001 smoke run writing
+    // into the sf0.1 baseline would sink every min and flag the whole
+    // next sf0.1 run as trend-regressed (mass false arbitration)
+    val sfName = new java.io.File(sfDir).getName
+    val sf01TrendPath =
+      if (sfName == "sf0.1") "/root/repo/sf01_trend.jsonl"
+      else s"/root/repo/bench_trend_$sfName.jsonl"
     val baseline = trendBaseline(sf01TrendPath)
     val (merged, suspects, rerunFailed, extraPasses) =
       arbitrated(p1, p2, baseline,
@@ -639,7 +645,8 @@ object Bench {
             cs.errors.map("\"" + _ + "\"").mkString("[", ",", "]")}},"""
         // qps trend per run, with the interference fields alongside — a
         // swing in this channel now carries its mechanical explanation
-        appendTrend("/root/repo/concurrent_trend.jsonl",
+        appendTrend("/root/repo/concurrent_trend_" +
+          new java.io.File(sfDir).getName + ".jsonl",
           s"""{"epoch_ms":${System.currentTimeMillis()},"threads":$n,""" +
             s""""wall":${cf2(cs.wall)},"qps":${cf2(qps)},""" +
             s""""foreign_cores":${cf2(cs.foreignCores)},""" +

@@ -69,6 +69,13 @@ object MatViewRouter {
       case None => return false
     }
     val asOf = st.agg(max(col("as_of"))).head().getLong(0)
+    // drop any existing registration BEFORE optimizing the defining
+    // query: with a live fresh entry the rule would route the defining
+    // query itself, and the captured target would be the ROUTED plan —
+    // which never matches a user query, silently disabling routing on
+    // every second register (bench pass 2 / the concurrent pass caught
+    // exactly this alternation)
+    entries.remove(viewRoot)
     val target = definingQuery(spark, source, groupCols, valueCol)
       .queryExecution.optimizedPlan
     val replacement = st

@@ -267,6 +267,15 @@ class MatViewSpec extends AnyFunSuite {
         .agg(count(lit(1)).as("n"))
       assert(other.inputFiles.forall(_.contains("/src/")),
         "a non-matching aggregate must not route")
+      // RE-REGISTERING with a live fresh entry must not capture the
+      // ROUTED plan as the target (the every-second-register alternation
+      // the bench's pass 2 caught): routing keeps working across
+      // repeated registrations
+      (1 to 3).foreach { _ =>
+        assert(MatViewRouter.register(spark, mv.root, src, Seq("k"), "v"))
+        assert(userQuery().inputFiles.forall(_.contains("/view/")),
+          "routing broke after a repeated register")
+      }
     } finally MatViewRouter.unregister(mv.root)
   }
 }
