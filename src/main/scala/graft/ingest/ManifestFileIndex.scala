@@ -8,9 +8,11 @@ import org.apache.spark.sql.types._
 
 /** One manifest data file plus its per-column integer stat rectangle
   * (colStats merged with the range column's min/max — one lookup map,
-  * one pruning rule). */
+  * one pruning rule) and, for partitioned commit groups, the file's
+  * partition values in [[ManifestFileIndex.partitionSchema]] order. */
 private[graft] case class PrunableFile(status: FileStatus,
-                                       stats: Map[String, (Long, Long)])
+                                       stats: Map[String, (Long, Long)],
+                                       partValues: Seq[String] = Nil)
 
 /** AUTOMATIC manifest-stats pruning for the ordinary read path (round-13
   * verdict, Next #2): a Catalyst [[FileIndex]] over one manifest commit
@@ -43,11 +45,17 @@ private[graft] case class PrunableFile(status: FileStatus,
   * means by data skipping. */
 private[graft] class ManifestFileIndex(
     val rootPath: Path,
-    val files: Seq[PrunableFile]) extends FileIndex {
+    val files: Seq[PrunableFile],
+    partCols: Seq[String] = Nil) extends FileIndex {
 
   override def rootPaths: Seq[Path] = Seq(rootPath)
 
-  override def partitionSchema: StructType = StructType(Nil)
+  // partition columns type as STRING: the index path is only chosen for
+  // groups whose partition values are unambiguously non-numeric (see
+  // ManifestStore.readFiles), exactly where Spark's own inference would
+  // also type string — behavior-identical to the basePath read there
+  override val partitionSchema: StructType =
+    StructType(partCols.map(StructField(_, StringType, nullable = true)))
 
   override def sizeInBytes: Long = files.map(_.status.getLen).sum
 
@@ -71,16 +79,49 @@ private[graft] class ManifestFileIndex(
   override def hashCode(): Int =
     31 * rootPath.hashCode + files.map(_.status.getPath).hashCode
 
+  private def partRow(values: Seq[String]): InternalRow =
+    InternalRow.fromSeq(values.map(
+      org.apache.spark.unsafe.types.UTF8String.fromString))
+
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression])
   : Seq[PartitionDirectory] = {
     val bounds = ManifestFileIndex.boundsOf(dataFilters)
-    val kept =
+    val statKept =
       if (bounds.isEmpty) files
       else files.filter(f => bounds.forall { case (c, (lo, hi)) =>
         f.stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
       })
-    Seq(PartitionDirectory(InternalRow.empty, kept.map(_.status).toArray))
+    if (partCols.isEmpty)
+      Seq(PartitionDirectory(InternalRow.empty, statKept.map(_.status).toArray))
+    else {
+      // one PartitionDirectory per distinct partition tuple, pruned by
+      // the pushed partition predicates (bound by NAME, evaluated on
+      // the directory's own row — the same contract
+      // PartitioningAwareFileIndex.prunePartitions implements)
+      val byPart = statKept.groupBy(_.partValues).toSeq.sortBy(_._1.mkString("/"))
+      val kept =
+        if (partitionFilters.isEmpty) byPart
+        else try {
+          val pred = partitionFilters.reduce(And)
+          val bound = pred.transform {
+            case a: AttributeReference =>
+              val i = partCols.indexWhere(_.equalsIgnoreCase(a.name))
+              require(i >= 0, s"unknown partition column ${a.name}")
+              BoundReference(i, StringType, nullable = true)
+          }
+          val p = Predicate.createInterpreted(bound)
+          byPart.filter { case (values, _) => p.eval(partRow(values)) }
+        } catch {
+          // pruning is an optimization: an unbindable/unevaluable
+          // partition predicate keeps every partition (Spark re-applies
+          // the exact filter on the rows), never fails the query
+          case _: Exception => byPart
+        }
+      kept.map { case (values, fs) =>
+        PartitionDirectory(partRow(values), fs.map(_.status).toArray)
+      }
+    }
   }
 }
 

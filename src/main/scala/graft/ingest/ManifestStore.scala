@@ -866,33 +866,69 @@ final class ManifestStore(val root: String) extends Serializable {
         spark.read.option("basePath", new Path(root, commitDir).toString)
           .parquet(abs: _*)
       }
-      // AUTOMATIC stat pruning (round-13 verdict, Next #2): a FLAT commit
-      // group (no partition dirs) with recorded stats reads through a
-      // ManifestFileIndex, so the query's own pushed-down predicates
-      // prune files at the manifest level with zero API change — a plain
-      // `WHERE event_id BETWEEN … AND user_id BETWEEN …` opens the same
-      // file set readBox would. Partitioned groups keep the basePath
-      // read: they already prune via Spark's partition pruning, and the
-      // hidden-partition recovery is the part a flat index cannot do.
-      val flat = entries.forall(_.rel.split('/').length == 3)
+      // AUTOMATIC stat pruning (round-13 verdict, Next #2; partitioned
+      // groups since round 14): commit groups with recorded stats read
+      // through a ManifestFileIndex, so the query's own pushed-down
+      // predicates prune files at the manifest level with zero API
+      // change — a plain `WHERE event_id BETWEEN … AND user_id BETWEEN
+      // …` opens the same file set readBox would, and on a partitioned
+      // group (`table_name=…`) partition pruning AND per-file stat
+      // pruning compose in one listing: the 100 TB fact-table probe
+      // (partition key + block window) touches only its files. A
+      // partitioned group qualifies only when every partition value is
+      // an unambiguous plain string (starts with a letter/underscore,
+      // no hive %-escapes) — exactly where Spark's own partition-type
+      // inference would also say STRING, so the index path is
+      // behavior-identical to the basePath read it replaces; anything
+      // else (numeric/date-like values, escapes, mixed key sequences)
+      // falls back conservatively.
+      val segLists = entries.map(_.rel.split('/').toSeq)
+      val flat = segLists.forall(_.length == 3)
       val hasStats = entries.exists(e => e.colStats.nonEmpty || e.min.isDefined)
-      if (!flat || !hasStats) fallback
-      else try {
-        val f = fs(spark)
-        val pruned = entries.map { e =>
-          val stats = e.colStats ++
-            rangeCol.flatMap(rc => e.min.zip(e.max).map(rc -> _)).toMap
-          PrunableFile(f.getFileStatus(new Path(root, e.rel)), stats)
+      val SafeVal = "[A-Za-z_][A-Za-z0-9_.\\-]*".r
+      // the hive NULL-partition sentinel must read as null, which only
+      // the basePath path does — never treat it as a literal string
+      val NullSentinel = "__HIVE_DEFAULT_PARTITION__"
+      val partPairs: Option[Seq[Seq[(String, String)]]] =
+        if (flat) Some(entries.map(_ => Nil))
+        else {
+          val parsed = segLists.map(_.drop(2).dropRight(1).map { seg =>
+            seg.split("=", 2) match {
+              case Array(k, v) if SafeVal.matches(v) && v != NullSentinel =>
+                Some(k -> v)
+              case _ => None
+            }
+          })
+          if (parsed.forall(_.forall(_.isDefined))) {
+            val pairs = parsed.map(_.flatten)
+            val keys = pairs.head.map(_._1)
+            if (pairs.forall(_.map(_._1) == keys) && keys.nonEmpty)
+              Some(pairs)
+            else None
+          } else None
         }
-        // one commit = one writer = one physical schema: first footer
-        val schema = spark.read
-          .parquet(new Path(root, entries.head.rel).toString).schema
-        org.apache.spark.sql.graftshim.Shim.parquetFrame(spark,
-          new ManifestFileIndex(new Path(root, commitDir), pruned), schema)
-      } catch {
-        // pruning is an optimization; a stat/status hiccup must degrade
-        // to the plain read, never to a failed query
-        case _: Exception => fallback
+      if (!hasStats && flat) fallback
+      else partPairs match {
+        case None => fallback
+        case Some(pairs) => try {
+          val f = fs(spark)
+          val pruned = entries.zip(pairs).map { case (e, pp) =>
+            val stats = e.colStats ++
+              rangeCol.flatMap(rc => e.min.zip(e.max).map(rc -> _)).toMap
+            PrunableFile(f.getFileStatus(new Path(root, e.rel)), stats,
+              pp.map(_._2))
+          }
+          // one commit = one writer = one physical schema: first footer
+          val schema = spark.read
+            .parquet(new Path(root, entries.head.rel).toString).schema
+          org.apache.spark.sql.graftshim.Shim.parquetFrame(spark,
+            new ManifestFileIndex(new Path(root, commitDir), pruned,
+              pairs.head.map(_._1)), schema)
+        } catch {
+          // pruning is an optimization; a stat/status hiccup must degrade
+          // to the plain read, never to a failed query
+          case _: Exception => fallback
+        }
       }
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }

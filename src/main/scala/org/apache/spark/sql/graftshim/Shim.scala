@@ -32,8 +32,11 @@ object Shim {
       dataSchema: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.DataFrame = {
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    // the relation's partition schema MUST be the index's own: an empty
+    // one here would (a) resolve partition columns to nothing upstream
+    // and (b) trip the parquet reader's partitionValues-arity assert
     val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-      index, new org.apache.spark.sql.types.StructType(), dataSchema, None,
+      index, index.partitionSchema, dataSchema, None,
       new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
       Map.empty)(cs)
     cs.baseRelationToDataFrame(rel)

@@ -238,6 +238,43 @@ class SkippingSpec extends AnyFunSuite {
     assert(none.count() == 0L)
   }
 
+  test("partitioned groups prune by partition AND stats in one manifest listing") {
+    // the 100 TB fact-table probe shape: partition key + range window.
+    // Through r13 partitioned groups fell back to the basePath read
+    // (partition pruning only, every footer in the partition listed);
+    // the partition-aware ManifestFileIndex composes both prunings.
+    val store = new ManifestStore(fresh("partidx"))
+    val df = (0L until 400L)
+      .map(i => (i, s"p_${('a' + (i % 4).toInt).toChar}")).toDF("id", "k")
+    store.append(spark, df.repartitionByRange(8, col("id")),
+      partitionCols = Seq("k"), rangeCol = Some("id"))
+    val total = store.currentFiles(spark).size
+    assert(total >= 16, s"fixture too coarse: $total files")
+    val expected = store.currentStatEntries(spark).count { case (rel, mn, mx) =>
+      rel.contains("k=p_a") &&
+        mn.forall(_ <= 99L) && mx.forall(_ >= 0L)
+    }
+    val probe = store.read(spark).get
+      .filter(col("k") === "p_a" && col("id").between(0, 99))
+    val read = filesRead(probe)
+    assert(read == expected && read < total,
+      s"partition+stats probe read $read files, expected $expected of $total")
+    assert(probe.queryExecution.executedPlan.toString
+      .contains("ManifestFileIndex"), "partitioned group did not take the index path")
+    // answers are exactly the direct filter's
+    assert(probe.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 100L).filter(_ % 4 == 0))
+    // AMBIGUOUS partition values (digits-only would type non-string
+    // under Spark's inference) fall back conservatively — same answers
+    val store2 = new ManifestStore(fresh("partidx_num"))
+    store2.append(spark, (0L until 40L).map(i => (i, (i % 3).toString))
+      .toDF("id", "k"), partitionCols = Seq("k"), rangeCol = Some("id"))
+    val p2 = store2.read(spark).get.filter(col("k") === 1 && col("id") < 10)
+    assert(!p2.queryExecution.executedPlan.toString.contains("ManifestFileIndex"),
+      "digits-valued partitions must fall back (type inference differs)")
+    assert(p2.count() == (0L until 10L).count(_ % 3 == 1))
+  }
+
   test("boundsOf: only provable AND-ed integral comparisons contribute") {
     import org.apache.spark.sql.catalyst.dsl.expressions._
     import org.apache.spark.sql.catalyst.expressions._
