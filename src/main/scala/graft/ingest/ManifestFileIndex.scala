@@ -139,13 +139,24 @@ private[graft] object ManifestFileIndex {
       acc(name) = (math.max(clo, lo), math.min(chi, hi))
     }
     def litLong(e: Expression): Option[Long] = e match {
-      case Literal(v, dt) => dt match {
+      case Literal(v, dt) if v != null => dt match {
         case ByteType => Some(v.asInstanceOf[Byte].toLong)
         case ShortType => Some(v.asInstanceOf[Short].toLong)
         case IntegerType => Some(v.asInstanceOf[Int].toLong)
         case LongType => Some(v.asInstanceOf[Long])
+        // DateType compares in epoch DAYS — the same integers the
+        // parquet footer's INT32 date statistics hold
+        case DateType => Some(v.asInstanceOf[Int].toLong)
         case _ => None // non-integral literal types: contribute nothing
       }
+      case _ => None
+    }
+    // raw values inside an optimizer-converted InSet (no Literal wrapper)
+    def rawLong(v: Any): Option[Long] = v match {
+      case n: java.lang.Byte => Some(n.toLong)
+      case n: java.lang.Short => Some(n.toLong)
+      case n: java.lang.Integer => Some(n.toLong)
+      case n: java.lang.Long => Some(n.longValue)
       case _ => None
     }
     // x > v strengthens to x >= v+1 on integers; clamp at the extremes
@@ -175,7 +186,23 @@ private[graft] object ManifestFileIndex {
         litLong(v).foreach(x => add(a.name, inc(x), Long.MaxValue))
       case EqualTo(v, a: AttributeReference) =>
         litLong(v).foreach(x => add(a.name, x, x))
-      case _ => () // OR / IN / casts / UDFs: no bound, conservative
+      // IN-lists bound to their [min, max] envelope — a coarse but
+      // provable box (the exact predicate re-filters the rows); every
+      // element must be an integral literal or the list contributes
+      // nothing
+      case In(a: AttributeReference, list) if list.nonEmpty =>
+        val vs = list.map(litLong)
+        if (vs.forall(_.isDefined)) {
+          val xs = vs.flatten
+          add(a.name, xs.min, xs.max)
+        }
+      case InSet(a: AttributeReference, hset) if hset.nonEmpty =>
+        val vs = hset.toSeq.map(rawLong)
+        if (vs.forall(_.isDefined)) {
+          val xs = vs.flatten
+          add(a.name, xs.min, xs.max)
+        }
+      case _ => () // OR / casts / UDFs: no bound, conservative
     }
     filters.foreach(walk)
     acc.toMap

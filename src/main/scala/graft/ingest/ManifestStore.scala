@@ -812,9 +812,11 @@ final class ManifestStore(val root: String) extends Serializable {
 
   /** (row count, per-column (min, max) of `cols`) from a parquet file's
     * footer metadata, in one footer read. A column is present in the map
-    * only when it exists as INT64 with non-empty statistics in EVERY row
-    * group — anything less degrades to absent (conservative, never
-    * wrong). */
+    * only when it exists as INT64 or INT32 (int/date — their statistics
+    * widen losslessly to Long, and DateType predicates compare in epoch
+    * days, the same integers the footer holds) with non-empty statistics
+    * in EVERY row group — anything less degrades to absent
+    * (conservative, never wrong). */
   private def footerMultiStats(p: Path, cols: Seq[String],
                                conf: org.apache.hadoop.conf.Configuration)
   : (Long, Map[String, (Long, Long)]) = {
@@ -836,6 +838,10 @@ final class ManifestStore(val root: String) extends Serializable {
                   if !s.isEmpty && s.hasNonNullValue =>
                   lo = math.min(lo, s.genericGetMin)
                   hi = math.max(hi, s.genericGetMax)
+                case s: org.apache.parquet.column.statistics.IntStatistics
+                  if !s.isEmpty && s.hasNonNullValue =>
+                  lo = math.min(lo, s.genericGetMin.toLong)
+                  hi = math.max(hi, s.genericGetMax.toLong)
                 case _ => ok = false
               }
             case None => ok = false

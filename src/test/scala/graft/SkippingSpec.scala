@@ -293,5 +293,50 @@ class SkippingSpec extends AnyFunSuite {
     // non-integral literals contribute nothing
     assert(ManifestFileIndex.boundsOf(Seq(
       GreaterThan(x, Literal(1.5)))).isEmpty)
+    // IN-lists bound to their [min, max] envelope; InSet (the
+    // optimizer's large-list form) likewise
+    assert(ManifestFileIndex.boundsOf(Seq(
+      In(x, Seq(L(7), L(3), L(11))))) == Map("x" -> (3L, 11L)))
+    assert(ManifestFileIndex.boundsOf(Seq(
+      InSet(x, Set[Any](9L, 2L, 5L)))) == Map("x" -> (2L, 9L)))
+    // a non-integral member disables the whole list (conservative)
+    assert(ManifestFileIndex.boundsOf(Seq(
+      In(x, Seq(L(1), Literal("a"))))).isEmpty)
+    // DateType literals compare in epoch days — same integers as the
+    // footer's INT32 date statistics
+    import org.apache.spark.sql.types.DateType
+    val d = AttributeReference("d", DateType)()
+    assert(ManifestFileIndex.boundsOf(Seq(
+      GreaterThanOrEqual(d, Literal(19000, DateType)))) ==
+      Map("d" -> (19000L, Long.MaxValue)))
+  }
+
+  test("INT32 stats (int/date columns) record and prune like long ones") {
+    val store = new ManifestStore(fresh("int32"))
+    val df = (0 until 400).map(i =>
+      (i.toLong, i / 100, java.sql.Date.valueOf(
+        java.time.LocalDate.ofEpochDay(19000L + i / 50))))
+      .toDF("id", "bucket", "day")
+    store.append(spark, df.repartitionByRange(8, col("id")),
+      rangeCol = Some("id"), statsCols = Seq("bucket", "day"))
+    val stats = store.currentColStats(spark)
+    assert(stats.nonEmpty && stats.forall { case (_, m) =>
+      m.contains("bucket") && m.contains("day") },
+      s"INT32 columns missing from colStats: $stats")
+    val total = store.currentFiles(spark).size
+    // int-column probe prunes
+    val bucketProbe = store.read(spark).get.filter(col("bucket") === 0)
+    assert(filesRead(bucketProbe) < total, "int-column stats did not prune")
+    assert(bucketProbe.count() == 100)
+    // date-column probe prunes (epoch-day arithmetic on both sides)
+    val dayProbe = store.read(spark).get
+      .filter(col("day") < java.sql.Date.valueOf(
+        java.time.LocalDate.ofEpochDay(19002L)))
+    assert(filesRead(dayProbe) < total, "date-column stats did not prune")
+    assert(dayProbe.count() == 100)
+    // IN-list probe prunes via its [min, max] envelope
+    val inProbe = store.read(spark).get.filter(col("id").isin(3L, 7L, 11L))
+    assert(filesRead(inProbe) < total, "IN-list did not prune")
+    assert(inProbe.count() == 3)
   }
 }
