@@ -51,12 +51,14 @@ object UniverseFixture {
         case "bool" => rnd.nextBoolean()
         case "string" => rnd.alphanumeric.take(rnd.nextInt(24)).mkString
         case "bytes" => Array.fill[Byte](rnd.nextInt(64))(rnd.nextInt().toByte)
+        // arrays BEFORE the bytes-prefix case: a non-indexed `bytes32[]`
+        // would otherwise hit the bytesN arm and "32[]".toInt would throw
+        case a if a.endsWith("[]") =>
+          Seq.fill(rnd.nextInt(3))(valueFor(a.dropRight(2), indexed = false))
         case b if b.startsWith("bytes") =>
           Array.fill[Byte](b.drop(5).toInt)(rnd.nextInt().toByte)
         case "uint8" => rnd.nextInt(256).toShort
         case "uint16" => rnd.nextInt(65536)
-        case a if a.endsWith("[]") =>
-          Seq.fill(rnd.nextInt(3))(valueFor(a.dropRight(2), indexed = false))
         case t if t.startsWith("uint") || t.startsWith("int") =>
           // width-aware magnitudes: these values pass through the SCHEMA
           // types (uint24..56 → LongType, wider → DECIMAL(38,0)), so

@@ -707,6 +707,13 @@ object PgDialect {
           require(!body.contains("[:"),
             "PgDialect: POSIX character classes ([[:alpha:]]) have no " +
               "exact Java-regex equivalent — spell the class out")
+          // inside a POSIX bracket a backslash is a LITERAL character;
+          // Java reads it as an escape ([\d] would become the digit
+          // class) — no silent translation exists, reject loudly
+          require(!body.contains("\\"),
+            "PgDialect: backslash inside a SIMILAR TO bracket expression " +
+              "is POSIX-literal but a Java-regex escape — rewrite the " +
+              "pattern without it")
           sb.append(body); i = j + 1
         case '.' => sb.append("\\."); i += 1
         case '^' => sb.append("\\^"); i += 1
@@ -757,6 +764,16 @@ object PgDialect {
     val le = if (neg) prevIdx(ts, np) else np
     require(le >= 0, "PgDialect: SIMILAR TO with no left operand")
     val ls = regexLeftStart(ts, le)
+    // this pass runs BEFORE the '^'/'/' binop rewrites (it needs raw
+    // literal values), so regexLeftStart cannot absorb those operators
+    // yet — a '/' or '^' immediately left of the scanned operand would
+    // mis-scope silently (a / b SIMILAR TO p ⇒ pg_div(a, rlike(b, p))).
+    // No sane query applies SIMILAR TO to arithmetic; reject loudly.
+    val before = prevIdx(ts, ls)
+    require(before < 0 ||
+      (ts(before) != Op("/") && ts(before) != Op("^") && ts(before) != Op("::")),
+      "PgDialect: SIMILAR TO left operand adjoins '/', '^' or '::' — " +
+        "parenthesize the operand")
     val anchored = "^(?:" + similarToRegex(pat) + ")$"
     val left = ts.slice(ls, le + 1)
     val call = Vector[Tok](Ident("regexp_like"), Op("(")) ++ left ++

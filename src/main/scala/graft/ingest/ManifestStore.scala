@@ -55,6 +55,26 @@ object ManifestStore {
     * that any commit whose writeData finished this far back has either
     * published its manifest (making its files live) or died. */
   val DefaultVacuumMinAgeMs: Long = 30L * 60 * 1000
+
+  /** Per-commit-directory (file statuses by URI path, physical schema),
+    * cacheable process-wide because a PUBLISHED commit dir is immutable
+    * (writers never touch it again; vacuum only deletes whole dead
+    * dirs, which no live snapshot references). One recursive listing
+    * replaces N serial driver-side getFileStatus round trips per read —
+    * the difference between O(1) and O(files) namenode RPCs at 100 TB.
+    * Crudely bounded: test suites create thousands of tiny stores. */
+  private val groupMeta = new java.util.concurrent.ConcurrentHashMap[
+    String, (Map[String, org.apache.hadoop.fs.FileStatus],
+             org.apache.spark.sql.types.StructType)]()
+
+  private[ingest] def groupMetaCached(key: String,
+      compute: () => (Map[String, org.apache.hadoop.fs.FileStatus],
+                      org.apache.spark.sql.types.StructType))
+  : (Map[String, org.apache.hadoop.fs.FileStatus],
+     org.apache.spark.sql.types.StructType) = {
+    if (groupMeta.size > 512) groupMeta.clear()
+    groupMeta.computeIfAbsent(key, _ => compute())
+  }
 }
 
 final class ManifestStore(val root: String) extends Serializable {
@@ -816,23 +836,39 @@ final class ManifestStore(val root: String) extends Serializable {
     * widen losslessly to Long, and DateType predicates compare in epoch
     * days, the same integers the footer holds) with non-empty statistics
     * in EVERY row group — anything less degrades to absent
-    * (conservative, never wrong). */
+    * (conservative, never wrong).
+    *
+    * The LOGICAL annotation gates which physical ints qualify: a
+    * DECIMAL column is ALSO physically INT32/INT64 but its statistics
+    * are UNSCALED integers — recording value 12.34 as 1234 would make a
+    * [10, 20] probe prune the file that holds it, the
+    * silently-missing-rows class this whole layer promises never to
+    * produce. Only plain-integer annotations (none / IntLogicalType) and
+    * DATE qualify; decimal/timestamp/time columns degrade to statless. */
   private def footerMultiStats(p: Path, cols: Seq[String],
                                conf: org.apache.hadoop.conf.Configuration)
   : (Long, Map[String, (Long, Long)]) = {
     import scala.jdk.CollectionConverters._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
     try {
       val blocks = reader.getFooter.getBlocks.asScala
       val rows = blocks.map(_.getRowCount).sum
+      def plainInteger(c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData)
+      : Boolean = c.getPrimitiveType.getLogicalTypeAnnotation match {
+        case null => true // bare int32/int64 (Spark's int/bigint)
+        case _: LogicalTypeAnnotation.IntLogicalTypeAnnotation => true
+        case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => true
+        case _ => false // decimal (UNSCALED stats!), timestamp, time, ...
+      }
       val out = cols.flatMap { name =>
         var lo = Long.MaxValue
         var hi = Long.MinValue
         var ok = rows > 0
         blocks.foreach { b =>
           b.getColumns.asScala.find(_.getPath.toDotString == name) match {
-            case Some(c) =>
+            case Some(c) if plainInteger(c) =>
               c.getStatistics match {
                 case s: org.apache.parquet.column.statistics.LongStatistics
                   if !s.isEmpty && s.hasNonNullValue =>
@@ -844,7 +880,7 @@ final class ManifestStore(val root: String) extends Serializable {
                   hi = math.max(hi, s.genericGetMax.toLong)
                 case _ => ok = false
               }
-            case None => ok = false
+            case _ => ok = false
           }
         }
         if (ok) Some(name -> (lo, hi)) else None
@@ -918,15 +954,32 @@ final class ManifestStore(val root: String) extends Serializable {
         case None => fallback
         case Some(pairs) => try {
           val f = fs(spark)
+          val dirPath = new Path(root, commitDir)
+          val cacheKey = dirPath
+            .makeQualified(f.getUri, f.getWorkingDirectory).toString
+          // one recursive listing + one footer read per IMMUTABLE commit
+          // dir, cached process-wide — not a getFileStatus per file per
+          // query (one commit = one writer = one physical schema)
+          val (statusByPath, schema) =
+            ManifestStore.groupMetaCached(cacheKey, () => {
+              val m = scala.collection.mutable.Map[String,
+                org.apache.hadoop.fs.FileStatus]()
+              val it = f.listFiles(dirPath, true)
+              while (it.hasNext) {
+                val st = it.next()
+                m(st.getPath.toUri.getPath) = st
+              }
+              val sc = spark.read
+                .parquet(new Path(root, entries.head.rel).toString).schema
+              (m.toMap, sc)
+            })
           val pruned = entries.zip(pairs).map { case (e, pp) =>
+            val p = new Path(root, e.rel)
             val stats = e.colStats ++
               rangeCol.flatMap(rc => e.min.zip(e.max).map(rc -> _)).toMap
-            PrunableFile(f.getFileStatus(new Path(root, e.rel)), stats,
-              pp.map(_._2))
+            PrunableFile(statusByPath.getOrElse(p.toUri.getPath,
+              f.getFileStatus(p)), stats, pp.map(_._2))
           }
-          // one commit = one writer = one physical schema: first footer
-          val schema = spark.read
-            .parquet(new Path(root, entries.head.rel).toString).schema
           org.apache.spark.sql.graftshim.Shim.parquetFrame(spark,
             new ManifestFileIndex(new Path(root, commitDir), pruned,
               pairs.head.map(_._1)), schema)

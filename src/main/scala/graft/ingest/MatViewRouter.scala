@@ -108,8 +108,22 @@ object MatViewRouter {
           try new ManifestStore(e.sourceRoot)
             .currentVersion(SparkSession.active) == e.asOf
           catch { case _: Throwable => false }
+        // substitute AT MOST ONE site per entry per QUERY: the stored
+        // replacement plan carries fixed internal ExprIds, and splicing
+        // it twice (a UNION of the defining aggregate with itself) would
+        // duplicate attribute ids across branches — a shape
+        // post-analysis rules assume impossible. The guard must hold
+        // across fixedPoint re-invocations of this rule, so "already
+        // substituted" is detected from the PLAN (a subtree equal to the
+        // replacement), not from per-apply state. The second site keeps
+        // reading the source — correct, just unrouted; routing both
+        // would need fresh-ExprId re-aliasing per splice.
+        var substituted =
+          p.exists(sub => sub.canonicalized == e.replacement.canonicalized)
         p = p.transformUp {
-          case sub if sub.canonicalized == e.target.canonicalized && fresh =>
+          case sub if !substituted && fresh &&
+            sub.canonicalized == e.target.canonicalized =>
+            substituted = true
             // keep the original attribute ids so parents resolve
             Project(e.replacement.output.zip(sub.output).map {
               case (n, o) => Alias(n, o.name)(exprId = o.exprId,

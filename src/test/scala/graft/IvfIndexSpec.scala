@@ -114,18 +114,8 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(plan.linesIterator.exists(l =>
       l.contains("PartitionFilters") && l.contains("cluster")), plan)
     // 8 well-separated clusters, 2 probed: the scan reads a strict subset
-    def scans(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        scans(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        scans(q.plan)
-      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
-        scans(r.child)
-      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
-      case other => other.children.flatMap(scans)
-    }
-    val found = scans(res.queryExecution.executedPlan)
+    // the shared traversal (graft.Plans.parquetScans) — one copy to sync
+    val found = Plans.parquetScans(res.queryExecution.executedPlan)
     assert(found.nonEmpty, "no parquet scan in plan")
     val read = found.map(_.metrics("numFiles").value).sum
     def walk(f: java.io.File): Iterator[java.io.File] =

@@ -276,6 +276,24 @@ class MatViewSpec extends AnyFunSuite {
         assert(userQuery().inputFiles.forall(_.contains("/view/")),
           "routing broke after a repeated register")
       }
+      // the defining aggregate appearing TWICE in one query (a UNION of
+      // itself — joins don't qualify: they infer isnotnull on the join
+      // key into each branch, which exact-matching deliberately treats
+      // as a different query): at most ONE occurrence routes, because
+      // the stored replacement carries fixed ExprIds and splicing it
+      // twice would duplicate attribute ids across branches. Answers
+      // stay exact either way.
+      val u = userQuery().union(userQuery())
+      val grouped = u.groupBy("k").agg(count(lit(1)).as("c")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(grouped.values.forall(_ == 2L) && grouped.nonEmpty,
+        "union of the defining aggregate lost or duplicated groups")
+      val ins = u.inputFiles
+      assert(ins.exists(_.contains("/view/")),
+        "duplicate-subtree union routed neither occurrence")
+      assert(ins.exists(_.contains("/src/")),
+        "duplicate-subtree union routed BOTH occurrences (fixed ExprIds " +
+          "would collide across branches)")
     } finally MatViewRouter.unregister(mv.root)
   }
 }

@@ -194,6 +194,14 @@ class PgDialectSpec extends AnyFunSuite {
     rejects("select a similar to b from t", "LITERAL pattern")
     rejects("select a similar to 'x%' escape '#' from t", "ESCAPE is unsupported")
     rejects("select a similar to '[[:digit:]]' from t", "POSIX character classes")
+    // backslash inside a bracket: POSIX-literal, Java-escape — no silent
+    // translation exists
+    rejects("""select a similar to '%[\d]%' from t""",
+      "backslash inside a SIMILAR TO bracket")
+    // SIMILAR TO runs before the '/'/'^'/'::' rewrites; an adjoining one
+    // would mis-scope the left operand silently — loud instead
+    rejects("select a / b similar to 'x' from t", "parenthesize the operand")
+    rejects("select a::text similar to 'x' from t", "parenthesize the operand")
     rejects("""select x collate "C" from t""", "COLLATE")
     rejects("select a, generate_series(1,3) from t", "set-returning function")
     rejects("select generate_series(1,3)", "set-returning function")

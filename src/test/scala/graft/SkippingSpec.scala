@@ -179,24 +179,10 @@ class SkippingSpec extends AnyFunSuite {
       .collect())
   }
 
-  private def scans(p: org.apache.spark.sql.execution.SparkPlan)
-      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
-    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-      scans(a.executedPlan)
-    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-      scans(q.plan)
-    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
-      scans(r.child)
-    case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
-    case other => other.children.flatMap(scans)
-  }
-
-  private def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
-    // collect(), not count(): count() builds a SEPARATE QueryExecution,
-    // so this df's own scan metrics would stay zero
-    df.collect()
-    scans(df.queryExecution.executedPlan).map(_.metrics("numFiles").value).sum
-  }
+  // the ONE shared traversal (graft.Plans) — a wrapper node handled in
+  // one copy but not another would silently measure different counts
+  private def filesRead(df: org.apache.spark.sql.DataFrame): Long =
+    Plans.filesRead(df)
 
   test("AUTOMATIC pruning: a plain BETWEEN filter opens the explicit box's file set") {
     // round-14 agenda #2: no readBox, no named box — the ordinary read
