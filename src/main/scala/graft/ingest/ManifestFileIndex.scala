@@ -12,7 +12,10 @@ import org.apache.spark.sql.types._
   * partition values in [[ManifestFileIndex.partitionSchema]] order. */
 private[graft] case class PrunableFile(status: FileStatus,
                                        stats: Map[String, (Long, Long)],
-                                       partValues: Seq[String] = Nil)
+                                       partValues: Seq[String] = Nil,
+                                       strStats: Map[String,
+                                         (Seq[Byte], Option[Seq[Byte]])] =
+                                         Map.empty)
 
 /** AUTOMATIC manifest-stats pruning for the ordinary read path (round-13
   * verdict, Next #2): a Catalyst [[FileIndex]] over one manifest commit
@@ -87,11 +90,23 @@ private[graft] class ManifestFileIndex(
                          dataFilters: Seq[Expression])
   : Seq[PartitionDirectory] = {
     val bounds = ManifestFileIndex.boundsOf(dataFilters)
+    val strBounds = ManifestFileIndex.strBoundsOf(dataFilters)
     val statKept =
-      if (bounds.isEmpty) files
-      else files.filter(f => bounds.forall { case (c, (lo, hi)) =>
-        f.stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
-      })
+      if (bounds.isEmpty && strBounds.isEmpty) files
+      else files.filter { f =>
+        bounds.forall { case (c, (lo, hi)) =>
+          f.stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+        } && strBounds.forall { case (c, (lo, hi)) =>
+          f.strStats.get(c).forall { case (fmin, fmaxOpt) =>
+            // fmin is a TRUNCATED prefix (<= true min), fmax rounded up
+            // (>= true max): overlap under unsigned byte order — the
+            // same order UTF8String comparison uses
+            hi.forall(h => ManifestStore.byteCompare(fmin, h) <= 0) &&
+              lo.forall(l => fmaxOpt.forall(fm =>
+                ManifestStore.byteCompare(fm, l) >= 0))
+          }
+        }
+      }
     if (partCols.isEmpty)
       Seq(PartitionDirectory(InternalRow.empty, statKept.map(_.status).toArray))
     else {
@@ -203,6 +218,95 @@ private[graft] object ManifestFileIndex {
           add(a.name, xs.min, xs.max)
         }
       case _ => () // OR / casts / UDFs: no bound, conservative
+    }
+    filters.foreach(walk)
+    acc.toMap
+  }
+
+  /** Round a byte prefix UP to the smallest sequence greater than every
+    * string carrying that prefix: last non-0xFF byte + 1, tail dropped;
+    * an all-0xFF prefix has no successor → None (unbounded). */
+  private[graft] def prefixUpper(p: Seq[Byte]): Option[Seq[Byte]] = {
+    var i = p.length - 1
+    while (i >= 0 && p(i) == -1) i -= 1
+    if (i < 0) None else Some(p.take(i) :+ (p(i) + 1).toByte)
+  }
+
+  /** STRING-column [lo, hi] windows (optional per side) from pushed-down
+    * filters — the string twin of [[boundsOf]]: top-level AND-ed
+    * comparisons, equality, IN/InSet envelopes, and StartsWith (a
+    * `LIKE 'p%'` pushes down as StartsWith: lo = the prefix, hi = the
+    * prefix's successor). Strict </> widen to inclusive (conservative).
+    * Only default-collation (binary-ordered) string literals qualify —
+    * a non-binary collation's order is not the stats' byte order. */
+  private[graft] def strBoundsOf(filters: Seq[Expression])
+  : Map[String, (Option[Seq[Byte]], Option[Seq[Byte]])] = {
+    val acc = scala.collection.mutable.Map[String,
+      (Option[Seq[Byte]], Option[Seq[Byte]])]()
+    def maxB(a: Seq[Byte], b: Seq[Byte]) =
+      if (ManifestStore.byteCompare(a, b) >= 0) a else b
+    def minB(a: Seq[Byte], b: Seq[Byte]) =
+      if (ManifestStore.byteCompare(a, b) <= 0) a else b
+    def addLo(name: String, lo: Seq[Byte]): Unit = {
+      val (clo, chi) = acc.getOrElse(name, (None, None))
+      acc(name) = (Some(clo.map(maxB(_, lo)).getOrElse(lo)), chi)
+    }
+    def addHi(name: String, hi: Seq[Byte]): Unit = {
+      val (clo, chi) = acc.getOrElse(name, (None, None))
+      acc(name) = (clo, Some(chi.map(minB(_, hi)).getOrElse(hi)))
+    }
+    def lit(e: Expression): Option[Seq[Byte]] = e match {
+      case Literal(u: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+        Some(u.getBytes.toSeq)
+      case _ => None
+    }
+    def walk(e: Expression): Unit = e match {
+      case And(l, r) => walk(l); walk(r)
+      case EqualTo(a: AttributeReference, v) =>
+        lit(v).foreach { x => addLo(a.name, x); addHi(a.name, x) }
+      case EqualTo(v, a: AttributeReference) =>
+        lit(v).foreach { x => addLo(a.name, x); addHi(a.name, x) }
+      case GreaterThanOrEqual(a: AttributeReference, v) =>
+        lit(v).foreach(addLo(a.name, _))
+      case GreaterThan(a: AttributeReference, v) =>
+        lit(v).foreach(addLo(a.name, _)) // inclusive: conservative
+      case LessThanOrEqual(a: AttributeReference, v) =>
+        lit(v).foreach(addHi(a.name, _))
+      case LessThan(a: AttributeReference, v) =>
+        lit(v).foreach(addHi(a.name, _))
+      case GreaterThanOrEqual(v, a: AttributeReference) =>
+        lit(v).foreach(addHi(a.name, _))
+      case GreaterThan(v, a: AttributeReference) =>
+        lit(v).foreach(addHi(a.name, _))
+      case LessThanOrEqual(v, a: AttributeReference) =>
+        lit(v).foreach(addLo(a.name, _))
+      case LessThan(v, a: AttributeReference) =>
+        lit(v).foreach(addLo(a.name, _))
+      case StartsWith(a: AttributeReference, v) =>
+        lit(v).foreach { p =>
+          addLo(a.name, p)
+          prefixUpper(p).foreach(addHi(a.name, _))
+        }
+      case In(a: AttributeReference, list) if list.nonEmpty =>
+        val vs = list.map(lit)
+        if (vs.forall(_.isDefined)) {
+          val xs = vs.flatten
+          addLo(a.name, xs.reduce(minB))
+          addHi(a.name, xs.reduce(maxB))
+        }
+      case InSet(a: AttributeReference, hset)
+        if hset.nonEmpty && a.dataType == StringType =>
+        val vs = hset.toSeq.map {
+          case u: org.apache.spark.unsafe.types.UTF8String =>
+            Some(u.getBytes.toSeq)
+          case _ => None
+        }
+        if (vs.forall(_.isDefined)) {
+          val xs = vs.flatten
+          addLo(a.name, xs.reduce(minB))
+          addHi(a.name, xs.reduce(maxB))
+        }
+      case _ => () // OR / casts / contains / regex: conservative
     }
     filters.foreach(walk)
     acc.toMap

@@ -67,6 +67,44 @@ object ManifestStore {
     String, (Map[String, org.apache.hadoop.fs.FileStatus],
              org.apache.spark.sql.types.StructType)]()
 
+  /** Unsigned lexicographic byte comparison — the order BOTH parquet's
+    * STRING statistics and Spark's UTF8String comparison define, so
+    * string pruning and predicate evaluation can never disagree. */
+  private[graft] def byteCompare(a: Seq[Byte], b: Seq[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** Manifest string-stat prefix cap — long enough to separate real
+    * categorical/text values, short enough that a wide stats column
+    * doesn't bloat the manifest. */
+  private[graft] val StrStatPrefix = 24
+
+  /** Truncated lower bound: a PREFIX of the minimum sorts <= every
+    * value it bounds (byte-wise), so plain truncation stays valid. */
+  private[graft] def truncLower(v: Array[Byte]): Seq[Byte] =
+    v.take(StrStatPrefix).toSeq
+
+  /** Truncated upper bound: a prefix of the maximum would sort BELOW
+    * the values it must bound, so the last non-0xFF byte rounds UP and
+    * the tail drops; an all-0xFF prefix has no successor → None
+    * (unbounded above, conservative). An untruncated maximum passes
+    * through exactly. */
+  private[graft] def truncUpper(v: Array[Byte]): Option[Seq[Byte]] = {
+    if (v.length <= StrStatPrefix) return Some(v.toSeq)
+    val p = v.take(StrStatPrefix)
+    var i = p.length - 1
+    while (i >= 0 && p(i) == -1) i -= 1
+    if (i < 0) None
+    else Some((p.take(i) :+ (p(i) + 1).toByte).toSeq)
+  }
+
   private[ingest] def groupMetaCached(key: String,
       compute: () => (Map[String, org.apache.hadoop.fs.FileStatus],
                       org.apache.spark.sql.types.StructType))
@@ -124,26 +162,43 @@ final class ManifestStore(val root: String) extends Serializable {
     * names as written (logical names at write time); a column missing
     * from the map is conservatively unbounded. */
   case class FileEntry(rel: String, min: Option[Long], max: Option[Long],
-                       colStats: Map[String, (Long, Long)] = Map.empty) {
+                       colStats: Map[String, (Long, Long)] = Map.empty,
+                       strStats: Map[String, (Seq[Byte], Option[Seq[Byte]])] =
+                         Map.empty) {
     def overlaps(from: Long, to: Long): Boolean = (min, max) match {
       case (Some(lo), Some(hi)) => hi >= from && lo <= to
       case _ => true
     }
     def serialized: String = {
       val range = min.map(m => s"\t$m\t${max.getOrElse(m)}").getOrElse("")
-      if (colStats.isEmpty) rel + range
+      if (colStats.isEmpty && strStats.isEmpty) rel + range
       else {
         val body = colStats.toSeq.sortBy(_._1)
           .map { case (c, (lo, hi)) => s"$c=$lo:$hi" }.mkString(";")
+        // string stats are the FIFTH tab field, HEX-encoded UTF-8 prefix
+        // bytes (hex makes every delimiter collision structurally
+        // impossible); an absent upper bound — the round-up of an
+        // all-0xFF prefix has no successor — serializes as `*`
+        val sbody = strStats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+          s"$c=${FileEntry.hex(lo)}:${hi.map(FileEntry.hex).getOrElse("*")}"
+        }.mkString(";")
         // the colStats field is always the FOURTH tab field: statless
         // range slots are kept as empty strings so the parser's arity
-        // stays unambiguous
-        rel + (if (range.isEmpty) "\t\t" else range) + "\t" + body
+        // stays unambiguous; same for an empty fourth field before a
+        // fifth
+        rel + (if (range.isEmpty) "\t\t" else range) + "\t" + body +
+          (if (strStats.isEmpty) "" else "\t" + sbody)
       }
     }
   }
 
   private object FileEntry {
+    private[ManifestStore] def hex(bs: Seq[Byte]): String =
+      bs.map(b => f"${b & 0xff}%02x").mkString
+    private def unhex(s: String): Option[Seq[Byte]] =
+      if (s.length % 2 != 0 || !s.forall(c => Character.digit(c, 16) >= 0)) None
+      else Some(Seq.tabulate(s.length / 2)(i =>
+        Integer.parseInt(s.substring(2 * i, 2 * i + 2), 16).toByte))
     private def parseColStats(s: String): Map[String, (Long, Long)] =
       s.split(';').iterator.filter(_.nonEmpty).flatMap { e =>
         val eq = e.indexOf('=')
@@ -154,10 +209,27 @@ final class ManifestStore(val root: String) extends Serializable {
           hi <- e.substring(co + 1).toLongOption
         } yield e.substring(0, eq) -> (lo, hi)
       }.toMap
+    private def parseStrStats(s: String)
+    : Map[String, (Seq[Byte], Option[Seq[Byte]])] =
+      s.split(';').iterator.filter(_.nonEmpty).flatMap { e =>
+        val eq = e.indexOf('=')
+        val co = e.indexOf(':', eq + 1)
+        if (eq < 0 || co < 0) None
+        else {
+          val hiStr = e.substring(co + 1)
+          for {
+            lo <- unhex(e.substring(eq + 1, co))
+            hi <- if (hiStr == "*") Some(None) else unhex(hiStr).map(Some(_))
+          } yield e.substring(0, eq) -> (lo, hi)
+        }
+      }.toMap
     def parse(line: String): FileEntry = line.split('\t') match {
       case Array(rel, lo, hi) => FileEntry(rel, lo.toLongOption, hi.toLongOption)
       case Array(rel, lo, hi, cs) =>
         FileEntry(rel, lo.toLongOption, hi.toLongOption, parseColStats(cs))
+      case Array(rel, lo, hi, cs, ss) =>
+        FileEntry(rel, lo.toLongOption, hi.toLongOption, parseColStats(cs),
+          parseStrStats(ss))
       case other => FileEntry(other.head, None, None)
     }
   }
@@ -812,7 +884,7 @@ final class ManifestStore(val root: String) extends Serializable {
     val rcFromFooter = rangeCol.filterNot(partitionCols.contains)
     val footerCols = (rcFromFooter.toSeq ++ safeStats).distinct
     rels.toSeq.flatMap { rel =>
-      val (rows, stats) =
+      val (rows, stats, strs) =
         footerMultiStats(new Path(root, rel), footerCols, conf)
       if (rows == 0L) None
       else {
@@ -825,7 +897,8 @@ final class ManifestStore(val root: String) extends Serializable {
           case None => rcFromFooter.flatMap(stats.get)
         }
         Some(FileEntry(rel, range.map(_._1), range.map(_._2),
-          stats.view.filterKeys(safeStats.contains).toMap))
+          stats.view.filterKeys(safeStats.contains).toMap,
+          strs.view.filterKeys(safeStats.contains).toMap))
       }
     }
   }
@@ -847,7 +920,8 @@ final class ManifestStore(val root: String) extends Serializable {
     * DATE qualify; decimal/timestamp/time columns degrade to statless. */
   private def footerMultiStats(p: Path, cols: Seq[String],
                                conf: org.apache.hadoop.conf.Configuration)
-  : (Long, Map[String, (Long, Long)]) = {
+  : (Long, Map[String, (Long, Long)],
+     Map[String, (Seq[Byte], Option[Seq[Byte]])]) = {
     import scala.jdk.CollectionConverters._
     import org.apache.parquet.schema.LogicalTypeAnnotation
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -862,7 +936,12 @@ final class ManifestStore(val root: String) extends Serializable {
         case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => true
         case _ => false // decimal (UNSCALED stats!), timestamp, time, ...
       }
-      val out = cols.flatMap { name =>
+      def isString(c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData)
+      : Boolean = c.getPrimitiveType.getLogicalTypeAnnotation match {
+        case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation => true
+        case _ => false
+      }
+      val intOut = cols.flatMap { name =>
         var lo = Long.MaxValue
         var hi = Long.MinValue
         var ok = rows > 0
@@ -885,7 +964,38 @@ final class ManifestStore(val root: String) extends Serializable {
         }
         if (ok) Some(name -> (lo, hi)) else None
       }.toMap
-      (rows, out)
+      // STRING columns: UTF-8 min/max bytes (parquet's TYPE_DEFINED
+      // ORDER for STRING is unsigned lexicographic — the same order
+      // UTF8String comparison uses, so pruning and evaluation agree);
+      // merged across row groups byte-wise, then truncated to a bounded
+      // PREFIX for the manifest (lower bound truncates as-is, upper
+      // bound rounds the last non-0xFF byte up — an all-0xFF prefix has
+      // no successor and records as unbounded-above)
+      val strOut = cols.flatMap { name =>
+        var lo: Array[Byte] = null
+        var hi: Array[Byte] = null
+        var ok = rows > 0
+        blocks.foreach { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == name) match {
+            case Some(c) if isString(c) =>
+              c.getStatistics match {
+                case s: org.apache.parquet.column.statistics.BinaryStatistics
+                  if !s.isEmpty && s.hasNonNullValue =>
+                  val mn = s.genericGetMin.getBytes
+                  val mx = s.genericGetMax.getBytes
+                  if (lo == null || ManifestStore.byteCompare(mn, lo) < 0) lo = mn
+                  if (hi == null || ManifestStore.byteCompare(mx, hi) > 0) hi = mx
+                case _ => ok = false
+              }
+            case _ => ok = false
+          }
+        }
+        if (ok && lo != null)
+          Some(name -> (ManifestStore.truncLower(lo),
+            ManifestStore.truncUpper(hi)))
+        else None
+      }.toMap
+      (rows, intOut, strOut)
     } finally reader.close()
   }
 
@@ -926,7 +1036,8 @@ final class ManifestStore(val root: String) extends Serializable {
       // falls back conservatively.
       val segLists = entries.map(_.rel.split('/').toSeq)
       val flat = segLists.forall(_.length == 3)
-      val hasStats = entries.exists(e => e.colStats.nonEmpty || e.min.isDefined)
+      val hasStats = entries.exists(e =>
+        e.colStats.nonEmpty || e.strStats.nonEmpty || e.min.isDefined)
       val SafeVal = "[A-Za-z_][A-Za-z0-9_.\\-]*".r
       // the hive NULL-partition sentinel must read as null, which only
       // the basePath path does — never treat it as a literal string
@@ -978,7 +1089,7 @@ final class ManifestStore(val root: String) extends Serializable {
             val stats = e.colStats ++
               rangeCol.flatMap(rc => e.min.zip(e.max).map(rc -> _)).toMap
             PrunableFile(statusByPath.getOrElse(p.toUri.getPath,
-              f.getFileStatus(p)), stats, pp.map(_._2))
+              f.getFileStatus(p)), stats, pp.map(_._2), e.strStats)
           }
           org.apache.spark.sql.graftshim.Shim.parquetFrame(spark,
             new ManifestFileIndex(new Path(root, commitDir), pruned,

@@ -151,10 +151,52 @@ object Skipping {
       .orderBy("event_type")
   }
 
+  /** Build (once per session): one append per event_type value, so each
+    * file carries a tight string range in the manifest's strStats; the
+    * builder proves structurally that a string-equality probe opens a
+    * strict subset of the files. */
+  private[graft] def builtStrStore(s: SparkSession, dir: String): ManifestStore =
+    Evolution.buildOnce(s, gateRoot(dir) + "_str", "str_skipping_gate_store") {
+      store =>
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))
+        val types = ev.select("event_type").distinct()
+          .collect().map(_.getString(0)).sorted
+        require(types.length >= 3, s"too few event types: ${types.length}")
+        types.foreach { t =>
+          store.append(s, ev.filter(col("event_type") === t),
+            rangeCol = Some("event_id"), statsCols = Seq("event_type"))
+        }
+        val total = store.currentFiles(s).size
+        val probe = store.read(s).get
+          .filter(col("event_type") === types.head)
+        val read = graft.Plans.filesRead(probe)
+        require(read >= 1 && read < total,
+          s"string-equality probe read $read of $total files - " +
+            "string stats did not prune")
+    }
+
+  /** Gate (round-14, post-agenda): STRING data skipping through the
+    * plain read path — per-file UTF-8 min/max prefixes in the manifest
+    * (hex-encoded fifth field), pruned against pushed-down string
+    * equality/range/prefix predicates under unsigned byte order (the
+    * same order Spark's string comparison defines). Hash-equality with
+    * the full-scan oracle proves pruning never changes answers. */
+  def storeSkippingStrings(s: SparkSession, dir: String): DataFrame = {
+    val store = builtStrStore(s, dir)
+    store.read(s).get
+      .filter(col("event_type") === "click")
+      .groupBy(pmod(col("user_id"), lit(10)).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "store_zorder_skipping" -> (storeZorderSkipping _),
     "store_sql_box" -> (storeSqlBox _),
-    "store_skipping_auto" -> (storeSkippingAuto _))
+    "store_skipping_auto" -> (storeSkippingAuto _),
+    "store_skipping_strings" -> (storeSkippingStrings _))
 
   val oracle: Map[String, String] = Map(
     "store_zorder_skipping" -> """
@@ -171,6 +213,11 @@ object Skipping {
       WHERE event_id BETWEEN b.elo AND b.ehi
         AND user_id BETWEEN b.ulo AND b.uhi
       GROUP BY event_type ORDER BY event_type""",
+    "store_skipping_strings" -> """
+      SELECT user_id % 10 AS bucket, COUNT(*) AS n,
+        CAST(SUM(event_id) AS BIGINT) AS id_sum
+      FROM events WHERE event_type = 'click'
+      GROUP BY 1 ORDER BY 1""",
     "store_skipping_auto" -> """
       WITH b AS (
         SELECT min(event_id) + (max(event_id) - min(event_id)) * 45 // 100 AS elo,

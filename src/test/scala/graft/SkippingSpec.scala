@@ -261,6 +261,80 @@ class SkippingSpec extends AnyFunSuite {
     assert(p2.count() == (0L until 10L).count(_ % 3 == 1))
   }
 
+  test("STRING stats: equality, range, and LIKE-prefix probes prune; manifest round-trips") {
+    val store = new ManifestStore(fresh("strstats"))
+    // four appends with disjoint sorted string ranges — plus delimiter-
+    // hostile and non-ASCII values, which the hex encoding must carry
+    val groups = Seq(
+      Seq("alpha", "apple", "axe"),
+      Seq("banana", "bridge", "butter"),
+      Seq("cat", "cave", "crow"),
+      Seq("d\tee;p=q:r", "door", "héllo"))
+    groups.zipWithIndex.foreach { case (vals, g) =>
+      store.append(spark,
+        vals.zipWithIndex.map { case (v, i) => (g * 10L + i, v) }
+          .toDF("id", "s"),
+        rangeCol = Some("id"), statsCols = Seq("s"))
+    }
+    // a SECOND instance re-parses the manifest: serialization evidence
+    val reread = new ManifestStore(store.root)
+    val total = reread.currentFiles(spark).size
+    assert(total >= 4)
+    // equality prunes to the owning group's files
+    val eq = reread.read(spark).get.filter(col("s") === "cave")
+    assert(Plans.filesRead(eq) < total, "string equality did not prune")
+    assert(eq.collect().map(_.getLong(0)).toSeq == Seq(21L))
+    // LIKE 'b%' pushes down as StartsWith: prefix window prunes
+    val pre = reread.read(spark).get.filter(col("s").like("b%"))
+    assert(Plans.filesRead(pre) < total, "LIKE-prefix did not prune")
+    assert(pre.count() == 3)
+    // BETWEEN strings prunes
+    val rng = reread.read(spark).get.filter(col("s") >= "car" && col("s") <= "d")
+    assert(Plans.filesRead(rng) < total, "string range did not prune")
+    assert(rng.count() == 3)
+    // delimiter-hostile + non-ASCII values answer exactly through the
+    // hex round-trip
+    assert(reread.read(spark).get.filter(col("s") === "d\tee;p=q:r")
+      .count() == 1)
+    assert(reread.read(spark).get.filter(col("s") === "héllo").count() == 1)
+    // IN-list of strings prunes via its envelope
+    val inq = reread.read(spark).get.filter(col("s").isin("axe", "apple"))
+    assert(Plans.filesRead(inq) < total, "string IN did not prune")
+    assert(inq.count() == 2)
+  }
+
+  test("string-stat truncation stays conservative; byte helpers are exact") {
+    import graft.ingest.{ManifestFileIndex => MFI}
+    import graft.ingest.{ManifestStore => MS}
+    assert(MS.byteCompare(Seq[Byte](1, 2), Seq[Byte](1, 2)) == 0)
+    assert(MS.byteCompare(Seq[Byte](-1), Seq[Byte](1)) > 0,
+      "comparison must be UNSIGNED (0xff > 0x01)")
+    assert(MS.byteCompare(Seq[Byte](1), Seq[Byte](1, 0)) < 0)
+    // truncUpper rounds the last non-0xFF byte up; all-0xFF → unbounded
+    val cap = MS.StrStatPrefix
+    val long = Array.fill[Byte](cap + 8)('a'.toByte)
+    assert(MS.truncUpper(long).get.last == ('a' + 1).toByte)
+    assert(MS.truncUpper(Array.fill[Byte](cap + 1)(-1)).isEmpty)
+    assert(MS.truncUpper("short".getBytes("UTF-8")).get.toSeq ==
+      "short".getBytes("UTF-8").toSeq, "untruncated max passes exactly")
+    assert(MS.truncLower(long).length == cap)
+    assert(MFI.prefixUpper(Seq[Byte]('a', -1)).get == Seq[Byte]('b'),
+      "prefix successor must round the last non-0xFF byte")
+    assert(MFI.prefixUpper(Seq[Byte](-1, -1)).isEmpty)
+    // END-TO-END truncation: values sharing a >cap-byte prefix differ
+    // only past the cap; the stat window degenerates but stays correct
+    val store = new ManifestStore(fresh("strtrunc"))
+    val base = "p" * (cap + 4)
+    store.append(spark, Seq((1L, base + "aaa"), (2L, base + "zzz"))
+      .toDF("id", "s"), rangeCol = Some("id"), statsCols = Seq("s"))
+    store.append(spark, Seq((3L, "zz_other")).toDF("id", "s"),
+      rangeCol = Some("id"), statsCols = Seq("s"))
+    val hit = store.read(spark).get.filter(col("s") === (base + "zzz"))
+    assert(hit.count() == 1, "truncated stats dropped a matching row")
+    assert(store.read(spark).get.filter(col("s") === (base + "mmm"))
+      .count() == 0)
+  }
+
   test("boundsOf: only provable AND-ed integral comparisons contribute") {
     import org.apache.spark.sql.catalyst.dsl.expressions._
     import org.apache.spark.sql.catalyst.expressions._
