@@ -77,13 +77,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *      semantics.
   *  12. PG regex surface (round-14 agenda #3): `a ~ p` →
   *      `regexp_like(a, p)` (both partial-match), `~*` via an embedded
-  *      `(?i)` flag, `!~`/`!~*` the NOT forms; `[NOT] SIMILAR TO
-  *      'pat'` → anchored `regexp_like` with the SQL pattern dialect
-  *      (`%`/`_`, literal `.`) translated to Java regex. LITERAL
-  *      patterns carrying constructs Java regex lacks ([[:class:]],
-  *      `\m`/`\M`/`\y`) REJECT loudly; computed SIMILAR TO patterns and
-  *      explicit ESCAPE likewise. PG compiles POSIX ERE and Spark Java
-  *      regex — the translated subset is the shared core.
+  *      `(?iu)` flag (UNICODE_CASE — PG folds per locale, Java's bare
+  *      `(?i)` is ASCII-only, so 'Ä' ~* 'ä' would silently stop
+  *      matching), `!~`/`!~*` the NOT forms; `[NOT] SIMILAR TO
+  *      'pat'` → whole-string-anchored `regexp_like` (`\A(?:…)\z` —
+  *      Java's `$` also matches before a final newline, PG's SIMILAR TO
+  *      does not) with the SQL pattern dialect (`%`/`_`, literal `.`)
+  *      translated to Java regex. LITERAL patterns carrying POSIX
+  *      bracket classes ([[:alpha:]] style) translate to the exact
+  *      `\p{…}` Java equivalent; the PG-only escapes `\m`/`\M`/`\y`,
+  *      computed SIMILAR TO patterns and explicit ESCAPE REJECT loudly.
+  *      PG compiles POSIX ERE and Spark Java regex — the translated
+  *      subset is the shared core.
   *
   * Documented non-goals — [[translate]] REJECTS each loudly rather than
   * mistranslating: operators outside the arithmetic/comparison/regex
@@ -615,11 +620,13 @@ object PgDialect {
     * silently would change match semantics, so a LITERAL pattern
     * carrying one rejects loudly (the dialect's never-silent contract).
     * Non-literal patterns can't be checked and translate as-is —
-    * documented. */
+    * documented. Used only for literals EMBEDDED in a computed pattern
+    * expression (a sole literal pattern gets the full translation in
+    * [[translatePgRegex]] instead). */
   private def rejectPosixOnly(pat: String, op: String): Unit = {
     require(!pat.contains("[["),
-      s"PgDialect: '$op' pattern uses a POSIX bracket class ([[:alpha:]] " +
-        "style) — Java regex has no equivalent; spell the class out")
+      s"PgDialect: '$op' computed pattern embeds a POSIX bracket class " +
+        "([[:alpha:]] style) — translation needs a sole literal pattern")
     val posixEsc = Seq("\\m", "\\M", "\\y", "\\Y")
     posixEsc.find(pat.contains).foreach { e =>
       throw new IllegalArgumentException(
@@ -627,8 +634,95 @@ object PgDialect {
     }
   }
 
+  /** POSIX bracket class → the exact Java `\p{…}` equivalent. PG's
+    * classes in the C locale are the same ASCII sets Java's US-ASCII
+    * POSIX classes define, so the rewrite is value-exact; an unknown
+    * class name rejects loudly (never-silent contract). */
+  private val posixClassJava = Map(
+    "alnum" -> "\\p{Alnum}", "alpha" -> "\\p{Alpha}",
+    "blank" -> "\\p{Blank}", "cntrl" -> "\\p{Cntrl}",
+    "digit" -> "\\p{Digit}", "graph" -> "\\p{Graph}",
+    "lower" -> "\\p{Lower}", "print" -> "\\p{Print}",
+    "punct" -> "\\p{Punct}", "space" -> "\\p{Space}",
+    "upper" -> "\\p{Upper}", "xdigit" -> "\\p{XDigit}",
+    "word" -> "\\w")
+
+  private def posixClass(name: String, op: String): String =
+    posixClassJava.getOrElse(name.toLowerCase,
+      throw new IllegalArgumentException(
+        s"PgDialect: '$op' pattern uses POSIX class [:$name:] with no " +
+          "Java-regex equivalent"))
+
+  /** Translate a LITERAL PG `~`-family regex to Java regex (round-15
+    * agenda #7). PG compiles POSIX ARE and Spark compiles Java regex;
+    * the shared core passes through verbatim, and the constructs that
+    * DIFFER are rewritten exactly:
+    *
+    *  - `[[:alpha:]]`-style POSIX classes inside brackets → `\p{Alpha}`
+    *    (the Java US-ASCII POSIX classes are the same sets as PG's C
+    *    locale; unknown names reject loudly);
+    *  - a leading `]` after `[` or `[^` is POSIX-literal but a Java
+    *    syntax error → `\]`;
+    *  - a bare `[` inside a bracket is POSIX-literal but opens a Java
+    *    NESTED class (char-class union) → `\[`;
+    *  - `&` inside a bracket is POSIX-literal but `&&` is Java class
+    *    INTERSECTION → `\&`;
+    *  - collating `[.x.]` / equivalence `[=x=]` classes and the PG-only
+    *    word-boundary escapes `\m \M \y \Y` have no Java counterpart
+    *    and reject loudly.
+    *
+    * Backslash escapes INSIDE brackets pass through: PG ARE (unlike
+    * plain POSIX) honors class escapes within bracket expressions
+    * exactly as Java does. */
+  private[graft] def translatePgRegex(pat: String, op: String): String = {
+    Seq("\\m", "\\M", "\\y", "\\Y").find(pat.contains).foreach { e =>
+      throw new IllegalArgumentException(
+        s"PgDialect: '$op' pattern uses the PG-only escape '$e' — use \\b")
+    }
+    val sb = new StringBuilder
+    val n = pat.length
+    var i = 0
+    while (i < n) {
+      pat.charAt(i) match {
+        case '\\' if i + 1 < n =>
+          sb.append('\\').append(pat.charAt(i + 1)); i += 2
+        case '[' =>
+          sb.append('[')
+          i += 1
+          if (i < n && pat.charAt(i) == '^') { sb.append('^'); i += 1 }
+          if (i < n && pat.charAt(i) == ']') { sb.append("\\]"); i += 1 }
+          var closed = false
+          while (!closed) {
+            require(i < n,
+              s"PgDialect: '$op' pattern has an unterminated bracket expression")
+            pat.charAt(i) match {
+              case ']' => sb.append(']'); closed = true; i += 1
+              case '[' if i + 1 < n && pat.charAt(i + 1) == ':' =>
+                val close = pat.indexOf(":]", i + 2)
+                require(close >= 0,
+                  s"PgDialect: '$op' pattern has an unterminated POSIX class")
+                sb.append(posixClass(pat.substring(i + 2, close), op))
+                i = close + 2
+              case '[' if i + 1 < n &&
+                  (pat.charAt(i + 1) == '.' || pat.charAt(i + 1) == '=') =>
+                throw new IllegalArgumentException(
+                  s"PgDialect: '$op' pattern uses a POSIX collating/" +
+                    "equivalence class — no Java-regex equivalent")
+              case '[' => sb.append("\\["); i += 1
+              case '&' => sb.append("\\&"); i += 1
+              case '\\' if i + 1 < n =>
+                sb.append('\\').append(pat.charAt(i + 1)); i += 2
+              case c => sb.append(c); i += 1
+            }
+          }
+        case c => sb.append(c); i += 1
+      }
+    }
+    sb.toString
+  }
+
   /** Rule 12a: `a ~ p` → `regexp_like(a, p)` (PG partial-match semantics
-    * = Spark's), `a ~* p` → case-insensitive via an embedded `(?i)`
+    * = Spark's), `a ~* p` → case-insensitive via an embedded `(?iu)`
     * flag, `!~`/`!~*` → the NOT forms, parenthesized so the result is a
     * primary in any surrounding context. */
   private def rewriteRegexOps(ts0: Vector[Tok]): Vector[Tok] = {
@@ -643,19 +737,33 @@ object PgDialect {
       val rs = nextIdx(ts, i)
       require(rs >= 0, s"PgDialect: '$op' with no right operand")
       val re = primaryFwd(ts, rs)
-      // literal patterns get the POSIX-only screen (loud, never silent)
-      ts.slice(rs, re + 1).foreach {
-        case Lit(t) => rejectPosixOnly(pgLitValue(t), op)
-        case RawLit(v) => rejectPosixOnly(v, op)
-        case _ =>
-      }
       val neg = op.startsWith("!")
       val ci = op.endsWith("*")
       val left = ts.slice(ls, le + 1)
-      val right = ts.slice(rs, re + 1)
+      // a SOLE literal pattern gets the full POSIX→Java translation
+      // ([[:class:]] → \p{…}, bracket fixups); literals embedded in a
+      // COMPUTED pattern can only be screened, not rewritten (the
+      // surrounding expression decides the final pattern at runtime)
+      val right: Vector[Tok] =
+        if (re == rs) ts(rs) match {
+          case Lit(t) =>
+            Vector(RawLit(translatePgRegex(pgLitValue(t), op)))
+          case RawLit(v) => Vector(RawLit(translatePgRegex(v, op)))
+          case _ => ts.slice(rs, re + 1)
+        } else {
+          ts.slice(rs, re + 1).foreach {
+            case Lit(t) => rejectPosixOnly(pgLitValue(t), op)
+            case RawLit(v) => rejectPosixOnly(v, op)
+            case _ =>
+          }
+          ts.slice(rs, re + 1)
+        }
+      // `(?iu)` not `(?i)`: PG `~*` case-folds per locale; Java's bare
+      // `(?i)` is ASCII-only, so 'Ä' ~* 'ä' would silently stop
+      // matching (round-14 ADVICE #1). UNICODE_CASE restores the fold.
       val call = Vector[Tok](Ident("regexp_like"), Op("(")) ++ left ++
         Vector[Tok](Op(","), Ws(" ")) ++
-        (if (ci) Vector[Tok](Ident("CONCAT"), Op("("), Lit("'(?i)'"),
+        (if (ci) Vector[Tok](Ident("CONCAT"), Op("("), Lit("'(?iu)'"),
           Op(","), Ws(" ")) ++ right :+ Op(")")
          else right) :+ Op(")")
       val repl =
@@ -672,15 +780,17 @@ object PgDialect {
   private def pgLitValue(withQuotes: String): String =
     withQuotes.substring(1, withQuotes.length - 1).replace("''", "'")
 
-  /** Rule 12b: `expr [NOT] SIMILAR TO 'pattern'` → anchored
-    * `regexp_like(expr, '^(?:regex)$')` with the SQL pattern dialect
+  /** Rule 12b: `expr [NOT] SIMILAR TO 'pattern'` → whole-string-anchored
+    * `regexp_like(expr, '\A(?:regex)\z')` with the SQL pattern dialect
     * translated: `%`→`.*`, `_`→`.`, the shared metacharacters
     * (`| * + ? ( ) { }`) pass through, `.`/`^`/`$` (literals in SIMILAR
     * TO) are escaped, `\x` escapes its character, bracket expressions
-    * copy verbatim (minus POSIX classes, which reject loudly). The
-    * pattern must be a LITERAL — a computed pattern cannot be dialect-
-    * translated at plan time and rejects rather than mistranslates; an
-    * explicit ESCAPE clause likewise. */
+    * translate item-by-item (POSIX classes → `\p{…}`, Java-special
+    * POSIX-literals escaped; collating classes and in-bracket
+    * backslashes reject loudly). The pattern must be a LITERAL — a
+    * computed pattern cannot be dialect-translated at plan time and
+    * rejects rather than mistranslates; an explicit ESCAPE clause
+    * likewise. */
   private[graft] def similarToRegex(p: String): String = {
     val sb = new StringBuilder
     var i = 0
@@ -697,24 +807,47 @@ object PgDialect {
           else sb.append(c)
           i += 2
         case '[' =>
+          // a bracket expression translates item by item: POSIX classes
+          // → `\p{…}` (exact ASCII-set match), POSIX-literal characters
+          // that are Java-special inside a class (`leading ]`, nested
+          // `[`, `&`) get escaped; collating/equivalence classes have
+          // no Java counterpart and reject loudly
+          sb.append('[')
           var j = i + 1
-          if (j < n && p.charAt(j) == '^') j += 1
-          if (j < n && p.charAt(j) == ']') j += 1
-          while (j < n && p.charAt(j) != ']') j += 1
-          require(j < n,
-            "PgDialect: unterminated bracket expression in SIMILAR TO pattern")
-          val body = p.substring(i, j + 1)
-          require(!body.contains("[:"),
-            "PgDialect: POSIX character classes ([[:alpha:]]) have no " +
-              "exact Java-regex equivalent — spell the class out")
-          // inside a POSIX bracket a backslash is a LITERAL character;
-          // Java reads it as an escape ([\d] would become the digit
-          // class) — no silent translation exists, reject loudly
-          require(!body.contains("\\"),
-            "PgDialect: backslash inside a SIMILAR TO bracket expression " +
-              "is POSIX-literal but a Java-regex escape — rewrite the " +
-              "pattern without it")
-          sb.append(body); i = j + 1
+          if (j < n && p.charAt(j) == '^') { sb.append('^'); j += 1 }
+          if (j < n && p.charAt(j) == ']') { sb.append("\\]"); j += 1 }
+          var closed = false
+          while (!closed) {
+            require(j < n,
+              "PgDialect: unterminated bracket expression in SIMILAR TO pattern")
+            p.charAt(j) match {
+              case ']' => sb.append(']'); closed = true; j += 1
+              case '[' if j + 1 < n && p.charAt(j + 1) == ':' =>
+                val close = p.indexOf(":]", j + 2)
+                require(close >= 0,
+                  "PgDialect: unterminated POSIX class in SIMILAR TO pattern")
+                sb.append(posixClass(p.substring(j + 2, close), "SIMILAR TO"))
+                j = close + 2
+              case '[' if j + 1 < n &&
+                  (p.charAt(j + 1) == '.' || p.charAt(j + 1) == '=') =>
+                throw new IllegalArgumentException(
+                  "PgDialect: POSIX collating/equivalence classes in " +
+                    "SIMILAR TO have no Java-regex equivalent")
+              case '[' => sb.append("\\["); j += 1
+              case '&' => sb.append("\\&"); j += 1
+              case '\\' =>
+                // inside a SIMILAR TO bracket a backslash is a LITERAL
+                // character; Java reads it as an escape ([\d] would
+                // become the digit class) — no silent translation
+                // exists, reject loudly
+                throw new IllegalArgumentException(
+                  "PgDialect: backslash inside a SIMILAR TO bracket " +
+                    "expression is POSIX-literal but a Java-regex " +
+                    "escape — rewrite the pattern without it")
+              case c => sb.append(c); j += 1
+            }
+          }
+          i = j
         case '.' => sb.append("\\."); i += 1
         case '^' => sb.append("\\^"); i += 1
         case '$' => sb.append("\\$"); i += 1
@@ -774,7 +907,11 @@ object PgDialect {
       (ts(before) != Op("/") && ts(before) != Op("^") && ts(before) != Op("::")),
       "PgDialect: SIMILAR TO left operand adjoins '/', '^' or '::' — " +
         "parenthesize the operand")
-    val anchored = "^(?:" + similarToRegex(pat) + ")$"
+    // \A…\z, not ^…$: Java's `$` also matches BEFORE a final line
+    // terminator, so 'AUTO\n' SIMILAR TO 'AUTO' would match after a
+    // ^…$ translation but not in PG, which requires a whole-string
+    // match (round-14 ADVICE #3)
+    val anchored = "\\A(?:" + similarToRegex(pat) + ")\\z"
     val left = ts.slice(ls, le + 1)
     val call = Vector[Tok](Ident("regexp_like"), Op("(")) ++ left ++
       Vector[Tok](Op(","), Ws(" "), RawLit(anchored), Op(")"))

@@ -502,7 +502,12 @@ final class ManifestStore(val root: String) extends Serializable {
         files.map(_.serialized) ++ Seq(Terminator))
         .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)
       val v = versions.lastOption.getOrElse(0L) + 1
-      if (createExclusive(f, manifestPath(v), body)) return v
+      if (createExclusive(f, manifestPath(v), body)) {
+        // in-process commits are visible to the very next freshness
+        // probe (matview routing) — external writers ride the TTL
+        ManifestVersionCache.invalidate(root)
+        return v
+      }
       attempts += 1
     }
     throw new IllegalStateException(
@@ -860,7 +865,9 @@ final class ManifestStore(val root: String) extends Serializable {
       // its committed files vanish from the manifest (r13 ADVICE #2).
       // The FILE name itself (last segment) stays subject to the hidden
       // check unconditionally: part files never contain '='.
-      val hiddenDir = segs.init.exists(s =>
+      // dropRight(1), not init: init throws on an empty collection, and
+      // this runs BEFORE the nonEmpty guard below (r14 ADVICE #4)
+      val hiddenDir = segs.dropRight(1).exists(s =>
         (s.startsWith("_") || s.startsWith(".")) && !s.contains('='))
       if (segs.nonEmpty && segs.last.endsWith(".parquet") && !hiddenDir &&
           !segs.last.startsWith("_") && !segs.last.startsWith("."))

@@ -103,10 +103,15 @@ object MatViewRouter {
       entries.values.asScala.foreach { e =>
         // freshness gate, once per entry per optimization: a source
         // commit past the registered as_of disables routing (the view
-        // would answer stale); errors disable conservatively
+        // would answer stale); errors disable conservatively. The probe
+        // goes through ManifestVersionCache (one real listing per root
+        // per TTL, invalidated by in-process commits) and is LAZY —
+        // evaluated only when a candidate subtree actually matches, so
+        // unrelated queries pay nothing per registered view (r14
+        // ADVICE #2 + agenda #6).
         lazy val fresh =
-          try new ManifestStore(e.sourceRoot)
-            .currentVersion(SparkSession.active) == e.asOf
+          try ManifestVersionCache
+            .version(SparkSession.active, e.sourceRoot) == e.asOf
           catch { case _: Throwable => false }
         // substitute AT MOST ONE site per entry per QUERY: the stored
         // replacement plan carries fixed internal ExprIds, and splicing
@@ -121,8 +126,12 @@ object MatViewRouter {
         var substituted =
           p.exists(sub => sub.canonicalized == e.replacement.canonicalized)
         p = p.transformUp {
-          case sub if !substituted && fresh &&
-            sub.canonicalized == e.target.canonicalized =>
+          // plan equality BEFORE the freshness probe: `fresh` lists a
+          // directory, and most subtrees of most queries are not
+          // candidates — probing first would pay one listing per
+          // registered entry on EVERY query in the session
+          case sub if !substituted &&
+            sub.canonicalized == e.target.canonicalized && fresh =>
             substituted = true
             // keep the original attribute ids so parents resolve
             Project(e.replacement.output.zip(sub.output).map {

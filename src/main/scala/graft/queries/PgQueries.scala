@@ -139,6 +139,22 @@ object PgQueries {
       and c_name similar to 'Customer#[0-9]+'
     order by c_custkey"""
 
+  /** Round-15 agenda #7: POSIX bracket classes inside `~`-family and
+    * SIMILAR TO patterns translate to the exact Java `\p{…}` classes
+    * instead of rejecting — `[[:digit:]]`, `[[:upper:]]`, a
+    * case-insensitive `~*` over a class, and a SIMILAR TO class, all
+    * value-visible per row. */
+  private val regexClassesSql = """
+    select c_custkey,
+      case when c_name ~ 'Customer#[[:digit:]]+' then 1 else 0 end as name_shape,
+      case when c_mktsegment ~ '^[[:upper:]]+$' then 1 else 0 end as seg_upper,
+      case when c_mktsegment ~* '^bui[[:alpha:]]+$' then 1 else 0 end as ci_bui,
+      case when c_name similar to 'Customer#[[:digit:]]+' then 1 else 0 end
+        as sim_shape
+    from customer
+    where c_name ~ '[[:digit:]]{3}'
+    order by c_custkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pg_estring" -> ((s, d) => pg(s, d, estringSql)),
     "pg_dollar_quote" -> ((s, d) => pg(s, d, dollarSql)),
@@ -151,7 +167,8 @@ object PgQueries {
     "pg_tpch_q3" -> ((s, d) => pg(s, d, tpchQ3Sql)),
     "pg_series_where" -> ((s, d) => pg(s, d, seriesWhereSql)),
     "pg_regex" -> ((s, d) => pg(s, d, regexSql)),
-    "pg_similar_to" -> ((s, d) => pg(s, d, similarToSql)))
+    "pg_similar_to" -> ((s, d) => pg(s, d, similarToSql)),
+    "pg_regex_classes" -> ((s, d) => pg(s, d, regexClassesSql)))
 
   val oracle: Map[String, String] = Map(
     "pg_estring" -> """
@@ -230,5 +247,18 @@ object PgQueries {
       WHERE regexp_full_match(c_mktsegment, '.*(MACH|BUILD).*')
         AND NOT regexp_full_match(c_mktsegment, 'AUTO.*')
         AND regexp_full_match(c_name, 'Customer#[0-9]+')
+      ORDER BY c_custkey""",
+    "pg_regex_classes" -> """
+      SELECT c_custkey,
+        CASE WHEN regexp_matches(c_name, 'Customer#[[:digit:]]+')
+          THEN 1 ELSE 0 END AS name_shape,
+        CASE WHEN regexp_matches(c_mktsegment, '^[[:upper:]]+$')
+          THEN 1 ELSE 0 END AS seg_upper,
+        CASE WHEN regexp_matches(c_mktsegment, '^bui[[:alpha:]]+$', 'i')
+          THEN 1 ELSE 0 END AS ci_bui,
+        CASE WHEN regexp_full_match(c_name, 'Customer#[[:digit:]]+')
+          THEN 1 ELSE 0 END AS sim_shape
+      FROM customer
+      WHERE regexp_matches(c_name, '[[:digit:]]{3}')
       ORDER BY c_custkey""")
 }

@@ -186,14 +186,20 @@ class PgDialectSpec extends AnyFunSuite {
     rejects("select arr[1] from t", "unsupported operator '['")
     rejects("select a @> b from t", "unsupported operator")
     rejects("select * from t where id = $1", "positional parameter")
-    // regex ops now TRANSLATE (rule 12) — what still rejects is the
-    // untranslatable inside: PG-only regex constructs, computed SIMILAR
-    // TO patterns, explicit ESCAPE
-    rejects("select a ~ '[[:alpha:]]+' from t", "POSIX bracket class")
+    // regex ops now TRANSLATE (rule 12), and POSIX bracket classes
+    // translate to \p{…} (round-15 agenda #7) — what still rejects is
+    // the genuinely untranslatable: PG-only escapes, collating/
+    // equivalence classes, unknown class names, computed SIMILAR TO
+    // patterns, explicit ESCAPE, POSIX classes inside a COMPUTED ~
+    // pattern (only screenable, not rewritable)
     rejects("""select a ~ '\mword\M' from t""", "PG-only escape")
+    rejects("select a ~ '[[.ch.]]' from t", "collating/equivalence")
+    rejects("select a ~ '[[:bogus:]]' from t", "no Java-regex equivalent")
+    rejects("select a ~ ('[[:alpha:]]' || b) from t",
+      "needs a sole literal pattern")
     rejects("select a similar to b from t", "LITERAL pattern")
     rejects("select a similar to 'x%' escape '#' from t", "ESCAPE is unsupported")
-    rejects("select a similar to '[[:digit:]]' from t", "POSIX character classes")
+    rejects("select a similar to '[[=e=]]' from t", "collating/equivalence")
     // backslash inside a bracket: POSIX-literal, Java-escape — no silent
     // translation exists
     rejects("""select a similar to '%[\d]%' from t""",
@@ -352,12 +358,14 @@ class PgDialectSpec extends AnyFunSuite {
   test("rule 12a: regex operators translate to regexp_like forms") {
     assert(norm(PgDialect.translate("select a ~ 'x.*y' from t")) ==
       "select regexp_like(a, 'x.*y') from t")
+    // (?iu), not (?i): PG case-folds per locale; Java's bare (?i) is
+    // ASCII-only (r14 ADVICE #1 — 'Ä' ~* 'ä' must keep matching)
     assert(norm(PgDialect.translate("select a ~* 'x' from t")) ==
-      "select regexp_like(a, CONCAT('(?i)', 'x')) from t")
+      "select regexp_like(a, CONCAT('(?iu)', 'x')) from t")
     assert(norm(PgDialect.translate("select a !~ 'x' from t")) ==
       "select (NOT regexp_like(a, 'x')) from t")
     assert(norm(PgDialect.translate("select a !~* 'x' from t")) ==
-      "select (NOT regexp_like(a, CONCAT('(?i)', 'x'))) from t")
+      "select (NOT regexp_like(a, CONCAT('(?iu)', 'x'))) from t")
     // the left operand is the full concat chain (PG: || and ~ share the
     // "any other operator" precedence, left-associative)
     assert(norm(PgDialect.translate("select a || b ~ 'x' from t")) ==
@@ -378,10 +386,13 @@ class PgDialectSpec extends AnyFunSuite {
     assert(PgDialect.similarToRegex("a.b") == "a\\.b", "dot is literal in SIMILAR TO")
     assert(PgDialect.similarToRegex("x[0-9]+") == "x[0-9]+")
     assert(PgDialect.similarToRegex("""a\%b""") == "a%b", "escaped % is literal")
+    // \A…\z, not ^…$: Java's $ also matches before a final newline,
+    // PG SIMILAR TO requires a whole-string match (r14 ADVICE #3)
+    // the rendered Spark literal escapes the backslash: '\\A(?:…)\\z'
     assert(norm(PgDialect.translate("select a similar to 'B%' from t")) ==
-      "select regexp_like(a, '^(?:B.*)$') from t")
+      "select regexp_like(a, '\\\\A(?:B.*)\\\\z') from t")
     assert(norm(PgDialect.translate("select a not similar to 'B%' from t")) ==
-      "select (NOT regexp_like(a, '^(?:B.*)$')) from t")
+      "select (NOT regexp_like(a, '\\\\A(?:B.*)\\\\z')) from t")
     // runtime: anchored full-match, unlike ~
     import spark.implicits._
     Seq("BUILDING", "REBUILD", "MACHINERY").toDF("s")
@@ -390,6 +401,34 @@ class PgDialectSpec extends AnyFunSuite {
       "select s from sim_t where s similar to '%BUILD%' " +
         "and s not similar to 'RE%' order by s")).collect().map(_.getString(0))
     assert(got.toSeq == Seq("BUILDING"))
+    // a value ending in '\n' must NOT full-match its newline-less pattern
+    Seq("AUTO", "AUTO\n").toDF("s").createOrReplaceTempView("sim_nl_t")
+    val nl = spark.sql(PgDialect.translate(
+      "select s from sim_nl_t where s similar to 'AUTO'"))
+      .collect().map(_.getString(0))
+    assert(nl.toSeq == Seq("AUTO"), "Java $ before a final newline leaked")
+  }
+
+  test("rule 12: POSIX bracket classes translate to Java \\p{…} (r15 #7)") {
+    assert(PgDialect.translatePgRegex("[[:alpha:]]+", "~") == "[\\p{Alpha}]+")
+    assert(PgDialect.translatePgRegex("[[:digit:][:upper:]]", "~") ==
+      "[\\p{Digit}\\p{Upper}]")
+    assert(PgDialect.translatePgRegex("[^[:space:]]", "~") == "[^\\p{Space}]")
+    // Java-special POSIX-literals inside a bracket get escaped
+    assert(PgDialect.translatePgRegex("[]x]", "~") == "[\\]x]")
+    assert(PgDialect.translatePgRegex("[a&b[]", "~") == "[a\\&b\\[]")
+    // shared-core constructs pass through untouched
+    assert(PgDialect.translatePgRegex("\\d+(foo|bar)*[A-Z]{2,3}", "~") ==
+      "\\d+(foo|bar)*[A-Z]{2,3}")
+    assert(PgDialect.similarToRegex("%[[:digit:]]_") == ".*[\\p{Digit}].")
+    // end-to-end: translated class matches in Spark what PG would match
+    import spark.implicits._
+    Seq(("abc", 1L), ("ab3", 2L), ("  x", 3L)).toDF("s", "id")
+      .createOrReplaceTempView("pcx_t")
+    val got = spark.sql(PgDialect.translate(
+      "select id from pcx_t where s ~ '^[[:alpha:]]+$' order by id"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L))
   }
 
   test("DISTINCT ON: quoted case-distinct names accepted; folded collisions still reject") {
