@@ -57,7 +57,7 @@ object Main {
     val c = registry(schema, contract)
     val abi = new AbiCache(abiDir, new MapAbiFetcher(Map.empty))
       .abi(schema, contract, c.addresses.headOption.getOrElse(""))
-    (c, AbiSchema.tables(contract, abi))
+    (c, AbiSchema.tables(contract, abi, schemaName = schema))
   }
 
   def main(args: Array[String]): Unit = args.toList match {
@@ -160,8 +160,16 @@ object Main {
             graft.fixtures.MakerFixtures.fixtureDefs)
       }
       graft.catalog.Warehouse.materialize(spark, store, defs, db, overwrite = true)
-      val tables = spark.sql(s"SHOW TABLES IN $db").collect().map(_.getString(1))
-      println(s"materialized ${tables.length} tables in $db: ${tables.sorted.mkString(", ")}")
+      // defs carrying a conf-tree namespace land in THEIR schema's
+      // database (reference classes.py:56); namespace-less defs in `db`
+      val dbs = defs.map(d =>
+        if (d.schemaName.isEmpty) db else d.schemaName).distinct.sorted
+      dbs.foreach { dbName =>
+        val tables = spark.sql(s"SHOW TABLES IN $dbName")
+          .collect().map(_.getString(1))
+        println(s"materialized ${tables.length} tables in $dbName: " +
+          tables.sorted.mkString(", "))
+      }
       if (owned) spark.stop()
 
     // run any registered gate query against a fixture dir and show the

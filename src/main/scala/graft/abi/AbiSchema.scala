@@ -84,15 +84,32 @@ object AbiSchema {
   /** One produced table: name, source ABI entry, full Spark schema.
     * `wideIntsAsBinary` records the rad-safe mapping the schema was
     * built with, so decode expressions constructed from the def emit
-    * the matching representation (32-byte words, not Decimal(38,0)). */
+    * the matching representation (32-byte words, not Decimal(38,0)).
+    *
+    * `schemaName` is the warehouse NAMESPACE the table belongs to — the
+    * reference's `create schema if not exists {schema}` (classes.py:56,
+    * README.md:73), derived from the config tree's directory name
+    * (conf/<schema>/<contract>.abi). It is part of the table's identity:
+    * aave and aave_v2 both define `lending_pool_evt_deposit` (12 of the
+    * 18 shared names with DIFFERENT ABI shapes), and an unqualified
+    * namespace silently merges them into one table. Empty for
+    * single-namespace callers (fixtures, unit tests), where
+    * [[qualified]] degrades to the bare name. */
   final case class TableDef(table: String, entry: AbiJson.Entry, schema: StructType,
                             isEvent: Boolean,
-                            wideIntsAsBinary: Boolean = false) {
+                            wideIntsAsBinary: Boolean = false,
+                            schemaName: String = "") {
     /** Dispatch key: topic0 (events) or 4-byte selector (functions). */
     lazy val dispatchKey: Seq[Byte] = {
       val h = Keccak.hash256(entry.signature)
       if (isEvent) h.toSeq else h.take(4).toSeq
     }
+
+    /** Fully-qualified name — `<schema>.<table>` when a namespace is
+      * known, the bare table name otherwise. This is the demux routing
+      * tag and the warehouse table identity. */
+    def qualified: String =
+      if (schemaName.isEmpty) table else s"$schemaName.$table"
   }
 
   /** Whether an ABI entry produces a table (the reference's filter). */
@@ -127,9 +144,14 @@ object AbiSchema {
       case _ => sparkType(abiType)
     }
 
-  /** Derive every table for one contract ABI, with overload suffixing. */
+  /** Derive every table for one contract ABI, with overload suffixing.
+    * `schemaName` qualifies the defs into their warehouse namespace
+    * (conf/<schema>/ directory) — callers loading a multi-schema config
+    * tree MUST pass it, or same-named tables from different schemas
+    * (aave vs aave_v2 lending_pool) merge silently. */
   def tables(contract: String, abi: Seq[AbiJson.Entry],
-             wideIntsAsBinary: Boolean = false): Seq[TableDef] = {
+             wideIntsAsBinary: Boolean = false,
+             schemaName: String = ""): Seq[TableDef] = {
     val seen = mutable.Map.empty[String, Int] // lowercased name → occurrences so far
     abi.filter(producesTable).map { e =>
       val kind = if (e.entryType == "event") "evt" else "call"
@@ -142,7 +164,7 @@ object AbiSchema {
         StructField(columnName(p, i), sparkType(p, wideIntsAsBinary))
       }
       TableDef(table, e, StructType(commonFields ++ cols), kind == "evt",
-        wideIntsAsBinary)
+        wideIntsAsBinary, schemaName)
     }
   }
 

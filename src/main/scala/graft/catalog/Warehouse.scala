@@ -21,9 +21,15 @@ import graft.ingest.Demux
   */
 object Warehouse {
 
-  /** Create `db` if needed and materialize each decoded table from the
-    * demux store. Idempotent: existing tables are kept unless `overwrite`
-    * (the reference's autocreate-then-append shape, classes.py:56).
+  /** Create each def's database if needed and materialize its decoded
+    * table from the demux store. A def carrying a namespace
+    * (`schemaName`, the conf-tree directory) lands in ITS OWN database —
+    * the reference's `create schema if not exists {schema}`
+    * (classes.py:56): aave.lending_pool_evt_deposit and
+    * aave_v2.lending_pool_evt_deposit are separate warehouse tables.
+    * Namespace-less defs (fixtures, single-schema callers) fall back to
+    * the `db` argument. Idempotent: existing tables are kept unless
+    * `overwrite` (the reference's autocreate-then-append shape).
     *
     * Orphan-directory handling: a previous SESSION's managed-table
     * directory can survive in the warehouse dir while the in-memory
@@ -37,17 +43,21 @@ object Warehouse {
   def materialize(spark: SparkSession, storePath: String,
                   defs: Seq[AbiSchema.TableDef], db: String = "makermcd",
                   overwrite: Boolean = false): Unit = synchronized {
-    require(db.matches("[A-Za-z0-9_]+"), s"invalid database name: '$db'")
-    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
-    defs.foreach { d =>
-      val fq = s"$db.${d.table}"
-      val exists = spark.catalog.tableExists(fq)
-      if (!exists || overwrite) {
-        if (!exists) clearOrphanTableDir(spark, db, d.table)
-        Demux.readTable(spark, storePath, d)
-          .write.mode("overwrite").format("parquet").saveAsTable(fq)
+    defs.groupBy(d => if (d.schemaName.isEmpty) db else d.schemaName)
+      .toSeq.sortBy(_._1).foreach { case (dbName, ds) =>
+        require(dbName.matches("[A-Za-z0-9_]+"),
+          s"invalid database name: '$dbName'")
+        spark.sql(s"CREATE DATABASE IF NOT EXISTS `$dbName`")
+        ds.foreach { d =>
+          val fq = s"$dbName.${d.table}"
+          val exists = spark.catalog.tableExists(fq)
+          if (!exists || overwrite) {
+            if (!exists) clearOrphanTableDir(spark, dbName, d.table)
+            Demux.readTable(spark, storePath, d)
+              .write.mode("overwrite").format("parquet").saveAsTable(fq)
+          }
+        }
       }
-    }
   }
 
   /** Directory names whose ENTIRE subtree is writer bookkeeping — the

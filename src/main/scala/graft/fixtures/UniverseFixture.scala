@@ -22,15 +22,18 @@ import scala.jdk.CollectionConverters._
 object UniverseFixture {
 
   /** Every TableDef derivable from the reference config tree; empty when
-    * the tree is absent (callers skip/assume). */
+    * the tree is absent (callers skip/assume). The conf DIRECTORY name
+    * is the warehouse schema (reference classes.py:56) and qualifies
+    * each def: aave and aave_v2 share 18 table names (12 with different
+    * ABI shapes) which must stay separate tables, not merge. */
   def defs(confDir: String = "/root/reference/conf"): Seq[AbiSchema.TableDef] = {
     val d = new java.io.File(confDir)
     if (!d.isDirectory) Nil
     else d.listFiles.filter(_.isDirectory).sortBy(_.getName)
-      .flatMap(_.listFiles.sortBy(_.getName))
-      .filter(_.getName.endsWith(".abi"))
-      .flatMap(f => AbiSchema.tables(f.getName.stripSuffix(".abi"),
-        AbiJson.parseFile(f.getPath))).toSeq
+      .flatMap(sd => sd.listFiles.sortBy(_.getName)
+        .filter(_.getName.endsWith(".abi"))
+        .flatMap(f => AbiSchema.tables(f.getName.stripSuffix(".abi"),
+          AbiJson.parseFile(f.getPath), schemaName = sd.getName))).toSeq
   }
 
   /** One generated batch: raw rows (Demux.rawLogSchema), the generated
@@ -87,7 +90,7 @@ object UniverseFixture {
           blockNo, bytes(32), i, txIndex, bytes(32)))
         values
       }
-      truth(d.table) = rows
+      truth(d.qualified) = rows
     }
     Batch(rawRows.toSeq, truth.toMap, startBlock + 1, blockNo)
   }

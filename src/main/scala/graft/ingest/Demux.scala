@@ -65,11 +65,20 @@ object Demux {
   /** Tag each raw log with its destination table (null → unknown topic).
     * Dispatch is a broadcast join against the (topic0 → table) map rather
     * than a 412-branch CASE chain: constant plan depth, codegen-friendly,
-    * and the dispatch table can grow without replanning cost. */
+    * and the dispatch table can grow without replanning cost.
+    *
+    * The tag is the def's QUALIFIED name (`<schema>.<table>` when the
+    * def carries a namespace): aave and aave_v2 both define
+    * `lending_pool_evt_deposit` — 12 of their 18 shared names with
+    * DIFFERENT ABI shapes — and a bare-name tag would merge them into
+    * one table (388 written for 412 defs). A key shared by defs in
+    * SEVERAL schemas still fans the log out to each (same signature ⇒
+    * the log decodes in every one), now as distinct dispatch rows. */
   def tagged(raw: DataFrame, defs: Seq[AbiSchema.TableDef]): DataFrame = {
     val spark = raw.sparkSession
     import spark.implicits._
-    val dispatch = defs.map(d => (topic0Key(d), d.table)).toDF("_topic0", "table_name")
+    val dispatch =
+      defs.map(d => (topic0Key(d), d.qualified)).toDF("_topic0", "table_name")
     raw
       .join(broadcast(dispatch),
         element_at(col("topics"), 1) === col("_topic0"), "left")
@@ -90,7 +99,7 @@ object Demux {
 
   /** Decoded table from a demuxed store (partition-pruned read). */
   def readTable(spark: SparkSession, path: String, d: AbiSchema.TableDef): DataFrame =
-    table(spark.read.parquet(path).filter(col("table_name") === d.table)
+    table(spark.read.parquet(path).filter(col("table_name") === d.qualified)
       .drop("table_name"), d)
 
   /** Decoded table from a manifest-committed store's current snapshot —
@@ -100,7 +109,7 @@ object Demux {
                 d: AbiSchema.TableDef): DataFrame =
     store.read(spark) match {
       case Some(snap) =>
-        table(snap.filter(col("table_name") === d.table).drop("table_name"), d)
+        table(snap.filter(col("table_name") === d.qualified).drop("table_name"), d)
       case None => throw new IllegalStateException(
         s"ManifestStore(${store.root}) is empty — nothing to decode")
     }

@@ -36,30 +36,8 @@ final class MatView(val root: String, groupCols: Seq[String], valueCol: String,
     * count-min sketch of `freqCol`], as_of). */
   def state(spark: SparkSession): Option[DataFrame] = store.read(spark)
 
-  private def aggOf(df: DataFrame): DataFrame = {
-    val base = Seq(count(lit(1)).as("n"),
-      sum(col(valueCol).cast("decimal(18,6)")).as("vsum"))
-    // COUNT DISTINCT is the one classic aggregate with no finite exact
-    // partial state — maintaining it incrementally at 100 TB means a
-    // mergeable sketch. hll_sketch_agg's partials union losslessly
-    // (sketch ∪ sketch = sketch of the union), so a refresh folds the
-    // delta's sketch into the stored one exactly like n and vsum.
-    // Point FREQUENCIES (heavy hitters) are the same story with a
-    // count-min sketch ([[graft.ops.CmsAgg]]): counters add, so
-    // sketch(old) ⊎ sketch(delta) = sketch(old ⊎ delta) exactly.
-    // QUANTILES likewise: a fixed-domain equi-width histogram's bucket
-    // counts add exactly ([[graft.ops.HistAgg]]), and a discrete
-    // quantile reads off the merged counts with error ≤ the bin width —
-    // the sketch triad (distinct / frequency / quantile) that makes a
-    // warehouse summary view maintainable from deltas alone.
-    val aggs = base ++ distinctCol.map(c =>
-      hll_sketch_agg(col(c), lit(MatView.LgK)).as("dsk")) ++
-      freqCol.map(c => MatView.cmsAgg(col(c)).as("csk")) ++
-      histCol.map(c => MatView.histAgg(col(c)).as("hsk"))
-    df.groupBy(groupCols.map(col): _*)
-      .agg(aggs.head, aggs.tail: _*)
-      .withColumn("vsum", col("vsum").cast("decimal(38,6)"))
-  }
+  private def aggOf(df: DataFrame): DataFrame =
+    MatView.definingAgg(df, groupCols, valueCol, distinctCol, freqCol, histCol)
 
   /** Bring the view up to the source's current version; returns that
     * version. No-op when already current. */
@@ -107,6 +85,39 @@ object MatView {
     * relative standard error, 4 KiB per group: the standard
     * accuracy/state trade for warehouse distinct counts. */
   val LgK = 12
+
+  /** The defining aggregate — ONE builder shared by the view's refresh
+    * path and [[MatViewRouter]]'s registration/matching, so what the
+    * view maintains and what the router recognizes can never drift.
+    *
+    * COUNT DISTINCT is the one classic aggregate with no finite exact
+    * partial state — maintaining it incrementally at 100 TB means a
+    * mergeable sketch. hll_sketch_agg's partials union losslessly
+    * (sketch ∪ sketch = sketch of the union), so a refresh folds the
+    * delta's sketch into the stored one exactly like n and vsum.
+    * Point FREQUENCIES (heavy hitters) are the same story with a
+    * count-min sketch ([[graft.ops.CmsAgg]]): counters add, so
+    * sketch(old) ⊎ sketch(delta) = sketch(old ⊎ delta) exactly.
+    * QUANTILES likewise: a fixed-domain equi-width histogram's bucket
+    * counts add exactly ([[graft.ops.HistAgg]]), and a discrete
+    * quantile reads off the merged counts with error ≤ the bin width —
+    * the sketch triad (distinct / frequency / quantile) that makes a
+    * warehouse summary view maintainable from deltas alone. */
+  private[ingest] def definingAgg(df: DataFrame, groupCols: Seq[String],
+                                  valueCol: String,
+                                  distinctCol: Option[String],
+                                  freqCol: Option[String],
+                                  histCol: Option[String]): DataFrame = {
+    val base = Seq(count(lit(1)).as("n"),
+      sum(col(valueCol).cast("decimal(18,6)")).as("vsum"))
+    val aggs = base ++ distinctCol.map(c =>
+      hll_sketch_agg(col(c), lit(LgK)).as("dsk")) ++
+      freqCol.map(c => cmsAgg(col(c)).as("csk")) ++
+      histCol.map(c => histAgg(col(c)).as("hsk"))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("vsum", col("vsum").cast("decimal(38,6)"))
+  }
 
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.graftshim.Shim
@@ -176,8 +187,15 @@ object MatView {
     * the fixture rows — routing that changed an answer would
     * hash-mismatch). The stale-view and unrouted paths are MatViewSpec's
     * cases. */
-  def matviewRoutedGate(s: SparkSession, dir: String): DataFrame = {
-    val (srcRoot, viewRoot) = gateRoots(dir, "route")
+  /** Two clean appends + two delta refreshes (no delete): view ≡ the
+    * full aggregate and FRESH — the routable state. Shared by the
+    * routed gates; `kind` selects the tmpdir family. */
+  private def ensureRoutable(s: SparkSession, dir: String, kind: String,
+                             distinctCol: Option[String] = None,
+                             freqCol: Option[String] = None,
+                             histCol: Option[String] = None)
+  : (String, String) = {
+    val (srcRoot, viewRoot) = gateRoots(dir, kind)
     builtRoots.synchronized {
       if (!builtRoots.contains(srcRoot)) {
         for (r <- Seq(srcRoot, viewRoot)) {
@@ -186,9 +204,11 @@ object MatView {
           if (fs.exists(p)) fs.delete(p, true)
         }
         val src = new ManifestStore(srcRoot)
-        val mv = new MatView(viewRoot, Seq("event_type"), "value")
+        val mv = new MatView(viewRoot, Seq("event_type"), "value",
+          distinctCol, freqCol, histCol)
         val ev = Tables.load(s, dir, "events")
-          .select(col("event_id"), col("event_type"), col("value"))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))
         src.append(s, ev.filter(col("event_id") % 2 === 0),
           rangeCol = Some("event_id"))
         mv.refresh(s, src) // delta 1
@@ -198,18 +218,133 @@ object MatView {
         builtRoots.add(srcRoot)
       }
     }
+    (srcRoot, viewRoot)
+  }
+
+  /** Register + run a defining-aggregate form and PROVE the rewrite
+    * fired: the executed plan's input files are the view's, none the
+    * source's. `shape` post-processes the defining query (identity for
+    * the exact form; filter/project for the subsumption gates). */
+  private def routedFrame(s: SparkSession, dir: String, kind: String,
+                          distinctCol: Option[String] = None,
+                          freqCol: Option[String] = None,
+                          histCol: Option[String] = None)
+                         (shape: DataFrame => DataFrame): DataFrame = {
+    val (srcRoot, viewRoot) =
+      ensureRoutable(s, dir, kind, distinctCol, freqCol, histCol)
     val src = new ManifestStore(srcRoot)
-    MatViewRouter.register(s, viewRoot, src, Seq("event_type"), "value")
-    val routed = MatViewRouter
-      .definingQuery(s, src, Seq("event_type"), "value")
+    MatViewRouter.register(s, viewRoot, src, Seq("event_type"), "value",
+      distinctCol, freqCol, histCol)
+    val routed = shape(MatViewRouter.definingQuery(s, src,
+      Seq("event_type"), "value", distinctCol, freqCol, histCol))
     // structural proof the rule fired: the plan reads the VIEW's files
     val inputs = routed.inputFiles
-    require(inputs.nonEmpty && inputs.forall(_.contains("graft_mv_view_route_")),
+    require(inputs.nonEmpty &&
+      inputs.forall(_.contains(s"graft_mv_view_${kind}_")),
       s"matview routing did not rewrite to the view store: " +
         inputs.take(3).mkString(","))
     routed
+  }
+
+  def matviewRoutedGate(s: SparkSession, dir: String): DataFrame =
+    routedFrame(s, dir, "route")(identity)
       .select(col("event_type"), col("n"),
         col("vsum").cast("double").as("value_sum"))
+      .orderBy("event_type")
+
+  /** Gate (round-15 #2): SUBSUMPTION — a Filter on a GROUP column and a
+    * Project of a SUBSET of the defining outputs, layered ABOVE the
+    * defining aggregate. Catalyst pushes the filter below the Aggregate
+    * and prunes `vsum` out of it, so plan-equality matching can never
+    * fire; the structural matcher lifts the pushed filter, re-applies
+    * it over the view (filtering a view row ≡ filtering its group), and
+    * maps the surviving outputs. Routing is proven structurally
+    * (inputFiles are the view's) and by value (DuckDB evaluates the
+    * same filter over the raw fixture). */
+  def matviewSubsumedGate(s: SparkSession, dir: String): DataFrame =
+    routedFrame(s, dir, "route") { df =>
+      df.filter(col("event_type").isin("click", "view"))
+        .select("event_type", "n")
+    }.orderBy("event_type")
+
+  /** Gate (round-15 #2): the HLL-distinct family routes — the defining
+    * aggregate INCLUDING the sketch column answers from the view store;
+    * the estimate is then checked against the exact distinct count
+    * computed directly from the source (the scan the sketch exists to
+    * avoid), with the same 5% envelope as `store_matview_distinct`. */
+  def matviewRoutedDistinctGate(s: SparkSession, dir: String): DataFrame = {
+    val routed = routedFrame(s, dir, "rtdst",
+      distinctCol = Some("user_id")) { df =>
+      df.select(col("event_type"), col("n"),
+        hll_sketch_estimate(col("dsk")).as("approx_users"))
+    }
+    val (srcRoot, _) = gateRoots(dir, "rtdst")
+    val exact = new ManifestStore(srcRoot).read(s).get
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    routed.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          lit(0.05) * col("exact_users")).cast("int").as("users_ok"))
+      .orderBy("event_type")
+  }
+
+  /** Gate (round-15 #2): the count-min frequency family routes; per
+    * event_type, the exact top-3 users' point estimates (read from the
+    * ROUTED sketch) must sit in the CMS envelope — ≥ true always,
+    * ≤ true + max(4, 8·N/width). */
+  def matviewRoutedTopkGate(s: SparkSession, dir: String): DataFrame = {
+    val routed = routedFrame(s, dir, "rthh",
+      freqCol = Some("user_id"))(identity)
+      .select(col("event_type"), col("csk"))
+    val (srcRoot, _) = gateRoots(dir, "rthh")
+    val exact = new ManifestStore(srcRoot).read(s).get
+      .groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("exact_n"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+          .orderBy(col("exact_n").desc, col("user_id"))))
+      .filter(col("rk") <= 3)
+    exact.join(routed, Seq("event_type"))
+      .withColumn("est", cmsEstimate(col("csk"), col("user_id")))
+      .withColumn("bound", greatest(lit(4L),
+        floor(cmsTotal(col("csk")) * 8L / lit(graft.ops.Cms.Width.toLong))
+          .cast("long")))
+      .select(col("event_type"), col("rk"), col("user_id"), col("exact_n"),
+        (col("est") >= col("exact_n") &&
+          col("est") <= col("exact_n") + col("bound")).cast("int").as("est_ok"))
+      .orderBy("event_type", "rk")
+  }
+
+  /** Gate (round-15 #2): the histogram quantile family routes; p50/p95
+    * read from the ROUTED sketch must land within one bin width of the
+    * exact discrete quantiles, and the out-of-domain counter is zero. */
+  def matviewRoutedQuantileGate(s: SparkSession, dir: String): DataFrame = {
+    val routed = routedFrame(s, dir, "rtqt",
+      histCol = Some("value"))(identity)
+      .select(col("event_type"), col("hsk"))
+    val (srcRoot, _) = gateRoots(dir, "rtqt")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("value"))
+    val exact = new ManifestStore(srcRoot).read(s).get
+      .select(col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(w) - 1)
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))))
+      .groupBy("event_type")
+      .agg(
+        max(when(col("rn") === floor(lit(0.5) * (col("n") - 1)),
+          col("value"))).as("p50_exact"),
+        max(when(col("rn") === floor(lit(0.95) * (col("n") - 1)),
+          col("value"))).as("p95_exact"))
+    val bw = lit(graft.ops.Hist.width)
+    exact.join(routed, Seq("event_type"))
+      .select(col("event_type"), col("p50_exact"), col("p95_exact"),
+        (abs(histQuantile(col("hsk"), lit(0.5)) - col("p50_exact")) <= bw)
+          .cast("int").as("p50_ok"),
+        (abs(histQuantile(col("hsk"), lit(0.95)) - col("p95_exact")) <= bw)
+          .cast("int").as("p95_ok"),
+        (histOor(col("hsk")) === 0L).cast("int").as("domain_ok"))
       .orderBy("event_type")
   }
 
@@ -421,6 +556,10 @@ object MatView {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "store_matview_flows" -> (matviewGate _),
     "store_matview_routed" -> (matviewRoutedGate _),
+    "store_matview_subsumed" -> (matviewSubsumedGate _),
+    "store_matview_routed_distinct" -> (matviewRoutedDistinctGate _),
+    "store_matview_routed_topk" -> (matviewRoutedTopkGate _),
+    "store_matview_routed_quantile" -> (matviewRoutedQuantileGate _),
     "store_matview_distinct" -> (matviewDistinctGate _),
     "store_matview_topk" -> (matviewTopkGate _),
     "store_matview_quantile" -> (matviewQuantileGate _),
@@ -463,6 +602,41 @@ object MatView {
           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) - 1 AS rn,
           COUNT(*) OVER (PARTITION BY event_type) AS n
         FROM surv)
+      SELECT event_type,
+        MAX(CASE WHEN rn = CAST(FLOOR(0.5*(n-1)) AS BIGINT)
+          THEN value END) AS p50_exact,
+        MAX(CASE WHEN rn = CAST(FLOOR(0.95*(n-1)) AS BIGINT)
+          THEN value END) AS p95_exact,
+        1 AS p50_ok, 1 AS p95_ok, 1 AS domain_ok
+      FROM r GROUP BY event_type ORDER BY event_type""",
+    // subsumption: the group-column filter over the view ≡ the same
+    // WHERE over the raw fixture; only `n` survives the projection
+    "store_matview_subsumed" -> """
+      SELECT event_type, COUNT(*) AS n
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY event_type ORDER BY event_type""",
+    // the routed sketch families aggregate the FULL fixture (two clean
+    // appends, no forget): exact truths carry no survivor filter
+    "store_matview_routed_distinct" -> """
+      SELECT event_type, COUNT(*) AS n,
+        COUNT(DISTINCT user_id) AS exact_users, 1 AS users_ok
+      FROM events GROUP BY event_type ORDER BY event_type""",
+    "store_matview_routed_topk" -> """
+      WITH cnt AS (
+        SELECT event_type, user_id, COUNT(*) AS exact_n,
+          ROW_NUMBER() OVER (PARTITION BY event_type
+            ORDER BY COUNT(*) DESC, user_id) AS rk
+        FROM events GROUP BY event_type, user_id)
+      SELECT event_type, CAST(rk AS INT) AS rk, user_id,
+        CAST(exact_n AS BIGINT) AS exact_n, 1 AS est_ok
+      FROM cnt WHERE rk <= 3
+      ORDER BY event_type, rk""",
+    "store_matview_routed_quantile" -> """
+      WITH r AS (
+        SELECT event_type, value,
+          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) - 1 AS rn,
+          COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events)
       SELECT event_type,
         MAX(CASE WHEN rn = CAST(FLOOR(0.5*(n-1)) AS BIGINT)
           THEN value END) AS p50_exact,

@@ -1,35 +1,65 @@
 package graft.ingest
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.Alias
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute,
+  AttributeReference, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter,
+  LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions._
 
-/** Predicate-aware MATVIEW ROUTING (round-13 verdict, stretch #7): a
+/** Matview ROUTING (round-13 stretch #7, widened in round 15 #2): a
   * genuine optimizer `Rule[LogicalPlan]` that rewrites a user's
   * base-table aggregate onto its materialized view — the user writes
-  * the query against the SOURCE store; if a registered view is exactly
+  * the query against the SOURCE store; if a registered view maintains
   * that aggregate and is FRESH (covers the source's current manifest
   * version), the plan substitutes the view's tiny store for the
   * corpus-wide scan+shuffle. At 100 TB this is the difference between
   * "the warehouse has summary tables if you know their names" and "the
   * optimizer answers the query from them".
   *
-  * Mechanics — deliberately conservative, correctness-first:
+  * What routes (round 15 widened the round-14 exact-plan-equality
+  * matcher into a structural one):
   *
-  *  - Matching is CANONICALIZED-PLAN EQUALITY against the view's
-  *    defining aggregate, optimized once at registration: exactly the
-  *    query the view maintains routes, anything else (extra columns, a
-  *    filter, a different agg) does not. [[ManifestFileIndex]] carries
-  *    value equality on (root, files) so two reads of one snapshot
-  *    canonicalize equal — the same contract InMemoryFileIndex ships.
-  *  - FRESHNESS is re-checked at optimization time against the source's
-  *    manifest version (one directory listing, no data IO): any commit
-  *    after the registered `as_of` disables routing until the view is
-  *    refreshed and re-registered. A stale view can never answer.
-  *  - The substituted subtree keeps the original output attribute ids
-  *    (an aliasing Project), so parent operators resolve untouched.
+  *  - the EXACT defining aggregate — count + exact decimal sum per
+  *    group, plus any sketch family the view maintains (HLL distinct /
+  *    count-min frequency / fixed-domain histogram);
+  *  - SUBSUMED queries: a Filter on GROUP columns above the defining
+  *    aggregate (Catalyst pushes it below the Aggregate into the scan —
+  *    the matcher lifts it and re-applies it over the view: filtering a
+  *    view row ≡ filtering its group) and a Project of a SUBSET of the
+  *    defining outputs (column pruning narrows the Aggregate itself —
+  *    the matcher maps each surviving output to its view column);
+  *  - HAVING-style filters ABOVE the aggregate need no special case:
+  *    the Aggregate subtree routes and the parent Filter stays, its
+  *    attribute ids preserved by the aliasing Project.
+  *
+  * What can NEVER route (conservative, correctness-first):
+  *
+  *  - a filter referencing a NON-group column below the aggregate (the
+  *    view's partials already folded those rows — no residual exists);
+  *  - a different grouping, a different aggregate expression, a
+  *    different source snapshot (leaf-relation equality is part of the
+  *    match — [[ManifestFileIndex]] carries value equality on
+  *    (root, files) so two reads of one snapshot canonicalize equal);
+  *  - a STALE view: freshness is re-checked at optimization time
+  *    against the source's manifest version through
+  *    [[ManifestVersionCache]] (one listing per root per TTL,
+  *    invalidated by in-process commits), and only AFTER a candidate
+  *    subtree matches, so unrelated queries pay nothing per registered
+  *    view.
+  *
+  * Matching mechanics: the candidate `Aggregate(ge, ae, child)` is
+  * decomposed by stripping attribute-only Projects and collecting
+  * Filter conditions along every leaf path (a pushed filter appears
+  * once per Union branch of a multi-commit store; every path must
+  * carry the SAME conjunct set, or a hand-built union of differently
+  * filtered reads would silently re-filter as their intersection).
+  * The stripped core must canonicalize equal to the registered
+  * source's stripped read plan; grouping must be exactly the
+  * registered group attributes; every output must be a group column
+  * or canonically equal (after by-name attribute alignment) to one of
+  * the registered defining aggregate's expressions.
   *
   * Installed per session via `spark.experimental.extraOptimizations`
   * (the public hook for user rules — runs after Catalyst's own
@@ -37,31 +67,55 @@ import org.apache.spark.sql.functions._
   * captured). */
 object MatViewRouter {
 
-  private case class Entry(target: LogicalPlan, replacement: LogicalPlan,
-                           sourceRoot: String, asOf: Long)
+  /** One recognizable aggregate-output shape: `canon` is the aligned
+    * expression to match canonically; `rebuild` produces the routed
+    * output from the view's column. Each defining output registers its
+    * exact form (rebuild = the view attribute itself) AND, when the
+    * output is a Cast over the raw aggregate, the cast-STRIPPED form:
+    * PushDownPredicates moves a HAVING filter under the final-cast
+    * Project, leaving the Aggregate with the uncast sum — the stripped
+    * variant rebuilds as Cast(view.col, innerType), value-exact because
+    * the view stores exactly the widened value (a widening round-trip
+    * loses nothing, and an inner-sum overflow stored null either way). */
+  private[ingest] case class Tmpl(viewCol: String, canon: Expression,
+                                  rebuild: Attribute => Expression)
+
+  private[ingest] case class Entry(
+      groupNames: Set[String],                 // lowercased group columns
+      srcChild: LogicalPlan,                   // the defining Aggregate's child
+      srcAttrByName: Map[String, Attribute],   // lowercased name → source attr
+      templates: Seq[Tmpl],                    // recognizable agg outputs
+      viewPlan: LogicalPlan,                   // optimized view read (group+agg cols)
+      viewAttrByName: Map[String, Attribute],  // lowercased name → view attr
+      sourceRoot: String, asOf: Long)
 
   private val entries =
     new java.util.concurrent.ConcurrentHashMap[String, Entry]()
 
-  /** The defining aggregate every (groupCols, valueCol) [[MatView]]
-    * maintains — count + exact decimal sum per group, the view's `n`
-    * and `vsum` columns. This exact shape (over the source's CURRENT
-    * snapshot) is what routes. */
+  /** The defining aggregate every [[MatView]] maintains — count + exact
+    * decimal sum per group, plus the optional sketch families (HLL
+    * distinct / count-min frequency / histogram quantile). This shape
+    * (over the source's CURRENT snapshot), and its group-filtered /
+    * output-pruned subsumptions, is what routes. */
   def definingQuery(spark: SparkSession, source: ManifestStore,
-                    groupCols: Seq[String], valueCol: String): DataFrame =
-    source.read(spark).getOrElse(
-      throw new IllegalStateException(s"empty source ${source.root}"))
-      .groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("n"),
-        sum(col(valueCol).cast("decimal(18,6)"))
-          .cast("decimal(38,6)").as("vsum"))
+                    groupCols: Seq[String], valueCol: String,
+                    distinctCol: Option[String] = None,
+                    freqCol: Option[String] = None,
+                    histCol: Option[String] = None): DataFrame =
+    MatView.definingAgg(
+      source.read(spark).getOrElse(
+        throw new IllegalStateException(s"empty source ${source.root}")),
+      groupCols, valueCol, distinctCol, freqCol, histCol)
 
   /** Register `viewRoot` as the routed answer for the defining
     * aggregate over `source`. Captures the CURRENT source version: the
     * caller registers after a [[MatView.refresh]], so view and source
     * agree. Returns false (no registration) on an empty view. */
   def register(spark: SparkSession, viewRoot: String, source: ManifestStore,
-               groupCols: Seq[String], valueCol: String): Boolean = {
+               groupCols: Seq[String], valueCol: String,
+               distinctCol: Option[String] = None,
+               freqCol: Option[String] = None,
+               histCol: Option[String] = None): Boolean = {
     install(spark)
     val viewStore = new ManifestStore(viewRoot)
     val st = viewStore.read(spark) match {
@@ -71,22 +125,77 @@ object MatViewRouter {
     val asOf = st.agg(max(col("as_of"))).head().getLong(0)
     // drop any existing registration BEFORE optimizing the defining
     // query: with a live fresh entry the rule would route the defining
-    // query itself, and the captured target would be the ROUTED plan —
+    // query itself, and the captured shapes would be the ROUTED plan —
     // which never matches a user query, silently disabling routing on
     // every second register (bench pass 2 / the concurrent pass caught
     // exactly this alternation)
     entries.remove(viewRoot)
-    val target = definingQuery(spark, source, groupCols, valueCol)
+    val aggNames = Seq("n", "vsum") ++ distinctCol.map(_ => "dsk") ++
+      freqCol.map(_ => "csk") ++ histCol.map(_ => "hsk")
+    val defining = definingQuery(spark, source, groupCols, valueCol,
+      distinctCol, freqCol, histCol).queryExecution.optimizedPlan
+    val (ge0, ae0, child0) = defining match {
+      case Aggregate(g, a, c, _) => (g, a, c)
+      case other => throw new IllegalStateException(
+        s"defining query did not optimize to an Aggregate:\n$other")
+    }
+    require(child0.collect { case f: Filter => f }.isEmpty,
+      "source read plan unexpectedly carries filters")
+    val srcAttrs = child0.output
+      .map(a => a.name.toLowerCase -> a).toMap
+    // alignment: the templates are stored over the REGISTERED source's
+    // attributes; a candidate's expressions are rewritten onto the same
+    // attributes by name before canonical comparison
+    val groupNames = ge0.map {
+      case a: AttributeReference => a.name.toLowerCase
+      case other => throw new IllegalStateException(
+        s"non-attribute group expression in defining aggregate: $other")
+    }.toSet
+    val templates = ae0.collect {
+      case Alias(childE, name) if aggNames.contains(name) =>
+        val exact = Tmpl(name, align(childE, srcAttrs), a => a)
+        val stripped = childE match {
+          case org.apache.spark.sql.catalyst.expressions.Cast(inner, _, _, _) =>
+            Seq(Tmpl(name, align(inner, srcAttrs),
+              a => org.apache.spark.sql.catalyst.expressions
+                .Cast(a, inner.dataType)))
+          case _ => Nil
+        }
+        exact +: stripped
+    }.flatten
+    require(templates.map(_.viewCol).distinct == aggNames,
+      s"defining aggregate outputs " +
+        s"${templates.map(_.viewCol).distinct} != $aggNames")
+    val viewPlan = st
+      .select((groupCols ++ aggNames).map(col): _*)
       .queryExecution.optimizedPlan
-    val replacement = st
-      .select((groupCols ++ Seq("n", "vsum")).map(col): _*)
-      .queryExecution.optimizedPlan
-    entries.put(viewRoot, Entry(target, replacement, source.root, asOf))
+    val viewAttrs = viewPlan.output.map(a => a.name.toLowerCase -> a).toMap
+    entries.put(viewRoot, Entry(groupNames, child0, srcAttrs, templates,
+      viewPlan, viewAttrs, source.root, asOf))
     true
   }
 
   /** Drop a registration (tests; or a decommissioned view). */
   def unregister(viewRoot: String): Unit = entries.remove(viewRoot)
+
+  /** Registered entry count (the bench's optimizer-overhead probe). */
+  def registeredCount: Int = entries.size
+
+  /** BENCH-ONLY: replicate an existing registration under `n` synthetic
+    * keys so the optimizer-overhead probe measures the rule at
+    * many-views scale (matching cost per entry is identical to the
+    * real one — same captured plans). Returns the keys; the caller
+    * unregisters them. */
+  private[graft] def replicateForOverheadProbe(viewRoot: String,
+                                               n: Int): Seq[String] = {
+    val e = entries.get(viewRoot)
+    require(e != null, s"no registration for $viewRoot")
+    (1 to n).map { i =>
+      val k = s"$viewRoot#synthetic-$i"
+      entries.put(k, e)
+      k
+    }
+  }
 
   /** Idempotently add the routing rule to this session's optimizer. */
   def install(spark: SparkSession): Unit = synchronized {
@@ -94,6 +203,153 @@ object MatViewRouter {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ new RouteRule
   }
+
+  /** A projection that only forwards columns: bare attributes, or
+    * same-name aliases of attributes (Union output deduplication emits
+    * `col#1 AS col#2` — a fresh exprId, same name). Alignment is
+    * by NAME, so stripping these is sound; a RENAMING alias is not
+    * forwarded (conservative no-match). */
+  private def attrOnly(pl: Seq[NamedExpression]): Boolean = pl.forall {
+    case _: AttributeReference => true
+    case Alias(a: AttributeReference, n) => a.name.equalsIgnoreCase(n)
+    case _ => false
+  }
+
+  /** Match a candidate read subtree against the registered source's,
+    * modulo attribute-only Projects (column pruning narrows them per
+    * query) and candidate-side Filters (whose conditions are returned,
+    * one list per leaf path — a pushed filter lands once per Union
+    * branch of a multi-commit store). Works structurally, never
+    * REBUILDING a stripped plan: pruning can leave Union branches with
+    * different column sets, and a synthesized Union over them would be
+    * invalid (`output` throws). None = no match. */
+  private def coreMatch(cand: LogicalPlan, reg: LogicalPlan)
+  : Option[Seq[Seq[Expression]]] = {
+    def stripCand(p: LogicalPlan): (LogicalPlan, Seq[Expression]) = p match {
+      case Filter(c, ch) =>
+        val (s, cs) = stripCand(ch); (s, c +: cs)
+      case Project(pl, ch) if attrOnly(pl) => stripCand(ch)
+      case x => (x, Nil)
+    }
+    def stripReg(p: LogicalPlan): LogicalPlan = p match {
+      case Project(pl, ch) if attrOnly(pl) => stripReg(ch)
+      case x => x
+    }
+    val (c0, conds0) = stripCand(cand)
+    val r0 = stripReg(reg)
+    (c0, r0) match {
+      case (cu: Union, ru: Union)
+          if cu.children.size == ru.children.size =>
+        val parts = cu.children.zip(ru.children)
+          .map { case (cc, rr) => coreMatch(cc, rr) }
+        if (parts.exists(_.isEmpty)) None
+        else Some(parts.flatMap(_.get).map(conds0 ++ _))
+      case (cl, rl) =>
+        // leaves (and any other identical shape): exact canonical
+        // equality — ManifestFileIndex carries value equality on
+        // (root, files), so two reads of one snapshot compare equal
+        if (cl.canonicalized == rl.canonicalized) Some(Seq(conds0)) else None
+    }
+  }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case x => Seq(x)
+  }
+
+  /** Rewrite every attribute reference onto `attrs` by (lowercased)
+    * name, so expressions from different plan instances of the same
+    * scan compare canonically. Unknown names throw (caller catches →
+    * no match). */
+  private def align(e: Expression, attrs: Map[String, Attribute]): Expression =
+    e.transform {
+      case a: AttributeReference =>
+        attrs.getOrElse(a.name.toLowerCase,
+          throw new NoSuchElementException(a.name))
+    }
+
+  /** The routed substitute for a matched candidate, or None. */
+  private def routeOne(agg: Aggregate, e: Entry): Option[LogicalPlan] = try {
+    val paths = coreMatch(agg.child, e.srcChild) match {
+      case Some(ps) => ps
+      case None => return None
+    }
+    // grouping must be exactly the registered group attributes
+    val geNames = agg.groupingExpressions.map {
+      case a: AttributeReference => a.name.toLowerCase
+      case _ => return None
+    }
+    if (geNames.toSet != e.groupNames || geNames.distinct != geNames)
+      return None
+    // every leaf path must carry the SAME conjunct set (a pushed filter
+    // lands once per Union branch); conjuncts may reference only group
+    // columns — anything else pre-filters rows the view already folded
+    val pathSets = paths.map(_.flatMap(conjuncts)
+      .map(c => align(c, e.srcAttrByName).canonicalized).toSet)
+    if (pathSets.distinct.size != 1) return None
+    // deterministic too: a rand()-style condition references no columns
+    // (so the name check alone would pass) but samples ROWS on the
+    // source and GROUPS on the view — never liftable
+    val condsAligned = paths.head.flatMap(conjuncts)
+    if (!condsAligned.forall(c => c.deterministic &&
+      c.references.forall(a =>
+        e.groupNames.contains(a.name.toLowerCase)))) return None
+    // map each output to its view expression. Outputs need not BE a
+    // defining aggregate verbatim: Catalyst collapses post-aggregate
+    // Projects INTO the Aggregate (`cast(vsum as double) AS value_sum`,
+    // `n + 1`, …), so every subtree canonically equal to a registered
+    // template is REWRITTEN to its view column and whatever remains must
+    // be aggregate-free, deterministic, and reference only group
+    // columns — classic view rewriting, compute-over-the-view included.
+    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+    val srcGroupIds = e.groupNames.map(n => e.srcAttrByName(n).exprId)
+    def isSrcAttr(a: AttributeReference): Boolean =
+      e.srcAttrByName.get(a.name.toLowerCase).exists(_.exprId == a.exprId)
+    val outCols: Seq[(NamedExpression, Expression)] =
+      agg.aggregateExpressions.map { ne =>
+        val (out, childE): (NamedExpression, Expression) = ne match {
+          case a: AttributeReference => (a, a)
+          case al @ Alias(c, _) => (al, c)
+          case _ => return None
+        }
+        val aligned = align(childE, e.srcAttrByName)
+        val rewritten = aligned.transformDown {
+          case sub if e.templates
+              .exists(_.canon.canonicalized == sub.canonicalized) =>
+            val t = e.templates
+              .find(_.canon.canonicalized == sub.canonicalized).get
+            t.rebuild(e.viewAttrByName(t.viewCol))
+        }
+        // remaining source references may only be GROUP columns — remap
+        // them onto the view's; anything else (the value column outside
+        // a template, a leftover aggregate) cannot be answered
+        val finalE = rewritten.transform {
+          case a: AttributeReference if srcGroupIds.contains(a.exprId) =>
+            e.viewAttrByName(a.name.toLowerCase)
+        }
+        if (finalE.exists(_.isInstanceOf[AggregateExpression])) return None
+        if (!finalE.deterministic) return None
+        if (finalE.exists {
+          case a: AttributeReference => isSrcAttr(a)
+          case _ => false
+        }) return None
+        out -> finalE
+      }
+    // the routed output must carry EXACTLY the original types — a
+    // mismatch would change an attribute's dataType mid-optimization,
+    // which downstream operators (and Spark's plan integrity checks)
+    // assume impossible
+    if (outCols.exists { case (out, repl) => repl.dataType != out.dataType })
+      return None
+    // rebuild: Filter(conds over view attrs) under the aliasing Project
+    // that keeps the ORIGINAL output attribute ids so parents resolve
+    val remapped = condsAligned.map(c => align(c, e.viewAttrByName))
+    val filtered = remapped.reduceOption(And)
+      .map(Filter(_, e.viewPlan)).getOrElse(e.viewPlan)
+    Some(Project(outCols.map { case (out, repl) =>
+      Alias(repl, out.name)(exprId = out.exprId, qualifier = out.qualifier)
+    }, filtered))
+  } catch { case _: NoSuchElementException => None }
 
   final class RouteRule extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -103,41 +359,32 @@ object MatViewRouter {
       entries.values.asScala.foreach { e =>
         // freshness gate, once per entry per optimization: a source
         // commit past the registered as_of disables routing (the view
-        // would answer stale); errors disable conservatively. The probe
-        // goes through ManifestVersionCache (one real listing per root
-        // per TTL, invalidated by in-process commits) and is LAZY —
-        // evaluated only when a candidate subtree actually matches, so
-        // unrelated queries pay nothing per registered view (r14
-        // ADVICE #2 + agenda #6).
+        // would answer stale); errors disable conservatively. LAZY —
+        // evaluated only when a candidate actually matches, so
+        // unrelated queries never pay the probe (r14 ADVICE #2), and
+        // the probe itself is served by ManifestVersionCache.
         lazy val fresh =
           try ManifestVersionCache
             .version(SparkSession.active, e.sourceRoot) == e.asOf
           catch { case _: Throwable => false }
         // substitute AT MOST ONE site per entry per QUERY: the stored
-        // replacement plan carries fixed internal ExprIds, and splicing
-        // it twice (a UNION of the defining aggregate with itself) would
+        // view plan carries fixed internal ExprIds, and splicing it
+        // twice (a UNION of the defining aggregate with itself) would
         // duplicate attribute ids across branches — a shape
         // post-analysis rules assume impossible. The guard must hold
         // across fixedPoint re-invocations of this rule, so "already
-        // substituted" is detected from the PLAN (a subtree equal to the
-        // replacement), not from per-apply state. The second site keeps
-        // reading the source — correct, just unrouted; routing both
-        // would need fresh-ExprId re-aliasing per splice.
-        var substituted =
-          p.exists(sub => sub.canonicalized == e.replacement.canonicalized)
+        // substituted" is detected from the PLAN (the view's leaf
+        // relations present), not from per-apply state. The second
+        // site keeps reading the source — correct, just unrouted.
+        val viewLeaves = e.viewPlan.collectLeaves().map(_.canonicalized)
+        var substituted = p.collectLeaves()
+          .exists(l => viewLeaves.contains(l.canonicalized))
         p = p.transformUp {
-          // plan equality BEFORE the freshness probe: `fresh` lists a
-          // directory, and most subtrees of most queries are not
-          // candidates — probing first would pay one listing per
-          // registered entry on EVERY query in the session
-          case sub if !substituted &&
-            sub.canonicalized == e.target.canonicalized && fresh =>
-            substituted = true
-            // keep the original attribute ids so parents resolve
-            Project(e.replacement.output.zip(sub.output).map {
-              case (n, o) => Alias(n, o.name)(exprId = o.exprId,
-                qualifier = o.qualifier)
-            }, e.replacement)
+          case agg: Aggregate if !substituted =>
+            routeOne(agg, e).filter(_ => fresh) match {
+              case Some(routed) => substituted = true; routed
+              case None => agg
+            }
         }
       }
       p

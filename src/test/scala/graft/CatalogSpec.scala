@@ -78,6 +78,48 @@ class WarehouseSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(spark.table("makermcd.vat_call_frob").count() == direct.count())
   }
 
+  test("namespaced defs materialize into their OWN databases (r15 #1)") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions.col
+    // two namespaces sharing a bare table name — the aave/aave_v2 shape
+    // in miniature: the demux tag and the warehouse identity must both
+    // be the qualified name, or one namespace's rows swallow the other's
+    val base = graft.fixtures.MakerFixtures.tableDef("vat_call_frob")
+    val defs = Seq(base.copy(schemaName = "nsalpha"),
+      base.copy(schemaName = "nsbeta"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ns_wh").toString + "/demux"
+    // tag the SAME raw fixture logs under each namespace; both tables
+    // get every matching log (shared dispatch key, distinct tag rows)
+    graft.ingest.Demux.writeDemuxed(
+      graft.fixtures.MakerFixtures.rawLogs(spark), defs, root)
+    try {
+      graft.catalog.Warehouse.materialize(spark, root, defs)
+      assert(spark.catalog.databaseExists("nsalpha"))
+      assert(spark.catalog.databaseExists("nsbeta"))
+      val a = spark.table("nsalpha.vat_call_frob").count()
+      val b = spark.table("nsbeta.vat_call_frob").count()
+      assert(a > 0 && a == b, s"per-schema counts diverged: $a vs $b")
+      // the demux store kept the namespaces apart
+      val tags = spark.read.parquet(root).select("table_name").distinct()
+        .collect().map(_.getString(0)).toSet
+      assert(tags == Set("nsalpha.vat_call_frob", "nsbeta.vat_call_frob"))
+      // decode-at-read over ONE namespace matches its warehouse copy
+      val direct = graft.ingest.Demux.readTable(spark, root, defs.head)
+      assert(direct.count() == a)
+      assert(direct.filter(col("dart") =!= 0).count() ==
+        spark.table("nsalpha.vat_call_frob")
+          .filter(col("dart") =!= 0).count())
+    } finally {
+      spark.sql("DROP DATABASE IF EXISTS nsalpha CASCADE")
+      spark.sql("DROP DATABASE IF EXISTS nsbeta CASCADE")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(root).getParentFile)
+    }
+  }
+
   test("materialize refuses foreign data at an orphan table path and bad db names") {
     val spark = TestSpark.spark
     graft.fixtures.MakerFixtures.ensureDemuxed(spark)

@@ -262,9 +262,12 @@ class MatViewSpec extends AnyFunSuite {
       val rerouted = userQuery()
       assert(rerouted.inputFiles.forall(_.contains("/view/")))
       assert(rerouted.filter(col("k") === "c").head().getLong(1) == 1L)
-      // a DIFFERENT aggregate shape over the same source never routes
+      // a DIFFERENT aggregate shape over the same source never routes —
+      // a raw double sum is NOT the defining exact-decimal sum (the
+      // count-only aggregate, by contrast, now routes legitimately as a
+      // projection subsumption — see the dedicated r15 test)
       val other = src.read(spark).get.groupBy("k")
-        .agg(count(lit(1)).as("n"))
+        .agg(sum(col("v")).as("s"))
       assert(other.inputFiles.forall(_.contains("/src/")),
         "a non-matching aggregate must not route")
       // RE-REGISTERING with a live fresh entry must not capture the
@@ -295,5 +298,104 @@ class MatViewSpec extends AnyFunSuite {
         "duplicate-subtree union routed BOTH occurrences (fixed ExprIds " +
           "would collide across branches)")
     } finally MatViewRouter.unregister(mv.root)
+  }
+
+  test("router subsumption (r15 #2): group filters and output subsets " +
+    "route; non-group filters and foreign shapes never do") {
+    import graft.ingest.MatViewRouter
+    val (src, mv) = fresh()
+    src.append(spark,
+      Seq(("a", 1.0), ("b", 2.0), ("b", 4.0), ("c", 8.0)).toDF("k", "v"))
+    mv.refresh(spark, src)
+    def defQ() = MatViewRouter.definingQuery(spark, src, Seq("k"), "v")
+    try {
+      assert(MatViewRouter.register(spark, mv.root, src, Seq("k"), "v"))
+
+      // Filter on the GROUP column above the defining aggregate:
+      // Catalyst pushes it below the Aggregate (plan equality can never
+      // fire) — the structural matcher lifts it over the view
+      val filtered = defQ().filter(col("k") =!= "a")
+      assert(filtered.inputFiles.nonEmpty &&
+        filtered.inputFiles.forall(_.contains("/view/")),
+        s"group-filter subsumption did not route: " +
+          filtered.inputFiles.take(3).mkString(","))
+      assert(filtered.collect().map(r =>
+        (r.getString(0), r.getLong(1), BigDecimal(r.getDecimal(2)))).toSet ==
+        Set(("b", 2L, BigDecimal("6.0")), ("c", 1L, BigDecimal("8.0"))))
+
+      // Projection SUBSET (vsum pruned out of the Aggregate): routes,
+      // mapped onto the view's n column
+      val pruned = defQ().select("k", "n")
+      assert(pruned.inputFiles.forall(_.contains("/view/")),
+        "projection subsumption did not route")
+      assert(pruned.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+        Map("a" -> 1L, "b" -> 2L, "c" -> 1L))
+
+      // both at once, written as a fresh user aggregate (count only)
+      val combo = src.read(spark).get.groupBy("k")
+        .agg(count(lit(1)).as("n")).filter(col("k") === "b")
+      assert(combo.inputFiles.forall(_.contains("/view/")),
+        "count-only + group-filter subsumption did not route")
+      assert(combo.head().getLong(1) == 2L)
+
+      // HAVING-style filter on an AGGREGATE output stays above the
+      // routed subtree (not pushed below the Aggregate) — still routed
+      val having = defQ().filter(col("n") >= 2)
+      assert(having.inputFiles.forall(_.contains("/view/")),
+        "HAVING form did not route")
+      assert(having.collect().map(_.getString(0)).toSeq == Seq("b"))
+
+      // NON-GROUP column filter below the aggregate: the view's
+      // partials already folded those rows — must NOT route
+      val nonGroup = src.read(spark).get.filter(col("v") > 1.5)
+        .groupBy("k").agg(count(lit(1)).as("n"))
+      assert(nonGroup.inputFiles.forall(_.contains("/src/")),
+        "a non-group filter below the aggregate must never route")
+      assert(nonGroup.collect().map(r =>
+        r.getString(0) -> r.getLong(1)).toMap == Map("b" -> 2L, "c" -> 1L))
+
+      // nondeterministic filter: references no columns (the name check
+      // alone would lift it) but samples ROWS, not GROUPS — never routes
+      val sampled = src.read(spark).get.filter(rand(7) < 0.99)
+        .groupBy("k").agg(count(lit(1)).as("n"))
+      assert(sampled.inputFiles.forall(_.contains("/src/")),
+        "a nondeterministic filter must never route")
+
+      // a DIFFERENT grouping never routes
+      val regrouped = src.read(spark).get.groupBy("k", "v")
+        .agg(count(lit(1)).as("n"))
+      assert(regrouped.inputFiles.forall(_.contains("/src/")),
+        "a different grouping must not route")
+    } finally MatViewRouter.unregister(mv.root)
+  }
+
+  test("manifest version cache: in-process commits invalidate; TTL " +
+    "bounds external staleness (r15 #6)") {
+    import graft.ingest.ManifestVersionCache
+    val t = Files.createTempDirectory("graft_mvc_spec").toString
+    val store = new ManifestStore(s"$t/s")
+    store.append(spark, Seq(("a", 1.0)).toDF("k", "v"))
+    val v1 = ManifestVersionCache.version(spark, store.root)
+    assert(v1 == store.currentVersion(spark))
+    val probesBefore = ManifestVersionCache.listings
+    // cached: a second probe inside the TTL pays no listing
+    assert(ManifestVersionCache.version(spark, store.root) == v1)
+    assert(ManifestVersionCache.listings == probesBefore,
+      "a warm probe paid a directory listing")
+    // an in-process commit invalidates IMMEDIATELY (no TTL wait)
+    store.append(spark, Seq(("b", 2.0)).toDF("k", "v"))
+    assert(ManifestVersionCache.version(spark, store.root) == v1 + 1,
+      "an in-process commit was invisible to the next probe")
+    // TTL: with the window forced to zero, every probe re-lists (the
+    // external-writer bound); restore afterwards
+    val saved = ManifestVersionCache.ttlMs
+    try {
+      ManifestVersionCache.ttlMs = 0L
+      val l0 = ManifestVersionCache.listings
+      ManifestVersionCache.version(spark, store.root)
+      ManifestVersionCache.version(spark, store.root)
+      assert(ManifestVersionCache.listings >= l0 + 2,
+        "ttl=0 probes did not re-list")
+    } finally ManifestVersionCache.ttlMs = saved
   }
 }

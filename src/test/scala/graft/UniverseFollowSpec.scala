@@ -38,7 +38,8 @@ class UniverseFollowSpec extends AnyFunSuite {
     val followed = reg.contracts.sortBy(c => (c.schema, c.name)).flatMap { c =>
       val f = new java.io.File(s"$confDir/${c.schema}/${c.name}.abi")
       val defs = if (f.isFile)
-        AbiSchema.tables(c.name, AbiJson.parseFile(f.getPath)) else Nil
+        AbiSchema.tables(c.name, AbiJson.parseFile(f.getPath),
+          schemaName = c.schema) else Nil
       c.addresses.headOption.filter(_ => defs.nonEmpty)
         .map(a => (c, defs, hexBytes(a)))
     }

@@ -28,6 +28,15 @@ class UniverseIngestSpec extends AnyFunSuite {
     val defs = graft.fixtures.UniverseFixture.defs()
     assume(defs.nonEmpty, "reference config tree not present")
     assert(defs.size >= 400, s"universe shrank: ${defs.size} tables")
+    // schema qualification (round-15 agenda #1): every def carries its
+    // conf-directory namespace and the QUALIFIED names are all distinct
+    // — 412 defs ⇒ 412 tables, where bare names collapse to 388
+    assert(defs.forall(_.schemaName.nonEmpty), "a def lost its namespace")
+    assert(defs.map(_.qualified).distinct.size == defs.size,
+      "qualified names collide")
+    assert(defs.map(_.table).distinct.size < defs.size,
+      "bare names no longer collide — the aave/aave_v2 regression corpus " +
+        "vanished from the config tree")
     val b = graft.fixtures.UniverseFixture.batch(defs)
     val truth = b.truth
     val blockNo = b.lastBlock
@@ -45,24 +54,26 @@ class UniverseIngestSpec extends AnyFunSuite {
       Demux.taggedKnown(raw.filter(col("block_number") > mid), defs),
       mid + 1, blockNo, "block_number", Seq("table_name"))
 
-    // every distinct table of the universe physically landed
+    // every distinct QUALIFIED table of the universe physically landed —
+    // all 412, not the 388 that bare names collapse to
     val snap = store.read(spark).get
     val landed = snap.select("table_name").distinct()
       .collect().map(_.getString(0)).toSet
-    val expected = defs.map(_.table).toSet
+    val expected = defs.map(_.qualified).toSet
     assert(landed == expected,
       s"missing tables: ${(expected -- landed).take(5)}; " +
         s"spurious: ${(landed -- expected).take(5)}")
+    assert(landed.size == defs.size,
+      s"universe landed ${landed.size} tables, expected ${defs.size}")
 
     // per-table row counts follow the dispatch-key collision groups
-    // EXACTLY: table names repeat across ABIs (overloads → same snake
-    // name, different selector) and keys repeat across tables (shared
+    // EXACTLY: keys repeat across tables and across SCHEMAS (shared
     // event shapes), so a table's expectation is the sum over its
-    // (table, key) dispatch rows of that key's total log count
+    // dispatch keys of that key's total log count
     val byKey = defs.groupBy(d => Demux.topic0Key(d).toSeq)
     val logsPerKey = byKey.view.mapValues(2L * _.size).toMap
     val expectedCount: Map[String, Long] =
-      defs.groupBy(_.table).view.mapValues { ds =>
+      defs.groupBy(_.qualified).view.mapValues { ds =>
         ds.groupBy(d => Demux.topic0Key(d).toSeq)
           .map { case (k, dups) => dups.size.toLong * logsPerKey(k) }.sum
       }.toMap
@@ -71,6 +82,22 @@ class UniverseIngestSpec extends AnyFunSuite {
     expectedCount.foreach { case (t, want) =>
       assert(counts(t) == want, s"$t: ${counts(t)} rows, expected $want")
     }
+    // the aave/aave_v2 regression corpus: both schemas define
+    // lending_pool_evt_deposit with DIFFERENT ABI shapes
+    // (address,address,uint256,uint16,uint256 vs
+    // address,address,address,uint256,uint16) — they must land as
+    // SEPARATE tables with their own per-schema counts
+    for (q <- Seq("aave.lending_pool_evt_deposit",
+                  "aave_v2.lending_pool_evt_deposit")) {
+      assert(counts.contains(q), s"$q missing from the demuxed store")
+      assert(counts(q) == expectedCount(q),
+        s"$q: ${counts(q)} rows, expected ${expectedCount(q)}")
+    }
+    val depositDefs = defs.filter(_.table == "lending_pool_evt_deposit")
+    assert(depositDefs.map(_.schemaName).toSet == Set("aave", "aave_v2"))
+    assert(depositDefs.map(_.entry.signature).distinct.size == 2,
+      "the two deposit events no longer differ in shape — regression " +
+        "corpus weakened")
     val total = snap.count()
 
     // resume watermark comes straight from manifest stats — no scan
@@ -96,8 +123,8 @@ class UniverseIngestSpec extends AnyFunSuite {
     // the universe and whose params are all static+non-indexed decode
     // back to the exact generated values through the store's pruned
     // read path
-    val soloTables = defs.groupBy(_.table).filter(_._2.size == 1).keySet
-    val unique = defs.filter(d => soloTables(d.table) &&
+    val soloTables = defs.groupBy(_.qualified).filter(_._2.size == 1).keySet
+    val unique = defs.filter(d => soloTables(d.qualified) &&
       byKey(Demux.topic0Key(d).toSeq).size == 1)
     val simple = unique.filter(_.entry.inputs.forall(p => !p.indexed &&
       (p.abiType == "address" || p.abiType.startsWith("uint") ||
@@ -106,8 +133,8 @@ class UniverseIngestSpec extends AnyFunSuite {
     simple.take(5).foreach { d =>
       val got = Demux.readTable(spark, store, d)
         .orderBy("block_number").collect()
-      assert(got.length == 2, s"${d.table}: decoded ${got.length} rows")
-      got.zip(truth(d.table)).foreach { case (row, vals) =>
+      assert(got.length == 2, s"${d.qualified}: decoded ${got.length} rows")
+      got.zip(truth(d.qualified)).foreach { case (row, vals) =>
         // decoded columns follow the 6 commonCols, in param order; the
         // comparison is numeric-type-tolerant (a uint40 decodes to LONG
         // per the schema while the generator held a BigDecimal)
