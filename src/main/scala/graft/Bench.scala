@@ -702,6 +702,18 @@ object Bench {
         val (mergedSf1, sf1Suspects, sf1RerunFailed, _) =
           arbitrated(s1, Some(s2), sf1Baseline, need => sf1Pass(need))
         val recSf1 = mergedSf1.collect { case (k, Some(v)) => k -> v }
+        // same post-arbitration check as the sf0.1 section (r15 #3): a
+        // record STILL >2x the tier's own trend baseline is either a
+        // real regression or incomplete arbitration — loud either way
+        val sf1TrendRegressed: Seq[String] = recSf1.collect {
+          case (k, v) if sf1Baseline.get(k)
+            .exists(pv => pv > 0.05 && v > 2.0 * pv) => k
+        }.toSeq.sorted
+        if (sf1TrendRegressed.nonEmpty)
+          System.err.println("[bench] SF1 TREND REGRESSION: " +
+            sf1TrendRegressed.map(k =>
+              f"$k=${recSf1(k)}%.2f(base ${sf1Baseline(k)}%.2f)")
+              .mkString(", "))
         // q17_assets_linear's base is its OWN sf0.1 record (it is a
         // first-class gate): same query, 1x vs 10x block span — the
         // clean linear-axis ratio
@@ -726,6 +738,8 @@ object Bench {
             sf1Suspects.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
           s""""rerun_failed":${
             sf1RerunFailed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+          s""""trend_regressed":${
+            sf1TrendRegressed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
           s""""p1_interference":${interferenceJson(s1)},""" +
           s""""p2_interference":${interferenceJson(s2)},""" +
           s""""failed":${failed1.mkString("[", ",", "]")},""" +
@@ -787,10 +801,69 @@ object Bench {
           val written = spark.read.parquet(out).count()
           val nTables = spark.read.parquet(out)
             .select("table_name").distinct().count()
+          // schema-qualified namespace (r15 #1): every def's QUALIFIED
+          // name must land — 412 tables, where bare names merge
+          // same-named tables across schemas (aave vs aave_v2) into 388
+          val expectTables = defs.map(_.qualified).distinct.size
+          require(nTables == expectTables,
+            s"universe demux landed $nTables tables, expected $expectTables")
           val conserved = written == expectRows
           if (!conserved)
             System.err.println(s"[bench] UNIVERSE DEMUX ROW MISMATCH: " +
               s"wrote $written, expected $expectRows")
+          // ---- decode-through tier (r15 stretch #8): the raw+tag+write
+          // rows/s above covers the reference's fetch loop MINUS its
+          // per-log decode (eth-contract.py:121-123). Time the full
+          // decode too: every table of the demuxed store decodes
+          // through its own DecodeEvent/DecodeCalldata expression —
+          // ONE union-of-pruned-scans job (each branch reads only its
+          // table_name partition, so total IO is one store's worth, the
+          // same as 406 per-table inserts), with the per-row decode
+          // forced by the _params null-filter inside Demux.table.
+          val base = spark.read.parquet(out)
+          val t1 = System.nanoTime()
+          val decodedRows = defs.map { d =>
+            Demux.table(
+              base.filter(org.apache.spark.sql.functions.col("table_name")
+                === d.qualified).drop("table_name"), d)
+              .select(org.apache.spark.sql.functions.lit(1L).as("one"))
+          }.reduce(_.union(_)).count()
+          val decodeWall = (System.nanoTime() - t1) / 1e9
+          // exact decode expectation, computed DRIVER-SIDE with the real
+          // decoder on the deterministic base batch: a log lands in
+          // every same-key table, but two ABIs can share a SIGNATURE
+          // (hence topic0) while splitting params indexed/non-indexed
+          // differently — such a landing is undecodable BY DESIGN and
+          // Demux.table drops it (the explicit unknown/undecodable-drop
+          // contract), so conservation counts decodable landings only
+          val baseBatch = graft.fixtures.UniverseFixture.batch(defs)
+          val baseSuccess = defs.iterator.map { g =>
+            val rows = baseBatch.truth(g.qualified)
+            byKey(Demux.topic0Key(g).toSeq).iterator.map { d =>
+              rows.count { vals =>
+                try { // re-encode the row with g, decode with d
+                  if (g.isEvent) {
+                    val (tp, dt) = graft.codec.AbiDecoder
+                      .encodeEvent(g.entry, vals)
+                    graft.codec.AbiDecoder.decodeEvent(d.entry, tp, dt)
+                  } else {
+                    val call = graft.codec.AbiDecoder
+                      .encodeCall(g.entry, vals)
+                    graft.codec.AbiDecoder.decodeCall(d.entry, call.drop(4))
+                  }
+                  true
+                } catch { case _: Throwable => false }
+              }.toLong
+            }.sum
+          }.sum
+          val reps = rawRows / baseBatch.rows.size
+          val expectDecoded = baseSuccess * reps
+          val decodeConserved = decodedRows == expectDecoded
+          if (!decodeConserved)
+            System.err.println(s"[bench] UNIVERSE DECODE ROW MISMATCH: " +
+              s"decoded $decodedRows, expected $expectDecoded " +
+              s"(demuxed $written)")
+          val drps = (decodedRows / math.max(decodeWall, 1e-9)).toLong
           def rm(f: java.io.File): Unit = {
             Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
           }
@@ -799,9 +872,16 @@ object Bench {
           appendTrend("/root/repo/universe_demux_trend.jsonl",
             s"""{"epoch_ms":${System.currentTimeMillis()},"rows":$written,""" +
               s""""tables":$nTables,"wall":${f2(wall)},"rows_per_s":$rps,""" +
-              s""""conserved":$conserved}""")
+              s""""decoded_rows":$decodedRows,""" +
+              s""""decode_wall":${f2(decodeWall)},""" +
+              s""""decoded_rows_per_s":$drps,""" +
+              s""""conserved":${conserved && decodeConserved}}""")
           s""""universe_demux":{"rows":$written,"tables":$nTables,""" +
-            s""""wall":${f2(wall)},"rows_per_s":$rps,"conserved":$conserved},"""
+            s""""wall":${f2(wall)},"rows_per_s":$rps,""" +
+            s""""decoded_rows":$decodedRows,""" +
+            s""""decode_wall":${f2(decodeWall)},""" +
+            s""""decoded_rows_per_s":$drps,""" +
+            s""""conserved":${conserved && decodeConserved}},"""
         }
       } catch {
         case e: Throwable =>
@@ -809,6 +889,55 @@ object Bench {
             s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
           s""""universe_demux":{"error":"${e.getClass.getSimpleName}"},"""
       }
+    // ---- matview optimizer-overhead probe (r15 #6): with MANY views
+    // registered, planning an UNRELATED query must pay zero freshness
+    // listings (the probe is lazy — only a matching candidate pays, and
+    // then through ManifestVersionCache). 200 entries replicate the real
+    // gate registration, so per-entry matching cost is the genuine one.
+    val matviewJson: String = try {
+      import graft.ingest.{ManifestVersionCache, MatView, MatViewRouter}
+      import org.apache.spark.sql.functions.{col, count, lit}
+      MatView.matviewRoutedGate(spark, sfDir).collect() // builds + registers
+      val (_, viewRoot) = MatView.gateRoots(sfDir, "route")
+      val keys = MatViewRouter.replicateForOverheadProbe(viewRoot, 199)
+      try {
+        val views = MatViewRouter.registeredCount
+        def planUnrelated(): Unit = {
+          val df = spark.range(1000)
+            .groupBy((col("id") % 7).as("g")).agg(count(lit(1)).as("n"))
+          df.queryExecution.optimizedPlan // force optimization only
+          ()
+        }
+        planUnrelated() // warm (rule classloading, codegen caches)
+        val l0 = ManifestVersionCache.listings
+        val reps = 20
+        val t0 = System.nanoTime()
+        (1 to reps).foreach(_ => planUnrelated())
+        val planMs = (System.nanoTime() - t0) / 1e6 / reps
+        val listings = ManifestVersionCache.listings - l0
+        require(listings == 0,
+          s"unrelated planning paid $listings freshness listings with " +
+            s"$views views registered")
+        // the ROUTED query itself pays at most one listing per TTL
+        val lr0 = ManifestVersionCache.listings
+        val src = new graft.ingest.ManifestStore(
+          MatView.gateRoots(sfDir, "route")._1)
+        (1 to 3).foreach { _ =>
+          MatViewRouter.definingQuery(spark, src, Seq("event_type"), "value")
+            .queryExecution.optimizedPlan
+        }
+        val routedListings = ManifestVersionCache.listings - lr0
+        s""""matview_overhead":{"views":$views,""" +
+          s""""plan_unrelated_ms":${f2(planMs)},""" +
+          s""""listings_unrelated":$listings,""" +
+          s""""listings_routed_x3":$routedListings},"""
+      } finally keys.foreach(MatViewRouter.unregister)
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] matview overhead probe failed: " +
+          s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+        s""""matview_overhead":{"error":"${e.getClass.getSimpleName}"},"""
+    }
     def qs(f: Double => String) = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -862,6 +991,7 @@ object Bench {
       s""""ceiling":${f2(coldCeiling)},"exceeded":${coldExceeded},""" +
       s""""builds":$buildsJson,"top":$coldTopJson},""" +
       concurrentJson.map(_._1).getOrElse("") + sf1Json + universeJson +
+      matviewJson +
       s"""$env,"metric":"total","value":${f3(total)},"unit":"sec"}"""
     val sfShort = new java.io.File(sfDir).getName
     val failedShown = failed.take(12)

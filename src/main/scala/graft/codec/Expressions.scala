@@ -259,21 +259,34 @@ case class DecodeEvent(entryJson: String, topics: Expression, data: Expression,
         AbiSchema.sparkType(p, wideIntsAsBinary))
     })
 
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(topicsVal: Any, dataVal: Any): Any = {
     val topicArr = topicsVal.asInstanceOf[ArrayData]
     val topicBytes = (0 until topicArr.numElements()).map(topicArr.getBinary)
-    val values = graft.codec.AbiDecoder.decodeEvent(
-      entry, topicBytes, dataVal.asInstanceOf[Array[Byte]], wideIntsAsBinary)
-    InternalRow.fromSeq(values.map(CatalystConv.toCatalyst))
+    // null (→ dropped by the demux's _params filter), never a task
+    // failure, on a log this entry cannot decode: distinct ABIs can
+    // share a SIGNATURE (hence topic0) while splitting the params
+    // indexed/non-indexed differently — such a log legitimately lands
+    // in this entry's collision group but belongs only to the other
+    // table (the r15 decode-through tier caught exactly this at
+    // universe breadth: aave vs aave_v2 Deposit)
+    try {
+      val values = graft.codec.AbiDecoder.decodeEvent(
+        entry, topicBytes, dataVal.asInstanceOf[Array[Byte]], wideIntsAsBinary)
+      InternalRow.fromSeq(values.map(CatalystConv.toCatalyst))
+    } catch { case _: Exception => null }
   }
 
-  /** Generated-code entry point. */
+  /** Generated-code entry point (null = undecodable by THIS entry). */
   def decode(topicsVal: ArrayData, dataVal: Array[Byte]): InternalRow =
     nullSafeEval(topicsVal, dataVal).asInstanceOf[InternalRow]
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("decodeEvent", this, classOf[DecodeEvent].getName)
-    nullSafeCodeGen(ctx, ev, (t, d) => s"${ev.value} = $ref.decode($t, $d);")
+    nullSafeCodeGen(ctx, ev, (t, d) => s"""
+      ${ev.value} = $ref.decode($t, $d);
+      ${ev.isNull} = (${ev.value} == null);""")
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DecodeEvent =

@@ -15,7 +15,9 @@ private[graft] case class PrunableFile(status: FileStatus,
                                        partValues: Seq[String] = Nil,
                                        strStats: Map[String,
                                          (Seq[Byte], Option[Seq[Byte]])] =
-                                         Map.empty)
+                                         Map.empty,
+                                       decStats: Map[String,
+                                         (Long, Long, Int)] = Map.empty)
 
 /** AUTOMATIC manifest-stats pruning for the ordinary read path (round-13
   * verdict, Next #2): a Catalyst [[FileIndex]] over one manifest commit
@@ -91,8 +93,9 @@ private[graft] class ManifestFileIndex(
   : Seq[PartitionDirectory] = {
     val bounds = ManifestFileIndex.boundsOf(dataFilters)
     val strBounds = ManifestFileIndex.strBoundsOf(dataFilters)
+    val decBounds = ManifestFileIndex.decBoundsOf(dataFilters)
     val statKept =
-      if (bounds.isEmpty && strBounds.isEmpty) files
+      if (bounds.isEmpty && strBounds.isEmpty && decBounds.isEmpty) files
       else files.filter { f =>
         bounds.forall { case (c, (lo, hi)) =>
           f.stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
@@ -104,6 +107,15 @@ private[graft] class ManifestFileIndex(
             hi.forall(h => ManifestStore.byteCompare(fmin, h) <= 0) &&
               lo.forall(l => fmaxOpt.forall(fm =>
                 ManifestStore.byteCompare(fm, l) >= 0))
+          }
+        } && decBounds.forall { case (c, (lo, hi)) =>
+          f.decStats.get(c).forall { case (mn, mx, scale) =>
+            // UNSCALED file bounds rescale to VALUES at the recorded
+            // scale; the comparison is exact BigDecimal arithmetic at
+            // both sides' own scales — no rounding, no overflow
+            val fmin = BigDecimal(BigInt(mn), scale)
+            val fmax = BigDecimal(BigInt(mx), scale)
+            hi.forall(fmin <= _) && lo.forall(fmax >= _)
           }
         }
       }
@@ -218,6 +230,96 @@ private[graft] object ManifestFileIndex {
           add(a.name, xs.min, xs.max)
         }
       case _ => () // OR / casts / UDFs: no bound, conservative
+    }
+    filters.foreach(walk)
+    acc.toMap
+  }
+
+  /** DECIMAL-column [lo, hi] value windows (optional per side) from
+    * pushed-down filters (round-15 agenda #4). Accepted shapes: a bare
+    * decimal attribute — or a value-preserving widening Cast of one
+    * (comparisons against a wider literal insert exactly that) —
+    * compared to a decimal literal, both operand orders, plus equality
+    * and IN/InSet envelopes. Strict </> widen to inclusive
+    * (conservative). Bounds are exact BigDecimal values; the pruning
+    * side rescales each file's unscaled stats to values, so predicate
+    * and stats always compare at their own true scales. */
+  private[graft] def decBoundsOf(filters: Seq[Expression])
+  : Map[String, (Option[BigDecimal], Option[BigDecimal])] = {
+    val acc = scala.collection.mutable.Map[String,
+      (Option[BigDecimal], Option[BigDecimal])]()
+    def addLo(name: String, lo: BigDecimal): Unit = {
+      val (clo, chi) = acc.getOrElse(name, (None, None))
+      acc(name) = (Some(clo.map(_.max(lo)).getOrElse(lo)), chi)
+    }
+    def addHi(name: String, hi: BigDecimal): Unit = {
+      val (clo, chi) = acc.getOrElse(name, (None, None))
+      acc(name) = (clo, Some(chi.map(_.min(hi)).getOrElse(hi)))
+    }
+    // the decimal column, possibly under a lossless widening cast
+    // (precision'−scale' ≥ precision−scale and scale' ≥ scale: every
+    // value representable before is representable after, so a bound on
+    // the cast IS a bound on the column)
+    def decAttr(e: Expression): Option[AttributeReference] = e match {
+      case a: AttributeReference if a.dataType.isInstanceOf[DecimalType] =>
+        Some(a)
+      case c: Cast => (c.child, c.child.dataType, c.dataType) match {
+        case (a: AttributeReference, f: DecimalType, t: DecimalType)
+          if t.scale >= f.scale &&
+            t.precision - t.scale >= f.precision - f.scale => Some(a)
+        case _ => None
+      }
+      case _ => None
+    }
+    def lit(e: Expression): Option[BigDecimal] = e match {
+      case Literal(d: org.apache.spark.sql.types.Decimal, _: DecimalType)
+        if d != null => Some(d.toBigDecimal)
+      case _ => None
+    }
+    def walk(e: Expression): Unit = e match {
+      case And(l, r) => walk(l); walk(r)
+      case EqualTo(a, v) if decAttr(a).isDefined =>
+        lit(v).foreach { x =>
+          addLo(decAttr(a).get.name, x); addHi(decAttr(a).get.name, x)
+        }
+      case EqualTo(v, a) if decAttr(a).isDefined =>
+        lit(v).foreach { x =>
+          addLo(decAttr(a).get.name, x); addHi(decAttr(a).get.name, x)
+        }
+      case GreaterThanOrEqual(a, v) if decAttr(a).isDefined =>
+        lit(v).foreach(addLo(decAttr(a).get.name, _))
+      case GreaterThan(a, v) if decAttr(a).isDefined =>
+        lit(v).foreach(addLo(decAttr(a).get.name, _)) // inclusive: safe
+      case LessThanOrEqual(a, v) if decAttr(a).isDefined =>
+        lit(v).foreach(addHi(decAttr(a).get.name, _))
+      case LessThan(a, v) if decAttr(a).isDefined =>
+        lit(v).foreach(addHi(decAttr(a).get.name, _))
+      case GreaterThanOrEqual(v, a) if decAttr(a).isDefined =>
+        lit(v).foreach(addHi(decAttr(a).get.name, _))
+      case GreaterThan(v, a) if decAttr(a).isDefined =>
+        lit(v).foreach(addHi(decAttr(a).get.name, _))
+      case LessThanOrEqual(v, a) if decAttr(a).isDefined =>
+        lit(v).foreach(addLo(decAttr(a).get.name, _))
+      case LessThan(v, a) if decAttr(a).isDefined =>
+        lit(v).foreach(addLo(decAttr(a).get.name, _))
+      case In(a, list) if decAttr(a).isDefined && list.nonEmpty =>
+        val vs = list.map(lit)
+        if (vs.forall(_.isDefined)) {
+          val xs = vs.flatten
+          addLo(decAttr(a).get.name, xs.min)
+          addHi(decAttr(a).get.name, xs.max)
+        }
+      case InSet(a, hset) if decAttr(a).isDefined && hset.nonEmpty =>
+        val vs = hset.toSeq.map {
+          case d: org.apache.spark.sql.types.Decimal => Some(d.toBigDecimal)
+          case _ => None
+        }
+        if (vs.forall(_.isDefined)) {
+          val xs = vs.flatten
+          addLo(decAttr(a).get.name, xs.min)
+          addHi(decAttr(a).get.name, xs.max)
+        }
+      case _ => () // OR / non-decimal / expressions: conservative
     }
     filters.foreach(walk)
     acc.toMap

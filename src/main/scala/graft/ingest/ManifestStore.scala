@@ -164,14 +164,16 @@ final class ManifestStore(val root: String) extends Serializable {
   case class FileEntry(rel: String, min: Option[Long], max: Option[Long],
                        colStats: Map[String, (Long, Long)] = Map.empty,
                        strStats: Map[String, (Seq[Byte], Option[Seq[Byte]])] =
-                         Map.empty) {
+                         Map.empty,
+                       decStats: Map[String, (Long, Long, Int)] = Map.empty) {
     def overlaps(from: Long, to: Long): Boolean = (min, max) match {
       case (Some(lo), Some(hi)) => hi >= from && lo <= to
       case _ => true
     }
     def serialized: String = {
       val range = min.map(m => s"\t$m\t${max.getOrElse(m)}").getOrElse("")
-      if (colStats.isEmpty && strStats.isEmpty) rel + range
+      if (colStats.isEmpty && strStats.isEmpty && decStats.isEmpty)
+        rel + range
       else {
         val body = colStats.toSeq.sortBy(_._1)
           .map { case (c, (lo, hi)) => s"$c=$lo:$hi" }.mkString(";")
@@ -182,12 +184,21 @@ final class ManifestStore(val root: String) extends Serializable {
         val sbody = strStats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
           s"$c=${FileEntry.hex(lo)}:${hi.map(FileEntry.hex).getOrElse("*")}"
         }.mkString(";")
+        // decimal stats are the SIXTH tab field: UNSCALED parquet
+        // min/max plus the logical type's SCALE (`col=lo:hi@scale`) —
+        // recording the scale is what makes the round-14 self-review's
+        // 12.34-as-1234 class structurally impossible: pruning compares
+        // predicate decimals and file bounds at the SAME scale
+        val dbody = decStats.toSeq.sortBy(_._1)
+          .map { case (c, (lo, hi, s)) => s"$c=$lo:$hi@$s" }.mkString(";")
         // the colStats field is always the FOURTH tab field: statless
         // range slots are kept as empty strings so the parser's arity
-        // stays unambiguous; same for an empty fourth field before a
-        // fifth
+        // stays unambiguous; same for empty middle fields before a
+        // later one
         rel + (if (range.isEmpty) "\t\t" else range) + "\t" + body +
-          (if (strStats.isEmpty) "" else "\t" + sbody)
+          (if (strStats.isEmpty && decStats.isEmpty) ""
+           else "\t" + sbody) +
+          (if (decStats.isEmpty) "" else "\t" + dbody)
       }
     }
   }
@@ -223,6 +234,18 @@ final class ManifestStore(val root: String) extends Serializable {
           } yield e.substring(0, eq) -> (lo, hi)
         }
       }.toMap
+    private def parseDecStats(s: String): Map[String, (Long, Long, Int)] =
+      s.split(';').iterator.filter(_.nonEmpty).flatMap { e =>
+        val eq = e.indexOf('=')
+        val co = e.indexOf(':', eq + 1)
+        val at = e.indexOf('@', co + 1)
+        if (eq < 0 || co < 0 || at < 0) None
+        else for {
+          lo <- e.substring(eq + 1, co).toLongOption
+          hi <- e.substring(co + 1, at).toLongOption
+          sc <- e.substring(at + 1).toIntOption
+        } yield e.substring(0, eq) -> (lo, hi, sc)
+      }.toMap
     def parse(line: String): FileEntry = line.split('\t') match {
       case Array(rel, lo, hi) => FileEntry(rel, lo.toLongOption, hi.toLongOption)
       case Array(rel, lo, hi, cs) =>
@@ -230,6 +253,9 @@ final class ManifestStore(val root: String) extends Serializable {
       case Array(rel, lo, hi, cs, ss) =>
         FileEntry(rel, lo.toLongOption, hi.toLongOption, parseColStats(cs),
           parseStrStats(ss))
+      case Array(rel, lo, hi, cs, ss, ds) =>
+        FileEntry(rel, lo.toLongOption, hi.toLongOption, parseColStats(cs),
+          parseStrStats(ss), parseDecStats(ds))
       case other => FileEntry(other.head, None, None)
     }
   }
@@ -506,6 +532,10 @@ final class ManifestStore(val root: String) extends Serializable {
         // in-process commits are visible to the very next freshness
         // probe (matview routing) — external writers ride the TTL
         ManifestVersionCache.invalidate(root)
+        // bound matviews refresh delta-only + re-register, so streaming
+        // micro-batches keep routed answers current; a hook failure
+        // logs and leaves queries unrouted, never fails THIS commit
+        MatViewAutoRefresh.onCommit(spark, root)
         return v
       }
       attempts += 1
@@ -891,7 +921,7 @@ final class ManifestStore(val root: String) extends Serializable {
     val rcFromFooter = rangeCol.filterNot(partitionCols.contains)
     val footerCols = (rcFromFooter.toSeq ++ safeStats).distinct
     rels.toSeq.flatMap { rel =>
-      val (rows, stats, strs) =
+      val (rows, stats, strs, decs) =
         footerMultiStats(new Path(root, rel), footerCols, conf)
       if (rows == 0L) None
       else {
@@ -905,7 +935,8 @@ final class ManifestStore(val root: String) extends Serializable {
         }
         Some(FileEntry(rel, range.map(_._1), range.map(_._2),
           stats.view.filterKeys(safeStats.contains).toMap,
-          strs.view.filterKeys(safeStats.contains).toMap))
+          strs.view.filterKeys(safeStats.contains).toMap,
+          decs.view.filterKeys(safeStats.contains).toMap))
       }
     }
   }
@@ -928,7 +959,8 @@ final class ManifestStore(val root: String) extends Serializable {
   private def footerMultiStats(p: Path, cols: Seq[String],
                                conf: org.apache.hadoop.conf.Configuration)
   : (Long, Map[String, (Long, Long)],
-     Map[String, (Seq[Byte], Option[Seq[Byte]])]) = {
+     Map[String, (Seq[Byte], Option[Seq[Byte]])],
+     Map[String, (Long, Long, Int)]) = {
     import scala.jdk.CollectionConverters._
     import org.apache.parquet.schema.LogicalTypeAnnotation
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -1002,7 +1034,49 @@ final class ManifestStore(val root: String) extends Serializable {
             ManifestStore.truncUpper(hi)))
         else None
       }.toMap
-      (rows, intOut, strOut)
+      // DECIMAL columns backed by INT32/INT64 (precision ≤ 18 in Spark's
+      // writer): statistics are UNSCALED integers — recorded here
+      // together with the logical type's SCALE, so pruning can compare
+      // predicate decimals and file bounds at the same scale (round-15
+      // agenda #4; the round-14 self-review had BLOCKED these columns
+      // from colStats because scaleless unscaled bounds silently missed
+      // rows — a [10, 20] probe pruned the file holding 12.34-as-1234).
+      // Scale mismatch across row groups is impossible (one schema per
+      // file); BINARY/FIXED-backed decimals (precision > 18) degrade to
+      // statless, conservative as ever.
+      def decimalAnn(c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData)
+      : Option[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation] =
+        c.getPrimitiveType.getLogicalTypeAnnotation match {
+          case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => Some(d)
+          case _ => None
+        }
+      val decOut = cols.flatMap { name =>
+        var lo = Long.MaxValue
+        var hi = Long.MinValue
+        var scale = -1
+        var ok = rows > 0
+        blocks.foreach { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == name) match {
+            case Some(c) if decimalAnn(c).isDefined =>
+              val sc = decimalAnn(c).get.getScale
+              if (scale >= 0 && scale != sc) ok = false else scale = sc
+              c.getStatistics match {
+                case s: org.apache.parquet.column.statistics.LongStatistics
+                  if !s.isEmpty && s.hasNonNullValue =>
+                  lo = math.min(lo, s.genericGetMin)
+                  hi = math.max(hi, s.genericGetMax)
+                case s: org.apache.parquet.column.statistics.IntStatistics
+                  if !s.isEmpty && s.hasNonNullValue =>
+                  lo = math.min(lo, s.genericGetMin.toLong)
+                  hi = math.max(hi, s.genericGetMax.toLong)
+                case _ => ok = false
+              }
+            case _ => ok = false
+          }
+        }
+        if (ok && scale >= 0) Some(name -> (lo, hi, scale)) else None
+      }.toMap
+      (rows, intOut, strOut, decOut)
     } finally reader.close()
   }
 
@@ -1044,7 +1118,8 @@ final class ManifestStore(val root: String) extends Serializable {
       val segLists = entries.map(_.rel.split('/').toSeq)
       val flat = segLists.forall(_.length == 3)
       val hasStats = entries.exists(e =>
-        e.colStats.nonEmpty || e.strStats.nonEmpty || e.min.isDefined)
+        e.colStats.nonEmpty || e.strStats.nonEmpty || e.decStats.nonEmpty ||
+          e.min.isDefined)
       val SafeVal = "[A-Za-z_][A-Za-z0-9_.\\-]*".r
       // the hive NULL-partition sentinel must read as null, which only
       // the basePath path does — never treat it as a literal string
@@ -1096,7 +1171,8 @@ final class ManifestStore(val root: String) extends Serializable {
             val stats = e.colStats ++
               rangeCol.flatMap(rc => e.min.zip(e.max).map(rc -> _)).toMap
             PrunableFile(statusByPath.getOrElse(p.toUri.getPath,
-              f.getFileStatus(p)), stats, pp.map(_._2), e.strStats)
+              f.getFileStatus(p)), stats, pp.map(_._2), e.strStats,
+              e.decStats)
           }
           org.apache.spark.sql.graftshim.Shim.parquetFrame(spark,
             new ManifestFileIndex(new Path(root, commitDir), pruned,

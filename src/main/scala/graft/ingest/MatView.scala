@@ -252,6 +252,54 @@ object MatView {
         col("vsum").cast("double").as("value_sum"))
       .orderBy("event_type")
 
+  /** Gate (round-15): ROLLUP routing — the view groups by
+    * (event_type, bucket); the user groups by event_type ALONE. The
+    * router re-aggregates the view's summable partials
+    * (n → sum(n), vsum → sum(vsum)): count and exact-decimal-sum
+    * partials add exactly, so any rollup of the view's grouping
+    * answers from the view — the single most common warehouse shape
+    * (a daily summary serving monthly/yearly rollups). Proven
+    * structurally (inputFiles are the view's) and by value (the oracle
+    * aggregates the raw fixture by event_type directly). */
+  def matviewRollupGate(s: SparkSession, dir: String): DataFrame = {
+    val (srcRoot, viewRoot) = gateRoots(dir, "rollup")
+    builtRoots.synchronized {
+      if (!builtRoots.contains(srcRoot)) {
+        for (r <- Seq(srcRoot, viewRoot)) {
+          val p = new Path(r)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+        val src = new ManifestStore(srcRoot)
+        val mv = new MatView(viewRoot, Seq("event_type", "bucket"), "value")
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value"),
+            pmod(col("user_id"), lit(10)).as("bucket"))
+        src.append(s, ev.filter(col("event_id") % 2 === 0),
+          rangeCol = Some("event_id"))
+        mv.refresh(s, src)
+        src.append(s, ev.filter(col("event_id") % 2 === 1),
+          rangeCol = Some("event_id"))
+        mv.refresh(s, src)
+        builtRoots.add(srcRoot)
+      }
+    }
+    val src = new ManifestStore(srcRoot)
+    MatViewRouter.register(s, viewRoot, src, Seq("event_type", "bucket"),
+      "value")
+    val rolled = MatViewRouter
+      .definingQuery(s, src, Seq("event_type"), "value")
+    val inputs = rolled.inputFiles
+    require(inputs.nonEmpty &&
+      inputs.forall(_.contains("graft_mv_view_rollup_")),
+      s"rollup routing did not rewrite to the view store: " +
+        inputs.take(3).mkString(","))
+    rolled
+      .select(col("event_type"), col("n"),
+        col("vsum").cast("double").as("value_sum"))
+      .orderBy("event_type")
+  }
+
   /** Gate (round-15 #2): SUBSUMPTION — a Filter on a GROUP column and a
     * Project of a SUBSET of the defining outputs, layered ABOVE the
     * defining aggregate. Catalyst pushes the filter below the Aggregate
@@ -556,6 +604,7 @@ object MatView {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "store_matview_flows" -> (matviewGate _),
     "store_matview_routed" -> (matviewRoutedGate _),
+    "store_matview_rollup" -> (matviewRollupGate _),
     "store_matview_subsumed" -> (matviewSubsumedGate _),
     "store_matview_routed_distinct" -> (matviewRoutedDistinctGate _),
     "store_matview_routed_topk" -> (matviewRoutedTopkGate _),
@@ -609,6 +658,14 @@ object MatView {
           THEN value END) AS p95_exact,
         1 AS p50_ok, 1 AS p95_ok, 1 AS domain_ok
       FROM r GROUP BY event_type ORDER BY event_type""",
+    // rollup: the event_type-only aggregate must equal the direct
+    // aggregate over the raw fixture even though the plan reads the
+    // (event_type, bucket) view and re-sums its partials
+    "store_matview_rollup" -> """
+      SELECT event_type, COUNT(*) AS n,
+        CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+          AS DOUBLE) AS value_sum
+      FROM events GROUP BY event_type ORDER BY event_type""",
     // subsumption: the group-column filter over the view ≡ the same
     // WHERE over the raw fixture; only `n` survives the projection
     "store_matview_subsumed" -> """

@@ -76,9 +76,22 @@ object MatViewRouter {
     * Project, leaving the Aggregate with the uncast sum — the stripped
     * variant rebuilds as Cast(view.col, innerType), value-exact because
     * the view stores exactly the widened value (a widening round-trip
-    * loses nothing, and an inner-sum overflow stored null either way). */
+    * loses nothing, and an inner-sum overflow stored null either way).
+    *
+    * `rollup`, when present, produces the RE-AGGREGATING form for a
+    * group-subset query (`groupBy` on fewer columns than the view):
+    * count partials SUM exactly and decimal-sum partials SUM exactly,
+    * so n → sum(view.n) and vsum → sum(view.vsum) answer any rollup of
+    * the view's grouping from the view alone. The sketch columns carry
+    * NO rollup form on purpose: their merges are estimate-preserving
+    * but not proven BYTE-identical to the direct aggregate (HLL mode
+    * transitions), and a routed answer must hash-match the unrouted
+    * one — a rollup query touching a sketch column stays on the source
+    * scan. */
   private[ingest] case class Tmpl(viewCol: String, canon: Expression,
-                                  rebuild: Attribute => Expression)
+                                  rebuild: Attribute => Expression,
+                                  rollup: Option[Attribute => Expression] =
+                                    None)
 
   private[ingest] case class Entry(
       groupNames: Set[String],                 // lowercased group columns
@@ -151,14 +164,22 @@ object MatViewRouter {
       case other => throw new IllegalStateException(
         s"non-attribute group expression in defining aggregate: $other")
     }.toSet
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Sum
+    // summable partials re-aggregate exactly; sketches don't (see Tmpl)
+    def sumOf(a: Attribute): Expression = Sum(a).toAggregateExpression()
+    val rollupOf: Map[String, Attribute => Expression] = Map(
+      "n" -> sumOf _, "vsum" -> sumOf _)
     val templates = ae0.collect {
       case Alias(childE, name) if aggNames.contains(name) =>
-        val exact = Tmpl(name, align(childE, srcAttrs), a => a)
+        val exact = Tmpl(name, align(childE, srcAttrs), a => a,
+          rollupOf.get(name))
         val stripped = childE match {
-          case org.apache.spark.sql.catalyst.expressions.Cast(inner, _, _, _) =>
+          case Cast(inner, _, _, _) =>
             Seq(Tmpl(name, align(inner, srcAttrs),
-              a => org.apache.spark.sql.catalyst.expressions
-                .Cast(a, inner.dataType)))
+              a => Cast(a, inner.dataType),
+              rollupOf.get(name).map(r =>
+                (a: Attribute) => Cast(r(a), inner.dataType))))
           case _ => Nil
         }
         exact +: stripped
@@ -274,13 +295,21 @@ object MatViewRouter {
       case Some(ps) => ps
       case None => return None
     }
-    // grouping must be exactly the registered group attributes
+    // grouping: exactly the registered group attributes (projection
+    // route), or a NONEMPTY strict subset (rollup route — the outputs
+    // re-aggregate summable partials over the view). An EMPTY grouping
+    // never routes: a global aggregate over an empty source returns one
+    // (0, null) row while sum() over an empty view returns nulls — the
+    // one rollup whose answers can differ.
     val geNames = agg.groupingExpressions.map {
       case a: AttributeReference => a.name.toLowerCase
       case _ => return None
     }
-    if (geNames.toSet != e.groupNames || geNames.distinct != geNames)
-      return None
+    if (geNames.distinct != geNames) return None
+    val isExact = geNames.toSet == e.groupNames
+    val isRollup = !isExact && geNames.nonEmpty &&
+      geNames.toSet.subsetOf(e.groupNames)
+    if (!isExact && !isRollup) return None
     // every leaf path must carry the SAME conjunct set (a pushed filter
     // lands once per Union branch); conjuncts may reference only group
     // columns — anything else pre-filters rows the view already folded
@@ -305,6 +334,11 @@ object MatViewRouter {
     val srcGroupIds = e.groupNames.map(n => e.srcAttrByName(n).exprId)
     def isSrcAttr(a: AttributeReference): Boolean =
       e.srcAttrByName.get(a.name.toLowerCase).exists(_.exprId == a.exprId)
+    // aggregates WE introduce (rollup rebuilds) are tracked by identity:
+    // any OTHER aggregate surviving the rewrite is an unmatched user
+    // aggregate and kills the route
+    val introduced = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[Expression, java.lang.Boolean]())
     val outCols: Seq[(NamedExpression, Expression)] =
       agg.aggregateExpressions.map { ne =>
         val (out, childE): (NamedExpression, Expression) = ne match {
@@ -318,7 +352,18 @@ object MatViewRouter {
               .exists(_.canon.canonicalized == sub.canonicalized) =>
             val t = e.templates
               .find(_.canon.canonicalized == sub.canonicalized).get
-            t.rebuild(e.viewAttrByName(t.viewCol))
+            val va = e.viewAttrByName(t.viewCol)
+            if (isExact) t.rebuild(va)
+            else t.rollup match {
+              case Some(r) =>
+                val re = r(va)
+                re.foreach {
+                  case ae: AggregateExpression => introduced.add(ae); ()
+                  case _ =>
+                }
+                re
+              case None => return None // sketch rollups never route
+            }
         }
         // remaining source references may only be GROUP columns — remap
         // them onto the view's; anything else (the value column outside
@@ -327,7 +372,10 @@ object MatViewRouter {
           case a: AttributeReference if srcGroupIds.contains(a.exprId) =>
             e.viewAttrByName(a.name.toLowerCase)
         }
-        if (finalE.exists(_.isInstanceOf[AggregateExpression])) return None
+        if (finalE.exists {
+          case ae: AggregateExpression => !introduced.contains(ae)
+          case _ => false
+        }) return None
         if (!finalE.deterministic) return None
         if (finalE.exists {
           case a: AttributeReference => isSrcAttr(a)
@@ -341,14 +389,19 @@ object MatViewRouter {
     // assume impossible
     if (outCols.exists { case (out, repl) => repl.dataType != out.dataType })
       return None
-    // rebuild: Filter(conds over view attrs) under the aliasing Project
-    // that keeps the ORIGINAL output attribute ids so parents resolve
+    // rebuild: Filter(conds over view attrs) under an aliasing Project
+    // (exact/projection route) or a re-aggregating Aggregate on the
+    // subset grouping (rollup route) — either way the ORIGINAL output
+    // attribute ids are kept so parents resolve
     val remapped = condsAligned.map(c => align(c, e.viewAttrByName))
     val filtered = remapped.reduceOption(And)
       .map(Filter(_, e.viewPlan)).getOrElse(e.viewPlan)
-    Some(Project(outCols.map { case (out, repl) =>
+    val aliases = outCols.map { case (out, repl) =>
       Alias(repl, out.name)(exprId = out.exprId, qualifier = out.qualifier)
-    }, filtered))
+    }
+    Some(
+      if (isExact) Project(aliases, filtered)
+      else Aggregate(geNames.map(e.viewAttrByName), aliases, filtered))
   } catch { case _: NoSuchElementException => None }
 
   final class RouteRule extends Rule[LogicalPlan] {

@@ -192,11 +192,78 @@ object Skipping {
       .orderBy("bucket")
   }
 
+  /** Deterministic decimal probe window: the middle 45–55% of the
+    * value domain, derived on UNSCALED scale-6 longs with integer
+    * arithmetic mirrored exactly in the oracle SQL. */
+  private[graft] def decProbeBounds(s: SparkSession, dir: String)
+  : (java.math.BigDecimal, java.math.BigDecimal) = {
+    val r = Tables.load(s, dir, "events")
+      .select(col("value").cast("decimal(18,6)").as("dval"))
+      .agg(min("dval"), max("dval")).head()
+    val mn6 = r.getDecimal(0).movePointRight(6).longValueExact
+    val mx6 = r.getDecimal(1).movePointRight(6).longValueExact
+    val lo6 = mn6 + (mx6 - mn6) * 45 / 100
+    val hi6 = mn6 + (mx6 - mn6) * 55 / 100
+    (java.math.BigDecimal.valueOf(lo6, 6), java.math.BigDecimal.valueOf(hi6, 6))
+  }
+
+  /** Build (once per session): 4 value-range appends of a DECIMAL(18,6)
+    * column (INT64-backed in parquet, so its footer statistics are
+    * UNSCALED integers), each file carrying a tight decimal window in
+    * the manifest's scale-aware decStats; the builder proves a decimal
+    * BETWEEN probe opens a strict subset of the files. */
+  private[graft] def builtDecStore(s: SparkSession, dir: String): ManifestStore =
+    Evolution.buildOnce(s, gateRoot(dir) + "_dec", "dec_skipping_gate_store") {
+      store =>
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value").cast("decimal(18,6)").as("dval"))
+        val r = ev.agg(min("dval"), max("dval")).head()
+        val mn6 = r.getDecimal(0).movePointRight(6).longValueExact
+        val mx6 = r.getDecimal(1).movePointRight(6).longValueExact
+        val step = math.max(1L, (mx6 - mn6) / 4 + 1)
+        (0 until 4).foreach { i =>
+          val lo = java.math.BigDecimal.valueOf(mn6 + i * step, 6)
+          val hi = java.math.BigDecimal.valueOf(mn6 + (i + 1) * step, 6)
+          store.append(s,
+            ev.filter(col("dval") >= lit(lo) && col("dval") < lit(hi)),
+            rangeCol = Some("event_id"), statsCols = Seq("dval"))
+        }
+        val total = store.currentFiles(s).size
+        val (plo, phi) = decProbeBounds(s, dir)
+        val probe = store.read(s).get
+          .filter(col("dval").between(lit(plo), lit(phi)))
+        val read = graft.Plans.filesRead(probe)
+        require(read >= 1 && read < total,
+          s"decimal BETWEEN probe read $read of $total files - " +
+            "scale-aware decimal stats did not prune")
+    }
+
+  /** Gate (round-15 agenda #4): DECIMAL data skipping through the plain
+    * read path — per-file UNSCALED min/max + scale in the manifest
+    * (sixth field), pruned against pushed-down decimal predicates with
+    * exact BigDecimal comparison at each side's own scale. The round-14
+    * self-review had BLOCKED decimal columns from colStats entirely
+    * (scaleless unscaled bounds silently missed rows); this finishes
+    * the job instead. Hash-equality with the full-scan oracle proves
+    * pruning never changes answers. */
+  def storeSkippingDecimal(s: SparkSession, dir: String): DataFrame = {
+    val store = builtDecStore(s, dir)
+    val (plo, phi) = decProbeBounds(s, dir)
+    store.read(s).get
+      .filter(col("dval").between(lit(plo), lit(phi)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("dval")).cast("double").as("val_sum"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "store_zorder_skipping" -> (storeZorderSkipping _),
     "store_sql_box" -> (storeSqlBox _),
     "store_skipping_auto" -> (storeSkippingAuto _),
-    "store_skipping_strings" -> (storeSkippingStrings _))
+    "store_skipping_strings" -> (storeSkippingStrings _),
+    "store_skipping_decimal" -> (storeSkippingDecimal _))
 
   val oracle: Map[String, String] = Map(
     "store_zorder_skipping" -> """
@@ -231,6 +298,24 @@ object Skipping {
       FROM events, b
       WHERE event_id BETWEEN b.elo AND b.ehi
         AND user_id BETWEEN b.ulo AND b.uhi
+      GROUP BY event_type ORDER BY event_type""",
+    // bounds derived on UNSCALED scale-6 longs, mirroring decProbeBounds
+    // exactly (value AS DECIMAL(18,6) is integral at 10^6, so the BIGINT
+    // casts are exact)
+    "store_skipping_decimal" -> """
+      WITH d AS (
+        SELECT CAST(min(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS mn6,
+               CAST(max(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS mx6
+        FROM events),
+      b AS (
+        SELECT mn6 + (mx6 - mn6) * 45 // 100 AS lo6,
+               mn6 + (mx6 - mn6) * 55 // 100 AS hi6
+        FROM d)
+      SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS val_sum
+      FROM events, b
+      WHERE CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+        BETWEEN b.lo6 AND b.hi6
       GROUP BY event_type ORDER BY event_type""",
     "store_sql_box" -> """
       WITH b AS (

@@ -26,6 +26,44 @@ class DemuxSpec extends AnyFunSuite {
       plan.contains("table_name"), s"no partition pruning in:\n$plan")
   }
 
+  test("same-topic0, different indexed layout: decode DROPS the foreign " +
+    "log, never fails the task (r15)") {
+    import scala.jdk.CollectionConverters._
+    // the real-universe hazard: two ABIs share an event SIGNATURE
+    // (hence topic0 — the dispatch key) but split the params
+    // indexed/non-indexed differently, so a log that legitimately
+    // lands in BOTH collision-group tables is physically undecodable
+    // by one of them (wrong topics count / data layout)
+    val defs = graft.fixtures.UniverseFixture.defs()
+    assume(defs.nonEmpty, "reference config tree not present")
+    val clash = defs.filter(_.isEvent)
+      .groupBy(d => Demux.topic0Key(d).toSeq).values
+      .find(g => g.map(_.entry.inputs.map(_.indexed)).distinct.size > 1)
+    assume(clash.isDefined,
+      "universe lost its indexed-layout collision corpus")
+    val group = clash.get.sortBy(_.qualified)
+    // one batch holding rows for EVERY def of the group; decode each
+    // def over the full raw set: own rows decode, foreign-layout rows
+    // DROP on the _params null-filter — pre-fix this THREW in the task
+    val batch = graft.fixtures.UniverseFixture.batch(group)
+    val raw = spark.createDataFrame(batch.rows.asJava, Demux.rawLogSchema)
+    for (d <- group) {
+      val decoded = Demux.table(raw, d)
+      val n = decoded.count() // would THROW pre-fix (task failure)
+      val own = batch.truth(d.qualified).size
+      assert(n >= own,
+        s"${d.qualified}: decoded $n rows, own rows $own went missing")
+      assert(n <= batch.rows.size,
+        s"${d.qualified}: decoded more rows than the batch holds")
+    }
+    // at least one def of the group must actually DROP something —
+    // otherwise this test stopped exercising the mismatch path
+    val counts = group.map(d => Demux.table(raw, d).count())
+    assert(counts.exists(_ < batch.rows.size),
+      s"every def decoded every row ($counts of ${batch.rows.size}) — " +
+        "no layout mismatch exercised")
+  }
+
   test("dispatch scales to the full 412-table universe (broadcast join)") {
     val confDir = new java.io.File("/root/reference/conf")
     val allDefs = confDir.listFiles.filter(_.isDirectory).flatMap(_.listFiles)

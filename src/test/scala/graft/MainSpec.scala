@@ -12,12 +12,14 @@ class MainSpec extends AnyFunSuite {
     val store = java.nio.file.Files.createTempDirectory("graft_cli").toString + "/store"
     Main.main(Array("ingest", "makermcd.vat", "/root/reference", store))
     val written = spark.read.parquet(store)
-    // the fixture corpus carries 800 frob + 150 grab + 400 fold vat calls
+    // the fixture corpus carries 800 frob + 150 grab + 400 fold vat
+    // calls; tags are SCHEMA-QUALIFIED since r15 (the conf-tree
+    // namespace is part of the table identity)
     val counts = written.groupBy("table_name").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(counts("vat_call_frob") == 800)
-    assert(counts("vat_call_grab") == 150)
-    assert(counts("vat_call_fold") == 400)
+    assert(counts("makermcd.vat_call_frob") == 800)
+    assert(counts("makermcd.vat_call_grab") == 150)
+    assert(counts("makermcd.vat_call_fold") == 400)
   }
 
   test("blocks writes the requested range") {

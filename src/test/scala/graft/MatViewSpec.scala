@@ -361,12 +361,129 @@ class MatViewSpec extends AnyFunSuite {
       assert(sampled.inputFiles.forall(_.contains("/src/")),
         "a nondeterministic filter must never route")
 
-      // a DIFFERENT grouping never routes
+      // a DIFFERENT grouping never routes (v is not a group column)
       val regrouped = src.read(spark).get.groupBy("k", "v")
         .agg(count(lit(1)).as("n"))
       assert(regrouped.inputFiles.forall(_.contains("/src/")),
         "a different grouping must not route")
     } finally MatViewRouter.unregister(mv.root)
+  }
+
+  test("router rollup (r15): group-subset queries re-aggregate the " +
+    "view; sketches and global aggregates never roll up") {
+    import graft.ingest.MatViewRouter
+    val t = Files.createTempDirectory("graft_mv_rollup").toString
+    val src = new ManifestStore(s"$t/src")
+    val mv = new MatView(s"$t/view", Seq("k", "k2"), "v")
+    src.append(spark, Seq(("a", "x", 1.0), ("a", "y", 2.0),
+      ("b", "x", 4.0), ("b", "x", 8.0)).toDF("k", "k2", "v"))
+    mv.refresh(spark, src)
+    try {
+      assert(MatViewRouter.register(spark, mv.root, src, Seq("k", "k2"), "v"))
+      // rollup to k: n → sum(view.n), vsum → sum(view.vsum), exact
+      val rolled = MatViewRouter.definingQuery(spark, src, Seq("k"), "v")
+      assert(rolled.inputFiles.nonEmpty &&
+        rolled.inputFiles.forall(_.contains("/view/")),
+        s"rollup did not route: ${rolled.inputFiles.take(2).mkString(",")}")
+      assert(rolled.collect().map(r =>
+        (r.getString(0), r.getLong(1), BigDecimal(r.getDecimal(2)))).toSet ==
+        Set(("a", 2L, BigDecimal("3.0")), ("b", 2L, BigDecimal("12.0"))))
+      // rollup composes with a group filter and computed outputs
+      val combo = MatViewRouter.definingQuery(spark, src, Seq("k"), "v")
+        .filter(col("k") === "b")
+        .select(col("k"), (col("n") * 2).as("n2"),
+          col("vsum").cast("double").as("vs"))
+      assert(combo.inputFiles.forall(_.contains("/view/")),
+        "filtered+computed rollup did not route")
+      val row = combo.head()
+      assert(row.getLong(1) == 4L && row.getDouble(2) == 12.0)
+      // GLOBAL rollup (empty grouping) never routes: over an empty
+      // source the answers would differ (count 0 vs sum-of-nothing null)
+      val global = src.read(spark).get
+        .agg(count(lit(1)).as("n"))
+      assert(global.inputFiles.forall(_.contains("/src/")),
+        "a global aggregate must not route")
+    } finally MatViewRouter.unregister(mv.root)
+
+    // sketch-family rollup: the distinct sketch has no byte-proven
+    // merge-equals-direct guarantee — the rollup must stay on the source
+    val t2 = Files.createTempDirectory("graft_mv_rollup_sk").toString
+    val src2 = new ManifestStore(s"$t2/src")
+    val mv2 = new MatView(s"$t2/view", Seq("k", "k2"), "v",
+      distinctCol = Some("u"))
+    src2.append(spark, Seq(("a", "x", 1.0, 7L), ("a", "y", 2.0, 8L))
+      .toDF("k", "k2", "v", "u"))
+    mv2.refresh(spark, src2)
+    try {
+      assert(MatViewRouter.register(spark, mv2.root, src2, Seq("k", "k2"),
+        "v", distinctCol = Some("u")))
+      // the EXACT shape still routes (all group cols, sketch included)
+      val exact = MatViewRouter.definingQuery(spark, src2, Seq("k", "k2"),
+        "v", distinctCol = Some("u"))
+      assert(exact.inputFiles.forall(_.contains("/view/")))
+      // …but its k-only ROLLUP does not (dsk has no rollup form)
+      val skRoll = MatViewRouter.definingQuery(spark, src2, Seq("k"),
+        "v", distinctCol = Some("u"))
+      assert(skRoll.inputFiles.forall(_.contains("/src/")),
+        "a sketch rollup must never route")
+      // a rollup that PRUNES the sketch away routes fine
+      val noSk = MatViewRouter.definingQuery(spark, src2, Seq("k"),
+        "v", distinctCol = Some("u")).select("k", "n")
+      assert(noSk.inputFiles.forall(_.contains("/view/")),
+        "a sketch-free rollup projection should route")
+      assert(noSk.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        == Map("a" -> 2L))
+    } finally MatViewRouter.unregister(mv2.root)
+  }
+
+  test("auto-refresh binding: streaming micro-batches keep routed " +
+    "answers fresh (r15 stretch #9)") {
+    import graft.ingest.{MatViewAutoRefresh, MatViewRouter}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val (src, mv) = fresh()
+    // empty-view bootstrap: bind BEFORE any data — the first micro-batch
+    // must both create the view and start routing
+    MatViewAutoRefresh.bind(spark, mv, src, Seq("k"), "v")
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Double)]
+    val ckpt = Files.createTempDirectory("graft_mv_stream_ck").toString
+    val q = mem.toDF().toDF("k", "v").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        src.append(b.sparkSession, b, commitKey = Some(s"mv-stream-$id"))
+        ()
+      }
+      .start()
+    def runBatch(rows: (String, Double)*): Unit = {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+    }
+    try {
+      runBatch(("a", 1.0), ("b", 2.0))
+      def routedState(): Map[String, (Long, BigDecimal)] = {
+        val df = MatViewRouter.definingQuery(spark, src, Seq("k"), "v")
+        assert(df.inputFiles.nonEmpty &&
+          df.inputFiles.forall(_.contains("/view/")),
+          s"query did not route after a micro-batch: " +
+            df.inputFiles.take(2).mkString(","))
+        df.collect().map(r => r.getString(0) ->
+          ((r.getLong(1), BigDecimal(r.getDecimal(2))))).toMap
+      }
+      assert(routedState() == Map("a" -> ((1L, BigDecimal("1.0"))),
+        "b" -> ((1L, BigDecimal("2.0")))))
+      // batch 2: the commit hook refreshes (delta-only) + re-registers —
+      // the routed answer reflects the new rows with NO caller action
+      runBatch(("a", 0.5), ("c", 3.0))
+      assert(routedState() == Map("a" -> ((2L, BigDecimal("1.5"))),
+        "b" -> ((1L, BigDecimal("2.0"))), "c" -> ((1L, BigDecimal("3.0")))))
+      // batch 3, same again — staleness can never accumulate
+      runBatch(("b", 4.0))
+      assert(routedState()("b") == ((2L, BigDecimal("6.0"))))
+    } finally {
+      q.stop()
+      MatViewAutoRefresh.unbind(src.root, mv.root)
+      MatViewRouter.unregister(mv.root)
+    }
   }
 
   test("manifest version cache: in-process commits invalidate; TTL " +

@@ -399,4 +399,108 @@ class SkippingSpec extends AnyFunSuite {
     assert(filesRead(inProbe) < total, "IN-list did not prune")
     assert(inProbe.count() == 3)
   }
+
+  test("DECIMAL stats: scale-aware pruning; the 12.34-as-1234 regression " +
+    "keeps its file (r15 #4)") {
+    val store = new ManifestStore(fresh("decstats"))
+    def dec(s: String) = new java.math.BigDecimal(s)
+    // file 1 holds values ~12.34 (unscaled 12340000 at scale 6): a
+    // [10, 20] VALUE probe must KEEP it — unscaled-vs-value confusion
+    // (the r14 self-review class) would prune it and silently lose rows
+    store.append(spark, Seq((1L, dec("12.34")), (2L, dec("15.00")))
+      .toDF("id", "d").select(col("id"), col("d").cast("decimal(18,6)").as("d")),
+      rangeCol = Some("id"), statsCols = Seq("d"))
+    store.append(spark, Seq((3L, dec("2000.50")), (4L, dec("3000.25")))
+      .toDF("id", "d").select(col("id"), col("d").cast("decimal(18,6)").as("d")),
+      rangeCol = Some("id"), statsCols = Seq("d"))
+    val total = store.currentFiles(spark).size
+    assert(total >= 2)
+    // a SECOND instance re-parses the manifest — the sixth field
+    // (unscaled lo:hi@scale) survives the round-trip
+    val reread = new ManifestStore(store.root.toString)
+    val probeLow = reread.read(spark).get
+      .filter(col("d").between(lit(dec("10")), lit(dec("20"))))
+    assert(probeLow.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L), "scale-aware pruning LOST the 12.34 rows")
+    val readLow = filesRead(probeLow)
+    assert(readLow < total,
+      s"low probe read $readLow of $total files - decimal stats did not prune")
+    // the disjoint window prunes the low file and finds the high rows
+    val probeHigh = reread.read(spark).get
+      .filter(col("d") >= lit(dec("2000")))
+    assert(probeHigh.count() == 2L)
+    assert(filesRead(probeHigh) < total)
+    // equality probe outside every file's window reads nothing
+    val probeMiss = reread.read(spark).get
+      .filter(col("d") === lit(dec("500.5")))
+    assert(probeMiss.count() == 0L)
+    assert(filesRead(probeMiss) == 0L,
+      "a provably-dead decimal equality probe still opened files")
+  }
+
+  test("decBoundsOf: only provable decimal comparisons contribute; " +
+    "widening casts qualify") {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types._
+    val d186 = DecimalType(18, 6)
+    val a = AttributeReference("d", d186)()
+    def decLit(s: String) = Literal.create(Decimal(s), DecimalType(12, 6))
+    val b1 = ManifestFileIndex.decBoundsOf(Seq(
+      GreaterThanOrEqual(a, decLit("10.5")), LessThan(a, decLit("20.25"))))
+    assert(b1("d")._1.contains(BigDecimal("10.5")))
+    assert(b1("d")._2.contains(BigDecimal("20.25"))) // strict widens: safe
+    // a lossless widening cast of the attribute still contributes
+    val b2 = ManifestFileIndex.decBoundsOf(Seq(
+      GreaterThanOrEqual(Cast(a, DecimalType(19, 6)), decLit("7.25"))))
+    assert(b2("d")._1.contains(BigDecimal("7.25")))
+    // a NARROWING cast can change values — contributes nothing
+    val b3 = ManifestFileIndex.decBoundsOf(Seq(
+      GreaterThanOrEqual(Cast(a, DecimalType(8, 2)), decLit("7.25"))))
+    assert(b3.isEmpty)
+    // OR never contributes
+    val b4 = ManifestFileIndex.decBoundsOf(Seq(
+      Or(GreaterThan(a, decLit("5")), LessThan(a, decLit("1")))))
+    assert(b4.isEmpty)
+  }
+
+  test("partitioned store: partition pruning AND string-prefix stats " +
+    "compose in one listing (r15 #5)") {
+    val store = new ManifestStore(fresh("partstr"))
+    val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("event_type"), col("props"))
+    // two props-range slices, each partitioned by event_type and
+    // repartition(1) so every partition dir gets ONE file per slice —
+    // file counts are then exact arithmetic
+    val cut = "{\"k\": 5"
+    store.append(spark, ev.filter(col("props") < cut).repartition(1),
+      partitionCols = Seq("event_type"), rangeCol = Some("event_id"),
+      statsCols = Seq("props"))
+    store.append(spark, ev.filter(col("props") >= cut).repartition(1),
+      partitionCols = Seq("event_type"), rangeCol = Some("event_id"),
+      statsCols = Seq("props"))
+    val types = ev.select("event_type").distinct().count()
+    val total = store.currentFiles(spark).size
+    assert(total == 2 * types, s"expected ${2 * types} files, got $total")
+    // partition-only probe: both slices of one type
+    val partOnly = store.read(spark).get.filter(col("event_type") === "click")
+    assert(filesRead(partOnly) == 2L, "partition pruning alone broke")
+    // string-only probe: one slice of every type
+    val strOnly = store.read(spark).get.filter(col("props") >= "{\"k\": 7")
+    assert(filesRead(strOnly) == types,
+      s"string stats alone read ${filesRead(strOnly)}, expected $types")
+    // composed: ONE file — both prunings in the same listing
+    val both = store.read(spark).get
+      .filter(col("event_type") === "click" && col("props") >= "{\"k\": 7")
+    assert(filesRead(both) == 1L,
+      s"composed probe read ${filesRead(both)} files, expected 1")
+    assert(both.queryExecution.executedPlan.toString
+      .contains("ManifestFileIndex"),
+      "partitioned group did not take the index path")
+    // value correctness: the composed probe equals the full-scan filter
+    val expectRows = ev
+      .filter(col("event_type") === "click" && col("props") >= "{\"k\": 7")
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(both.select("event_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      expectRows)
+  }
 }
