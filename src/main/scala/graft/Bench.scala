@@ -391,8 +391,19 @@ object Bench {
       }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
     } catch { case _: Throwable => Map.empty }
 
+  /** Trend trigger shape (r13 verdict #1b, floored r15): >2x the trend
+    * baseline AND >0.5 s over it in absolute terms. The relative rule
+    * alone flags sub-second store gates whose baselines tightened to
+    * ~0.1 s — there 2x is parquet-footer/tmpdir jitter, not signal
+    * (r15: three <0.5 s-absolute "regressions" with healthy warm
+    * passes) — while every case the trigger exists for
+    * (graph_pagerank_dangling 16.2 s vs 3.7-4.7 s) clears half a
+    * second by an order of magnitude. */
+  private[graft] def trendHit(v: Double, baseline: Double): Boolean =
+    baseline > 0.05 && v > 2.0 * baseline && v - baseline > 0.5
+
   /** Trend-based rerun trigger (r13 verdict #1b): a query whose EVERY
-    * candidate wall this run exceeds 2x its trend baseline gets
+    * candidate wall this run exceeds the trend envelope gets
     * arbitration even when the intra-run passes AGREE — correlated
     * slowness (both passes on a loaded host) never disagrees with
     * itself, which is exactly how graph_pagerank_dangling recorded
@@ -402,7 +413,7 @@ object Bench {
     passes.flatMap(_.keySet).distinct.sorted.filter { k =>
       prev.get(k).exists { pv =>
         val samples = passes.flatMap(_.get(k).flatten)
-        pv > 0.05 && samples.nonEmpty && candidateWalls(samples).min > 2.0 * pv
+        samples.nonEmpty && trendHit(candidateWalls(samples).min, pv)
       }
     }
 
@@ -557,7 +568,7 @@ object Bench {
     // after arbitration: either a real regression (root-cause it) or an
     // arbitration that could not find 3 clean samples — loud either way
     val trendRegressed: Seq[String] = results.collect {
-      case (k, v) if baseline.get(k).exists(pv => pv > 0.05 && v > 2.0 * pv) => k
+      case (k, v) if baseline.get(k).exists(trendHit(v, _)) => k
     }.toSeq.sorted
     if (trendRegressed.nonEmpty)
       System.err.println("[bench] TREND REGRESSION (record >2x the " +
@@ -706,8 +717,7 @@ object Bench {
         // record STILL >2x the tier's own trend baseline is either a
         // real regression or incomplete arbitration — loud either way
         val sf1TrendRegressed: Seq[String] = recSf1.collect {
-          case (k, v) if sf1Baseline.get(k)
-            .exists(pv => pv > 0.05 && v > 2.0 * pv) => k
+          case (k, v) if sf1Baseline.get(k).exists(trendHit(v, _)) => k
         }.toSeq.sorted
         if (sf1TrendRegressed.nonEmpty)
           System.err.println("[bench] SF1 TREND REGRESSION: " +

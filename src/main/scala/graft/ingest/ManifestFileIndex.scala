@@ -17,7 +17,9 @@ private[graft] case class PrunableFile(status: FileStatus,
                                          (Seq[Byte], Option[Seq[Byte]])] =
                                          Map.empty,
                                        decStats: Map[String,
-                                         (Long, Long, Int)] = Map.empty)
+                                         (Long, Long, Int)] = Map.empty,
+                                       tsStats: Map[String,
+                                         (Long, Long, Boolean)] = Map.empty)
 
 /** AUTOMATIC manifest-stats pruning for the ordinary read path (round-13
   * verdict, Next #2): a Catalyst [[FileIndex]] over one manifest commit
@@ -94,8 +96,10 @@ private[graft] class ManifestFileIndex(
     val bounds = ManifestFileIndex.boundsOf(dataFilters)
     val strBounds = ManifestFileIndex.strBoundsOf(dataFilters)
     val decBounds = ManifestFileIndex.decBoundsOf(dataFilters)
+    val tsBounds = ManifestFileIndex.tsBoundsOf(dataFilters)
     val statKept =
-      if (bounds.isEmpty && strBounds.isEmpty && decBounds.isEmpty) files
+      if (bounds.isEmpty && strBounds.isEmpty && decBounds.isEmpty &&
+          tsBounds.isEmpty) files
       else files.filter { f =>
         bounds.forall { case (c, (lo, hi)) =>
           f.stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
@@ -116,6 +120,13 @@ private[graft] class ManifestFileIndex(
             val fmin = BigDecimal(BigInt(mn), scale)
             val fmax = BigDecimal(BigInt(mx), scale)
             hi.forall(fmin <= _) && lo.forall(fmax >= _)
+          }
+        } && tsBounds.forall { case (c, (lo, hi, wantUtc)) =>
+          f.tsStats.get(c).forall { case (mn, mx, utc) =>
+            // micros compare only within ONE timestamp semantics: the
+            // predicate's type (instant vs wall-clock) must agree with
+            // the file's isAdjustedToUTC flag, else keep the file
+            utc != wantUtc || (hi.forall(mn <= _) && lo.forall(mx >= _))
           }
         }
       }
@@ -320,6 +331,80 @@ private[graft] object ManifestFileIndex {
           addHi(decAttr(a).get.name, xs.max)
         }
       case _ => () // OR / non-decimal / expressions: conservative
+    }
+    filters.foreach(walk)
+    acc.toMap
+  }
+
+  /** TIMESTAMP-column [lo, hi] micros windows (optional per side) plus
+    * the semantics the predicate expects (true = instant /
+    * TimestampType, false = wall-clock / TimestampNTZType) from
+    * pushed-down filters — the time-window probe is THE 100 TB scan
+    * shape. Catalyst stores both timestamp types as epoch micros
+    * (instant micros for TimestampType, wall micros for NTZ), so the
+    * literal value is directly comparable with the manifest's
+    * micros-normalized stats WHEN the file's isAdjustedToUTC flag
+    * agrees; the pruning side enforces that agreement. Strict </>
+    * widen to inclusive (conservative). */
+  private[graft] def tsBoundsOf(filters: Seq[Expression])
+  : Map[String, (Option[Long], Option[Long], Boolean)] = {
+    val acc = scala.collection.mutable.Map[String,
+      (Option[Long], Option[Long], Boolean)]()
+    def tsAttr(e: Expression): Option[(AttributeReference, Boolean)] =
+      e match {
+        case a: AttributeReference => a.dataType match {
+          case TimestampType => Some((a, true))
+          case TimestampNTZType => Some((a, false))
+          case _ => None
+        }
+        case _ => None
+      }
+    def lit(e: Expression, utc: Boolean): Option[Long] = e match {
+      case Literal(v, t) if v != null &&
+        ((utc && t == TimestampType) || (!utc && t == TimestampNTZType)) =>
+        Some(v.asInstanceOf[Long])
+      case _ => None
+    }
+    def addLo(a: (AttributeReference, Boolean), v: Long): Unit = {
+      val (clo, chi, _) = acc.getOrElse(a._1.name, (None, None, a._2))
+      acc(a._1.name) = (Some(clo.map(math.max(_, v)).getOrElse(v)), chi, a._2)
+    }
+    def addHi(a: (AttributeReference, Boolean), v: Long): Unit = {
+      val (clo, chi, _) = acc.getOrElse(a._1.name, (None, None, a._2))
+      acc(a._1.name) = (clo, Some(chi.map(math.min(_, v)).getOrElse(v)), a._2)
+    }
+    def walk(e: Expression): Unit = e match {
+      case And(l, r) => walk(l); walk(r)
+      case EqualTo(x, v) if tsAttr(x).isDefined =>
+        val a = tsAttr(x).get
+        lit(v, a._2).foreach { t => addLo(a, t); addHi(a, t) }
+      case EqualTo(v, x) if tsAttr(x).isDefined =>
+        val a = tsAttr(x).get
+        lit(v, a._2).foreach { t => addLo(a, t); addHi(a, t) }
+      case GreaterThanOrEqual(x, v) if tsAttr(x).isDefined =>
+        val a = tsAttr(x).get; lit(v, a._2).foreach(addLo(a, _))
+      case GreaterThan(x, v) if tsAttr(x).isDefined =>
+        val a = tsAttr(x).get; lit(v, a._2).foreach(addLo(a, _))
+      case LessThanOrEqual(x, v) if tsAttr(x).isDefined =>
+        val a = tsAttr(x).get; lit(v, a._2).foreach(addHi(a, _))
+      case LessThan(x, v) if tsAttr(x).isDefined =>
+        val a = tsAttr(x).get; lit(v, a._2).foreach(addHi(a, _))
+      case GreaterThanOrEqual(v, x) if tsAttr(x).isDefined =>
+        val a = tsAttr(x).get; lit(v, a._2).foreach(addHi(a, _))
+      case GreaterThan(v, x) if tsAttr(x).isDefined =>
+        val a = tsAttr(x).get; lit(v, a._2).foreach(addHi(a, _))
+      case LessThanOrEqual(v, x) if tsAttr(x).isDefined =>
+        val a = tsAttr(x).get; lit(v, a._2).foreach(addLo(a, _))
+      case LessThan(v, x) if tsAttr(x).isDefined =>
+        val a = tsAttr(x).get; lit(v, a._2).foreach(addLo(a, _))
+      case In(x, list) if tsAttr(x).isDefined && list.nonEmpty =>
+        val a = tsAttr(x).get
+        val vs = list.map(lit(_, a._2))
+        if (vs.forall(_.isDefined)) {
+          val xs = vs.flatten
+          addLo(a, xs.min); addHi(a, xs.max)
+        }
+      case _ => () // OR / casts / mixed-type comparisons: conservative
     }
     filters.foreach(walk)
     acc.toMap

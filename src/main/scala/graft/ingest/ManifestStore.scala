@@ -165,14 +165,17 @@ final class ManifestStore(val root: String) extends Serializable {
                        colStats: Map[String, (Long, Long)] = Map.empty,
                        strStats: Map[String, (Seq[Byte], Option[Seq[Byte]])] =
                          Map.empty,
-                       decStats: Map[String, (Long, Long, Int)] = Map.empty) {
+                       decStats: Map[String, (Long, Long, Int)] = Map.empty,
+                       tsStats: Map[String, (Long, Long, Boolean)] =
+                         Map.empty) {
     def overlaps(from: Long, to: Long): Boolean = (min, max) match {
       case (Some(lo), Some(hi)) => hi >= from && lo <= to
       case _ => true
     }
     def serialized: String = {
       val range = min.map(m => s"\t$m\t${max.getOrElse(m)}").getOrElse("")
-      if (colStats.isEmpty && strStats.isEmpty && decStats.isEmpty)
+      if (colStats.isEmpty && strStats.isEmpty && decStats.isEmpty &&
+          tsStats.isEmpty)
         rel + range
       else {
         val body = colStats.toSeq.sortBy(_._1)
@@ -191,14 +194,25 @@ final class ManifestStore(val root: String) extends Serializable {
         // predicate decimals and file bounds at the SAME scale
         val dbody = decStats.toSeq.sortBy(_._1)
           .map { case (c, (lo, hi, s)) => s"$c=$lo:$hi@$s" }.mkString(";")
+        // timestamp stats are the SEVENTH field: micros-normalized
+        // min/max plus the parquet isAdjustedToUTC flag (`u` = an
+        // instant, Spark TimestampType; `n` = wall-clock,
+        // TimestampNTZType) — pruning matches a predicate only when
+        // its literal's type AGREES with the flag, so a session that
+        // reads the column at a different type can never compare
+        // micros across semantics
+        val tbody = tsStats.toSeq.sortBy(_._1)
+          .map { case (c, (lo, hi, utc)) =>
+            s"$c=$lo:$hi@${if (utc) "u" else "n"}" }.mkString(";")
         // the colStats field is always the FOURTH tab field: statless
         // range slots are kept as empty strings so the parser's arity
         // stays unambiguous; same for empty middle fields before a
         // later one
         rel + (if (range.isEmpty) "\t\t" else range) + "\t" + body +
-          (if (strStats.isEmpty && decStats.isEmpty) ""
+          (if (strStats.isEmpty && decStats.isEmpty && tsStats.isEmpty) ""
            else "\t" + sbody) +
-          (if (decStats.isEmpty) "" else "\t" + dbody)
+          (if (decStats.isEmpty && tsStats.isEmpty) "" else "\t" + dbody) +
+          (if (tsStats.isEmpty) "" else "\t" + tbody)
       }
     }
   }
@@ -246,6 +260,25 @@ final class ManifestStore(val root: String) extends Serializable {
           sc <- e.substring(at + 1).toIntOption
         } yield e.substring(0, eq) -> (lo, hi, sc)
       }.toMap
+    private def parseTsStats(s: String): Map[String, (Long, Long, Boolean)] =
+      s.split(';').iterator.filter(_.nonEmpty).flatMap { e =>
+        val eq = e.indexOf('=')
+        val co = e.indexOf(':', eq + 1)
+        val at = e.indexOf('@', co + 1)
+        if (eq < 0 || co < 0 || at < 0 || at != e.length - 2) None
+        else {
+          val flag = e.charAt(e.length - 1) match {
+            case 'u' => Some(true)
+            case 'n' => Some(false)
+            case _ => None
+          }
+          for {
+            lo <- e.substring(eq + 1, co).toLongOption
+            hi <- e.substring(co + 1, at).toLongOption
+            f <- flag
+          } yield e.substring(0, eq) -> (lo, hi, f)
+        }
+      }.toMap
     def parse(line: String): FileEntry = line.split('\t') match {
       case Array(rel, lo, hi) => FileEntry(rel, lo.toLongOption, hi.toLongOption)
       case Array(rel, lo, hi, cs) =>
@@ -256,6 +289,9 @@ final class ManifestStore(val root: String) extends Serializable {
       case Array(rel, lo, hi, cs, ss, ds) =>
         FileEntry(rel, lo.toLongOption, hi.toLongOption, parseColStats(cs),
           parseStrStats(ss), parseDecStats(ds))
+      case Array(rel, lo, hi, cs, ss, ds, ts) =>
+        FileEntry(rel, lo.toLongOption, hi.toLongOption, parseColStats(cs),
+          parseStrStats(ss), parseDecStats(ds), parseTsStats(ts))
       case other => FileEntry(other.head, None, None)
     }
   }
@@ -921,7 +957,7 @@ final class ManifestStore(val root: String) extends Serializable {
     val rcFromFooter = rangeCol.filterNot(partitionCols.contains)
     val footerCols = (rcFromFooter.toSeq ++ safeStats).distinct
     rels.toSeq.flatMap { rel =>
-      val (rows, stats, strs, decs) =
+      val (rows, stats, strs, decs, tss) =
         footerMultiStats(new Path(root, rel), footerCols, conf)
       if (rows == 0L) None
       else {
@@ -936,7 +972,8 @@ final class ManifestStore(val root: String) extends Serializable {
         Some(FileEntry(rel, range.map(_._1), range.map(_._2),
           stats.view.filterKeys(safeStats.contains).toMap,
           strs.view.filterKeys(safeStats.contains).toMap,
-          decs.view.filterKeys(safeStats.contains).toMap))
+          decs.view.filterKeys(safeStats.contains).toMap,
+          tss.view.filterKeys(safeStats.contains).toMap))
       }
     }
   }
@@ -960,7 +997,8 @@ final class ManifestStore(val root: String) extends Serializable {
                                conf: org.apache.hadoop.conf.Configuration)
   : (Long, Map[String, (Long, Long)],
      Map[String, (Seq[Byte], Option[Seq[Byte]])],
-     Map[String, (Long, Long, Int)]) = {
+     Map[String, (Long, Long, Int)],
+     Map[String, (Long, Long, Boolean)]) = {
     import scala.jdk.CollectionConverters._
     import org.apache.parquet.schema.LogicalTypeAnnotation
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -1076,7 +1114,65 @@ final class ManifestStore(val root: String) extends Serializable {
         }
         if (ok && scale >= 0) Some(name -> (lo, hi, scale)) else None
       }.toMap
-      (rows, intOut, strOut, decOut)
+      // TIMESTAMP columns (INT64-backed MILLIS/MICROS/NANOS): stats
+      // normalize to MICROS — millis multiply exactly; nanos divide
+      // with floor on min / ceil on max, WIDENING the file window
+      // (conservative). The isAdjustedToUTC flag rides along: true is
+      // an instant (Spark TimestampType), false wall-clock
+      // (TimestampNTZType) — pruning only fires when the predicate
+      // literal's type agrees, so micros are never compared across
+      // semantics (a session reading at the other type puts a Cast
+      // over the attribute, which contributes no bound anyway).
+      // INT96 legacy timestamps degrade to statless.
+      def tsAnn(c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData)
+      : Option[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation] =
+        c.getPrimitiveType.getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            Some(t)
+          case _ => None
+        }
+      def toMicros(v: Long,
+                   unit: org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit,
+                   roundUp: Boolean): Option[Long] = {
+        import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+        unit match {
+          case TimeUnit.MICROS => Some(v)
+          case TimeUnit.MILLIS =>
+            if (math.abs(v) > Long.MaxValue / 1000) None else Some(v * 1000)
+          case TimeUnit.NANOS =>
+            val q = Math.floorDiv(v, 1000L)
+            Some(if (roundUp && Math.floorMod(v, 1000L) != 0) q + 1 else q)
+          case _ => None
+        }
+      }
+      val tsOut = cols.flatMap { name =>
+        var lo = Long.MaxValue
+        var hi = Long.MinValue
+        var utc: Option[Boolean] = None
+        var ok = rows > 0
+        blocks.foreach { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == name) match {
+            case Some(c) if tsAnn(c).isDefined =>
+              val ann = tsAnn(c).get
+              if (utc.exists(_ != ann.isAdjustedToUTC)) ok = false
+              else utc = Some(ann.isAdjustedToUTC)
+              c.getStatistics match {
+                case s: org.apache.parquet.column.statistics.LongStatistics
+                  if !s.isEmpty && s.hasNonNullValue =>
+                  (toMicros(s.genericGetMin, ann.getUnit, roundUp = false),
+                    toMicros(s.genericGetMax, ann.getUnit, roundUp = true)) match {
+                    case (Some(mn), Some(mx)) =>
+                      lo = math.min(lo, mn); hi = math.max(hi, mx)
+                    case _ => ok = false
+                  }
+                case _ => ok = false
+              }
+            case _ => ok = false
+          }
+        }
+        if (ok && utc.isDefined) Some(name -> (lo, hi, utc.get)) else None
+      }.toMap
+      (rows, intOut, strOut, decOut, tsOut)
     } finally reader.close()
   }
 
@@ -1119,7 +1215,7 @@ final class ManifestStore(val root: String) extends Serializable {
       val flat = segLists.forall(_.length == 3)
       val hasStats = entries.exists(e =>
         e.colStats.nonEmpty || e.strStats.nonEmpty || e.decStats.nonEmpty ||
-          e.min.isDefined)
+          e.tsStats.nonEmpty || e.min.isDefined)
       val SafeVal = "[A-Za-z_][A-Za-z0-9_.\\-]*".r
       // the hive NULL-partition sentinel must read as null, which only
       // the basePath path does — never treat it as a literal string
@@ -1172,7 +1268,7 @@ final class ManifestStore(val root: String) extends Serializable {
               rangeCol.flatMap(rc => e.min.zip(e.max).map(rc -> _)).toMap
             PrunableFile(statusByPath.getOrElse(p.toUri.getPath,
               f.getFileStatus(p)), stats, pp.map(_._2), e.strStats,
-              e.decStats)
+              e.decStats, e.tsStats)
           }
           org.apache.spark.sql.graftshim.Shim.parquetFrame(spark,
             new ManifestFileIndex(new Path(root, commitDir), pruned,

@@ -84,13 +84,24 @@ object MatViewAutoRefresh {
     }
   }
 
+  // a refresh itself commits (to the view store); if someone binds a
+  // view's own store as a source — or chains views — the nested
+  // onCommit must not recurse into more refreshes on this thread
+  private val inProgress = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+
   /** Called by [[ManifestStore]] after every published commit. */
   private[ingest] def onCommit(spark: SparkSession, root: String): Unit = {
+    if (inProgress.get()) return
     val bs = bindings.get(keyOf(root))
-    if (bs != null) bs.foreach { b =>
-      val spec = specs.get(b.view.root)
-      if (spec != null)
-        refreshOne(spark, b, spec._1, spec._2, spec._3, spec._4, spec._5)
+    if (bs != null) {
+      inProgress.set(java.lang.Boolean.TRUE)
+      try bs.foreach { b =>
+        val spec = specs.get(b.view.root)
+        if (spec != null)
+          refreshOne(spark, b, spec._1, spec._2, spec._3, spec._4, spec._5)
+      } finally inProgress.set(java.lang.Boolean.FALSE)
     }
   }
 }

@@ -258,12 +258,76 @@ object Skipping {
       .orderBy("event_type")
   }
 
+  /** Deterministic timestamp probe window: the middle 45–55% of the ts
+    * span in epoch MICROS, integer arithmetic mirrored in the oracle
+    * (`unix_micros` here ≡ DuckDB `epoch_us` — the session timezone is
+    * UTC, so the NTZ wall clock and the instant agree). */
+  private[graft] def tsProbeBounds(s: SparkSession, dir: String)
+  : (Long, Long) = {
+    val r = Tables.load(s, dir, "events")
+      .agg(min(unix_micros(col("ts").cast("timestamp"))),
+        max(unix_micros(col("ts").cast("timestamp")))).head()
+    val (mn, mx) = (r.getLong(0), r.getLong(1))
+    (mn + (mx - mn) * 45 / 100, mn + (mx - mn) * 55 / 100)
+  }
+
+  private def ntzLit(micros: Long): org.apache.spark.sql.Column =
+    timestamp_micros(lit(micros)).cast("timestamp_ntz")
+
+  /** Build (once per session): 4 time-range appends of the events
+    * stream (its natural arrival order), each file carrying a tight
+    * micros window + the isAdjustedToUTC flag in the manifest's
+    * seventh field; a time-window probe must open a strict subset. */
+  private[graft] def builtTsStore(s: SparkSession, dir: String): ManifestStore =
+    Evolution.buildOnce(s, gateRoot(dir) + "_ts", "ts_skipping_gate_store") {
+      store =>
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value"), col("ts"))
+        val r = ev.agg(min(unix_micros(col("ts").cast("timestamp"))),
+          max(unix_micros(col("ts").cast("timestamp")))).head()
+        val (mn, mx) = (r.getLong(0), r.getLong(1))
+        val step = math.max(1L, (mx - mn) / 4 + 1)
+        (0 until 4).foreach { i =>
+          store.append(s,
+            ev.filter(col("ts") >= ntzLit(mn + i * step) &&
+              col("ts") < ntzLit(mn + (i + 1) * step)),
+            rangeCol = Some("event_id"), statsCols = Seq("ts"))
+        }
+        val total = store.currentFiles(s).size
+        val (plo, phi) = tsProbeBounds(s, dir)
+        val probe = store.read(s).get
+          .filter(col("ts").between(ntzLit(plo), ntzLit(phi)))
+        val read = graft.Plans.filesRead(probe)
+        require(read >= 1 && read < total,
+          s"time-window probe read $read of $total files - " +
+            "timestamp stats did not prune")
+    }
+
+  /** Gate (round-15, post-agenda): TIMESTAMP data skipping through the
+    * plain read path — THE 100 TB probe shape (a time window over an
+    * arrival-ordered fact stream). Per-file micros-normalized min/max
+    * plus the instant/wall-clock flag in the manifest's seventh field;
+    * pruning fires only when the predicate's timestamp SEMANTICS agree
+    * with the file's. Hash-equality with the full-scan oracle proves
+    * pruning never changes answers. */
+  def storeSkippingTimestamp(s: SparkSession, dir: String): DataFrame = {
+    val store = builtTsStore(s, dir)
+    val (plo, phi) = tsProbeBounds(s, dir)
+    store.read(s).get
+      .filter(col("ts").between(ntzLit(plo), ntzLit(phi)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("val_sum"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "store_zorder_skipping" -> (storeZorderSkipping _),
     "store_sql_box" -> (storeSqlBox _),
     "store_skipping_auto" -> (storeSkippingAuto _),
     "store_skipping_strings" -> (storeSkippingStrings _),
-    "store_skipping_decimal" -> (storeSkippingDecimal _))
+    "store_skipping_decimal" -> (storeSkippingDecimal _),
+    "store_skipping_timestamp" -> (storeSkippingTimestamp _))
 
   val oracle: Map[String, String] = Map(
     "store_zorder_skipping" -> """
@@ -316,6 +380,19 @@ object Skipping {
       FROM events, b
       WHERE CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
         BETWEEN b.lo6 AND b.hi6
+      GROUP BY event_type ORDER BY event_type""",
+    // micros bounds mirror tsProbeBounds exactly: DuckDB epoch_us on
+    // the naive ts ≡ Spark unix_micros under the UTC session
+    "store_skipping_timestamp" -> """
+      WITH m AS (
+        SELECT epoch_us(min(ts)) AS mn, epoch_us(max(ts)) AS mx FROM events),
+      b AS (
+        SELECT mn + (mx - mn) * 45 // 100 AS lo,
+               mn + (mx - mn) * 55 // 100 AS hi FROM m)
+      SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS val_sum
+      FROM events, b
+      WHERE epoch_us(ts) BETWEEN b.lo AND b.hi
       GROUP BY event_type ORDER BY event_type""",
     "store_sql_box" -> """
       WITH b AS (

@@ -140,6 +140,14 @@ class BenchSpec extends AnyFunSuite {
     val p2 = Map("pagerank" -> qt(16.2), "ngrams" -> qt(1.2))
     assert(Bench.suspectsOf(p1, p2).isEmpty, "intra-run rule stays silent")
     assert(Bench.trendSuspectsOf(base, Seq(p1, p2)) == Seq("pagerank"))
+    // the ABSOLUTE floor (r15): 2x of a ~0.1 s baseline is parquet/
+    // tmpdir jitter, not signal — sub-half-second drift never fires
+    val smallBase = Map("tiny" -> 0.09)
+    val s1 = Map("tiny" -> qt(0.21))
+    val s2 = Map("tiny" -> qt(0.19))
+    assert(Bench.trendSuspectsOf(smallBase, Seq(s1, s2)).isEmpty,
+      "sub-half-second absolute drift must not trip the trend trigger")
+    assert(Bench.trendHit(1.3, 0.6) && !Bench.trendHit(1.0, 0.6))
     // a missing file degrades to an empty baseline, not an error
     assert(Bench.trendBaseline("/no/such/file.jsonl").isEmpty)
   }

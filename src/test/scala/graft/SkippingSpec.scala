@@ -463,6 +463,65 @@ class SkippingSpec extends AnyFunSuite {
     assert(b4.isEmpty)
   }
 
+  test("TIMESTAMP stats: micros-normalized pruning; the semantics flag " +
+    "guards instant vs wall-clock (r15)") {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    // end-to-end: an arrival-ordered NTZ stream, two time windows, a
+    // window probe opens a strict subset and answers exactly
+    val store = new ManifestStore(fresh("tsstats"))
+    def ts(s: String) = java.time.LocalDateTime.parse(s)
+    val rows = Seq(
+      (1L, ts("2024-01-01T00:00:00")), (2L, ts("2024-01-01T06:00:00")),
+      (3L, ts("2024-02-01T00:00:00")), (4L, ts("2024-02-01T06:00:00")))
+    val df = rows.toDF("id", "ts")
+    store.append(spark, df.filter(col("id") <= 2), rangeCol = Some("id"),
+      statsCols = Seq("ts"))
+    store.append(spark, df.filter(col("id") > 2), rangeCol = Some("id"),
+      statsCols = Seq("ts"))
+    val total = store.currentFiles(spark).size
+    // second instance re-parses the manifest: seventh field round-trips
+    val reread = new ManifestStore(store.root.toString)
+    val probe = reread.read(spark).get
+      .filter(col("ts") >= lit("2024-01-15 00:00:00").cast("timestamp_ntz"))
+    assert(probe.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(3L, 4L))
+    assert(filesRead(probe) < total,
+      "timestamp window probe did not prune the early file")
+    val probeMiss = reread.read(spark).get
+      .filter(col("ts") >= lit("2030-01-01 00:00:00").cast("timestamp_ntz"))
+    assert(probeMiss.count() == 0L && filesRead(probeMiss) == 0L)
+
+    // the semantics flag: a window that excludes the file prunes ONLY
+    // when the predicate's timestamp type agrees with the file's
+    // isAdjustedToUTC flag — an instant predicate over wall-clock stats
+    // (or vice versa) keeps the file
+    val st = new org.apache.hadoop.fs.FileStatus(10, false, 1, 1, 0,
+      new org.apache.hadoop.fs.Path("/tmp/ts_fake.parquet"))
+    def idxWith(utcFlag: Boolean) = new ManifestFileIndex(
+      new org.apache.hadoop.fs.Path("/tmp"),
+      Seq(graft.ingest.PrunableFile(st, Map.empty, Nil, Map.empty,
+        Map.empty, Map("ts" -> ((1000L, 2000L, utcFlag))))))
+    def kept(idx: ManifestFileIndex, pred: Expression) =
+      idx.listFiles(Nil, Seq(pred)).map(_.files.length).sum
+    val ntz = AttributeReference("ts", TimestampNTZType)()
+    val utc = AttributeReference("ts", TimestampType)()
+    // disjoint window, agreeing semantics → pruned
+    assert(kept(idxWith(false),
+      GreaterThanOrEqual(ntz, Literal(5000L, TimestampNTZType))) == 0)
+    assert(kept(idxWith(true),
+      GreaterThanOrEqual(utc, Literal(5000L, TimestampType))) == 0)
+    // disjoint window, MISMATCHED semantics → kept (never compare
+    // micros across instant/wall-clock)
+    assert(kept(idxWith(true),
+      GreaterThanOrEqual(ntz, Literal(5000L, TimestampNTZType))) == 1)
+    assert(kept(idxWith(false),
+      GreaterThanOrEqual(utc, Literal(5000L, TimestampType))) == 1)
+    // overlapping window stays regardless
+    assert(kept(idxWith(false),
+      GreaterThanOrEqual(ntz, Literal(1500L, TimestampNTZType))) == 1)
+  }
+
   test("partitioned store: partition pruning AND string-prefix stats " +
     "compose in one listing (r15 #5)") {
     val store = new ManifestStore(fresh("partstr"))
