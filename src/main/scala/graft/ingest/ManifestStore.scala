@@ -1725,8 +1725,18 @@ final class ManifestStore(val root: String) extends Serializable {
             else df.repartition(nFiles, partitionCols.map(col): _*)
           // z-clustered files cover tight hyper-rectangles — record each
           // clustered column's per-file min/max so readBox can prune on
-          // every dimension, not just the range column
-          writeData(spark, compacted, partitionCols, rc, statsCols = zorderBy)
+          // every dimension, not just the range column. The PREVIOUS
+          // snapshot's stat columns (int/string/decimal/timestamp) carry
+          // FORWARD too: a store built with statsCols=Seq("ts") must not
+          // silently lose its time-window skipping to a maintenance
+          // compaction (r15 self-review — only zorderBy was recorded).
+          // Hash-repartitioned layouts may leave the carried windows
+          // wide (no locality), but wide stats are merely unprunable,
+          // never wrong; out-of-range probes still skip every file.
+          val carried = (files.flatMap(e => e.colStats.keys ++
+            e.strStats.keys ++ e.decStats.keys ++ e.tsStats.keys) ++
+            zorderBy).distinct
+          writeData(spark, compacted, partitionCols, rc, statsCols = carried)
       }
     }
   }

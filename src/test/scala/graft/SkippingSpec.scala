@@ -522,6 +522,49 @@ class SkippingSpec extends AnyFunSuite {
       GreaterThanOrEqual(ntz, Literal(1500L, TimestampNTZType))) == 1)
   }
 
+  test("compaction carries EVERY stat family forward: skipping survives " +
+    "maintenance (r15 self-review)") {
+    val store = new ManifestStore(fresh("carry"))
+    def dec(s: String) = new java.math.BigDecimal(s)
+    def ts(s: String) = java.time.LocalDateTime.parse(s)
+    val df = Seq(
+      (1L, dec("12.34"), ts("2024-01-01T00:00:00"), "alpha"),
+      (2L, dec("15.00"), ts("2024-01-02T00:00:00"), "bravo"),
+      (3L, dec("2000.50"), ts("2024-06-01T00:00:00"), "mike"),
+      (4L, dec("3000.25"), ts("2024-06-02T00:00:00"), "zulu"))
+      .toDF("id", "d", "t", "s")
+      .select(col("id"), col("d").cast("decimal(18,6)").as("d"),
+        col("t"), col("s"))
+    store.append(spark, df.filter(col("id") <= 2), rangeCol = Some("id"),
+      statsCols = Seq("d", "t", "s"))
+    store.append(spark, df.filter(col("id") > 2), rangeCol = Some("id"),
+      statsCols = Seq("d", "t", "s"))
+    store.compact(spark) // maintenance rewrite — no zorderBy
+    val total = store.currentFiles(spark).size
+    // behavior proof, independent of post-compact locality: a probe
+    // OUTSIDE every file's window opens zero files for each family —
+    // impossible if the rewrite dropped that family's stats
+    val reread = new ManifestStore(store.root.toString)
+    def reads(p: org.apache.spark.sql.DataFrame) = filesRead(p)
+    assert(reads(reread.read(spark).get
+      .filter(col("d") === lit(dec("99999.5")))) == 0L,
+      s"decimal stats lost by compaction ($total files all read)")
+    assert(reads(reread.read(spark).get
+      .filter(col("t") >= lit("2030-01-01 00:00:00").cast("timestamp_ntz")))
+      == 0L, "timestamp stats lost by compaction")
+    assert(reads(reread.read(spark).get
+      .filter(col("s") === "zzzz")) == 0L,
+      "string stats lost by compaction")
+    assert(reads(reread.read(spark).get
+      .filter(col("id") > 100L)) == 0L,
+      "int range stats lost by compaction")
+    // contents intact and in-range probes still answer exactly
+    assert(reread.read(spark).get.count() == 4L)
+    assert(reread.read(spark).get
+      .filter(col("d").between(lit(dec("10")), lit(dec("20"))))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("partitioned store: partition pruning AND string-prefix stats " +
     "compose in one listing (r15 #5)") {
     val store = new ManifestStore(fresh("partstr"))
