@@ -19,7 +19,14 @@ private[graft] case class PrunableFile(status: FileStatus,
                                        decStats: Map[String,
                                          (Long, Long, Int)] = Map.empty,
                                        tsStats: Map[String,
-                                         (Long, Long, Boolean)] = Map.empty)
+                                         (Long, Long, Boolean)] = Map.empty,
+                                       nullStats: Map[String, (Long, Long)] =
+                                         Map.empty,
+                                       dblStats: Map[String, (Long, Long)] =
+                                         Map.empty,
+                                       blooms: Map[String,
+                                         org.apache.spark.util.sketch
+                                           .BloomFilter] = Map.empty)
 
 /** AUTOMATIC manifest-stats pruning for the ordinary read path (round-13
   * verdict, Next #2): a Catalyst [[FileIndex]] over one manifest commit
@@ -97,9 +104,13 @@ private[graft] class ManifestFileIndex(
     val strBounds = ManifestFileIndex.strBoundsOf(dataFilters)
     val decBounds = ManifestFileIndex.decBoundsOf(dataFilters)
     val tsBounds = ManifestFileIndex.tsBoundsOf(dataFilters)
+    val nullProbes = ManifestFileIndex.nullProbesOf(dataFilters)
+    val dblBounds = ManifestFileIndex.dblBoundsOf(dataFilters)
+    val bloomProbes = ManifestFileIndex.bloomProbesOf(dataFilters)
     val statKept =
       if (bounds.isEmpty && strBounds.isEmpty && decBounds.isEmpty &&
-          tsBounds.isEmpty) files
+          tsBounds.isEmpty && nullProbes.isEmpty && dblBounds.isEmpty &&
+          bloomProbes.isEmpty) files
       else files.filter { f =>
         bounds.forall { case (c, (lo, hi)) =>
           f.stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
@@ -127,6 +138,34 @@ private[graft] class ManifestFileIndex(
             // predicate's type (instant vs wall-clock) must agree with
             // the file's isAdjustedToUTC flag, else keep the file
             utc != wantUtc || (hi.forall(mn <= _) && lo.forall(mx >= _))
+          }
+        } && nullProbes.forall { case (c, (wantNull, wantNotNull)) =>
+          f.nullStats.get(c).forall { case (nulls, rows) =>
+            // `IS NULL` needs a null row (nulls > 0); `IS NOT NULL`
+            // needs a non-null row (nulls < rows) — both provable from
+            // the footer's num_nulls alone
+            (!wantNull || nulls > 0) && (!wantNotNull || nulls < rows)
+          }
+        } && dblBounds.forall { case (c, (lo, hi)) =>
+          f.dblStats.get(c).forall { case (mnBits, mxBits) =>
+            // recorded bounds prove the file is NaN-free (the writer
+            // drops floating stats on any NaN), so comparing under
+            // Spark's total order — NaN greatest, -0.0 == 0.0 — via
+            // canonicalized Double.compare is exact: a NaN probe bound
+            // sorts above every finite file max and prunes correctly
+            val fmin = ManifestFileIndex.canonDbl(
+              java.lang.Double.longBitsToDouble(mnBits))
+            val fmax = ManifestFileIndex.canonDbl(
+              java.lang.Double.longBitsToDouble(mxBits))
+            hi.forall(h => java.lang.Double.compare(fmin, h) <= 0) &&
+              lo.forall(l => java.lang.Double.compare(fmax, l) >= 0)
+          }
+        } && bloomProbes.forall { case (c, conjuncts) =>
+          f.blooms.get(c).forall { bf =>
+            // each top-level conjunct is an independent requirement: the
+            // file survives only if EVERY conjunct has at least one
+            // possibly-present value (x = 1 AND x IN (2,3) needs both)
+            conjuncts.forall(_.exists(bf.mightContainLong))
           }
         }
       }
@@ -497,5 +536,176 @@ private[graft] object ManifestFileIndex {
     }
     filters.foreach(walk)
     acc.toMap
+  }
+
+  /** Per-column (wants IS NULL, wants IS NOT NULL) from top-level AND-ed
+    * null tests. Spark pushes IsNotNull for every column referenced by
+    * any filter, so the not-null side fires on effectively every probe —
+    * all-null files (a sparse column's common case at 100 TB) prune
+    * without the caller asking. */
+  private[graft] def nullProbesOf(filters: Seq[Expression])
+  : Map[String, (Boolean, Boolean)] = {
+    val acc = scala.collection.mutable.Map[String, (Boolean, Boolean)]()
+    def walk(e: Expression): Unit = e match {
+      case And(l, r) => walk(l); walk(r)
+      case IsNull(a: AttributeReference) =>
+        val (n, nn) = acc.getOrElse(a.name, (false, false))
+        acc(a.name) = (true, nn)
+      case IsNotNull(a: AttributeReference) =>
+        val (n, nn) = acc.getOrElse(a.name, (false, false))
+        acc(a.name) = (n, true)
+      case _ => () // OR / nested: conservative
+    }
+    filters.foreach(walk)
+    acc.toMap
+  }
+
+  /** Collapse -0.0 to +0.0 so pruning comparison matches Spark's
+    * semantics (-0.0 == 0.0) rather than Double.compare's bit order
+    * (which puts -0.0 strictly below +0.0 and would prune a +0.0-only
+    * file against an `= -0.0` probe). NaN passes through — Spark and
+    * Double.compare agree NaN is greatest and NaN == NaN. */
+  private[graft] def canonDbl(v: Double): Double =
+    if (v == 0.0) 0.0 else v
+
+  /** DOUBLE/FLOAT-column [lo, hi] value windows (optional per side) from
+    * pushed-down filters. A float attribute — bare or under the exact
+    * widening Cast to double — contributes at its widened value; float
+    * literals widen the same way, so both sides always compare as
+    * doubles. Strict </> widen to inclusive (conservative). Comparisons
+    * run under canonicalized Double.compare: NaN greatest (Spark's
+    * ordering) and -0.0 == 0.0. */
+  private[graft] def dblBoundsOf(filters: Seq[Expression])
+  : Map[String, (Option[Double], Option[Double])] = {
+    val acc = scala.collection.mutable.Map[String,
+      (Option[Double], Option[Double])]()
+    def maxD(a: Double, b: Double) =
+      if (java.lang.Double.compare(a, b) >= 0) a else b
+    def minD(a: Double, b: Double) =
+      if (java.lang.Double.compare(a, b) <= 0) a else b
+    def addLo(name: String, lo: Double): Unit = {
+      val (clo, chi) = acc.getOrElse(name, (None, None))
+      acc(name) = (Some(clo.map(maxD(_, lo)).getOrElse(lo)), chi)
+    }
+    def addHi(name: String, hi: Double): Unit = {
+      val (clo, chi) = acc.getOrElse(name, (None, None))
+      acc(name) = (clo, Some(chi.map(minD(_, hi)).getOrElse(hi)))
+    }
+    def dblAttr(e: Expression): Option[AttributeReference] = e match {
+      case a: AttributeReference
+        if a.dataType == DoubleType || a.dataType == FloatType => Some(a)
+      // float → double is value-exact: a bound on the cast IS a bound
+      // on the column (matches how Catalyst widens mixed comparisons)
+      case c: Cast => (c.child, c.child.dataType, c.dataType) match {
+        case (a: AttributeReference, FloatType, DoubleType) => Some(a)
+        case _ => None
+      }
+      case _ => None
+    }
+    def lit(e: Expression): Option[Double] = e match {
+      case Literal(v, DoubleType) if v != null =>
+        Some(canonDbl(v.asInstanceOf[Double]))
+      case Literal(v, FloatType) if v != null =>
+        Some(canonDbl(v.asInstanceOf[Float].toDouble))
+      case _ => None
+    }
+    def walk(e: Expression): Unit = e match {
+      case And(l, r) => walk(l); walk(r)
+      case EqualTo(a, v) if dblAttr(a).isDefined =>
+        lit(v).foreach { x =>
+          addLo(dblAttr(a).get.name, x); addHi(dblAttr(a).get.name, x)
+        }
+      case EqualTo(v, a) if dblAttr(a).isDefined =>
+        lit(v).foreach { x =>
+          addLo(dblAttr(a).get.name, x); addHi(dblAttr(a).get.name, x)
+        }
+      case GreaterThanOrEqual(a, v) if dblAttr(a).isDefined =>
+        lit(v).foreach(addLo(dblAttr(a).get.name, _))
+      case GreaterThan(a, v) if dblAttr(a).isDefined =>
+        lit(v).foreach(addLo(dblAttr(a).get.name, _)) // inclusive: safe
+      case LessThanOrEqual(a, v) if dblAttr(a).isDefined =>
+        lit(v).foreach(addHi(dblAttr(a).get.name, _))
+      case LessThan(a, v) if dblAttr(a).isDefined =>
+        lit(v).foreach(addHi(dblAttr(a).get.name, _))
+      case GreaterThanOrEqual(v, a) if dblAttr(a).isDefined =>
+        lit(v).foreach(addHi(dblAttr(a).get.name, _))
+      case GreaterThan(v, a) if dblAttr(a).isDefined =>
+        lit(v).foreach(addHi(dblAttr(a).get.name, _))
+      case LessThanOrEqual(v, a) if dblAttr(a).isDefined =>
+        lit(v).foreach(addLo(dblAttr(a).get.name, _))
+      case LessThan(v, a) if dblAttr(a).isDefined =>
+        lit(v).foreach(addLo(dblAttr(a).get.name, _))
+      case In(a, list) if dblAttr(a).isDefined && list.nonEmpty =>
+        val vs = list.map(lit)
+        if (vs.forall(_.isDefined)) {
+          val xs = vs.flatten
+          addLo(dblAttr(a).get.name, xs.reduce(minD))
+          addHi(dblAttr(a).get.name, xs.reduce(maxD))
+        }
+      case InSet(a, hset) if dblAttr(a).isDefined && hset.nonEmpty =>
+        val vs = hset.toSeq.map {
+          case d: java.lang.Double => Some(canonDbl(d.doubleValue))
+          case f: java.lang.Float => Some(canonDbl(f.toDouble))
+          case _ => None
+        }
+        if (vs.forall(_.isDefined)) {
+          val xs = vs.flatten
+          addLo(dblAttr(a).get.name, xs.reduce(minD))
+          addHi(dblAttr(a).get.name, xs.reduce(maxD))
+        }
+      case _ => () // OR / non-floating / expressions: conservative
+    }
+    filters.foreach(walk)
+    acc.toMap
+  }
+
+  /** xxhash64 of a literal, computed EXACTLY as the bloom write side
+    * hashes column values (`functions.xxhash64`, seed 42) — the two
+    * sides must agree bit-for-bit or pruning silently loses rows. */
+  private def bloomHash(litExpr: Expression): Option[Long] =
+    try Option(XxHash64(Seq(litExpr), 42L).eval(null))
+      .map(_.asInstanceOf[Long])
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Per-column POINT-probe hash sets from top-level AND-ed equality /
+    * IN predicates — one Set per conjunct (each is an independent
+    * requirement). This is the probe family min/max structurally cannot
+    * serve: `tx_hash = '0x…'` over an arrival-ordered store, where
+    * every file spans the whole value range but at most one actually
+    * holds the key. Only literal values of the column's own type
+    * qualify (Catalyst constant-folds widening casts on the literal
+    * side before pushdown). */
+  private[graft] def bloomProbesOf(filters: Seq[Expression])
+  : Map[String, Seq[Set[Long]]] = {
+    val acc = scala.collection.mutable.Map[String, List[Set[Long]]]()
+    def add(name: String, hashes: Set[Long]): Unit =
+      acc(name) = hashes :: acc.getOrElse(name, Nil)
+    def walk(e: Expression): Unit = e match {
+      case And(l, r) => walk(l); walk(r)
+      case EqualTo(a: AttributeReference, v: Literal)
+        if v.value != null && v.dataType == a.dataType =>
+        bloomHash(v).foreach(h => add(a.name, Set(h)))
+      case EqualTo(v: Literal, a: AttributeReference)
+        if v.value != null && v.dataType == a.dataType =>
+        bloomHash(v).foreach(h => add(a.name, Set(h)))
+      case In(a: AttributeReference, list)
+        if list.nonEmpty && list.forall {
+          case l: Literal => l.value != null && l.dataType == a.dataType
+          case _ => false
+        } =>
+        val hs = list.map(bloomHash)
+        if (hs.forall(_.isDefined)) add(a.name, hs.flatten.toSet)
+      case InSet(a: AttributeReference, hset) if hset.nonEmpty =>
+        val hs = hset.toSeq.map { raw =>
+          if (raw == null) None
+          else bloomHash(Literal(raw, a.dataType))
+        }
+        // a null element means the IN can also match via NULL semantics
+        // paths we don't model — contribute nothing (conservative)
+        if (hs.forall(_.isDefined)) add(a.name, hs.flatten.toSet)
+      case _ => () // OR / ranges / expressions: no point probe
+    }
+    filters.foreach(walk)
+    acc.view.mapValues(_.reverse.toSeq).toMap
   }
 }

@@ -56,6 +56,11 @@ object ManifestStore {
     * published its manifest (making its files live) or died. */
   val DefaultVacuumMinAgeMs: Long = 30L * 60 * 1000
 
+  /** Per-file Bloom false-positive rate — ~10 bits/row. At 1% a point
+    * probe over N candidate files expects N/100 spurious opens; the
+    * exact predicate re-filters them to zero rows. */
+  private[graft] val BloomFpp: Double = 0.01
+
   /** Per-commit-directory (file statuses by URI path, physical schema),
     * cacheable process-wide because a PUBLISHED commit dir is immutable
     * (writers never touch it again; vacuum only deletes whole dead
@@ -167,7 +172,9 @@ final class ManifestStore(val root: String) extends Serializable {
                          Map.empty,
                        decStats: Map[String, (Long, Long, Int)] = Map.empty,
                        tsStats: Map[String, (Long, Long, Boolean)] =
-                         Map.empty) {
+                         Map.empty,
+                       nullStats: Map[String, (Long, Long)] = Map.empty,
+                       dblStats: Map[String, (Long, Long)] = Map.empty) {
     def overlaps(from: Long, to: Long): Boolean = (min, max) match {
       case (Some(lo), Some(hi)) => hi >= from && lo <= to
       case _ => true
@@ -175,7 +182,7 @@ final class ManifestStore(val root: String) extends Serializable {
     def serialized: String = {
       val range = min.map(m => s"\t$m\t${max.getOrElse(m)}").getOrElse("")
       if (colStats.isEmpty && strStats.isEmpty && decStats.isEmpty &&
-          tsStats.isEmpty)
+          tsStats.isEmpty && nullStats.isEmpty && dblStats.isEmpty)
         rel + range
       else {
         val body = colStats.toSeq.sortBy(_._1)
@@ -204,15 +211,27 @@ final class ManifestStore(val root: String) extends Serializable {
         val tbody = tsStats.toSeq.sortBy(_._1)
           .map { case (c, (lo, hi, utc)) =>
             s"$c=$lo:$hi@${if (utc) "u" else "n"}" }.mkString(";")
-        // the colStats field is always the FOURTH tab field: statless
-        // range slots are kept as empty strings so the parser's arity
-        // stays unambiguous; same for empty middle fields before a
-        // later one
-        rel + (if (range.isEmpty) "\t\t" else range) + "\t" + body +
-          (if (strStats.isEmpty && decStats.isEmpty && tsStats.isEmpty) ""
-           else "\t" + sbody) +
-          (if (decStats.isEmpty && tsStats.isEmpty) "" else "\t" + dbody) +
-          (if (tsStats.isEmpty) "" else "\t" + tbody)
+        // null stats are the EIGHTH field: `col=nullCount:rowCount` —
+        // rowCount rides along so the entry is self-contained (pruning
+        // `IS NOT NULL` needs nulls == rows, `IS NULL` needs nulls == 0)
+        val nbody = nullStats.toSeq.sortBy(_._1)
+          .map { case (c, (nulls, rows)) => s"$c=$nulls:$rows" }.mkString(";")
+        // double/float stats are the NINTH field: IEEE-754 RAW BITS of
+        // min/max as decimal longs (`col=loBits:hiBits`) — bit-exact
+        // round-tripping with zero decimal-text float hazards. Floats
+        // widen to double exactly at record time. Recorded stats PROVE
+        // the file is NaN-free: parquet-mr drops floating min/max
+        // entirely when any NaN was written (pinned by SkippingSpec),
+        // and the footer reader requires hasNonNullValue.
+        val fbody = dblStats.toSeq.sortBy(_._1)
+          .map { case (c, (lo, hi)) => s"$c=$lo:$hi" }.mkString(";")
+        // the colStats field is always the FOURTH tab field; empty
+        // middle fields serialize as empty strings (arity stays
+        // unambiguous) and trailing empties drop
+        val tail = Seq(body, sbody, dbody, tbody, nbody, fbody)
+          .reverse.dropWhile(_.isEmpty).reverse
+        rel + (if (range.isEmpty) "\t\t" else range) +
+          tail.map("\t" + _).mkString
       }
     }
   }
@@ -279,20 +298,16 @@ final class ManifestStore(val root: String) extends Serializable {
           } yield e.substring(0, eq) -> (lo, hi, f)
         }
       }.toMap
-    def parse(line: String): FileEntry = line.split('\t') match {
-      case Array(rel, lo, hi) => FileEntry(rel, lo.toLongOption, hi.toLongOption)
-      case Array(rel, lo, hi, cs) =>
-        FileEntry(rel, lo.toLongOption, hi.toLongOption, parseColStats(cs))
-      case Array(rel, lo, hi, cs, ss) =>
-        FileEntry(rel, lo.toLongOption, hi.toLongOption, parseColStats(cs),
-          parseStrStats(ss))
-      case Array(rel, lo, hi, cs, ss, ds) =>
-        FileEntry(rel, lo.toLongOption, hi.toLongOption, parseColStats(cs),
-          parseStrStats(ss), parseDecStats(ds))
-      case Array(rel, lo, hi, cs, ss, ds, ts) =>
-        FileEntry(rel, lo.toLongOption, hi.toLongOption, parseColStats(cs),
-          parseStrStats(ss), parseDecStats(ds), parseTsStats(ts))
-      case other => FileEntry(other.head, None, None)
+    def parse(line: String): FileEntry = {
+      // split with -1: a trailing empty field must not collapse the arity
+      val a = line.split("\t", -1)
+      if (a.length < 3) FileEntry(a.head, None, None)
+      else {
+        def f(i: Int): String = if (a.length > i) a(i) else ""
+        FileEntry(a(0), a(1).toLongOption, a(2).toLongOption,
+          parseColStats(f(3)), parseStrStats(f(4)), parseDecStats(f(5)),
+          parseTsStats(f(6)), parseColStats(f(7)), parseColStats(f(8)))
+      }
     }
   }
 
@@ -901,7 +916,8 @@ final class ManifestStore(val root: String) extends Serializable {
   private def writeData(spark: SparkSession, df: DataFrame,
                         partitionCols: Seq[String],
                         rangeCol: Option[String],
-                        statsCols: Seq[String] = Nil): Seq[FileEntry] = {
+                        statsCols: Seq[String] = Nil,
+                        bloomCols: Seq[String] = Nil): Seq[FileEntry] = {
     val commitId = java.util.UUID.randomUUID().toString
     val dir = new Path(dataDir, commitId)
     val w = df.write.mode("overwrite")
@@ -956,10 +972,9 @@ final class ManifestStore(val root: String) extends Serializable {
     val rcFromPath = rangeCol.filter(partitionCols.contains)
     val rcFromFooter = rangeCol.filterNot(partitionCols.contains)
     val footerCols = (rcFromFooter.toSeq ++ safeStats).distinct
-    rels.toSeq.flatMap { rel =>
-      val (rows, stats, strs, decs, tss) =
-        footerMultiStats(new Path(root, rel), footerCols, conf)
-      if (rows == 0L) None
+    val entriesWithRows = rels.toSeq.flatMap { rel =>
+      val st = footerMultiStats(new Path(root, rel), footerCols, conf)
+      if (st.rows == 0L) None
       else {
         val range = rcFromPath match {
           case Some(rc) =>
@@ -967,16 +982,88 @@ final class ManifestStore(val root: String) extends Serializable {
               case seg if seg.startsWith(rc + "=") =>
                 seg.stripPrefix(rc + "=").toLongOption
             }.flatten.map(x => (x, x))
-          case None => rcFromFooter.flatMap(stats.get)
+          case None => rcFromFooter.flatMap(st.ints.get)
         }
-        Some(FileEntry(rel, range.map(_._1), range.map(_._2),
-          stats.view.filterKeys(safeStats.contains).toMap,
-          strs.view.filterKeys(safeStats.contains).toMap,
-          decs.view.filterKeys(safeStats.contains).toMap,
-          tss.view.filterKeys(safeStats.contains).toMap))
+        Some((FileEntry(rel, range.map(_._1), range.map(_._2),
+          st.ints.view.filterKeys(safeStats.contains).toMap,
+          st.strs.view.filterKeys(safeStats.contains).toMap,
+          st.decs.view.filterKeys(safeStats.contains).toMap,
+          st.tss.view.filterKeys(safeStats.contains).toMap,
+          st.nulls.view.filterKeys(safeStats.contains).toMap,
+          st.dbls.view.filterKeys(safeStats.contains).toMap), st.rows))
       }
     }
+    writeBloomSidecar(spark, dir, entriesWithRows, bloomCols, partitionCols)
+    entriesWithRows.map(_._1)
   }
+
+  /** Build the commit's per-file Bloom sidecar: ONE distributed pass
+    * over the just-written files (the index-build cost every skipping
+    * index pays at write time), grouped by `input_file_name` and
+    * aggregated into one [[org.apache.spark.util.sketch.BloomFilter]]
+    * per (file, column) on the xxhash64 of the column's values. Filters
+    * are sized by the commit's largest file (identical sizing keeps
+    * partial merges compatible; small files merely over-provision).
+    *
+    * Attribution is exact-path equality after URI normalization on BOTH
+    * sides — a result path that fails to match its manifest rel just
+    * records no bloom for that file (kept on every probe: conservative,
+    * never misattributed). Partition columns can't carry blooms (their
+    * value lives in the directory name, not the rows). */
+  private def writeBloomSidecar(spark: SparkSession, dir: Path,
+                                entries: Seq[(FileEntry, Long)],
+                                bloomCols: Seq[String],
+                                partitionCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.graftshim.Shim
+    val cols = bloomCols.filter(statSafeName).filterNot(partitionCols.contains)
+      .distinct
+    if (cols.isEmpty || entries.isEmpty) return
+    val f = fs(spark)
+    val expected = math.max(64L, entries.map(_._2).max)
+    val back = spark.read.parquet(dir.toString)
+    val present = cols.filter(c => back.columns.contains(c))
+    if (present.isEmpty) return
+    val keyed = back.select(
+      org.apache.spark.sql.functions.input_file_name().as("__graft_file") +:
+        present.map(c => org.apache.spark.sql.functions.when(
+          col(c).isNotNull,
+          org.apache.spark.sql.functions.xxhash64(col(c))).as(c)): _*)
+    val aggs = present.map(c => Shim.column(FileBloomAgg(
+      Shim.expression(col(c)), expected, ManifestStore.BloomFpp)
+      .toAggregateExpression()).as(c))
+    val rows = keyed.groupBy(col("__graft_file"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    // normalize to URI paths for the match (input_file_name returns the
+    // path the scan opened, possibly URI-encoded)
+    def norm(s: String): String =
+      try new Path(new java.net.URI(s)).toUri.getPath
+      catch { case scala.util.control.NonFatal(_) =>
+        new Path(s).toUri.getPath }
+    val relByPath = entries.map { case (e, _) =>
+      new Path(root, e.rel).makeQualified(f.getUri, f.getWorkingDirectory)
+        .toUri.getPath -> e.rel
+    }.toMap
+    val out = rows.toSeq.flatMap { r =>
+      relByPath.get(norm(r.getString(0))).toSeq.flatMap { rel =>
+        present.zipWithIndex.flatMap { case (c, i) =>
+          Option(r.get(i + 1)).map(b =>
+            (rel, c, b.asInstanceOf[Array[Byte]]))
+        }
+      }
+    }
+    BloomSidecar.write(f, dir, out)
+  }
+
+  /** Per-file footer statistics, one family per map — all derived from
+    * ONE footer read per file at commit time. */
+  private case class FooterStats(
+      rows: Long,
+      ints: Map[String, (Long, Long)],
+      strs: Map[String, (Seq[Byte], Option[Seq[Byte]])],
+      decs: Map[String, (Long, Long, Int)],
+      tss: Map[String, (Long, Long, Boolean)],
+      nulls: Map[String, (Long, Long)],
+      dbls: Map[String, (Long, Long)])
 
   /** (row count, per-column (min, max) of `cols`) from a parquet file's
     * footer metadata, in one footer read. A column is present in the map
@@ -995,10 +1082,7 @@ final class ManifestStore(val root: String) extends Serializable {
     * DATE qualify; decimal/timestamp/time columns degrade to statless. */
   private def footerMultiStats(p: Path, cols: Seq[String],
                                conf: org.apache.hadoop.conf.Configuration)
-  : (Long, Map[String, (Long, Long)],
-     Map[String, (Seq[Byte], Option[Seq[Byte]])],
-     Map[String, (Long, Long, Int)],
-     Map[String, (Long, Long, Boolean)]) = {
+  : FooterStats = {
     import scala.jdk.CollectionConverters._
     import org.apache.parquet.schema.LogicalTypeAnnotation
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -1172,7 +1256,70 @@ final class ManifestStore(val root: String) extends Serializable {
         }
         if (ok && utc.isDefined) Some(name -> (lo, hi, utc.get)) else None
       }.toMap
-      (rows, intOut, strOut, decOut, tsOut)
+      // NULL COUNTS for any physical type: parquet tracks num_nulls
+      // independently of min/max (it stays set even when a NaN made the
+      // writer drop the floating bounds), so the gate here is
+      // isNumNullsSet in EVERY row group — not hasNonNullValue. Spark
+      // pushes IsNotNull for every filtered column, so an all-null
+      // file prunes on effectively every probe for free.
+      val nullOut = cols.flatMap { name =>
+        var nulls = 0L
+        var ok = rows > 0
+        blocks.foreach { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == name) match {
+            case Some(c) if c.getStatistics != null &&
+              c.getStatistics.isNumNullsSet =>
+              nulls += c.getStatistics.getNumNulls
+            case _ => ok = false
+          }
+        }
+        if (ok) Some(name -> (nulls, rows)) else None
+      }.toMap
+      // FLOAT/DOUBLE min/max as IEEE raw bits (floats widen exactly).
+      // The NaN discipline: parquet-mr 1.16 DROPS floating min/max
+      // whenever a NaN was written (hasNonNullValue turns false —
+      // pinned by SkippingSpec), so a recorded window PROVES the file
+      // holds no NaN, which is what makes upper-bound pruning sound
+      // under Spark's NaN-is-greatest ordering (a hidden NaN row would
+      // satisfy `x > hugeValue` in a file whose finite max says
+      // otherwise). Zero signs are canonicalized at COMPARE time in
+      // ManifestFileIndex, not here.
+      def floating(c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData)
+      : Boolean = c.getPrimitiveType.getPrimitiveTypeName match {
+        case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.DOUBLE |
+             org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.FLOAT =>
+          c.getPrimitiveType.getLogicalTypeAnnotation == null
+        case _ => false
+      }
+      val dblOut = cols.flatMap { name =>
+        var lo = Double.PositiveInfinity
+        var hi = Double.NegativeInfinity
+        var ok = rows > 0
+        blocks.foreach { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == name) match {
+            case Some(c) if floating(c) =>
+              c.getStatistics match {
+                case s: org.apache.parquet.column.statistics.DoubleStatistics
+                  if !s.isEmpty && s.hasNonNullValue &&
+                    !s.genericGetMin.isNaN && !s.genericGetMax.isNaN =>
+                  lo = math.min(lo, s.genericGetMin)
+                  hi = math.max(hi, s.genericGetMax)
+                case s: org.apache.parquet.column.statistics.FloatStatistics
+                  if !s.isEmpty && s.hasNonNullValue &&
+                    !s.genericGetMin.isNaN && !s.genericGetMax.isNaN =>
+                  lo = math.min(lo, s.genericGetMin.toDouble)
+                  hi = math.max(hi, s.genericGetMax.toDouble)
+                case _ => ok = false
+              }
+            case _ => ok = false
+          }
+        }
+        if (ok && lo <= hi)
+          Some(name -> (java.lang.Double.doubleToRawLongBits(lo),
+            java.lang.Double.doubleToRawLongBits(hi)))
+        else None
+      }.toMap
+      FooterStats(rows, intOut, strOut, decOut, tsOut, nullOut, dblOut)
     } finally reader.close()
   }
 
@@ -1215,7 +1362,8 @@ final class ManifestStore(val root: String) extends Serializable {
       val flat = segLists.forall(_.length == 3)
       val hasStats = entries.exists(e =>
         e.colStats.nonEmpty || e.strStats.nonEmpty || e.decStats.nonEmpty ||
-          e.tsStats.nonEmpty || e.min.isDefined)
+          e.tsStats.nonEmpty || e.nullStats.nonEmpty ||
+          e.dblStats.nonEmpty || e.min.isDefined)
       val SafeVal = "[A-Za-z_][A-Za-z0-9_.\\-]*".r
       // the hive NULL-partition sentinel must read as null, which only
       // the basePath path does — never treat it as a literal string
@@ -1238,7 +1386,19 @@ final class ManifestStore(val root: String) extends Serializable {
             else None
           } else None
         }
-      if (!hasStats && flat) fallback
+      // a commit with a bloom sidecar qualifies for the index path even
+      // when every manifest entry is statless (a bloom-only store);
+      // the cached existence probe costs one fs.exists per commit dir
+      // per process
+      lazy val bloomMap = try {
+        val f = fs(spark)
+        val dirPath = new Path(root, commitDir)
+        BloomSidecar.cached(dirPath.makeQualified(f.getUri,
+          f.getWorkingDirectory).toString, dirPath, f)
+      } catch { case scala.util.control.NonFatal(_) =>
+        Map.empty[String, Map[String, org.apache.spark.util.sketch.BloomFilter]]
+      }
+      if (!hasStats && flat && bloomMap.isEmpty) fallback
       else partPairs match {
         case None => fallback
         case Some(pairs) => try {
@@ -1268,7 +1428,8 @@ final class ManifestStore(val root: String) extends Serializable {
               rangeCol.flatMap(rc => e.min.zip(e.max).map(rc -> _)).toMap
             PrunableFile(statusByPath.getOrElse(p.toUri.getPath,
               f.getFileStatus(p)), stats, pp.map(_._2), e.strStats,
-              e.decStats, e.tsStats)
+              e.decStats, e.tsStats, e.nullStats, e.dblStats,
+              bloomMap.getOrElse(e.rel, Map.empty))
           }
           org.apache.spark.sql.graftshim.Shim.parquetFrame(spark,
             new ManifestFileIndex(new Path(root, commitDir), pruned,
@@ -1448,7 +1609,8 @@ final class ManifestStore(val root: String) extends Serializable {
              partitionCols: Seq[String] = Nil,
              commitKey: Option[String] = None,
              rangeCol: Option[String] = None,
-             statsCols: Seq[String] = Nil): Unit = synchronized {
+             statsCols: Seq[String] = Nil,
+             bloomCols: Seq[String] = Nil): Unit = synchronized {
     if (commitKey.exists(hasCommitKey(spark, _))) return
     // schema pre-check BEFORE the distributed write: a type-conflicting
     // batch must fail before any part file is written, not after the
@@ -1463,7 +1625,8 @@ final class ManifestStore(val root: String) extends Serializable {
     }
     // data files are immutable — safe to reuse across commit attempts;
     // the file LIST re-merges against the then-current snapshot each try
-    val newFiles = writeData(spark, df, partitionCols, rangeCol, statsCols)
+    val newFiles = writeData(spark, df, partitionCols, rangeCol, statsCols,
+      bloomCols)
     commitWith(spark, commitKey, rangeCol, noopSkippableWithKey = true,
       schema = evolver(df)) { prev =>
       prev.map(_.files).getOrElse(Nil) ++ newFiles
@@ -1475,6 +1638,33 @@ final class ManifestStore(val root: String) extends Serializable {
     * column. */
   private[graft] def currentRangeCol(spark: SparkSession): Option[String] =
     snapshot(spark).flatMap(_.rangeCol)
+
+  /** Stat-family columns recorded ANYWHERE in a snapshot's entries —
+    * what every snapshot-preserving rewrite (compact, overwriteRange,
+    * delete, expire, merge) must re-record for its fresh files, so no
+    * maintenance or upsert path silently loses a skipping family (the
+    * r15 compaction fix, generalized to all rewrite sites). Columns the
+    * rewritten content no longer carries simply record nothing —
+    * writeData's footer lookup degrades to absent, never to an error. */
+  private def carriedStatCols(files: Seq[FileEntry]): Seq[String] =
+    files.flatMap(e => e.colStats.keys ++ e.strStats.keys ++
+      e.decStats.keys ++ e.tsStats.keys ++ e.nullStats.keys ++
+      e.dblStats.keys).distinct
+
+  /** Bloom-indexed columns of the commits behind `files` — the
+    * point-probe family rides in per-commit sidecars, so the carry is
+    * derived from them, not from manifest entries. Re-indexing is the
+    * rewrite's cost and applies only to the files actually rewritten. */
+  private def carriedBloomCols(spark: SparkSession,
+                               files: Seq[FileEntry]): Seq[String] = {
+    val f = fs(spark)
+    val dirs = files.map(_.rel.split('/').take(2).mkString("/")).distinct
+      .map { cd =>
+        val p = new Path(root, cd)
+        (p.makeQualified(f.getUri, f.getWorkingDirectory).toString, p)
+      }
+    BloomSidecar.colsOf(f, dirs)
+  }
 
   /** Atomic full replace: one commit whose snapshot lists ONLY `df`'s
     * files — the maintenance primitive for content rewrites (e.g.
@@ -1530,7 +1720,9 @@ final class ManifestStore(val root: String) extends Serializable {
           // old rows read them as null. The projection (see delete)
           // keeps dropped-column bytes out of the rewritten window.
           .unionByName(df, allowMissingColumns = true)
-      kept ++ writeData(spark, merged, partitionCols, Some(rangeCol))
+      kept ++ writeData(spark, merged, partitionCols, Some(rangeCol),
+        statsCols = carriedStatCols(prevFiles),
+        bloomCols = carriedBloomCols(spark, prevFiles))
     }
   }
 
@@ -1579,7 +1771,9 @@ final class ManifestStore(val root: String) extends Serializable {
           val rc = prev.flatMap(_.rangeCol)
           deleted = proj(readFiles(spark, hit)).filter(predicate).count()
           kept ++ writeData(spark,
-            proj(readFiles(spark, hit)).filter(!predicate), partitionCols, rc)
+            proj(readFiles(spark, hit)).filter(!predicate), partitionCols, rc,
+            statsCols = carriedStatCols(files),
+            bloomCols = carriedBloomCols(spark, files))
         }
       }
     }
@@ -1613,7 +1807,9 @@ final class ManifestStore(val root: String) extends Serializable {
         // straddler rewrite through the schema projection (see delete)
         projectToSchema(readFiles(spark, straddle), prev.get)
           .filter(col(rc) >= cutoff),
-        partitionCols, prev.flatMap(_.rangeCol))
+        partitionCols, prev.flatMap(_.rangeCol),
+        statsCols = carriedStatCols(files),
+        bloomCols = carriedBloomCols(spark, files))
     }
     (dropped, rewritten)
   }
@@ -1654,7 +1850,9 @@ final class ManifestStore(val root: String) extends Serializable {
           if (hit.isEmpty) updates
           else proj(readFiles(spark, hit)).join(keys, keyCols, "left_anti")
             .unionByName(updates, allowMissingColumns = true)
-        kept ++ writeData(spark, fresh, partitionCols, rc)
+        kept ++ writeData(spark, fresh, partitionCols, rc,
+          statsCols = carriedStatCols(files),
+          bloomCols = carriedBloomCols(spark, files))
       }
     }
   }
@@ -1733,10 +1931,13 @@ final class ManifestStore(val root: String) extends Serializable {
           // Hash-repartitioned layouts may leave the carried windows
           // wide (no locality), but wide stats are merely unprunable,
           // never wrong; out-of-range probes still skip every file.
-          val carried = (files.flatMap(e => e.colStats.keys ++
-            e.strStats.keys ++ e.decStats.keys ++ e.tsStats.keys) ++
-            zorderBy).distinct
-          writeData(spark, compacted, partitionCols, rc, statsCols = carried)
+          val carried = (carriedStatCols(files) ++ zorderBy).distinct
+          // the point-probe family carries forward too: re-index every
+          // column any previous commit's sidecar covered (recomputing
+          // blooms is the rewrite's cost — the files are new)
+          writeData(spark, compacted, partitionCols, rc,
+            statsCols = carried,
+            bloomCols = carriedBloomCols(spark, files))
       }
     }
   }

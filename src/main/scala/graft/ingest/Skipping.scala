@@ -321,13 +321,175 @@ object Skipping {
       .orderBy("event_type")
   }
 
+  /** Build (once per session): click rows and non-click rows land in
+    * SEPARATE files, with `cprops` (props gated on event_type = click)
+    * all-non-null in the former and all-null in the latter — so the
+    * manifest's eighth field (nullCount:rowCount) makes `IS [NOT] NULL`
+    * probes provable per file. The builder asserts both directions
+    * prune structurally. */
+  private[graft] def builtNullStore(s: SparkSession, dir: String): ManifestStore =
+    Evolution.buildOnce(s, gateRoot(dir) + "_nulls", "null_skipping_gate_store") {
+      store =>
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            when(col("event_type") === "click", col("props")).as("cprops"))
+        store.append(s, ev.filter(col("event_type") === "click").repartition(2),
+          rangeCol = Some("event_id"), statsCols = Seq("cprops"))
+        store.append(s, ev.filter(col("event_type") =!= "click").repartition(2),
+          rangeCol = Some("event_id"), statsCols = Seq("cprops"))
+        val total = store.currentFiles(s).size
+        val notNull = graft.Plans.filesRead(
+          store.read(s).get.filter(col("cprops").isNotNull))
+        val isNull = graft.Plans.filesRead(
+          store.read(s).get.filter(col("cprops").isNull))
+        require(notNull >= 1 && notNull < total,
+          s"IS NOT NULL read $notNull of $total files - null stats did not " +
+            "prune the all-null files")
+        require(isNull >= 1 && isNull < total,
+          s"IS NULL read $isNull of $total files - null stats did not " +
+            "prune the null-free files")
+    }
+
+  /** Gate (round-15, session 2): NULL-COUNT data skipping — per-file
+    * (nullCount, rowCount) in the manifest's eighth field. `IS NOT NULL`
+    * prunes all-null files and `IS NULL` prunes null-free files; since
+    * Spark pushes IsNotNull under every comparison filter, the sparse
+    * column's dead files (most of a 100 TB optional field) prune on
+    * effectively every probe without the caller asking. Hash-equality
+    * with the full-scan oracle proves pruning never changes answers. */
+  def storeSkippingNulls(s: SparkSession, dir: String): DataFrame = {
+    val store = builtNullStore(s, dir)
+    store.read(s).get
+      .filter(col("cprops").isNotNull)
+      .groupBy(pmod(col("user_id"), lit(10)).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
+      .orderBy("bucket")
+  }
+
+  /** Deterministic double probe window: mn + (mx-mn)*45/100 with the
+    * SAME IEEE operation order DuckDB evaluates for the literal
+    * expression — every step is an exact double op on both sides, so
+    * the bounds are bit-identical and boundary rows cannot diverge. */
+  private[graft] def dblProbeBounds(s: SparkSession, dir: String)
+  : (Double, Double) = {
+    val r = Tables.load(s, dir, "events")
+      .agg(min(col("value")), max(col("value"))).head()
+    val (mn, mx) = (r.getDouble(0), r.getDouble(1))
+    (mn + (mx - mn) * 45.0 / 100.0, mn + (mx - mn) * 55.0 / 100.0)
+  }
+
+  /** Build (once per session): 4 value-range appends of the DOUBLE
+    * `value` column; each file carries IEEE-bit min/max in the
+    * manifest's ninth field (recorded only when the footer proves the
+    * file NaN-free). */
+  private[graft] def builtDblStore(s: SparkSession, dir: String): ManifestStore =
+    Evolution.buildOnce(s, gateRoot(dir) + "_dbl", "dbl_skipping_gate_store") {
+      store =>
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value"))
+        val r = ev.agg(min(col("value")), max(col("value"))).head()
+        val (mn, mx) = (r.getDouble(0), r.getDouble(1))
+        val step = (mx - mn) / 4
+        (0 until 4).foreach { i =>
+          val lo = mn + step * i
+          val hi = if (i == 3) Double.MaxValue else mn + step * (i + 1)
+          store.append(s,
+            ev.filter(col("value") >= lit(lo) && col("value") < lit(hi)),
+            rangeCol = Some("event_id"), statsCols = Seq("value"))
+        }
+        val total = store.currentFiles(s).size
+        val (plo, phi) = dblProbeBounds(s, dir)
+        val read = graft.Plans.filesRead(store.read(s).get
+          .filter(col("value").between(lit(plo), lit(phi))))
+        require(read >= 1 && read < total,
+          s"double BETWEEN probe read $read of $total files - " +
+            "floating stats did not prune")
+    }
+
+  /** Gate (round-15, session 2): DOUBLE data skipping — IEEE-raw-bit
+    * min/max in the manifest's ninth field, sound under Spark's
+    * NaN-is-greatest ordering because parquet-mr drops floating stats
+    * for any NaN-bearing chunk (recorded bounds PROVE NaN-absence;
+    * pinned by SkippingSpec). Hash-equality with the full-scan oracle
+    * proves pruning never changes answers. */
+  def storeSkippingDouble(s: SparkSession, dir: String): DataFrame = {
+    val store = builtDblStore(s, dir)
+    val (plo, phi) = dblProbeBounds(s, dir)
+    store.read(s).get
+      .filter(col("value").between(lit(plo), lit(phi)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("val_sum"))
+      .orderBy("event_type")
+  }
+
+  /** The 601st-smallest event_id's synthetic key — an EXISTING value,
+    * derived identically on both sides (`md5(CAST(event_id AS VARCHAR))`
+    * is byte-identical in Spark and DuckDB). */
+  private[graft] def bloomProbeKey(s: SparkSession, dir: String): String =
+    Tables.load(s, dir, "events")
+      .select(md5(col("event_id").cast("string")).as("key"),
+        col("event_id"))
+      .orderBy("event_id").limit(601)
+      .orderBy(col("event_id").desc).select("key").head().getString(0)
+
+  /** Build (once per session): arrival-ordered appends of a
+    * high-cardinality hash-like key (md5 of event_id) with
+    * `bloomCols = key` — every file spans the whole key range
+    * byte-wise, so min/max CANNOT prune a point probe; the per-file
+    * Bloom sidecar is the only thing standing between `key = '…'` and
+    * a full-store scan. The builder proves the probe opens a strict
+    * subset of the files. */
+  private[graft] def builtBloomStore(s: SparkSession, dir: String): ManifestStore =
+    Evolution.buildOnce(s, gateRoot(dir) + "_bloom", "bloom_skipping_gate_store") {
+      store =>
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("event_type"),
+            md5(col("event_id").cast("string")).as("key"))
+        val r = ev.agg(min("event_id"), max("event_id")).head()
+        val (emn, emx) = (r.getLong(0), r.getLong(1))
+        val step = math.max(1L, (emx - emn) / 4 + 1)
+        (0 until 4).foreach { i =>
+          store.append(s,
+            ev.filter(col("event_id") >= emn + i * step &&
+              col("event_id") < emn + (i + 1) * step).repartition(1),
+            rangeCol = Some("event_id"), bloomCols = Seq("key"))
+        }
+        val total = store.currentFiles(s).size
+        val probe = store.read(s).get
+          .filter(col("key") === bloomProbeKey(s, dir))
+        val read = graft.Plans.filesRead(probe)
+        require(read >= 1 && read < total,
+          s"bloom point probe read $read of $total files - the sidecar " +
+            "did not prune an unclustered equality probe")
+    }
+
+  /** Gate (round-15, session 2): BLOOM-FILTER data skipping — the
+    * point-probe family min/max structurally cannot serve: a per-file
+    * Bloom sidecar (xxhash64 of the value, Spark's own sketch) prunes
+    * `key = '…'` over an arrival-ordered store to the file(s) that
+    * might hold the key. This is THE blockchain lookup shape
+    * (`tx_hash = '0x…'`) at 100 TB. Hash-equality with the full-scan
+    * oracle proves pruning never changes answers. */
+  def storeSkippingBloom(s: SparkSession, dir: String): DataFrame = {
+    val store = builtBloomStore(s, dir)
+    store.read(s).get
+      .filter(col("key") === bloomProbeKey(s, dir))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "store_zorder_skipping" -> (storeZorderSkipping _),
     "store_sql_box" -> (storeSqlBox _),
     "store_skipping_auto" -> (storeSkippingAuto _),
     "store_skipping_strings" -> (storeSkippingStrings _),
     "store_skipping_decimal" -> (storeSkippingDecimal _),
-    "store_skipping_timestamp" -> (storeSkippingTimestamp _))
+    "store_skipping_timestamp" -> (storeSkippingTimestamp _),
+    "store_skipping_nulls" -> (storeSkippingNulls _),
+    "store_skipping_double" -> (storeSkippingDouble _),
+    "store_skipping_bloom" -> (storeSkippingBloom _))
 
   val oracle: Map[String, String] = Map(
     "store_zorder_skipping" -> """
@@ -394,6 +556,39 @@ object Skipping {
       FROM events, b
       WHERE epoch_us(ts) BETWEEN b.lo AND b.hi
       GROUP BY event_type ORDER BY event_type""",
+    // cprops ≡ CASE WHEN event_type='click' THEN props END; the
+    // IS NOT NULL filter therefore selects exactly the click rows with
+    // non-null props
+    "store_skipping_nulls" -> """
+      SELECT user_id % 10 AS bucket, COUNT(*) AS n,
+        CAST(SUM(event_id) AS BIGINT) AS id_sum
+      FROM events
+      WHERE event_type = 'click' AND props IS NOT NULL
+      GROUP BY 1 ORDER BY 1""",
+    // bounds mirror dblProbeBounds' IEEE operation order exactly:
+    // min + (max - min) * 45 / 100 evaluates the same double ops in the
+    // same order on both engines
+    "store_skipping_double" -> """
+      WITH b AS (
+        SELECT min(value) + (max(value) - min(value)) * 45 / 100 AS lo,
+               min(value) + (max(value) - min(value)) * 55 / 100 AS hi
+        FROM events)
+      SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS val_sum
+      FROM events, b
+      WHERE value BETWEEN b.lo AND b.hi
+      GROUP BY event_type ORDER BY event_type""",
+    // the probed key is the 601st-smallest event_id's md5 — an existing
+    // high-cardinality value, derived identically on both sides
+    "store_skipping_bloom" -> """
+      WITH t AS (SELECT event_id FROM events ORDER BY event_id
+                 LIMIT 1 OFFSET 600),
+           k AS (SELECT md5(CAST(event_id AS VARCHAR)) AS key FROM t)
+      SELECT e.event_type, COUNT(*) AS n,
+        CAST(SUM(e.event_id) AS BIGINT) AS id_sum
+      FROM events e, k
+      WHERE md5(CAST(e.event_id AS VARCHAR)) = k.key
+      GROUP BY 1 ORDER BY 1""",
     "store_sql_box" -> """
       WITH b AS (
         SELECT min(event_id) + (max(event_id) - min(event_id)) * 45 // 100 AS elo,

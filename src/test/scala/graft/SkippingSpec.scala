@@ -605,4 +605,263 @@ class SkippingSpec extends AnyFunSuite {
     assert(both.select("event_id").collect().map(_.getLong(0)).sorted.toSeq ==
       expectRows)
   }
+
+  test("NULL-COUNT stats: IS NOT NULL prunes all-null files, IS NULL " +
+    "prunes null-free files; mixed files always kept") {
+    val store = new ManifestStore(fresh("nulls"))
+    val dense = (0L until 100L).map(i => (i, Some(s"v$i"))).toDF("id", "tag")
+    val sparse = (100L until 200L)
+      .map(i => (i, None: Option[String])).toDF("id", "tag")
+    val mixed = (200L until 300L)
+      .map(i => (i, if (i % 2 == 0) Some(s"v$i") else None)).toDF("id", "tag")
+    store.append(spark, dense.repartition(1), rangeCol = Some("id"),
+      statsCols = Seq("tag"))
+    store.append(spark, sparse.repartition(1), rangeCol = Some("id"),
+      statsCols = Seq("tag"))
+    store.append(spark, mixed.repartition(1), rangeCol = Some("id"),
+      statsCols = Seq("tag"))
+    val total = store.currentFiles(spark).size
+    assert(total == 3)
+    // a SECOND instance re-parses the manifest — the eighth field
+    // (nullCount:rowCount) survives the round-trip
+    val reread = new ManifestStore(store.root.toString)
+    val notNull = reread.read(spark).get.filter(col("tag").isNotNull)
+    assert(filesRead(notNull) == 2L,
+      s"IS NOT NULL read ${filesRead(notNull)} files, expected 2 " +
+        "(the all-null file must prune)")
+    assert(notNull.count() == 150L)
+    val isNull = reread.read(spark).get.filter(col("tag").isNull)
+    assert(filesRead(isNull) == 2L,
+      s"IS NULL read ${filesRead(isNull)} files, expected 2 " +
+        "(the null-free file must prune)")
+    assert(isNull.count() == 150L)
+    // the not-null side composes with ordinary predicates for free:
+    // Spark pushes IsNotNull under any comparison filter
+    val probe = reread.read(spark).get.filter(col("tag") >= "v")
+    assert(filesRead(probe) <= 2L,
+      "pushed IsNotNull did not prune the all-null file")
+    // compaction carries the family (keys come from nullStats)
+    store.compact(spark)
+    val afterTotal = store.currentFiles(spark).size
+    val after = new ManifestStore(store.root.toString).read(spark).get
+    assert(after.count() == 300L)
+    if (afterTotal == 1) {
+      // single-file rewrite: nothing left to prune, values must hold
+      assert(after.filter(col("tag").isNull).count() == 150L)
+    }
+  }
+
+  test("DOUBLE stats: range probes prune; a NaN-bearing file degrades " +
+    "statless and NaN rows are never lost (parquet-mr pin)") {
+    val store = new ManifestStore(fresh("dbl"))
+    val low = (0 until 100).map(i => (i.toLong, i / 100.0)).toDF("id", "v")
+    val high = (100 until 200).map(i => (i.toLong, 1000.0 + i))
+      .toDF("id", "v")
+    // NaN file: parquet-mr 1.16 drops floating min/max entirely when a
+    // NaN was written (hasNonNullValue=false) — the pin this whole
+    // family's soundness rests on (a writer that recorded NaN-ignoring
+    // finite bounds would make upper-bound pruning lose NaN rows,
+    // because Spark orders NaN above every value)
+    val withNan = Seq((200L, 5.5), (201L, Double.NaN), (202L, 7.25))
+      .toDF("id", "v")
+    store.append(spark, low.repartition(1), rangeCol = Some("id"),
+      statsCols = Seq("v"))
+    store.append(spark, high.repartition(1), rangeCol = Some("id"),
+      statsCols = Seq("v"))
+    store.append(spark, withNan.repartition(1), rangeCol = Some("id"),
+      statsCols = Seq("v"))
+    val total = store.currentFiles(spark).size
+    assert(total == 3)
+    val reread = new ManifestStore(store.root.toString)
+    // the low window prunes the high file; the NaN file is statless so
+    // it is KEPT (conservative) even though its finite values miss
+    val lowProbe = reread.read(spark).get.filter(col("v") < lit(0.5))
+    assert(filesRead(lowProbe) == 2L,
+      s"double range probe read ${filesRead(lowProbe)} files, expected 2")
+    assert(lowProbe.count() == 50L)
+    // Spark's NaN-is-greatest ordering: x > 1e300 MATCHES the NaN row,
+    // and the statless NaN file is exactly why no row is lost
+    val hugeProbe = reread.read(spark).get.filter(col("v") > lit(1.0e300))
+    assert(hugeProbe.count() == 1L, "the NaN row must satisfy x > 1e300")
+    assert(filesRead(hugeProbe) < total.toLong,
+      "clean files' finite maxima must prune the huge-bound probe")
+    // equality with NaN: clean files prune, the NaN file answers
+    val nanProbe = reread.read(spark).get
+      .filter(col("v") === lit(Double.NaN))
+    assert(nanProbe.count() == 1L)
+    assert(filesRead(nanProbe) == 1L,
+      s"= NaN read ${filesRead(nanProbe)} files, expected only the NaN file")
+    // a dead window opens nothing among the stat-carrying files (the
+    // statless NaN file is always kept)
+    val deadProbe = reread.read(spark).get
+      .filter(col("v").between(lit(400.0), lit(500.0)))
+    assert(deadProbe.count() == 0L)
+    assert(filesRead(deadProbe) == 1L,
+      "a dead double window should keep only the statless NaN file")
+  }
+
+  test("dblBoundsOf: zero signs canonicalize, float widens exactly, " +
+    "only provable shapes contribute") {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types._
+    val d = AttributeReference("v", DoubleType)()
+    val fl = AttributeReference("f", FloatType)()
+    // -0.0 probes canonicalize to +0.0 (Spark: -0.0 == 0.0) — a
+    // +0.0-only file must NOT prune against an `= -0.0` probe
+    val b0 = ManifestFileIndex.dblBoundsOf(Seq(
+      EqualTo(d, Literal(-0.0, DoubleType))))
+    assert(java.lang.Double.compare(b0("v")._1.get, 0.0) == 0 &&
+      java.lang.Double.compare(b0("v")._2.get, 0.0) == 0,
+      s"-0.0 probe did not canonicalize: $b0")
+    // float attribute under the exact widening cast to double
+    val b1 = ManifestFileIndex.dblBoundsOf(Seq(
+      GreaterThanOrEqual(Cast(fl, DoubleType), Literal(2.5, DoubleType))))
+    assert(b1("f")._1.contains(2.5))
+    // strict comparisons widen to inclusive (conservative)
+    val b2 = ManifestFileIndex.dblBoundsOf(Seq(
+      LessThan(d, Literal(9.75, DoubleType))))
+    assert(b2("v")._2.contains(9.75))
+    // OR and non-floating comparisons contribute nothing
+    assert(ManifestFileIndex.dblBoundsOf(Seq(Or(
+      GreaterThan(d, Literal(5.0, DoubleType)),
+      LessThan(d, Literal(1.0, DoubleType))))).isEmpty)
+    // NaN literal bounds sort above every finite file max (Spark's
+    // ordering) — both sides pin to NaN under Double.compare
+    val bn = ManifestFileIndex.dblBoundsOf(Seq(
+      EqualTo(d, Literal(Double.NaN, DoubleType))))
+    assert(bn("v")._1.get.isNaN && bn("v")._2.get.isNaN)
+  }
+
+  test("BLOOM sidecar: point probes on an unclustered high-cardinality " +
+    "column prune to the owning file; compaction re-indexes") {
+    val store = new ManifestStore(fresh("bloom"))
+    // arrival-ordered ingest: every file spans the whole key range
+    // byte-wise (keys are hash-like), so min/max prefixes CANNOT prune —
+    // exactly the tx_hash point-lookup shape
+    def batch(lo: Long, hi: Long) = (lo until hi)
+      .map(i => (i, f"k${(i * 2654435761L) % 100000}%05d-$i"))
+      .toDF("id", "key")
+    store.append(spark, batch(0, 250).repartition(1),
+      rangeCol = Some("id"), bloomCols = Seq("key"))
+    store.append(spark, batch(250, 500).repartition(1),
+      rangeCol = Some("id"), bloomCols = Seq("key"))
+    store.append(spark, batch(500, 750).repartition(1),
+      rangeCol = Some("id"), bloomCols = Seq("key"))
+    store.append(spark, batch(750, 1000).repartition(1),
+      rangeCol = Some("id"), bloomCols = Seq("key"))
+    val total = store.currentFiles(spark).size
+    assert(total == 4)
+    val reread = new ManifestStore(store.root.toString)
+    // the key of row 600 lives only in file 3
+    val target = f"k${(600L * 2654435761L) % 100000}%05d-600"
+    val hit = reread.read(spark).get.filter(col("key") === target)
+    assert(hit.count() == 1L)
+    assert(filesRead(hit) < total.toLong,
+      s"bloom point probe read ${filesRead(hit)} of $total files")
+    // an absent key prunes everywhere (modulo deterministic FPs)
+    val miss = reread.read(spark).get.filter(col("key") === "absent-key")
+    assert(miss.count() == 0L)
+    assert(filesRead(miss) < total.toLong,
+      "an absent key should prune at least the non-FP files")
+    // IN-list: keeps exactly the files holding any listed key
+    val t2 = f"k${(20L * 2654435761L) % 100000}%05d-20"
+    val inProbe = reread.read(spark).get.filter(col("key").isin(target, t2))
+    assert(inProbe.count() == 2L)
+    assert(filesRead(inProbe) < total.toLong)
+    // long-typed point probes work through the same sidecar
+    val storeL = new ManifestStore(fresh("bloomlong"))
+    storeL.append(spark, (0L until 500L).map(i => (i, i * 7919L))
+      .toDF("id", "h").repartition(2), bloomCols = Seq("h"))
+    val lp = storeL.read(spark).get.filter(col("h") === lit(3L * 7919L))
+    assert(lp.count() == 1L)
+    assert(filesRead(lp) < storeL.currentFiles(spark).size.toLong)
+    // compaction re-indexes the carried bloom columns
+    store.compact(spark, targetBytes = 1L) // force multiple output files
+    val total2 = store.currentFiles(spark).size
+    val after = new ManifestStore(store.root.toString)
+    val hit2 = after.read(spark).get.filter(col("key") === target)
+    assert(hit2.count() == 1L)
+    if (total2 >= 2)
+      assert(filesRead(hit2) < total2.toLong,
+        s"post-compaction probe read ${filesRead(hit2)} of $total2 files — " +
+          "blooms were not re-indexed")
+  }
+
+  test("EVERY rewrite path carries stat families and blooms: " +
+    "merge, delete, expire, overwriteRange (compaction-fix generalized)") {
+    val store = new ManifestStore(fresh("rewrites"))
+    def batch(lo: Long, hi: Long) = (lo until hi)
+      .map(i => (i, f"s$i%03d", i / 10.0,
+        f"h${(i * 2654435761L) % 100000}%05d"))
+      .toDF("id", "s", "d", "key")
+    store.append(spark, batch(0, 100).repartition(1), rangeCol = Some("id"),
+      statsCols = Seq("s", "d"), bloomCols = Seq("key"))
+    store.append(spark, batch(100, 200).repartition(1), rangeCol = Some("id"),
+      statsCols = Seq("s", "d"), bloomCols = Seq("key"))
+
+    // after each rewrite, dead-window probes on every family must open
+    // ZERO files and a live bloom point probe must still prune —
+    // impossible if the rewrite published statless/bloomless entries
+    def assertFamiliesAlive(tag: String): Unit = {
+      val rd = new ManifestStore(store.root.toString)
+      def reads(p: org.apache.spark.sql.DataFrame) = filesRead(p)
+      assert(reads(rd.read(spark).get.filter(col("s") === "zzzz")) == 0L,
+        s"$tag: string stats lost by the rewrite")
+      assert(reads(rd.read(spark).get.filter(col("d") > lit(1.0e9))) == 0L,
+        s"$tag: double stats lost by the rewrite")
+      assert(reads(rd.read(spark).get.filter(col("id") > lit(100000L))) == 0L,
+        s"$tag: int range stats lost by the rewrite")
+      // an ABSENT key must open ZERO files: a rewritten file that lost
+      // its bloom would be conservatively kept and break this exactly
+      // (a live-key probe could still prune via the other files' blooms
+      // and mask the loss)
+      assert(reads(rd.read(spark).get
+        .filter(col("key") === "no-such-key-anywhere")) == 0L,
+        s"$tag: bloom sidecar lost by the rewrite")
+    }
+
+    // MERGE rewrites the hit file (id 77 survives the later expire(20))
+    store.merge(spark, Seq((77L, "s077", 7.7, "updated-key"))
+      .toDF("id", "s", "d", "key"), keyCols = Seq("id"))
+    assertFamiliesAlive("merge")
+    // DELETE rewrites the hit file
+    assert(store.delete(spark, col("id") === 150L) == 1L)
+    assertFamiliesAlive("delete")
+    // OVERWRITE-RANGE rewrites the overlapped window
+    store.overwriteRange(spark, batch(40, 60), 40L, 59L, rangeCol = "id")
+    assertFamiliesAlive("overwriteRange")
+    // EXPIRE rewrites the straddling file (cutoff inside file 1's range)
+    val (_, rewritten) = store.expire(spark, 20L)
+    assert(rewritten >= 1, "expire did not rewrite a straddler")
+    assertFamiliesAlive("expire")
+    // contents stay exact through the whole sequence
+    val fin = new ManifestStore(store.root.toString).read(spark).get
+    assert(fin.count() == 179L) // 200 - 20 expired - 1 deleted
+    assert(fin.filter(col("id") === 77L).select("key").head.getString(0)
+      == "updated-key")
+  }
+
+  test("bloomProbesOf: only same-type literal equality/IN shapes " +
+    "contribute; conjuncts are independent requirements") {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types._
+    val s = AttributeReference("k", StringType)()
+    def slit(v: String) = Literal(
+      org.apache.spark.unsafe.types.UTF8String.fromString(v), StringType)
+    val p1 = ManifestFileIndex.bloomProbesOf(Seq(EqualTo(s, slit("a"))))
+    assert(p1("k").size == 1 && p1("k").head.size == 1)
+    // the probe hash matches functions.xxhash64's seed-42 value
+    val expected = XxHash64(Seq(slit("a")), 42L).eval(null)
+    assert(p1("k").head.contains(expected.asInstanceOf[Long]))
+    // two conjuncts → two independent requirement sets
+    val p2 = ManifestFileIndex.bloomProbesOf(Seq(
+      And(EqualTo(s, slit("a")), In(s, Seq(slit("b"), slit("c"))))))
+    assert(p2("k").size == 2)
+    // a cross-type comparison or OR contributes nothing
+    assert(ManifestFileIndex.bloomProbesOf(Seq(
+      Or(EqualTo(s, slit("a")), EqualTo(s, slit("b"))))).isEmpty)
+    // range comparisons are not point probes
+    assert(ManifestFileIndex.bloomProbesOf(Seq(
+      GreaterThan(s, slit("a")))).isEmpty)
+  }
 }
