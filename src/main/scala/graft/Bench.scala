@@ -948,6 +948,76 @@ object Bench {
           s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
         s""""matview_overhead":{"error":"${e.getClass.getSimpleName}"},"""
     }
+    // ---- point-probe tier (r15 session 2): the chain store's "find my
+    // tx" shape — point equality on an unclustered high-cardinality
+    // binary key over a multi-commit arrival-ordered store. min/max
+    // cannot prune it (every file spans the whole hash byte-range);
+    // the per-commit Bloom sidecars are the only index. Reports files
+    // opened through the sidecars vs total, and the probe wall against
+    // a full scan of the SAME committed files (pruning bypassed) —
+    // the honest with/without comparison. Disable with
+    // SPARK_GRAFT_POINTPROBE=0.
+    val pointProbeJson: String =
+      if (sys.env.get("SPARK_GRAFT_POINTPROBE").contains("0")) ""
+      else try {
+        import org.apache.spark.sql.functions.{col, lit, md5, unhex, min, max}
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_bench_bloom").toString + "/store"
+        val st = new graft.ingest.ManifestStore(root)
+        val ev = Tables.load(spark, sfDir, "events")
+          .select(col("event_id"),
+            unhex(md5(col("event_id").cast("string"))).as("tx_hash"),
+            col("event_type"), col("value"))
+        val mm = ev.agg(min("event_id"), max("event_id")).head()
+        val (emn, emx) = (mm.getLong(0), mm.getLong(1))
+        val commits = 8
+        val step = math.max(1L, (emx - emn) / commits + 1)
+        val tb0 = System.nanoTime()
+        (0 until commits).foreach { i =>
+          st.append(spark, ev.filter(col("event_id") >= emn + i * step &&
+            col("event_id") < emn + (i + 1) * step).repartition(2),
+            rangeCol = Some("event_id"), bloomCols = Seq("tx_hash"))
+        }
+        val buildWall = (System.nanoTime() - tb0) / 1e9
+        val paths = st.currentFiles(spark)
+        val total = paths.size
+        val rows = st.read(spark).get.count()
+        // an EXISTING key from the middle commit, derived off the id
+        val probeKey = ev.filter(col("event_id") >= emn + (emx - emn) / 2)
+          .orderBy("event_id").limit(1).head.getAs[Array[Byte]]("tx_hash")
+        def bloomProbe() = st.read(spark).get
+          .filter(col("tx_hash") === lit(probeKey))
+        val opened = graft.Plans.filesRead(bloomProbe())
+        require(opened >= 1 && opened < total,
+          s"bloom point probe opened $opened of $total files")
+        def wallOf(thunk: => Unit): Double = {
+          val t0 = System.nanoTime(); thunk
+          (System.nanoTime() - t0) / 1e9
+        }
+        def med(ws: Seq[Double]) = medianOf(ws)
+        val wBloom = med((1 to 5).map(_ =>
+          wallOf(bloomProbe().count())))
+        val wFull = med((1 to 5).map(_ => wallOf(
+          spark.read.parquet(paths: _*)
+            .filter(col("tx_hash") === lit(probeKey)).count())))
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(new java.io.File(root).getParentFile)
+        appendTrend("/root/repo/point_probe_trend.jsonl",
+          s"""{"epoch_ms":${System.currentTimeMillis()},"rows":$rows,""" +
+            s""""files":$total,"opened":$opened,""" +
+            s""""probe_s":${f3(wBloom)},"fullscan_s":${f3(wFull)},""" +
+            s""""build_s":${f2(buildWall)}}""")
+        s""""point_probe":{"rows":$rows,"files":$total,"opened":$opened,""" +
+          s""""probe_s":${f3(wBloom)},"fullscan_s":${f3(wFull)},""" +
+          s""""build_s":${f2(buildWall)}},"""
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] point_probe tier failed: " +
+            s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+          s""""point_probe":{"error":"${e.getClass.getSimpleName}"},"""
+      }
     def qs(f: Double => String) = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -1001,7 +1071,7 @@ object Bench {
       s""""ceiling":${f2(coldCeiling)},"exceeded":${coldExceeded},""" +
       s""""builds":$buildsJson,"top":$coldTopJson},""" +
       concurrentJson.map(_._1).getOrElse("") + sf1Json + universeJson +
-      matviewJson +
+      matviewJson + pointProbeJson +
       s"""$env,"metric":"total","value":${f3(total)},"unit":"sec"}"""
     val sfShort = new java.io.File(sfDir).getName
     val failedShown = failed.take(12)

@@ -44,7 +44,8 @@ object IngestJob {
   def runAtomic(spark: SparkSession, rpc: LogRpc, defs: Seq[AbiSchema.TableDef],
                 address: Option[Array[Byte]], store: ManifestStore,
                 creationBlock: Long, chainHead: Long,
-                blocksStep: Long = 10000L, maxLogs: Long = 10000L): Long = {
+                blocksStep: Long = 10000L, maxLogs: Long = 10000L,
+                bloomCols: Seq[String] = Seq("transaction_hash")): Long = {
     // resume from the manifest's per-file stats when complete (no scan —
     // the common "nothing new" run opens zero data files); fall back to a
     // max-scan only when some file is statless
@@ -59,8 +60,13 @@ object IngestJob {
     }
     if (from > chainHead) return 0L
     val raw = fetchRaw(spark, rpc, from, chainHead, address, blocksStep, maxLogs)
+    // every committed delta bloom-indexes transaction_hash by default:
+    // `tx_hash = '0x…'` over an arrival-ordered chain store is THE
+    // point-lookup shape, and min/max (every file spans the whole hash
+    // range) structurally cannot serve it — the per-file sidecar is
+    // what keeps that probe from opening the entire 100 TB store
     store.overwriteRange(spark, Demux.taggedKnown(raw, defs), from, chainHead,
-      "block_number", Seq("table_name"))
+      "block_number", Seq("table_name"), bloomCols = bloomCols)
     // stat-pruned count of the just-committed window
     store.readRange(spark, from, chainHead).map(_.count()).getOrElse(0L)
   }

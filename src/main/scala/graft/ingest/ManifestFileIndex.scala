@@ -26,7 +26,8 @@ private[graft] case class PrunableFile(status: FileStatus,
                                          Map.empty,
                                        blooms: Map[String,
                                          org.apache.spark.util.sketch
-                                           .BloomFilter] = Map.empty)
+                                           .BloomFilter] = Map.empty,
+                                       rows: Option[Long] = None)
 
 /** AUTOMATIC manifest-stats pruning for the ordinary read path (round-13
   * verdict, Next #2): a Catalyst [[FileIndex]] over one manifest commit

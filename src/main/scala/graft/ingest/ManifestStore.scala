@@ -174,7 +174,8 @@ final class ManifestStore(val root: String) extends Serializable {
                        tsStats: Map[String, (Long, Long, Boolean)] =
                          Map.empty,
                        nullStats: Map[String, (Long, Long)] = Map.empty,
-                       dblStats: Map[String, (Long, Long)] = Map.empty) {
+                       dblStats: Map[String, (Long, Long)] = Map.empty,
+                       rows: Option[Long] = None) {
     def overlaps(from: Long, to: Long): Boolean = (min, max) match {
       case (Some(lo), Some(hi)) => hi >= from && lo <= to
       case _ => true
@@ -182,7 +183,8 @@ final class ManifestStore(val root: String) extends Serializable {
     def serialized: String = {
       val range = min.map(m => s"\t$m\t${max.getOrElse(m)}").getOrElse("")
       if (colStats.isEmpty && strStats.isEmpty && decStats.isEmpty &&
-          tsStats.isEmpty && nullStats.isEmpty && dblStats.isEmpty)
+          tsStats.isEmpty && nullStats.isEmpty && dblStats.isEmpty &&
+          rows.isEmpty)
         rel + range
       else {
         val body = colStats.toSeq.sortBy(_._1)
@@ -225,10 +227,16 @@ final class ManifestStore(val root: String) extends Serializable {
         // and the footer reader requires hasNonNullValue.
         val fbody = dblStats.toSeq.sortBy(_._1)
           .map { case (c, (lo, hi)) => s"$c=$lo:$hi" }.mkString(";")
+        // the file's exact ROW COUNT is the TENTH field — one footer
+        // fact that lets metadata-only aggregates (count(*), and with
+        // nullStats count(col)) answer from the manifest without
+        // opening a single data file; rewrites recompute it, so it is
+        // exact under delete/merge/expire/compact
+        val rbody = rows.map(_.toString).getOrElse("")
         // the colStats field is always the FOURTH tab field; empty
         // middle fields serialize as empty strings (arity stays
         // unambiguous) and trailing empties drop
-        val tail = Seq(body, sbody, dbody, tbody, nbody, fbody)
+        val tail = Seq(body, sbody, dbody, tbody, nbody, fbody, rbody)
           .reverse.dropWhile(_.isEmpty).reverse
         rel + (if (range.isEmpty) "\t\t" else range) +
           tail.map("\t" + _).mkString
@@ -306,7 +314,8 @@ final class ManifestStore(val root: String) extends Serializable {
         def f(i: Int): String = if (a.length > i) a(i) else ""
         FileEntry(a(0), a(1).toLongOption, a(2).toLongOption,
           parseColStats(f(3)), parseStrStats(f(4)), parseDecStats(f(5)),
-          parseTsStats(f(6)), parseColStats(f(7)), parseColStats(f(8)))
+          parseTsStats(f(6)), parseColStats(f(7)), parseColStats(f(8)),
+          f(9).toLongOption)
       }
     }
   }
@@ -990,7 +999,8 @@ final class ManifestStore(val root: String) extends Serializable {
           st.decs.view.filterKeys(safeStats.contains).toMap,
           st.tss.view.filterKeys(safeStats.contains).toMap,
           st.nulls.view.filterKeys(safeStats.contains).toMap,
-          st.dbls.view.filterKeys(safeStats.contains).toMap), st.rows))
+          st.dbls.view.filterKeys(safeStats.contains).toMap,
+          Some(st.rows)), st.rows))
       }
     }
     writeBloomSidecar(spark, dir, entriesWithRows, bloomCols, partitionCols)
@@ -1363,7 +1373,13 @@ final class ManifestStore(val root: String) extends Serializable {
       val hasStats = entries.exists(e =>
         e.colStats.nonEmpty || e.strStats.nonEmpty || e.decStats.nonEmpty ||
           e.tsStats.nonEmpty || e.nullStats.nonEmpty ||
-          e.dblStats.nonEmpty || e.min.isDefined)
+          e.dblStats.nonEmpty || e.min.isDefined ||
+          // recorded row counts qualify too: the metadata-aggregate rule
+          // reads them off the ManifestFileIndex, so a stats-less store
+          // must still take the index path for count(*) to answer
+          // IO-free (behavior-identical for flat groups; partitioned
+          // ones keep the SafeVal fallback below)
+          e.rows.isDefined)
       val SafeVal = "[A-Za-z_][A-Za-z0-9_.\\-]*".r
       // the hive NULL-partition sentinel must read as null, which only
       // the basePath path does — never treat it as a literal string
@@ -1429,7 +1445,7 @@ final class ManifestStore(val root: String) extends Serializable {
             PrunableFile(statusByPath.getOrElse(p.toUri.getPath,
               f.getFileStatus(p)), stats, pp.map(_._2), e.strStats,
               e.decStats, e.tsStats, e.nullStats, e.dblStats,
-              bloomMap.getOrElse(e.rel, Map.empty))
+              bloomMap.getOrElse(e.rel, Map.empty), e.rows)
           }
           org.apache.spark.sql.graftshim.Shim.parquetFrame(spark,
             new ManifestFileIndex(new Path(root, commitDir), pruned,
@@ -1446,9 +1462,15 @@ final class ManifestStore(val root: String) extends Serializable {
   /** Read the current snapshot. None = store is empty (no commits yet, or
     * the latest snapshot lists zero files — e.g. an append of an empty
     * DataFrame). */
-  def read(spark: SparkSession): Option[DataFrame] =
+  def read(spark: SparkSession): Option[DataFrame] = {
+    // metadata-only aggregates ride on every store read: the rule is
+    // conservative (global, unfiltered count/min/max over row-preserving
+    // subtrees only) so installing it session-wide is safe, and a user
+    // asking `count(*)` of a 100 TB store gets driver arithmetic, not IO
+    MetaAgg.install(spark)
     snapshot(spark).filter(_.files.nonEmpty)
       .map(s => projectToSchema(readFiles(spark, s.files, s.rangeCol), s))
+  }
 
   /** Resume watermark without a scan: the max range-column value recorded
     * in the current snapshot's file stats, when every file carries stats.
@@ -1704,7 +1726,9 @@ final class ManifestStore(val root: String) extends Serializable {
   def overwriteRange(spark: SparkSession, df: DataFrame, from: Long, to: Long,
                      rangeCol: String = "block_number",
                      partitionCols: Seq[String] = Nil,
-                     commitKey: Option[String] = None): Unit = synchronized {
+                     commitKey: Option[String] = None,
+                     statsCols: Seq[String] = Nil,
+                     bloomCols: Seq[String] = Nil): Unit = synchronized {
     if (commitKey.exists(hasCommitKey(spark, _))) return
     // the rewritten data depends on which files the window hits, so the
     // whole merge re-runs against the then-current snapshot on each
@@ -1720,9 +1744,12 @@ final class ManifestStore(val root: String) extends Serializable {
           // old rows read them as null. The projection (see delete)
           // keeps dropped-column bytes out of the rewritten window.
           .unionByName(df, allowMissingColumns = true)
+      // requested families union with carried ones: an incremental
+      // ingest that asks for a tx-hash bloom on every delta keeps the
+      // whole store point-probeable, not just its latest window
       kept ++ writeData(spark, merged, partitionCols, Some(rangeCol),
-        statsCols = carriedStatCols(prevFiles),
-        bloomCols = carriedBloomCols(spark, prevFiles))
+        statsCols = (carriedStatCols(prevFiles) ++ statsCols).distinct,
+        bloomCols = (carriedBloomCols(spark, prevFiles) ++ bloomCols).distinct)
     }
   }
 

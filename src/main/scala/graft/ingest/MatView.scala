@@ -601,10 +601,101 @@ object MatView {
       .orderBy("event_type")
   }
 
+  /** Build once: a dim store (distinct event_type → derived label), a
+    * fact store appended in two halves, and a [[JoinMatView]] refreshed
+    * after each append (build 1 = full, build 2 = fact-delta fold).
+    * The view groups by (label, event_type) so the rollup gate can
+    * group by the DIM attribute alone. */
+  private def ensureJoinRoutable(s: SparkSession, dir: String)
+  : (String, String, String) = {
+    val tag = new java.io.File(dir).getName + "_" +
+      graft.ops.CorpusId.hex(dir)
+    val t = System.getProperty("java.io.tmpdir")
+    val factRoot = s"$t/graft_mv_jfact_$tag"
+    val dimRoot = s"$t/graft_mv_jdim_$tag"
+    val viewRoot = s"$t/graft_mv_view_join_$tag"
+    builtRoots.synchronized {
+      if (!builtRoots.contains(factRoot)) {
+        for (r <- Seq(factRoot, dimRoot, viewRoot)) {
+          val p = new Path(r)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+        val fact = new ManifestStore(factRoot)
+        val dim = new ManifestStore(dimRoot)
+        val jmv = new JoinMatView(viewRoot, Seq("label", "event_type"),
+          "value", Seq("event_type"))
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value"))
+        dim.append(s, ev.select("event_type").distinct()
+          .withColumn("label",
+            concat(lit("cat_"), substring(col("event_type"), 1, 2))))
+        fact.append(s, ev.filter(col("event_id") % 2 === 0),
+          rangeCol = Some("event_id"))
+        jmv.refresh(s, fact, dim) // first build: full
+        fact.append(s, ev.filter(col("event_id") % 2 === 1),
+          rangeCol = Some("event_id"))
+        jmv.refresh(s, fact, dim) // fact delta joins dim, partials fold
+        builtRoots.add(factRoot)
+      }
+    }
+    (factRoot, dimRoot, viewRoot)
+  }
+
+  /** Gate (round-15 session 2): STAR-JOIN matview routing — the user
+    * writes `fact ⋈ dim → groupBy(label, event_type) → count/sum`; the
+    * registered rule answers it from the [[JoinMatView]]'s store
+    * without touching the fact store OR paying the join (inputFiles
+    * proven to be the view's). The DuckDB oracle computes the same
+    * label derivation over the raw fixture, so a routing or
+    * maintenance error hash-mismatches. */
+  def matviewJoinGate(s: SparkSession, dir: String): DataFrame = {
+    val (factRoot, dimRoot, viewRoot) = ensureJoinRoutable(s, dir)
+    val fact = new ManifestStore(factRoot)
+    val dim = new ManifestStore(dimRoot)
+    MatViewRouter.registerJoin(s, viewRoot, fact, dim,
+      Seq("label", "event_type"), "value", Seq("event_type"))
+    val routed = new JoinMatView(viewRoot, Seq("label", "event_type"),
+      "value", Seq("event_type")).defining(s, fact, dim)
+    val inputs = routed.inputFiles
+    require(inputs.nonEmpty && inputs.forall(_.contains("graft_mv_view_join_")),
+      s"join matview routing did not rewrite to the view store: " +
+        inputs.take(3).mkString(","))
+    routed
+      .select(col("label"), col("event_type"), col("n"),
+        col("vsum").cast("double").as("value_sum"))
+      .orderBy("label", "event_type")
+  }
+
+  /** Gate (round-15 session 2): join-view ROLLUP — grouping by the DIM
+    * attribute alone (a strict subset of the view's group) re-sums the
+    * view's partials; the fact store, the join, AND the per-event_type
+    * detail all stay untouched. */
+  def matviewJoinRollupGate(s: SparkSession, dir: String): DataFrame = {
+    val (factRoot, dimRoot, viewRoot) = ensureJoinRoutable(s, dir)
+    val fact = new ManifestStore(factRoot)
+    val dim = new ManifestStore(dimRoot)
+    MatViewRouter.registerJoin(s, viewRoot, fact, dim,
+      Seq("label", "event_type"), "value", Seq("event_type"))
+    val rolled = definingAgg(
+      fact.read(s).get.join(dim.read(s).get, Seq("event_type")),
+      Seq("label"), "value", None, None, None)
+    val inputs = rolled.inputFiles
+    require(inputs.nonEmpty && inputs.forall(_.contains("graft_mv_view_join_")),
+      s"join rollup routing did not rewrite to the view store: " +
+        inputs.take(3).mkString(","))
+    rolled
+      .select(col("label"), col("n"),
+        col("vsum").cast("double").as("value_sum"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "store_matview_flows" -> (matviewGate _),
     "store_matview_routed" -> (matviewRoutedGate _),
     "store_matview_rollup" -> (matviewRollupGate _),
+    "store_matview_join" -> (matviewJoinGate _),
+    "store_matview_join_rollup" -> (matviewJoinRollupGate _),
     "store_matview_subsumed" -> (matviewSubsumedGate _),
     "store_matview_routed_distinct" -> (matviewRoutedDistinctGate _),
     "store_matview_routed_topk" -> (matviewRoutedTopkGate _),
@@ -623,6 +714,21 @@ object MatView {
         CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
           AS DOUBLE) AS value_sum
       FROM events GROUP BY event_type ORDER BY event_type""",
+    // join view: label is a DIM attribute (functionally derived from
+    // the join key in the fixture dim), so the star-join aggregate
+    // equals the same derivation computed directly over the raw rows
+    "store_matview_join" -> """
+      SELECT concat('cat_', substr(event_type, 1, 2)) AS label, event_type,
+        COUNT(*) AS n,
+        CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+          AS DOUBLE) AS value_sum
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "store_matview_join_rollup" -> """
+      SELECT concat('cat_', substr(event_type, 1, 2)) AS label,
+        COUNT(*) AS n,
+        CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+          AS DOUBLE) AS value_sum
+      FROM events GROUP BY 1 ORDER BY 1""",
     // per-event_type exact top-3 users (count desc, user_id tie-break)
     // over the post-forget survivors; est_ok is the CMS envelope, a
     // literal TRUE on the oracle side

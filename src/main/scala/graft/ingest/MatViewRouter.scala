@@ -100,7 +100,10 @@ object MatViewRouter {
       templates: Seq[Tmpl],                    // recognizable agg outputs
       viewPlan: LogicalPlan,                   // optimized view read (group+agg cols)
       viewAttrByName: Map[String, Attribute],  // lowercased name → view attr
-      sourceRoot: String, asOf: Long)
+      // every source store whose version must still match for the view
+      // to be fresh — one (root, as_of) for the plain aggregate view,
+      // (fact, dim) pairs for a join view
+      sources: Seq[(String, Long)])
 
   private val entries =
     new java.util.concurrent.ConcurrentHashMap[String, Entry]()
@@ -164,13 +167,89 @@ object MatViewRouter {
       case other => throw new IllegalStateException(
         s"non-attribute group expression in defining aggregate: $other")
     }.toSet
+    val templates = templatesOf(ae0, srcAttrs, aggNames)
+    require(templates.map(_.viewCol).distinct == aggNames,
+      s"defining aggregate outputs " +
+        s"${templates.map(_.viewCol).distinct} != $aggNames")
+    val viewPlan = st
+      .select((groupCols ++ aggNames).map(col): _*)
+      .queryExecution.optimizedPlan
+    val viewAttrs = viewPlan.output.map(a => a.name.toLowerCase -> a).toMap
+    entries.put(viewRoot, Entry(groupNames, child0, srcAttrs, templates,
+      viewPlan, viewAttrs, Seq(source.root -> asOf)))
+    true
+  }
+
+  /** Register `viewRoot` (a [[JoinMatView]]'s store) as the routed
+    * answer for the defining aggregate over `fact ⋈ dim` (round-15
+    * session 2 — the star-join summary, THE warehouse reporting shape
+    * at 100 TB: a per-dimension-attribute rollup of a fact store served
+    * without touching the fact OR the join). Matching rides on
+    * [[coreMatch]]'s canonical-equality fallback: the whole Join
+    * subtree — including the optimizer's inferred IsNotNull filters on
+    * the equi-join keys, which appear identically in every candidate —
+    * must canonicalize equal to the registered child, so there is no
+    * filter-free requirement here. Freshness covers BOTH stores: a
+    * commit to either past its registered version disables routing.
+    * Group-subset ROLLUPS route exactly as for plain views (summable
+    * partials re-aggregate); group FILTERS do not (predicate pushdown
+    * moves them inside the join before this rule runs — declined
+    * structurally, never wrongly answered). */
+  def registerJoin(spark: SparkSession, viewRoot: String,
+                   fact: ManifestStore, dim: ManifestStore,
+                   groupCols: Seq[String], valueCol: String,
+                   joinKeys: Seq[String]): Boolean = {
+    install(spark)
+    val st = new ManifestStore(viewRoot).read(spark) match {
+      case Some(df) => df
+      case None => return false
+    }
+    val head = st.agg(max(col("as_of")), max(col("dim_as_of"))).head()
+    val (asOfF, asOfD) = (head.getLong(0), head.getLong(1))
+    entries.remove(viewRoot)
+    val aggNames = Seq("n", "vsum")
+    val defining = new JoinMatView(viewRoot, groupCols, valueCol, joinKeys)
+      .defining(spark, fact, dim).queryExecution.optimizedPlan
+    val (ge0, ae0, child0) = defining match {
+      case Aggregate(g, a, c, _) => (g, a, c)
+      case other => throw new IllegalStateException(
+        s"join defining query did not optimize to an Aggregate:\n$other")
+    }
+    val srcAttrs = child0.output.map(a => a.name.toLowerCase -> a).toMap
+    require(srcAttrs.size == child0.output.size,
+      s"ambiguous join output names: ${child0.output.map(_.name)}")
+    val groupNames = ge0.map {
+      case a: AttributeReference => a.name.toLowerCase
+      case other => throw new IllegalStateException(
+        s"non-attribute group expression in join defining aggregate: $other")
+    }.toSet
+    val templates = templatesOf(ae0, srcAttrs, aggNames)
+    require(templates.map(_.viewCol).distinct == aggNames,
+      s"join defining aggregate outputs " +
+        s"${templates.map(_.viewCol).distinct} != $aggNames")
+    val viewPlan = st.select((groupCols ++ aggNames).map(col): _*)
+      .queryExecution.optimizedPlan
+    val viewAttrs = viewPlan.output.map(a => a.name.toLowerCase -> a).toMap
+    entries.put(viewRoot, Entry(groupNames, child0, srcAttrs, templates,
+      viewPlan, viewAttrs, Seq(fact.root -> asOfF, dim.root -> asOfD)))
+    true
+  }
+
+  /** Recognizable output shapes of a defining aggregate: the exact
+    * aliased expression plus, for a Cast-wrapped output, the
+    * cast-STRIPPED variant (see [[Tmpl]]); summable partials (n, vsum)
+    * get the re-aggregating rollup form, sketches none. Shared by both
+    * register paths so plain and join views recognize identically. */
+  private def templatesOf(ae0: Seq[NamedExpression],
+                          srcAttrs: Map[String, Attribute],
+                          aggNames: Seq[String]): Seq[Tmpl] = {
     import org.apache.spark.sql.catalyst.expressions.Cast
     import org.apache.spark.sql.catalyst.expressions.aggregate.Sum
     // summable partials re-aggregate exactly; sketches don't (see Tmpl)
     def sumOf(a: Attribute): Expression = Sum(a).toAggregateExpression()
     val rollupOf: Map[String, Attribute => Expression] = Map(
       "n" -> sumOf _, "vsum" -> sumOf _)
-    val templates = ae0.collect {
+    ae0.collect {
       case Alias(childE, name) if aggNames.contains(name) =>
         val exact = Tmpl(name, align(childE, srcAttrs), a => a,
           rollupOf.get(name))
@@ -184,16 +263,6 @@ object MatViewRouter {
         }
         exact +: stripped
     }.flatten
-    require(templates.map(_.viewCol).distinct == aggNames,
-      s"defining aggregate outputs " +
-        s"${templates.map(_.viewCol).distinct} != $aggNames")
-    val viewPlan = st
-      .select((groupCols ++ aggNames).map(col): _*)
-      .queryExecution.optimizedPlan
-    val viewAttrs = viewPlan.output.map(a => a.name.toLowerCase -> a).toMap
-    entries.put(viewRoot, Entry(groupNames, child0, srcAttrs, templates,
-      viewPlan, viewAttrs, source.root, asOf))
-    true
   }
 
   /** Drop a registration (tests; or a decommissioned view). */
@@ -417,9 +486,9 @@ object MatViewRouter {
         // unrelated queries never pay the probe (r14 ADVICE #2), and
         // the probe itself is served by ManifestVersionCache.
         lazy val fresh =
-          try ManifestVersionCache
-            .version(SparkSession.active, e.sourceRoot) == e.asOf
-          catch { case _: Throwable => false }
+          try e.sources.forall { case (root, asOf) =>
+            ManifestVersionCache.version(SparkSession.active, root) == asOf
+          } catch { case _: Throwable => false }
         // substitute AT MOST ONE site per entry per QUERY: the stored
         // view plan carries fixed internal ExprIds, and splicing it
         // twice (a UNION of the defining aggregate with itself) would

@@ -480,6 +480,50 @@ object Skipping {
       .orderBy("event_type")
   }
 
+  /** Build (once per session): 3 event_id-range commits × 2 files with
+    * rows (tenth field) always recorded, int stats on event_id (range)
+    * and user_id (colStats), and nullStats on the sparse `cprops`. The
+    * builder asserts the metadata route actually fires: the global
+    * count probe opens ZERO files by executed metric. */
+  private[graft] def builtMetaStore(s: SparkSession, dir: String): ManifestStore =
+    Evolution.buildOnce(s, gateRoot(dir) + "_meta", "meta_agg_gate_store") {
+      store =>
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            when(col("event_type") === "click", col("props")).as("cprops"))
+        val r = ev.agg(min(col("event_id")), max(col("event_id"))).head()
+        val (emn, emx) = (r.getLong(0), r.getLong(1))
+        val step = math.max(1L, (emx - emn) / 3 + 1)
+        (0 until 3).foreach { i =>
+          store.append(s, ev.filter(col("event_id") >= emn + i * step &&
+            col("event_id") < emn + (i + 1) * step).repartition(2),
+            rangeCol = Some("event_id"), statsCols = Seq("user_id", "cprops"))
+        }
+        val probe = store.read(s).get.agg(count(lit(1)).as("n"))
+        require(graft.Plans.filesRead(probe) == 0L,
+          s"metadata count opened ${graft.Plans.filesRead(probe)} files - " +
+            "the MetaAgg route did not fire")
+    }
+
+  /** Gate (round-15, session 2): METADATA-ONLY aggregates — a global
+    * unfiltered count(*) / count(col) / min / max over the store is
+    * answered from the manifest's per-file facts (rows, nullStats, int
+    * stat rectangles) by an optimizer rule, opening ZERO data files;
+    * computed outputs (count(*) * 2) fold over the routed literals.
+    * Hash-equality with DuckDB's full-scan answer proves the manifest
+    * arithmetic is the true answer. */
+  def storeMetaAgg(s: SparkSession, dir: String): DataFrame = {
+    val store = builtMetaStore(s, dir)
+    store.read(s).get.agg(
+      count(lit(1)).as("n_rows"),
+      count(col("cprops")).as("n_props"),
+      min(col("event_id")).as("id_min"),
+      max(col("event_id")).as("id_max"),
+      min(col("user_id")).as("uid_min"),
+      max(col("user_id")).as("uid_max"),
+      (count(lit(1)) * lit(2L)).as("n_twice"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "store_zorder_skipping" -> (storeZorderSkipping _),
     "store_sql_box" -> (storeSqlBox _),
@@ -489,7 +533,8 @@ object Skipping {
     "store_skipping_timestamp" -> (storeSkippingTimestamp _),
     "store_skipping_nulls" -> (storeSkippingNulls _),
     "store_skipping_double" -> (storeSkippingDouble _),
-    "store_skipping_bloom" -> (storeSkippingBloom _))
+    "store_skipping_bloom" -> (storeSkippingBloom _),
+    "store_meta_agg" -> (storeMetaAgg _))
 
   val oracle: Map[String, String] = Map(
     "store_zorder_skipping" -> """
@@ -589,6 +634,16 @@ object Skipping {
       FROM events e, k
       WHERE md5(CAST(e.event_id AS VARCHAR)) = k.key
       GROUP BY 1 ORDER BY 1""",
+    // the store's cprops ≡ CASE WHEN event_type='click' THEN props END,
+    // so COUNT(cprops) over the store equals the CASE count over events
+    "store_meta_agg" -> """
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(COUNT(CASE WHEN event_type = 'click' THEN props END) AS BIGINT)
+          AS n_props,
+        MIN(event_id) AS id_min, MAX(event_id) AS id_max,
+        MIN(user_id) AS uid_min, MAX(user_id) AS uid_max,
+        CAST(COUNT(*) * 2 AS BIGINT) AS n_twice
+      FROM events""",
     "store_sql_box" -> """
       WITH b AS (
         SELECT min(event_id) + (max(event_id) - min(event_id)) * 45 // 100 AS elo,

@@ -77,5 +77,20 @@ class IngestJobSpec extends AnyFunSuite {
     assert(Demux.readTable(spark, store,
       MakerFixtures.tableDef("vat_call_frob")).count() ==
       Demux.table(corpus, MakerFixtures.tableDef("vat_call_frob")).count())
+
+    // runAtomic bloom-indexes transaction_hash by default: a point
+    // probe on one tx opens fewer files than the store holds, across
+    // BOTH commits (each delta wrote its own sidecar) — the chain
+    // store's "find my tx" shape, served without a full scan
+    val total = store.currentFiles(spark).size
+    assert(total >= 2, s"need multiple files to prove pruning, got $total")
+    val someTx = corpus.filter(col("block_number") <= head1)
+      .select("transaction_hash").head.getAs[Array[Byte]](0)
+    val probe = store.read(spark).get
+      .filter(col("transaction_hash") === lit(someTx))
+    assert(probe.count() >= 1L)
+    assert(Plans.filesRead(probe) < total.toLong,
+      s"tx point probe read ${Plans.filesRead(probe)} of $total files — " +
+        "the ingest path did not bloom-index transaction_hash")
   }
 }
