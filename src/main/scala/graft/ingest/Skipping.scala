@@ -524,6 +524,39 @@ object Skipping {
       (count(lit(1)) * lit(2L)).as("n_twice"))
   }
 
+  /** Build (once per session): events PARTITIONED by event_type across
+    * two commits — the grouped-metadata shape (`GROUP BY partition_col
+    * → count(*)`) must answer from per-partition row sums with zero
+    * files opened, proven by the builder. */
+  private[graft] def builtPartMetaStore(s: SparkSession, dir: String)
+  : ManifestStore =
+    Evolution.buildOnce(s, gateRoot(dir) + "_pmeta",
+      "meta_agg_grouped_gate_store") { store =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      store.append(s, ev.filter(col("event_id") % 2 === 0),
+        partitionCols = Seq("event_type"), rangeCol = Some("event_id"))
+      store.append(s, ev.filter(col("event_id") % 2 === 1),
+        partitionCols = Seq("event_type"), rangeCol = Some("event_id"))
+      val probe = store.read(s).get.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      require(graft.Plans.filesRead(probe) == 0L,
+        s"grouped metadata count opened ${graft.Plans.filesRead(probe)} " +
+          "files - the grouped MetaAgg route did not fire")
+    }
+
+  /** Gate (round-15, session 2): GROUPED metadata-only aggregates — a
+    * `GROUP BY partition_column → count(*)` over a partitioned store
+    * (THE demux-conservation / per-table-count shape) answers from the
+    * manifest's per-partition row sums, zero files opened; computed
+    * outputs fold per group. */
+  def storeMetaAggGrouped(s: SparkSession, dir: String): DataFrame = {
+    val store = builtPartMetaStore(s, dir)
+    store.read(s).get.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), (count(lit(1)) * lit(3L)).as("n3"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "store_zorder_skipping" -> (storeZorderSkipping _),
     "store_sql_box" -> (storeSqlBox _),
@@ -534,7 +567,8 @@ object Skipping {
     "store_skipping_nulls" -> (storeSkippingNulls _),
     "store_skipping_double" -> (storeSkippingDouble _),
     "store_skipping_bloom" -> (storeSkippingBloom _),
-    "store_meta_agg" -> (storeMetaAgg _))
+    "store_meta_agg" -> (storeMetaAgg _),
+    "store_meta_agg_grouped" -> (storeMetaAggGrouped _))
 
   val oracle: Map[String, String] = Map(
     "store_zorder_skipping" -> """
@@ -644,6 +678,10 @@ object Skipping {
         MIN(user_id) AS uid_min, MAX(user_id) AS uid_max,
         CAST(COUNT(*) * 2 AS BIGINT) AS n_twice
       FROM events""",
+    "store_meta_agg_grouped" -> """
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(COUNT(*) * 3 AS BIGINT) AS n3
+      FROM events GROUP BY 1 ORDER BY 1""",
     "store_sql_box" -> """
       WITH b AS (
         SELECT min(event_id) + (max(event_id) - min(event_id)) * 45 // 100 AS elo,

@@ -110,6 +110,83 @@ class MetaAggSpec extends AnyFunSuite {
     assert(r.getLong(1) == 999L)
   }
 
+  test("decimal and double min/max route from their stat families; " +
+    "a NaN-bearing double column declines") {
+    val store = new ManifestStore(fresh("typed"))
+    // decimal(10,2) is INT64-backed in parquet (decStats qualify);
+    // 7i/4 is exact at scale 2; d starts at 1/8 so no ±0.0 extreme
+    val df = (0 until 120).map(i => (i.toLong, i * 7, (i + 1) / 8.0))
+      .toDF("id", "raw", "d")
+      .withColumn("dec",
+        (col("raw").cast("decimal(10,2)") / lit(4)).cast("decimal(10,2)"))
+      .select("id", "dec", "d")
+    store.append(spark, df.repartition(2), rangeCol = Some("id"),
+      statsCols = Seq("dec", "d"))
+    val rd = new ManifestStore(store.root.toString).read(spark).get
+    val q = rd.agg(min(col("dec")).as("dlo"), max(col("dec")).as("dhi"),
+      min(col("d")).as("flo"), max(col("d")).as("fhi"))
+    assert(filesRead(q) == 0L, "decimal/double extremes must route")
+    val r = q.head()
+    assert(r.getDecimal(0).compareTo(java.math.BigDecimal.ZERO) == 0)
+    assert(r.getDecimal(1).compareTo(
+      new java.math.BigDecimal("208.25")) == 0) // 119*7/4
+    assert(r.getDouble(2) == 0.125)
+    assert(r.getDouble(3) == 15.0)
+    // a ±0.0 extreme declines (sign provenance): min over values
+    // including 0.0 scans instead of answering
+    val zStore = new ManifestStore(fresh("typedzero"))
+    zStore.append(spark, Seq((0L, 0.0), (1L, 2.5)).toDF("id", "v")
+      .repartition(1), rangeCol = Some("id"), statsCols = Seq("v"))
+    val zrd = new ManifestStore(zStore.root.toString).read(spark).get
+    val zq = zrd.agg(min(col("v")).as("m"))
+    assert(filesRead(zq) > 0L, "a 0.0 extreme must decline to a scan")
+    assert(zq.head().getDouble(0) == 0.0)
+    // NaN decline:
+    val nanStore = new ManifestStore(fresh("typednan"))
+    nanStore.append(spark, Seq((0L, 1.5), (1L, Double.NaN)).toDF("id", "v")
+      .repartition(1), rangeCol = Some("id"), statsCols = Seq("v"))
+    val nrd = new ManifestStore(nanStore.root.toString).read(spark).get
+    val nq = nrd.agg(max(col("v")).as("m"))
+    assert(filesRead(nq) > 0L, "NaN file has no stats — max must scan")
+    assert(nq.head().getDouble(0).isNaN)
+  }
+
+  test("grouped metadata counts: GROUP BY partition column answers " +
+    "from per-partition row sums; data-column grouping declines") {
+    val store = new ManifestStore(fresh("grouped"))
+    def batch(lo: Long, hi: Long) = (lo until hi)
+      .map(i => (i, s"p${i % 3}", s"q${i % 2}", i * 2))
+      .toDF("id", "pk", "qk", "v")
+    store.append(spark, batch(0, 90), partitionCols = Seq("pk", "qk"),
+      rangeCol = Some("id"))
+    store.append(spark, batch(90, 200), partitionCols = Seq("pk", "qk"),
+      rangeCol = Some("id"))
+    val rd = new ManifestStore(store.root.toString).read(spark).get
+    // full partition grouping
+    val q = rd.groupBy(col("pk"), col("qk"))
+      .agg(count(lit(1)).as("n"), (count(lit(1)) + lit(1L)).as("n1"))
+    assert(filesRead(q) == 0L, "grouped count must route")
+    val got = q.collect().map(r => ((r.getString(0), r.getString(1)),
+      (r.getLong(2), r.getLong(3)))).toMap
+    val want = (0L until 200L).groupBy(i => (s"p${i % 3}", s"q${i % 2}"))
+      .view.mapValues(s => (s.size.toLong, s.size + 1L)).toMap
+    assert(got == want)
+    // SUBSET grouping merges partitions
+    val sub = rd.groupBy(col("qk")).agg(count(lit(1)).as("n"))
+    assert(filesRead(sub) == 0L, "subset grouping must route")
+    assert(sub.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("q0" -> 100L, "q1" -> 100L))
+    // grouping by a DATA column scans
+    val data = rd.groupBy(col("v") % 5).agg(count(lit(1)).as("n"))
+    assert(filesRead(data) > 0L)
+    // a data-column aggregate inside a partition grouping scans too
+    val mixed = rd.groupBy(col("pk")).agg(count(col("v")).as("n"))
+    assert(filesRead(mixed) > 0L)
+    // and values stay exact when it declines
+    assert(mixed.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .values.sum == 200L)
+  }
+
   test("date columns route min/max at DateType") {
     val store = new ManifestStore(fresh("date"))
     val df = (0 until 60).map(i => (i.toLong, java.sql.Date.valueOf(
