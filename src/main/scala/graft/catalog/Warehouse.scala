@@ -40,9 +40,20 @@ object Warehouse {
     * prior Spark table materialization (part files, `col=...` partition
     * dirs, and `_`/`.`-prefixed bookkeeping); anything else aborts loudly
     * instead of being destroyed. */
+  /** Sessions×stores this JVM has fully materialized (non-overwrite
+    * path only): a repeat call was paying one CREATE DATABASE + one
+    * catalog tableExists lookup PER DEF per gate invocation — pure
+    * catalog-metadata churn, since the fixture stores behind these
+    * gates are marker-guarded immutable within a JVM. An overwrite
+    * call always runs and re-registers. */
+  private val materialized =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String, String)]()
+
   def materialize(spark: SparkSession, storePath: String,
                   defs: Seq[AbiSchema.TableDef], db: String = "makermcd",
                   overwrite: Boolean = false): Unit = synchronized {
+    val memoKey = (spark, storePath, db + ":" + defs.map(_.qualified).mkString(","))
+    if (!overwrite && materialized.contains(memoKey)) return
     defs.groupBy(d => if (d.schemaName.isEmpty) db else d.schemaName)
       .toSeq.sortBy(_._1).foreach { case (dbName, ds) =>
         require(dbName.matches("[A-Za-z0-9_]+"),
@@ -58,6 +69,7 @@ object Warehouse {
           }
         }
       }
+    materialized.add(memoKey)
   }
 
   /** Directory names whose ENTIRE subtree is writer bookkeeping — the

@@ -290,6 +290,8 @@ object MakerFixtures {
   /** Raw logs DataFrame (generating fixtures on first use). */
   def rawLogs(spark: SparkSession): DataFrame = {
     ensure(spark)
-    spark.read.parquet(rawLogsPath)
+    // marker-guarded immutable fixture: memoize the analyzed frame (the
+    // demux-counts gate re-paid the listing+footer read per invocation)
+    graft.ops.FrameMemo.parquet(spark, rawLogsPath)
   }
 }

@@ -105,7 +105,10 @@ object AnnIndex {
     * tiny at any corpus scale. */
   def readPruned(spark: SparkSession, path: String, partCol: String,
                  keys: Seq[Long]): DataFrame = {
-    val df = spark.read.parquet(path)
+    // artifact dirs are immutable by construction (fingerprint-named,
+    // atomic publish) — memoize the analyzed frame; partition pruning
+    // below is unaffected, only the repeated listing/footer cost goes
+    val df = FrameMemo.parquet(spark, path)
     // match literal type to the INFERRED partition-column type: a cast
     // wrapped around the attribute would block partition-filter
     // extraction and silently degrade the pruned read to a full scan

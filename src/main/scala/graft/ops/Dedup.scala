@@ -63,7 +63,11 @@ object Dedup {
       .toDF("doc_id", "sh")
   }
 
-  /** Exact all-pairs Jaccard ≥ threshold via shingle self-join. */
+  /** Exact all-pairs Jaccard ≥ threshold via shingle self-join.
+    * (r15 note: persisting `sh` here was tried and measured — the three
+    * consumers recompute the shingle flatMap in parallel as fast as the
+    * memory store serves it at this scale, so the persist bought nothing
+    * and was dropped.) */
   def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("a")

@@ -40,12 +40,10 @@ object IvfModel {
     * xxhash64(vec_id, hash(e)) as decimal — an ANSI-mode long sum would
     * overflow). The hash covers the VECTOR VALUES, not just the ids:
     * re-embedded vectors under the same ids must miss the fingerprint,
-    * or the stale quantizer silently destroys recall. Deliberately NOT
-    * memoized per JVM: the guard is load-bearing, and it is a scalar
-    * aggregate with no shuffle — one metadata-grade pass. A production
+    * or the stale quantizer silently destroys recall. A production
     * deployment keeps the corpus in a versioned store (ManifestStore)
     * whose snapshot version replaces this scan entirely. */
-  private[ops] def fingerprint(v: DataFrame): (Long, Long) =
+  private[graft] def fingerprint(v: DataFrame): (Long, Long) =
     fingerprintOf(v, xxhash64(col("vec_id"), hash(col("e")).cast("long")))
 
   /** The shared (count, decimal-safe sum of `h`) aggregate — one
@@ -57,11 +55,36 @@ object IvfModel {
     * because at 100 TB each of these aggregates is a full corpus scan. */
   private[graft] val fingerprintScans = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Fingerprint results memoized per (frame REFERENCE, hash-column SQL
+    * text) within one JVM. Reference identity — not plan equality — is
+    * deliberate: Spark 4's DSv2 relations compare structurally equal for
+    * any two reads of one path, so plan-keying would serve a STALE
+    * fingerprint to a genuinely fresh read of changed data. A fresh
+    * `spark.read.parquet` is always a new object and always re-scans —
+    * the guard stays fully load-bearing. Hits arise only when the SAME
+    * frame flows in again, which the mtime-guarded `Tables.load` /
+    * `rawVecs` memos make the steady state for every gate: an in-place
+    * corpus rewrite bumps the mtime, those memos hand out a NEW frame,
+    * and the fingerprint re-scans. The gates were paying this scalar
+    * aggregate 0.2-0.7 s per invocation per corpus across ~20
+    * fingerprint-keyed gates. (The hash column's identity is its
+    * normalized SQL toString — the converted Catalyst expression's
+    * toString embeds per-call-site Origin stack traces and never
+    * compares equal.) */
+  private val fpMemo = new java.util.concurrent.ConcurrentHashMap[
+    (DataFrame, String), (Long, Long)]()
+
   private[ops] def fingerprintOf(df: DataFrame,
                                  h: org.apache.spark.sql.Column): (Long, Long) = {
+    val key = (df, h.toString)
+    val hit = fpMemo.get(key)
+    if (hit != null) return hit
     fingerprintScans.incrementAndGet()
     val r = df.agg(count(lit(1)), sum(h.cast("decimal(38,0)"))).head()
-    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getDecimal(1).longValue())
+    val out = (r.getLong(0), if (r.isNullAt(1)) 0L else r.getDecimal(1).longValue())
+    if (fpMemo.size > 256) fpMemo.clear()
+    fpMemo.put(key, out)
+    out
   }
 
   /** Model root for (corpus dir, hyperparameter tag): carries the

@@ -215,7 +215,7 @@ object Multimodal {
     ensureAnnTruth(s)
     val ann = Ivf.searchIvf(mediaVectors(s, 2000), dir, "media",
       col("vec_id") < 10, k = 8, nProbe = 4)
-    val truth = s.read.parquet(annTruthPath).select("qid", "nid")
+    val truth = FrameMemo.parquet(s, annTruthPath).select("qid", "nid")
     truth.join(ann.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_semi")
       .agg(count(lit(1)).as("hits"))
       .crossJoin(truth.agg(count(lit(1)).as("n_expected")))

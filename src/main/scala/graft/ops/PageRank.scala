@@ -115,7 +115,26 @@ object PageRank {
     * replaces the corpus-scan fingerprint as the edge-cache key. */
   def pagerank(s: SparkSession, dir: String,
                version: Option[(Long, Long)]): DataFrame =
-    pagerankLoop(s, sess => edgesWithDeg(sess, dir, version))
+    pagerankLoop(s, sess => edgesWithDeg(sess, dir, version),
+      s"pr_sym:$dir")
+
+  /** Conf-pinned loop clones, memoized per (parent, tag): a FRESH clone
+    * per invocation defeated every session-keyed metadata memo (table
+    * loads, fingerprint, cached-artifact frames), so each graph-gate
+    * call re-paid the corpus fingerprint scans and artifact listings.
+    * AQE is pinned off at creation (constant); shuffle.partitions is
+    * re-set per invocation to the data-sized loop partition count —
+    * for one (tag = gate + corpus dir) that value is a pure function of
+    * the corpus, so concurrent invocations write the same value and can
+    * never observe a mutation. */
+  private val loopSessions = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), SparkSession]()
+  private def pinnedLoopSession(parent: SparkSession, tag: String): SparkSession =
+    loopSessions.computeIfAbsent((parent, tag), _ => {
+      val c = parent.newSession()
+      c.conf.set("spark.sql.adaptive.enabled", "false")
+      c
+    })
 
   /** The damped symmetric loop over an ARBITRARY (src, dst, outdeg)
     * edge table — shared by the corpus gate and the closed-form volume
@@ -123,11 +142,11 @@ object PageRank {
     * session clone so the edge dataframe executes under the pinned
     * loop conf. */
   private[graft] def pagerankLoop(s: SparkSession,
-      build: SparkSession => DataFrame): DataFrame = {
-    val sess = s.newSession() // private conf scope — see the scaladoc
+      build: SparkSession => DataFrame,
+      tag: String = "pr_adhoc"): DataFrame = {
+    val sess = pinnedLoopSession(s, tag) // private conf scope — see scaladoc
     val ed0 = build(sess)
     val parts = loopParts(sess, ed0.count())
-    sess.conf.set("spark.sql.adaptive.enabled", "false")
     sess.conf.set("spark.sql.shuffle.partitions", parts)
     val ed = ed0.repartition(parts, col("src")).localCheckpoint()
     // nodes partitioned on node: the left join against per-round
@@ -209,7 +228,7 @@ object PageRank {
   private[graft] def danglingInputs(s: SparkSession, dir: String,
                                     version: Option[(Long, Long)] = None)
       : (SparkSession, DataFrame, DataFrame, Long) = {
-    val sess = s.newSession()
+    val sess = pinnedLoopSession(s, s"pr_dang:$dir")
     val fp = version.map(TruthCache.versionKey(dir, _))
       .getOrElse(tradeFingerprint(sess, dir))
     // edge table with out-degrees and the flagged node table are pure
@@ -238,7 +257,8 @@ object PageRank {
         .select(col("node"), col("src").isNull.as("dang"))
     })
     val parts = loopParts(sess, ed0.count())
-    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    // AQE is already pinned off on the memoized clone; only the
+    // data-sized partition count is (re-)set per invocation
     sess.conf.set("spark.sql.shuffle.partitions", parts)
     val ed = ed0.repartition(parts, col("src")).localCheckpoint()
     val nodes = nodes0.repartition(parts, col("node")).localCheckpoint()
@@ -323,8 +343,11 @@ object PageRank {
                                      version: Option[(Long, Long)] = None): DataFrame = {
     val li = Tables.load(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+    // fingerprint the MEMOIZED load frame directly (same value as over
+    // the renamed projection) so the reference-keyed fp memo can hit
     val fp = version.map(TruthCache.versionKey(dir, _)).getOrElse(
-      IvfModel.fingerprintOf(li, xxhash64(col("ok"), col("p"))))
+      IvfModel.fingerprintOf(Tables.load(s, dir, "lineitem"),
+        xxhash64(col("l_orderkey"), col("l_partkey"))))
     TruthCache.cached(s, TruthCache.vtag("tri_pairs", version), fp,
       li.as("a").join(li.as("b"),
           col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
@@ -337,7 +360,8 @@ object PageRank {
     val li = Tables.load(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
     val fp = version.map(TruthCache.versionKey(dir, _)).getOrElse(
-      IvfModel.fingerprintOf(li, xxhash64(col("ok"), col("p"))))
+      IvfModel.fingerprintOf(Tables.load(s, dir, "lineitem"),
+        xxhash64(col("l_orderkey"), col("l_partkey"))))
     val pairs = copurchaseEdges(s, dir, version)
     // orient: (s → t) with (d_s, s) < (d_t, t)
     val oriented = TruthCache.cached(s,

@@ -26,10 +26,28 @@ object Similarity {
     * and for search paths whose heavy work happens behind a persisted
     * index: shuffling the payload first would turn a metadata-grade
     * pass into a full exchange. */
-  def rawVecs(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"), col("label"),
-      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
-      .withColumn("nrm", sqrt(Shim.column(DotDouble(Shim.expression(col("e")), Shim.expression(col("e"))))))
+  /** Memoized per input frame (reference identity — Datasets never
+    * override equals): the `transform` lambda's variable ExprIds defeat
+    * canonicalized-plan equality, so downstream plan-keyed memos (the
+    * corpus-fingerprint memo) only hit when repeat calls return the SAME
+    * frame. The memoized `Tables.load` frames make the input identity
+    * stable across gate invocations. */
+  private val rawVecsMemo =
+    new java.util.concurrent.ConcurrentHashMap[DataFrame, DataFrame]()
+
+  def rawVecs(emb: DataFrame): DataFrame = {
+    val hit = rawVecsMemo.get(emb)
+    if (hit != null) hit
+    else {
+      if (rawVecsMemo.size > 256) rawVecsMemo.clear()
+      val out = emb.select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+        .withColumn("nrm", sqrt(Shim.column(DotDouble(
+          Shim.expression(col("e")), Shim.expression(col("e"))))))
+      rawVecsMemo.put(emb, out)
+      out
+    }
+  }
 
   /** [[rawVecs]] widened to full parallelism: one small parquet file =
     * one scan partition, which would serialize every pairwise-cosine

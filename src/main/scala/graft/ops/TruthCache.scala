@@ -92,6 +92,9 @@ private[graft] object TruthCache {
         ready.add(p)
       }
     }
-    spark.read.parquet(p)
+    // publications are immutable (atomic rename into a never-reused name),
+    // so the analyzed frame is memoized — the per-call listing + footer
+    // read was a fixed cost on every warm gate invocation
+    FrameMemo.parquet(spark, p)
   }
 }

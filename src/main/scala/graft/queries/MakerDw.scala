@@ -20,10 +20,21 @@ object MakerDw {
   /** Decoded tables read through the one-pass demuxed store (SURVEY §7.4):
     * raw logs are tagged+partitioned by table_name once, and each table
     * read partition-prunes to its slice — at 412 tables that's one scan,
-    * not N re-decodes of the raw stream. */
+    * not N re-decodes of the raw stream.
+    *
+    * Memoized per (session, table): `Demux.readTable` pays a fresh
+    * partitioned-directory listing + footer schema inference on every
+    * call, and the assets gates each read four tables per invocation —
+    * pure fixed cost, since the demux fixture is marker-guarded immutable
+    * within a JVM (`_DEMUXED_v3`). Only the LAZY frame is memoized;
+    * every action still scans the store. */
+  private val decodedCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
   private def decoded(s: SparkSession, table: String): DataFrame = {
     MakerFixtures.ensureDemuxed(s)
-    Demux.readTable(s, MakerFixtures.demuxStorePath, MakerFixtures.tableDef(table))
+    decodedCache.computeIfAbsent((s, table), _ =>
+      Demux.readTable(s, MakerFixtures.demuxStorePath,
+        MakerFixtures.tableDef(table)))
   }
 
   private def truthGlob(table: String): String =
@@ -83,7 +94,7 @@ object MakerDw {
   def radExtreme(s: SparkSession, dir: String): DataFrame = {
     MakerFixtures.ensureRadExtreme(s)
     val d = MakerFixtures.radxDef
-    Demux.table(s.read.parquet(MakerFixtures.radxRawLogsPath), d)
+    Demux.table(graft.ops.FrameMemo.parquet(s, MakerFixtures.radxRawLogsPath), d)
       .select(col("block_number"),
         GraftFunctions.bytes32ToAscii(col("ilk")).as("ilk_str"),
         GraftFunctions.bytes32ToAscii(col("what")).as("what_str"),
@@ -391,7 +402,8 @@ object MakerDw {
     * same raw-log parquet the replay RPC serves. */
   def logsDsv2Range(s: SparkSession, dir: String): DataFrame = {
     MakerFixtures.ensure(s)
-    val vatAddr = s.read.parquet(MakerFixtures.truthPath("contracts"))
+    val vatAddr = graft.ops.FrameMemo
+      .parquet(s, MakerFixtures.truthPath("contracts"))
       .filter(col("name") === "vat").head().getAs[Array[Byte]]("address")
     s.read.format("graft.sources.LogSourceV2")
       .option("path", MakerFixtures.rawLogsPath)
@@ -413,7 +425,7 @@ object MakerDw {
     MakerFixtures.ensure(s)
     import graft.ingest.{FakeReceiptRpc, ProxyActions}
     ProxyActions.filter(
-      s.read.parquet(MakerFixtures.proxyRawLogsPath),
+      graft.ops.FrameMemo.parquet(s, MakerFixtures.proxyRawLogsPath),
       new FakeReceiptRpc(MakerFixtures.ProxyActionsAddr),
       MakerFixtures.ProxyActionsAddr)
       .toDF()

@@ -268,7 +268,7 @@ object Relational {
     * reference's production scaling axis, where the series fill grows
     * linearly instead of ilks × span). */
   def q17AssetsShapeEventsOnly(s: SparkSession, dir: String): DataFrame = {
-    Tables.load(s, dir, "events").createOrReplaceTempView("events")
+    Tables.registerOne(s, dir, "events")
     s.sql(assetsShapeSql)
   }
 
@@ -289,7 +289,7 @@ object Relational {
     * only `events`, so it runs unchanged on the events-only linear
     * fixture. */
   def q17AssetsLinear(s: SparkSession, dir: String): DataFrame = {
-    Tables.load(s, dir, "events").createOrReplaceTempView("events")
+    Tables.registerOne(s, dir, "events")
     s.sql(assetsLinearSql)
   }
 

@@ -156,15 +156,21 @@ object Relational3 {
     * hash-match; the damped full-graph analogue is `graph_pagerank`. */
   def q39RecursiveCte(s: SparkSession, dir: String): DataFrame = {
     // materialize the edge table ONCE: a CTE referenced inside the
-    // recursion would re-run the join+distinct on every iteration
+    // recursion would re-run the join+distinct on every iteration.
+    // The reverse direction is the SAME distinct pair set swapped, so
+    // one join+distinct materializes and the union reads the checkpoint
+    // twice — the previous form ran the orders⨝lineitem join+distinct
+    // TWICE to build the two directions (2 exchanges+scans → 1).
     graft.Tables.registerAll(s, dir)
     s.sql("""
       SELECT DISTINCT o_custkey AS src, 100000 + l_suppkey AS dst
-      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-      UNION ALL
-      SELECT DISTINCT 100000 + l_suppkey AS src, o_custkey AS dst
       FROM orders JOIN lineitem ON l_orderkey = o_orderkey""")
-      .localCheckpoint().createOrReplaceTempView("graft_trade_edges")
+      .localCheckpoint().createOrReplaceTempView("graft_trade_pairs")
+    s.sql("""
+      SELECT src, dst FROM graft_trade_pairs
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM graft_trade_pairs""")
+      .createOrReplaceTempView("graft_trade_edges")
     s.sql("""
       WITH RECURSIVE reach(node, dist) AS (
         SELECT CAST(3 AS BIGINT) AS node, 0 AS dist
@@ -204,14 +210,26 @@ object Relational3 {
     * semantics-transparent: the result hash-matches the plain DuckDB
     * join; the PLANS.md section asserts the might_contain predicate
     * actually lands in the executed plan. */
+  /** The bloom gate's conf-pinned session clone, memoized per parent
+    * session: a FRESH clone per invocation defeated every session-keyed
+    * metadata memo (table loads, view registration), re-paying the full
+    * ten-table registration on each call. The pinned confs are constants,
+    * set once at creation, so concurrent invocations sharing the clone
+    * can never observe a conf mutation. */
+  private val bloomSess = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, SparkSession]()
+
   def q46RuntimeBloom(s: SparkSession, dir: String): DataFrame = {
-    val sess = s.newSession()
-    sess.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    sess.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-    sess.conf.set(
-      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
-    sess.conf.set(
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    val sess = bloomSess.computeIfAbsent(s, parent => {
+      val c = parent.newSession()
+      c.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      c.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      c.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      c
+    })
     sql(sess, dir, """
       SELECT o_orderpriority,
         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)))
