@@ -108,6 +108,32 @@ object MatViewRouter {
   private val entries =
     new java.util.concurrent.ConcurrentHashMap[String, Entry]()
 
+  /** Per-root registration locks. Re-registration has an unavoidable
+    * unregistered WINDOW (the entry must be removed before the defining
+    * query is optimized, or the rule would route it and capture the
+    * routed plan as the template); two concurrent gates registering one
+    * root serialize here, and the loser then takes the skip path below
+    * instead of re-opening the window. */
+  private val regLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** True when a live entry for `viewRoot` already answers exactly this
+    * registration (same group columns, same aggregate outputs, same
+    * source watermarks) — the repeat-gate steady state. Skipping the
+    * re-registration is what keeps CONCURRENT gates safe: the r15
+    * concurrent pass caught `store_matview_join` asserting "routed"
+    * while its sibling rollup gate was mid-re-registration of the SAME
+    * view (entry removed, defining query still optimizing) — with the
+    * skip, an equivalent fresh entry is never dropped at all. */
+  private def equivalentLive(viewRoot: String, groupCols: Seq[String],
+                             aggNames: Seq[String],
+                             sources: Seq[(String, Long)]): Boolean = {
+    val e = entries.get(viewRoot)
+    e != null && e.sources == sources &&
+      e.groupNames == groupCols.map(_.toLowerCase).toSet &&
+      e.templates.map(_.viewCol).distinct == aggNames
+  }
+
   /** The defining aggregate every [[MatView]] maintains — count + exact
     * decimal sum per group, plus the optional sketch families (HLL
     * distinct / count-min frequency / histogram quantile). This shape
@@ -139,17 +165,21 @@ object MatViewRouter {
       case None => return false
     }
     val asOf = st.agg(max(col("as_of"))).head().getLong(0)
-    // drop any existing registration BEFORE optimizing the defining
-    // query: with a live fresh entry the rule would route the defining
-    // query itself, and the captured shapes would be the ROUTED plan —
-    // which never matches a user query, silently disabling routing on
-    // every second register (bench pass 2 / the concurrent pass caught
-    // exactly this alternation)
-    entries.remove(viewRoot)
     val aggNames = Seq("n", "vsum") ++ distinctCol.map(_ => "dsk") ++
       freqCol.map(_ => "csk") ++ histCol.map(_ => "hsk")
-    val defining = definingQuery(spark, source, groupCols, valueCol,
-      distinctCol, freqCol, histCol).queryExecution.optimizedPlan
+    val sources = Seq(source.root -> asOf)
+    if (equivalentLive(viewRoot, groupCols, aggNames, sources)) return true
+    regLocks.computeIfAbsent(viewRoot, _ => new Object).synchronized {
+      if (equivalentLive(viewRoot, groupCols, aggNames, sources)) return true
+      // drop any existing registration BEFORE optimizing the defining
+      // query: with a live fresh entry the rule would route the defining
+      // query itself, and the captured shapes would be the ROUTED plan —
+      // which never matches a user query, silently disabling routing on
+      // every second register (bench pass 2 / the concurrent pass caught
+      // exactly this alternation)
+      entries.remove(viewRoot)
+      val defining = definingQuery(spark, source, groupCols, valueCol,
+        distinctCol, freqCol, histCol).queryExecution.optimizedPlan
     val (ge0, ae0, child0) = defining match {
       case Aggregate(g, a, c, _) => (g, a, c)
       case other => throw new IllegalStateException(
@@ -176,8 +206,9 @@ object MatViewRouter {
       .queryExecution.optimizedPlan
     val viewAttrs = viewPlan.output.map(a => a.name.toLowerCase -> a).toMap
     entries.put(viewRoot, Entry(groupNames, child0, srcAttrs, templates,
-      viewPlan, viewAttrs, Seq(source.root -> asOf)))
+      viewPlan, viewAttrs, sources))
     true
+    }
   }
 
   /** Register `viewRoot` (a [[JoinMatView]]'s store) as the routed
@@ -206,10 +237,17 @@ object MatViewRouter {
     }
     val head = st.agg(max(col("as_of")), max(col("dim_as_of"))).head()
     val (asOfF, asOfD) = (head.getLong(0), head.getLong(1))
-    entries.remove(viewRoot)
     val aggNames = Seq("n", "vsum")
-    val defining = new JoinMatView(viewRoot, groupCols, valueCol, joinKeys)
-      .defining(spark, fact, dim).queryExecution.optimizedPlan
+    val sources = Seq(fact.root -> asOfF, dim.root -> asOfD)
+    // repeat registration of a fresh equivalent entry skips the remove/
+    // re-optimize window entirely — see [[equivalentLive]] (the two join
+    // gates register the SAME view and run concurrently in the bench)
+    if (equivalentLive(viewRoot, groupCols, aggNames, sources)) return true
+    regLocks.computeIfAbsent(viewRoot, _ => new Object).synchronized {
+      if (equivalentLive(viewRoot, groupCols, aggNames, sources)) return true
+      entries.remove(viewRoot)
+      val defining = new JoinMatView(viewRoot, groupCols, valueCol, joinKeys)
+        .defining(spark, fact, dim).queryExecution.optimizedPlan
     val (ge0, ae0, child0) = defining match {
       case Aggregate(g, a, c, _) => (g, a, c)
       case other => throw new IllegalStateException(
@@ -231,8 +269,9 @@ object MatViewRouter {
       .queryExecution.optimizedPlan
     val viewAttrs = viewPlan.output.map(a => a.name.toLowerCase -> a).toMap
     entries.put(viewRoot, Entry(groupNames, child0, srcAttrs, templates,
-      viewPlan, viewAttrs, Seq(fact.root -> asOfF, dim.root -> asOfD)))
+      viewPlan, viewAttrs, sources))
     true
+    }
   }
 
   /** Recognizable output shapes of a defining aggregate: the exact
