@@ -824,20 +824,29 @@ object Bench {
           // ---- decode-through tier (r15 stretch #8): the raw+tag+write
           // rows/s above covers the reference's fetch loop MINUS its
           // per-log decode (eth-contract.py:121-123). Time the full
-          // decode too: every table of the demuxed store decodes
-          // through its own DecodeEvent/DecodeCalldata expression —
-          // ONE union-of-pruned-scans job (each branch reads only its
-          // table_name partition, so total IO is one store's worth, the
-          // same as 406 per-table inserts), with the per-row decode
-          // forced by the _params null-filter inside Demux.table.
+          // decode too: every row of the demuxed store decodes through
+          // the DecodeEvent/DecodeCalldata entry its tag routes it to.
+          // Opt round 1: ONE dispatch-decoded scan (Demux.decodesOk)
+          // instead of a union of 406 partition-pruned per-table decode
+          // branches — same per-row decode work and the SAME driver-side
+          // conservation expectation below (2,457,076 decodable landings
+          // at 2.46M demuxed rows), but constant plan depth: the union
+          // form spent 19–28 s (~90% in 406 scans/codegen stages/task
+          // rounds); DecodeDispatchSpec holds the two forms row-equal
+          // per table. Plan-asserted single-scan before timing.
           val base = spark.read.parquet(out)
+          val decoded = base.filter(Demux.decodesOk(defs))
+          // count scans on the final section only (the AQE plan string
+          // repeats the tree under "== Initial Plan ==")
+          val dplan = decoded.queryExecution.executedPlan.toString
+            .split("== Initial Plan ==").head
+          require(!dplan.contains("Union"),
+            "dispatch decode must be one scan, not a per-table union")
+          require(dplan.linesIterator.count(l =>
+            l.contains("FileScan") || l.contains("BatchScan")) == 1,
+            "dispatch decode must read the store exactly once")
           val t1 = System.nanoTime()
-          val decodedRows = defs.map { d =>
-            Demux.table(
-              base.filter(org.apache.spark.sql.functions.col("table_name")
-                === d.qualified).drop("table_name"), d)
-              .select(org.apache.spark.sql.functions.lit(1L).as("one"))
-          }.reduce(_.union(_)).count()
+          val decodedRows = decoded.count()
           val decodeWall = (System.nanoTime() - t1) / 1e9
           // exact decode expectation, computed DRIVER-SIDE with the real
           // decoder on the deterministic base batch: a log lands in

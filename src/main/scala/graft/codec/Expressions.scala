@@ -350,6 +350,74 @@ case class DecodeCalldata(entryJson: String, data: Expression,
   override def prettyName: String = "abi_decode_calldata"
 }
 
+/** abi_decode_dispatch_ok(table_name, topics, data) → boolean: does the
+  * row decode under the ABI entry its demux tag routes it to?
+  *
+  * The ONE-SCAN form of "decode every table of a demuxed store": the
+  * per-table formulation unions N partition-pruned [[DecodeEvent]] /
+  * [[DecodeCalldata]] branches — same total IO, but the plan carries N
+  * scans, N codegen stages and ≥N tasks (measured 19–28 s for N=406 at
+  * 2.46M rows, ~90% plan/stage overhead). Here the entry table rides
+  * along like [[DecodeEvent]]'s JSON literal and dispatch is one hash
+  * lookup per row, so the whole store decodes in a single codegen'd
+  * scan. Per-row work is IDENTICAL to the per-table form: the lookup
+  * lands on the same [[DecodeEvent]]/[[DecodeCalldata]] instances and
+  * calls their generated-code entry points (full decode + Catalyst
+  * conversion, null → undecodable-by-this-entry → false, mirroring the
+  * demux `_params` null-filter). Rows whose tag is unknown to `entries`
+  * evaluate false — same as the per-table union never scanning them. */
+case class DecodeDispatchOk(entries: Seq[(String, String, Boolean, Boolean)],
+                            tableName: Expression, topics: Expression,
+                            data: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def first: Expression = tableName
+  override def second: Expression = topics
+  override def third: Expression = data
+  override def dataType: DataType = BooleanType
+
+  // (qualified name → decoder) built once per task from the serialized
+  // (name, entryJson, isEvent, wideIntsAsBinary) tuples; the nested
+  // expressions' children are never evaluated (only their decode(...)
+  // generated-code entry points run), so placeholder children are fine
+  @transient private lazy val byTable: java.util.HashMap[UTF8String, AnyRef] = {
+    val m = new java.util.HashMap[UTF8String, AnyRef](entries.size * 2)
+    entries.foreach { case (name, json, isEvent, wide) =>
+      val ph = org.apache.spark.sql.catalyst.expressions.Literal(null, BinaryType)
+      val dec: AnyRef =
+        if (isEvent) DecodeEvent(json, ph, ph, wide)
+        else DecodeCalldata(json, ph, wide)
+      m.put(UTF8String.fromString(name), dec)
+    }
+    m
+  }
+
+  /** Generated-code entry point. */
+  def ok(name: UTF8String, topicsVal: ArrayData, dataVal: Array[Byte]): Boolean =
+    byTable.get(name) match {
+      case e: DecodeEvent => e.decode(topicsVal, dataVal) != null
+      case c: DecodeCalldata => c.decode(dataVal) != null
+      case _ => false
+    }
+
+  override protected def nullSafeEval(nameVal: Any, topicsVal: Any,
+                                      dataVal: Any): Any =
+    ok(nameVal.asInstanceOf[UTF8String], topicsVal.asInstanceOf[ArrayData],
+      dataVal.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("decodeDispatch", this,
+      classOf[DecodeDispatchOk].getName)
+    nullSafeCodeGen(ctx, ev, (n, t, d) =>
+      s"${ev.value} = $ref.ok($n, $t, $d);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): DecodeDispatchOk =
+    copy(tableName = newFirst, topics = newSecond, data = newThird)
+  override def prettyName: String = "abi_decode_dispatch_ok"
+}
+
 /** pg_encode_escape(binary) → string: PostgreSQL's `encode(bytea,
   * 'escape')` output format, byte-for-byte (PG datum/encode.c semantics,
   * public format): printable ASCII (0x20..0x7e) passes through,

@@ -48,6 +48,14 @@ object GraftFunctions {
                      wideIntsAsBinary: Boolean = false): Column =
     Shim.column(DecodeCalldata(entryJson, Shim.expression(data), wideIntsAsBinary))
 
+  /** One-scan dispatch-decode predicate (see [[DecodeDispatchOk]]):
+    * TRUE iff the row decodes under the entry `tableName` routes to. */
+  def decodeDispatchOk(entries: Seq[(String, String, Boolean, Boolean)],
+                       tableName: Column, topics: Column,
+                       data: Column): Column =
+    Shim.column(DecodeDispatchOk(entries, Shim.expression(tableName),
+      Shim.expression(topics), Shim.expression(data)))
+
   /** Exact decimal digits of a wide int carried as binary (S5/S9 rad
     * path — see [[UintToDecimalString]]). */
   def uintToDecimalString(c: Column): Column =

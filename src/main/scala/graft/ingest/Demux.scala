@@ -97,6 +97,18 @@ object Demux {
       .partitionBy("table_name")
       .parquet(path)
 
+  /** One-scan dispatch-decode predicate over demuxed (tagged) rows: TRUE
+    * iff the row decodes under the entry its `table_name` tag routes to —
+    * row-for-row what `defs.map(d => table(partition(d), d))` unioned
+    * keeps, without the N-branch plan (N scans, N codegen stages). The
+    * per-table topics[0] filter is implied: `tagged` only assigns a tag
+    * on topic0 equality, so every stored row already satisfies it. */
+  def decodesOk(defs: Seq[AbiSchema.TableDef]): org.apache.spark.sql.Column =
+    GraftFunctions.decodeDispatchOk(
+      defs.map(d => (d.qualified, AbiJson.render(d.entry), d.isEvent,
+        d.wideIntsAsBinary)),
+      col("table_name"), col("topics"), col("data"))
+
   /** Decoded table from a demuxed store (partition-pruned read). */
   def readTable(spark: SparkSession, path: String, d: AbiSchema.TableDef): DataFrame =
     table(spark.read.parquet(path).filter(col("table_name") === d.qualified)

@@ -111,12 +111,45 @@ object PageRank {
 
   def pagerank(s: SparkSession, dir: String): DataFrame = pagerank(s, dir, None)
 
+  /** Checkpointed loop INPUTS (edges on src, nodes on node, node count,
+    * partition count), memoized per (parent session, gate, corpus key) —
+    * the continuation of the change-1/2/7 memo family: the inputs are
+    * pure corpus functions already served from TruthCache, but every
+    * invocation re-paid their repartition + localCheckpoint + two counts
+    * (~0.5–1 s per graph gate). The corpus key is the same fingerprint /
+    * caller version that keys the TruthCache entries, so staleness
+    * behavior is unchanged (a rewritten corpus fingerprints differently
+    * and misses; a versioned store that fails to bump its version serves
+    * stale BY CONTRACT). The checkpointed RDDs are node/edge-sized. */
+  private val symInputMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, (Long, Long)), (DataFrame, DataFrame, Long, Int)]()
+  private val dangInputMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, (Long, Long)), (DataFrame, DataFrame, Long, Int)]()
+  private val kcoreInputMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, (Long, Long)), (DataFrame, DataFrame, Long)]()
+
   /** Version-keyed entry: `version` (a store snapshot version + tag)
     * replaces the corpus-scan fingerprint as the edge-cache key. */
   def pagerank(s: SparkSession, dir: String,
-               version: Option[(Long, Long)]): DataFrame =
-    pagerankLoop(s, sess => edgesWithDeg(sess, dir, version),
-      s"pr_sym:$dir")
+               version: Option[(Long, Long)]): DataFrame = {
+    val sess = pinnedLoopSession(s, s"pr_sym:$dir")
+    val fp = version.map(TruthCache.versionKey(dir, _))
+      .getOrElse(tradeFingerprint(sess, dir))
+    val (ed, nodes, n, parts) = symInputMemo.computeIfAbsent(
+      (s, s"pr_sym:$dir", fp), _ => {
+        val ed0 = edgesWithDeg(sess, dir, version)
+        val p = loopParts(sess, ed0.count())
+        sess.conf.set("spark.sql.shuffle.partitions", p)
+        val e = ed0.repartition(p, col("src")).localCheckpoint()
+        val nd = e.select(col("src").as("node")).distinct()
+          .repartition(p, col("node")).localCheckpoint()
+        (e, nd, nd.count(), p)
+      })
+    // the data-sized partition count is re-set per invocation (a pure
+    // function of the corpus — concurrent writers write the same value)
+    sess.conf.set("spark.sql.shuffle.partitions", parts)
+    runSymLoop(ed, nodes, n)
+  }
 
   /** Conf-pinned loop clones, memoized per (parent, tag): a FRESH clone
     * per invocation defeated every session-keyed metadata memo (table
@@ -154,7 +187,13 @@ object PageRank {
     // then co-partitioned — no exchange on either side
     val nodes = ed.select(col("src").as("node")).distinct()
       .repartition(parts, col("node")).localCheckpoint()
-    val n = nodes.count()
+    runSymLoop(ed, nodes, nodes.count())
+  }
+
+  /** The 10 damped rounds over prepared inputs — shared by the ad-hoc
+    * loop above and the memoized gate entry. */
+  private def runSymLoop(ed: DataFrame, nodes: DataFrame,
+                         n: Long): DataFrame = {
     val base = 0.15 / n // raw double, same expression as the oracle's
     // r0 is checkpointed as its OWN RDD: nodes is also the outer join
     // side of every round, and one checkpoint RDD appearing twice in a
@@ -233,36 +272,44 @@ object PageRank {
       .getOrElse(tradeFingerprint(sess, dir))
     // edge table with out-degrees and the flagged node table are pure
     // corpus functions — cached like the symmetric/triangle edge sets;
-    // only the per-invocation repartition onto the loop's partitioning
-    // (and the live rank iteration itself) recompute
-    val ed0 = TruthCache.cached(sess,
-      TruthCache.vtag("pr_edges_oneway", version), fp, {
-      val o = Tables.load(sess, dir, "orders").select("o_orderkey", "o_custkey")
-      val l = Tables.load(sess, dir, "lineitem").select("l_orderkey", "l_suppkey")
-      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("src"),
-          (col("l_suppkey") + 100000L).as("dst"))
-        .distinct()
-      val outdeg = pairs.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      pairs.join(outdeg, "src")
+    // the repartition + localCheckpoint onto the loop's partitioning is
+    // ALSO a pure corpus function and is memoized per (session, corpus
+    // key) with the same staleness key (see symInputMemo) — only the
+    // live rank iteration recomputes per invocation
+    val (ed, nodes, n, parts) = dangInputMemo.computeIfAbsent(
+      (s, s"pr_dang:$dir", fp), _ => {
+      val ed0 = TruthCache.cached(sess,
+        TruthCache.vtag("pr_edges_oneway", version), fp, {
+        val o = Tables.load(sess, dir, "orders").select("o_orderkey", "o_custkey")
+        val l = Tables.load(sess, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("src"),
+            (col("l_suppkey") + 100000L).as("dst"))
+          .distinct()
+        val outdeg = pairs.groupBy("src").agg(count(lit(1)).as("outdeg"))
+        pairs.join(outdeg, "src")
+      })
+      // every node, flagged dangling when it has NO out-edges (here: all
+      // suppliers) — partitioned on node with the ranks
+      val nodes0 = TruthCache.cached(sess,
+        TruthCache.vtag("pr_nodes_oneway", version), fp, {
+        val srcs = ed0.select(col("src")).distinct()
+        ed0.select(col("src").as("node"))
+          .union(ed0.select(col("dst").as("node"))).distinct()
+          .join(srcs, col("node") === col("src"), "left")
+          .select(col("node"), col("src").isNull.as("dang"))
+      })
+      val p = loopParts(sess, ed0.count())
+      sess.conf.set("spark.sql.shuffle.partitions", p)
+      val e = ed0.repartition(p, col("src")).localCheckpoint()
+      val nd = nodes0.repartition(p, col("node")).localCheckpoint()
+      (e, nd, nd.count(), p)
     })
-    // every node, flagged dangling when it has NO out-edges (here: all
-    // suppliers) — partitioned on node with the ranks
-    val nodes0 = TruthCache.cached(sess,
-      TruthCache.vtag("pr_nodes_oneway", version), fp, {
-      val srcs = ed0.select(col("src")).distinct()
-      ed0.select(col("src").as("node"))
-        .union(ed0.select(col("dst").as("node"))).distinct()
-        .join(srcs, col("node") === col("src"), "left")
-        .select(col("node"), col("src").isNull.as("dang"))
-    })
-    val parts = loopParts(sess, ed0.count())
     // AQE is already pinned off on the memoized clone; only the
-    // data-sized partition count is (re-)set per invocation
+    // data-sized partition count is (re-)set per invocation (a pure
+    // function of the corpus — concurrent writers write the same value)
     sess.conf.set("spark.sql.shuffle.partitions", parts)
-    val ed = ed0.repartition(parts, col("src")).localCheckpoint()
-    val nodes = nodes0.repartition(parts, col("node")).localCheckpoint()
-    (sess, ed, nodes, nodes.count())
+    (sess, ed, nodes, n)
   }
 
   /** PageRank over the ONE-WAY customer→supplier graph — every
@@ -438,17 +485,27 @@ object PageRank {
 
   def kcore(s: SparkSession, dir: String,
             version: Option[(Long, Long)]): DataFrame = {
-    val pairs = copurchaseEdges(s, dir, version)
-    val edges = pairs
-      .unionAll(pairs.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint()
-    val nodes = edges.select(col("u").as("n")).distinct().localCheckpoint()
+    // symmetric closure + node set are pure corpus functions over the
+    // TruthCache'd pair table — their per-invocation localCheckpoint +
+    // count are memoized like the PageRank loop inputs (symInputMemo)
+    val fp = version.map(TruthCache.versionKey(dir, _)).getOrElse(
+      IvfModel.fingerprintOf(Tables.load(s, dir, "lineitem"),
+        xxhash64(col("l_orderkey"), col("l_partkey"))))
+    val (edges, nodes, nNodes) = kcoreInputMemo.computeIfAbsent(
+      (s, dir, fp), _ => {
+      val pairs = copurchaseEdges(s, dir, version)
+      val e = pairs
+        .unionAll(pairs.select(col("v").as("u"), col("u").as("v")))
+        .localCheckpoint()
+      val nd = e.select(col("u").as("n")).distinct().localCheckpoint()
+      (e, nd, nd.count())
+    })
     def degOf(alive: DataFrame): DataFrame =
       edges.join(alive.select(col("n").as("u")), Seq("u"), "left_semi")
         .join(alive.select(col("n").as("v")), Seq("v"), "left_semi")
         .groupBy("u").agg(count(lit(1)).as("d"))
     var alive = nodes
-    var prev = alive.count()
+    var prev = nNodes
     var r = 0
     var fixed = false
     while (r < KCoreRounds && !fixed) {

@@ -622,16 +622,25 @@ object Retrieval {
       col("chunk_id") === 1 && pmod(col("doc_id"), lit(100)) === 7))
     def ssOf(e: DataFrame) = e.groupBy("doc_id")
       .agg(sum(col("val") * col("val")).as("ss"))
+    // the corpus norm rides the posting rows through a window over the
+    // ONE (doc, dim) aggregate instead of a second full embed pass +
+    // n_doc shuffle join (opt r1, guide §2.4: cemb had two unreused
+    // consumers — persist was tried and measured a no-op, removing the
+    // recompute outright is the real fix). Bit-safety: ss values are
+    // integer sums carried in doubles (squares of ±1-sign counts), so
+    // window-vs-aggregate addition order cannot change a bit, and every
+    // posting row of a doc carries the same css (max = that value).
+    val cembSs = cemb.withColumn("css",
+      sum(col("val") * col("val")).over(Window.partitionBy(col("doc_id"))))
     val prods = broadcast(qemb.select(col("doc_id").as("q_doc"),
         col("dim"), col("val").as("qv")))
-      .join(cemb.select(col("doc_id").as("n_doc"), col("dim"),
-        col("val").as("cv")), Seq("dim"))
-      .groupBy("q_doc", "n_doc").agg(sum(col("qv") * col("cv")).as("dp"))
+      .join(cembSs.select(col("doc_id").as("n_doc"), col("dim"),
+        col("val").as("cv"), col("css")), Seq("dim"))
+      .groupBy("q_doc", "n_doc").agg(sum(col("qv") * col("cv")).as("dp"),
+        max(col("css")).as("css"))
     val scored = prods
       .join(broadcast(ssOf(qemb).withColumnRenamed("doc_id", "q_doc")
         .withColumnRenamed("ss", "qss")), Seq("q_doc"))
-      .join(ssOf(cemb).withColumnRenamed("doc_id", "n_doc")
-        .withColumnRenamed("ss", "css"), Seq("n_doc"))
       .withColumn("cosine", round(col("dp") / sqrt(col("qss") * col("css")), 6))
     scored.withColumn("rank", row_number().over(
         Window.partitionBy(col("q_doc"))

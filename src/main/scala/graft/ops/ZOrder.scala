@@ -72,6 +72,67 @@ object ZOrder {
     }
   }
 
+  /** Deterministic range partitioning on the bounded z-domain — the
+    * tail of both cluster paths. `repartitionByRange` draws its
+    * boundaries from a RANDOMLY-SEEDED reservoir sample (Spark's
+    * RangePartitioner), which (a) jitters the written file layout per
+    * build — the store_skipping_auto stripe tripwire measurably moved
+    * 7→13 of 25 files across identical builds — and (b) is the
+    * guide-§2.5 retry hazard: a re-sampled boundary set on task retry
+    * is a different row→partition function mid-shuffle. The z-value
+    * domain is BOUNDED (`totalBits` wide), so exact boundaries are
+    * cheap instead: one map-side-combined count over the ≤2^16 coarse
+    * cells of the domain's top bits (collected: ≤65k rows), cut at
+    * equal cumulative mass, then an explicit partitioner — every step a
+    * pure function of the data. Same job count as before (the sampling
+    * pass becomes the histogram pass).
+    *
+    * Returns `df` partitioned into ≤ `nFiles` z-ranges, each internally
+    * z-sorted; the z column is still present (callers drop it). */
+  private def partitionByZ(withZ: DataFrame, zc: String, nFiles: Int,
+                           totalBits: Int): DataFrame = {
+    val n = math.max(1, nFiles)
+    if (n == 1) return withZ.repartition(1).sortWithinPartitions(zc)
+    val cellShift = math.max(0, totalBits - 16)
+    // NULL z (a row with every z column null) pins to cell 0 — the same
+    // nulls-first placement range partitioning gave it
+    val cell = coalesce(shiftright(col(zc), cellShift), lit(0L))
+    val hist = withZ.groupBy(cell.as("_zcell")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val total = hist.iterator.map(_._2).sum
+    // upper-exclusive cell cuts at cumulative mass thresholds i·total/n;
+    // a cell crossing several thresholds emits ONE cut (an un-splittable
+    // point mass yields fewer, fuller partitions, never a wrong split)
+    val cuts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var acc = 0L
+    var next = 1
+    hist.foreach { case (c, cnt) =>
+      acc += cnt
+      if (next < n && acc * n >= total * next) {
+        cuts += c + 1
+        while (next < n && acc * n >= total * next) next += 1
+      }
+    }
+    val pid = Iterator.iterate("_zpid")("_" + _)
+      .dropWhile(withZ.columns.contains).next()
+    val withPid = withZ.withColumn(pid,
+      rankBucket(cell.cast("double"), cuts.map(_.toDouble).toArray))
+    val pidIdx = withPid.schema.fieldIndex(pid)
+    val parted = withPid.rdd
+      .map(r => (r.getLong(pidIdx), r))
+      .partitionBy(new ZOrder.ExactPartitioner(n))
+      .values
+    withZ.sparkSession.createDataFrame(parted, withPid.schema)
+      .sortWithinPartitions(zc)
+      .drop(pid)
+  }
+
+  /** key IS the partition id (keys are 0-based and < n by construction). */
+  private final class ExactPartitioner(n: Int) extends org.apache.spark.Partitioner {
+    override def numPartitions: Int = n
+    override def getPartition(key: Any): Int = key.asInstanceOf[Long].toInt
+  }
+
   /** `df` clustered along the z-curve of `cols` into `nFiles` range
     * partitions, each internally z-sorted; the helper column is dropped
     * after partitioning, so the written schema is unchanged.
@@ -111,9 +172,8 @@ object ZOrder {
     }
     // helper column name guaranteed not to collide with user columns
     val zc = Iterator.iterate("_z")("_" + _).dropWhile(df.columns.contains).next()
-    df.withColumn(zc, interleave(buckets, bits))
-      .repartitionByRange(math.max(1, nFiles), col(zc))
-      .sortWithinPartitions(zc)
+    partitionByZ(df.withColumn(zc, interleave(buckets, bits)),
+      zc, nFiles, cols.size * bits)
       .drop(zc)
   }
 
@@ -132,9 +192,8 @@ object ZOrder {
       if (cut.isEmpty) lit(0L) else rankBucket(col(c).cast("double"), cut)
     }
     val zc = Iterator.iterate("_z")("_" + _).dropWhile(df.columns.contains).next()
-    df.withColumn(zc, interleave(buckets, rbits))
-      .repartitionByRange(math.max(1, nFiles), col(zc))
-      .sortWithinPartitions(zc)
+    partitionByZ(df.withColumn(zc, interleave(buckets, rbits)),
+      zc, nFiles, cols.size * rbits)
       .drop(zc)
   }
 }

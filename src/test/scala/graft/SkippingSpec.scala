@@ -70,6 +70,36 @@ class SkippingSpec extends AnyFunSuite {
     assert(got.getLong(0) == 100L) // 10x10 box of the 100x100 grid
   }
 
+  test("z-order clustering is deterministic and balanced (opt r1: exact cuts)") {
+    // repartitionByRange's randomly-seeded boundary sampling jittered the
+    // written layout per build (the store_skipping_auto tripwire moved
+    // 7→13 of 25 files across identical builds) and carried the
+    // guide-§2.5 retry hazard; partitionByZ cuts the bounded z domain on
+    // an exact histogram instead — layout is a pure function of the data
+    def layout() = graft.ops.ZOrder.cluster(grid(100), Seq("x", "y"), 16)
+      .withColumn("_p", spark_partition_id())
+      .groupBy("_p")
+      .agg(count(lit(1)).as("n"), sum("id").as("ids"),
+        min("x").as("x0"), max("x").as("x1"),
+        min("y").as("y0"), max("y").as("y1"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val a = layout()
+    val b = layout()
+    assert(a.toSeq == b.toSeq, "two identical builds produced different layouts")
+    // equi-depth cuts: no partition holds more than 2× the mean mass
+    val counts = a.map(_(1).asInstanceOf[Long])
+    assert(counts.sum == 100L * 100L)
+    assert(counts.nonEmpty && counts.max * counts.length <= 2 * counts.sum,
+      s"unbalanced z partitions: ${counts.mkString(",")}")
+    // rank-bucket path is deterministic too
+    def rankLayout() = graft.ops.ZOrder
+      .cluster(grid(50), Seq("x", "y"), 8, rankBuckets = true)
+      .withColumn("_p", spark_partition_id())
+      .groupBy("_p").agg(count(lit(1)).as("n"), sum("id").as("ids"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(rankLayout().toSeq == rankLayout().toSeq)
+  }
+
   test("readBox is conservative: unknown column or statless files read fully") {
     val store = new ManifestStore(fresh("conservative"))
     store.append(spark, grid(20), rangeCol = Some("id"))
