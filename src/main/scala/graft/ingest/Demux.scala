@@ -102,7 +102,14 @@ object Demux {
     * row-for-row what `defs.map(d => table(partition(d), d))` unioned
     * keeps, without the N-branch plan (N scans, N codegen stages). The
     * per-table topics[0] filter is implied: `tagged` only assigns a tag
-    * on topic0 equality, so every stored row already satisfies it. */
+    * on topic0 equality, so every stored row already satisfies it.
+    *
+    * VALID ONLY over tagged/demuxed rows, where `topics` is non-null by
+    * construction (r15 ADVICE #2): the underlying expression uses
+    * default ternary null semantics, so a null `topics` yields null
+    * (row dropped) even for a CALLDATA tag — where the per-table union
+    * form (`DecodeCalldata`) never reads topics. Rows from any other
+    * source must coalesce `topics` to an empty array first. */
   def decodesOk(defs: Seq[AbiSchema.TableDef]): org.apache.spark.sql.Column =
     GraftFunctions.decodeDispatchOk(
       defs.map(d => (d.qualified, AbiJson.render(d.entry), d.isEvent,

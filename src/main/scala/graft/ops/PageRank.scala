@@ -128,6 +128,44 @@ object PageRank {
   private val kcoreInputMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, (Long, Long)), (DataFrame, DataFrame, Long)]()
 
+  /** The checkpointed RDD behind a localCheckpoint'd frame (the
+    * LogicalRDD leaf), for explicit block release. */
+  private def ckptRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+
+  /** Release a superseded checkpoint's MEMORY_AND_DISK blocks (async —
+    * the caller never waits on the block manager). Guide §5: checkpoint
+    * blocks that nothing can reference anymore are pure storage-memory
+    * pressure on every later query in the session (r15 ADVICE #1: the
+    * per-round vectors and superseded memo entries accumulated for the
+    * JVM lifetime). */
+  private def dropCkpt(df: DataFrame): Unit =
+    try ckptRdd(df).foreach(_.unpersist(blocking = false))
+    catch { case _: Throwable => }
+
+  /** computeIfAbsent with per-(session, tag) eviction: a NEW corpus
+    * fingerprint supersedes every older entry under the same (session,
+    * tag) — the old entries' checkpointed inputs can never be served
+    * again (the key embeds the fingerprint) and their blocks are
+    * unpersisted instead of leaking for the session lifetime (r15
+    * ADVICE #1). */
+  private def memoGet[V](
+      memo: java.util.concurrent.ConcurrentHashMap[
+        (SparkSession, String, (Long, Long)), V],
+      key: (SparkSession, String, (Long, Long)),
+      frames: V => Seq[DataFrame])(build: => V): V = {
+    val v = memo.computeIfAbsent(key, _ => build)
+    import scala.jdk.CollectionConverters._
+    memo.keySet.asScala.toSeq
+      .filter(k => (k._1 eq key._1) && k._2 == key._2 && k._3 != key._3)
+      .foreach { stale =>
+        Option(memo.remove(stale)).foreach(frames(_).foreach(dropCkpt))
+      }
+    v
+  }
+
   /** Version-keyed entry: `version` (a store snapshot version + tag)
     * replaces the corpus-scan fingerprint as the edge-cache key. */
   def pagerank(s: SparkSession, dir: String,
@@ -135,8 +173,9 @@ object PageRank {
     val sess = pinnedLoopSession(s, s"pr_sym:$dir")
     val fp = version.map(TruthCache.versionKey(dir, _))
       .getOrElse(tradeFingerprint(sess, dir))
-    val (ed, nodes, n, parts) = symInputMemo.computeIfAbsent(
-      (s, s"pr_sym:$dir", fp), _ => {
+    val (ed, nodes, n, parts) = memoGet(symInputMemo,
+      (s, s"pr_sym:$dir", fp), (v: (DataFrame, DataFrame, Long, Int)) =>
+        Seq(v._1, v._2)) {
         val ed0 = edgesWithDeg(sess, dir, version)
         val p = loopParts(sess, ed0.count())
         sess.conf.set("spark.sql.shuffle.partitions", p)
@@ -144,7 +183,7 @@ object PageRank {
         val nd = e.select(col("src").as("node")).distinct()
           .repartition(p, col("node")).localCheckpoint()
         (e, nd, nd.count(), p)
-      })
+      }
     // the data-sized partition count is re-set per invocation (a pure
     // function of the corpus — concurrent writers write the same value)
     sess.conf.set("spark.sql.shuffle.partitions", parts)
@@ -218,7 +257,12 @@ object PageRank {
       // plan and codegen cheaper than 12-stage chains, and the rank
       // vector is node-sized, so the materialization is the cheap part;
       // at 100 TB: durable checkpoint, same per-superstep cadence)
+      val prev = ranks
       ranks = next.localCheckpoint()
+      // the new checkpoint is EAGER, so by here nothing can re-read the
+      // previous round's vector — release its blocks instead of letting
+      // 10 vectors per invocation pile up in the block manager (§5)
+      dropCkpt(prev)
     }
     ranks.select(col("node"), round(col("rank"), 6).as("rank"))
       .orderBy("node")
@@ -276,8 +320,9 @@ object PageRank {
     // ALSO a pure corpus function and is memoized per (session, corpus
     // key) with the same staleness key (see symInputMemo) — only the
     // live rank iteration recomputes per invocation
-    val (ed, nodes, n, parts) = dangInputMemo.computeIfAbsent(
-      (s, s"pr_dang:$dir", fp), _ => {
+    val (ed, nodes, n, parts) = memoGet(dangInputMemo,
+      (s, s"pr_dang:$dir", fp), (v: (DataFrame, DataFrame, Long, Int)) =>
+        Seq(v._1, v._2)) {
       val ed0 = TruthCache.cached(sess,
         TruthCache.vtag("pr_edges_oneway", version), fp, {
         val o = Tables.load(sess, dir, "orders").select("o_orderkey", "o_custkey")
@@ -304,7 +349,7 @@ object PageRank {
       val e = ed0.repartition(p, col("src")).localCheckpoint()
       val nd = nodes0.repartition(p, col("node")).localCheckpoint()
       (e, nd, nd.count(), p)
-    })
+    }
     // AQE is already pinned off on the memoized clone; only the
     // data-sized partition count is (re-)set per invocation (a pure
     // function of the corpus — concurrent writers write the same value)
@@ -329,7 +374,9 @@ object PageRank {
       // every-4 cadence): the vector is consumed TWICE per round — the
       // dangling aggregate and the contribution join — and re-deriving
       // it for each consumer would double the subtree per round
+      val prev = ranks
       ranks = prStepDangling(ranks, ed, nodes, base, n).localCheckpoint()
+      dropCkpt(prev) // superseded round vector — release (§5)
     }
     ranks.select(col("node"), round(col("rank"), 6).as("rank"))
       .orderBy("node")
@@ -491,15 +538,15 @@ object PageRank {
     val fp = version.map(TruthCache.versionKey(dir, _)).getOrElse(
       IvfModel.fingerprintOf(Tables.load(s, dir, "lineitem"),
         xxhash64(col("l_orderkey"), col("l_partkey"))))
-    val (edges, nodes, nNodes) = kcoreInputMemo.computeIfAbsent(
-      (s, dir, fp), _ => {
+    val (edges, nodes, nNodes) = memoGet(kcoreInputMemo,
+      (s, dir, fp), (v: (DataFrame, DataFrame, Long)) => Seq(v._1, v._2)) {
       val pairs = copurchaseEdges(s, dir, version)
       val e = pairs
         .unionAll(pairs.select(col("v").as("u"), col("u").as("v")))
         .localCheckpoint()
       val nd = e.select(col("u").as("n")).distinct().localCheckpoint()
       (e, nd, nd.count())
-    })
+    }
     def degOf(alive: DataFrame): DataFrame =
       edges.join(alive.select(col("n").as("u")), Seq("u"), "left_semi")
         .join(alive.select(col("n").as("v")), Seq("v"), "left_semi")
@@ -509,8 +556,12 @@ object PageRank {
     var r = 0
     var fixed = false
     while (r < KCoreRounds && !fixed) {
+      val prevAlive = alive
       alive = degOf(alive).filter(col("d") >= KCoreK)
         .select(col("u").as("n")).localCheckpoint()
+      // release the superseded survivor set's blocks — but never the
+      // memoized node table the loop started from (§5)
+      if (!(prevAlive eq nodes)) dropCkpt(prevAlive)
       val c = alive.count()
       fixed = c == prev
       prev = c

@@ -106,11 +106,15 @@ object ZOrder {
     val cuts = scala.collection.mutable.ArrayBuffer.empty[Long]
     var acc = 0L
     var next = 1
+    // threshold test in BigInt: acc·n and total·next in Long overflow
+    // near 2^63 (r15 ADVICE #3 — at 100 TB row counts times file counts
+    // get there), and an overflowed comparison cuts in the wrong places
+    def reached(k: Int): Boolean = BigInt(acc) * n >= BigInt(total) * k
     hist.foreach { case (c, cnt) =>
       acc += cnt
-      if (next < n && acc * n >= total * next) {
+      if (next < n && reached(next)) {
         cuts += c + 1
-        while (next < n && acc * n >= total * next) next += 1
+        while (next < n && reached(next)) next += 1
       }
     }
     val pid = Iterator.iterate("_zpid")("_" + _)
@@ -118,6 +122,13 @@ object ZOrder {
     val withPid = withZ.withColumn(pid,
       rankBucket(cell.cast("double"), cuts.map(_.toDouble).toArray))
     val pidIdx = withPid.schema.fieldIndex(pid)
+    // deliberate RDD[Row] round-trip (r15 ADVICE #4): external-Row
+    // decode + re-encode per row, losing codegen for this one stage.
+    // Measured at the gate-store scale it is noise next to the parquet
+    // write that follows, and the explicit partitioner is what buys the
+    // retry-safe, sampling-free layout; a Dataset-level exact-partition
+    // exchange needs a custom physical operator — revisit only if a
+    // profile ever shows this stage, not before.
     val parted = withPid.rdd
       .map(r => (r.getLong(pidIdx), r))
       .partitionBy(new ZOrder.ExactPartitioner(n))
