@@ -865,12 +865,17 @@ object Bench {
           // differently must not silently error the whole tier)
           locally {
             import org.apache.spark.sql.execution.SparkPlan
+            import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
             import org.apache.spark.sql.execution.joins.{
               BroadcastHashJoinExec, BroadcastNestedLoopJoinExec,
               SortMergeJoinExec}
-            def nodes(p: SparkPlan): Seq[SparkPlan] =
-              p +: (p.children.flatMap(nodes) ++
+            // AdaptiveSparkPlanExec is a leaf wrapper — its current
+            // plan hangs off executedPlan, not children
+            def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+              case a: AdaptiveSparkPlanExec => p +: nodes(a.executedPlan)
+              case _ => p +: (p.children.flatMap(nodes) ++
                 p.subqueries.flatMap(nodes))
+            }
             val ns = nodes(tagged.queryExecution.executedPlan)
             require(ns.exists(n => n.isInstanceOf[BroadcastHashJoinExec] ||
               n.isInstanceOf[BroadcastNestedLoopJoinExec]),
