@@ -33,4 +33,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+) ++ (
+  // Optional collector override for A/B measurement (r16):
+  // SPARK_GRAFT_GC=parallel|g1|<empty>. Default stays the JVM default
+  // (G1 on JDK 17) — only adopted if measured better.
+  sys.env.get("SPARK_GRAFT_GC") match {
+    case Some("parallel") => Seq("-XX:+UseParallelGC")
+    case Some("g1") => Seq("-XX:+UseG1GC")
+    case _ => Seq.empty
+  }
 )

@@ -546,6 +546,43 @@ object Bench {
       Thread.sleep(5000); settledMs += 5000
       loadBefore = loadAvg()
     }
+    // ---- post-churn degradation gate (r16, measured on this host
+    // class): a burst of multi-JVM Spark work just before the bench
+    // (a test suite, a back-to-back bench) leaves the host in a state
+    // where EVERY subsequent JVM runs uniformly ~1.4-2.5x slower with
+    // zero foreign-CPU / GC / IO-probe signals — reproduced locally
+    // (same code+data: value 113.1 s on a rested host vs 153.5 s
+    // started 1 min after a heavy run; the r15 driver run, started at
+    // 15-min load 17.9 right after its test phase, measured 294 s and
+    // p2=430 vs 156 for identical code). A pure 32-core CPU burn does
+    // NOT induce it (profiled fastest-ever right after), and the state
+    // decays with IDLE (~10 min back to best) but not while running.
+    // The 1-min settle above cannot see it (1-min load is near zero
+    // minutes after the churn ends). When the 15-min load still
+    // carries the churn signature and the budget affords it, a bounded
+    // idle is the single cheapest optimization available: ~7 min buys
+    // back ~40% on every measured number. Parameterized:
+    // SPARK_GRAFT_CHURN_WAIT_S caps the wait (0 disables).
+    def load15(): Double =
+      try java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get("/proc/loadavg")).get(0)
+        .trim.split("\\s+")(2).toDouble
+      catch { case _: Throwable => -1.0 }
+    val churnCap = sys.env.getOrElse("SPARK_GRAFT_CHURN_WAIT_S", "420").toLong
+    var churnWaitMs = 0L
+    val l15AtStart = load15()
+    val churnThresh = math.max(6.0,
+      cpus.toIntOption.getOrElse(32).toDouble / 4)
+    if (churnCap > 0 && l15AtStart > churnThresh &&
+        budgetLeft > 420 + 1500) {
+      System.err.println(f"[bench] post-churn idle gate: 15-min load " +
+        f"$l15AtStart%.1f > $churnThresh%.1f — idling up to $churnCap s " +
+        "(recent heavy multi-JVM work degrades every measurement; " +
+        "idle heals it, running does not)")
+      while (churnWaitMs < churnCap * 1000L && load15() > churnThresh) {
+        Thread.sleep(15000); churnWaitMs += 15000
+      }
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -1132,9 +1169,21 @@ object Bench {
     // bounded tail window of stdout, and a long line loses its head —
     // the whole object has to fit in ~2000 chars (measured: the r4/r5
     // harness captured exactly the last 2000)
+    // global-degradation evidence (r16): median record/trend-baseline
+    // ratio across queries with a baseline. ~1.0 = healthy host; >1.3
+    // with clean interference channels = the post-churn uniform
+    // slowdown (see the idle gate above) — the run's numbers are real
+    // but the environment, not the engine, moved.
+    val runSkew = {
+      val ratios = results.toSeq.flatMap { case (k, v) =>
+        baseline.get(k).filter(_ > 0.05).map(v / _) }
+      if (ratios.size >= 20) medianOf(ratios) else -1.0
+    }
     val env = s""""env":{"jvms":[$jvmsBefore,$jvmsAfter],""" +
       s""""load":[${f2(loadAtStart)},${f2(loadBefore)},${f2(loadAvg())}],""" +
       s""""wait_s":${settledMs / 1000},""" +
+      s""""churn_wait_s":${churnWaitMs / 1000},"l15":${f2(l15AtStart)},""" +
+      s""""run_skew":${f2(runSkew)},""" +
       s""""passes":${1 + p2.size},"p1":${f2(p1Total)},""" +
       s""""p2":${f2(p2.map(_.values.flatten.map(_.wall).sum).getOrElse(-1.0))},""" +
       s""""cpus":$cpus,"contaminated":$contaminated}"""

@@ -141,9 +141,20 @@ object PageRank {
     * pressure on every later query in the session (r15 ADVICE #1: the
     * per-round vectors and superseded memo entries accumulated for the
     * JVM lifetime). */
-  private def dropCkpt(df: DataFrame): Unit =
-    try ckptRdd(df).foreach(_.unpersist(blocking = false))
+  private lazy val quietTruncationWarn: Unit =
+    // unpersisting a locally-checkpointed RDD logs a WARN that the data
+    // "can no longer be recomputed" — for a SUPERSEDED round vector
+    // that is the point, not a hazard; silence just that logger so ~30
+    // identical lines per graph gate don't drown real warnings
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
     catch { case _: Throwable => }
+  private def dropCkpt(df: DataFrame): Unit =
+    try {
+      quietTruncationWarn
+      ckptRdd(df).foreach(_.unpersist(blocking = false))
+    } catch { case _: Throwable => }
 
   /** computeIfAbsent with per-(session, tag) eviction: a NEW corpus
     * fingerprint supersedes every older entry under the same (session,
